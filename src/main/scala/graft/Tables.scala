@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md) plus
+  * deterministic genomic-shaped derivations shared by queries and their
+  * DuckDB oracles.
+  *
+  * The reference engine (biodatageeks/sequila) operates on alignment /
+  * interval tables with columns `(contig, pos_start, pos_end, ...)`,
+  * 1-based end-inclusive (see SURVEY.md §1). The offline environment has
+  * no genomic files, so we derive interval tables from the TPC-H-ish
+  * parquet with pure integer arithmetic that an oracle SQL can replicate
+  * exactly. Every derivation here has a matching SQL CTE in
+  * [[OracleCtes]] — keep them in lockstep.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Alignment-shaped table derived from `lineitem`: one row per read with
+    * `(sample_id, contig, pos_start, pos_end, mapq, flag)`. 1-based,
+    * end-inclusive, read length 1..30. Mirrors reference Alignment schema
+    * (SURVEY §1.2, reference `Alignment.avsc`). */
+  def reads(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select(
+      concat(lit("s"), (col("l_orderkey") % 4).cast("string")).as("sample_id"),
+      (col("l_partkey") % 4).cast("string").as("contig"),
+      ((col("l_orderkey") % 1000) + 1).cast("int").as("pos_start"),
+      ((col("l_orderkey") % 1000) + 1 + (col("l_suppkey") % 30)).cast("int").as("pos_end"),
+      (col("l_linenumber") * 10).cast("int").as("mapq"),
+      ((col("l_orderkey") % 2) * 1024).cast("int").as("flag"))
+
+  /** BED-shaped interval/annotation table derived from `part`
+    * (reference BED source, SURVEY §2.1 S5). */
+  def targets(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      (col("p_partkey") % 4).cast("string").as("contig"),
+      (((col("p_partkey") * 13) % 1000) + 1).cast("int").as("pos_start"),
+      (((col("p_partkey") * 13) % 1000) + 51).cast("int").as("pos_end"),
+      col("p_name").as("name"))
+
+  /** Larger interval pair used by the flagship interval-join queries:
+    * `ivA` from lineitem (many short intervals), `ivB` from part (fewer,
+    * longer) over an 8-contig, 100k-position coordinate space. */
+  def ivA(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select(
+      col("l_orderkey").as("a_key"),
+      (col("l_partkey") % 8).cast("string").as("contig"),
+      ((col("l_orderkey") % 100000) + 1).cast("int").as("pos_start"),
+      ((col("l_orderkey") % 100000) + 1 + (col("l_suppkey") % 50)).cast("int").as("pos_end"))
+
+  def ivB(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey").as("b_key"),
+      (col("p_partkey") % 8).cast("string").as("contig"),
+      (((col("p_partkey") * 13) % 100000) + 1).cast("int").as("pos_start"),
+      (((col("p_partkey") * 13) % 100000) + 201).cast("int").as("pos_end"))
+}
+
+/** SQL CTE text mirroring [[Tables]]' derivations, for DuckDB oracles.
+  * DuckDB runs these against views named after the parquet files. */
+object OracleCtes {
+  val reads: String =
+    """reads AS (SELECT 's' || CAST(l_orderkey % 4 AS VARCHAR) AS sample_id,
+      |  CAST(l_partkey % 4 AS VARCHAR) AS contig,
+      |  CAST(l_orderkey % 1000 + 1 AS INT) AS pos_start,
+      |  CAST(l_orderkey % 1000 + 1 + l_suppkey % 30 AS INT) AS pos_end,
+      |  CAST(l_linenumber * 10 AS INT) AS mapq,
+      |  CAST((l_orderkey % 2) * 1024 AS INT) AS flag
+      |  FROM lineitem)""".stripMargin
+
+  val targets: String =
+    """targets AS (SELECT CAST(p_partkey % 4 AS VARCHAR) AS contig,
+      |  CAST((p_partkey * 13) % 1000 + 1 AS INT) AS pos_start,
+      |  CAST((p_partkey * 13) % 1000 + 51 AS INT) AS pos_end,
+      |  p_name AS name FROM part)""".stripMargin
+
+  val ivA: String =
+    """iva AS (SELECT l_orderkey AS a_key,
+      |  CAST(l_partkey % 8 AS VARCHAR) AS contig,
+      |  CAST(l_orderkey % 100000 + 1 AS INT) AS pos_start,
+      |  CAST(l_orderkey % 100000 + 1 + l_suppkey % 50 AS INT) AS pos_end
+      |  FROM lineitem)""".stripMargin
+
+  val ivB: String =
+    """ivb AS (SELECT p_partkey AS b_key,
+      |  CAST(p_partkey % 8 AS VARCHAR) AS contig,
+      |  CAST((p_partkey * 13) % 100000 + 1 AS INT) AS pos_start,
+      |  CAST((p_partkey * 13) % 100000 + 201 AS INT) AS pos_end
+      |  FROM part)""".stripMargin
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Stock relational capabilities the reference delegates to Spark SQL
+  * (SURVEY §0, §2.4 A7/A8, §2.5 W2/SO1/TK1): aggregation, equi-joins with
+  * broadcast, window functions, top-k, set ops. These stay declarative so
+  * Catalyst handles pushdown/pruning/broadcast for free. */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped pricing summary: hash aggregate with partial
+    // (map-side) aggregation; doubles rounded so the oracle compare is
+    // order-insensitive.
+    "q1_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    // Multi-way equi-join; `region`/`nation` are tiny → broadcast joins.
+    "q3_join_agg" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    },
+    // Top-k: orderBy + limit → Spark plans TakeOrderedAndProject (no full
+    // sort shuffle). Deterministic tie-break on the unique key.
+    "topk_orders" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    },
+    // Window functions over the events stream table: per-user running
+    // value sum + event ordinal.
+    "window_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_value",
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+    },
+    // Semi/anti joins (J9 in SURVEY — delegated to Spark): customers with
+    // and without orders, unioned with a marker.
+    "semi_anti_union" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir).select(col("c_custkey"))
+      val ord = Tables.orders(s, dir).select(col("o_custkey"))
+      val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .withColumn("has_orders", lit(true))
+      val withoutOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .withColumn("has_orders", lit(false))
+      withOrders.union(withoutOrders)
+    },
+    // Grouping-sets-style rollup (A8 — stock Spark).
+    "rollup_agg" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+    // Time-bucketed aggregation over events (batch analogue of the
+    // streaming windowed agg; ns-vs-us timestamp precision normalized by
+    // truncating to the hour in both engines).
+    "events_hourly" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(SUM(l_quantity), 2) AS sum_qty,
+        | ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | ROUND(AVG(l_discount), 6) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT r_name, n_name,
+        | ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "window_running" ->
+      """SELECT event_id, user_id, value,
+        | ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        | ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events""".stripMargin,
+    "semi_anti_union" ->
+      """SELECT c_custkey, TRUE AS has_orders FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, FALSE AS has_orders FROM customer
+        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "rollup_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}
