@@ -1,0 +1,23 @@
+package graft
+
+import graft.plans.IntervalJoinStrategy
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** The engine's `SparkSessionExtensions` entry point — the analogue of the
+  * reference's `SequilaSession` registration block
+  * (`utvf/SequilaSession.scala:29-66`), minus the forked
+  * Analyzer/SessionState: Spark 4 exposes injection points for everything
+  * the reference had to fork for (SURVEY §7 step 1).
+  *
+  * Use either
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(IntervalJoinStrategy(_))
+    functions.GraftFunctions.registrations.foreach(ext.injectFunction)
+    plans.GraftTableFunctions.registrations.foreach(ext.injectTableFunction)
+  }
+}

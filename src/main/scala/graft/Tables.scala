@@ -27,7 +27,15 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * 4.x refuses to infer. Read it as Long nanos (legacy conf) and convert
+    * to a microsecond timestamp with integer division (`div`, not `/` —
+    * double division loses precision above 2^53 ns). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

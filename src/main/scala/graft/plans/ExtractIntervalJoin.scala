@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.types.IntegerType
+
+/** Extracted keys of an interval (range) join:
+  * `leftStart <= rightEnd && rightStart <= leftEnd` with optional equality
+  * keys (contig) and a residual predicate replayed after the join.
+  */
+case class IntervalJoinKeys(
+    leftStart: Expression,
+    leftEnd: Expression,
+    rightStart: Expression,
+    rightEnd: Expression,
+    leftEqs: Seq[Expression],
+    rightEqs: Seq[Expression],
+    residual: Option[Expression])
+
+/** Recognizes inner joins whose condition contains the interval-overlap
+  * core `a.end >= b.start AND a.start <= b.end`, optionally conjoined with
+  * equality keys (`a.contig = b.contig`) and arbitrary extra conjuncts
+  * (kept as a residual filter — a generalization over the reference, whose
+  * matcher requires the exact shape and otherwise falls back to a
+  * nested-loop join; see
+  * `rangejoins/common/ExtractRangeJoinKeysWithEquality.scala:29-44`,
+  * `ExtractRangeJoinKeys.scala:23-39`).
+  *
+  * Reference parity notes (SURVEY §2.3): Inner joins only; `<=`/`>=` only
+  * (strict `<`/`>` is NOT matched, same as the reference); key side
+  * assignment by attribute containment (the reference's `canEvaluate`).
+  */
+object ExtractIntervalJoin extends PredicateHelper {
+
+  def unapply(plan: LogicalPlan): Option[(LogicalPlan, LogicalPlan, IntervalJoinKeys)] =
+    plan match {
+      case Join(left, right, Inner, Some(cond), _) => extract(left, right, cond).map {
+        keys => (left, right, keys)
+      }
+      case _ => None
+    }
+
+  private def evaluableOn(e: Expression, p: LogicalPlan): Boolean =
+    e.deterministic && e.references.nonEmpty && e.references.subsetOf(p.outputSet)
+
+  private def isIntTyped(e: Expression): Boolean = e.dataType == IntegerType
+
+  def extract(left: LogicalPlan, right: LogicalPlan, cond: Expression): Option[IntervalJoinKeys] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+
+    // Normalize every a >= b into b <= a, then classify by side.
+    // ltr: (l, r) meaning l <= r with l from left, r from right  → leftStart=l, rightEnd=r
+    // rtl: (r, l) meaning r <= l with r from right, l from left  → rightStart=r, leftEnd=l
+    var ltr: Option[(Expression, Expression)] = None
+    var rtl: Option[(Expression, Expression)] = None
+    val eqL = Seq.newBuilder[Expression]
+    val eqR = Seq.newBuilder[Expression]
+    val residual = Seq.newBuilder[Expression]
+
+    def classifyLe(a: Expression, b: Expression, orig: Expression): Unit = {
+      if (isIntTyped(a) && isIntTyped(b) &&
+          evaluableOn(a, left) && evaluableOn(b, right) && ltr.isEmpty) {
+        ltr = Some((a, b))
+      } else if (isIntTyped(a) && isIntTyped(b) &&
+          evaluableOn(a, right) && evaluableOn(b, left) && rtl.isEmpty) {
+        rtl = Some((a, b))
+      } else {
+        residual += orig
+      }
+    }
+
+    conjuncts.foreach {
+      case e @ EqualTo(a, b) =>
+        if (evaluableOn(a, left) && evaluableOn(b, right)) { eqL += a; eqR += b }
+        else if (evaluableOn(a, right) && evaluableOn(b, left)) { eqL += b; eqR += a }
+        else residual += e
+      case e @ LessThanOrEqual(a, b) => classifyLe(a, b, e)
+      case e @ GreaterThanOrEqual(a, b) => classifyLe(b, a, e)
+      case e => residual += e
+    }
+
+    (ltr, rtl) match {
+      case (Some((ls, re)), Some((rs, le))) =>
+        Some(IntervalJoinKeys(ls, le, rs, re, eqL.result(), eqR.result(),
+          residual.result().reduceOption(And)))
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExpressionInfo, GenericInternalRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-valued functions (SURVEY §2.7), registered via
+  * `SparkSessionExtensions.injectTableFunction` — the Spark-4-native
+  * replacement for the reference's forked Analyzer
+  * (`utvf/ResolveTableValuedFunctionsSeq.scala:87-128`).
+  *
+  *  - `grange(contig, start, end)` / `bdg_grange(...)` — one-row genomic
+  *    interval relation (reference `utvf/GenomicInterval.scala:30-38` +
+  *    `GenomicIntervalStrategy.scala:11-36`). Instead of a dedicated leaf
+  *    node + planner strategy for a single literal row, this folds the
+  *    arguments at resolution time into a `LocalRelation` — zero runtime
+  *    cost, and every Catalyst rule (broadcast, constant propagation) sees
+  *    straight through it.
+  *  - `range(n)` needs nothing: stock Spark resolves it natively.
+  *  - coverage/pileup TVFs are registered in [[CoverageTableFunctions]].
+  */
+object GraftTableFunctions {
+
+  type Builder = Seq[Expression] => LogicalPlan
+
+  private def grangeOutput: Seq[Attribute] = Seq(
+    AttributeReference("contig", StringType, nullable = false)(),
+    AttributeReference("pos_start", IntegerType, nullable = false)(),
+    AttributeReference("pos_end", IntegerType, nullable = false)())
+
+  private val grangeB: Builder = { args =>
+    require(args.length == 3, s"grange expects (contig, pos_start, pos_end), got ${args.length} args")
+    require(args.forall(_.foldable), "grange arguments must be literals")
+    val contig = args.head.eval() match {
+      case s: UTF8String => s
+      case other => UTF8String.fromString(String.valueOf(other))
+    }
+    def intArg(e: Expression, name: String): Int = e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"grange $name must be integral, got $other")
+    }
+    val row: InternalRow = new GenericInternalRow(
+      Array[Any](contig, intArg(args(1), "pos_start"), intArg(args(2), "pos_end")))
+    LocalRelation(grangeOutput, Seq(row))
+  }
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =
+    Seq("grange", "bdg_grange").map { n =>
+      (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), grangeB)
+    }
+}

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.{FilterExec, SparkPlan, SparkStrategy}
+
+/** Plans [[IntervalForestJoinExec]] for joins matched by
+  * [[ExtractIntervalJoin]] (reference strategy:
+  * `rangejoins/methods/IntervalTree/IntervalTreeJoinStrategyOptim.scala:16-51`).
+  *
+  * Build-side and broadcast-vs-two-phase selection use Catalyst plan
+  * statistics instead of the reference's runtime `count()` jobs + JOL object
+  * sizing (`IntervalTreeJoinOptimChromosome.scala:72-88`,
+  * `rangejoins/optimizer/JoinOptimizerChromosome.scala:19-63`) — zero extra
+  * jobs, same decision. Conf knobs (defaults in parens):
+  *
+  *  - `spark.graft.rangejoin.enabled` (true) — fall back to stock Spark
+  *    (BroadcastNestedLoopJoin) when false; used by differential tests.
+  *  - `spark.graft.rangejoin.minOverlap` (1), `spark.graft.rangejoin.maxGap` (0)
+  *  - `spark.graft.rangejoin.method` (auto | broadcast | twophase)
+  *  - `spark.graft.rangejoin.buildSide` (auto | left | right) — the
+  *    reference's `useJoinOrder` analogue (auto picks the smaller by stats).
+  *  - `spark.graft.rangejoin.maxBroadcastBytes` (256 MiB) — auto threshold
+  *    between broadcast and two-phase.
+  */
+case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
+
+  private def conf(key: String, default: String): String =
+    session.conf.get(s"spark.graft.rangejoin.$key", default)
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case ExtractIntervalJoin(left, right, keys) if conf("enabled", "true").toBoolean =>
+      val minOverlap = conf("minOverlap", "1").toInt
+      val maxGap = conf("maxGap", "0").toInt
+      val buildLeft = conf("buildSide", "auto") match {
+        case "left" => true
+        case "right" => false
+        case _ => left.stats.sizeInBytes <= right.stats.sizeInBytes
+      }
+      val buildSize = if (buildLeft) left.stats.sizeInBytes else right.stats.sizeInBytes
+      val maxBroadcast = conf("maxBroadcastBytes", (256L << 20).toString).toLong
+      val mode = conf("method", "auto") match {
+        case "broadcast" => BroadcastForestMode
+        case "twophase" => TwoPhaseMode
+        case _ => if (buildSize <= maxBroadcast) BroadcastForestMode else TwoPhaseMode
+      }
+      val exec = IntervalForestJoinExec(
+        keys, buildLeft, mode, minOverlap, maxGap, planLater(left), planLater(right))
+      keys.residual.map(FilterExec(_, exec)).getOrElse(exec) :: Nil
+    case _ => Nil
+  }
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.{Graft, OracleCtes, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Flagship interval-join queries (SURVEY §2.3 J1-J7) plus the scalar
+  * interval-function surface (§2.6) and the grange TVF (§2.7). All of them
+  * run through [[graft.plans.IntervalForestJoinExec]] / the injected
+  * function registry; each has an exact DuckDB oracle over the same CTE
+  * derivations.
+  */
+object IntervalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // featureCounts shape (reference apps/FeatureCounts.scala:35-50):
+    // reads (ivA) x targets (ivB) interval join with contig equality, then
+    // count per target. Plans as a broadcast interval-forest join (J1).
+    "interval_join_count" -> { (s, dir) =>
+      Graft.ensure(s)
+      val a = Tables.ivA(s, dir)
+      val b = Tables.ivB(s, dir)
+      a.join(b,
+          a("contig") === b("contig") &&
+          a("pos_end") >= b("pos_start") &&
+          a("pos_start") <= b("pos_end"))
+        .groupBy(col("b_key"))
+        .agg(count(lit(1)).as("n_reads"))
+    },
+    // Raw pair set — hash-compares every matched (a_key, b_key) pair.
+    "interval_join_pairs" -> { (s, dir) =>
+      Graft.ensure(s)
+      val a = Tables.ivA(s, dir)
+      val b = Tables.ivB(s, dir)
+      a.join(b,
+          a("contig") === b("contig") &&
+          a("pos_end") >= b("pos_start") &&
+          a("pos_start") <= b("pos_end"))
+        .select(col("a_key"), col("b_key"))
+    },
+    // No-equality variant (J2): both sides pre-filtered to one contig, the
+    // join condition is the bare interval overlap.
+    "interval_join_nochr" -> { (s, dir) =>
+      Graft.ensure(s)
+      val a = Tables.ivA(s, dir).filter(col("contig") === "3")
+      val b = Tables.ivB(s, dir).filter(col("contig") === "3")
+      a.join(b,
+          a("pos_end") >= b("pos_start") &&
+          a("pos_start") <= b("pos_end"))
+        .select(col("a_key"), col("b_key"))
+    },
+    // minOverlap semantics (J6) expressed as a residual predicate over the
+    // engine's own overlaplength function: forest join + codegen'd filter.
+    "interval_join_overlap10" -> { (s, dir) =>
+      Graft.ensure(s)
+      val a = Tables.ivA(s, dir).as("a")
+      val b = Tables.ivB(s, dir).as("b")
+      a.join(b, expr(
+          """a.contig = b.contig
+            | AND a.pos_end >= b.pos_start
+            | AND a.pos_start <= b.pos_end
+            | AND overlaplength(a.pos_start, a.pos_end, b.pos_start, b.pos_end) >= 10""".stripMargin))
+        .select(col("a_key"), col("b_key"))
+    },
+    // grange TVF (§2.7): literal one-row genomic interval joined to the
+    // targets table, resolved via the injected table function.
+    "grange_tvf" -> { (s, dir) =>
+      Graft.ensure(s)
+      Tables.targets(s, dir).createOrReplaceTempView("targets_v")
+      s.sql("""SELECT t.name, t.pos_start, t.pos_end
+              |FROM bdg_grange('2', 100, 600) g
+              |JOIN targets_v t
+              |  ON t.contig = g.contig
+              | AND t.pos_end >= g.pos_start
+              | AND t.pos_start <= g.pos_end""".stripMargin)
+    },
+    // Scalar interval-function pack (§2.6) over targets; struct results
+    // flattened to int columns so the oracle is plain arithmetic.
+    "udf_interval_ops" -> { (s, dir) =>
+      Graft.ensure(s)
+      Tables.targets(s, dir).createOrReplaceTempView("targets_v")
+      s.sql("""SELECT name,
+              |  shift(pos_start, pos_end, 7).start  AS sh_start,
+              |  shift(pos_start, pos_end, 7).`end`  AS sh_end,
+              |  bdg_resize(pos_start, pos_end, 9, 'center').start AS rs_start,
+              |  bdg_resize(pos_start, pos_end, 9, 'center').`end` AS rs_end,
+              |  flank(pos_start, pos_end, 10, true, false).start  AS fl_start,
+              |  flank(pos_start, pos_end, 10, true, false).`end`  AS fl_end,
+              |  promoters(pos_start, pos_end, 100, 20).start      AS pr_start,
+              |  promoters(pos_start, pos_end, 100, 20).`end`      AS pr_end,
+              |  reflect(pos_start, pos_end, 1, 1000).start        AS rf_start,
+              |  reflect(pos_start, pos_end, 1, 1000).`end`        AS rf_end,
+              |  overlaplength(pos_start, pos_end, 400, 700)       AS ov_len,
+              |  clean_contig(concat('chr', contig))               AS clean_c
+              |FROM targets_v""".stripMargin)
+    })
+
+  private def withCtes(ctes: String*)(sql: String): String =
+    "WITH " + ctes.mkString(",\n") + "\n" + sql
+
+  val oracle: Map[String, String] = Map(
+    "interval_join_count" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT b_key, COUNT(*) AS n_reads
+        |FROM iva a JOIN ivb b
+        |  ON a.contig = b.contig
+        | AND a.pos_end >= b.pos_start
+        | AND a.pos_start <= b.pos_end
+        |GROUP BY b_key""".stripMargin),
+    "interval_join_pairs" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key
+        |FROM iva a JOIN ivb b
+        |  ON a.contig = b.contig
+        | AND a.pos_end >= b.pos_start
+        | AND a.pos_start <= b.pos_end""".stripMargin),
+    "interval_join_nochr" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key
+        |FROM (SELECT * FROM iva WHERE contig = '3') a
+        |JOIN (SELECT * FROM ivb WHERE contig = '3') b
+        |  ON a.pos_end >= b.pos_start
+        | AND a.pos_start <= b.pos_end""".stripMargin),
+    "interval_join_overlap10" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key
+        |FROM iva a JOIN ivb b
+        |  ON a.contig = b.contig
+        | AND a.pos_end >= b.pos_start
+        | AND a.pos_start <= b.pos_end
+        | AND LEAST(a.pos_end, b.pos_end) - GREATEST(a.pos_start, b.pos_start) + 1 >= 10""".stripMargin),
+    "grange_tvf" -> withCtes(OracleCtes.targets)(
+      """SELECT name, pos_start, pos_end FROM targets
+        |WHERE contig = '2' AND pos_end >= 100 AND pos_start <= 600""".stripMargin),
+    "udf_interval_ops" -> withCtes(OracleCtes.targets)(
+      """SELECT name,
+        |  pos_start + 7 AS sh_start,
+        |  pos_end + 7   AS sh_end,
+        |  (pos_start + (pos_end - pos_start) // 2)
+        |    - ((pos_end - pos_start) // 2 + 5) AS rs_start,
+        |  (pos_start + (pos_end - pos_start) // 2)
+        |    + ((pos_end - pos_start) // 2 + 4) AS rs_end,
+        |  pos_start - 10 AS fl_start,
+        |  pos_start - 1  AS fl_end,
+        |  pos_start - 100 AS pr_start,
+        |  pos_start + 19  AS pr_end,
+        |  1001 - pos_end AS rf_start,
+        |  1001 - pos_start AS rf_end,
+        |  LEAST(pos_end, 700) - GREATEST(pos_start, 400) + 1 AS ov_len,
+        |  contig AS clean_c
+        |FROM targets""".stripMargin))
+}
