@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable
+
+/** Depth-of-coverage as RLE blocks — the reference's second flagship
+  * (SURVEY §2.4 A1/A2; reference `pileup/model/Read.scala:27-54`,
+  * `ContigAggregateRDD.scala:183-232`).
+  *
+  * Algorithm (one shuffle, no driver data volume):
+  *  1. Each read `[pos_start, pos_end]` becomes two event points:
+  *     `(contig, pos_start, +1)` and `(contig, pos_end+1, -1)` — a single
+  *     scan via explode, so the input is read once.
+  *  2. Events are range-partitioned and sorted by `(contig, pos)` — the
+  *     only shuffle, and it moves 2 small rows per read, not the reads.
+  *  3. Distributed prefix scan: a cheap first pass collects per-partition
+  *     net deltas per contig (O(partitions) on the driver); the driver
+  *     folds them into a carry-in coverage for each partition.
+  *  4. Each partition streams its sorted events once, maintaining the
+  *     running coverage (carry + prefix sum) and emitting maximal
+  *     `(contig, pos_start, pos_end, coverage)` runs with `coverage > 0`;
+  *     a run still open at partition end is closed at the next partition's
+  *     first event position (driver-provided).
+  *  5. A run that crosses a partition boundary *without changing coverage*
+  *     comes out split in two; only first/last blocks of each partition can
+  *     be affected, so the driver collects those O(partitions) rows, merges
+  *     adjacent equal runs, and patches the result.
+  *
+  * At 100 TB this scales: the shuffle is by genome position (uniformly
+  * splittable, no hot keys), every pass is partition-local, and driver
+  * state is O(partitions + contigs), never O(data). The reference gets the
+  * same shuffle-free property with custom partition-bound coalescing
+  * (`AlignmentsRDD.repartition:207-238`); range-partitioned event points
+  * are the Spark-native equivalent.
+  *
+  * Coverage is emitted as Int (the reference uses Short with a documented
+  * ≤32767 assumption — SURVEY §7 hard parts; Int removes the overflow).
+  */
+object CoverageOps {
+
+  private case class Block(contig: String, posStart: Int, posEnd: Int, coverage: Int)
+
+  val blockSchema: StructType = StructType(Seq(
+    StructField("contig", StringType, nullable = true),
+    StructField("pos_start", IntegerType, nullable = false),
+    StructField("pos_end", IntegerType, nullable = false),
+    StructField("coverage", IntegerType, nullable = false)))
+
+  /** RLE coverage blocks for a reads DataFrame with
+    * `(contig, pos_start, pos_end)` columns (1-based, end-inclusive). */
+  def blocks(reads: DataFrame): DataFrame = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+
+    val events = reads
+      .select(col("contig"), explode(array(
+        struct(col("pos_start").cast("int").as("pos"), lit(1).as("delta")),
+        struct((col("pos_end") + 1).cast("int").as("pos"), lit(-1).as("delta")))).as("ev"))
+      .select(col("contig"), col("ev.pos").as("pos"), col("ev.delta").as("delta"))
+
+    val sorted = events
+      .repartitionByRange(col("contig"), col("pos"))
+      .sortWithinPartitions(col("contig"), col("pos"))
+      .as[(String, Int, Int)]
+    val rdd = sorted.rdd
+
+    // Pass 1: per-partition (first event key, net delta per contig in order).
+    case class Summary(idx: Int, first: Option[(String, Int)], perContig: Seq[(String, Long)])
+    val summaries = rdd.mapPartitionsWithIndex { (idx, it) =>
+      var first: Option[(String, Int)] = None
+      val order = mutable.ArrayBuffer.empty[String]
+      val net = mutable.HashMap.empty[String, Long]
+      it.foreach { case (contig, pos, delta) =>
+        if (first.isEmpty) first = Some((contig, pos))
+        if (!net.contains(contig)) order += contig
+        net(contig) = net.getOrElse(contig, 0L) + delta
+      }
+      Iterator.single(Summary(idx, first, order.map(c => c -> net(c)).toSeq))
+    }.collect().sortBy(_.idx)
+
+    val nParts = summaries.length
+    // Driver fold: carry-in coverage per partition (for its first contig)
+    // and the first event key of the next non-empty partition.
+    val carryIn = new Array[Long](nParts)
+    val running = mutable.HashMap.empty[String, Long]
+    summaries.foreach { s =>
+      carryIn(s.idx) = s.first.map { case (c, _) => running.getOrElse(c, 0L) }.getOrElse(0L)
+      s.perContig.foreach { case (c, d) => running(c) = running.getOrElse(c, 0L) + d }
+    }
+    val nextFirst = new Array[Option[(String, Int)]](nParts)
+    var upcoming: Option[(String, Int)] = None
+    for (i <- nParts - 1 to 0 by -1) {
+      nextFirst(i) = upcoming
+      if (summaries(i).first.isDefined) upcoming = summaries(i).first
+    }
+    val carryB = spark.sparkContext.broadcast((carryIn, nextFirst))
+
+    // Pass 2: streaming RLE per partition. Tag first/last block per
+    // partition for the boundary merge.
+    val tagged = rdd.mapPartitionsWithIndex { (idx, it) =>
+      val (carries, nexts) = carryB.value
+      val out = mutable.ArrayBuffer.empty[Block]
+      var curContig: String = null
+      var cov = 0L
+      var blockStart = 0
+      var started = false // processed at least one position group
+      var lastPos = Int.MinValue
+
+      def advance(contig: String, pos: Int, net: Long): Unit = {
+        if (contig != curContig) {
+          // All events of the previous contig are behind us globally, so
+          // its coverage is zero here (valid intervals guarantee it).
+          curContig = contig
+          cov = if (!started) carries(idx) else 0L
+          blockStart = pos
+          cov += net
+          started = true
+        } else {
+          val newCov = cov + net
+          if (newCov != cov) {
+            if (cov > 0) out += Block(curContig, blockStart, pos - 1, cov.toInt)
+            blockStart = pos
+            cov = newCov
+          }
+        }
+        lastPos = pos
+      }
+
+      // Merge equal-(contig,pos) runs of events, then advance.
+      var pendContig: String = null
+      var pendPos = 0
+      var pendNet = 0L
+      var hasPend = false
+      it.foreach { case (contig, pos, delta) =>
+        if (hasPend && contig == pendContig && pos == pendPos) pendNet += delta
+        else {
+          if (hasPend) advance(pendContig, pendPos, pendNet)
+          pendContig = contig; pendPos = pos; pendNet = delta; hasPend = true
+        }
+      }
+      if (hasPend) advance(pendContig, pendPos, pendNet)
+      if (started && cov > 0) {
+        // Open run at partition end: closes at the next partition's first
+        // event position (same contig — coverage > 0 implies more events).
+        val end = nexts(idx) match {
+          case Some((_, np)) => np - 1
+          case None => lastPos // unreachable for valid input
+        }
+        out += Block(curContig, blockStart, end, cov.toInt)
+      }
+      val n = out.length
+      out.iterator.zipWithIndex.map { case (b, i) =>
+        (b.contig, b.posStart, b.posEnd, b.coverage, idx, i == 0 || i == n - 1)
+      }
+    }.toDF("contig", "pos_start", "pos_end", "coverage", "pid", "boundary")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Driver boundary merge: only first/last blocks of a partition can be
+    // two halves of one run. O(partitions) rows.
+    val boundaryRows = tagged.filter(col("boundary")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(b => (b._1, b._2))
+    val merged = mutable.ArrayBuffer.empty[(String, Int, Int, Int)]
+    boundaryRows.foreach { b =>
+      merged.lastOption match {
+        case Some(last) if last._1 == b._1 && last._3 + 1 == b._2 && last._4 == b._4 =>
+          merged(merged.length - 1) = (last._1, last._2, b._3, last._4)
+        case _ => merged += b
+      }
+    }
+    val mergedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(merged.toSeq.map(b => Row(b._1, b._2, b._3, b._4)), 1),
+      blockSchema)
+    tagged.filter(!col("boundary"))
+      .select(col("contig"), col("pos_start"), col("pos_end"), col("coverage"))
+      .unionAll(mergedDf)
+  }
+
+  /** Mean coverage per fixed-size tiling window (SURVEY §2.5 W1):
+    * tile = `(pos-1) / windowSize`, mean over all `windowSize` positions
+    * (uncovered positions count as zero); all-zero tiles are not emitted.
+    * Computed from the RLE blocks — each block contributes
+    * `overlap × coverage` to the tiles it spans — so the shuffle is over
+    * blocks, not positions. */
+  def windowed(reads: DataFrame, windowSize: Int): DataFrame = {
+    val b = blocks(reads)
+    b.select(col("contig"),
+        explode(sequence(
+          (col("pos_start") - 1).divide(windowSize).cast("long"),
+          (col("pos_end") - 1).divide(windowSize).cast("long"))).as("tile"),
+        col("pos_start"), col("pos_end"), col("coverage"))
+      .select(col("contig"), col("tile"),
+        (least(col("pos_end"), (col("tile") + 1) * windowSize)
+          - greatest(col("pos_start"), col("tile") * windowSize + 1) + 1)
+          .cast("long").multiply(col("coverage")).as("contrib"))
+      .groupBy(col("contig"), col("tile"))
+      .agg((sum(col("contrib")) / lit(windowSize.toDouble)).as("mean_coverage"))
+  }
+}

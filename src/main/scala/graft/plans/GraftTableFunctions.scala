@@ -48,8 +48,30 @@ object GraftTableFunctions {
     LocalRelation(grangeOutput, Seq(row))
   }
 
+  /** `coverage(viewName[, sampleId])` TVF (reference overloads at
+    * `utvf/ResolveTableValuedFunctionsSeq.scala:111-116`; the refPath arg
+    * is dropped — no FASTA in the relational surface). Resolution builds
+    * the coverage pipeline over the named view; note the pipeline's
+    * prefix-scan pass runs eagerly at analysis time. */
+  private val coverageB: Builder = { args =>
+    require(args.nonEmpty && args.length <= 2,
+      s"coverage expects (tableName[, sampleId]), got ${args.length} args")
+    require(args.forall(_.foldable), "coverage arguments must be literals")
+    def str(e: Expression): String = String.valueOf(e.eval())
+    val spark = org.apache.spark.sql.SparkSession.active
+    val table = spark.table(str(args.head))
+    val filtered =
+      if (args.length >= 2)
+        table.filter(org.apache.spark.sql.functions.col("sample_id") === str(args(1)))
+      else table
+    graft.operators.CoverageOps.blocks(filtered)
+      .queryExecution.analyzed
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =
     Seq("grange", "bdg_grange").map { n =>
       (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), grangeB)
+    } ++ Seq("coverage", "bdg_coverage").map { n =>
+      (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), coverageB)
     }
 }

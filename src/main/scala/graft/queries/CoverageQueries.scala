@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.{Graft, OracleCtes, Tables}
+import graft.operators.CoverageOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Coverage flagship queries (SURVEY §2.4 A1/A2, §2.5 W1, §2.7 T2).
+  * Oracles compute per-position coverage the slow-but-obvious way
+  * (unnest positions + GROUP BY) and re-derive RLE runs with the
+  * gaps-and-islands window trick.
+  */
+object CoverageQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def s1Reads(s: SparkSession, dir: String): DataFrame =
+    Tables.reads(s, dir).filter(col("sample_id") === "s1")
+
+  val queries: Map[String, Q] = Map(
+    // Event-array coverage → RLE blocks (A1/A2) for one sample.
+    "coverage_blocks" -> { (s, dir) =>
+      Graft.ensure(s)
+      CoverageOps.blocks(s1Reads(s, dir))
+    },
+    // Fixed-length window coverage (W1): mean depth per 500-bp tile.
+    "coverage_window" -> { (s, dir) =>
+      Graft.ensure(s)
+      CoverageOps.windowed(s1Reads(s, dir), 500)
+    },
+    // TVF surface (T2): same result through SQL `coverage('view','sample')`.
+    "coverage_tvf" -> { (s, dir) =>
+      Graft.ensure(s)
+      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      s.sql("SELECT * FROM coverage('reads_v', 's1')")
+    })
+
+  private val coverageOracle: String = {
+    s"""WITH ${OracleCtes.reads},
+       |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+       |positions AS (
+       |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
+       |cov AS (
+       |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+       |runs AS (
+       |  SELECT contig, pos, coverage,
+       |         pos - ROW_NUMBER() OVER (PARTITION BY contig, coverage ORDER BY pos) AS grp
+       |  FROM cov)
+       |SELECT contig, CAST(MIN(pos) AS INT) AS pos_start,
+       |       CAST(MAX(pos) AS INT) AS pos_end, CAST(coverage AS INT) AS coverage
+       |FROM runs GROUP BY contig, coverage, grp""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "coverage_blocks" -> coverageOracle,
+    "coverage_tvf" -> coverageOracle,
+    "coverage_window" ->
+      s"""WITH ${OracleCtes.reads},
+         |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+         |positions AS (
+         |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
+         |cov AS (
+         |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2)
+         |SELECT contig, (pos - 1) // 500 AS tile,
+         |       CAST(SUM(coverage) AS DOUBLE) / 500 AS mean_coverage
+         |FROM cov GROUP BY 1, 2""".stripMargin)
+}
