@@ -8,9 +8,11 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ IntervalQueries.queries ++ CoverageQueries.queries
+    RelationalQueries.queries ++ IntervalQueries.queries ++ CoverageQueries.queries ++
+      DedupQueries.queries ++ EmbeddingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ IntervalQueries.oracle ++ CoverageQueries.oracle
+    RelationalQueries.oracle ++ IntervalQueries.oracle ++ CoverageQueries.oracle ++
+      DedupQueries.oracle ++ EmbeddingQueries.oracle
 }

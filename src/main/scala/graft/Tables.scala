@@ -71,6 +71,19 @@ object Tables {
       ((col("l_orderkey") % 100000) + 1).cast("int").as("pos_start"),
       ((col("l_orderkey") % 100000) + 1 + (col("l_suppkey") % 50)).cast("int").as("pos_end"))
 
+  /** Dedup test corpus: the (all-distinct) documents plus deterministic
+    * injected duplicates — every doc_id % 5 re-added verbatim (exact dup)
+    * and every doc_id % 7 re-added with a textual tail (near dup). */
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" duplicated tail marker")).as("text")))
+  }
+
   def ivB(spark: SparkSession, dir: String): DataFrame =
     part(spark, dir).select(
       col("p_partkey").as("b_key"),
@@ -103,6 +116,13 @@ object OracleCtes {
       |  CAST(l_orderkey % 100000 + 1 AS INT) AS pos_start,
       |  CAST(l_orderkey % 100000 + 1 + l_suppkey % 50 AS INT) AS pos_end
       |  FROM lineitem)""".stripMargin
+
+  val corpus: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT doc_id + 20000, text || ' duplicated tail marker'
+      |    FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
   val ivB: String =
     """ivb AS (SELECT p_partkey AS b_key,

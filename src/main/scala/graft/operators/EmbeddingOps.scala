@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - [[exactTopK]] — brute-force cosine top-k: broadcast the (small) query
+  *   set, stream the corpus, per-query top-k via window rank. This is the
+  *   exact baseline; at 100 TB it is one corpus scan with no shuffle of
+  *   the corpus (only the tiny (query, k) results move).
+  * - [[lshTopK]] — random-hyperplane LSH: vectors bucketed by the sign
+  *   pattern of `nPlanes` fixed random projections; candidates = corpus
+  *   vectors sharing a bucket with the query (multi-probe over bands),
+  *   then exact cosine re-rank. The scale path: bucket join instead of
+  *   corpus × queries.
+  *
+  * Dot products and norms run through `zip_with`/`aggregate` higher-order
+  * functions in double precision — codegen'd, sequential index order, so
+  * results are reproducible across engines.
+  */
+object EmbeddingOps {
+
+  /** Sequential-order double-precision cosine similarity of two
+    * array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors (cosine, excluding self) of each query vector.
+    * Output (vec_id, rank, neighbor_id) — ranks only, deterministic
+    * tie-break on neighbor id. */
+  def exactTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb")))
+    val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
+    val sims = c.join(q, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("neighbor_id"))
+  }
+
+  val NumPlanes = 16
+
+  /** Fixed random hyperplanes (deterministic seed), one per signature bit. */
+  private val planes: Array[Array[Double]] = {
+    val rnd = new Random(987654321L)
+    Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Signature bucket id: sign bits of the random projections. */
+  def lshBucket(emb: Column): Column = {
+    val e = asDouble(emb)
+    (0 until NumPlanes).map { i =>
+      val proj = aggregate(
+        zip_with(e, typedLit(planes(i)), (x, p) => x * p), lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1), i)).otherwise(0)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates share the full 16-bit bucket or one of
+    * four 4-bit band buckets (band multi-probe keeps recall up while the
+    * join stays a plain shuffle join on band keys). Exact cosine re-ranks
+    * the candidates. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def banded(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+      val withB = df.select(col("vec_id").as(idCol), asDouble(col("embedding")).as(embCol),
+        lshBucket(col("embedding")).as("bucket"))
+      val bands = (0 until 4).map(j =>
+        struct(lit(j).as("band"), shiftright(col("bucket"), j * 4).bitwiseAND(0xF).as("bh")))
+      withB.select(col(idCol), col(embCol), explode(array(bands: _*)).as("b"))
+        .select(col(idCol), col(embCol), col("b.band").as("band"), col("b.bh").as("bh"))
+    }
+    val qb = banded(queries, "q_id", "q_emb")
+    val cb = banded(corpus, "c_id", "c_emb")
+    val candidates = qb.join(cb,
+        qb("band") === cb("band") && qb("bh") === cb("bh") && col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"))
+      .dropDuplicates("q_id", "c_id")
+    val sims = candidates.select(col("q_id"), col("c_id"),
+      cosine(col("q_emb"), col("c_emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("neighbor_id"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.EmbeddingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over the embeddings table. `ann_topk` is the
+  * exact brute-force baseline with a DuckDB `list_cosine_similarity`
+  * oracle (rank-only output — rank margins are >= 2e-4, far above any
+  * double-rounding divergence). `ann_lsh_topk` is the approximate scale
+  * path; no SQL oracle (bucketing isn't SQL-expressible), recall is
+  * asserted in ScalaTest against the exact result.
+  */
+object EmbeddingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    (emb, emb.filter(col("vec_id") < 20))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ann_topk" -> { (s, dir) =>
+      val (corpus, queries) = split(s, dir)
+      EmbeddingOps.exactTopK(corpus, queries, k = 3)
+    },
+    "ann_lsh_topk" -> { (s, dir) =>
+      val (corpus, queries) = split(s, dir)
+      EmbeddingOps.lshTopK(corpus, queries, k = 3)
+    })
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |sims AS (
+        |  SELECT q.vec_id AS vec_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id),
+        |ranked AS (SELECT vec_id, neighbor_id, sim,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                              ORDER BY sim DESC, neighbor_id) AS rank
+        |           FROM sims)
+        |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id
+        |FROM ranked WHERE rank <= 3""".stripMargin)
+}
