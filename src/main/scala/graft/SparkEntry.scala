@@ -9,10 +9,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ IntervalQueries.queries ++ CoverageQueries.queries ++
-      DedupQueries.queries ++ EmbeddingQueries.queries
+      DedupQueries.queries ++ EmbeddingQueries.queries ++ TextQueries.queries ++
+      MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ IntervalQueries.oracle ++ CoverageQueries.oracle ++
-      DedupQueries.oracle ++ EmbeddingQueries.oracle
+      DedupQueries.oracle ++ EmbeddingQueries.oracle ++ TextQueries.oracle ++
+      MultimodalQueries.oracle
 }

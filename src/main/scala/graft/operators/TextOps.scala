@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting. All
+  * pure column expressions (codegen'd, no UDFs) with exact DuckDB-SQL
+  * mirrors, so they run at scan speed over any corpus size.
+  */
+object TextOps {
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subtoken count: runs of letters, runs of digits, or single
+    * non-space symbols. */
+  def subtokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Fraction of tokens that are stopwords — a classic fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
+      .cast("double") / size(toks)
+  }
+
+  /** Type-token ratio (distinct / total tokens) — repetition signal. */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(array_distinct(toks)).cast("double") / size(toks)
+  }
+
+  /** Composite quality score in [0,1]: length saturation + lexical
+    * diversity. Deterministic double arithmetic. */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), tokenCount(text).cast("double") / 50.0) * 0.5 +
+      typeTokenRatio(text) * 0.5
+
+  /** Marker-based language-ID heuristic: CJK codepoints → zh, then
+    * function-word markers for de/fr/es, else en. On the synthetic corpus
+    * (shared English vocabulary across the lang column) this
+    * deterministically yields 'en' — the operator is the point, the
+    * corpus just has no signal. */
+  def langGuess(text: Column): Column = {
+    val toks = tokens(text)
+    def hasAny(ws: String*): Column =
+      ws.map(w => array_contains(toks, w)).reduce(_ || _)
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(hasAny("der", "die", "das", "und", "nicht"), "de")
+      .when(hasAny("le", "les", "et", "est", "une"), "fr")
+      .when(hasAny("el", "los", "las", "es", "una"), "es")
+      .otherwise("en")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized text (md5 so the
+    * oracle can reproduce it; in-engine callers can use xxhash64 for
+    * speed). */
+  def fingerprint(text: Column): Column =
+    md5(DedupOps.normText(text))
+
+  /** The full stats projection over a documents table. */
+  def stats(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      subtokenCount(t).as("n_subtokens"),
+      length(t).as("n_chars"),
+      punctCount(t).as("n_punct"),
+      stopwordRatio(t).as("stopword_ratio"),
+      typeTokenRatio(t).as("type_token_ratio"),
+      qualityScore(t).as("quality_score"),
+      langGuess(t).as("lang_guess"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

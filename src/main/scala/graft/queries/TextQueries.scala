@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over documents, each mirrored exactly in DuckDB
+  * SQL (language markers, stopword list, and score weights kept in
+  * lockstep with [[graft.operators.TextOps]]).
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "text_stats" -> { (s, dir) =>
+      TextOps.stats(Tables.documents(s, dir))
+    },
+    // Aggregate quality profile per (lang, source) — the shape a curation
+    // pipeline filters on.
+    "text_quality_by_source" -> { (s, dir) =>
+      TextOps.stats(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("quality_score")).as("min_q"),
+          max(col("quality_score")).as("max_q"))
+    })
+
+  private val statsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_subtokens,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+      |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |       x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+      |    / len(string_split_regex(lower(trim(text)), '\s+')) AS stopword_ratio,
+      |  CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+      |    / len(string_split_regex(lower(trim(text)), '\s+')) AS type_token_ratio,
+      |  least(1.0, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 50.0) * 0.5
+      |    + CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+      |      / len(string_split_regex(lower(trim(text)), '\s+')) * 0.5 AS quality_score,
+      |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |       WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |            x -> x IN ('der','die','das','und','nicht'))) > 0 THEN 'de'
+      |       WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |            x -> x IN ('le','les','et','est','une'))) > 0 THEN 'fr'
+      |       WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |            x -> x IN ('el','los','las','es','una'))) > 0 THEN 'es'
+      |       ELSE 'en' END AS lang_guess,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" -> statsSql,
+    "text_quality_by_source" ->
+      s"""WITH stats AS ($statsSql)
+         |SELECT d.lang, d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+         |  MIN(s.quality_score) AS min_q, MAX(s.quality_score) AS max_q
+         |FROM stats s JOIN documents d USING (doc_id)
+         |GROUP BY d.lang, d.source""".stripMargin)
+}
