@@ -50,7 +50,15 @@ object Tables {
       ((col("l_orderkey") % 1000) + 1).cast("int").as("pos_start"),
       ((col("l_orderkey") % 1000) + 1 + (col("l_suppkey") % 30)).cast("int").as("pos_end"),
       (col("l_linenumber") * 10).cast("int").as("mapq"),
-      ((col("l_orderkey") % 2) * 1024).cast("int").as("flag"))
+      ((col("l_orderkey") % 2) * 1024).cast("int").as("flag"),
+      // Deterministic mismatch info standing in for MD-tag parsing
+      // (reference `pileup/MDTagParser.scala`): ~30% of reads carry one
+      // alt base at a position inside the read, with a 0..40 base quality.
+      (col("l_orderkey") % 10 < 3).as("has_alt"),
+      least(((col("l_orderkey") % 1000) + 1 + (col("l_suppkey") % 7)).cast("int"),
+        ((col("l_orderkey") % 1000) + 1 + (col("l_suppkey") % 30)).cast("int")).as("alt_pos"),
+      substring(lit("ACGT"), (col("l_partkey") % 4).cast("int") + 1, lit(1)).as("alt_base"),
+      (col("l_suppkey") % 41).cast("int").as("base_qual"))
 
   /** BED-shaped interval/annotation table derived from `part`
     * (reference BED source, SURVEY §2.1 S5). */
@@ -101,7 +109,12 @@ object OracleCtes {
       |  CAST(l_orderkey % 1000 + 1 AS INT) AS pos_start,
       |  CAST(l_orderkey % 1000 + 1 + l_suppkey % 30 AS INT) AS pos_end,
       |  CAST(l_linenumber * 10 AS INT) AS mapq,
-      |  CAST((l_orderkey % 2) * 1024 AS INT) AS flag
+      |  CAST((l_orderkey % 2) * 1024 AS INT) AS flag,
+      |  (l_orderkey % 10 < 3) AS has_alt,
+      |  LEAST(CAST(l_orderkey % 1000 + 1 + l_suppkey % 7 AS INT),
+      |        CAST(l_orderkey % 1000 + 1 + l_suppkey % 30 AS INT)) AS alt_pos,
+      |  substr('ACGT', CAST(l_partkey % 4 AS INT) + 1, 1) AS alt_base,
+      |  CAST(l_suppkey % 41 AS INT) AS base_qual
       |  FROM lineitem)""".stripMargin
 
   val targets: String =

@@ -68,10 +68,31 @@ object GraftTableFunctions {
       .queryExecution.analyzed
   }
 
+  /** `pileup(viewName[, sampleId[, alts[, quals]]])` TVF (reference
+    * overloads at `utvf/ResolveTableValuedFunctionsSeq.scala:88-109`; the
+    * alts/quals flags are accepted for signature parity — this pileup
+    * always emits both, and there is no refPath in the relational
+    * surface). */
+  private val pileupB: Builder = { args =>
+    require(args.nonEmpty && args.length <= 4,
+      s"pileup expects (tableName[, sampleId[, alts[, quals]]]), got ${args.length} args")
+    require(args.forall(_.foldable), "pileup arguments must be literals")
+    def str(e: Expression): String = String.valueOf(e.eval())
+    val spark = org.apache.spark.sql.SparkSession.active
+    val table = spark.table(str(args.head))
+    val filtered =
+      if (args.length >= 2)
+        table.filter(org.apache.spark.sql.functions.col("sample_id") === str(args(1)))
+      else table
+    graft.operators.PileupOps.pileup(filtered).queryExecution.analyzed
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =
     Seq("grange", "bdg_grange").map { n =>
       (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), grangeB)
     } ++ Seq("coverage", "bdg_coverage").map { n =>
       (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), coverageB)
+    } ++ Seq("pileup", "bdg_pileup").map { n =>
+      (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), pileupB)
     }
 }

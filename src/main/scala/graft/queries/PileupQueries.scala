@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.{Graft, OracleCtes, Tables}
+import graft.operators.PileupOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pileup queries (SURVEY §2.4 A3/A4, §2.7 T1). The oracle recomputes
+  * depth the slow way (unnest positions) and renders alts/quals with
+  * ordered string_agg — the same canonical form the engine emits.
+  */
+object PileupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "pileup_alts" -> { (s, dir) =>
+      Graft.ensure(s)
+      PileupOps.pileup(Tables.reads(s, dir).filter(col("sample_id") === "s1"))
+    },
+    "pileup_tvf" -> { (s, dir) =>
+      Graft.ensure(s)
+      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      s.sql("SELECT * FROM pileup('reads_v', 's1', true, true)")
+    })
+
+  private val pileupOracle: String =
+    s"""WITH ${OracleCtes.reads},
+       |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+       |positions AS (
+       |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
+       |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+       |alt1 AS (SELECT contig, alt_pos AS pos, alt_base AS base, base_qual
+       |         FROM r WHERE has_alt),
+       |perbase AS (SELECT contig, pos, base, COUNT(*) AS cnt,
+       |            string_agg(CAST(base_qual AS VARCHAR), '+' ORDER BY base_qual) AS quals_b
+       |            FROM alt1 GROUP BY 1, 2, 3),
+       |perpos AS (SELECT contig, pos, CAST(SUM(cnt) AS BIGINT) AS count_nonref,
+       |           string_agg(base || ' -> ' || cnt, ', ' ORDER BY base) AS alts,
+       |           string_agg(base || ':' || quals_b, ' ' ORDER BY base) AS quals
+       |           FROM perbase GROUP BY 1, 2)
+       |SELECT p.contig, p.pos, CAST(c.coverage AS INT) AS coverage,
+       |       CAST(c.coverage - p.count_nonref AS BIGINT) AS count_ref,
+       |       p.count_nonref, p.alts, p.quals
+       |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "pileup_alts" -> pileupOracle,
+    "pileup_tvf" -> pileupOracle)
+}
