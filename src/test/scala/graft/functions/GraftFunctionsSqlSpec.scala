@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+import scala.util.Random
+
+/** Pins the SQL function surface (expression compositions registered via
+  * the extensions) to the pure-Scala executable spec in
+  * [[RangeFunctions]], over a randomized input grid evaluated in one
+  * distributed pass. */
+class GraftFunctionsSqlSpec extends SparkSpec {
+
+  test("SQL functions agree with the RangeFunctions mirror on a random grid") {
+    val rnd = new Random(4242)
+    val rows = Seq.fill(500) {
+      val s = rnd.nextInt(100000) + 1
+      val e = s + rnd.nextInt(400)
+      val k = rnd.nextInt(2001) - 1000
+      val fix = Seq("start", "end", "center")(rnd.nextInt(3))
+      val w = rnd.nextInt(199) - 99
+      (s, e, k, fix, if (w == 0) 7 else w, rnd.nextBoolean(), rnd.nextBoolean())
+    }
+    import graft.SharedSpark.spark.implicits._
+    rows.toDF("s", "e", "k", "fix", "w", "sf", "bo").createOrReplaceTempView("grid")
+
+    val got = spark.sql(
+      """SELECT s, e, k, fix, w, sf, bo,
+        |  shift(s, e, k).start, shift(s, e, k).`end`,
+        |  resize(s, e, k, fix).start, resize(s, e, k, fix).`end`,
+        |  bdg_overlaplength(s, e, s + 10, e + 10),
+        |  flank(s, e, w, sf, bo).start, flank(s, e, w, sf, bo).`end`,
+        |  promoters(s, e, 100, 50).start, promoters(s, e, 100, 50).`end`,
+        |  reflect(s, e, 1, 200000).start, reflect(s, e, 1, 200000).`end`
+        |FROM grid""".stripMargin).collect()
+
+    got.foreach { r =>
+      val (s, e, k, fix, w, sf, bo) =
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4), r.getBoolean(5), r.getBoolean(6))
+      val shift = RangeFunctions.shift(s, e, k)
+      assert((r.getInt(7), r.getInt(8)) === (shift.start, shift.end), s"shift($s,$e,$k)")
+      val resize = RangeFunctions.resize(s, e, k, fix)
+      assert((r.getInt(9), r.getInt(10)) === (resize.start, resize.end), s"resize($s,$e,$k,$fix)")
+      assert(r.getInt(11) === RangeFunctions.overlapLength(s, e, s + 10, e + 10))
+      val flank = RangeFunctions.flank(s, e, w, sf, bo)
+      assert((r.getInt(12), r.getInt(13)) === (flank.start, flank.end), s"flank($s,$e,$w,$sf,$bo)")
+      val prom = RangeFunctions.promoters(s, e, 100, 50)
+      assert((r.getInt(14), r.getInt(15)) === (prom.start, prom.end))
+      val refl = RangeFunctions.reflect(s, e, 1, 200000)
+      assert((r.getInt(16), r.getInt(17)) === (refl.start, refl.end))
+    }
+  }
+
+  test("clean_contig SQL matches the mirror on representative names") {
+    import graft.SharedSpark.spark.implicits._
+    val names = Seq("chr1", "chr22", "chrX", "chrM", "chrMT", "M", "MT", "7", "chr7_alt")
+    names.toDF("c").createOrReplaceTempView("contigs")
+    spark.sql("SELECT c, clean_contig(c), bdg_clean_contig(c) FROM contigs")
+      .collect().foreach { r =>
+        assert(r.getString(1) === r.getString(2), r.getString(0))
+        assert(r.getString(1) === RangeFunctions.cleanContig(r.getString(0)), r.getString(0))
+      }
+  }
+}

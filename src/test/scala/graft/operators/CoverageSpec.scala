@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Coverage correctness: differential vs a naive explode+group-by
+  * formulation computed by Spark itself (SURVEY §5 patterns 1/3), RLE
+  * invariants, and partition-count invariance (the boundary-merge path).
+  */
+class CoverageSpec extends SparkSpec {
+
+  private def randomReads(n: Int, seed: Long): DataFrame = {
+    val rnd = new Random(seed)
+    val rows = Seq.fill(n) {
+      val s = rnd.nextInt(2000) + 1
+      (rnd.nextInt(3).toString, s, s + rnd.nextInt(60))
+    }
+    import graft.SharedSpark.spark.implicits._
+    rows.toDF("contig", "pos_start", "pos_end")
+  }
+
+  /** Obviously-correct formulation: explode every covered position. */
+  private def naiveBlocks(reads: DataFrame): Seq[Row] = {
+    reads.createOrReplaceTempView("nv_reads")
+    spark.sql(
+      """WITH positions AS (
+        |  SELECT contig, explode(sequence(pos_start, pos_end)) AS pos FROM nv_reads),
+        |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT contig, pos, coverage,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY contig, coverage ORDER BY pos) AS grp
+        |  FROM cov)
+        |SELECT contig, CAST(MIN(pos) AS INT) AS pos_start,
+        |       CAST(MAX(pos) AS INT) AS pos_end, CAST(coverage AS INT) AS coverage
+        |FROM runs GROUP BY contig, coverage, grp""".stripMargin)
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getInt(1)))
+  }
+
+  private def engineBlocks(reads: DataFrame): Seq[Row] =
+    CoverageOps.blocks(reads).collect().toSeq
+      .sortBy(r => (r.getString(0), r.getInt(1)))
+
+  test("blocks equal the naive explode+group-by formulation") {
+    for (seed <- 1 to 3) {
+      val reads = randomReads(500, seed)
+      assert(engineBlocks(reads) === naiveBlocks(reads), s"seed $seed")
+    }
+  }
+
+  test("result is invariant to shuffle partition count (boundary merge)") {
+    val reads = randomReads(800, 99)
+    val expected = engineBlocks(reads)
+    for (parts <- Seq("1", "13", "61")) {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try assert(engineBlocks(reads) === expected, s"partitions=$parts")
+      finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+  }
+
+  test("RLE invariants: maximal, non-overlapping, positive runs") {
+    val blocks = engineBlocks(randomReads(600, 7))
+    blocks.groupBy(_.getString(0)).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_.getInt(1))
+      sorted.foreach { b =>
+        assert(b.getInt(1) <= b.getInt(2))
+        assert(b.getInt(3) > 0)
+      }
+      sorted.sliding(2).foreach {
+        case Seq(x, y) =>
+          assert(y.getInt(1) > x.getInt(2), "blocks overlap")
+          if (y.getInt(1) == x.getInt(2) + 1)
+            assert(y.getInt(3) !== x.getInt(3), "adjacent equal-coverage runs not merged")
+        case _ =>
+      }
+    }
+  }
+
+  test("windowed coverage equals per-position mean over tiles") {
+    val reads = randomReads(300, 21)
+    reads.createOrReplaceTempView("nv_reads")
+    val expected = spark.sql(
+      """WITH positions AS (
+        |  SELECT contig, explode(sequence(pos_start, pos_end)) AS pos FROM nv_reads),
+        |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2)
+        |SELECT contig, (pos - 1) DIV 500 AS tile,
+        |       CAST(SUM(coverage) AS DOUBLE) / 500 AS mean_coverage
+        |FROM cov GROUP BY 1, 2""".stripMargin)
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1)))
+    val got = CoverageOps.windowed(reads, 500)
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1)))
+    assert(got === expected)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity-search behavior: MinHash signature similarity
+  * approximates true Jaccard, LSH candidate recall, SimHash locality,
+  * and ANN recall of the LSH path against the exact baseline. */
+class DedupAnnSpec extends SparkSpec {
+
+  private def corpus = Tables.corpus(spark, sf0001)
+
+  test("minhash signature agreement approximates exact Jaccard") {
+    val sh = DedupOps.shingleSets(corpus)
+    val sigs = DedupOps.minhashSignatures(sh)
+    // Known near-dup pair: doc 7 and its +20000 tail-modified copy.
+    val rows = sigs.filter(col("doc_id").isin(7L, 20007L))
+      .orderBy("doc_id").collect()
+    assert(rows.length === 2)
+    val (s1, s2) = (rows(0).getSeq[Long](1), rows(1).getSeq[Long](1))
+    val sigAgree = s1.zip(s2).count { case (a, b) => a == b }.toDouble / s1.length
+    val st = sh.filter(col("doc_id").isin(7L, 20007L)).orderBy("doc_id").collect()
+    val (t1, t2) = (st(0).getSeq[String](1).toSet, st(1).getSeq[String](1).toSet)
+    val trueJ = (t1 & t2).size.toDouble / (t1 | t2).size
+    assert(trueJ > 0.6, s"derivation should make doc 7 a near dup, got $trueJ")
+    assert(math.abs(sigAgree - trueJ) < 0.2,
+      s"signature agreement $sigAgree should approximate Jaccard $trueJ")
+  }
+
+  test("identical texts have identical signatures and are always candidates") {
+    val sigs = DedupOps.minhashSignatures(DedupOps.shingleSets(corpus))
+    val rows = sigs.filter(col("doc_id").isin(5L, 10005L)).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getSeq[Long](1) === rows(1).getSeq[Long](1))
+    val cand = DedupOps.lshCandidatePairs(sigs)
+      .filter(col("id_a") === 5 && col("id_b") === 10005)
+    assert(cand.count() === 1)
+  }
+
+  test("near-dup pairs: LSH-pruned result equals all-pairs ground truth") {
+    val got = DedupOps.nearDupPairs(corpus, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Ground truth via brute force on the same shingle sets.
+    val sh = DedupOps.shingleSets(corpus)
+    val a = sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("st", "st_a")
+    val b = sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("st", "st_b")
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("st_a"), col("st_b"))).cast("double")
+          / size(array_union(col("st_a"), col("st_b")))).as("j"))
+      .filter(col("j") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth)
+    assert(got.nonEmpty)
+  }
+
+  test("simhash: exact duplicates at distance 0, locality for near dups") {
+    val sigs = DedupOps.simhashSignatures(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sigs(5L) ^ sigs(10005L)) === 0)
+    // A 3-token tail on a ~50-token doc flips few sign bits; random doc
+    // pairs average ~32. Locality, not an exact threshold.
+    val nearDist = java.lang.Long.bitCount(sigs(7L) ^ sigs(20007L))
+    assert(nearDist <= 16, s"tail-modified copy at hamming $nearDist")
+    val farDist = java.lang.Long.bitCount(sigs(7L) ^ sigs(123L))
+    assert(nearDist < farDist, s"near $nearDist should beat unrelated $farDist")
+  }
+
+  test("LSH ANN recall against the exact baseline") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = EmbeddingOps.exactTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = EmbeddingOps.lshTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // measured ~0.47 on this data
+    // Precision of what LSH returns, re-ranked by exact cosine, is
+    // structurally 1.0 for pairs it finds; sanity: every query answered.
+    assert(approx.map(_._1).size === 20)
+  }
+
+  test("exact ANN: ranks are 1..k per query, no self matches") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val res = EmbeddingOps.exactTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted === Array(1, 2, 3))
+      rs.foreach(r => assert(r.getLong(2) !== r.getLong(0)))
+    }
+  }
+}
