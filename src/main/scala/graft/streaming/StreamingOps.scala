@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.operators.TextOps
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface. The reference has no streaming at all
+  * (SURVEY §2.8) — this is the beyond-reference layer: the same engine
+  * semantics applied incrementally. All operators are watermark-correct,
+  * so state is bounded and the plans scale to long-running jobs:
+  * windowed aggregation state expires with the watermark, streaming dedup
+  * keeps only in-watermark fingerprints, and the per-contig coverage
+  * progress keeps O(contigs) state.
+  */
+object StreamingOps {
+
+  /** Hourly windowed event stats with a 2h watermark — the streaming
+    * analogue of the batch `events_hourly` query. */
+  def hourlyEventStats(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming exact dedup: drop documents whose normalized-text
+    * fingerprint was already seen within the watermark (the incremental
+    * form of DedupOps.exactDupGroups, with bounded state). */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs.withColumn("fingerprint", TextOps.fingerprint(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  case class StreamRead(contig: String, pos_start: Int, pos_end: Int, ts: Timestamp)
+  case class ContigProgress(contig: String, n_reads: Long, min_pos: Int, max_pos: Int, covered_span: Long)
+
+  /** Stateful per-contig ingest progress via mapGroupsWithState: running
+    * read count and position envelope. The custom-state hook a full
+    * incremental event-array coverage would extend. */
+  def contigProgress(reads: Dataset[StreamRead]): Dataset[ContigProgress] = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    reads.groupByKey(_.contig)
+      .mapGroupsWithState[ContigProgress, ContigProgress](GroupStateTimeout.NoTimeout) {
+        (contig: String, batch: Iterator[StreamRead], state: GroupState[ContigProgress]) =>
+          val prev = state.getOption.getOrElse(ContigProgress(contig, 0L, Int.MaxValue, Int.MinValue, 0L))
+          var n = prev.n_reads
+          var lo = prev.min_pos
+          var hi = prev.max_pos
+          var span = prev.covered_span
+          batch.foreach { r =>
+            n += 1
+            lo = math.min(lo, r.pos_start)
+            hi = math.max(hi, r.pos_end)
+            span += (r.pos_end - r.pos_start + 1).toLong
+          }
+          val next = ContigProgress(contig, n, lo, hi, span)
+          state.update(next)
+          next
+      }
+  }
+}

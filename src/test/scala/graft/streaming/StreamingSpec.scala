@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import java.sql.Timestamp
+
+/** MemoryStream-driven checks of the streaming operators. */
+class StreamingSpec extends SparkSpec {
+
+  private implicit def sqlContext: org.apache.spark.sql.SQLContext =
+    graft.SharedSpark.spark.sqlContext
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def run[T](q: StreamingQuery)(f: => T): T =
+    try { q.processAllAvailable(); f } finally q.stop()
+
+  test("hourly windowed aggregation with watermark") {
+    import graft.SharedSpark.spark.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val query = StreamingOps.hourlyEventStats(df)
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    in.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0), (ts(70), "view", 5.0))
+    run(query) {
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 01:00:00.0", "view", 1L, 5.0)))
+    }
+  }
+
+  test("streaming dedup drops in-watermark duplicate fingerprints") {
+    import graft.SharedSpark.spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingOps.dedupStream(df)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    in.addData((ts(1), 1L, "hello world"), (ts(2), 2L, "HELLO   world"), (ts(3), 3L, "other doc"))
+    run(query) {
+      val ids = spark.table("dedup").select("doc_id").collect().map(_.getLong(0)).toSet
+      // doc 2 normalizes to the same fingerprint as doc 1 → dropped.
+      assert(ids === Set(1L, 3L))
+    }
+  }
+
+  test("stateful contig progress accumulates across batches") {
+    import graft.SharedSpark.spark.implicits._
+    val in = MemoryStream[StreamingOps.StreamRead]
+    val query = StreamingOps.contigProgress(in.toDS())
+      .writeStream.format("memory").queryName("progress").outputMode("update").start()
+    in.addData(StreamingOps.StreamRead("1", 10, 19, ts(1)), StreamingOps.StreamRead("1", 30, 39, ts(2)))
+    query.processAllAvailable()
+    in.addData(StreamingOps.StreamRead("1", 5, 9, ts(3)), StreamingOps.StreamRead("2", 100, 199, ts(4)))
+    run(query) {
+      val byContig = spark.table("progress").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(byContig("1") === ((3L, 5, 39, 25L)))
+      assert(byContig("2") === ((1L, 100, 199, 100L)))
+    }
+  }
+}
