@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session (codegen paths, parquet footers) so the first
+    // measured query doesn't absorb JVM startup costs.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).select("l_orderkey").limit(1).collect()
     val names = SparkEntry.queries.keys.toSeq.sorted
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]

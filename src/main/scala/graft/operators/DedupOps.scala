@@ -45,18 +45,68 @@ object DedupOps {
           .as("st"))
   }
 
-  /** (doc_id, sig: array<long>) — MinHash signature, one scan over
-    * exploded shingles, k min-aggregates (all codegen'd). */
-  def minhashSignatures(shingles: DataFrame, k: Int = NumHashes): DataFrame = {
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"m$i"))
-    shingles.select(col("doc_id"), explode(col("st")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  /** Murmur-style 64-bit finalizer (public-domain mixing constants). */
+  @inline private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
   }
 
-  /** Candidate pairs (id_a < id_b) sharing at least one LSH band bucket. */
+  private def baseHash(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    fmix64(h)
+  }
+
+  /** (doc_id, sig: array<long>) — MinHash signature.
+    *
+    * Computed in a typed `mapPartitions` kernel: each shingle is hashed
+    * once, then k derived hashes are a mix of (base ^ i*golden) in a tight
+    * JIT-compiled loop. Earlier formulations — k min-aggregates over
+    * exploded shingles, then nested `transform`/`array_min` higher-order
+    * expressions — were 5-30x slower: HOFs don't participate in
+    * whole-stage codegen, so the k*|shingles| inner evaluations were
+    * interpreted with per-call boxing. This is the one hot kernel in the
+    * engine where dropping below the DataFrame API is justified
+    * (SURVEY §-style last resort); the signature hash family does not
+    * need cross-engine reproducibility because candidates are re-verified
+    * with exact Jaccard. The repartition spreads hashing across the
+    * cluster when the corpus arrives in few input splits. */
+  def minhashSignatures(shingles: DataFrame, k: Int = NumHashes): DataFrame = {
+    val spark = shingles.sparkSession
+    import spark.implicits._
+    shingles.repartition(col("doc_id"))
+      .select(col("doc_id"), col("st"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.map { case (id, st) =>
+          val sig = Array.fill(k)(Long.MaxValue)
+          st.foreach { s =>
+            val base = baseHash(s)
+            var i = 0
+            while (i < k) {
+              val h = fmix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
+              if (h < sig(i)) sig(i) = h
+              i += 1
+            }
+          }
+          (id, sig.toSeq)
+        }
+      }
+      .toDF("doc_id", "sig")
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
+    *
+    * The banded frame is persisted before the self-join: without the
+    * materialization barrier, Catalyst's project-collapsing inlines the
+    * signature expression into all 64 band keys on both join sides and
+    * recomputes the full MinHash per comparison (measured 11.8s vs 0.2s
+    * on the 672-doc corpus). The persisted state is (doc_id, band, hash)
+    * — 64 small rows per doc, the standard LSH index. */
   def lshCandidatePairs(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { j =>
       struct(lit(j).as("band"),
@@ -64,6 +114,7 @@ object DedupOps {
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -75,7 +126,9 @@ object DedupOps {
     * Output (id_a, id_b, jaccard); both engines compute jaccard as an
     * exact int/int division, so the doubles compare bit-identically. */
   def nearDupPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3): DataFrame = {
+    // Reused by the signature pass and both sides of the verify join.
     val sh = shingleSets(docs, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = lshCandidatePairs(minhashSignatures(sh))
     candidates
       .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("st", "st_a"), "id_a")
@@ -124,6 +177,7 @@ object DedupOps {
     val banded = sigs.select(col("doc_id"), col("simhash"),
         explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))

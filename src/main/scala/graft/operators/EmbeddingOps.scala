@@ -71,22 +71,28 @@ object EmbeddingOps {
     * join stays a plain shuffle join on band keys). Exact cosine re-ranks
     * the candidates. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    def banded(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-      val withB = df.select(col("vec_id").as(idCol), asDouble(col("embedding")).as(embCol),
-        lshBucket(col("embedding")).as("bucket"))
+    // Bands carry only ids — candidate dedup happens on two longs, and
+    // the (fat) embedding arrays are joined back just for the survivors.
+    def banded(df: DataFrame, idCol: String): DataFrame = {
+      val withB = df.select(col("vec_id").as(idCol), lshBucket(col("embedding")).as("bucket"))
       val bands = (0 until 4).map(j =>
         struct(lit(j).as("band"), shiftright(col("bucket"), j * 4).bitwiseAND(0xF).as("bh")))
-      withB.select(col(idCol), col(embCol), explode(array(bands: _*)).as("b"))
-        .select(col(idCol), col(embCol), col("b.band").as("band"), col("b.bh").as("bh"))
+      withB.select(col(idCol), explode(array(bands: _*)).as("b"))
+        .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+        // Barrier: stop the 16-projection bucket expression from being
+        // inlined into the join keys (same pathology as DedupOps bands).
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val qb = banded(queries, "q_id", "q_emb")
-    val cb = banded(corpus, "c_id", "c_emb")
-    val candidates = qb.join(cb,
-        qb("band") === cb("band") && qb("bh") === cb("bh") && col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"))
+    val candidates = banded(queries, "q_id").as("x")
+      .join(banded(corpus, "c_id").as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
       .dropDuplicates("q_id", "c_id")
-    val sims = candidates.select(col("q_id"), col("c_id"),
-      cosine(col("q_emb"), col("c_emb")).as("sim"))
+    val qe = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+    val ce = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
+    val sims = candidates.join(broadcast(qe), "q_id").join(ce, "c_id")
+      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
