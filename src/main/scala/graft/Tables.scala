@@ -79,6 +79,22 @@ object Tables {
       ((col("l_orderkey") % 100000) + 1).cast("int").as("pos_start"),
       ((col("l_orderkey") % 100000) + 1 + (col("l_suppkey") % 50)).cast("int").as("pos_end"))
 
+  /** SequencedFragment-shaped table (FASTQ surface, SURVEY §2.1 S6 /
+    * §1.2) derived from `orders`. */
+  def fragments(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir).select(
+      concat(lit("s"), (col("o_orderkey") % 4).cast("string")).as("sample_id"),
+      concat(lit("inst"), (col("o_orderkey") % 3).cast("string")).as("instrument_name"),
+      (col("o_orderkey") % 5).cast("int").as("run_id"),
+      concat(lit("fc"), (col("o_custkey") % 7).cast("string")).as("flowcell_id"),
+      ((col("o_orderkey") % 8) + 1).cast("int").as("lane"),
+      (col("o_custkey") % 100).cast("int").as("tile"),
+      (col("o_orderkey") % 2048).cast("int").as("pos_x"),
+      (col("o_custkey") % 2048).cast("int").as("pos_y"),
+      (col("o_orderkey") % 10 < 9).as("filter_passed"),
+      repeat(substring(lit("ACGT"), (col("o_orderkey") % 4).cast("int") + 1, lit(1)),
+        ((col("o_orderkey") % 50) + 20).cast("int")).as("seq"))
+
   /** Dedup test corpus: the (all-distinct) documents plus deterministic
     * injected duplicates — every doc_id % 5 re-added verbatim (exact dup)
     * and every doc_id % 7 re-added with a textual tail (near dup). */
@@ -129,6 +145,20 @@ object OracleCtes {
       |  CAST(l_orderkey % 100000 + 1 AS INT) AS pos_start,
       |  CAST(l_orderkey % 100000 + 1 + l_suppkey % 50 AS INT) AS pos_end
       |  FROM lineitem)""".stripMargin
+
+  val fragments: String =
+    """fragments AS (SELECT 's' || CAST(o_orderkey % 4 AS VARCHAR) AS sample_id,
+      |  'inst' || CAST(o_orderkey % 3 AS VARCHAR) AS instrument_name,
+      |  CAST(o_orderkey % 5 AS INT) AS run_id,
+      |  'fc' || CAST(o_custkey % 7 AS VARCHAR) AS flowcell_id,
+      |  CAST(o_orderkey % 8 + 1 AS INT) AS lane,
+      |  CAST(o_custkey % 100 AS INT) AS tile,
+      |  CAST(o_orderkey % 2048 AS INT) AS pos_x,
+      |  CAST(o_custkey % 2048 AS INT) AS pos_y,
+      |  (o_orderkey % 10 < 9) AS filter_passed,
+      |  repeat(substr('ACGT', CAST(o_orderkey % 4 AS INT) + 1, 1),
+      |         CAST(o_orderkey % 50 + 20 AS INT)) AS seq
+      |  FROM orders)""".stripMargin
 
   val corpus: String =
     """corpus AS (

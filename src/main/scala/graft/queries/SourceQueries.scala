@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.{OracleCtes, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Paths
+
+/** DDL-registered source queries (SURVEY §2.1 S1-S8): each writes a
+  * deterministic file rendition of a derived table, registers it with
+  * `CREATE TABLE ... USING <provider>`, and reads it back through the
+  * provider — exercising contig cleaning, coordinate conversion, renames,
+  * pruning and pushdown. Oracles run on the original derivations, so a
+  * round-trip bug in the source shows up as a mismatch.
+  */
+object SourceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(name: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"), s"graft_src_$name").toString
+
+  val queries: Map[String, Q] = Map(
+    // S1/S8 + P1/P2: alignment table through DDL with a selective filter
+    // (pushed into the inner parquet scan).
+    "ddl_alignment_scan" -> { (s, dir) =>
+      val path = tmp("reads")
+      Tables.reads(s, dir).write.mode("overwrite").parquet(path)
+      s.sql("DROP TABLE IF EXISTS reads_ddl")
+      s.sql(s"""CREATE TABLE reads_ddl USING graft.sources.AlignmentSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT sample_id, contig, pos_start, pos_end, mapq
+              |FROM reads_ddl WHERE contig = '2' AND mapq >= 30""".stripMargin)
+    },
+    // S5 + P5: BED text round trip — 0-based half-open file restored to
+    // 1-based inclusive, track/browser headers skipped, chr prefix cleaned.
+    "ddl_bed_scan" -> { (s, dir) =>
+      val path = tmp("targets_bed")
+      val lines = Tables.targets(s, dir).select(concat_ws("\t",
+        concat(lit("chr"), col("contig")), (col("pos_start") - 1).cast("string"),
+        col("pos_end").cast("string"), col("name")).as("value"))
+      val header = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("track name=targets")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+      header.unionAll(lines).coalesce(1).write.mode("overwrite").text(path)
+      s.sql("DROP TABLE IF EXISTS targets_ddl")
+      s.sql(s"""CREATE TABLE targets_ddl USING graft.sources.BedSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("SELECT contig, pos_start, pos_end, name FROM targets_ddl")
+    },
+    // S6: per-instrument/lane QC rollup over the FASTQ-shaped fragments
+    // surface (sample-id enrichment + read-length stats).
+    "fragments_qc" -> { (s, dir) =>
+      Tables.fragments(s, dir)
+        .groupBy(col("instrument_name"), col("lane"))
+        .agg(count(lit(1)).as("n_frags"),
+          sum(length(col("seq"))).as("total_bases"),
+          sum(when(col("filter_passed"), 1L).otherwise(0L)).as("n_passed"))
+    },
+    // S3/S4 + P5: ADAM/Glow-style parquet with renamed columns and a
+    // chr-prefixed contig, normalized by the source.
+    "ddl_variant_scan" -> { (s, dir) =>
+      val path = tmp("variants")
+      Tables.part(s, dir).select(
+          concat(lit("chr"), (col("p_partkey") % 4).cast("string")).as("contigName"),
+          (((col("p_partkey") * 7) % 5000) + 1).cast("int").as("start"),
+          (((col("p_partkey") * 7) % 5000) + 1).cast("int").as("end"),
+          substring(lit("ACGT"), (col("p_partkey") % 4).cast("int") + 1, lit(1)).as("referenceAllele"),
+          substring(lit("TGCA"), (col("p_partkey") % 4).cast("int") + 1, lit(1)).as("alternateAlleles"),
+          col("p_partkey").as("variant_id"))
+        .write.mode("overwrite").parquet(path)
+      s.sql("DROP TABLE IF EXISTS variants_ddl")
+      s.sql(s"""CREATE TABLE variants_ddl USING graft.sources.VariantSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT variant_id, contig, pos_start, pos_end, ref, alt
+              |FROM variants_ddl WHERE contig = '1'""".stripMargin)
+    })
+
+  val oracle: Map[String, String] = Map(
+    "ddl_alignment_scan" ->
+      s"""WITH ${OracleCtes.reads}
+         |SELECT sample_id, contig, pos_start, pos_end, mapq
+         |FROM reads WHERE contig = '2' AND mapq >= 30""".stripMargin,
+    "ddl_bed_scan" ->
+      s"""WITH ${OracleCtes.targets}
+         |SELECT contig, pos_start, pos_end, name FROM targets""".stripMargin,
+    "fragments_qc" ->
+      s"""WITH ${OracleCtes.fragments}
+         |SELECT instrument_name, lane, COUNT(*) AS n_frags,
+         |  CAST(SUM(length(seq)) AS BIGINT) AS total_bases,
+         |  CAST(SUM(CASE WHEN filter_passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+         |FROM fragments GROUP BY 1, 2""".stripMargin,
+    "ddl_variant_scan" ->
+      """SELECT p_partkey AS variant_id,
+        |  CAST(p_partkey % 4 AS VARCHAR) AS contig,
+        |  CAST((p_partkey * 7) % 5000 + 1 AS INT) AS pos_start,
+        |  CAST((p_partkey * 7) % 5000 + 1 AS INT) AS pos_end,
+        |  substr('ACGT', CAST(p_partkey % 4 AS INT) + 1, 1) AS ref,
+        |  substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1) AS alt
+        |FROM part WHERE p_partkey % 4 = 1""".stripMargin)
+}

@@ -1,0 +1,157 @@
+package graft.sources
+
+import graft.functions.RangeFunctions
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Relational source surfaces (SURVEY §2.1) re-expressed over the offline
+  * environment's file formats. The reference exposes BAM/CRAM/ADAM/BED
+  * tables through `RelationProvider`s registered with
+  * `CREATE TABLE ... USING <class> OPTIONS(path ...)`
+  * (`datasources/BAM/BAMDataSource.scala:12-22`); these providers keep
+  * that DDL surface (S8) and the scan-time semantics — contig
+  * normalization (P5, `utils/DataQualityFuncs`), sample-id-from-filename
+  * (S7, `AlignmentRelation.scala:196-206`), column pruning and filter
+  * pushdown (P1/P2) — on top of Parquet/CSV instead of htsjdk readers
+  * (none of the genomic codecs exist offline; SURVEY §7).
+  *
+  * Pruning/pushdown are *delegated*: `buildScan` assembles a DataFrame
+  * with the projection and predicates applied, so Catalyst pushes them
+  * into the underlying scan (`PushedFilters`/`ReadSchema` show up in the
+  * inner plan) — the idiomatic Spark answer to the reference's hand-rolled
+  * `translateFilter` (`SequilaDataSourceStrategy.scala:276-360`).
+  */
+abstract class GraftBaseRelation extends BaseRelation with PrunedFilteredScan {
+
+  /** The fully-prepared DataFrame this relation serves. */
+  protected def frame(): DataFrame
+
+  override lazy val schema: StructType = frame().schema
+
+  private def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq.map(lit): _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case And(l, r) => for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case Not(c) => filterToColumn(c).map(!_)
+    case _ => None
+  }
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(f => filterToColumn(f).isEmpty)
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val base = frame()
+    val filtered = filters.flatMap(filterToColumn).foldLeft(base)(_.filter(_))
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select(lit(1).as("one"))
+      else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
+    projected.rdd
+  }
+}
+
+/** `clean_contig` applied as a column (P5 — scan-time normalization). */
+object SourceUtil {
+  val cleanContigUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((c: String) => RangeFunctions.cleanContig(c))
+
+  /** S7: sample id = file-name prefix before the first '.' */
+  def sampleIdFromFile: org.apache.spark.sql.Column =
+    regexp_extract(element_at(split(input_file_name(), "/"), -1), "^([^.]+)", 1)
+}
+
+/** Alignment (reads) table over parquet — the S1/S2 surface. Options:
+  * `path` (required), `sampleIdFromFilename` (default false; S7),
+  * `refPath` (accepted for CRAM-signature parity, unused — S2). */
+class AlignmentSource extends RelationProvider {
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("AlignmentSource requires a 'path' option"))
+    val fromFile = parameters.get("sampleIdFromFilename").exists(_.toBoolean)
+    new GraftBaseRelation {
+      override val sqlContext: SQLContext = ctx
+      override protected def frame(): DataFrame = {
+        val raw = ctx.sparkSession.read.parquet(path)
+        val withSample =
+          if (fromFile) raw.withColumn("sample_id", SourceUtil.sampleIdFromFile)
+          else raw
+        if (withSample.columns.contains("contig"))
+          withSample.withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+        else withSample
+      }
+    }
+  }
+}
+
+/** Variant table (S3/S4 surface): parquet with ADAM/Glow-style column
+  * names renamed to engine conventions (`contigName`→`contig`,
+  * `start`→`pos_start`, `end`→`pos_end`, `referenceAllele`→`ref`,
+  * `alternateAlleles`→`alt` — reference `VCFRelation.scala:38-42`,
+  * `ADAMRelation.scala:10-33`), contig-cleaned. */
+class VariantSource extends RelationProvider {
+  private val renames = Seq(
+    "contigName" -> "contig", "start" -> "pos_start", "end" -> "pos_end",
+    "referenceAllele" -> "ref", "alternateAlleles" -> "alt")
+
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("VariantSource requires a 'path' option"))
+    new GraftBaseRelation {
+      override val sqlContext: SQLContext = ctx
+      override protected def frame(): DataFrame = {
+        val raw = ctx.sparkSession.read.parquet(path)
+        val renamed = renames.foldLeft(raw) { case (df, (from, to)) =>
+          if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
+        }
+        if (renamed.columns.contains("contig"))
+          renamed.withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+        else renamed
+      }
+    }
+  }
+}
+
+/** BED table over tab-separated text (S5): skips `track`/`browser` header
+  * lines, converts 0-based half-open to 1-based inclusive coordinates,
+  * names the 12 optional columns (reference `BEDRelation.scala:10-59`). */
+class BedSource extends RelationProvider {
+  private val names = Seq("contig", "pos_start", "pos_end", "name", "score", "strand",
+    "thick_start", "thick_end", "item_rgb", "block_count", "block_sizes", "block_starts")
+
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("BedSource requires a 'path' option"))
+    new GraftBaseRelation {
+      override val sqlContext: SQLContext = ctx
+      override protected def frame(): DataFrame = {
+        // Read as raw lines: a csv reader would fix its column count from
+        // the first line, which may be a tab-less `track` header.
+        val raw = ctx.sparkSession.read.text(path)
+        val dataLines = raw.filter(
+          !col("value").startsWith("track") && !col("value").startsWith("browser"))
+        val parts = split(col("value"), "\t")
+        val namedCols = names.zipWithIndex.map { case (n, i) =>
+          // Size-guarded: a bare getItem on an absent optional column is
+          // an ANSI out-of-bounds error, not a null.
+          when(size(parts) > i, parts.getItem(i)).as(n)
+        }
+        dataLines.select(namedCols: _*)
+          .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+          // BED is 0-based half-open; engine convention is 1-based inclusive.
+          .withColumn("pos_start", col("pos_start").cast("int") + 1)
+          .withColumn("pos_end", col("pos_end").cast("int"))
+      }
+    }
+  }
+}
