@@ -25,17 +25,26 @@ object PileupOps {
 
   /** Per-alt-position pileup for a reads DataFrame carrying
     * (contig, pos_start, pos_end, has_alt, alt_pos, alt_base, base_qual).
-    * Output: (contig, pos, coverage, count_ref, count_nonref, alts, quals). */
-  def pileup(reads: DataFrame): DataFrame = {
+    * Output: (contig, pos, coverage, count_ref, count_nonref, alts, quals).
+    *
+    * `qualsBinSize` (SURVEY §2.4 A5, reference
+    * `pileup/PileupStrategy.scala:110-118`) coarsens the quality axis:
+    * each base quality is floored to its bin (`qual div binSize`) before
+    * rendering, shrinking distinct qual entries per position. */
+  def pileup(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame = {
     val spark = reads.sparkSession
     graft.Graft.ensure(spark)
 
+    val qual = qualsBinSize match {
+      case Some(b) => expr(s"base_qual div $b").cast("int")
+      case None => col("base_qual")
+    }
     // Level 1: per (contig, pos, base) — count + sorted qual rendering.
     val perBase = reads.filter(col("has_alt"))
-      .select(col("contig"), col("alt_pos").as("pos"), col("alt_base").as("base"), col("base_qual"))
+      .select(col("contig"), col("alt_pos").as("pos"), col("alt_base").as("base"), qual.as("q"))
       .groupBy(col("contig"), col("pos"), col("base"))
       .agg(count(lit(1)).as("cnt"),
-        array_join(array_sort(collect_list(col("base_qual"))), "+").as("quals_b"))
+        array_join(array_sort(collect_list(col("q"))), "+").as("quals_b"))
 
     // Level 2: per (contig, pos) — canonical sorted alt/qual strings.
     val perPos = perBase

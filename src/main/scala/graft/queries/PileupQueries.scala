@@ -22,6 +22,12 @@ object PileupQueries {
       Graft.ensure(s)
       Tables.reads(s, dir).createOrReplaceTempView("reads_v")
       s.sql("SELECT * FROM pileup('reads_v', 's1', true, true)")
+    },
+    // A5: quality binning — qualities floored to bins of 10.
+    "pileup_binned" -> { (s, dir) =>
+      Graft.ensure(s)
+      PileupOps.pileup(Tables.reads(s, dir).filter(col("sample_id") === "s1"),
+        qualsBinSize = Some(10))
     })
 
   private val pileupOracle: String =
@@ -44,7 +50,28 @@ object PileupQueries {
        |       p.count_nonref, p.alts, p.quals
        |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
 
+  private val pileupBinnedOracle: String =
+    s"""WITH ${OracleCtes.reads},
+       |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+       |positions AS (
+       |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
+       |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+       |alt1 AS (SELECT contig, alt_pos AS pos, alt_base AS base, base_qual // 10 AS q
+       |         FROM r WHERE has_alt),
+       |perbase AS (SELECT contig, pos, base, COUNT(*) AS cnt,
+       |            string_agg(CAST(q AS VARCHAR), '+' ORDER BY q) AS quals_b
+       |            FROM alt1 GROUP BY 1, 2, 3),
+       |perpos AS (SELECT contig, pos, CAST(SUM(cnt) AS BIGINT) AS count_nonref,
+       |           string_agg(base || ' -> ' || cnt, ', ' ORDER BY base) AS alts,
+       |           string_agg(base || ':' || quals_b, ' ' ORDER BY base) AS quals
+       |           FROM perbase GROUP BY 1, 2)
+       |SELECT p.contig, p.pos, CAST(c.coverage AS INT) AS coverage,
+       |       CAST(c.coverage - p.count_nonref AS BIGINT) AS count_ref,
+       |       p.count_nonref, p.alts, p.quals
+       |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "pileup_alts" -> pileupOracle,
-    "pileup_tvf" -> pileupOracle)
+    "pileup_tvf" -> pileupOracle,
+    "pileup_binned" -> pileupBinnedOracle)
 }
