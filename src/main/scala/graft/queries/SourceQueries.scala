@@ -58,6 +58,21 @@ object SourceQueries {
           sum(length(col("seq"))).as("total_bases"),
           sum(when(col("filter_passed"), 1L).otherwise(0L)).as("n_passed"))
     },
+    // P6: read-quality filtering — drop flag-masked and low-mapq reads
+    // (reference pileup/model/AlignmentsRDD.scala:132-145: flag & 1796,
+    // mapq threshold, null contig, degenerate intervals).
+    "reads_quality_filter" -> { (s, dir) =>
+      Tables.reads(s, dir)
+        .filter((col("flag").bitwiseAND(1796) === 0) && col("mapq") >= 20 &&
+          col("contig").isNotNull && col("pos_start") <= col("pos_end"))
+        .groupBy(col("sample_id"))
+        .agg(count(lit(1)).as("n_reads"), sum(col("mapq")).as("mapq_sum"))
+    },
+    // A6: DISTINCT sample over the alignment surface (metadata-only in
+    // the reference; a footer-cheap aggregation on parquet).
+    "distinct_samples" -> { (s, dir) =>
+      Tables.reads(s, dir).select(col("sample_id")).distinct()
+    },
     // S3/S4 + P5: ADAM/Glow-style parquet with renamed columns and a
     // chr-prefixed contig, normalized by the source.
     "ddl_variant_scan" -> { (s, dir) =>
@@ -91,6 +106,17 @@ object SourceQueries {
          |  CAST(SUM(length(seq)) AS BIGINT) AS total_bases,
          |  CAST(SUM(CASE WHEN filter_passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
          |FROM fragments GROUP BY 1, 2""".stripMargin,
+    "reads_quality_filter" ->
+      s"""WITH ${OracleCtes.reads}
+         |SELECT sample_id, COUNT(*) AS n_reads,
+         |  CAST(SUM(mapq) AS BIGINT) AS mapq_sum
+         |FROM reads
+         |WHERE (flag & 1796) = 0 AND mapq >= 20
+         |  AND contig IS NOT NULL AND pos_start <= pos_end
+         |GROUP BY sample_id""".stripMargin,
+    "distinct_samples" ->
+      s"""WITH ${OracleCtes.reads}
+         |SELECT DISTINCT sample_id FROM reads""".stripMargin,
     "ddl_variant_scan" ->
       """SELECT p_partkey AS variant_id,
         |  CAST(p_partkey % 4 AS VARCHAR) AS contig,
