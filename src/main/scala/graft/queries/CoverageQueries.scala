@@ -33,6 +33,12 @@ object CoverageQueries {
       Graft.ensure(s)
       Tables.reads(s, dir).createOrReplaceTempView("reads_v")
       s.sql("SELECT * FROM coverage('reads_v', 's1')")
+    },
+    // 1-arg TVF overload: coverage over all samples pooled.
+    "coverage_tvf_all" -> { (s, dir) =>
+      Graft.ensure(s)
+      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      s.sql("SELECT * FROM bdg_coverage('reads_v')")
     })
 
   private val coverageOracle: String = {
@@ -54,6 +60,19 @@ object CoverageQueries {
   val oracle: Map[String, String] = Map(
     "coverage_blocks" -> coverageOracle,
     "coverage_tvf" -> coverageOracle,
+    "coverage_tvf_all" ->
+      s"""WITH ${OracleCtes.reads},
+         |positions AS (
+         |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM reads),
+         |cov AS (
+         |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+         |runs AS (
+         |  SELECT contig, pos, coverage,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY contig, coverage ORDER BY pos) AS grp
+         |  FROM cov)
+         |SELECT contig, CAST(MIN(pos) AS INT) AS pos_start,
+         |       CAST(MAX(pos) AS INT) AS pos_end, CAST(coverage AS INT) AS coverage
+         |FROM runs GROUP BY contig, coverage, grp""".stripMargin,
     "coverage_window" ->
       s"""WITH ${OracleCtes.reads},
          |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
