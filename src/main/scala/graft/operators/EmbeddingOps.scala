@@ -98,4 +98,30 @@ object EmbeddingOps {
       .filter(col("rank") <= k)
       .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("neighbor_id"))
   }
+
+  /** Embedding-cosine near-duplicate pairs (the vector member of the dedup
+    * family): LSH self-join candidates, exact-cosine verified against
+    * `threshold`. Same no-all-pairs shape as
+    * [[graft.operators.DedupOps.nearDupPairs]]; recall depends on the LSH
+    * band match probability at the threshold's angle (asserted against
+    * brute force in tests, not oracle-checked). */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val bands = (0 until 4).map(j =>
+      struct(lit(j).as("band"), shiftright(col("bucket"), j * 4).bitwiseAND(0xF).as("bh")))
+    val banded = corpus
+      .select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
+      .select(col("vec_id"), explode(array(bands: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val ea = corpus.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("emb_a"))
+    val eb = corpus.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("emb_b"))
+    candidates.join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

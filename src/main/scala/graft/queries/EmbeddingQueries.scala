@@ -29,6 +29,13 @@ object EmbeddingQueries {
     "ann_lsh_topk" -> { (s, dir) =>
       val (corpus, queries) = split(s, dir)
       EmbeddingOps.lshTopK(corpus, queries, k = 3)
+    },
+    // Embedding-cosine near-dup (dedup family, vector modality). No SQL
+    // oracle: sign-LSH recall at this similarity band is ~0.5, so the
+    // driver records a rows-only check; precision/recall are asserted in
+    // DedupAnnSpec against brute force.
+    "embedding_neardup" -> { (s, dir) =>
+      EmbeddingOps.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
     })
 
   val oracle: Map[String, String] = Map(

@@ -80,6 +80,21 @@ class DedupAnnSpec extends SparkSpec {
     assert(approx.map(_._1).size === 20)
   }
 
+  test("embedding near-dup: perfect precision, useful recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = EmbeddingOps.cosineNearDupPairs(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("eb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), EmbeddingOps.cosine(col("ea"), col("eb")).as("s"))
+      .filter(col("s") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "every returned pair must truly exceed the threshold")
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.25, s"recall $recall") // sign-LSH at cos~0.4: ~0.5 expected
+  }
+
   test("exact ANN: ranks are 1..k per query, no self matches") {
     val emb = Tables.embeddings(spark, sf0001)
     val res = EmbeddingOps.exactTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()
