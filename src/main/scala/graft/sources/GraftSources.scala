@@ -66,9 +66,17 @@ object SourceUtil {
   val cleanContigUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((c: String) => RangeFunctions.cleanContig(c))
 
-  /** S7: sample id = file-name prefix before the first '.' */
-  def sampleIdFromFile: org.apache.spark.sql.Column =
-    regexp_extract(element_at(split(input_file_name(), "/"), -1), "^([^.]+)", 1)
+  /** S7: sample id = file-name prefix before the first '.'. Parquet
+    * datasets are directories of `part-*` files, so when the leaf is a
+    * part file the name comes from the parent directory instead (the
+    * reference reads single `<sample>.bam` files,
+    * `AlignmentRelation.scala:196-206`). */
+  def sampleIdFromFile: org.apache.spark.sql.Column = {
+    val segs = split(input_file_name(), "/")
+    val leaf = element_at(segs, -1)
+    val name = when(leaf.startsWith("part-"), element_at(segs, -2)).otherwise(leaf)
+    regexp_extract(name, "^([^.]+)", 1)
+  }
 }
 
 /** Alignment (reads) table over parquet — the S1/S2 surface. Options:
