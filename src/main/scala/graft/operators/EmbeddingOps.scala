@@ -99,6 +99,61 @@ object EmbeddingOps {
       .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("neighbor_id"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path besides LSH. Coarse quantizer: `nLists` centroids sampled
+    * deterministically from the corpus (lowest vec_ids — no training step
+    * offline; a k-means refinement would slot in here). Every corpus
+    * vector is assigned to its nearest centroid (one JIT-compiled
+    * `mapPartitions` pass over a broadcast centroid array — same
+    * hot-kernel reasoning as the MinHash signatures); queries probe their
+    * `nProbe` nearest lists and exact cosine re-ranks the candidates.
+    * At scale the assignment is a narrow map, the probe is a shuffle join
+    * on list id, and candidate volume is ~nProbe/nLists of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val centroids: Array[Array[Double]] = corpus
+      .orderBy(col("vec_id")).limit(nLists)
+      .select(asDouble(col("embedding"))).as[Seq[Double]]
+      .collect().map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    def cosTo(c: Array[Double], v: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < v.length) { dot += c(i) * v(i); na += c(i) * c(i); nb += v(i) * v(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    def assign(df: DataFrame, idCol: String, lists: Int): DataFrame =
+      df.select(col("vec_id"), asDouble(col("embedding")))
+        .as[(Long, Seq[Double])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (id, emb) =>
+            val v = emb.toArray
+            cs.indices.map(li => (li, cosTo(cs(li), v)))
+              .sortBy(-_._2).take(lists).map { case (li, _) => (id, li) }
+          }
+        }.toDF(idCol, "list")
+
+    val assigned = assign(corpus, "c_id", 1)
+    val probes = assign(queries, "q_id", nProbe)
+    val candidates = probes.join(assigned, "list")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+      .dropDuplicates("q_id", "c_id")
+    val qe = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+    val ce = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
+    val sims = candidates.join(broadcast(qe), "q_id").join(ce, "c_id")
+      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("neighbor_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the vector member of the dedup
     * family): LSH self-join candidates, exact-cosine verified against
     * `threshold`. Same no-all-pairs shape as

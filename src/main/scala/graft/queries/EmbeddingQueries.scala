@@ -30,6 +30,11 @@ object EmbeddingQueries {
       val (corpus, queries) = split(s, dir)
       EmbeddingOps.lshTopK(corpus, queries, k = 3)
     },
+    // IVF ANN variant (rows-only: approximate, recall asserted in spec).
+    "ann_ivf_topk" -> { (s, dir) =>
+      val (corpus, queries) = split(s, dir)
+      EmbeddingOps.ivfTopK(corpus, queries, k = 3)
+    },
     // Embedding-cosine near-dup (dedup family, vector modality). No SQL
     // oracle: sign-LSH recall at this similarity band is ~0.5, so the
     // driver records a rows-only check; precision/recall are asserted in

@@ -80,6 +80,18 @@ class DedupAnnSpec extends SparkSpec {
     assert(approx.map(_._1).size === 20)
   }
 
+  test("IVF ANN recall against the exact baseline") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = EmbeddingOps.exactTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = EmbeddingOps.ivfTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+    assert(ivf.map(_._1).size === 20, "every query answered")
+  }
+
   test("embedding near-dup: perfect precision, useful recall vs brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     val got = EmbeddingOps.cosineNearDupPairs(emb, 0.4)
