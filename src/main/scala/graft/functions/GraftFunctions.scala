@@ -80,7 +80,10 @@ object GraftFunctions {
     If(EqualTo(stripped, Literal("M")), Literal("MT"), stripped)
   }
 
+  private val cosineB: Builder = { case Seq(a, b) => CosineSimilarity(a, b) }
+
   private val builders: Seq[(String, Int, Builder)] = Seq(
+    ("cosine_similarity", 2, cosineB),
     ("shift", 3, shiftB),
     ("resize", 4, resizeB),
     ("overlap", 4, overlapB),

@@ -24,12 +24,14 @@ import scala.util.Random
   */
 object EmbeddingOps {
 
-  /** Sequential-order double-precision cosine similarity of two
-    * array<double> columns. */
+  /** Sequential-order double-precision cosine similarity — the native
+    * codegen'd [[graft.functions.CosineSimilarity]] expression (one fused
+    * loop in whole-stage codegen; the previous `zip_with`/`aggregate`
+    * formulation was interpreted per element). */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
