@@ -35,6 +35,11 @@ object Bench {
           errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
       times :+= (name -> (System.nanoTime() - t0) / 1e9)
+      // Operators persist intermediate frames (LSH bands, coverage blocks)
+      // whose lifecycle outlives the query; drop them so cached blocks
+      // don't accumulate across the run and skew later timings.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
