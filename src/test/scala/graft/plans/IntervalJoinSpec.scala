@@ -109,6 +109,19 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("auto mode switches to two-phase when the build side exceeds the threshold") {
+    val a = randomIntervals(300, 15, "a_key")
+    val b = randomIntervals(50, 16, "b_key")
+    val base = collectSorted(joined(a, b))
+    val (rows, usedTwoPhase) = withConf("spark.graft.rangejoin.maxBroadcastBytes", "1") {
+      val df = joined(a, b)
+      val plan = df.queryExecution.executedPlan.toString
+      (collectSorted(df), plan.contains("TwoPhaseMode"))
+    }
+    assert(usedTwoPhase, "size-based auto selection should pick the two-phase fallback")
+    assert(rows === base)
+  }
+
   test("exact counts on sf0.001 are stable") {
     val a = Tables.ivA(spark, sf0001)
     val b = Tables.ivB(spark, sf0001)
