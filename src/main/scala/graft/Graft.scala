@@ -19,8 +19,8 @@ object Graft {
   def ensure(spark: SparkSession): SparkSession = synchronized {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!classic.experimental.extraStrategies.exists(_.isInstanceOf[IntervalJoinStrategy])) {
-      classic.experimental.extraStrategies =
-        classic.experimental.extraStrategies :+ IntervalJoinStrategy(spark)
+      classic.experimental.extraStrategies = classic.experimental.extraStrategies ++
+        Seq(IntervalJoinStrategy(spark), graft.plans.GenomicStrategy(spark))
     }
     val freg = classic.sessionState.functionRegistry
     GraftFunctions.registrations.foreach { case (id, info, b) =>

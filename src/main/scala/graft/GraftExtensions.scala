@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(IntervalJoinStrategy(_))
+    ext.injectPlannerStrategy(plans.GenomicStrategy(_))
     functions.GraftFunctions.registrations.foreach(ext.injectFunction)
     plans.GraftTableFunctions.registrations.foreach(ext.injectTableFunction)
   }

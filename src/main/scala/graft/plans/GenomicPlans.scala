@@ -1,0 +1,112 @@
+package graft.plans
+
+import graft.operators.{CoverageOps, PileupOps}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom logical nodes for the coverage/pileup TVFs — the analogue of the
+  * reference's `PileupTemplate` leaf + `PileupStrategy`
+  * (`utvf/ResolveTableValuedFunctionsSeq.scala:214-237`,
+  * `pileup/PileupStrategy.scala:37-56`), but as UnaryNodes over a child
+  * relation the stock analyzer resolves. TVF resolution just builds the
+  * node; **no jobs run until execution** (an earlier iteration built the
+  * whole pipeline eagerly at analysis time — `EXPLAIN` triggered Spark
+  * jobs).
+  */
+object GenomicSchemas {
+  val coverage: StructType = CoverageOps.blockSchema
+  val pileup: StructType = StructType(Seq(
+    StructField("contig", StringType), StructField("pos", IntegerType, nullable = false),
+    StructField("coverage", IntegerType), StructField("count_ref", LongType),
+    StructField("count_nonref", LongType), StructField("alts", StringType),
+    StructField("quals", StringType)))
+
+  def attrs(s: StructType): Seq[Attribute] =
+    s.fields.toIndexedSeq.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+
+  val coverageInputs: Set[String] = Set("contig", "pos_start", "pos_end", "sample_id")
+  val pileupInputs: Set[String] =
+    coverageInputs ++ Set("has_alt", "alt_pos", "alt_base", "base_qual")
+}
+
+case class CoverageNode(child: LogicalPlan, sampleId: Option[String],
+    override val output: Seq[Attribute] = GenomicSchemas.attrs(GenomicSchemas.coverage))
+    extends UnaryNode {
+  // The whole output is synthesized here, not projected from the child.
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    outputSet
+  // Declare the child columns the pipeline consumes, otherwise column
+  // pruning strips the child bare under narrow consumers like count(*).
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      child.output.filter(a => GenomicSchemas.coverageInputs(a.name)))
+  override protected def withNewChildInternal(newChild: LogicalPlan): CoverageNode =
+    copy(child = newChild)
+}
+
+case class PileupNode(child: LogicalPlan, sampleId: Option[String], binSize: Option[Int],
+    override val output: Seq[Attribute] = GenomicSchemas.attrs(GenomicSchemas.pileup))
+    extends UnaryNode {
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    outputSet
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      child.output.filter(a => GenomicSchemas.pileupInputs(a.name)))
+  override protected def withNewChildInternal(newChild: LogicalPlan): PileupNode =
+    copy(child = newChild)
+}
+
+/** Runs a DataFrame-expressed pipeline over the child's execution-time
+  * rows. The multi-stage pipelines (distributed prefix scan, two-level
+  * aggregation + interval join) launch their jobs from here — execution
+  * time, not analysis time. */
+abstract class GenomicPipelineExec extends UnaryExecNode {
+  def sampleId: Option[String]
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+
+  protected def pipeline(reads: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val spark = SparkSession.active
+    val reads = ColumnBridge.internalFrame(spark, child.execute(), child.schema)
+    val filtered = sampleId.fold(reads)(s => reads.filter(col("sample_id") === s))
+    pipeline(filtered).queryExecution.toRdd
+  }
+}
+
+case class CoverageExec(override val output: Seq[Attribute],
+    sampleId: Option[String], child: SparkPlan) extends GenomicPipelineExec {
+  override protected def pipeline(reads: org.apache.spark.sql.DataFrame) =
+    CoverageOps.blocks(reads)
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+case class PileupExec(override val output: Seq[Attribute],
+    sampleId: Option[String], binSize: Option[Int], child: SparkPlan)
+    extends GenomicPipelineExec {
+  override protected def pipeline(reads: org.apache.spark.sql.DataFrame) =
+    PileupOps.pileup(reads, binSize)
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case CoverageNode(child, sample, out) =>
+      CoverageExec(out, sample, planLater(child)) :: Nil
+    case PileupNode(child, sample, bin, out) =>
+      PileupExec(out, sample, bin, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}

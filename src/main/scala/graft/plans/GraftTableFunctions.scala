@@ -50,22 +50,17 @@ object GraftTableFunctions {
 
   /** `coverage(viewName[, sampleId])` TVF (reference overloads at
     * `utvf/ResolveTableValuedFunctionsSeq.scala:111-116`; the refPath arg
-    * is dropped — no FASTA in the relational surface). Resolution builds
-    * the coverage pipeline over the named view; note the pipeline's
-    * prefix-scan pass runs eagerly at analysis time. */
+    * is dropped — no FASTA in the relational surface). Resolution builds a
+    * [[CoverageNode]] over the unresolved relation; the pipeline runs at
+    * execution time via [[GenomicStrategy]]. */
   private val coverageB: Builder = { args =>
     require(args.nonEmpty && args.length <= 2,
       s"coverage expects (tableName[, sampleId]), got ${args.length} args")
     require(args.forall(_.foldable), "coverage arguments must be literals")
     def str(e: Expression): String = String.valueOf(e.eval())
-    val spark = org.apache.spark.sql.SparkSession.active
-    val table = spark.table(str(args.head))
-    val filtered =
-      if (args.length >= 2)
-        table.filter(org.apache.spark.sql.functions.col("sample_id") === str(args(1)))
-      else table
-    graft.operators.CoverageOps.blocks(filtered)
-      .queryExecution.analyzed
+    CoverageNode(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args.head))),
+      if (args.length >= 2) Some(str(args(1))) else None)
   }
 
   /** `pileup(viewName[, sampleId[, alts[, quals]]])` TVF (reference
@@ -78,13 +73,10 @@ object GraftTableFunctions {
       s"pileup expects (tableName[, sampleId[, alts[, quals]]]), got ${args.length} args")
     require(args.forall(_.foldable), "pileup arguments must be literals")
     def str(e: Expression): String = String.valueOf(e.eval())
-    val spark = org.apache.spark.sql.SparkSession.active
-    val table = spark.table(str(args.head))
-    val filtered =
-      if (args.length >= 2)
-        table.filter(org.apache.spark.sql.functions.col("sample_id") === str(args(1)))
-      else table
-    graft.operators.PileupOps.pileup(filtered).queryExecution.analyzed
+    PileupNode(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args.head))),
+      if (args.length >= 2) Some(str(args(1))) else None,
+      binSize = None)
   }
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =
