@@ -41,6 +41,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("has_alt"), s"unused columns not pruned:\n$plan")
   }
 
+  test("coverage/pileup TVFs plan the lazy pipeline execs") {
+    Seq("coverage_tvf" -> "Coverage", "pileup_tvf" -> "Pileup").foreach {
+      case (name, node) =>
+        val plan = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
+        assert(plan.toString.contains(node), s"$name should plan ${node}Exec")
+    }
+  }
+
   test("interval-join queries plan the forest join") {
     Seq("interval_join_count", "interval_join_pairs", "interval_join_nochr",
         "interval_join_overlap10", "grange_tvf").foreach { name =>
