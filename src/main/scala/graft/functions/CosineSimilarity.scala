@@ -16,7 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Inputs of `array<float>` are implicitly cast. Arrays are assumed
   * element-non-null; length mismatch uses the shorter prefix for the dot
-  * product (norms still use each array's own full length).
+  * product (norms still use each array's own full length). A zero-norm
+  * vector yields NaN (0/0) — deliberately NOT coerced to 0.0, because the
+  * oracle contract is bit-parity with DuckDB's `list_cosine_similarity`,
+  * which propagates NaN the same way; NaN also sorts last under
+  * `desc_nulls_last`-style top-k, which is the sane treatment for a
+  * degenerate embedding.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with ExpectsInputTypes {

@@ -15,8 +15,12 @@ import org.apache.spark.sql.types.IntegerType
   * mirror in [[RangeFunctions]] is property-tested against these.)
   *
   * Registered names: `shift, resize, overlap, overlaplength, flank,
-  * promoters, reflect, clean_contig` + `bdg_`-prefixed aliases of each
-  * (reference keeps un-prefixed names as deprecated aliases).
+  * promoters, clean_contig` + `bdg_`-prefixed aliases of each (reference
+  * keeps un-prefixed names as deprecated aliases). The interval-reflect
+  * function is registered **only** as `bdg_reflect`: an un-prefixed
+  * `reflect` would shadow Spark's built-in Java-reflection
+  * `reflect(class, method, ...)`, silently breaking stock SQL for any
+  * session with graft attached (r2 ADVICE).
   */
 object GraftFunctions {
 
@@ -90,19 +94,18 @@ object GraftFunctions {
     ("overlaplength", 4, overlapB),
     ("flank", 5, flankB),
     ("promoters", 4, promotersB),
-    ("reflect", 4, reflectB),
     ("clean_contig", 1, cleanContigB))
 
   /** (identifier, info, builder) triples for `injectFunction` — both the
-    * plain name and the `bdg_` alias. */
+    * plain name and the `bdg_` alias (reflect: alias only, see above). */
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =
-    builders.flatMap { case (name, arity, b) =>
-      Seq(name, s"bdg_$name").map { n =>
-        val checked: Builder = { args =>
-          require(args.length == arity, s"$n expects $arity arguments, got ${args.length}")
-          b(args)
-        }
-        (FunctionIdentifier(n), new ExpressionInfo(GraftFunctions.getClass.getName, n), checked)
+    (builders.flatMap { case (name, arity, b) =>
+      Seq(name, s"bdg_$name").map(n => (n, arity, b))
+    } :+ (("bdg_reflect", 4, reflectB))).map { case (n, arity, b) =>
+      val checked: Builder = { args =>
+        require(args.length == arity, s"$n expects $arity arguments, got ${args.length}")
+        b(args)
       }
+      (FunctionIdentifier(n), new ExpressionInfo(GraftFunctions.getClass.getName, n), checked)
     }
 }

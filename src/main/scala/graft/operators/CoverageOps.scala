@@ -101,7 +101,7 @@ object CoverageOps {
 
     // Pass 2: streaming RLE per partition. Tag first/last block per
     // partition for the boundary merge.
-    val tagged = rdd.mapPartitionsWithIndex { (idx, it) =>
+    val taggedRdd = rdd.mapPartitionsWithIndex { (idx, it) =>
       val (carries, nexts) = carryB.value
       val out = mutable.ArrayBuffer.empty[Block]
       var curContig: String = null
@@ -156,8 +156,12 @@ object CoverageOps {
       out.iterator.zipWithIndex.map { case (b, i) =>
         (b.contig, b.posStart, b.posEnd, b.coverage, idx, i == 0 || i == n - 1)
       }
-    }.toDF("contig", "pos_start", "pos_end", "coverage", "pid", "boundary")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // RDD-level persist (not DataFrame cache): serves both the boundary
+      // collect below and the returned plan, and — unlike CacheManager
+      // entries — is auto-unpersisted by the ContextCleaner once the result
+      // is garbage-collected, so library callers don't leak cache blocks.
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val tagged = taggedRdd.toDF("contig", "pos_start", "pos_end", "coverage", "pid", "boundary")
 
     // Driver boundary merge: only first/last blocks of a partition can be
     // two halves of one run. O(partitions) rows.

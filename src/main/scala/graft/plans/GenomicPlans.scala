@@ -77,7 +77,10 @@ abstract class GenomicPipelineExec extends UnaryExecNode {
   protected def pipeline(reads: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val spark = SparkSession.active
+    // `session` is captured by SparkPlan at planning time — correct even
+    // when several sessions are active in the JVM (r2 ADVICE: don't re-read
+    // SparkSession.active at execution time).
+    val spark = session
     val reads = ColumnBridge.internalFrame(spark, child.execute(), child.schema)
     val filtered = sampleId.fold(reads)(s => reads.filter(col("sample_id") === s))
     pipeline(filtered).queryExecution.toRdd

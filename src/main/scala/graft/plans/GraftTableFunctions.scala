@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    cost, and every Catalyst rule (broadcast, constant propagation) sees
   *    straight through it.
   *  - `range(n)` needs nothing: stock Spark resolves it natively.
-  *  - coverage/pileup TVFs are registered in [[CoverageTableFunctions]].
+  *  - coverage/pileup TVFs are registered below in this object; resolution
+  *    builds lazy [[CoverageNode]]/[[PileupNode]] plans executed by
+  *    [[GenomicStrategy]].
   */
 object GraftTableFunctions {
 

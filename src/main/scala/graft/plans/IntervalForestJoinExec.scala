@@ -5,33 +5,47 @@ import graft.operators.IntervalForest
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.physical.Partitioning
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
-import org.apache.spark.storage.StorageLevel
 
 import scala.collection.mutable
 
 sealed trait IntervalJoinMode
 case object BroadcastForestMode extends IntervalJoinMode
-case object TwoPhaseMode extends IntervalJoinMode
+case object BinRangeMode extends IntervalJoinMode
 
-/** Physical interval join. The build side is projected to
+/** Physical interval join with two scale regimes.
+  *
+  * '''BroadcastForestMode''' — the build side is projected to
   * `(eqKey, start, end, row)`, assembled into a per-key
   * [[graft.operators.IntervalForest]] and broadcast; the stream side probes
-  * it per partition — **no shuffle** of either side in broadcast mode.
-  * That is the property that makes this beat a shuffle or nested-loop join
-  * by ~an order of magnitude at scale (SURVEY §6): the 100 TB side streams
-  * through untouched while only the small annotation side moves.
+  * it per partition — **no shuffle** of either side. That is the property
+  * that makes this beat a shuffle or nested-loop join by ~an order of
+  * magnitude at scale (SURVEY §6): the 100 TB side streams through untouched
+  * while only the small annotation side moves.
+  *
+  * '''BinRangeMode''' — when the build side is too large to broadcast, both
+  * sides are replicated to the fixed-width genome bins their interval
+  * overlaps and cogrouped on `(eqKey, bin)`; each bin builds a local forest
+  * from its build intervals and probes its stream intervals. A pair whose
+  * intersection spans several bins is emitted only from the first bin of the
+  * intersection, so output is exactly-once without any dedup shuffle. Unlike
+  * a rowId re-join (the reference's two-phase,
+  * `IntervalTreeJoinOptimChromosomeImpl.scala:128-168`, which still collects
+  * every build interval to the driver), this never materializes anything on
+  * the driver, needs no RDD persist, and is deterministic under task retry —
+  * the properties that matter at 1000 executors.
   *
   * Re-expression of the reference's
   * `IntervalTreeJoinOptimChromosome{,Impl}.scala` (see SURVEY §2.3 J1-J7):
   *  - minOverlap: emitted pair needs `min(e1,e2)-max(s1,s2)+1 >= minOverlap`
-  *    (`IntervalTreeJoinOptimChromosomeImpl.scala:110-117`);
+  *    (`IntervalTreeJoinOptimChromosomeImpl.scala:110-117`). Applied only
+  *    when `minOverlap > 1`: for the default the forest emission condition
+  *    `be >= qs && bs <= qe` is *exactly* the matched join predicate, and the
+  *    overlap-length form would silently drop degenerate (start > end) rows
+  *    that stock Spark keeps.
   *  - maxGap: build intervals widened ±gap before insertion (`:82-87`);
-  *  - two-phase fallback when the build side is too large to broadcast rows:
-  *    broadcast only `(interval → rowId)`, probe, then shuffle-join rowIds
-  *    back to rows (`:128-168`).
   *
   * Unlike the reference (which runs `count()` jobs to pick the build side,
   * `IntervalTreeJoinOptimChromosome.scala:72-88`), the side and mode are
@@ -43,14 +57,21 @@ case class IntervalForestJoinExec(
     mode: IntervalJoinMode,
     minOverlap: Int,
     maxGap: Int,
+    binWidth: Int,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
-  // Probing is per-partition over the unshuffled stream side.
-  override def outputPartitioning: Partitioning =
-    if (buildLeft) right.outputPartitioning else left.outputPartitioning
+  // Broadcast mode probes per-partition over the unshuffled stream side, so
+  // the stream partitioning survives. Bin mode's output comes out of a
+  // cogroup shuffle on (key, bin) — claiming anything stronger would let
+  // EnsureRequirements elide a needed exchange above.
+  override def outputPartitioning: Partitioning = mode match {
+    case BroadcastForestMode =>
+      if (buildLeft) right.outputPartitioning else left.outputPartitioning
+    case BinRangeMode => UnknownPartitioning(0)
+  }
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -72,11 +93,11 @@ case class IntervalForestJoinExec(
       if (buildLeft) (keys.rightStart, keys.rightEnd, keys.rightEqs)
       else (keys.leftStart, keys.leftEnd, keys.leftEqs)
 
-    val bStartB = bound(bStart, buildPlan)
-    val bEndB = bound(bEnd, buildPlan)
+    // Start/end are projected through UnsafeProjection (codegen'd) rather
+    // than interpreted Expression.eval — the probe runs once per stream row.
+    val bIvB = Seq(bound(bStart, buildPlan), bound(bEnd, buildPlan))
+    val sIvB = Seq(bound(sStart, streamPlan), bound(sEnd, streamPlan))
     val bEqsB = bEqs.map(bound(_, buildPlan))
-    val sStartB = bound(sStart, streamPlan)
-    val sEndB = bound(sEnd, streamPlan)
     val sEqsB = sEqs.map(bound(_, streamPlan))
     val nEqs = bEqs.length
     val buildIsLeft = buildLeft
@@ -91,16 +112,18 @@ case class IntervalForestJoinExec(
         // (1) Collect build side as (key, start, end, row).
         val collected = buildPlan.execute().mapPartitions { it =>
           val keyProj = UnsafeProjection.create(bEqsB)
+          val ivProj = UnsafeProjection.create(bIvB)
           it.flatMap { row =>
-            val s = bStartB.eval(row)
-            val e = bEndB.eval(row)
-            if (s == null || e == null) Iterator.empty
+            val iv = ivProj(row)
+            if (iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
             else {
+              val s = iv.getInt(0)
+              val e = iv.getInt(1)
               val copy = row.copy()
               val key = keyProj(copy)
               // A null equality key can never satisfy EqualTo.
               if (nEqs > 0 && key.anyNull) Iterator.empty
-              else Iterator.single((key.copy(), s.asInstanceOf[Int], e.asInstanceOf[Int], copy))
+              else Iterator.single((key.copy(), s, e, copy))
             }
           }
         }.collect()
@@ -111,24 +134,25 @@ case class IntervalForestJoinExec(
         // (2) Stream side probes per partition; no shuffle.
         streamPlan.execute().mapPartitions { it =>
           val keyProj = UnsafeProjection.create(sEqsB)
+          val ivProj = UnsafeProjection.create(sIvB)
           val joinedRow = new JoinedRow
           val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
           val forestMap = bcast.value
           it.flatMap { srow =>
-            val sv = sStartB.eval(srow)
-            val ev = sEndB.eval(srow)
-            if (sv == null || ev == null) Iterator.empty
+            val iv = ivProj(srow)
+            if (iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
             else {
               val key = keyProj(srow)
               if (nEqs > 0 && key.anyNull) Iterator.empty
               else forestMap.get(key) match {
                 case None => Iterator.empty
                 case Some(forest) =>
-                  val qs = sv.asInstanceOf[Int]
-                  val qe = ev.asInstanceOf[Int]
+                  val qs = iv.getInt(0)
+                  val qe = iv.getInt(1)
                   val buf = mutable.ArrayBuffer.empty[InternalRow]
                   forest.foreachOverlap(qs, qe) { (bs, be, brow) =>
-                    if (math.min(be, qe) - math.max(bs, qs) + 1 >= minOv) buf += brow
+                    if (minOv <= 1 || math.min(be, qe) - math.max(bs, qs) + 1 >= minOv)
+                      buf += brow
                   }
                   buf.iterator.map { brow =>
                     numOutputRows += 1
@@ -139,67 +163,70 @@ case class IntervalForestJoinExec(
           }
         }
 
-      case TwoPhaseMode =>
-        // Phase 1: index build rows; broadcast only (key, interval → rowId).
-        // Persisted so the id assignment seen by the keys-collect and by the
-        // final join is the same (zipWithIndex over a recomputed shuffle
-        // could renumber).
-        val indexed = buildPlan.execute().map(_.copy()).zipWithIndex().map(_.swap)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val keysOnly = indexed.mapPartitions { it =>
-          val keyProj = UnsafeProjection.create(bEqsB)
-          it.flatMap { case (id, row) =>
-            val s = bStartB.eval(row)
-            val e = bEndB.eval(row)
-            if (s == null || e == null) Iterator.empty
-            else {
-              val key = keyProj(row)
-              if (nEqs > 0 && key.anyNull) Iterator.empty
-              else Iterator.single((key.copy(), s.asInstanceOf[Int], e.asInstanceOf[Int], id))
-            }
-          }
-        }.collect()
-        buildRowsMetric += keysOnly.length
-        val forests = IntervalForest.forest[UnsafeRow, Long](keysOnly, gap)
-        val bcast = sparkContext.broadcast(forests)
+      case BinRangeMode =>
+        val binW = binWidth
+        val numParts = conf.numShufflePartitions
 
-        // Phase 2: probe → (rowId, streamRow) pairs.
-        val probed: RDD[(Long, InternalRow)] = streamPlan.execute().mapPartitions { it =>
-          val keyProj = UnsafeProjection.create(sEqsB)
-          val forestMap = bcast.value
-          it.flatMap { srow =>
-            val sv = sStartB.eval(srow)
-            val ev = sEndB.eval(srow)
-            if (sv == null || ev == null) Iterator.empty
-            else {
-              val key = keyProj(srow)
-              if (nEqs > 0 && key.anyNull) Iterator.empty
-              else forestMap.get(key) match {
-                case None => Iterator.empty
-                case Some(forest) =>
-                  val qs = sv.asInstanceOf[Int]
-                  val qe = ev.asInstanceOf[Int]
-                  val ids = mutable.ArrayBuffer.empty[Long]
-                  forest.foreachOverlap(qs, qe) { (bs, be, id) =>
-                    if (math.min(be, qe) - math.max(bs, qs) + 1 >= minOv) ids += id
-                  }
-                  if (ids.isEmpty) Iterator.empty
-                  else {
-                    val copy = srow.copy()
-                    ids.iterator.map(id => (id, copy))
-                  }
+        // Replicate each row to every bin its (normalized, gap-widened on the
+        // build side) interval overlaps. Key = (eqKey bytes, bin).
+        def binned(
+            plan: SparkPlan,
+            eqExprs: Seq[Expression],
+            ivExprs: Seq[Expression],
+            widen: Int): RDD[((UnsafeRow, Int), (Int, Int, InternalRow))] =
+          plan.execute().mapPartitions { it =>
+            val keyProj = UnsafeProjection.create(eqExprs)
+            val ivProj = UnsafeProjection.create(ivExprs)
+            it.flatMap { row =>
+              val iv = ivProj(row)
+              if (iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
+              else {
+                val s = iv.getInt(0) - widen
+                val e = iv.getInt(1) + widen
+                val key = keyProj(row)
+                if (nEqs > 0 && key.anyNull) Iterator.empty
+                else {
+                  val copy = row.copy()
+                  val k = key.copy()
+                  val lo = Math.floorDiv(math.min(s, e), binW)
+                  val hi = Math.floorDiv(math.max(s, e), binW)
+                  (lo to hi).iterator.map(b => ((k, b), (s, e, copy)))
+                }
               }
             }
           }
-        }
 
-        // Phase 3: shuffle equi-join on rowId to rebuild full rows.
-        indexed.join(probed).mapPartitions { it =>
+        val buildBinned = binned(buildPlan, bEqsB, bIvB, gap)
+        val streamBinned = binned(streamPlan, sEqsB, sIvB, 0)
+
+        buildBinned.cogroup(streamBinned, numParts).mapPartitions { groups =>
           val joinedRow = new JoinedRow
           val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-          it.map { case (_, (brow, srow)) =>
-            numOutputRows += 1
-            resultProj(if (buildIsLeft) joinedRow(brow, srow) else joinedRow(srow, brow))
+          groups.flatMap { case ((_, bin), (buildRows, streamRows)) =>
+            if (buildRows.isEmpty || streamRows.isEmpty) Iterator.empty
+            else {
+              val items = buildRows.map { case (s, e, r) => (s, e, r) }.toIndexedSeq
+              buildRowsMetric += items.length
+              // Gap widening already applied at replication time.
+              val forest = IntervalForest(items)
+              streamRows.iterator.flatMap { case (qs, qe, srow) =>
+                val buf = mutable.ArrayBuffer.empty[InternalRow]
+                forest.foreachOverlap(qs, qe) { (bs, be, brow) =>
+                  // Exactly-once: only the first bin of the pair's
+                  // intersection emits it. Both replicas provably cover that
+                  // bin whenever the join predicate holds.
+                  val firstBin =
+                    Math.floorDiv(math.max(math.min(bs, be), math.min(qs, qe)), binW)
+                  if (firstBin == bin &&
+                      (minOv <= 1 || math.min(be, qe) - math.max(bs, qs) + 1 >= minOv))
+                    buf += brow
+                }
+                buf.iterator.map { brow =>
+                  numOutputRows += 1
+                  resultProj(if (buildIsLeft) joinedRow(brow, srow) else joinedRow(srow, brow))
+                }
+              }
+            }
           }
         }
     }

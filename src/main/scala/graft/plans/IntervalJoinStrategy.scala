@@ -17,11 +17,14 @@ import org.apache.spark.sql.execution.{FilterExec, SparkPlan, SparkStrategy}
   *  - `spark.graft.rangejoin.enabled` (true) — fall back to stock Spark
   *    (BroadcastNestedLoopJoin) when false; used by differential tests.
   *  - `spark.graft.rangejoin.minOverlap` (1), `spark.graft.rangejoin.maxGap` (0)
-  *  - `spark.graft.rangejoin.method` (auto | broadcast | twophase)
+  *  - `spark.graft.rangejoin.method` (auto | broadcast | binrange;
+  *    `twophase` accepted as a legacy alias for the shuffle fallback)
   *  - `spark.graft.rangejoin.buildSide` (auto | left | right) — the
   *    reference's `useJoinOrder` analogue (auto picks the smaller by stats).
   *  - `spark.graft.rangejoin.maxBroadcastBytes` (256 MiB) — auto threshold
-  *    between broadcast and two-phase.
+  *    between broadcast and the bin-range shuffle join.
+  *  - `spark.graft.rangejoin.binWidth` (5000) — genome-bin width of the
+  *    shuffle fallback; both sides replicate per overlapped bin.
   */
 case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
 
@@ -41,11 +44,13 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
       val maxBroadcast = conf("maxBroadcastBytes", (256L << 20).toString).toLong
       val mode = conf("method", "auto") match {
         case "broadcast" => BroadcastForestMode
-        case "twophase" => TwoPhaseMode
-        case _ => if (buildSize <= maxBroadcast) BroadcastForestMode else TwoPhaseMode
+        case "binrange" | "twophase" => BinRangeMode
+        case _ => if (buildSize <= maxBroadcast) BroadcastForestMode else BinRangeMode
       }
+      val binWidth = conf("binWidth", "5000").toInt
       val exec = IntervalForestJoinExec(
-        keys, buildLeft, mode, minOverlap, maxGap, planLater(left), planLater(right))
+        keys, buildLeft, mode, minOverlap, maxGap, binWidth,
+        planLater(left), planLater(right))
       keys.residual.map(FilterExec(_, exec)).getOrElse(exec) :: Nil
     case _ => Nil
   }

@@ -90,8 +90,8 @@ object IntervalQueries {
               |  flank(pos_start, pos_end, 10, true, false).`end`  AS fl_end,
               |  promoters(pos_start, pos_end, 100, 20).start      AS pr_start,
               |  promoters(pos_start, pos_end, 100, 20).`end`      AS pr_end,
-              |  reflect(pos_start, pos_end, 1, 1000).start        AS rf_start,
-              |  reflect(pos_start, pos_end, 1, 1000).`end`        AS rf_end,
+              |  bdg_reflect(pos_start, pos_end, 1, 1000).start        AS rf_start,
+              |  bdg_reflect(pos_start, pos_end, 1, 1000).`end`        AS rf_end,
               |  overlaplength(pos_start, pos_end, 400, 700)       AS ov_len,
               |  clean_contig(concat('chr', contig))               AS clean_c
               |FROM targets_v""".stripMargin)

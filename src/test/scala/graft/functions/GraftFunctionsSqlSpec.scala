@@ -31,7 +31,7 @@ class GraftFunctionsSqlSpec extends SparkSpec {
         |  bdg_overlaplength(s, e, s + 10, e + 10),
         |  flank(s, e, w, sf, bo).start, flank(s, e, w, sf, bo).`end`,
         |  promoters(s, e, 100, 50).start, promoters(s, e, 100, 50).`end`,
-        |  reflect(s, e, 1, 200000).start, reflect(s, e, 1, 200000).`end`
+        |  bdg_reflect(s, e, 1, 200000).start, bdg_reflect(s, e, 1, 200000).`end`
         |FROM grid""".stripMargin).collect()
 
     got.foreach { r =>
@@ -49,6 +49,13 @@ class GraftFunctionsSqlSpec extends SparkSpec {
       val refl = RangeFunctions.reflect(s, e, 1, 200000)
       assert((r.getInt(16), r.getInt(17)) === (refl.start, refl.end))
     }
+  }
+
+  test("stock Java-reflection reflect() is not shadowed by the engine") {
+    // Interval reflection is bdg_reflect only; plain reflect must stay
+    // Spark's built-in (r2 ADVICE — a graft session must not lose stock SQL).
+    val r = spark.sql("SELECT reflect('java.lang.String', 'valueOf', 42)").collect()
+    assert(r.head.getString(0) === "42")
   }
 
   test("clean_contig SQL matches the mirror on representative names") {

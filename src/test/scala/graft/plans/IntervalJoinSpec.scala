@@ -68,16 +68,50 @@ class IntervalJoinSpec extends SparkSpec {
     assert(withEngine === stock)
   }
 
-  test("two-phase mode and forced build sides give identical results") {
+  test("bin-range mode and forced build sides give identical results") {
     val a = randomIntervals(300, 3, "a_key")
     val b = randomIntervals(50, 4, "b_key")
     val base = collectSorted(joined(a, b))
     for ((k, v) <- Seq(
-        "spark.graft.rangejoin.method" -> "twophase",
+        "spark.graft.rangejoin.method" -> "binrange",
+        "spark.graft.rangejoin.method" -> "twophase", // legacy alias
         "spark.graft.rangejoin.buildSide" -> "left",
         "spark.graft.rangejoin.buildSide" -> "right")) {
       assert(withConf(k, v) { collectSorted(joined(a, b)) } === base, s"$k=$v")
     }
+  }
+
+  test("bin-range mode dedups pairs spanning many bins (tiny binWidth)") {
+    val a = randomIntervals(300, 21, "a_key")
+    val b = randomIntervals(50, 22, "b_key")
+    val base = collectSorted(joined(a, b))
+    val got = withConf("spark.graft.rangejoin.method", "binrange") {
+      // Intervals are up to ~40 wide in [1, 540]; width 7 forces nearly every
+      // pair's intersection to span several bins.
+      withConf("spark.graft.rangejoin.binWidth", "7") {
+        collectSorted(joined(a, b))
+      }
+    }
+    assert(got === base)
+  }
+
+  test("degenerate (start > end) rows match stock Spark in both modes") {
+    import graft.SharedSpark.spark.implicits._
+    // b row [30, 10] is inverted; the raw predicate still matches any a row
+    // covering [10, 30]. The engine must not drop it via an overlap-length
+    // rewrite (ADVICE r2: filter was stronger than the predicate).
+    val a = Seq((1L, "1", 5, 40), (2L, "1", 12, 20), (3L, "1", 35, 50))
+      .toDF("a_key", "contig", "pos_start", "pos_end")
+    val b = Seq((10L, "1", 30, 10), (11L, "1", 18, 22))
+      .toDF("b_key", "contig", "pos_start", "pos_end")
+    val stock = withConf("spark.graft.rangejoin.enabled", "false") {
+      collectSorted(joined(a, b))
+    }
+    assert(collectSorted(joined(a, b)) === stock)
+    val bin = withConf("spark.graft.rangejoin.method", "binrange") {
+      collectSorted(joined(a, b))
+    }
+    assert(bin === stock)
   }
 
   test("minOverlap conf filters pairs below the overlap length") {
@@ -109,16 +143,16 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got === expected)
   }
 
-  test("auto mode switches to two-phase when the build side exceeds the threshold") {
+  test("auto mode switches to bin-range when the build side exceeds the threshold") {
     val a = randomIntervals(300, 15, "a_key")
     val b = randomIntervals(50, 16, "b_key")
     val base = collectSorted(joined(a, b))
-    val (rows, usedTwoPhase) = withConf("spark.graft.rangejoin.maxBroadcastBytes", "1") {
+    val (rows, usedBinRange) = withConf("spark.graft.rangejoin.maxBroadcastBytes", "1") {
       val df = joined(a, b)
       val plan = df.queryExecution.executedPlan.toString
-      (collectSorted(df), plan.contains("TwoPhaseMode"))
+      (collectSorted(df), plan.contains("BinRangeMode"))
     }
-    assert(usedTwoPhase, "size-based auto selection should pick the two-phase fallback")
+    assert(usedBinRange, "size-based auto selection should pick the bin-range fallback")
     assert(rows === base)
   }
 
