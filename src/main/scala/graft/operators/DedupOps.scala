@@ -99,27 +99,57 @@ object DedupOps {
       .toDF("doc_id", "sig")
   }
 
-  /** Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
+  /** Default per-bucket size cap for the banded self-joins. Buckets of up
+    * to this size join all-pairs; larger ones degrade to star edges. High
+    * enough that it never triggers on healthy data; it exists to bound the
+    * adversarial/skewed case (boilerplate floods, near-identical crawls). */
+  val DefaultBucketCap = 10000
+
+  /** Candidate pairs (id_a < id_b) sharing a bucket key, with a per-bucket
+    * size cap — the skew guard of every LSH family here.
+    *
+    * Input: `(id, bkey)` rows (an id may appear under many keys). Buckets
+    * with at most `cap` members contribute their full within-bucket pairs.
+    * A bucket beyond `cap` — at corpus scale that is a flood of
+    * near-identical documents, where all-pairs output is Θ(bucket²) and
+    * would OOM a task before it finished — instead contributes **star
+    * edges** `(min id, member)`. The star keeps the bucket connected, so
+    * connected-components / keep-one-representative dedup downstream
+    * reaches exactly the same clusters, at O(bucket) cost; only the
+    * explicit pair list between non-representative members is forfeited.
+    * Deterministic (min id as hub), no sampling, no salting randomness. */
+  def cappedSelfJoinPairs(keyed: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
+    val stats = keyed.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("bsz"), min(col("id")).as("rep"))
+    val small = keyed.join(stats.filter(col("bsz") <= cap), "bkey")
+      .select(col("bkey"), col("id"))
+    val pairsSmall = small.as("x").join(small.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val pairsBig = keyed.join(stats.filter(col("bsz") > cap), "bkey")
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    pairsSmall.unionByName(pairsBig).distinct()
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing at least one MinHash LSH band
+    * bucket (64 bands × 2 rows; `bkey = xxhash64(band, rows)` so band
+    * identity is folded into the 64-bit key — cross-band collisions are
+    * harmless because candidates are exact-verified downstream).
     *
     * The banded frame is persisted before the self-join: without the
     * materialization barrier, Catalyst's project-collapsing inlines the
     * signature expression into all 64 band keys on both join sides and
     * recomputes the full MinHash per comparison (measured 11.8s vs 0.2s
-    * on the 672-doc corpus). The persisted state is (doc_id, band, hash)
+    * on the 672-doc corpus). The persisted state is (doc_id, bkey)
     * — 64 small rows per doc, the standard LSH index. */
-  def lshCandidatePairs(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until NumBands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64((0 until BandRows).map(r => col("sig")(j * BandRows + r)): _*).as("bh"))
+  def lshCandidatePairs(sigs: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
+    val bandKeys = (0 until NumBands).map { j =>
+      xxhash64(lit(j) +: (0 until BandRows).map(r => col("sig")(j * BandRows + r)): _*)
     }
-    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded = sigs.select(col("doc_id").as("id"), explode(array(bandKeys: _*)).as("bkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    cappedSelfJoinPairs(banded, cap)
   }
 
   /** Near-duplicate pairs with exact Jaccard >= threshold, LSH-pruned.
@@ -165,25 +195,37 @@ object DedupOps {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxDist, LSH-bucketed
-    * on 8-bit bands (8 bands → any pair with <= 7 differing bands shares
-    * one; maxDist <= 7 guarantees recall 1 by pigeonhole). */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 6): DataFrame = {
+  /** SimHash near-dup pairs with Hamming distance <= maxDist.
+    *
+    * Bucketing is block-pair banding (the Manku/Jain/Sarma web-dedup
+    * construction): the 64-bit fingerprint splits into 8 byte blocks, and
+    * each of the C(8,2)=28 block pairs forms one 16-bit band key. A pair
+    * within Hamming distance d has at most d damaged blocks, so for d <= 6
+    * at least two blocks are intact and some block *pair* matches — recall
+    * 1.0 by pigeonhole for the default maxDist=6. The old 8x8-bit banding
+    * had a similar guarantee but only 256 distinct values per band: every
+    * bucket held ~N/256 docs and the self-join emitted Theta(N^2/2048)
+    * candidates at corpus scale (the r2 scale-killer). 16-bit keys give
+    * 65536*28 buckets; unrelated fingerprints are uniform, so expected
+    * random collisions drop ~75x while the guarantee is preserved. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 6,
+      cap: Int = DefaultBucketCap): DataFrame = {
+    require(maxDist <= 6,
+      s"block-pair banding guarantees recall only for maxDist <= 6, got $maxDist")
     val sigs = simhashSignatures(docs)
-    val bandCols = (0 until 8).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("simhash"), j * 8).bitwiseAND(0xFF).as("bh"))
-    }
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-        explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bh").as("bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+    def block(i: Int) = shiftright(col("simhash"), i * 8).bitwiseAND(0xFF)
+    val bandKeys = for { i <- 0 until 8; j <- i + 1 until 8 } yield
+      // Band identity (i,j) in the high bits keeps bands disjoint.
+      lit((i.toLong * 8 + j) << 16).bitwiseOR(shiftleft(block(i), 8)).bitwiseOR(block(j))
+    val banded = sigs
+      .select(col("doc_id").as("id"), explode(array(bandKeys: _*)).as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cappedSelfJoinPairs(banded, cap)
+      .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("fp_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("fp_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 }

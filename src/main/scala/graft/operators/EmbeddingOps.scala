@@ -13,14 +13,17 @@ import scala.util.Random
   *   exact baseline; at 100 TB it is one corpus scan with no shuffle of
   *   the corpus (only the tiny (query, k) results move).
   * - [[lshTopK]] — random-hyperplane LSH: vectors bucketed by the sign
-  *   pattern of `nPlanes` fixed random projections; candidates = corpus
-  *   vectors sharing a bucket with the query (multi-probe over bands),
-  *   then exact cosine re-rank. The scale path: bucket join instead of
-  *   corpus × queries.
+  *   pattern of 64 fixed random projections, carved into band keys;
+  *   candidates = corpus vectors sharing a band with the query, per-bucket
+  *   capped, then exact cosine re-rank.
+  * - [[ivfTopK]] — inverted-file index with a Lloyd-trained coarse
+  *   quantizer; the preferred scale path for top-k (LSH bands at the
+  *   moderate similarities real neighbors have are inherently
+  *   candidate-heavy — see the band-width analysis on [[bandBitsFor]]).
   *
-  * Dot products and norms run through `zip_with`/`aggregate` higher-order
-  * functions in double precision — codegen'd, sequential index order, so
-  * results are reproducible across engines.
+  * All exact re-ranks run through the native codegen'd
+  * [[graft.functions.CosineSimilarity]] expression in double precision,
+  * sequential index order — reproducible across engines.
   */
 object EmbeddingOps {
 
@@ -36,6 +39,18 @@ object EmbeddingOps {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  private def rerankTopK(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val qe = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+    val ce = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
+    val sims = candidates.join(broadcast(qe), "q_id").join(ce, "c_id")
+      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("neighbor_id"))
+  }
+
   /** Exact top-k neighbors (cosine, excluding self) of each query vector.
     * Output (vec_id, rank, neighbor_id) — ranks only, deterministic
     * tie-break on neighbor id. */
@@ -50,131 +65,209 @@ object EmbeddingOps {
       .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("neighbor_id"))
   }
 
-  val NumPlanes = 16
+  val NumPlanes = 64
 
-  /** Fixed random hyperplanes (deterministic seed), one per signature bit. */
-  private val planes: Array[Array[Double]] = {
-    val rnd = new Random(987654321L)
-    Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  /** Fixed random hyperplanes for a given embedding dimension
+    * (deterministic seed — every executor and every run derives the same
+    * planes; r2 hardcoded dim 64 and silently zero-bucketed any other
+    * width). */
+  private val planeCache = scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
+  private def planesFor(dim: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate(dim, {
+      val rnd = new Random(987654321L)
+      Array.fill(NumPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    })
+
+  /** Embedding dimension learned from the data (one cheap first() job). */
+  private def embeddingDim(df: DataFrame): Int =
+    df.select(size(col("embedding"))).head.getInt(0)
+
+  /** (idOut, bucket) — the 64 sign bits of the random projections, computed
+    * in one typed kernel pass (higher-order `zip_with`/`aggregate` is
+    * interpreted per element — the measured 5-30x HOF cliff). Fails loudly
+    * on a row whose dimension differs from the learned one instead of
+    * silently degrading (r2 ADVICE). */
+  def signBuckets(df: DataFrame, idOut: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = embeddingDim(df)
+    val bc = spark.sparkContext.broadcast(planesFor(dim))
+    df.select(col("vec_id"), asDouble(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val ps = bc.value
+        val dim = ps(0).length
+        it.map { case (id, emb) =>
+          require(emb.length == dim,
+            s"embedding of vec_id=$id has dim ${emb.length}, LSH planes expect $dim")
+          val v = emb.toArray
+          var bucket = 0L
+          var i = 0
+          while (i < ps.length) {
+            val p = ps(i)
+            var dot = 0.0
+            var j = 0
+            while (j < dim) { dot += p(j) * v(j); j += 1 }
+            if (dot >= 0) bucket |= (1L << i)
+            i += 1
+          }
+          (id, bucket)
+        }
+      }.toDF(idOut, "bucket")
   }
 
-  /** Signature bucket id: sign bits of the random projections. */
-  def lshBucket(emb: Column): Column = {
-    val e = asDouble(emb)
-    (0 until NumPlanes).map { i =>
-      val proj = aggregate(
-        zip_with(e, typedLit(planes(i)), (x, p) => x * p), lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1), i)).otherwise(0)
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Band width (in sign bits) tuned to a cosine threshold.
+    *
+    * Sign-LSH theory: a plane agrees on a pair at angle θ with
+    * p₁ = 1 − θ/π, so a b-bit band matches with p₁^b. Wider bands cut
+    * random collisions 2× per bit but cost recall at the threshold angle.
+    * This picks the widest band that keeps per-band match probability
+    * ≳0.3 at the threshold, then uses all 64/b bands (capped at 16):
+    * high thresholds (0.9+, the realistic dedup regime) get 6-16-bit
+    * bands — near-linear candidate volume; low thresholds (θ→90°) bottom
+    * out at 4 bits, where candidate-heaviness is information-theoretically
+    * inherent, and the per-bucket cap bounds the worst case. */
+  def bandBitsFor(threshold: Double): Int = {
+    val p1 = 1.0 - math.acos(threshold.max(-1.0).min(1.0)) / math.Pi
+    if (p1 <= 0.0 || p1 >= 1.0) 16
+    else math.max(4, math.min(16, (math.log(0.35) / math.log(p1)).toInt))
   }
 
-  /** Approximate top-k: candidates share the full 16-bit bucket or one of
-    * four 4-bit band buckets (band multi-probe keeps recall up while the
-    * join stays a plain shuffle join on band keys). Exact cosine re-ranks
-    * the candidates. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // Bands carry only ids — candidate dedup happens on two longs, and
-    // the (fat) embedding arrays are joined back just for the survivors.
-    def banded(df: DataFrame, idCol: String): DataFrame = {
-      val withB = df.select(col("vec_id").as(idCol), lshBucket(col("embedding")).as("bucket"))
-      val bands = (0 until 4).map(j =>
-        struct(lit(j).as("band"), shiftright(col("bucket"), j * 4).bitwiseAND(0xF).as("bh")))
-      withB.select(col(idCol), explode(array(bands: _*)).as("b"))
-        .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
-        // Barrier: stop the 16-projection bucket expression from being
-        // inlined into the join keys (same pathology as DedupOps bands).
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** (id, bkey) band keys carved from the 64-bit sign bucket; band identity
+    * is folded into the key's high bits so bands stay disjoint. */
+  private def bandKeys(buckets: DataFrame, idCol: String, bandBits: Int): DataFrame = {
+    val nBands = math.min(16, NumPlanes / bandBits)
+    val mask = (1L << bandBits) - 1
+    val keys = (0 until nBands).map { j =>
+      lit(j.toLong << 48).bitwiseOR(shiftright(col("bucket"), j * bandBits).bitwiseAND(mask))
     }
-    val candidates = banded(queries, "q_id").as("x")
-      .join(banded(corpus, "c_id").as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("q_id") =!= col("c_id"))
+    buckets.select(col(idCol).as("id"), explode(array(keys: _*)).as("bkey"))
+  }
+
+  /** Approximate top-k via banded sign-LSH + exact cosine re-rank.
+    *
+    * Scale shape: corpus band rows are capped at `bucketCap` members per
+    * band key (deterministic lowest ids), so candidate volume is
+    * O(queries × bands × cap) — **independent of corpus size** — and the
+    * join is a plain shuffle join on 64-bit keys. Recall on hot buckets
+    * degrades gracefully (like bounded nprobe); the exact path or IVF is
+    * the answer when that matters. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bandBits: Int = 4, bucketCap: Int = 2048): DataFrame = {
+    // Persist barriers: stop CollapseProject from inlining the bucket
+    // kernel into every band key (the DedupOps pathology), and reuse the
+    // corpus index across the stats and join consumers.
+    val cb = bandKeys(signBuckets(corpus, "c_id"), "c_id", bandBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = cb.withColumn("rn",
+        row_number().over(Window.partitionBy(col("bkey")).orderBy(col("id"))))
+      .filter(col("rn") <= bucketCap)
+      .select(col("id").as("c_id"), col("bkey"))
+    val qb = bandKeys(signBuckets(queries, "q_id"), "q_id", bandBits)
+      .select(col("id").as("q_id"), col("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = qb.join(capped, "bkey")
+      .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))
       .dropDuplicates("q_id", "c_id")
-    val qe = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
-    val ce = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
-    val sims = candidates.join(broadcast(qe), "q_id").join(ce, "c_id")
-      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("neighbor_id"))
+    rerankTopK(candidates, corpus, queries, k)
   }
 
-  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
-    * path besides LSH. Coarse quantizer: `nLists` centroids sampled
-    * deterministically from the corpus (lowest vec_ids — no training step
-    * offline; a k-means refinement would slot in here). Every corpus
-    * vector is assigned to its nearest centroid (one JIT-compiled
-    * `mapPartitions` pass over a broadcast centroid array — same
-    * hot-kernel reasoning as the MinHash signatures); queries probe their
-    * `nProbe` nearest lists and exact cosine re-ranks the candidates.
-    * At scale the assignment is a narrow map, the probe is a shuffle join
-    * on list id, and candidate volume is ~nProbe/nLists of the corpus. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path.
+    *
+    * The coarse quantizer is trained: `iters` Lloyd iterations of
+    * spherical k-means, each one a narrow assignment kernel over broadcast
+    * centroids plus a `posexplode → groupBy(list, pos) → avg` DataFrame
+    * aggregation (shuffle size = nLists × dim, never O(corpus)); the
+    * driver holds only the centroid matrix. Initialization samples
+    * `nLists` corpus vectors by hashed id — deterministic but unbiased
+    * (r2 took the lowest ids: id-correlated vectors skewed every list).
+    * `nLists` defaults to ~sqrt(N) (classic IVF sizing) so list size and
+    * list count grow together; queries probe their `nProbe` nearest lists
+    * and exact cosine re-ranks ~replicas·nProbe/nLists of the corpus. */
+  private def cosTo(c: Array[Double], v: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < v.length) { dot += c(i) * v(i); na += c(i) * c(i); nb += v(i) * v(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Nearest-centroid assignment: (id, list) per input row, `probes`
+    * nearest lists each — a narrow map over broadcast centroids. */
+  private def assignLists(df: DataFrame, idCol: String,
+      cents: Array[Array[Double]], probes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    df.as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, emb) =>
+          val v = emb.toArray
+          cs.indices.map(li => (li, cosTo(cs(li), v)))
+            .sortBy(-_._2).take(probes).map { case (li, _) => (id, li) }
+        }
+      }.toDF(idCol, "list")
+  }
+
+  /** Trained IVF index: Lloyd-refined centroids + the corpus assignment
+    * `(c_id, list)` with each vector replicated to its `replicas` nearest
+    * lists (soft assignment — the standard recall repair for points near
+    * list boundaries; costs `replicas`× index rows, never extra corpus
+    * scans). Exposed so index quality (list-size balance) is testable
+    * apart from the query path. */
+  def ivfIndex(corpus: DataFrame, nLists: Int = 0, iters: Int = 3,
+      replicas: Int = 2): (Array[Array[Double]], DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val ce = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ce.count()
+    val lists = if (nLists > 0) nLists
+      else math.max(4, math.min(4096, math.sqrt(n.toDouble).toInt))
 
-    val centroids: Array[Array[Double]] = corpus
-      .orderBy(col("vec_id")).limit(nLists)
-      .select(asDouble(col("embedding"))).as[Seq[Double]]
-      .collect().map(_.toArray)
-    val bc = spark.sparkContext.broadcast(centroids)
-
-    def cosTo(c: Array[Double], v: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < v.length) { dot += c(i) * v(i); na += c(i) * c(i); nb += v(i) * v(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+    // Deterministic unbiased seed sample, then Lloyd refinement.
+    var centroids: Array[Array[Double]] = ce
+      .orderBy(xxhash64(col("vec_id"))).limit(lists)
+      .select(col("emb")).as[Seq[Double]].collect().map(_.toArray)
+    for (_ <- 1 to iters) {
+      val assigned = assignLists(ce, "c_id", centroids, 1)
+      val means = assigned.join(ce.withColumnRenamed("vec_id", "c_id"), "c_id")
+        .select(col("list"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next // lists with no members keep their previous centroid
     }
+    (centroids, assignLists(ce, "c_id", centroids, replicas))
+  }
 
-    def assign(df: DataFrame, idCol: String, lists: Int): DataFrame =
-      df.select(col("vec_id"), asDouble(col("embedding")))
-        .as[(Long, Seq[Double])]
-        .mapPartitions { it =>
-          val cs = bc.value
-          it.flatMap { case (id, emb) =>
-            val v = emb.toArray
-            cs.indices.map(li => (li, cosTo(cs(li), v)))
-              .sortBy(-_._2).take(lists).map { case (li, _) => (id, li) }
-          }
-        }.toDF(idCol, "list")
-
-    val assigned = assign(corpus, "c_id", 1)
-    val probes = assign(queries, "q_id", nProbe)
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 0, nProbe: Int = 6, iters: Int = 3): DataFrame = {
+    val (centroids, assigned) = ivfIndex(corpus, nLists, iters)
+    val probes = assignLists(
+      queries.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      "q_id", centroids, nProbe)
     val candidates = probes.join(assigned, "list")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))
       .dropDuplicates("q_id", "c_id")
-    val qe = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
-    val ce = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
-    val sims = candidates.join(broadcast(qe), "q_id").join(ce, "c_id")
-      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id").as("vec_id"), col("rank"), col("c_id").as("neighbor_id"))
+    rerankTopK(candidates, corpus, queries, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (the vector member of the dedup
-    * family): LSH self-join candidates, exact-cosine verified against
+    * family): banded sign-LSH self-join candidates (band width adapted to
+    * the threshold via [[bandBitsFor]], per-bucket star cap via
+    * [[DedupOps.cappedSelfJoinPairs]]), exact-cosine verified against
     * `threshold`. Same no-all-pairs shape as
     * [[graft.operators.DedupOps.nearDupPairs]]; recall depends on the LSH
     * band match probability at the threshold's angle (asserted against
     * brute force in tests, not oracle-checked). */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val bands = (0 until 4).map(j =>
-      struct(lit(j).as("band"), shiftright(col("bucket"), j * 4).bitwiseAND(0xF).as("bh")))
-    val banded = corpus
-      .select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
-      .select(col("vec_id"), explode(array(bands: _*)).as("b"))
-      .select(col("vec_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      cap: Int = DedupOps.DefaultBucketCap): DataFrame = {
+    val banded = bandKeys(signBuckets(corpus, "vec_id"), "vec_id", bandBitsFor(threshold))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = DedupOps.cappedSelfJoinPairs(banded, cap)
     val ea = corpus.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("emb_a"))
     val eb = corpus.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("emb_b"))
     candidates.join(ea, "id_a").join(eb, "id_b")
