@@ -4,28 +4,93 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Pileup aggregation (SURVEY §2.4 A3/A4): per-position ref/non-ref
-  * counts, alt-base count map, and base-quality renderings at every
-  * position where at least one read carries a mismatch. The reference
-  * derives mismatches by MD-tag parsing (`pileup/MDTagParser.scala:19-67`)
-  * and accumulates `IntMap[pos → Map[base → count]]` per partition; here
+  * counts, alt-base counts, and base-quality histograms at every position
+  * where at least one read carries a mismatch. The reference derives
+  * mismatches by MD-tag parsing (`pileup/MDTagParser.scala:19-67`) and
+  * accumulates `IntMap[pos → Map[base → count]]` per partition; here
   * mismatch positions are columns on the reads table and the accumulation
   * is a two-level hash aggregation — shuffle keyed by (contig, pos),
   * uniformly distributed, no driver state.
+  *
+  * Two output forms, matching the reference's two surfaces:
+  *  - [[pileupMaps]] — the reference's own schema
+  *    (`utvf/ResolveTableValuedFunctionsSeq.scala:176-201`): `alts` as
+  *    `Map<Byte, Short>` (alt-base byte → count) and `quals` as
+  *    `Map<Byte, Array<Short>>` (alt-base byte → quality histogram indexed
+  *    by Phred score). This is what the F7-F14 UDF pack
+  *    ([[graft.functions.PileupUDFs]]) consumes — reference users pipe
+  *    `pileup(...)` through `quals_to_map`/`alts_to_char`/`altmap_to_str`
+  *    (reference `tests/pileup/SamtoolsTestSuite.scala:50-72`).
+  *  - [[pileup]] — pre-rendered canonical sorted strings (the golden-file
+  *    comparison form); its `alts` column is derived from the map form via
+  *    the same `altmap_to_str(alts_to_char(...))` UDF composition.
   *
   * Total depth at each alt position comes from joining the RLE coverage
   * blocks with the engine's own interval-forest join (point-in-block,
   * broadcast of the small alt-position side) — the pileup path exercises
   * the flagship join rather than recomputing coverage.
-  *
-  * Alts/quals are emitted as canonical sorted strings (the contract the
-  * reference's `altmap_to_str`/`qualsmap_to_str` UDFs provide for
-  * golden-file comparison, `pileup/udfs/AltFunctions.scala:15-21`).
   */
 object PileupOps {
 
-  /** Per-alt-position pileup for a reads DataFrame carrying
+  private def qualExpr(qualsBinSize: Option[Int]) = qualsBinSize match {
+    case Some(b) => expr(s"base_qual div $b").cast("int")
+    case None => col("base_qual")
+  }
+
+  /** Depth lookup: point-in-block interval join against coverage blocks
+    * (plans as IntervalForestJoin; perPos is the small broadcast side). */
+  private def withDepth(perPos: DataFrame, reads: DataFrame): DataFrame = {
+    val blocks = CoverageOps.blocks(reads)
+    perPos.as("p").join(blocks.as("b"),
+        expr("p.contig = b.contig AND p.pos >= b.pos_start AND p.pos <= b.pos_end"))
+      .select(col("p.contig").as("contig"), col("p.pos").as("pos"),
+        col("b.coverage").as("coverage"),
+        (col("b.coverage").cast("long") - col("count_nonref")).as("count_ref"),
+        col("count_nonref"), col("alts"), col("quals"))
+  }
+
+  /** Map-typed pileup (the reference's native schema). Output:
+    * (contig, pos, coverage, count_ref, count_nonref,
+    *  alts: map<tinyint,smallint>, quals: map<tinyint,array<smallint>>).
+    * Quality histograms are dense from 0 to the position's max quality —
+    * the form `quals_to_map` renders (zero slots skipped there). */
+  def pileupMaps(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame = {
+    graft.Graft.ensure(reads.sparkSession)
+    // Level 0: per (contig, pos, base, qual) occurrence counts.
+    val perBaseQ = reads.filter(col("has_alt"))
+      .select(col("contig"), col("alt_pos").as("pos"),
+        ascii(col("alt_base")).cast("tinyint").as("base"), qualExpr(qualsBinSize).as("q"))
+      .groupBy(col("contig"), col("pos"), col("base"), col("q"))
+      .agg(count(lit(1)).cast("smallint").as("qcnt"))
+
+    // Level 1: per (contig, pos, base) — count + dense quality histogram.
+    // try_element_at: absent keys must be 0, not an ANSI error.
+    val perBase = perBaseQ
+      .groupBy(col("contig"), col("pos"), col("base"))
+      .agg(sum(col("qcnt")).cast("smallint").as("cnt"),
+        map_from_entries(array_sort(collect_list(struct(col("q"), col("qcnt"))))).as("qmap"),
+        max(col("q")).as("mq"))
+      .select(col("contig"), col("pos"), col("base"), col("cnt"),
+        transform(sequence(lit(0), col("mq")),
+          i => coalesce(try_element_at(col("qmap"), i), lit(0).cast("smallint"))).as("qhist"))
+
+    // Level 2: per (contig, pos) — the reference's map columns.
+    val perPos = perBase
+      .groupBy(col("contig"), col("pos"))
+      .agg(sum(col("cnt")).as("count_nonref"),
+        map_from_entries(array_sort(collect_list(struct(col("base"), col("cnt"))))).as("alts"),
+        map_from_entries(array_sort(collect_list(struct(col("base"), col("qhist"))))).as("quals"))
+    withDepth(perPos, reads)
+  }
+
+  /** String-rendered pileup for a reads DataFrame carrying
     * (contig, pos_start, pos_end, has_alt, alt_pos, alt_base, base_qual).
-    * Output: (contig, pos, coverage, count_ref, count_nonref, alts, quals).
+    * Output: (contig, pos, coverage, count_ref, count_nonref, alts, quals)
+    * with alts/quals as canonical sorted strings — `alts` via the
+    * `altmap_to_str(alts_to_char(...))` UDF composition over the map form,
+    * `quals` as the per-base `+`-joined sorted quality reading (the raw
+    * form golden files use; no map UDF renders it because the histogram
+    * loses occurrence order).
     *
     * `qualsBinSize` (SURVEY §2.4 A5, reference
     * `pileup/PileupStrategy.scala:110-118`) coarsens the quality axis:
@@ -35,34 +100,25 @@ object PileupOps {
     val spark = reads.sparkSession
     graft.Graft.ensure(spark)
 
-    val qual = qualsBinSize match {
-      case Some(b) => expr(s"base_qual div $b").cast("int")
-      case None => col("base_qual")
-    }
     // Level 1: per (contig, pos, base) — count + sorted qual rendering.
     val perBase = reads.filter(col("has_alt"))
-      .select(col("contig"), col("alt_pos").as("pos"), col("alt_base").as("base"), qual.as("q"))
+      .select(col("contig"), col("alt_pos").as("pos"), col("alt_base").as("base"),
+        qualExpr(qualsBinSize).as("q"))
       .groupBy(col("contig"), col("pos"), col("base"))
       .agg(count(lit(1)).as("cnt"),
         array_join(array_sort(collect_list(col("q"))), "+").as("quals_b"))
 
-    // Level 2: per (contig, pos) — canonical sorted alt/qual strings.
+    // Level 2: per (contig, pos) — alts map rendered through the UDF pack,
+    // quals as the canonical sorted string.
     val perPos = perBase
       .groupBy(col("contig"), col("pos"))
       .agg(sum(col("cnt")).as("count_nonref"),
-        array_join(transform(array_sort(collect_list(struct(col("base"), col("cnt")))),
-          x => concat(x.getField("base"), lit(" -> "), x.getField("cnt"))), ", ").as("alts"),
+        map_from_entries(array_sort(collect_list(
+          struct(ascii(col("base")).cast("tinyint"), col("cnt").cast("smallint"))))).as("alts_map"),
         array_join(transform(array_sort(collect_list(struct(col("base"), col("quals_b")))),
           x => concat(x.getField("base"), lit(":"), x.getField("quals_b"))), " ").as("quals"))
-
-    // Depth lookup: point-in-block interval join against coverage blocks
-    // (plans as IntervalForestJoin; perPos is the small broadcast side).
-    val blocks = CoverageOps.blocks(reads)
-    perPos.as("p").join(blocks.as("b"),
-        expr("p.contig = b.contig AND p.pos >= b.pos_start AND p.pos <= b.pos_end"))
-      .select(col("p.contig").as("contig"), col("p.pos").as("pos"),
-        col("b.coverage").as("coverage"),
-        (col("b.coverage").cast("long") - col("count_nonref")).as("count_ref"),
-        col("count_nonref"), col("alts"), col("quals"))
+      .withColumn("alts", expr("altmap_to_str(alts_to_char(alts_map))"))
+      .drop("alts_map")
+    withDepth(perPos, reads)
   }
 }

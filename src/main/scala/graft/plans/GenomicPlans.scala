@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.operators.{CoverageOps, PileupOps}
+import graft.operators.{Converters, CoverageOps, PileupOps}
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
@@ -23,6 +23,14 @@ import org.apache.spark.sql.types._
   */
 object GenomicSchemas {
   val coverage: StructType = CoverageOps.blockSchema
+  /** Fixed-window variant (`coverage(view, sample, N)`). */
+  val coverageWindow: StructType = StructType(Seq(
+    StructField("contig", StringType), StructField("tile", LongType),
+    StructField("mean_coverage", DoubleType)))
+  /** Per-base variant (`coverage(view, sample, 'bases')`). */
+  val coverageBases: StructType = StructType(Seq(
+    StructField("contig", StringType), StructField("pos", IntegerType),
+    StructField("coverage", IntegerType)))
   val pileup: StructType = StructType(Seq(
     StructField("contig", StringType), StructField("pos", IntegerType, nullable = false),
     StructField("coverage", IntegerType), StructField("count_ref", LongType),
@@ -37,7 +45,12 @@ object GenomicSchemas {
     coverageInputs ++ Set("has_alt", "alt_pos", "alt_base", "base_qual")
 }
 
+/** `target` selects the output form (reference `coverage(..., 'blocks' |
+  * 'bases' | N)` overloads, `docs/source/modules/coverage/coverage.rst:70-110`):
+  * None = RLE blocks, Some(Left("bases")) = per-base rows,
+  * Some(Right(n)) = mean depth per fixed n-bp window. */
 case class CoverageNode(child: LogicalPlan, sampleId: Option[String],
+    target: Option[Either[String, Int]] = None,
     override val output: Seq[Attribute] = GenomicSchemas.attrs(GenomicSchemas.coverage))
     extends UnaryNode {
   // The whole output is synthesized here, not projected from the child.
@@ -88,9 +101,14 @@ abstract class GenomicPipelineExec extends UnaryExecNode {
 }
 
 case class CoverageExec(override val output: Seq[Attribute],
-    sampleId: Option[String], child: SparkPlan) extends GenomicPipelineExec {
+    sampleId: Option[String], target: Option[Either[String, Int]],
+    child: SparkPlan) extends GenomicPipelineExec {
   override protected def pipeline(reads: org.apache.spark.sql.DataFrame) =
-    CoverageOps.blocks(reads)
+    target match {
+      case Some(Right(window)) => CoverageOps.windowed(reads, window)
+      case Some(Left("bases")) => Converters.blocksToPerBase(CoverageOps.blocks(reads))
+      case _ => CoverageOps.blocks(reads)
+    }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
 }
@@ -106,8 +124,8 @@ case class PileupExec(override val output: Seq[Attribute],
 
 case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case CoverageNode(child, sample, out) =>
-      CoverageExec(out, sample, planLater(child)) :: Nil
+    case CoverageNode(child, sample, target, out) =>
+      CoverageExec(out, sample, target, planLater(child)) :: Nil
     case PileupNode(child, sample, bin, out) =>
       PileupExec(out, sample, bin, planLater(child)) :: Nil
     case _ => Nil

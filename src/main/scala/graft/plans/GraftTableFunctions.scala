@@ -50,35 +50,64 @@ object GraftTableFunctions {
     LocalRelation(grangeOutput, Seq(row))
   }
 
-  /** `coverage(viewName[, sampleId])` TVF (reference overloads at
-    * `utvf/ResolveTableValuedFunctionsSeq.scala:111-116`; the refPath arg
+  private def str(e: Expression): String = String.valueOf(e.eval())
+
+  private def intVal(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"$what must be integral, got $other")
+  }
+
+  /** `coverage(viewName[, sampleId[, 'blocks' | 'bases' | windowSize]])`
+    * TVF (reference overloads at
+    * `utvf/ResolveTableValuedFunctionsSeq.scala:111-116` and the
+    * blocks/bases/window result targets of
+    * `docs/source/modules/coverage/coverage.rst:70-110`; the refPath arg
     * is dropped — no FASTA in the relational surface). Resolution builds a
     * [[CoverageNode]] over the unresolved relation; the pipeline runs at
     * execution time via [[GenomicStrategy]]. */
   private val coverageB: Builder = { args =>
-    require(args.nonEmpty && args.length <= 2,
-      s"coverage expects (tableName[, sampleId]), got ${args.length} args")
+    require(args.nonEmpty && args.length <= 3,
+      s"coverage expects (tableName[, sampleId[, 'blocks'|'bases'|windowSize]]), got ${args.length} args")
     require(args.forall(_.foldable), "coverage arguments must be literals")
-    def str(e: Expression): String = String.valueOf(e.eval())
+    val target: Option[Either[String, Int]] =
+      if (args.length < 3) None
+      else args(2).dataType match {
+        case StringType => str(args(2)).toLowerCase match {
+          case "blocks" => None
+          case "bases" => Some(Left("bases"))
+          case w if w.forall(_.isDigit) && w.nonEmpty => Some(Right(w.toInt))
+          case other => throw new IllegalArgumentException(
+            s"coverage target must be 'blocks', 'bases' or a window size, got '$other'")
+        }
+        case _ => Some(Right(intVal(args(2), "coverage window size")))
+      }
+    val schema = target match {
+      case Some(Right(_)) => GenomicSchemas.coverageWindow
+      case Some(Left(_)) => GenomicSchemas.coverageBases
+      case None => GenomicSchemas.coverage
+    }
     CoverageNode(
       org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args.head))),
-      if (args.length >= 2) Some(str(args(1))) else None)
+      if (args.length >= 2) Some(str(args(1))) else None,
+      target,
+      GenomicSchemas.attrs(schema))
   }
 
-  /** `pileup(viewName[, sampleId[, alts[, quals]]])` TVF (reference
-    * overloads at `utvf/ResolveTableValuedFunctionsSeq.scala:88-109`; the
-    * alts/quals flags are accepted for signature parity — this pileup
-    * always emits both, and there is no refPath in the relational
-    * surface). */
+  /** `pileup(viewName[, sampleId[, alts[, quals[, binSize]]]])` TVF
+    * (reference overloads at
+    * `utvf/ResolveTableValuedFunctionsSeq.scala:88-109`; the alts/quals
+    * flags are accepted for signature parity — this pileup always emits
+    * both, and there is no refPath in the relational surface). `binSize`
+    * coarsens the quality axis (SURVEY §2.4 A5). */
   private val pileupB: Builder = { args =>
-    require(args.nonEmpty && args.length <= 4,
-      s"pileup expects (tableName[, sampleId[, alts[, quals]]]), got ${args.length} args")
+    require(args.nonEmpty && args.length <= 5,
+      s"pileup expects (tableName[, sampleId[, alts[, quals[, binSize]]]]), got ${args.length} args")
     require(args.forall(_.foldable), "pileup arguments must be literals")
-    def str(e: Expression): String = String.valueOf(e.eval())
     PileupNode(
       org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args.head))),
       if (args.length >= 2) Some(str(args(1))) else None,
-      binSize = None)
+      binSize = if (args.length >= 5) Some(intVal(args(4), "pileup binSize")) else None)
   }
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =

@@ -39,6 +39,18 @@ object CoverageQueries {
       Graft.ensure(s)
       Tables.reads(s, dir).createOrReplaceTempView("reads_v")
       s.sql("SELECT * FROM bdg_coverage('reads_v')")
+    },
+    // 3-arg TVF overload: fixed-window mean depth through SQL.
+    "coverage_window_tvf" -> { (s, dir) =>
+      Graft.ensure(s)
+      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      s.sql("SELECT * FROM coverage('reads_v', 's1', 500)")
+    },
+    // 'bases' target: per-position depth rows through SQL.
+    "coverage_bases_tvf" -> { (s, dir) =>
+      Graft.ensure(s)
+      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      s.sql("SELECT * FROM coverage('reads_v', 's1', 'bases')")
     })
 
   private val coverageOracle: String = {
@@ -73,14 +85,24 @@ object CoverageQueries {
          |SELECT contig, CAST(MIN(pos) AS INT) AS pos_start,
          |       CAST(MAX(pos) AS INT) AS pos_end, CAST(coverage AS INT) AS coverage
          |FROM runs GROUP BY contig, coverage, grp""".stripMargin,
-    "coverage_window" ->
+    "coverage_window" -> windowOracle,
+    "coverage_window_tvf" -> windowOracle,
+    "coverage_bases_tvf" ->
       s"""WITH ${OracleCtes.reads},
          |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
          |positions AS (
-         |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
-         |cov AS (
-         |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2)
-         |SELECT contig, (pos - 1) // 500 AS tile,
-         |       CAST(SUM(coverage) AS DOUBLE) / 500 AS mean_coverage
-         |FROM cov GROUP BY 1, 2""".stripMargin)
+         |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r)
+         |SELECT contig, CAST(pos AS INT) AS pos, CAST(COUNT(*) AS INT) AS coverage
+         |FROM positions GROUP BY 1, 2""".stripMargin)
+
+  private lazy val windowOracle: String =
+    s"""WITH ${OracleCtes.reads},
+       |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+       |positions AS (
+       |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
+       |cov AS (
+       |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2)
+       |SELECT contig, (pos - 1) // 500 AS tile,
+       |       CAST(SUM(coverage) AS DOUBLE) / 500 AS mean_coverage
+       |FROM cov GROUP BY 1, 2""".stripMargin
 }

@@ -28,6 +28,25 @@ object PileupQueries {
       Graft.ensure(s)
       PileupOps.pileup(Tables.reads(s, dir).filter(col("sample_id") === "s1"),
         qualsBinSize = Some(10))
+    },
+    // 5-arg TVF overload: binSize through SQL.
+    "pileup_binned_tvf" -> { (s, dir) =>
+      Graft.ensure(s)
+      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      s.sql("SELECT * FROM pileup('reads_v', 's1', true, true, 10)")
+    },
+    // Reference-schema map output (alts Map<Byte,Short>,
+    // quals Map<Byte,Array<Short>>), rendered to canonical strings through
+    // the F7-F14 UDF pack — the reference composition
+    // (`tests/pileup/SamtoolsTestSuite.scala:50-72`). The oracle rebuilds
+    // the same renderings with ordered string_agg.
+    "pileup_alts_maps" -> { (s, dir) =>
+      Graft.ensure(s)
+      PileupOps.pileupMaps(Tables.reads(s, dir).filter(col("sample_id") === "s1"))
+        .select(col("contig"), col("pos"), col("coverage"), col("count_ref"),
+          col("count_nonref"),
+          expr("altmap_to_str(alts_to_char(alts))").as("alts"),
+          expr("qualsmap_to_str(to_charmap(quals))").as("quals"))
     })
 
   private val pileupOracle: String =
@@ -70,8 +89,37 @@ object PileupQueries {
        |       p.count_nonref, p.alts, p.quals
        |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
 
+  // Map-form oracle: quality histograms render as `base -> (char -> n,
+  // ...)` with char = chr(qual+33) — exactly what `qualsmap_to_str ∘
+  // to_charmap` produces from the engine's dense histograms (zero slots
+  // skipped on both sides; single-ASCII-char ordering is byte order in
+  // both engines).
+  private val pileupMapsOracle: String =
+    s"""WITH ${OracleCtes.reads},
+       |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+       |positions AS (
+       |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
+       |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+       |alt1 AS (SELECT contig, alt_pos AS pos, alt_base AS base, base_qual AS q
+       |         FROM r WHERE has_alt),
+       |perbq AS (SELECT contig, pos, base, q, COUNT(*) AS qcnt
+       |          FROM alt1 GROUP BY 1, 2, 3, 4),
+       |perbase AS (SELECT contig, pos, base, SUM(qcnt) AS cnt,
+       |            string_agg(chr(q + 33) || ' -> ' || qcnt, ', ' ORDER BY chr(q + 33)) AS qstr
+       |            FROM perbq GROUP BY 1, 2, 3),
+       |perpos AS (SELECT contig, pos, CAST(SUM(cnt) AS BIGINT) AS count_nonref,
+       |           string_agg(base || ' -> ' || cnt, ', ' ORDER BY base) AS alts,
+       |           string_agg(base || ' -> (' || qstr || ')', '; ' ORDER BY base) AS quals
+       |           FROM perbase GROUP BY 1, 2)
+       |SELECT p.contig, p.pos, CAST(c.coverage AS INT) AS coverage,
+       |       CAST(c.coverage - p.count_nonref AS BIGINT) AS count_ref,
+       |       p.count_nonref, p.alts, p.quals
+       |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "pileup_alts" -> pileupOracle,
     "pileup_tvf" -> pileupOracle,
-    "pileup_binned" -> pileupBinnedOracle)
+    "pileup_binned" -> pileupBinnedOracle,
+    "pileup_binned_tvf" -> pileupBinnedOracle,
+    "pileup_alts_maps" -> pileupMapsOracle)
 }
