@@ -68,10 +68,18 @@ object SourceQueries {
         .groupBy(col("sample_id"))
         .agg(count(lit(1)).as("n_reads"), sum(col("mapq")).as("mapq_sum"))
     },
-    // A6: DISTINCT sample over the alignment surface (metadata-only in
-    // the reference; a footer-cheap aggregation on parquet).
+    // A6: DISTINCT sample over the alignment surface. The reference
+    // answers this from file names without touching data
+    // (`SequilaDataSourceStrategy.scala:38-54`); the Spark-native
+    // equivalent is a hive layout where sample_id is a partition column:
+    // selecting only it yields a scan with ReadSchema struct<> — the
+    // values come from directory names, no data-column IO (asserted in
+    // SourcesSpec). At 100 TB this reads parquet footers only.
     "distinct_samples" -> { (s, dir) =>
-      Tables.reads(s, dir).select(col("sample_id")).distinct()
+      val path = tmp("reads_by_sample")
+      Tables.reads(s, dir).write.mode("overwrite")
+        .partitionBy("sample_id").parquet(path)
+      s.read.parquet(path).select(col("sample_id").cast("string")).distinct()
     },
     // S3/S4 + P5: ADAM/Glow-style parquet with renamed columns and a
     // chr-prefixed contig, normalized by the source.

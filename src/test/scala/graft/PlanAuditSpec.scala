@@ -56,4 +56,66 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.toString.contains("IntervalForestJoin"), name)
     }
   }
+
+  /** P4 analogue: the reference pushes `contig + pos range` predicates to
+    * the BAI index (`datasources/BAM/AlignmentRelation.scala:316-367`);
+    * on parquet the same selective-read behavior comes from row-group
+    * min/max statistics over position-sorted data. This backs the README
+    * claim with a measurement: the same query through AlignmentSource
+    * reads a fraction of the rows from a sorted layout vs an unsorted one
+    * (records delivered by the parquet reader after row-group pruning). */
+  test("position-sorted parquet skips row groups on genomic range queries") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_p4").toString
+    val reads = Tables.reads(spark, sf0001)
+    // Small row groups so min/max pruning has granularity to work with
+    // (sf0.001 positions span 1..1000; ~200-row groups give tight ranges).
+    reads.orderBy(col("contig"), col("pos_start")).coalesce(1)
+      .write.mode("overwrite").option("parquet.block.size", 8 * 1024)
+      .parquet(s"$base/sorted")
+    reads.orderBy(rand(42)).coalesce(1)
+      .write.mode("overwrite").option("parquet.block.size", 8 * 1024)
+      .parquet(s"$base/unsorted")
+
+    def recordsRead(f: => Unit): Long = {
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        f
+        // Listener bus is async; give the final task-end events time to land.
+        var last = -1L
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val now = recs.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        recs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    def query(layout: String): org.apache.spark.sql.DataFrame = {
+      spark.sql(s"DROP TABLE IF EXISTS p4_$layout")
+      spark.sql(s"""CREATE TABLE p4_$layout USING graft.sources.AlignmentSource
+                   |OPTIONS (path '$base/$layout')""".stripMargin)
+      spark.sql(s"""SELECT contig, pos_start, pos_end FROM p4_$layout
+                   |WHERE contig = '2' AND pos_start BETWEEN 100 AND 199""".stripMargin)
+    }
+
+    var sortedRows: Array[org.apache.spark.sql.Row] = null
+    var unsortedRows: Array[org.apache.spark.sql.Row] = null
+    val sortedRead = recordsRead { sortedRows = query("sorted").collect() }
+    val unsortedRead = recordsRead { unsortedRows = query("unsorted").collect() }
+    assert(sortedRows.sortBy(_.toString).toSeq === unsortedRows.sortBy(_.toString).toSeq)
+    assert(sortedRows.nonEmpty, "range query should match some reads")
+    // Unsorted: every row group's [min,max] straddles the predicate →
+    // full scan. Sorted: all but the matching group(s) are skipped.
+    assert(sortedRead * 2 < unsortedRead,
+      s"sorted layout read $sortedRead records vs $unsortedRead unsorted — no row-group skipping")
+  }
 }

@@ -40,4 +40,19 @@ class SourcesSpec extends SparkSpec {
     assert(q.count() ===
       Tables.reads(spark, sf0001).filter(col("sample_id") === "s1").count())
   }
+
+  test("distinct samples over the hive layout reads no data columns (A6)") {
+    val path = s"$base/partitioned_a6"
+    val reads = Tables.reads(spark, sf0001)
+    reads.write.mode("overwrite").partitionBy("sample_id").parquet(path)
+    val q = spark.read.parquet(path).select("sample_id").distinct()
+    // The scan serves sample_id from directory names: ReadSchema is empty,
+    // so no parquet column pages are touched — the Spark-native analogue
+    // of the reference's answer-from-file-names strategy
+    // (SequilaDataSourceStrategy.scala:38-54).
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema: struct<>"), scan)
+    assert(q.collect().map(_.getString(0)).toSet ===
+      reads.select("sample_id").distinct().collect().map(_.getString(0)).toSet)
+  }
 }
