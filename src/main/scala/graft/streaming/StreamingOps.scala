@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.TextOps
+import graft.operators.{IntervalForest, TextOps}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -35,6 +35,36 @@ object StreamingOps {
 
   case class StreamRead(contig: String, pos_start: Int, pos_end: Int, ts: Timestamp)
   case class ContigProgress(contig: String, n_reads: Long, min_pos: Int, max_pos: Int, covered_span: Long)
+
+  /** Stream-static interval join: annotate a stream of reads with every
+    * overlapping target from a *static* annotation table — the natural
+    * fusion of the engine's two layers (no reference analogue). The
+    * static side is assembled into the same per-contig
+    * [[graft.operators.IntervalForest]] the batch join broadcasts, and
+    * each micro-batch probes it in a stateless flatMap: no stream state,
+    * no watermark requirement, the unbounded side never shuffles — the
+    * identical scale property as the batch BroadcastForestMode.
+    * Inner-join semantics (reads with no overlapping target are dropped);
+    * targets need (contig, pos_start, pos_end, name) columns. */
+  def annotateStream(reads: Dataset[StreamRead], targets: DataFrame): DataFrame = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    val collected = targets
+      .select(col("contig").cast("string"), col("pos_start").cast("int"),
+        col("pos_end").cast("int"), col("name").cast("string"))
+      .as[(String, Int, Int, String)].collect()
+      .map { case (c, s, e, n) => (c, s, e, n) }
+    val bc = spark.sparkContext.broadcast(
+      IntervalForest.forest[String, String](collected))
+    reads.flatMap { r =>
+      bc.value.get(r.contig) match {
+        case None => Iterator.empty
+        case Some(f) =>
+          f.overlappers(r.pos_start, r.pos_end)
+            .map(n => (r.contig, r.pos_start, r.pos_end, r.ts, n))
+      }
+    }.toDF("contig", "pos_start", "pos_end", "ts", "target_name")
+  }
 
   /** Stateful per-contig ingest progress via mapGroupsWithState: running
     * read count and position envelope. The custom-state hook a full

@@ -48,6 +48,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static interval join annotates reads against static targets") {
+    import graft.SharedSpark.spark.implicits._
+    val targets = Seq(
+      ("1", 100, 200, "tA"), ("1", 150, 300, "tB"), ("2", 50, 60, "tC"))
+      .toDF("contig", "pos_start", "pos_end", "name")
+    val in = MemoryStream[StreamingOps.StreamRead]
+    val query = StreamingOps.annotateStream(in.toDS(), targets)
+      .writeStream.format("memory").queryName("annotated").outputMode("append").start()
+    in.addData(
+      StreamingOps.StreamRead("1", 190, 210, ts(1)), // overlaps tA and tB
+      StreamingOps.StreamRead("1", 400, 500, ts(2)), // no overlap
+      StreamingOps.StreamRead("2", 55, 58, ts(3)),   // inside tC
+      StreamingOps.StreamRead("3", 55, 58, ts(4)))   // unknown contig
+    query.processAllAvailable()
+    // Second batch: static forest still serves later batches.
+    in.addData(StreamingOps.StreamRead("1", 100, 100, ts(5))) // point hit on tA
+    run(query) {
+      val rows = spark.table("annotated")
+        .select("contig", "pos_start", "target_name").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      assert(rows === Set(
+        ("1", 190, "tA"), ("1", 190, "tB"), ("2", 55, "tC"), ("1", 100, "tA")))
+    }
+  }
+
   test("stateful contig progress accumulates across batches") {
     import graft.SharedSpark.spark.implicits._
     val in = MemoryStream[StreamingOps.StreamRead]
