@@ -1,7 +1,16 @@
 package graft
 
 import graft.operators._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Typed record of one coverage RLE block (reference
+  * `pileup/model/Coverage` as returned by `SequilaSession.coverage`,
+  * `utvf/SequilaSession.scala:89-113`). */
+case class Coverage(contig: String, pos_start: Int, pos_end: Int, coverage: Int)
+
+/** Typed record of one pileup row (string-rendered alts/quals form). */
+case class Pileup(contig: String, pos: Int, coverage: Int,
+    count_ref: Long, count_nonref: Long, alts: String, quals: String)
 
 /** Typed Scala facade — parity with the reference's
   * `SequilaSession(spark)` API (`utvf/SequilaSession.scala:89-113`,
@@ -12,8 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class GraftSession(val spark: SparkSession) {
   Graft.ensure(spark)
 
+  import spark.implicits._
+
   /** Depth-of-coverage RLE blocks (SURVEY §2.4 A1/A2). */
   def coverage(reads: DataFrame): DataFrame = CoverageOps.blocks(reads)
+
+  /** Typed variant — `Dataset[Coverage]`, the reference's return shape. */
+  def coverageDs(reads: DataFrame): Dataset[Coverage] =
+    CoverageOps.blocks(reads).as[Coverage]
 
   /** Mean coverage per fixed-size window (W1). */
   def coverageWindowed(reads: DataFrame, windowSize: Int): DataFrame =
@@ -22,6 +37,15 @@ class GraftSession(val spark: SparkSession) {
   /** Per-alt-position pileup (A3/A4), optional quality binning (A5). */
   def pileup(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame =
     PileupOps.pileup(reads, qualsBinSize)
+
+  /** Typed variant — `Dataset[Pileup]`. */
+  def pileupDs(reads: DataFrame, qualsBinSize: Option[Int] = None): Dataset[Pileup] =
+    PileupOps.pileup(reads, qualsBinSize).as[Pileup]
+
+  /** Reference-schema pileup: alts `Map<Byte,Short>`, quals
+    * `Map<Byte,Array<Short>>` — the form the pileup UDF pack consumes. */
+  def pileupMaps(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame =
+    PileupOps.pileupMaps(reads, qualsBinSize)
 
   /** Exact-duplicate groups over normalized text. */
   def exactDuplicates(docs: DataFrame): DataFrame = DedupOps.exactDupGroups(docs)
@@ -37,6 +61,10 @@ class GraftSession(val spark: SparkSession) {
   /** LSH-bucketed approximate cosine top-k. */
   def similarityTopKApprox(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     EmbeddingOps.lshTopK(corpus, queries, k)
+
+  /** IVF approximate cosine top-k (Lloyd-trained inverted lists). */
+  def similarityTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    EmbeddingOps.ivfTopK(corpus, queries, k)
 
   /** Text quality/language/fingerprint stats. */
   def textStats(docs: DataFrame): DataFrame = TextOps.stats(docs)

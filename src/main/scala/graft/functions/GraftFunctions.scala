@@ -84,6 +84,11 @@ object GraftFunctions {
     If(EqualTo(stripped, Literal("M")), Literal("MT"), stripped)
   }
 
+  private val unCleanContigB: Builder = { case Seq(c) =>
+    If(EqualTo(c, Literal("MT")), Literal("chrM"),
+      Concat(Seq(Literal("chr"), c)))
+  }
+
   private val cosineB: Builder = { case Seq(a, b) => CosineSimilarity(a, b) }
 
   private val builders: Seq[(String, Int, Builder)] = Seq(
@@ -94,7 +99,8 @@ object GraftFunctions {
     ("overlaplength", 4, overlapB),
     ("flank", 5, flankB),
     ("promoters", 4, promotersB),
-    ("clean_contig", 1, cleanContigB))
+    ("clean_contig", 1, cleanContigB),
+    ("unclean_contig", 1, unCleanContigB))
 
   /** (identifier, info, builder) triples for `injectFunction` — both the
     * plain name and the `bdg_` alias (reflect: alias only, see above). */

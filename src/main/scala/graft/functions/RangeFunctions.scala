@@ -69,4 +69,13 @@ object RangeFunctions {
       val stripped = if (contig.startsWith("chr")) contig.substring(3) else contig
       if (stripped == "M") "MT" else stripped
     }
+
+  /** Inverse direction (`1`→`chr1`, `MT`→`chrM`) — reference
+    * `utils/DataQualityFuncs.unCleanContig:42-72` (which, like here,
+    * prepends unconditionally: it is the inverse of cleanContig on
+    * normalized names, not an involution partner on arbitrary input). */
+  def unCleanContig(contig: String): String =
+    if (contig == null) null
+    else if (contig == "MT") "chrM"
+    else "chr" + contig
 }

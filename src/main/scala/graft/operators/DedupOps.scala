@@ -121,13 +121,15 @@ object DedupOps {
   def cappedSelfJoinPairs(keyed: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
     val stats = keyed.groupBy(col("bkey"))
       .agg(count(lit(1)).as("bsz"), min(col("id")).as("rep"))
-    val small = keyed.join(stats.filter(col("bsz") <= cap), "bkey")
-      .select(col("bkey"), col("id"))
+    // One stats join, materialized once; both the small self-join sides and
+    // the star edges read the persisted result.
+    val tagged = keyed.join(stats, "bkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = tagged.filter(col("bsz") <= cap).select(col("bkey"), col("id"))
     val pairsSmall = small.as("x").join(small.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    val pairsBig = keyed.join(stats.filter(col("bsz") > cap), "bkey")
-      .filter(col("id") =!= col("rep"))
+    val pairsBig = tagged.filter(col("bsz") > cap && col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
     pairsSmall.unionByName(pairsBig).distinct()
   }

@@ -68,4 +68,17 @@ class GraftFunctionsSqlSpec extends SparkSpec {
         assert(r.getString(1) === RangeFunctions.cleanContig(r.getString(0)), r.getString(0))
       }
   }
+
+  test("unclean_contig restores UCSC names and inverts clean_contig") {
+    import graft.SharedSpark.spark.implicits._
+    val names = Seq("1", "22", "X", "Y", "MT", "7_alt")
+    names.toDF("c").createOrReplaceTempView("norm_contigs")
+    spark.sql("SELECT c, unclean_contig(c), bdg_unclean_contig(c), clean_contig(unclean_contig(c)) FROM norm_contigs")
+      .collect().foreach { r =>
+        assert(r.getString(1) === r.getString(2), r.getString(0))
+        assert(r.getString(1) === RangeFunctions.unCleanContig(r.getString(0)), r.getString(0))
+        // Round trip back to the normalized name.
+        assert(r.getString(3) === r.getString(0), r.getString(0))
+      }
+  }
 }
