@@ -182,19 +182,38 @@ object DedupOps {
 
   /** (doc_id, simhash: long) — 64-bit SimHash over word tokens: bit b of
     * the fingerprint is the sign of sum over tokens of ±1 depending on bit
-    * b of the token hash. One explode + 64 conditional sums. */
+    * b of the token hash.
+    *
+    * Computed in a typed `mapPartitions` kernel (same hot-kernel reasoning
+    * as [[minhashSignatures]]): hash each token once, update 64 counters
+    * in a tight loop. The previous explode + 64 conditional-sum aggregates
+    * evaluated 64 branch expressions per token row and shuffled the
+    * exploded tokens; here the only movement is the repartition that
+    * spreads documents when the corpus arrives in few input splits.
+    * Fingerprints need no cross-engine reproducibility — pairs are
+    * verified by Hamming distance on the fingerprints themselves. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val fp = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-      .reduce((a, c) => a.bitwiseOR(c))
-    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val counters = new Array[Int](64)
+          text.trim.toLowerCase.split("\\s+").foreach { t =>
+            val h = baseHash(t)
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+              b += 1
+            }
+          }
+          var fp = 0L
+          var b = 0
+          while (b < 64) { if (counters(b) > 0) fp |= (1L << b); b += 1 }
+          (id, fp)
+        }
+      }.toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist.

@@ -22,13 +22,13 @@ final class IntervalForest[T] private (
     private val starts: Array[Int],
     private val ends: Array[Int],
     private val maxEnds: Array[Int],
-    private val values: Array[T]) extends Serializable {
+    private val values: Array[T]) extends IntervalHolder[T] {
 
   def size: Int = starts.length
 
   /** Invoke `f(storedStart, storedEnd, value)` for every stored interval
     * overlapping `[qs, qe]` (inclusive). Allocation-free. */
-  def foreachOverlap(qs: Int, qe: Int)(f: (Int, Int, T) => Unit): Unit =
+  override def foreachOverlap(qs: Int, qe: Int)(f: (Int, Int, T) => Unit): Unit =
     search(0, starts.length, qs, qe, f)
 
   private def search(lo: Int, hi: Int, qs: Int, qe: Int, f: (Int, Int, T) => Unit): Unit = {

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.operators.IntervalForest
+import graft.operators.{IntervalForest, IntervalHolderFactory}
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
@@ -58,6 +58,7 @@ case class IntervalForestJoinExec(
     minOverlap: Int,
     maxGap: Int,
     binWidth: Int,
+    holderClass: String,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -128,7 +129,12 @@ case class IntervalForestJoinExec(
           }
         }.collect()
         buildRowsMetric += collected.length
-        val forests = IntervalForest.forest[UnsafeRow, InternalRow](collected, gap)
+        // Pluggable holder (reference intervalHolderClassName conf): the
+        // broadcast structure is whatever the configured factory builds;
+        // the bin-range fallback always uses the array forest (per-bin
+        // locals are an execution detail, not a user structure).
+        val forests = IntervalHolderFactory.forName(holderClass)
+          .build[UnsafeRow, InternalRow](collected, gap)
         val bcast = sparkContext.broadcast(forests)
 
         // (2) Stream side probes per partition; no shuffle.

@@ -25,6 +25,10 @@ import org.apache.spark.sql.execution.{FilterExec, SparkPlan, SparkStrategy}
   *    between broadcast and the bin-range shuffle join.
   *  - `spark.graft.rangejoin.binWidth` (5000) — genome-bin width of the
   *    shuffle fallback; both sides replicate per overlapped bin.
+  *  - `spark.graft.rangejoin.intervalHolderClass`
+  *    (graft.operators.IntervalForestFactory) — the broadcast-side
+  *    structure factory, the reference's `intervalHolderClassName`
+  *    analogue (`IntervalHolderChromosome.scala:6-26`).
   */
 case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
 
@@ -48,8 +52,10 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
         case _ => if (buildSize <= maxBroadcast) BroadcastForestMode else BinRangeMode
       }
       val binWidth = conf("binWidth", "5000").toInt
+      val holderClass = conf("intervalHolderClass",
+        classOf[graft.operators.IntervalForestFactory].getName)
       val exec = IntervalForestJoinExec(
-        keys, buildLeft, mode, minOverlap, maxGap, binWidth,
+        keys, buildLeft, mode, minOverlap, maxGap, binWidth, holderClass,
         planLater(left), planLater(right))
       keys.residual.map(FilterExec(_, exec)).getOrElse(exec) :: Nil
     case _ => Nil

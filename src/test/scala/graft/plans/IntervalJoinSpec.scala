@@ -196,6 +196,19 @@ class IntervalJoinSpec extends SparkSpec {
     assert(collectSorted(residual) === expected)
   }
 
+  test("custom interval holder via conf (pluggable build-side structure)") {
+    val a = randomIntervals(200, 31, "a_key")
+    val b = randomIntervals(40, 32, "b_key")
+    val base = collectSorted(joined(a, b))
+    val got = withConf("spark.graft.rangejoin.intervalHolderClass",
+        classOf[graft.plans.NaiveListHolderFactory].getName) {
+      collectSorted(joined(a, b))
+    }
+    assert(got === base)
+    assert(graft.plans.NaiveListHolderFactory.built.get() > 0,
+      "the configured factory must actually be used")
+  }
+
   test("outer/semi join types fall through to stock Spark (Inner only)") {
     val a = randomIntervals(50, 13, "a_key")
     val b = randomIntervals(50, 14, "b_key")
