@@ -54,6 +54,9 @@ class GraftSession(val spark: SparkSession) {
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     DedupOps.nearDupPairs(docs, threshold)
 
+  /** Connected components over near-dup pairs → (doc_id, cluster_id). */
+  def dedupClusters(pairs: DataFrame): DataFrame = DedupOps.clusters(pairs)
+
   /** Exact cosine top-k neighbors. */
   def similarityTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     EmbeddingOps.exactTopK(corpus, queries, k)

@@ -157,11 +157,12 @@ object DedupOps {
   /** Near-duplicate pairs with exact Jaccard >= threshold, LSH-pruned.
     * Output (id_a, id_b, jaccard); both engines compute jaccard as an
     * exact int/int division, so the doubles compare bit-identically. */
-  def nearDupPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3): DataFrame = {
+  def nearDupPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
+      cap: Int = DefaultBucketCap): DataFrame = {
     // Reused by the signature pass and both sides of the verify join.
     val sh = shingleSets(docs, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = lshCandidatePairs(minhashSignatures(sh))
+    val candidates = lshCandidatePairs(minhashSignatures(sh), cap)
     candidates
       .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("st", "st_a"), "id_a")
       .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("st", "st_b"), "id_b")
@@ -169,6 +170,50 @@ object DedupOps {
         (size(array_intersect(col("st_a"), col("st_b"))).cast("double")
           / size(array_union(col("st_a"), col("st_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Connected components over near-duplicate pairs: (doc_id, cluster_id)
+    * for every document that appears in at least one pair, with
+    * cluster_id = the minimum doc_id of its component — the step a real
+    * dedup pipeline runs after pair generation to pick one representative
+    * per cluster.
+    *
+    * Distributed min-label propagation: each iteration is one shuffle join
+    * (labels onto edge sources) plus one aggregation (min incoming label
+    * per destination), and stops at the fixpoint. Iterations = component
+    * diameter; LSH components are hub-shaped (stars/cliques — see
+    * [[cappedSelfJoinPairs]]) so the loop converges in a handful of
+    * rounds even on flood-sized clusters. Driver state: one changed-count
+    * per round, never O(data). */
+  def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each round's result is materialized (by the changed-count action)
+    // before the previous round's cache is dropped, so no iteration ever
+    // recomputes through the full lineage.
+    var cached = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).withColumn("chg", lit(false))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = cached.select(col("id"), col("label"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val incoming = edges
+        .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_min"))
+      val next = labels.join(incoming, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (col("nbr_min") < col("label")).as("chg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("chg")).count() // materializes `next`
+      cached.unpersist(blocking = false)
+      cached = next
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Exact-duplicate groups over normalized text: (keep_id, n_copies) for

@@ -126,6 +126,42 @@ class DedupAnnSpec extends SparkSpec {
     assert(floodIds === 2000L, s"flood members linked: $floodIds")
   }
 
+  test("clusters: distributed components equal driver-side union-find") {
+    val pairs = DedupOps.nearDupPairs(corpus, threshold = 0.6)
+    val edges = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // Driver-side ground truth: union-find over the same edges.
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(k => k -> find(k)).toMap
+    val got = DedupOps.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === truth)
+    assert(got.values.toSet.size > 1, "multiple clusters expected")
+  }
+
+  test("clusters survive the capped flood: one component, linear work") {
+    val flood = spark.range(500).selectExpr(
+      "id + 2000000 AS doc_id",
+      "concat('flood cluster text with plenty of words to shingle across the set ', " +
+        "CAST(id % 5 AS STRING)) AS text")
+    val docs = corpus.select("doc_id", "text").unionByName(flood)
+    val pairs = DedupOps.nearDupPairs(docs, threshold = 0.6, cap = 50)
+    val labels = DedupOps.clusters(pairs)
+      .filter(col("doc_id") >= 2000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 500, "every flood doc is in a cluster")
+    assert(labels.map(_._2).toSet === Set(2000000L),
+      "star-capped candidates still connect the flood into one component")
+  }
+
   test("simhash block-pair banding: recall 1.0 up to the hamming bound") {
     // Pigeonhole: d <= 6 damaged bits leave >= 2 intact byte blocks, so some
     // block pair is intact. Verify against brute force on the fingerprints.
