@@ -186,16 +186,20 @@ object DedupOps {
     * rounds even on flood-sized clusters. Driver state: one changed-count
     * per round, never O(data). */
   def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Both edge directions in one pass over `pairs` (a union of two
+    // selects would evaluate the upstream pair pipeline twice).
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Each round's result is materialized (by the changed-count action)
-    // before the previous round's cache is dropped, so no iteration ever
-    // recomputes through the full lineage.
-    var cached = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).withColumn("chg", lit(false))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = cached.select(col("id"), col("label"))
+    // Each round is localCheckpoint'ed: the plan is truncated to the
+    // materialized RDD, so lineage (and analysis cost) stays O(1) per
+    // iteration — without it each round references the previous plan
+    // twice and the plan tree doubles every iteration.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -205,10 +209,8 @@ object DedupOps {
       val next = labels.join(incoming, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           (col("nbr_min") < col("label")).as("chg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("chg")).count() // materializes `next`
-      cached.unpersist(blocking = false)
-      cached = next
+        .localCheckpoint() // eager: materializes and truncates lineage
+      changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

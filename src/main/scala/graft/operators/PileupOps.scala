@@ -56,10 +56,15 @@ object PileupOps {
     * the form `quals_to_map` renders (zero slots skipped there). */
   def pileupMaps(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame = {
     graft.Graft.ensure(reads.sparkSession)
-    // Level 0: per (contig, pos, base, qual) occurrence counts.
+    // Level 0: per (contig, pos, base, qual) occurrence counts. The alt
+    // rows are pre-partitioned by (contig, pos) — a subset of every
+    // grouping key below — so all three aggregation levels run
+    // shuffle-free on top of this single exchange (vs three chained
+    // exchanges when each groupBy repartitions on its own key set).
     val perBaseQ = reads.filter(col("has_alt"))
       .select(col("contig"), col("alt_pos").as("pos"),
         ascii(col("alt_base")).cast("tinyint").as("base"), qualExpr(qualsBinSize).as("q"))
+      .repartition(col("contig"), col("pos"))
       .groupBy(col("contig"), col("pos"), col("base"), col("q"))
       .agg(count(lit(1)).cast("smallint").as("qcnt"))
 
@@ -101,9 +106,12 @@ object PileupOps {
     graft.Graft.ensure(spark)
 
     // Level 1: per (contig, pos, base) — count + sorted qual rendering.
+    // Pre-partitioned by (contig, pos): both aggregation levels run on
+    // one exchange (see pileupMaps).
     val perBase = reads.filter(col("has_alt"))
       .select(col("contig"), col("alt_pos").as("pos"), col("alt_base").as("base"),
         qualExpr(qualsBinSize).as("q"))
+      .repartition(col("contig"), col("pos"))
       .groupBy(col("contig"), col("pos"), col("base"))
       .agg(count(lit(1)).as("cnt"),
         array_join(array_sort(collect_list(col("q"))), "+").as("quals_b"))
