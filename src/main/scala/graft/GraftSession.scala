@@ -30,6 +30,11 @@ class GraftSession(val spark: SparkSession) {
   def coverageDs(reads: DataFrame): Dataset[Coverage] =
     CoverageOps.blocks(reads).as[Coverage]
 
+  /** Coverage for every group (e.g. per sample) in one scan —
+    * beyond-reference: no per-sample re-scan at corpus scale. */
+  def coverageBy(reads: DataFrame, keys: Seq[String] = Seq("sample_id")): DataFrame =
+    CoverageOps.blocksBy(reads, keys)
+
   /** Mean coverage per fixed-size window (W1). */
   def coverageWindowed(reads: DataFrame, windowSize: Int): DataFrame =
     CoverageOps.windowed(reads, windowSize)

@@ -184,6 +184,30 @@ object CoverageOps {
       .unionAll(mergedDf)
   }
 
+  /** RLE coverage for every group in ONE pass — `keys` (e.g. `sample_id`)
+    * fold into the range-partition key, so a multi-sample corpus is
+    * scanned and shuffled once instead of once per sample. Beyond the
+    * reference (whose `coverage(...)` TVF takes a single sample,
+    * `ResolveTableValuedFunctionsSeq.scala:119-140`): at 100 TB a
+    * per-sample re-scan is N× the I/O, while one composite-key pass
+    * keeps the same event-point shuffle volume (2 rows/read) and the
+    * same O(partitions) driver state.
+    *
+    * Key columns must be non-null and free of `\u0001` (both hold for
+    * sample ids and contigs; `concat_ws` would silently drop nulls). */
+  def blocksBy(reads: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "blocksBy needs at least one key column")
+    val sep = "\u0001"
+    val synth = reads.select(
+      concat_ws(sep, (keys :+ "contig").map(col): _*).as("contig"),
+      col("pos_start"), col("pos_end"))
+    val parts = split(col("contig"), sep)
+    blocks(synth).select(
+      keys.zipWithIndex.map { case (k, i) => parts.getItem(i).as(k) } ++
+        Seq(parts.getItem(keys.length).as("contig"),
+          col("pos_start"), col("pos_end"), col("coverage")): _*)
+  }
+
   /** Mean coverage per fixed-size tiling window (SURVEY §2.5 W1):
     * tile = `(pos-1) / windowSize`, mean over all `windowSize` positions
     * (uncovered positions count as zero); all-zero tiles are not emitted.

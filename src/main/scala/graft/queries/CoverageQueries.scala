@@ -51,6 +51,12 @@ object CoverageQueries {
       Graft.ensure(s)
       Tables.reads(s, dir).createOrReplaceTempView("reads_v")
       s.sql("SELECT * FROM coverage('reads_v', 's1', 'bases')")
+    },
+    // All samples at once, one scan (beyond-reference: the reference TVF
+    // re-scans per sample; composite-key event points do them together).
+    "coverage_by_sample" -> { (s, dir) =>
+      Graft.ensure(s)
+      CoverageOps.blocksBy(Tables.reads(s, dir), Seq("sample_id"))
     })
 
   private val coverageOracle: String = {
@@ -85,6 +91,22 @@ object CoverageQueries {
          |SELECT contig, CAST(MIN(pos) AS INT) AS pos_start,
          |       CAST(MAX(pos) AS INT) AS pos_end, CAST(coverage AS INT) AS coverage
          |FROM runs GROUP BY contig, coverage, grp""".stripMargin,
+    "coverage_by_sample" ->
+      s"""WITH ${OracleCtes.reads},
+         |positions AS (
+         |  SELECT sample_id, contig, unnest(generate_series(pos_start, pos_end)) AS pos
+         |  FROM reads),
+         |cov AS (
+         |  SELECT sample_id, contig, pos, COUNT(*) AS coverage
+         |  FROM positions GROUP BY 1, 2, 3),
+         |runs AS (
+         |  SELECT sample_id, contig, pos, coverage,
+         |         pos - ROW_NUMBER() OVER (
+         |           PARTITION BY sample_id, contig, coverage ORDER BY pos) AS grp
+         |  FROM cov)
+         |SELECT sample_id, contig, CAST(MIN(pos) AS INT) AS pos_start,
+         |       CAST(MAX(pos) AS INT) AS pos_end, CAST(coverage AS INT) AS coverage
+         |FROM runs GROUP BY sample_id, contig, coverage, grp""".stripMargin,
     "coverage_window" -> windowOracle,
     "coverage_window_tvf" -> windowOracle,
     "coverage_bases_tvf" ->

@@ -79,6 +79,44 @@ class CoverageSpec extends SparkSpec {
     }
   }
 
+  test("blocksBy equals per-group blocks computed separately") {
+    val rnd = new Random(5)
+    import graft.SharedSpark.spark.implicits._
+    val reads = Seq.fill(600) {
+      val s = rnd.nextInt(1500) + 1
+      (s"s${rnd.nextInt(3)}", rnd.nextInt(2).toString, s, s + rnd.nextInt(50))
+    }.toDF("sample_id", "contig", "pos_start", "pos_end")
+
+    val got = CoverageOps.blocksBy(reads, Seq("sample_id")).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .sorted
+    val expected = Seq("s0", "s1", "s2").flatMap { sid =>
+      CoverageOps.blocks(reads.filter(col("sample_id") === sid)).collect().toSeq
+        .map(r => (sid, r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    }.sorted
+    assert(got === expected)
+  }
+
+  test("blocksBy is invariant to shuffle partition count") {
+    val rnd = new Random(17)
+    import graft.SharedSpark.spark.implicits._
+    val reads = Seq.fill(500) {
+      val s = rnd.nextInt(1200) + 1
+      (s"s${rnd.nextInt(4)}", rnd.nextInt(2).toString, s, s + rnd.nextInt(40))
+    }.toDF("sample_id", "contig", "pos_start", "pos_end")
+    def run(): Seq[(String, String, Int, Int, Int)] =
+      CoverageOps.blocksBy(reads, Seq("sample_id")).collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+        .sorted
+    val expected = run()
+    for (parts <- Seq("1", "7", "53")) {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try assert(run() === expected, s"partitions=$parts")
+      finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+  }
+
   test("windowed coverage equals per-position mean over tiles") {
     val reads = randomReads(300, 21)
     reads.createOrReplaceTempView("nv_reads")
