@@ -59,6 +59,10 @@ class GraftSession(val spark: SparkSession) {
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     DedupOps.nearDupPairs(docs, threshold)
 
+  /** Exact n-gram Jaccard near-dup pairs (inverted-index candidates). */
+  def nearDuplicatesExact(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    DedupOps.jaccardPairs(docs, threshold)
+
   /** Connected components over near-dup pairs → (doc_id, cluster_id). */
   def dedupClusters(pairs: DataFrame): DataFrame = DedupOps.clusters(pairs)
 

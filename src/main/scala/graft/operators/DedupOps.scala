@@ -154,15 +154,11 @@ object DedupOps {
     cappedSelfJoinPairs(banded, cap)
   }
 
-  /** Near-duplicate pairs with exact Jaccard >= threshold, LSH-pruned.
-    * Output (id_a, id_b, jaccard); both engines compute jaccard as an
-    * exact int/int division, so the doubles compare bit-identically. */
-  def nearDupPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
-      cap: Int = DefaultBucketCap): DataFrame = {
-    // Reused by the signature pass and both sides of the verify join.
-    val sh = shingleSets(docs, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = lshCandidatePairs(minhashSignatures(sh), cap)
+  /** Exact-Jaccard verification of candidate pairs against the shingle
+    * sets; both engines compute jaccard as an exact int/int division, so
+    * the doubles compare bit-identically with the DuckDB oracle. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
     candidates
       .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("st", "st_a"), "id_a")
       .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("st", "st_b"), "id_b")
@@ -170,6 +166,41 @@ object DedupOps {
         (size(array_intersect(col("st_a"), col("st_b"))).cast("double")
           / size(array_union(col("st_a"), col("st_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** Near-duplicate pairs with exact Jaccard >= threshold, LSH-pruned.
+    * Output (id_a, id_b, jaccard). */
+  def nearDupPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
+      cap: Int = DefaultBucketCap): DataFrame = {
+    // Reused by the signature pass and both sides of the verify join.
+    val sh = shingleSets(docs, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(lshCandidatePairs(minhashSignatures(sh), cap), sh, threshold)
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs — the no-approximation
+    * sibling of [[nearDupPairs]]: candidates come from the shingle
+    * **inverted index** (any pair with J > 0 shares at least one
+    * shingle), so recall is exact by construction rather than
+    * probabilistic. Costlier than MinHash at equal corpus size — every
+    * co-occurrence of a shingle generates a candidate — which is the
+    * standard trade: run this where exactness is contractual, MinHash
+    * where the corpus is huge.
+    *
+    * Scale: the inverted index is a self-equi-join on `xxhash64(shingle)`
+    * — key cardinality is the shingle vocabulary, which grows with the
+    * corpus, so the join spreads over any number of executors. Stopword
+    * shingles shared by more than `cap` documents hit the documented
+    * star-edge skew guard of [[cappedSelfJoinPairs]] (hash collisions
+    * between different shingles are harmless: exact verify drops false
+    * candidates). */
+  def jaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
+      cap: Int = DefaultBucketCap): DataFrame = {
+    val sh = shingleSets(docs, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inverted = sh
+      .select(col("doc_id").as("id"), explode(col("st")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("bkey"))
+    verifyJaccard(cappedSelfJoinPairs(inverted, cap), sh, threshold)
   }
 
   /** Connected components over near-duplicate pairs: (doc_id, cluster_id)

@@ -24,6 +24,12 @@ object DedupQueries {
     "dedup_simhash" -> { (s, dir) =>
       DedupOps.simhashPairs(Tables.corpus(s, dir), maxDist = 6)
     },
+    // Exact n-gram Jaccard (inverted-index candidates, no approximation)
+    // — bigrams at a lower threshold to exercise a different regime than
+    // the MinHash query.
+    "dedup_jaccard" -> { (s, dir) =>
+      DedupOps.jaccardPairs(Tables.corpus(s, dir), threshold = 0.5, shingleN = 2)
+    },
     // Connected components over the verified near-dup pairs — the
     // representative-picking step of a dedup pipeline. Oracle computes the
     // same components with a recursive transitive closure.
@@ -50,6 +56,18 @@ object DedupQueries {
          |    / len(list_distinct(a.st || b.st)) AS jaccard
          |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH ${OracleCtes.corpus},
+         |words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),
+         |shs AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1]
+         |                 for i in generate_series(1, len(w)-1)]) AS st
+         |  FROM words),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+         |    / len(list_distinct(a.st || b.st)) AS jaccard
+         |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${OracleCtes.corpus},
          |words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),

@@ -54,6 +54,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("exact jaccard pairs equal all-pairs brute force (recall 1 by construction)") {
+    val got = DedupOps.jaccardPairs(corpus, threshold = 0.5, shingleN = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = DedupOps.shingleSets(corpus, n = 2)
+    val a = sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("st", "st_a")
+    val b = sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("st", "st_b")
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("st_a"), col("st_b"))).cast("double")
+          / size(array_union(col("st_a"), col("st_b")))).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth)
+    assert(got.nonEmpty)
+  }
+
   test("simhash: exact duplicates at distance 0, locality for near dups") {
     val sigs = DedupOps.simhashSignatures(corpus)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
