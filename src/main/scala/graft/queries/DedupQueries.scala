@@ -24,11 +24,10 @@ object DedupQueries {
     "dedup_simhash" -> { (s, dir) =>
       DedupOps.simhashPairs(Tables.corpus(s, dir), maxDist = 6)
     },
-    // Exact n-gram Jaccard (inverted-index candidates, no approximation)
-    // — bigrams at a lower threshold to exercise a different regime than
-    // the MinHash query.
+    // Exact n-gram Jaccard (prefix-filtered inverted index, no
+    // approximation) at a lower threshold than the MinHash query.
     "dedup_jaccard" -> { (s, dir) =>
-      DedupOps.jaccardPairs(Tables.corpus(s, dir), threshold = 0.5, shingleN = 2)
+      DedupOps.jaccardPairs(Tables.corpus(s, dir), threshold = 0.5)
     },
     // Connected components over the verified near-dup pairs — the
     // representative-picking step of a dedup pipeline. Oracle computes the
@@ -60,8 +59,8 @@ object DedupQueries {
       s"""WITH ${OracleCtes.corpus},
          |words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),
          |shs AS (SELECT doc_id,
-         |  list_distinct([w[i] || ' ' || w[i+1]
-         |                 for i in generate_series(1, len(w)-1)]) AS st
+         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in generate_series(1, len(w)-2)]) AS st
          |  FROM words),
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
