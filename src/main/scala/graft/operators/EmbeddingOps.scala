@@ -229,15 +229,45 @@ object EmbeddingOps {
     var centroids: Array[Array[Double]] = ce
       .orderBy(xxhash64(col("vec_id"))).limit(lists)
       .select(col("emb")).as[Seq[Double]].collect().map(_.toArray)
+    // Each Lloyd step is one narrow pass: per-partition partial sums per
+    // centroid folded with treeReduce (the MLlib KMeans shape). Driver
+    // and reduce traffic are O(partitions-at-the-tree-fanin x nLists x
+    // dim), never O(corpus); the earlier join + posexplode + shuffle
+    // formulation cost a multi-stage job per iteration.
     for (_ <- 1 to iters) {
-      val assigned = assignLists(ce, "c_id", centroids, 1)
-      val means = assigned.join(ce.withColumnRenamed("vec_id", "c_id"), "c_id")
-        .select(col("list"), posexplode(col("emb")).as(Seq("pos", "x")))
-        .groupBy(col("list"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next // lists with no members keep their previous centroid
+      val bc = spark.sparkContext.broadcast(centroids)
+      val (sums, counts) = ce.as[(Long, Seq[Double])].rdd.mapPartitions { it =>
+        val cs = bc.value
+        val dim = if (cs.nonEmpty) cs(0).length else 0
+        val s = Array.fill(cs.length)(new Array[Double](dim))
+        val c = new Array[Long](cs.length)
+        it.foreach { case (_, emb) =>
+          val v = emb.toArray
+          var best = 0; var bestSim = -2.0; var li = 0
+          while (li < cs.length) {
+            val sim = cosTo(cs(li), v)
+            if (sim > bestSim) { bestSim = sim; best = li }
+            li += 1
+          }
+          val sv = s(best); var i = 0
+          while (i < v.length) { sv(i) += v(i); i += 1 }
+          c(best) += 1
+        }
+        Iterator.single((s, c))
+      }.treeReduce { case ((s1, c1), (s2, c2)) =>
+        var li = 0
+        while (li < s1.length) {
+          val a = s1(li); val b = s2(li); var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          c1(li) += c2(li); li += 1
+        }
+        (s1, c1)
+      }
+      bc.unpersist(blocking = false)
+      centroids = centroids.zipWithIndex.map { case (old, li) =>
+        if (counts(li) == 0) old // empty list keeps its previous centroid
+        else sums(li).map(_ / counts(li))
+      }
     }
     (centroids, assignLists(ce, "c_id", centroids, replicas))
   }
