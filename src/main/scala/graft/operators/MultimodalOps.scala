@@ -69,4 +69,54 @@ object MultimodalOps {
       batch.map(decodeStub)
     }
   }
+
+  case class Frame(asset_id: Long, frame_idx: Int, ts_ms: Int, frame: Array[Byte])
+
+  /** STUB frame sampler — the fan-out shape of real video sampling: each
+    * video asset explodes into one "frame" row per second of (stub)
+    * duration, capped at `maxFrames`, each frame a deterministic payload
+    * slice. The row-multiplying `flatMap` inside `mapPartitions` is the
+    * real part: a codec swaps in for the slice, the partitioning,
+    * schema, and batch iteration stay as-is. Frames inherit the parent
+    * partitioning — no shuffle until a downstream op asks for one. */
+  def sampleFrames(in: Dataset[Asset], maxFrames: Int = 8): Dataset[Frame] = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    in.mapPartitions { batch =>
+      batch.filter(_.media_type == "video").flatMap { a =>
+        val d = decodeStub(a).duration_ms
+        val nf = math.min(maxFrames, d / 1000)
+        val len = a.content.length
+        (0 until nf).iterator.map { i =>
+          val start = (i * 17) % len
+          Frame(a.asset_id, i, i * d / nf,
+            a.content.slice(start, start + math.min(32, len - start)))
+        }
+      }
+    }
+  }
+
+  case class Resized(asset_id: Long, media_type: String,
+      width: Int, height: Int, content: Array[Byte])
+
+  /** STUB resize — the transform shape of an image-preprocessing stage:
+    * decode, scale to `w`x`h`, re-encode. The stub re-encodes as a
+    * deterministic cyclic resample of the source payload sized
+    * proportionally to the target area; a real implementation replaces
+    * only the per-asset body. */
+  def resize(in: Dataset[Asset], w: Int, h: Int): Dataset[Resized] = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    in.mapPartitions { batch =>
+      batch.filter(a => a.media_type == "image" || a.media_type == "video")
+        .map { a =>
+          val outLen = math.max(1, (w * h) / 64)
+          val src = a.content
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) { out(i) = src((i * src.length / outLen) % src.length); i += 1 }
+          Resized(a.asset_id, a.media_type, w, h, out)
+        }
+    }
+  }
 }
