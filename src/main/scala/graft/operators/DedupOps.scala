@@ -315,15 +315,23 @@ object DedupOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    def propagate(ls: DataFrame): DataFrame = {
+      val incoming = edges
+        .join(ls.select(col("id").as("src"), col("label").as("src_label")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_min"))
+      ls.join(incoming, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+    }
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val incoming = edges
-        .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_min"))
-      val next = labels.join(incoming, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (col("nbr_min") < col("label")).as("chg"))
+      // Two propagation hops per materialization round: the checkpoint +
+      // convergence count dominate each round's wall time, so halving
+      // the number of rounds (labels are monotone non-increasing, change
+      // detection compares across both hops) nearly halves the loop.
+      val next = propagate(propagate(labels))
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .select(col("id"), col("label"), (col("label") < col("prev")).as("chg"))
         .localCheckpoint() // eager: materializes and truncates lineage
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("label"))

@@ -66,6 +66,34 @@ object StreamingOps {
     }.toDF("contig", "pos_start", "pos_end", "ts", "target_name")
   }
 
+  /** Streaming windowed coverage: mean depth per (event-time window,
+    * contig, tile) over the reads arriving in each window — the
+    * incremental analogue of [[graft.operators.CoverageOps.windowed]],
+    * and the streaming member of the coverage family. Each read
+    * contributes `overlap × 1` to every `windowSize`-bp tile it spans
+    * (fan-out = read length / windowSize, small and bounded), then a
+    * standard watermarked aggregation sums contributions — state is per
+    * (window, contig, tile) and expires with the watermark, so the job
+    * runs indefinitely. The same blocks-not-positions trick as batch:
+    * nothing ever explodes to per-base rows. */
+  def windowedCoverageStream(reads: Dataset[StreamRead], windowSize: Int,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    reads.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("contig"), col("ts"),
+        explode(sequence(
+          (col("pos_start") - 1).divide(windowSize).cast("long"),
+          (col("pos_end") - 1).divide(windowSize).cast("long"))).as("tile"),
+        col("pos_start"), col("pos_end"))
+      .select(col("contig"), col("ts"), col("tile"),
+        (least(col("pos_end"), (col("tile") + 1) * windowSize)
+          - greatest(col("pos_start"), col("tile") * windowSize + 1) + 1)
+          .cast("long").as("contrib"))
+      .groupBy(window(col("ts"), window_), col("contig"), col("tile"))
+      .agg((sum(col("contrib")) / lit(windowSize.toDouble)).as("mean_coverage"))
+      .select(col("window.start").as("window_start"),
+        col("contig"), col("tile"), col("mean_coverage"))
+
   /** Stateful per-contig ingest progress via mapGroupsWithState: running
     * read count and position envelope. The custom-state hook a full
     * incremental event-array coverage would extend. */

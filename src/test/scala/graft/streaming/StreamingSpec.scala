@@ -73,6 +73,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed coverage equals the batch windowed operator") {
+    import graft.SharedSpark.spark.implicits._
+    val reads = Seq(
+      StreamingOps.StreamRead("1", 10, 700, ts(5)),
+      StreamingOps.StreamRead("1", 450, 1200, ts(15)),
+      StreamingOps.StreamRead("2", 990, 1010, ts(25)),
+      StreamingOps.StreamRead("1", 600, 620, ts(35)))
+    val in = MemoryStream[StreamingOps.StreamRead]
+    val query = StreamingOps.windowedCoverageStream(in.toDS(), 500)
+      .writeStream.format("memory").queryName("wcov").outputMode("complete").start()
+    in.addData(reads.take(2): _*)
+    query.processAllAvailable()
+    in.addData(reads.drop(2): _*)
+    run(query) {
+      val got = spark.table("wcov")
+        .select("contig", "tile", "mean_coverage").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // All test reads fall in one event-time window, so the streaming
+      // result must equal the batch operator on the same rows.
+      val expected = graft.operators.CoverageOps.windowed(
+          reads.toDF().select(col("contig"), col("pos_start"), col("pos_end")), 500)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    }
+  }
+
   test("stateful contig progress accumulates across batches") {
     import graft.SharedSpark.spark.implicits._
     val in = MemoryStream[StreamingOps.StreamRead]
