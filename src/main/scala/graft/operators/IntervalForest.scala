@@ -50,6 +50,77 @@ final class IntervalForest[T] private (
     foreachOverlap(qs, qe)((_, _, v) => buf += v)
     buf.toSeq
   }
+
+  // Index accessors for [[IntervalForestCursor]] (codegen probe path).
+  private[operators] def startAt(i: Int): Int = starts(i)
+  private[operators] def endAt(i: Int): Int = ends(i)
+  private[operators] def maxEndAt(i: Int): Int = maxEnds(i)
+  private[operators] def valueAt(i: Int): T = values(i)
+}
+
+/** Resettable, allocation-free cursor over [[IntervalForest]] overlap
+  * queries, for generated code: whole-stage codegen emits a flat
+  * `while (cursor.advance())` loop and cannot suspend inside
+  * [[IntervalForest.foreachOverlap]]'s callback. Same midpoint recursion,
+  * driven by an explicit `(lo, hi)`-range stack (one `Long` per frame,
+  * depth ≤ 2·log₂ n). One instance is reused across every probe row of a
+  * partition — no per-row allocation on the 100 TB stream side. */
+final class IntervalForestCursor {
+  private var f: IntervalForest[_] = _
+  private var qs = 0
+  private var qe = 0
+  private var minOv = 1
+  private var stack = new Array[Long](64)
+  private var top = 0
+  private var cur = -1
+
+  def reset(forest: IntervalForest[_], qs: Int, qe: Int, minOv: Int): Unit = {
+    f = forest
+    this.qs = qs
+    this.qe = qe
+    this.minOv = minOv
+    top = 0
+    cur = -1
+    if (forest != null && forest.size > 0) push(0, forest.size)
+  }
+
+  private def push(lo: Int, hi: Int): Unit = {
+    if (top == stack.length) stack = java.util.Arrays.copyOf(stack, top << 1)
+    stack(top) = (lo.toLong << 32) | (hi.toLong & 0xFFFFFFFFL)
+    top += 1
+  }
+
+  /** Move to the next overlapping stored interval (honouring minOverlap);
+    * false when exhausted. Emission set is identical to
+    * [[IntervalForest.foreachOverlap]] — same subtree prunes, order may
+    * differ (join output order is unspecified either way). */
+  def advance(): Boolean = {
+    while (top > 0) {
+      top -= 1
+      val p = stack(top)
+      val lo = (p >>> 32).toInt
+      val hi = p.toInt
+      if (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (f.maxEndAt(mid) >= qs) {
+          push(lo, mid)
+          val s = f.startAt(mid)
+          if (s <= qe) {
+            push(mid + 1, hi)
+            val e = f.endAt(mid)
+            if (e >= qs &&
+                (minOv <= 1 || math.min(e, qe) - math.max(s, qs) + 1 >= minOv)) {
+              cur = mid
+              return true
+            }
+          }
+        }
+      }
+    }
+    false
+  }
+
+  def value: AnyRef = f.valueAt(cur).asInstanceOf[AnyRef]
 }
 
 object IntervalForest {

@@ -1,12 +1,14 @@
 package graft.plans
 
-import graft.operators.{IntervalForest, IntervalHolderFactory}
+import graft.operators.{IntervalForest, IntervalForestFactory, IntervalHolder, IntervalHolderFactory}
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
 import scala.collection.mutable
@@ -60,9 +62,60 @@ case class IntervalForestJoinExec(
     binWidth: Int,
     holderClass: String,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
+
+  @transient private lazy val buildPlan = if (buildLeft) left else right
+  @transient private lazy val streamedPlan = if (buildLeft) right else left
+
+  // Key expressions of each role, bound to their side's output.
+  @transient private lazy val (bStartB, bEndB, bEqsB) = {
+    val (s, e, eqs) =
+      if (buildLeft) (keys.leftStart, keys.leftEnd, keys.leftEqs)
+      else (keys.rightStart, keys.rightEnd, keys.rightEqs)
+    (bound(s, buildPlan), bound(e, buildPlan), eqs.map(bound(_, buildPlan)))
+  }
+  @transient private lazy val (sStartB, sEndB, sEqsB) = {
+    val (s, e, eqs) =
+      if (buildLeft) (keys.rightStart, keys.rightEnd, keys.rightEqs)
+      else (keys.leftStart, keys.leftEnd, keys.leftEqs)
+    (bound(s, streamedPlan), bound(e, streamedPlan), eqs.map(bound(_, streamedPlan)))
+  }
+
+  /** Build-side collect → per-key holder → broadcast, shared by the
+    * interpreted and codegen probe paths (built at most once per execute). */
+  @transient private lazy val broadcastForests
+      : Broadcast[Map[UnsafeRow, IntervalHolder[InternalRow]]] = {
+    val nEqs = bEqsB.length
+    val bEqsLocal = bEqsB
+    val bIvLocal = Seq(bStartB, bEndB)
+    val collected = buildPlan.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(bEqsLocal)
+      val ivProj = UnsafeProjection.create(bIvLocal)
+      it.flatMap { row =>
+        val iv = ivProj(row)
+        if (iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
+        else {
+          val s = iv.getInt(0)
+          val e = iv.getInt(1)
+          val copy = row.copy()
+          val key = keyProj(copy)
+          // A null equality key can never satisfy EqualTo.
+          if (nEqs > 0 && key.anyNull) Iterator.empty
+          else Iterator.single((key.copy(), s, e, copy))
+        }
+      }
+    }.collect()
+    longMetric("buildRows") += collected.length
+    // Pluggable holder (reference intervalHolderClassName conf): the
+    // broadcast structure is whatever the configured factory builds;
+    // the bin-range fallback always uses the array forest (per-bin
+    // locals are an execution detail, not a user structure).
+    val forests = IntervalHolderFactory.forName(holderClass)
+      .build[UnsafeRow, InternalRow](collected, maxGap)
+    sparkContext.broadcast(forests)
+  }
 
   // Broadcast mode probes per-partition over the unshuffled stream side, so
   // the stream partitioning survives. Bin mode's output comes out of a
@@ -86,7 +139,7 @@ case class IntervalForestJoinExec(
     BindReferences.bindReference(e, plan.output)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (buildPlan, streamPlan) = if (buildLeft) (left, right) else (right, left)
+    val (buildPlan, streamPlan) = (this.buildPlan, this.streamedPlan)
     val (bStart, bEnd, bEqs) =
       if (buildLeft) (keys.leftStart, keys.leftEnd, keys.leftEqs)
       else (keys.rightStart, keys.rightEnd, keys.rightEqs)
@@ -97,9 +150,9 @@ case class IntervalForestJoinExec(
     // Start/end are projected through UnsafeProjection (codegen'd) rather
     // than interpreted Expression.eval — the probe runs once per stream row.
     val bIvB = Seq(bound(bStart, buildPlan), bound(bEnd, buildPlan))
-    val sIvB = Seq(bound(sStart, streamPlan), bound(sEnd, streamPlan))
-    val bEqsB = bEqs.map(bound(_, buildPlan))
-    val sEqsB = sEqs.map(bound(_, streamPlan))
+    val sIvB = Seq(sStartB, sEndB)
+    val bEqsBL = bEqsB
+    val sEqsBL = sEqsB
     val nEqs = bEqs.length
     val buildIsLeft = buildLeft
     val minOv = minOverlap
@@ -110,36 +163,13 @@ case class IntervalForestJoinExec(
 
     mode match {
       case BroadcastForestMode =>
-        // (1) Collect build side as (key, start, end, row).
-        val collected = buildPlan.execute().mapPartitions { it =>
-          val keyProj = UnsafeProjection.create(bEqsB)
-          val ivProj = UnsafeProjection.create(bIvB)
-          it.flatMap { row =>
-            val iv = ivProj(row)
-            if (iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
-            else {
-              val s = iv.getInt(0)
-              val e = iv.getInt(1)
-              val copy = row.copy()
-              val key = keyProj(copy)
-              // A null equality key can never satisfy EqualTo.
-              if (nEqs > 0 && key.anyNull) Iterator.empty
-              else Iterator.single((key.copy(), s, e, copy))
-            }
-          }
-        }.collect()
-        buildRowsMetric += collected.length
-        // Pluggable holder (reference intervalHolderClassName conf): the
-        // broadcast structure is whatever the configured factory builds;
-        // the bin-range fallback always uses the array forest (per-bin
-        // locals are an execution detail, not a user structure).
-        val forests = IntervalHolderFactory.forName(holderClass)
-          .build[UnsafeRow, InternalRow](collected, gap)
-        val bcast = sparkContext.broadcast(forests)
+        // (1) Build side collected, assembled into per-key holders and
+        //     broadcast (shared lazy val — also used by the codegen path).
+        val bcast = broadcastForests
 
         // (2) Stream side probes per partition; no shuffle.
         streamPlan.execute().mapPartitions { it =>
-          val keyProj = UnsafeProjection.create(sEqsB)
+          val keyProj = UnsafeProjection.create(sEqsBL)
           val ivProj = UnsafeProjection.create(sIvB)
           val joinedRow = new JoinedRow
           val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -237,4 +267,94 @@ case class IntervalForestJoinExec(
         }
     }
   }
+
+  // ---------------------------------------------------------------- codegen
+  //
+  // Whole-stage codegen for the broadcast probe (the hot path: runs once per
+  // row of the 100 TB stream side). The stream child produces; this node
+  // consumes each row inline — key + interval exprs evaluated as generated
+  // expressions, an [[graft.operators.IntervalForestCursor]] drives the
+  // forest traversal as a flat `while` loop, and matched build rows flow
+  // straight into the parent's generated consume. Compared with the
+  // interpreted path this removes the iterator boundary between the scan
+  // and the join, the per-row UnsafeProjections, and the per-probe match
+  // buffer, and lets a downstream aggregate fuse into the same stage.
+  // Bin-range mode and custom interval holders keep the interpreted path
+  // (a holder only promises a callback API; the cursor needs the array
+  // forest).
+
+  override def supportCodegen: Boolean =
+    mode == BroadcastForestMode && holderClass == classOf[IntervalForestFactory].getName
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    streamedPlan.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    streamedPlan.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  // Every probe can emit many rows referencing the same buffers.
+  override def needCopyResult: Boolean = true
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    // Evaluate all stream-side columns up front: they are referenced both
+    // by the key expressions and (possibly) inside the match loop, and a
+    // deferred evaluation inside a conditional scope would be unreachable
+    // from the loop body.
+    val evalInput = evaluateVariables(input)
+    ctx.currentVars = input
+    val sStartEv = sStartB.genCode(ctx)
+    val sEndEv = sEndB.genCode(ctx)
+    val keyEv = GenerateUnsafeProjection.createCode(ctx, sEqsB)
+    val keyNull = if (sEqsB.nonEmpty) s"${keyEv.value}.anyNull()" else "false"
+
+    val bcastTerm = ctx.addReferenceObj("forestBcast", broadcastForests)
+    val mapTerm = ctx.addMutableState("scala.collection.immutable.Map", "forestMap",
+      v => s"$v = (scala.collection.immutable.Map) $bcastTerm.value();")
+    val cursorTerm = ctx.addMutableState(
+      "graft.operators.IntervalForestCursor", "forestCursor",
+      v => s"$v = new graft.operators.IntervalForestCursor();")
+    val forest = ctx.freshName("forest")
+    val matched = ctx.freshName("buildRow")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+
+    // Build-side output columns read from the matched row inside the loop.
+    ctx.INPUT_ROW = matched
+    ctx.currentVars = null
+    val buildVars = buildPlan.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val resultVars = if (buildLeft) buildVars ++ input else input ++ buildVars
+
+    s"""
+       |$evalInput
+       |${sStartEv.code}
+       |${sEndEv.code}
+       |${keyEv.code}
+       |graft.operators.IntervalForest $forest = null;
+       |if (!(${sStartEv.isNull}) && !(${sEndEv.isNull}) && !($keyNull)) {
+       |  $forest = graft.plans.IntervalForestJoinExec.lookup($mapTerm, ${keyEv.value});
+       |}
+       |if ($forest != null) {
+       |  $cursorTerm.reset($forest, ${sStartEv.value}, ${sEndEv.value}, $minOverlap);
+       |  while ($cursorTerm.advance()) {
+       |    InternalRow $matched = (InternalRow) $cursorTerm.value();
+       |    $numOutput.add(1);
+       |    ${consume(ctx, resultVars)}
+       |  }
+       |}
+     """.stripMargin
+  }
+}
+
+object IntervalForestJoinExec {
+  /** Codegen helper: holder lookup returning the array forest or null
+    * (called through the companion's static forwarder from generated Java;
+    * Scala `Map.getOrElse` isn't callable from Java directly). */
+  def lookup(
+      map: Map[UnsafeRow, IntervalHolder[InternalRow]],
+      key: UnsafeRow): IntervalForest[InternalRow] =
+    map.getOrElse(key, null) match {
+      case f: IntervalForest[InternalRow @unchecked] => f
+      case _ => null
+    }
 }

@@ -81,6 +81,28 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("broadcast probe runs inside whole-stage codegen, no fallback") {
+    val a = randomIntervals(400, 31, "a_key")
+    val b = randomIntervals(60, 32, "b_key")
+    val base = collectSorted(joined(a, b))
+    // fallback=false turns a silent interpreted fallback (codegen compile
+    // error) into a test failure.
+    val strict = withConf("spark.sql.codegen.fallback", "false") {
+      collectSorted(joined(a, b))
+    }
+    assert(strict === base)
+    val df = joined(a, b)
+    df.collect()
+    val text = (physical(df) match {
+      case ap: AdaptiveSparkPlanExec => ap.executedPlan
+      case p => p
+    }).toString
+    // Inside a WholeStageCodegen span the node prints with a '*(id)' mark.
+    assert(text.contains("IntervalForestJoin"), text)
+    assert("""\*\(\d+\) IntervalForestJoin""".r.findFirstIn(text).isDefined,
+      s"forest join not codegen'd:\n$text")
+  }
+
   test("bin-range mode dedups pairs spanning many bins (tiny binWidth)") {
     val a = randomIntervals(300, 21, "a_key")
     val b = randomIntervals(50, 22, "b_key")
