@@ -52,6 +52,23 @@ object GraftTableFunctions {
 
   private def str(e: Expression): String = String.valueOf(e.eval())
 
+  /** The TVF's sampleId arg as a logical `Filter` UNDER the genomic node,
+    * not a runtime filter inside the exec: adjacent to the relation,
+    * Catalyst pushes the predicate into the scan (parquet row-group stats,
+    * and partition pruning on hive `sample_id=` layouts) — the reference's
+    * sample pushdown (`SequilaDataSourceStrategy.scala:38-54`). A runtime
+    * filter after a full scan read every sample's rows first (measured
+    * ~2x on the sf0.1 window-coverage TVF). */
+  private def sampled(view: String, sample: Option[String]): LogicalPlan = {
+    val rel = org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(view))
+    sample.fold(rel: LogicalPlan) { s =>
+      org.apache.spark.sql.catalyst.plans.logical.Filter(
+        org.apache.spark.sql.catalyst.expressions.EqualTo(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("sample_id"),
+          org.apache.spark.sql.catalyst.expressions.Literal(s)), rel)
+    }
+  }
+
   private def intVal(e: Expression, what: String): Int = e.eval() match {
     case i: Int => i
     case l: Long => l.toInt
@@ -88,8 +105,8 @@ object GraftTableFunctions {
       case None => GenomicSchemas.coverage
     }
     CoverageNode(
-      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args.head))),
-      if (args.length >= 2) Some(str(args(1))) else None,
+      sampled(str(args.head), if (args.length >= 2) Some(str(args(1))) else None),
+      sampleId = None, // the sample filter is in the child plan (pushed down)
       target,
       GenomicSchemas.attrs(schema))
   }
@@ -105,8 +122,8 @@ object GraftTableFunctions {
       s"pileup expects (tableName[, sampleId[, alts[, quals[, binSize]]]]), got ${args.length} args")
     require(args.forall(_.foldable), "pileup arguments must be literals")
     PileupNode(
-      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args.head))),
-      if (args.length >= 2) Some(str(args(1))) else None,
+      sampled(str(args.head), if (args.length >= 2) Some(str(args(1))) else None),
+      sampleId = None, // the sample filter is in the child plan (pushed down)
       binSize = if (args.length >= 5) Some(intVal(args(4), "pileup binSize")) else None)
   }
 
