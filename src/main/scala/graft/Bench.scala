@@ -23,6 +23,36 @@ object Bench {
     // measured query doesn't absorb JVM startup costs.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).select("l_orderkey").limit(1).collect()
+    // Steady-state kernel warmup (unmeasured): whole-stage codegen
+    // compilation and JIT of the typed kernels otherwise land on
+    // whichever query of each family runs first alphabetically (measured
+    // ~2-4x inflation of the first dedup/ANN/join query). Tiny limit()
+    // slices touch every kernel family once; all caches are dropped after.
+    try {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.corpus(spark, sfDir).limit(48).cache()
+      docs.count()
+      operators.DedupOps.clusters(operators.DedupOps.nearDupPairs(docs, 0.6)).count()
+      operators.DedupOps.jaccardPairs(docs, 0.5).count()
+      operators.DedupOps.simhashPairs(docs, 6).count()
+      operators.TextOps.stats(docs).count()
+      val emb = Tables.embeddings(spark, sfDir).limit(64).cache()
+      val q = emb.filter(col("vec_id") < 4)
+      operators.EmbeddingOps.exactTopK(emb, q, 2).count()
+      operators.EmbeddingOps.ivfTopK(emb, q, 2).count()
+      operators.EmbeddingOps.lshTopK(emb, q, 2).count()
+      val a = Tables.ivA(spark, sfDir).limit(2000)
+      val b = Tables.ivB(spark, sfDir).limit(500)
+      a.join(b, a("contig") === b("contig") &&
+        a("pos_end") >= b("pos_start") && a("pos_start") <= b("pos_end")).count()
+      val r = Tables.reads(spark, sfDir).limit(2000)
+      operators.CoverageOps.blocks(r).count()
+      operators.PileupOps.pileup(r, None).count()
+      docs.unpersist(blocking = false)
+      emb.unpersist(blocking = false)
+    } catch { case _: Throwable => () } // warmup must never fail the bench
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
     val names = SparkEntry.queries.keys.toSeq.sorted
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
