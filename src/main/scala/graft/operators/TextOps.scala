@@ -68,6 +68,62 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(DedupOps.normText(text))
 
+  /** Winnowing fingerprints (the Schleimer–Wilkerson–Aiken "local
+    * algorithms" scheme, as in MOSS): hash every `k`-codepoint gram of the
+    * whitespace-normalized text with a base-257 polynomial mod 2³¹−1, then
+    * keep the minimum hash of every window of `w` consecutive gram hashes
+    * (distinct per document). Guarantee: two documents sharing any
+    * substring of length ≥ `w + k − 1` share at least one fingerprint;
+    * expected density 2/(w+1) of the gram count — the rolling-hash
+    * fingerprint family the `fingerprint` md5 column can't provide
+    * (whole-document identity only).
+    *
+    * Output: `(doc_id, fp)` rows. A typed `mapPartitions`-family kernel,
+    * same rationale as [[DedupOps.minhashSignatures]]: the k×n inner loop
+    * is interpreted (5-30× slower) as higher-order SQL expressions. The
+    * hash is deliberately simple portable integer arithmetic — the DuckDB
+    * oracle recomputes it bit-for-bit. Per-doc state only: scales to any
+    * corpus by partitioning on doc_id. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), DedupOps.normText(col("text")).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val cps = t.codePoints().toArray // code points match DuckDB ord()
+        val n = cps.length - k + 1
+        if (n <= 0) Iterator.empty
+        else {
+          val P = 2147483647L // 2^31 - 1
+          val hashes = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            var h = 0L
+            var j = 0
+            while (j < k) { h = (h * 257 + cps(i + j)) % P; j += 1 }
+            hashes(i) = h
+            i += 1
+          }
+          // Short documents (fewer than w grams) get one whole-text window.
+          val nWin = math.max(1, n - w + 1)
+          val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var s = 0
+          while (s < nWin) {
+            var m = Long.MaxValue
+            var j = s
+            val e = math.min(s + w, n)
+            while (j < e) { if (hashes(j) < m) m = hashes(j); j += 1 }
+            out += m
+            s += 1
+          }
+          out.iterator.map(f => (id, f))
+        }
+      }
+      .toDF("doc_id", "fp")
+  }
+
   /** The full stats projection over a documents table. */
   def stats(docs: DataFrame): DataFrame = {
     val t = col("text")

@@ -27,6 +27,11 @@ object TextQueries {
           sum(col("n_tokens")).as("total_tokens"),
           min(col("quality_score")).as("min_q"),
           max(col("quality_score")).as("max_q"))
+    },
+    // Winnowing (rolling-hash) fingerprints — the substring-level
+    // fingerprint family (shared >=8-char runs guarantee a shared row).
+    "text_winnow_fp" -> { (s, dir) =>
+      TextOps.winnowFingerprints(Tables.documents(s, dir))
     })
 
   private val statsSql: String =
@@ -62,5 +67,25 @@ object TextQueries {
          |  CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
          |  MIN(s.quality_score) AS min_q, MAX(s.quality_score) AS max_q
          |FROM stats s JOIN documents d USING (doc_id)
-         |GROUP BY d.lang, d.source""".stripMargin)
+         |GROUP BY d.lang, d.source""".stripMargin,
+    // Bit-for-bit mirror of TextOps.winnowFingerprints (k=5, w=4): same
+    // base-257 polynomial mod 2^31-1 over the normalized text's code
+    // points (ord = code point; ASCII corpus), same clamped windows with
+    // a single whole-text window for sub-w-gram documents. Powers of 257:
+    // 257^4=4362470401, 257^3=16974593, 257^2=66049.
+    "text_winnow_fp" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    [ (ord(t[i])*4362470401 + ord(t[i+1])*16974593 + ord(t[i+2])*66049
+        |       + ord(t[i+3])*257 + ord(t[i+4])) % 2147483647
+        |      for i in generate_series(1, len(t) - 4) ] AS hs
+        |  FROM norm),
+        |wins AS (
+        |  SELECT doc_id,
+        |    [ list_min(hs[s : s + 3]) for s in generate_series(1, greatest(1, len(hs) - 3)) ] AS fps
+        |  FROM grams WHERE len(hs) >= 1)
+        |SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins""".stripMargin)
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprint laws (the guarantees of the
+  * Schleimer–Wilkerson–Aiken scheme the operator implements). */
+class TextOpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import graft.SharedSpark.spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def fps(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    TextOps.winnowFingerprints(df).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+
+  test("identical normalized texts fingerprint identically") {
+    val m = fps(docs(
+      1L -> "The quick  brown fox jumps over the lazy dog",
+      2L -> "  the QUICK brown   fox jumps over the lazy DOG  "))
+    assert(m(1L) === m(2L))
+    assert(m(1L).nonEmpty)
+  }
+
+  test("a shared substring of length >= w+k-1 yields a shared fingerprint") {
+    // k=5, w=4: any shared run of >= 8 normalized chars must share a fp.
+    val shared = "unmistakable shared passage of text"
+    val m = fps(docs(
+      1L -> s"first document prefix $shared first suffix",
+      2L -> s"совершенно другой старт $shared другое окончание"))
+    assert((m(1L) & m(2L)).nonEmpty)
+  }
+
+  test("disjoint-alphabet documents share nothing") {
+    val m = fps(docs(1L -> "aaaa bbbb cccc dddd eeee", 2L -> "xxxx yyyy zzzz wwww vvvv"))
+    assert((m(1L) & m(2L)).isEmpty)
+  }
+
+  test("density: winnowed set is a subset of gram count, at most one per window") {
+    val text = "some moderately long document used for the density bound " * 3
+    val m = fps(docs(1L -> text))
+    val len = docs(1L -> text).select(length(DedupOps.normText(lit(text)))).head().getInt(0)
+    val grams = len - 5 + 1
+    assert(m(1L).size <= grams - 4 + 1) // one fp per window max (distinct)
+    assert(m(1L).nonEmpty)
+  }
+
+  test("documents shorter than k chars produce no rows; shorter than w grams one window") {
+    val m = fps(docs(1L -> "abc", 2L -> "abcdef"))
+    assert(!m.contains(1L)) // 3 chars < k=5: no grams
+    assert(m(2L).size === 1) // 2 grams < w=4: single whole-text window
+  }
+}
