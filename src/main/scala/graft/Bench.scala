@@ -34,6 +34,7 @@ object Bench {
       docs.count()
       operators.DedupOps.clusters(operators.DedupOps.nearDupPairs(docs, 0.6)).count()
       operators.DedupOps.jaccardPairs(docs, 0.5).count()
+      operators.DedupOps.winnowPairs(docs).count()
       operators.DedupOps.simhashPairs(docs, 6).count()
       operators.TextOps.stats(docs).count()
       val emb = Tables.embeddings(spark, sfDir).limit(64).cache()

@@ -66,6 +66,15 @@ class GraftSession(val spark: SparkSession) {
   /** Connected components over near-dup pairs → (doc_id, cluster_id). */
   def dedupClusters(pairs: DataFrame): DataFrame = DedupOps.clusters(pairs)
 
+  /** Winnowing (rolling-hash) fingerprints → (doc_id, fp). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    TextOps.winnowFingerprints(docs, k, w)
+
+  /** Substring-level near-dup pairs by shared discriminative winnowing
+    * fingerprints → (id_a, id_b, n_shared). */
+  def winnowDuplicates(docs: DataFrame, minShared: Int = 3): DataFrame =
+    DedupOps.winnowPairs(docs, minShared)
+
   /** Exact cosine top-k neighbors. */
   def similarityTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     EmbeddingOps.exactTopK(corpus, queries, k)

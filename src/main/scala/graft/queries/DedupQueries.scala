@@ -34,6 +34,12 @@ object DedupQueries {
     // same components with a recursive transitive closure.
     "dedup_clusters" -> { (s, dir) =>
       DedupOps.clusters(DedupOps.nearDupPairs(Tables.corpus(s, dir), threshold = 0.6))
+    },
+    // Substring-level near-dup via shared winnowing fingerprints (df-
+    // filtered; exact shared counts). Over raw documents, not the
+    // dup-injected corpus: fingerprints are about shared passages.
+    "dedup_winnow" -> { (s, dir) =>
+      DedupOps.winnowPairs(Tables.documents(s, dir))
     })
 
   val oracle: Map[String, String] = Map(
@@ -85,5 +91,31 @@ object DedupQueries {
          |  UNION
          |  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
          |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
-         |FROM reach GROUP BY s""".stripMargin)
+         |FROM reach GROUP BY s""".stripMargin,
+    // Bit-for-bit mirror of DedupOps.winnowPairs (k=5, w=4, minShared=3,
+    // maxDf = floor(0.05 * nDocs)): same rolling hash as text_winnow_fp,
+    // df filter on the fingerprint index, exact shared counts.
+    "dedup_winnow" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    [ (ord(t[i])*4362470401 + ord(t[i+1])*16974593 + ord(t[i+2])*66049
+        |       + ord(t[i+3])*257 + ord(t[i+4])) % 2147483647
+        |      for i in generate_series(1, len(t) - 4) ] AS hs
+        |  FROM norm),
+        |wins AS (
+        |  SELECT doc_id,
+        |    [ list_min(hs[s : s + 3]) for s in generate_series(1, greatest(1, len(hs) - 3)) ] AS fps
+        |  FROM grams WHERE len(hs) >= 1),
+        |x AS (SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins),
+        |dfs AS (SELECT fp, count(*) AS df FROM x GROUP BY fp),
+        |keep AS (SELECT x.doc_id, x.fp FROM x JOIN dfs USING (fp)
+        |  WHERE dfs.df <= greatest(2, CAST(floor((SELECT count(DISTINCT doc_id) FROM x) * 0.05) AS BIGINT))),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3""".stripMargin)
 }

@@ -47,6 +47,20 @@ class TextOpsSpec extends SparkSpec {
     assert(m(1L).nonEmpty)
   }
 
+  test("winnowPairs pairs passage-sharing docs, exact counts, df-filtered") {
+    val passage = "a very distinctive stolen paragraph that appears verbatim in two documents"
+    val boiler = "standard header every file carries" // df = all docs → filtered out
+    val rows = (1L -> s"$boiler alpha beta gamma delta unique one $passage") +:
+      (2L -> s"$boiler epsilon zeta eta theta unique two $passage") +:
+      (3L to 40L).map(i => i -> s"$boiler wholly unrelated content number $i${"x" * i.toInt}")
+    val pairs = DedupOps.winnowPairs(docs(rows: _*)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // Only the passage-sharing pair survives (boilerplate fps are beyond
+    // the 5% df cutoff; per-doc fillers share nothing >= w+k-1 chars).
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) >= 3L)
+  }
+
   test("documents shorter than k chars produce no rows; shorter than w grams one window") {
     val m = fps(docs(1L -> "abc", 2L -> "abcdef"))
     assert(!m.contains(1L)) // 3 chars < k=5: no grams
