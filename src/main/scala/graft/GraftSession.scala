@@ -90,6 +90,9 @@ class GraftSession(val spark: SparkSession) {
   /** Text quality/language/fingerprint stats. */
   def textStats(docs: DataFrame): DataFrame = TextOps.stats(docs)
 
+  /** Corpus vocabulary → (token, tf, df). */
+  def vocabulary(docs: DataFrame): DataFrame = TextOps.vocabulary(docs)
+
   def sql(text: String): DataFrame = spark.sql(text)
 }
 

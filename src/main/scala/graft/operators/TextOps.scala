@@ -124,6 +124,18 @@ object TextOps {
       .toDF("doc_id", "fp")
   }
 
+  /** Corpus vocabulary: `(token, tf, df)` — total term frequency and
+    * document frequency per whitespace token. The statistic every
+    * curation pipeline derives first (stop-lists, idf weighting, rare-
+    * token filters). One explode + one hash aggregation; the distinct-doc
+    * count is Spark's two-phase distinct aggregate, so the shuffle keys
+    * on token and nothing is ever per-corpus on one node. */
+  def vocabulary(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+
   /** The full stats projection over a documents table. */
   def stats(docs: DataFrame): DataFrame = {
     val t = col("text")

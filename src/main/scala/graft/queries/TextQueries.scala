@@ -32,6 +32,10 @@ object TextQueries {
     // fingerprint family (shared >=8-char runs guarantee a shared row).
     "text_winnow_fp" -> { (s, dir) =>
       TextOps.winnowFingerprints(Tables.documents(s, dir))
+    },
+    // Corpus vocabulary: per-token term + document frequency.
+    "text_vocabulary" -> { (s, dir) =>
+      TextOps.vocabulary(Tables.documents(s, dir))
     })
 
   private val statsSql: String =
@@ -87,5 +91,11 @@ object TextQueries {
         |  SELECT doc_id,
         |    [ list_min(hs[s : s + 3]) for s in generate_series(1, greatest(1, len(hs) - 3)) ] AS fps
         |  FROM grams WHERE len(hs) >= 1)
-        |SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins""".stripMargin)
+        |SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins""".stripMargin,
+    "text_vocabulary" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks WHERE token <> '' GROUP BY token""".stripMargin)
 }
