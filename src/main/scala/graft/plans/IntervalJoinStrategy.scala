@@ -36,7 +36,12 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
     session.conf.get(s"spark.graft.rangejoin.$key", default)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case ExtractIntervalJoin(left, right, keys) if conf("enabled", "true").toBoolean =>
+    // Streaming children fall through to Spark's stream-aware join
+    // planning: both batch modes here collect or cogroup a child, neither
+    // of which is defined over an unbounded side. (Streaming interval
+    // joins: graft.streaming.StreamingOps.{annotateStream, joinStreams}.)
+    case ExtractIntervalJoin(left, right, keys)
+        if conf("enabled", "true").toBoolean && !left.isStreaming && !right.isStreaming =>
       val minOverlap = conf("minOverlap", "1").toInt
       val maxGap = conf("maxGap", "0").toInt
       val buildLeft = conf("buildSide", "auto") match {

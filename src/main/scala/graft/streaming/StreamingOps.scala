@@ -66,6 +66,33 @@ object StreamingOps {
     }.toDF("contig", "pos_start", "pos_end", "ts", "target_name")
   }
 
+  /** Stream-stream interval join: pair two unbounded read streams on
+    * overlapping genomic intervals within an event-time band — e.g.
+    * reads from two sequencers over the same region, or calls vs
+    * real-time annotations. Delegated entirely to Spark's watermarked
+    * stream-stream join machinery: the equality key (contig) drives
+    * state partitioning, the interval overlap is the non-equi residual,
+    * and the event-time band (`right.ts` within ±`band` of `left.ts`)
+    * plus both watermarks lets the state store evict rows — without the
+    * time bound, stream-stream join state grows forever. State per
+    * executor is O(rows in the time band of its contig partitions),
+    * independent of stream length — the property that lets this run
+    * indefinitely. */
+  def joinStreams(left: Dataset[StreamRead], right: Dataset[StreamRead],
+      watermark: String = "2 hours", band: String = "1 hour"): DataFrame = {
+    val l = left.toDF().withWatermark("ts", watermark).alias("l")
+    val r = right.toDF().withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col("l.contig") === col("r.contig") &&
+      col("l.pos_end") >= col("r.pos_start") && col("l.pos_start") <= col("r.pos_end") &&
+      col("r.ts") >= col("l.ts") - expr(s"INTERVAL $band") &&
+      col("r.ts") <= col("l.ts") + expr(s"INTERVAL $band"))
+      .select(col("l.contig").as("contig"),
+        col("l.pos_start").as("l_start"), col("l.pos_end").as("l_end"),
+        col("r.pos_start").as("r_start"), col("r.pos_end").as("r_end"),
+        col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
+  }
+
   /** Streaming windowed coverage: mean depth per (event-time window,
     * contig, tile) over the reads arriving in each window — the
     * incremental analogue of [[graft.operators.CoverageOps.windowed]],

@@ -73,6 +73,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join pairs overlapping reads within the time band") {
+    import graft.SharedSpark.spark.implicits._
+    val inL = MemoryStream[StreamingOps.StreamRead]
+    val inR = MemoryStream[StreamingOps.StreamRead]
+    val query = StreamingOps.joinStreams(inL.toDS(), inR.toDS())
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    inL.addData(
+      StreamingOps.StreamRead("1", 100, 200, ts(10)),
+      StreamingOps.StreamRead("1", 500, 600, ts(12)),
+      StreamingOps.StreamRead("2", 100, 200, ts(14))) // wrong contig for rB
+    inR.addData(
+      StreamingOps.StreamRead("1", 150, 160, ts(20)),  // overlaps L1 in band
+      StreamingOps.StreamRead("1", 700, 800, ts(22)),  // no positional overlap
+      StreamingOps.StreamRead("1", 90, 105, ts(300)))  // overlap but outside ±1h band
+    run(query) {
+      val rows = spark.table("ssjoin")
+        .select("contig", "l_start", "r_start").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      assert(rows === Set(("1", 100, 150)))
+    }
+  }
+
   test("streaming windowed coverage equals the batch windowed operator") {
     import graft.SharedSpark.spark.implicits._
     val reads = Seq(
