@@ -93,6 +93,10 @@ class GraftSession(val spark: SparkSession) {
   /** Corpus vocabulary → (token, tf, df). */
   def vocabulary(docs: DataFrame): DataFrame = TextOps.vocabulary(docs)
 
+  /** Composite curation pass: score → dedup-to-representative → gate. */
+  def curate(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en"): DataFrame =
+    TextOps.curate(docs, minQuality, lang)
+
   def sql(text: String): DataFrame = spark.sql(text)
 }
 

@@ -136,6 +136,23 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
 
+  /** One-pass curation pipeline — the composite a training-data run
+    * executes per corpus snapshot: score every document, keep one
+    * representative per exact-duplicate group (minimum doc_id over the
+    * normalized-text fingerprint), and keep representatives passing the
+    * quality and language gates. Stats are identical across exact copies
+    * (they derive from the normalized text), so gate-then-dedup and
+    * dedup-then-gate agree. Plan shape: scan-speed stats projection, one
+    * fingerprint aggregation, one semi join — two shuffles total,
+    * partial-aggregated map-side, nothing driver-side. */
+  def curate(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en"): DataFrame = {
+    val s = stats(docs)
+    val rep = s.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
+    s.join(rep, Seq("fingerprint", "doc_id"), "left_semi")
+      .filter(col("quality_score") >= minQuality && col("lang_guess") === lang)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+  }
+
   /** The full stats projection over a documents table. */
   def stats(docs: DataFrame): DataFrame = {
     val t = col("text")

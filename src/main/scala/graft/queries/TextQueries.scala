@@ -36,9 +36,20 @@ object TextQueries {
     // Corpus vocabulary: per-token term + document frequency.
     "text_vocabulary" -> { (s, dir) =>
       TextOps.vocabulary(Tables.documents(s, dir))
+    },
+    // The composite curation pass over the dup-injected corpus: score,
+    // dedup to representatives, gate on quality + language.
+    "pipeline_curate" -> { (s, dir) =>
+      TextOps.curate(Tables.corpus(s, dir))
     })
 
-  private val statsSql: String =
+  private def statsSqlOver(table: String): String = statsSqlBody + table
+
+  private val statsSql: String = statsSqlOver("documents")
+
+  // def, not val: referenced by statsSqlOver during the object's own
+  // initialization (a val here would still be null at that point).
+  private def statsSqlBody: String =
     """SELECT doc_id,
       |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens,
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_subtokens,
@@ -61,7 +72,7 @@ object TextQueries {
       |            x -> x IN ('el','los','las','es','una'))) > 0 THEN 'es'
       |       ELSE 'en' END AS lang_guess,
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-      |FROM documents""".stripMargin
+      |FROM """.stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_stats" -> statsSql,
@@ -92,6 +103,13 @@ object TextQueries {
         |    [ list_min(hs[s : s + 3]) for s in generate_series(1, greatest(1, len(hs) - 3)) ] AS fps
         |  FROM grams WHERE len(hs) >= 1)
         |SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins""".stripMargin,
+    "pipeline_curate" ->
+      s"""WITH ${graft.OracleCtes.corpus},
+         |s AS (${statsSqlOver("corpus")}),
+         |rep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM s GROUP BY fingerprint)
+         |SELECT s.doc_id, s.n_tokens, s.quality_score
+         |FROM s JOIN rep ON s.fingerprint = rep.fingerprint AND s.doc_id = rep.doc_id
+         |WHERE s.quality_score >= 0.5 AND s.lang_guess = 'en'""".stripMargin,
     "text_vocabulary" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
