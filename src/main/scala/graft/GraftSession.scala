@@ -97,6 +97,11 @@ class GraftSession(val spark: SparkSession) {
   def curate(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en"): DataFrame =
     TextOps.curate(docs, minQuality, lang)
 
+  /** Deterministic hash-grid train/val/test split column. */
+  def assignSplits(docs: DataFrame,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame =
+    TextOps.assignSplits(docs, weights)
+
   def sql(text: String): DataFrame = spark.sql(text)
 }
 

@@ -136,6 +136,28 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
 
+  /** Deterministic train/val/test split assignment: every row gets a
+    * `split` label from the first 8 hex digits of `md5(key)` mapped onto
+    * a fixed 10⁶-bucket grid cut at the cumulative weights. No RNG —
+    * the same key lands in the same split on every run, any cluster
+    * size, and any corpus ordering (the reproducibility property
+    * `rand()`-based sampling can't give a growing corpus), and the
+    * column is a pure codegen'd expression, so assignment happens at
+    * scan speed with no shuffle at all. */
+  def assignSplits(docs: DataFrame,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      keyCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $weights")
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(w => (w * 1000000L).toLong)
+    val assigned = weights.zip(cuts).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cut), acc) => when(bucket < lit(cut), lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", assigned)
+  }
+
   /** One-pass curation pipeline — the composite a training-data run
     * executes per corpus snapshot: score every document, keep one
     * representative per exact-duplicate group (minimum doc_id over the

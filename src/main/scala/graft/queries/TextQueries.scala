@@ -41,6 +41,12 @@ object TextQueries {
     // dedup to representatives, gate on quality + language.
     "pipeline_curate" -> { (s, dir) =>
       TextOps.curate(Tables.corpus(s, dir))
+    },
+    // Deterministic hash-grid split assignment, summarized per split.
+    "pipeline_split" -> { (s, dir) =>
+      TextOps.assignSplits(Tables.documents(s, dir))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     })
 
   private def statsSqlOver(table: String): String = statsSqlBody + table
@@ -110,6 +116,16 @@ object TextQueries {
          |SELECT s.doc_id, s.n_tokens, s.quality_score
          |FROM s JOIN rep ON s.fingerprint = rep.fingerprint AND s.doc_id = rep.doc_id
          |WHERE s.quality_score >= 0.5 AND s.lang_guess = 'en'""".stripMargin,
+    "pipeline_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bk
+        |  FROM documents)
+        |SELECT CASE WHEN bk < 900000 THEN 'train'
+        |            WHEN bk < 950000 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM b GROUP BY 1""".stripMargin,
     "text_vocabulary" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

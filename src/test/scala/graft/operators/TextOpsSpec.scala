@@ -61,6 +61,22 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs((1L, 2L)) >= 3L)
   }
 
+  test("assignSplits: deterministic, partition-invariant, weight-proportioned") {
+    import graft.SharedSpark.spark.implicits._
+    val d = graft.SharedSpark.spark.range(20000).toDF("doc_id")
+    def counts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      TextOps.assignSplits(df).groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = counts(d)
+    assert(a === counts(d.repartition(13))) // no RNG, no order dependence
+    assert(a.keySet === Set("train", "val", "test"))
+    assert(math.abs(a("train") / 20000.0 - 0.9) < 0.01)
+    // Same key → same split even from a different frame.
+    val one = TextOps.assignSplits(Seq(42L).toDF("doc_id")).select("split").head().getString(0)
+    val again = TextOps.assignSplits(d.filter($"doc_id" === 42L)).select("split").head().getString(0)
+    assert(one === again)
+  }
+
   test("documents shorter than k chars produce no rows; shorter than w grams one window") {
     val m = fps(docs(1L -> "abc", 2L -> "abcdef"))
     assert(!m.contains(1L)) // 3 chars < k=5: no grams
