@@ -102,6 +102,18 @@ class GraftSession(val spark: SparkSession) {
       weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame =
     TextOps.assignSplits(docs, weights)
 
+  /** Benchmark n-gram decontamination report (broadcast eval side). */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 3): DataFrame =
+    TextOps.contaminationReport(corpus, evalSet, n)
+
+  /** Deterministic per-stratum downsampling (domain mixing). */
+  def sampleByStratum(docs: DataFrame, rates: Map[String, Double], defaultRate: Double): DataFrame =
+    TextOps.sampleByStratum(docs, rates, defaultRate)
+
+  /** Repeated-n-gram stats per document (Gopher-style repetition gate). */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame =
+    TextOps.repetitionStats(docs, n)
+
   def sql(text: String): DataFrame = spark.sql(text)
 }
 

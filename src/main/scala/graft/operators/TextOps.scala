@@ -158,6 +158,89 @@ object TextOps {
     docs.withColumn("split", assigned)
   }
 
+  /** Array of all `n`-token grams of `text`, each a struct of `n`
+    * consecutive whitespace tokens — built entirely from codegen'd
+    * collection expressions (`arrays_zip` over `n` shifted slices), no
+    * higher-order lambda and no kernel, so gram construction stays
+    * inside whole-stage codegen at scan speed. */
+  def ngramArray(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be positive, got $n")
+    val t = tokens(text)
+    // Clamped at 0: a sub-n-token document yields zero-length slices and
+    // an empty gram array (slice rejects negative lengths under ANSI).
+    val m = greatest(size(t) - (n - 1), lit(0))
+    arrays_zip((1 to n).map(i => slice(t, lit(i), m)): _*)
+  }
+
+  /** `(doc_id, gram)` rows: every `n` consecutive whitespace tokens
+    * joined by a single space. Raw gram strings as keys (not hashes) so
+    * the DuckDB oracle reproduces them exactly and downstream joins are
+    * collision-free. */
+  def tokenNgrams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(ngramArray(col("text"), n)).as("g"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(i => col("g").getField(i.toString)): _*).as("gram"))
+
+  /** Benchmark decontamination report: for every corpus document, the
+    * total `n`-gram count and how many of those grams appear anywhere in
+    * the evaluation set — the overlap check every serious training run
+    * performs against its benchmark suites before training (the
+    * GPT-3/PaLM-style n-gram collision rule).
+    *
+    * Scale shape: the eval side (benchmarks, a few MB even when the
+    * corpus is 100 TB) collapses to a distinct gram set and is
+    * **broadcast**; the corpus is one scan producing grams that
+    * partial-aggregate map-side down to two counters per document. No
+    * corpus-side shuffle of gram rows beyond the per-doc aggregation,
+    * no driver-side data. */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame, n: Int = 3): DataFrame = {
+    val evalGrams = tokenNgrams(evalSet, n)
+      .select(col("gram")).distinct().withColumn("hit", lit(1))
+    tokenNgrams(corpus, n)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+  }
+
+  /** Intra-document repetition stats (the Gopher-style repeated-n-gram
+    * gate): per document, total and distinct `n`-gram counts and the
+    * duplicate fraction. Pure codegen'd expressions over [[ngramArray]]
+    * — no shuffle at all; documents with fewer than `n` tokens report
+    * zero grams and a 0.0 fraction. */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = ngramArray(col("text"), n)
+    docs.select(
+        col("doc_id"),
+        size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("n_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Deterministic per-stratum downsampling — the domain-mixing step of
+    * a training-data pipeline ("keep 100% of wiki, 25% of web"): a row
+    * survives iff its salted hash bucket falls under its stratum's
+    * threshold. Same md5-grid determinism argument as [[assignSplits]];
+    * the salt decorrelates the sampling decision from split assignment
+    * (the same key must not systematically land in `train` AND survive
+    * sampling). Thresholds are precomputed longs — no float-to-int cast
+    * whose rounding could disagree across engines. Pure codegen'd
+    * filter: scan speed, no shuffle. */
+  def sampleByStratum(docs: DataFrame, rates: Map[String, Double], defaultRate: Double,
+      stratumCol: String = "source", keyCol: String = "doc_id"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1], got $rates default $defaultRate")
+    val bucket = conv(substring(md5(concat(col(keyCol).cast("string"), lit(":strat"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(lit((defaultRate * 1000000L).toLong): Column) {
+      case ((stratum, r), acc) =>
+        when(col(stratumCol) === stratum, lit((r * 1000000L).toLong)).otherwise(acc)
+    }
+    docs.filter(bucket < threshold)
+  }
+
   /** One-pass curation pipeline — the composite a training-data run
     * executes per corpus snapshot: score every document, keep one
     * representative per exact-duplicate group (minimum doc_id over the

@@ -47,6 +47,25 @@ object TextQueries {
       TextOps.assignSplits(Tables.documents(s, dir))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    },
+    // Benchmark decontamination: 3-gram overlap of every corpus doc
+    // (source <> 'src0') against the broadcast eval set (source = 'src0').
+    "pipeline_decontam" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextOps.contaminationReport(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    },
+    // Deterministic stratified sampling: keep all of src0, none of src1,
+    // a quarter of everything else.
+    "pipeline_sample" -> { (s, dir) =>
+      TextOps.sampleByStratum(Tables.documents(s, dir),
+          Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.25)
+        .select(col("doc_id"), col("source"))
+    },
+    // Gopher-style repeated-2-gram stats per document.
+    "text_repetition" -> { (s, dir) =>
+      TextOps.repetitionStats(Tables.documents(s, dir))
     })
 
   private def statsSqlOver(table: String): String = statsSqlBody + table
@@ -126,6 +145,43 @@ object TextQueries {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM b GROUP BY 1""".stripMargin,
+    // 3-grams via list comprehension (inclusive slicing: t[i:i+2] is
+    // three tokens); eval grams left-joined so unhit docs report 0.
+    "pipeline_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS gram
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT g.doc_id, count(*) AS n_grams, count(ev.gram) AS n_hits
+        |FROM g LEFT JOIN ev USING (gram)
+        |WHERE g.source <> 'src0'
+        |GROUP BY g.doc_id""".stripMargin,
+    "pipeline_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8)) AS BIGINT)
+        |      % 1000000 AS bk
+        |  FROM documents)
+        |SELECT doc_id, source FROM b
+        |WHERE bk < CASE WHEN source = 'src0' THEN 1000000
+        |                WHEN source = 'src1' THEN 0
+        |                ELSE 250000 END""".stripMargin,
+    "text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] AS grams
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents))
+        |SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+        |  CASE WHEN len(grams) > 0
+        |       THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |       ELSE 0.0 END AS dup_frac
+        |FROM g""".stripMargin,
     "text_vocabulary" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

@@ -77,6 +77,49 @@ class TextOpsSpec extends SparkSpec {
     assert(one === again)
   }
 
+  test("tokenNgrams: exact sliding windows, sub-n docs contribute nothing") {
+    import graft.SharedSpark.spark.implicits._
+    val d = Seq((1L, "A b c d"), (2L, "xy")).toDF("doc_id", "text")
+    val grams = TextOps.tokenNgrams(d, 3).as[(Long, String)].collect().toSet
+    assert(grams === Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("contaminationReport: planted overlap counted, clean docs report zero") {
+    import graft.SharedSpark.spark.implicits._
+    val corpus = Seq((1L, "p q r s t"), (2L, "u v w x y")).toDF("doc_id", "text")
+    val eval = Seq((100L, "q r s zz")).toDF("doc_id", "text")
+    val rep = TextOps.contaminationReport(corpus, eval, n = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep(1L) === ((3L, 1L))) // "q r s" is the one contaminated gram
+    assert(rep(2L) === ((3L, 0L)))
+  }
+
+  test("repetitionStats: duplicate-2gram fraction, degenerate docs give 0.0") {
+    import graft.SharedSpark.spark.implicits._
+    val d = Seq((1L, "x x x y"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val m = TextOps.repetitionStats(d).as[(Long, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(1L) === ((3, 2, 1.0 / 3))) // grams: x x, x x, x y
+    assert(m(2L) === ((2, 2, 0.0)))
+    assert(m(3L) === ((0, 0, 0.0)))
+  }
+
+  test("sampleByStratum: rate-1 keeps all, rate-0 drops all, deterministic and proportional") {
+    import graft.SharedSpark.spark.implicits._
+    val d = graft.SharedSpark.spark.range(9000)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), (col("id") % 3).cast("string")).as("source"))
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      TextOps.sampleByStratum(df, Map("s0" -> 1.0, "s1" -> 0.0), 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    val k = kept(d)
+    assert(k === kept(d.repartition(17))) // deterministic, order-free
+    assert(k.count(_ % 3 == 0) === 3000) // s0 all kept
+    assert(!k.exists(_ % 3 == 1)) // s1 dropped
+    val s2 = k.count(_ % 3 == 2)
+    assert(math.abs(s2 / 3000.0 - 0.5) < 0.05) // default rate ~50%
+  }
+
   test("documents shorter than k chars produce no rows; shorter than w grams one window") {
     val m = fps(docs(1L -> "abc", 2L -> "abcdef"))
     assert(!m.contains(1L)) // 3 chars < k=5: no grams
