@@ -353,8 +353,15 @@ object DedupOps {
     // materialized RDD, so lineage (and analysis cost) stays O(1) per
     // iteration — without it each round references the previous plan
     // twice and the plan tree doubles every iteration.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    //
+    // The first hop is folded into initialization: with identity starting
+    // labels, one propagation is exactly min(own id, min direct
+    // neighbour) — a single aggregation over the symmetric edge list, no
+    // label join needed. On the star/clique components LSH emits this
+    // alone converges most nodes.
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
       .localCheckpoint()
     def propagate(ls: DataFrame): DataFrame = {
       val incoming = edges
@@ -363,19 +370,24 @@ object DedupOps {
       ls.join(incoming, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
     }
+    // Convergence check without a prev-vs-next join: labels only ever
+    // decrease, so the label total strictly drops iff anything changed.
+    // decimal(38,0) keeps the sum exact for any id range a corpus can hold.
+    def labelTotal(ls: DataFrame): java.math.BigDecimal =
+      ls.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevTotal = labelTotal(labels)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var changed = true
+    while (changed && iter < maxIter) {
       // Two propagation hops per materialization round: the checkpoint +
-      // convergence count dominate each round's wall time, so halving
-      // the number of rounds (labels are monotone non-increasing, change
-      // detection compares across both hops) nearly halves the loop.
+      // convergence check dominate each round's wall time, so halving
+      // the number of rounds nearly halves the loop.
       val next = propagate(propagate(labels))
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .select(col("id"), col("label"), (col("label") < col("prev")).as("chg"))
         .localCheckpoint() // eager: materializes and truncates lineage
-      changed = next.filter(col("chg")).count()
-      labels = next.select(col("id"), col("label"))
+      val t = labelTotal(next)
+      changed = t.compareTo(prevTotal) < 0
+      prevTotal = t
+      labels = next
       iter += 1
     }
     edges.unpersist(blocking = false)
