@@ -285,6 +285,89 @@ object EmbeddingOps {
     rerankTopK(candidates, corpus, queries, k)
   }
 
+  /** Scalar int8 quantization of the embedding column: per-vector max-abs
+    * scale, `q[i] = round(v[i]/scale)` in [-127,127]. Output
+    * `(vec_id, qemb: binary, scale: double)` — 4× smaller than float32,
+    * which is the whole point at scale: broadcast tables, shuffle
+    * payloads, and cached indexes shrink 4×, and the int8 scan is the
+    * memory-bandwidth-bound inner loop of a real vector store. Cosine is
+    * scale-invariant, so ranking in the quantized domain needs no
+    * dequantization; `scale` is kept for reconstruction. */
+  def quantize(embs: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    embs.select(col(idCol), asDouble(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, emb) =>
+          val v = emb.toArray
+          var m = 0.0; var i = 0
+          while (i < v.length) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+          val scale = if (m == 0.0) 1.0 else m / 127.0
+          val q = new Array[Byte](v.length)
+          i = 0
+          while (i < v.length) { q(i) = math.round(v(i) / scale).toByte; i += 1 }
+          (id, q, scale)
+        }
+      }.toDF(idCol, "qemb", "scale")
+  }
+
+  /** Approximate top-k over int8-quantized vectors with exact re-rank.
+    *
+    * The scan kernel holds the (broadcast) quantized query set and a
+    * bounded min-heap of `k × rerankFactor` candidates **per query per
+    * partition**: similarity is an integer dot product, and only the heap
+    * survivors leave the partition — shuffle volume is
+    * O(partitions × queries × k·rerankFactor), independent of corpus
+    * size, where [[exactTopK]] shuffles every (query, corpus) pair into
+    * the rank window. The survivors are re-ranked in exact double
+    * precision, so the output schema and determinism guarantees match
+    * [[exactTopK]]; only recall is approximate (int8 rounding can demote
+    * a true neighbor past the heap boundary — asserted ≥0.9 in tests). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qq: Array[(Long, Array[Byte])] = quantize(queries)
+      .select(col("vec_id"), col("qemb")).as[(Long, Array[Byte])].collect()
+    val bc = spark.sparkContext.broadcast(qq)
+    val m = k * rerankFactor
+    val candidates = quantize(corpus)
+      .select(col("vec_id"), col("qemb")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(-_._1)))
+        it.foreach { case (cid, cq) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val qv = qs(qi)._2
+            if (qs(qi)._1 != cid) {
+              require(qv.length == cq.length,
+                s"quantized dim mismatch: query ${qv.length} vs corpus ${cq.length}")
+              var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+              while (i < cq.length) {
+                val a = qv(i).toLong; val b = cq(i).toLong
+                dot += a * b; na += a * a; nb += b * b; i += 1
+              }
+              val sim =
+                if (na == 0L || nb == 0L) -2.0
+                else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+              val h = heaps(qi)
+              if (h.size < m) h.enqueue((sim, cid))
+              else if (sim > h.head._1) { h.dequeue(); h.enqueue((sim, cid)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (_, cid) => (qs(qi)._1, cid) }
+        }
+      }.toDF("q_id", "c_id")
+      .dropDuplicates("q_id", "c_id")
+    rerankTopK(candidates, corpus, queries, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (the vector member of the dedup
     * family): banded sign-LSH self-join candidates (band width adapted to
     * the threshold via [[bandBitsFor]], per-bucket star cap via

@@ -241,6 +241,37 @@ object TextOps {
     docs.filter(bucket < threshold)
   }
 
+  /** Deterministic training-shard assignment: every row gets a `shard`
+    * in [0, nShards) and an `ord` — a second, independently-salted hash
+    * that defines a reproducible pseudo-random interleave order within
+    * each shard (the "globally shuffled" read order a trainer wants,
+    * without `rand()` and without a global sort: ordering by a hash IS a
+    * shuffle of the key space). Both pure codegen'd expressions;
+    * [[writeTrainingShards]] turns them into files with exactly one
+    * shuffle. */
+  def shardForTraining(docs: DataFrame, nShards: Int, keyCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    def grid(salt: String): Column =
+      conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 8), 16, 10)
+        .cast("long")
+    docs.withColumn("shard", (grid(":shard") % nShards).cast("int"))
+      .withColumn("ord", grid(":order"))
+  }
+
+  /** Write the corpus as training shards: one shuffle (repartition on
+    * `shard`), hash-interleaved order within each file via
+    * `sortWithinPartitions` (local spillable sort, no global exchange),
+    * one parquet directory per shard. */
+  def writeTrainingShards(docs: DataFrame, path: String, nShards: Int): Unit =
+    shardForTraining(docs, nShards)
+      .repartition(nShards, col("shard"))
+      // shard leads the sort so the partitioned writer's required
+      // ordering (partition columns first) is already satisfied — without
+      // it the write path inserts its own shard-only sort and the ord
+      // order inside each file is lost.
+      .sortWithinPartitions(col("shard"), col("ord"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** One-pass curation pipeline — the composite a training-data run
     * executes per corpus snapshot: score every document, keep one
     * representative per exact-duplicate group (minimum doc_id over the

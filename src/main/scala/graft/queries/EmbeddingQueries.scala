@@ -35,6 +35,12 @@ object EmbeddingQueries {
       val (corpus, queries) = split(s, dir)
       EmbeddingOps.ivfTopK(corpus, queries, k = 3)
     },
+    // Int8-quantized scan + exact re-rank (rows-only: int8 rounding is
+    // approximate; recall vs exactTopK asserted in spec).
+    "ann_quantized_topk" -> { (s, dir) =>
+      val (corpus, queries) = split(s, dir)
+      EmbeddingOps.quantizedTopK(corpus, queries, k = 3)
+    },
     // Embedding-cosine near-dup (dedup family, vector modality). No SQL
     // oracle: sign-LSH recall at this similarity band is ~0.5, so the
     // driver records a rows-only check; precision/recall are asserted in

@@ -66,6 +66,16 @@ object TextQueries {
     // Gopher-style repeated-2-gram stats per document.
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionStats(Tables.documents(s, dir))
+    },
+    // Training-shard assignment summary: per shard, the doc count and the
+    // first document in the hash-interleaved read order (proves the order
+    // is reproducible cross-engine, not just the partitioning).
+    "pipeline_shard" -> { (s, dir) =>
+      TextOps.shardForTraining(Tables.documents(s, dir), nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          min_by(col("doc_id"), col("ord")).as("first_doc"))
     })
 
   private def statsSqlOver(table: String): String = statsSqlBody + table
@@ -145,6 +155,16 @@ object TextQueries {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM b GROUP BY 1""".stripMargin,
+    "pipeline_shard" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT)
+        |      % 8 AS INT) AS shard,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':order'), 1, 8)) AS BIGINT) AS ord
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  arg_min(doc_id, ord) AS first_doc
+        |FROM b GROUP BY shard""".stripMargin,
     // 3-grams via list comprehension (inclusive slicing: t[i:i+2] is
     // three tokens); eval grams left-joined so unhit docs report 0.
     "pipeline_decontam" ->

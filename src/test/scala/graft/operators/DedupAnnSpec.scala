@@ -215,6 +215,37 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall") // sign-LSH at cos~0.4: ~0.5 expected
   }
 
+  test("int8 quantization: bounded reconstruction error, cosine preserved") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = EmbeddingOps.quantize(emb)
+      .join(emb.select(col("vec_id"), col("embedding").cast("array<double>").as("orig")), "vec_id")
+      .collect()
+    assert(q.length === emb.count())
+    q.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("qemb")
+      val scale = r.getDouble(r.fieldIndex("scale"))
+      val orig = r.getSeq[Double](r.fieldIndex("orig"))
+      assert(bytes.length === orig.length)
+      // Max-abs scalar quantization: every component within scale/2.
+      bytes.zip(orig).foreach { case (b, o) =>
+        assert(math.abs(b * scale - o) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
+  test("quantized ANN recall against the exact baseline") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = EmbeddingOps.exactTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = EmbeddingOps.quantizedTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    info(s"int8 quantized top-k recall: $recall")
+    assert(recall >= 0.9, s"recall $recall")
+    assert(quant.map(_._1).size === 20, "every query answered")
+  }
+
   test("exact ANN: ranks are 1..k per query, no self matches") {
     val emb = Tables.embeddings(spark, sf0001)
     val res = EmbeddingOps.exactTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()

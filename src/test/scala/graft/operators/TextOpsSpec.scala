@@ -120,6 +120,29 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(s2 / 3000.0 - 0.5) < 0.05) // default rate ~50%
   }
 
+  test("shardForTraining: balanced shards, stable interleave, files round-trip in ord order") {
+    import graft.SharedSpark.spark.implicits._
+    val d = graft.SharedSpark.spark.range(8000).toDF("doc_id")
+    val sharded = TextOps.shardForTraining(d, nShards = 8)
+    val counts = sharded.groupBy("shard").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === (0 until 8).toSet)
+    assert(counts.values.forall(c => math.abs(c - 1000.0) < 150), s"balanced-ish: $counts")
+    // Interleave order is a property of the key, not the frame.
+    val o1 = sharded.filter($"doc_id" === 7).select("ord").head().getLong(0)
+    val o2 = TextOps.shardForTraining(d.repartition(11), 8)
+      .filter($"doc_id" === 7).select("ord").head().getLong(0)
+    assert(o1 === o2)
+    // The written files preserve the hash-interleaved order per shard.
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    TextOps.writeTrainingShards(d, out, nShards = 4)
+    val back = graft.SharedSpark.spark.read.parquet(out)
+    assert(back.count() === 8000)
+    assert(back.select("shard").distinct().count() === 4)
+    val shard0 = graft.SharedSpark.spark.read
+      .parquet(s"$out/shard=0").select("ord").as[Long].collect()
+    assert(shard0.toSeq === shard0.sorted.toSeq, "within-file order is the interleave order")
+  }
+
   test("documents shorter than k chars produce no rows; shorter than w grams one window") {
     val m = fps(docs(1L -> "abc", 2L -> "abcdef"))
     assert(!m.contains(1L)) // 3 chars < k=5: no grams
