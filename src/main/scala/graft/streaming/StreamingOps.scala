@@ -33,6 +33,20 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming curation: the full intake gate a live ingest pipeline
+    * runs per document — dedup within the watermark, quality + language
+    * gate, then the deterministic hash-grid split label. Everything
+    * downstream of the dedup is a stateless codegen'd projection/filter
+    * ([[TextOps]] columns are engine-agnostic), so the only streaming
+    * state is the watermark-bounded fingerprint set. */
+  def curateStream(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en"): DataFrame =
+    TextOps.assignSplits(
+      dedupStream(docs)
+        .withColumn("quality_score", TextOps.qualityScore(col("text")))
+        .withColumn("lang_guess", TextOps.langGuess(col("text")))
+        .filter(col("quality_score") >= minQuality && col("lang_guess") === lang))
+      .select(col("doc_id"), col("quality_score"), col("split"))
+
   case class StreamRead(contig: String, pos_start: Int, pos_end: Int, ts: Timestamp)
   case class ContigProgress(contig: String, n_reads: Long, min_pos: Int, max_pos: Int, covered_span: Long)
 

@@ -57,6 +57,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** The pipeline composites' scale claims, enforced as plan shapes. */
+  test("decontamination broadcasts the eval side; split/sample plan no exchange") {
+    val decontam = SparkEntry.queries("pipeline_decontam")(spark, sf0001)
+      .queryExecution.executedPlan
+    val dText = treeStrings(decontam).mkString("\n")
+    assert(dText.contains("BroadcastHashJoin"),
+      s"eval gram set must broadcast, not shuffle:\n$dText")
+    // Split assignment and stratified sampling are scan-speed expressions:
+    // nothing may shuffle before their aggregation/filter.
+    val sample = SparkEntry.queries("pipeline_sample")(spark, sf0001)
+      .queryExecution.executedPlan
+    val sText = treeStrings(sample).mkString("\n")
+    assert(!sText.contains("Exchange"), s"sampling must not shuffle:\n$sText")
+  }
+
   /** P4 analogue: the reference pushes `contig + pos range` predicates to
     * the BAI index (`datasources/BAM/AlignmentRelation.scala:316-367`);
     * on parquet the same selective-read behavior comes from row-group

@@ -48,6 +48,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation: dedup + quality gate + split label in one stream") {
+    import graft.SharedSpark.spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    // "tiny" scores 0.51 (short but all-distinct); longDoc ~0.9.
+    val query = StreamingOps.curateStream(df, minQuality = 0.6)
+      .writeStream.format("memory").queryName("curated").outputMode("append").start()
+    val longDoc = (1 to 40).map(i => s"word$i").mkString(" ")
+    in.addData(
+      (ts(1), 1L, longDoc),
+      (ts(2), 2L, longDoc), // exact dup of 1 → dropped by streaming dedup
+      (ts(3), 3L, "tiny"), // quality below the gate → dropped
+      (ts(4), 4L, longDoc + " unique tail"))
+    run(query) {
+      val rows = spark.table("curated").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(rows.keySet === Set(1L, 4L))
+      // The split label matches the batch assignment for the same key.
+      val batch = graft.operators.TextOps.assignSplits(Seq(1L).toDF("doc_id"))
+        .select("split").head().getString(0)
+      assert(rows(1L) === batch)
+    }
+  }
+
   test("stream-static interval join annotates reads against static targets") {
     import graft.SharedSpark.spark.implicits._
     val targets = Seq(
