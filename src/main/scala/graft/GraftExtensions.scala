@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(IntervalJoinStrategy(_))
     ext.injectPlannerStrategy(plans.GenomicStrategy(_))
     functions.GraftFunctions.registrations.foreach(ext.injectFunction)
+    functions.TextFunctions.registrations.foreach(ext.injectFunction)
     plans.GraftTableFunctions.registrations.foreach(ext.injectTableFunction)
   }
 }

@@ -146,16 +146,21 @@ object TextOps {
     * scan speed with no shuffle at all. */
   def assignSplits(docs: DataFrame,
       weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-      keyCol: String = "doc_id"): DataFrame = {
+      keyCol: String = "doc_id"): DataFrame =
+    docs.withColumn("split", splitColumn(col(keyCol), weights))
+
+  /** The split-label expression behind [[assignSplits]], exposed so the
+    * SQL surface (`split_assign(key)`) shares the identical composition. */
+  def splitColumn(key: Column,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): Column = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got $weights")
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+    val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") % 1000000L
     val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(w => (w * 1000000L).toLong)
-    val assigned = weights.zip(cuts).init.foldRight(lit(weights.last._1): Column) {
+    weights.zip(cuts).init.foldRight(lit(weights.last._1): Column) {
       case (((name, _), cut), acc) => when(bucket < lit(cut), lit(name)).otherwise(acc)
     }
-    docs.withColumn("split", assigned)
   }
 
   /** Array of all `n`-token grams of `text`, each a struct of `n`

@@ -67,6 +67,19 @@ object TextQueries {
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionStats(Tables.documents(s, dir))
     },
+    // The curation columns through the SQL surface only (TextFunctions
+    // registered via GraftExtensions) — proves a SQL-only user gets the
+    // identical pipeline.
+    "text_sql_surface" -> { (s, dir) =>
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs_sql")
+      s.sql("""SELECT doc_id,
+              |  token_count(text) AS n_tokens,
+              |  quality_score(text) AS quality_score,
+              |  lang_guess(text) AS lang_guess,
+              |  doc_fingerprint(text) AS fingerprint,
+              |  split_assign(doc_id) AS split
+              |FROM graft_docs_sql""".stripMargin)
+    },
     // Training-shard assignment summary: per shard, the doc count and the
     // first document in the hash-interleaved read order (proves the order
     // is reproducible cross-engine, not just the partitioning).
@@ -155,6 +168,29 @@ object TextQueries {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM b GROUP BY 1""".stripMargin,
+    "text_sql_surface" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens,
+        |  least(1.0, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 50.0) * 0.5
+        |    + CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) * 0.5 AS quality_score,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            x -> x IN ('der','die','das','und','nicht'))) > 0 THEN 'de'
+        |       WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            x -> x IN ('le','les','et','est','une'))) > 0 THEN 'fr'
+        |       WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            x -> x IN ('el','los','las','es','una'))) > 0 THEN 'es'
+        |       ELSE 'en' END AS lang_guess,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  CASE WHEN bk < 900000 THEN 'train'
+        |       WHEN bk < 950000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     "pipeline_shard" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -13,6 +13,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Convert eagerly to a plain catalyst tree (`UnresolvedFunction` etc.)
+    * instead of the lazy `ColumnNodeExpression` wrapper [[expression]]
+    * yields. Required when the expression is returned from an
+    * `injectFunction` builder: the analyzer resolves nested unresolved
+    * functions in its normal fixpoint, but never looks inside a
+    * ColumnNode wrapper (it reaches codegen Unevaluable). */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap an execution-time `RDD[InternalRow]` back into a DataFrame so a
     * physical operator can run a DataFrame-expressed pipeline over its
     * child's output (`internalCreateDataFrame` is `private[sql]`). */

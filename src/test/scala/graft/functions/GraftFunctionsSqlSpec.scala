@@ -69,6 +69,29 @@ class GraftFunctionsSqlSpec extends SparkSpec {
       }
   }
 
+  test("text-curation SQL functions match the DataFrame columns exactly") {
+    import graft.SharedSpark.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "the quick brown fox and the lazy dog"),
+      (2L, "der hund und die katze"), (3L, "a a a a a"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tf_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, token_count(text) AS n_tokens,
+        |  quality_score(text) AS q, lang_guess(text) AS lg,
+        |  doc_fingerprint(text) AS fp, split_assign(doc_id) AS split
+        |FROM tf_docs""".stripMargin).collect()
+    val viaDf = graft.operators.TextOps.assignSplits(docs)
+      .select(col("doc_id"), graft.operators.TextOps.tokenCount(col("text")),
+        graft.operators.TextOps.qualityScore(col("text")),
+        graft.operators.TextOps.langGuess(col("text")),
+        graft.operators.TextOps.fingerprint(col("text")), col("split"))
+      .collect()
+    assert(viaSql.map(_.toString).sorted.toSeq === viaDf.map(_.toString).sorted.toSeq)
+    // Registration must not shadow any stock function the session uses.
+    assert(spark.sql("SELECT reflect('java.lang.String','valueOf', 7)").head.getString(0) === "7")
+  }
+
   test("unclean_contig restores UCSC names and inverts clean_contig") {
     import graft.SharedSpark.spark.implicits._
     val names = Seq("1", "22", "X", "Y", "MT", "7_alt")
