@@ -115,6 +115,16 @@ class GraftSession(val spark: SparkSession) {
     TextOps.repetitionStats(docs, n)
 
   def sql(text: String): DataFrame = spark.sql(text)
+
+  /** Release operator-internal caches. The multi-consumer operators
+    * (dedup/ANN/coverage) persist intermediate frames as part of the
+    * lazy result lineage — they cannot unpersist inside the operator
+    * (the caller hasn't consumed the result yet). Call this between
+    * corpus-sized pipeline runs, as `Bench`/`Verify` do; per-block
+    * eviction also happens naturally under executor memory pressure
+    * (everything is MEMORY_AND_DISK, nothing is pinned). */
+  def clearOperatorCaches(): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 }
 
 object GraftSession {

@@ -136,6 +136,33 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
 
+  /** Per-document top-`k` keywords by tf-idf. The idf factor is the raw
+    * ratio `N/df` rather than the textbook `ln(N/df)`: multiplication and
+    * division are exactly-rounded IEEE operations, so the score — and
+    * therefore the ranking — is bit-identical across engines and the
+    * oracle check stays exact (`ln` falls to each engine's libm and can
+    * differ in the last ulp, flipping near-tie ranks). Within a document
+    * both variants are monotone in tf and anti-monotone in df; ties break
+    * on the token.
+    *
+    * Plan shape: one explode, two hash aggregations, a token join (AQE
+    * broadcasts it when the vocabulary is small), a per-doc rank window —
+    * every stage keyed, nothing driver-side except the corpus count. */
+  def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("token")).agg(count_distinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("score", col("tf").cast("double") * (lit(n.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
   /** Deterministic train/val/test split assignment: every row gets a
     * `split` label from the first 8 hex digits of `md5(key)` mapped onto
     * a fixed 10⁶-bucket grid cut at the cumulative weights. No RNG —

@@ -67,6 +67,10 @@ object TextQueries {
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionStats(Tables.documents(s, dir))
     },
+    // Per-document top-5 keywords by (exact-arithmetic) tf-idf.
+    "text_top_terms" -> { (s, dir) =>
+      TextOps.topTerms(Tables.documents(s, dir))
+    },
     // The curation columns through the SQL surface only (TextFunctions
     // registered via GraftExtensions) — proves a SQL-only user gets the
     // identical pipeline.
@@ -168,6 +172,20 @@ object TextQueries {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM b GROUP BY 1""".stripMargin,
+    "text_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |t AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2),
+        |d AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks WHERE token <> '' GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id, t.token, t.tf, d.df,
+        |    CAST(t.tf AS DOUBLE)
+        |      * (CAST((SELECT count(*) FROM documents) AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+        |  FROM t JOIN d USING (token)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+        |      FROM s)
+        |SELECT doc_id, CAST(rk AS INT) AS rank, token, tf, df, score FROM r WHERE rk <= 5""".stripMargin,
     "text_sql_surface" ->
       """WITH b AS (
         |  SELECT doc_id, text,

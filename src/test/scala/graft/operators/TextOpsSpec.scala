@@ -143,6 +143,22 @@ class TextOpsSpec extends SparkSpec {
     assert(shard0.toSeq === shard0.sorted.toSeq, "within-file order is the interleave order")
   }
 
+  test("topTerms: rare repeated tokens outrank common ones, ranks 1..k") {
+    import graft.SharedSpark.spark.implicits._
+    val d = Seq(
+      (1L, "rare rare common common common"),
+      (2L, "common common other"),
+      (3L, "common unrelated words here")).toDF("doc_id", "text")
+    val top = TextOps.topTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // doc 1: "rare" tf=2 df=1 → score 6; "common" tf=3 df=3 → score 3.
+    assert(top((1L, 1)) === "rare")
+    assert(top((1L, 2)) === "common")
+    // doc 2: "other" tf=1 df=1 → 3; "common" tf=2 df=3 → 2.
+    assert(top((2L, 1)) === "other")
+    assert(top((2L, 2)) === "common")
+  }
+
   test("documents shorter than k chars produce no rows; shorter than w grams one window") {
     val m = fps(docs(1L -> "abc", 2L -> "abcdef"))
     assert(!m.contains(1L)) // 3 chars < k=5: no grams
