@@ -273,6 +273,37 @@ object TextOps {
     docs.filter(bucket < threshold)
   }
 
+  /** Deterministic fractional upsampling — the "epochs per source" knob
+    * of a training mixture ("see wiki 2.5×, web 1×"): every row is
+    * repeated `floor(f)` times, plus one more when its salted hash bucket
+    * falls under `frac(f)` — so expected multiplicity is exactly `f`, the
+    * decision is per-key reproducible (same row always gets the same
+    * count), and a `copy` index column disambiguates the repeats.
+    * Downsampling composes: `f < 1` keeps a row with probability `f`
+    * ([[sampleByStratum]] is the `f ≤ 1` special case with its own salt).
+    * Pure codegen'd `explode(sequence(...))` — no shuffle, no RNG, scales
+    * as a scan. */
+  def resampleByWeight(docs: DataFrame, weights: Map[String, Double], defaultWeight: Double = 1.0,
+      stratumCol: String = "source", keyCol: String = "doc_id"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      s"weights must be >= 0, got $weights default $defaultWeight")
+    val bucket = conv(substring(md5(concat(col(keyCol).cast("string"), lit(":resample"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    def copiesOf(f: Double): Column = {
+      val whole = math.floor(f).toLong
+      val fracCut = ((f - whole) * 1000000L).toLong
+      lit(whole) + when(bucket < fracCut, 1L).otherwise(0L)
+    }
+    val nCopies = weights.toSeq.sortBy(_._1).foldRight(copiesOf(defaultWeight)) {
+      case ((stratum, f), acc) => when(col(stratumCol) === stratum, copiesOf(f)).otherwise(acc)
+    }
+    // sequence(1, 0) DESCENDS in Spark — rows with zero copies need an
+    // explicit empty array so explode drops them.
+    docs.withColumn("copy",
+      explode(when(nCopies >= 1L, sequence(lit(1L), nCopies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Deterministic training-shard assignment: every row gets a `shard`
     * in [0, nShards) and an `ord` — a second, independently-salted hash
     * that defines a reproducible pseudo-random interleave order within

@@ -67,6 +67,16 @@ object TextQueries {
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionStats(Tables.documents(s, dir))
     },
+    // Deterministic mixture resampling: src0 seen 2.5x, src1 dropped,
+    // the rest 1x; summarized per source with a copy-weighted checksum.
+    "pipeline_resample" -> { (s, dir) =>
+      TextOps.resampleByWeight(Tables.documents(s, dir),
+          Map("src0" -> 2.5, "src1" -> 0.0))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          sum(col("doc_id") * col("copy")).as("checksum"))
+    },
     // Per-document top-5 keywords by (exact-arithmetic) tf-idf.
     "text_top_terms" -> { (s, dir) =>
       TextOps.topTerms(Tables.documents(s, dir))
@@ -172,6 +182,22 @@ object TextQueries {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM b GROUP BY 1""".stripMargin,
+    "pipeline_resample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':resample'), 1, 8)) AS BIGINT)
+        |      % 1000000 AS bk
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN 2 + (CASE WHEN bk < 500000 THEN 1 ELSE 0 END)
+        |         WHEN source = 'src1' THEN 0
+        |         ELSE 1 END AS n_copies
+        |  FROM b),
+        |e AS (SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy FROM n)
+        |SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(SUM(doc_id * copy) AS BIGINT) AS checksum
+        |FROM e GROUP BY source""".stripMargin,
     "text_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

@@ -143,6 +143,26 @@ class TextOpsSpec extends SparkSpec {
     assert(shard0.toSeq === shard0.sorted.toSeq, "within-file order is the interleave order")
   }
 
+  test("resampleByWeight: expected multiplicity, zero drops, deterministic") {
+    import graft.SharedSpark.spark.implicits._
+    val d = graft.SharedSpark.spark.range(9000)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), (col("id") % 3).cast("string")).as("source"))
+    val out = TextOps.resampleByWeight(d, Map("s0" -> 2.5, "s1" -> 0.0))
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySource.contains("s1"))
+    assert(bySource("s2") === 3000L) // weight 1.0: exactly once
+    assert(math.abs(bySource("s0") - 7500.0) < 400, s"~2.5x: ${bySource("s0")}")
+    // Per-key determinism: same counts on a reshuffled frame.
+    val again = TextOps.resampleByWeight(d.repartition(13), Map("s0" -> 2.5, "s1" -> 0.0))
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === bySource)
+    // Copy indices are 1..n per key.
+    val copies = out.filter($"doc_id" === 0L).select("copy").as[Long].collect().sorted
+    assert(copies.head === 1L && copies.toSeq === (1L to copies.length).toSeq)
+  }
+
   test("topTerms: rare repeated tokens outrank common ones, ranks 1..k") {
     import graft.SharedSpark.spark.implicits._
     val d = Seq(
