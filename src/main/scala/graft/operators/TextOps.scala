@@ -136,6 +136,39 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
 
+  /** Redaction patterns applied in order: emails first (their local parts
+    * contain digit runs), then IPv4 (dotted digits would otherwise feed
+    * the phone pattern), then card/account-shaped 13-19-digit runs
+    * (before phones — a 16-digit card is also a valid phone-pattern
+    * match), then phone-shaped numbers. Patterns stay in the portable
+    * common subset of Java regex and RE2 — no lookaround — so the DuckDB
+    * oracle applies the identical expressions. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\d{13,19}", "<NUMBER>"),
+    ("\\+?\\d{3}[- ]?\\d{3,4}[- ]?\\d{4}", "<PHONE>"))
+
+  /** PII-redacted text: every [[PiiPatterns]] match replaced by its typed
+    * placeholder. A pure `regexp_replace` chain — codegen'd, scan speed,
+    * the shape of every at-scale PII scrub (entity-model NER would slot
+    * in as a downstream pass, not a replacement for the regex floor). */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (re, tag)) => regexp_replace(t, re, tag) }
+
+  /** Per-document redaction report: counts per PII class (counted on the
+    * progressively redacted text, same order as [[redactPii]], so an
+    * email's digits are never also a "phone") plus the redacted text's
+    * fingerprint. */
+  def piiStats(docs: DataFrame): DataFrame = {
+    val names = Seq("n_emails", "n_ips", "n_numbers", "n_phones")
+    val (cols, _) = names.zip(PiiPatterns).foldLeft((Seq.empty[Column], col("text"))) {
+      case ((acc, t), (name, (re, tag))) =>
+        (acc :+ size(regexp_extract_all(t, lit(re), lit(0))).as(name), regexp_replace(t, re, tag))
+    }
+    docs.select(col("doc_id") +: cols :+ md5(redactPii(col("text"))).as("redacted_fp"): _*)
+  }
+
   /** Per-document top-`k` keywords by tf-idf. The idf factor is the raw
     * ratio `N/df` rather than the textbook `ln(N/df)`: multiplication and
     * division are exactly-rounded IEEE operations, so the score — and

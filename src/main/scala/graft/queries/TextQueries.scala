@@ -67,6 +67,12 @@ object TextQueries {
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionStats(Tables.documents(s, dir))
     },
+    // PII redaction report (this corpus is synthetic word salad, so the
+    // counts are zero and redaction is the identity — the oracle pins the
+    // regex chain cross-engine; planted-PII behavior is spec-tested).
+    "pipeline_redact" -> { (s, dir) =>
+      TextOps.piiStats(Tables.documents(s, dir))
+    },
     // Deterministic mixture resampling: src0 seen 2.5x, src1 dropped,
     // the rest 1x; summarized per source with a copy-weighted checksum.
     "pipeline_resample" -> { (s, dir) =>
@@ -182,6 +188,26 @@ object TextQueries {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM b GROUP BY 1""".stripMargin,
+    "pipeline_redact" ->
+      """WITH t0 AS (SELECT doc_id, text FROM documents),
+        |t1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+        |  FROM t0),
+        |t2 AS (SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |  FROM t1),
+        |t3 AS (SELECT doc_id, n_emails, n_ips,
+        |  CAST(len(regexp_extract_all(text, '\d{13,19}')) AS INT) AS n_numbers,
+        |  regexp_replace(text, '\d{13,19}', '<NUMBER>', 'g') AS text
+        |  FROM t2),
+        |t4 AS (SELECT doc_id, n_emails, n_ips, n_numbers,
+        |  CAST(len(regexp_extract_all(text, '\+?\d{3}[- ]?\d{3,4}[- ]?\d{4}')) AS INT) AS n_phones,
+        |  regexp_replace(text, '\+?\d{3}[- ]?\d{3,4}[- ]?\d{4}', '<PHONE>', 'g') AS text
+        |  FROM t3)
+        |SELECT doc_id, n_emails, n_ips, n_numbers, n_phones, md5(text) AS redacted_fp
+        |FROM t4""".stripMargin,
     "pipeline_resample" ->
       """WITH b AS (
         |  SELECT doc_id, source,

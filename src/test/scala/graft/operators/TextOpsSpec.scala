@@ -143,6 +143,25 @@ class TextOpsSpec extends SparkSpec {
     assert(shard0.toSeq === shard0.sorted.toSeq, "within-file order is the interleave order")
   }
 
+  test("piiStats/redactPii: planted PII redacted and counted by class") {
+    import graft.SharedSpark.spark.implicits._
+    val d = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or 10.0.0.1 today"),
+      (2L, "call +123 456-7890 card 4111111111111111 ok"),
+      (3L, "clean document with no identifiers at all")).toDF("doc_id", "text")
+    val stats = TextOps.piiStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // Columns: (n_emails, n_ips, n_numbers, n_phones).
+    assert(stats(1L) === ((1, 1, 0, 0)))
+    assert(stats(2L) === ((0, 0, 1, 1)))
+    assert(stats(3L) === ((0, 0, 0, 0)))
+    val redacted = d.select($"doc_id", TextOps.redactPii($"text").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redacted(1L) === "contact <EMAIL> or <IP> today")
+    assert(redacted(2L) === "call <PHONE> card <NUMBER> ok")
+    assert(redacted(3L) === "clean document with no identifiers at all")
+  }
+
   test("resampleByWeight: expected multiplicity, zero drops, deterministic") {
     import graft.SharedSpark.spark.implicits._
     val d = graft.SharedSpark.spark.range(9000)
