@@ -116,13 +116,16 @@ class GraftSession(val spark: SparkSession) {
 
   def sql(text: String): DataFrame = spark.sql(text)
 
-  /** Release operator-internal caches. The multi-consumer operators
-    * (dedup/ANN/coverage) persist intermediate frames as part of the
-    * lazy result lineage — they cannot unpersist inside the operator
-    * (the caller hasn't consumed the result yet). Call this between
-    * corpus-sized pipeline runs, as `Bench`/`Verify` do; per-block
-    * eviction also happens naturally under executor memory pressure
-    * (everything is MEMORY_AND_DISK, nothing is pinned). */
+  /** Release ALL persistent RDD blocks in the context — the
+    * operator-internal persists of the multi-consumer operators
+    * (dedup/ANN/coverage, which cannot unpersist inside the operator:
+    * the caller hasn't consumed the lazy result yet), but also any
+    * caches and `localCheckpoint` blocks of frames you are still
+    * holding, whose recomputation may then fail (checkpoints truncate
+    * lineage). Call it between corpus-sized pipeline runs after
+    * materializing what you need, as `Bench`/`Verify` do. Skipping it
+    * is safe too: everything is MEMORY_AND_DISK and evicts under
+    * memory pressure, nothing is pinned. */
   def clearOperatorCaches(): Unit =
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 }

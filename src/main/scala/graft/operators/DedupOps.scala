@@ -377,7 +377,9 @@ object DedupOps {
       ls.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevTotal = labelTotal(labels)
     var iter = 0
-    var changed = true
+    // sum over an empty frame is null: no pairs → no labels → already
+    // converged (the count()-based r2 check exited the same way).
+    var changed = prevTotal != null
     while (changed && iter < maxIter) {
       // Two propagation hops per materialization round: the checkpoint +
       // convergence check dominate each round's wall time, so halving

@@ -336,8 +336,15 @@ object EmbeddingOps {
       .select(col("vec_id"), col("qemb")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val qs = bc.value
+        // The dequeued (max-priority) element is the WORST candidate:
+        // lowest sim, ties broken toward the larger id — the same
+        // (sim desc, id asc) order rerankTopK uses, so heap survival is
+        // a pure function of the candidate set, not partition layout.
+        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+          case (sim, cid) => (-sim, cid)
+        }
         val heaps = Array.fill(qs.length)(
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(-_._1)))
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
         it.foreach { case (cid, cq) =>
           var qi = 0
           while (qi < qs.length) {
@@ -355,7 +362,7 @@ object EmbeddingOps {
                 else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
               val h = heaps(qi)
               if (h.size < m) h.enqueue((sim, cid))
-              else if (sim > h.head._1) { h.dequeue(); h.enqueue((sim, cid)) }
+              else if (worstFirst.lt((sim, cid), h.head)) { h.dequeue(); h.enqueue((sim, cid)) }
             }
             qi += 1
           }

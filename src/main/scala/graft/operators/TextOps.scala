@@ -161,9 +161,12 @@ object TextOps {
     * email's digits are never also a "phone") plus the redacted text's
     * fingerprint. */
   def piiStats(docs: DataFrame): DataFrame = {
-    val names = Seq("n_emails", "n_ips", "n_numbers", "n_phones")
-    val (cols, _) = names.zip(PiiPatterns).foldLeft((Seq.empty[Column], col("text"))) {
-      case ((acc, t), (name, (re, tag))) =>
+    // Column names derive from the tags ("<EMAIL>" -> n_emails), so a
+    // pattern added to PiiPatterns is automatically counted — a separate
+    // name list would silently desync the counts from the redaction.
+    val (cols, _) = PiiPatterns.foldLeft((Seq.empty[Column], col("text"))) {
+      case ((acc, t), (re, tag)) =>
+        val name = "n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase + "s"
         (acc :+ size(regexp_extract_all(t, lit(re), lit(0))).as(name), regexp_replace(t, re, tag))
     }
     docs.select(col("doc_id") +: cols :+ md5(redactPii(col("text"))).as("redacted_fp"): _*)
@@ -184,8 +187,12 @@ object TextOps {
   def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()
+    // Persist barrier: toks fans out into the tf and df branches — left
+    // lazy, the tokenize+explode (and the whole upstream of `docs`)
+    // would execute once per branch (the measured CollapseProject cliff).
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy(col("token")).agg(count_distinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
@@ -217,7 +224,9 @@ object TextOps {
       s"split weights must sum to 1, got $weights")
     val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") % 1000000L
-    val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(w => (w * 1000000L).toLong)
+    // round, not truncate: 0.7*1e6 is 699999.9999… in binary — toLong
+    // would shift the advertised cut by one bucket.
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(w => math.round(w * 1000000L))
     weights.zip(cuts).init.foldRight(lit(weights.last._1): Column) {
       case (((name, _), cut), acc) => when(bucket < lit(cut), lit(name)).otherwise(acc)
     }
@@ -261,10 +270,19 @@ object TextOps {
   def contaminationReport(corpus: DataFrame, evalSet: DataFrame, n: Int = 3): DataFrame = {
     val evalGrams = tokenNgrams(evalSet, n)
       .select(col("gram")).distinct().withColumn("hit", lit(1))
-    tokenNgrams(corpus, n)
+    val counted = tokenNgrams(corpus, n)
       .join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+    // Every corpus document gets a row: a sub-n-token doc has no grams,
+    // and "0 grams checked" must stay distinguishable from "missing from
+    // the report" (a consumer computing scan coverage would silently
+    // lose those docs). One extra doc_id-only column scan.
+    corpus.select(col("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
   /** Intra-document repetition stats (the Gopher-style repeated-n-gram
@@ -299,9 +317,9 @@ object TextOps {
       s"rates must be in [0,1], got $rates default $defaultRate")
     val bucket = conv(substring(md5(concat(col(keyCol).cast("string"), lit(":strat"))), 1, 8), 16, 10)
       .cast("long") % 1000000L
-    val threshold = rates.toSeq.sortBy(_._1).foldRight(lit((defaultRate * 1000000L).toLong): Column) {
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(lit(math.round(defaultRate * 1000000L)): Column) {
       case ((stratum, r), acc) =>
-        when(col(stratumCol) === stratum, lit((r * 1000000L).toLong)).otherwise(acc)
+        when(col(stratumCol) === stratum, lit(math.round(r * 1000000L))).otherwise(acc)
     }
     docs.filter(bucket < threshold)
   }
@@ -324,7 +342,7 @@ object TextOps {
       .cast("long") % 1000000L
     def copiesOf(f: Double): Column = {
       val whole = math.floor(f).toLong
-      val fracCut = ((f - whole) * 1000000L).toLong
+      val fracCut = math.round((f - whole) * 1000000L)
       lit(whole) + when(bucket < fracCut, 1L).otherwise(0L)
     }
     val nCopies = weights.toSeq.sortBy(_._1).foldRight(copiesOf(defaultWeight)) {

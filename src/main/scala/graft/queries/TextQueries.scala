@@ -281,11 +281,15 @@ object TextQueries {
         |  SELECT doc_id, source,
         |    unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS gram
         |  FROM toks),
-        |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
-        |SELECT g.doc_id, count(*) AS n_grams, count(ev.gram) AS n_hits
-        |FROM g LEFT JOIN ev USING (gram)
-        |WHERE g.source <> 'src0'
-        |GROUP BY g.doc_id""".stripMargin,
+        |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |c AS (
+        |  SELECT g.doc_id, count(*) AS n_grams, count(ev.gram) AS n_hits
+        |  FROM g LEFT JOIN ev USING (gram)
+        |  WHERE g.source <> 'src0'
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id, coalesce(c.n_grams, 0) AS n_grams, coalesce(c.n_hits, 0) AS n_hits
+        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+        |LEFT JOIN c USING (doc_id)""".stripMargin,
     "pipeline_sample" ->
       """WITH b AS (
         |  SELECT doc_id, source,

@@ -142,6 +142,21 @@ class DedupAnnSpec extends SparkSpec {
     assert(floodIds === 2000L, s"flood members linked: $floodIds")
   }
 
+  test("clusters on an empty pair set returns an empty frame") {
+    import graft.SharedSpark.spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(DedupOps.clusters(noPairs).count() === 0L)
+  }
+
+  test("quantized ANN is invariant to corpus partitioning") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 10)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      EmbeddingOps.quantizedTopK(c, queries, 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(emb) === run(emb.repartition(29)))
+  }
+
   test("clusters: distributed components equal driver-side union-find") {
     val pairs = DedupOps.nearDupPairs(corpus, threshold = 0.6)
     val edges = pairs.select("id_a", "id_b").collect()

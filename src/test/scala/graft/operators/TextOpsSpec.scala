@@ -86,12 +86,15 @@ class TextOpsSpec extends SparkSpec {
 
   test("contaminationReport: planted overlap counted, clean docs report zero") {
     import graft.SharedSpark.spark.implicits._
-    val corpus = Seq((1L, "p q r s t"), (2L, "u v w x y")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "p q r s t"), (2L, "u v w x y"), (3L, "too short"))
+      .toDF("doc_id", "text")
     val eval = Seq((100L, "q r s zz")).toDF("doc_id", "text")
     val rep = TextOps.contaminationReport(corpus, eval, n = 3)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(rep(1L) === ((3L, 1L))) // "q r s" is the one contaminated gram
     assert(rep(2L) === ((3L, 0L)))
+    // Sub-n docs still appear: 0 grams checked, not silently missing.
+    assert(rep(3L) === ((0L, 0L)))
   }
 
   test("repetitionStats: duplicate-2gram fraction, degenerate docs give 0.0") {
