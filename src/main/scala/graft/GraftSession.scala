@@ -114,6 +114,21 @@ class GraftSession(val spark: SparkSession) {
   def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame =
     TextOps.repetitionStats(docs, n)
 
+  /** Deterministic fractional mixture resampling (epochs per source). */
+  def resampleByWeight(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame =
+    TextOps.resampleByWeight(docs, weights, defaultWeight)
+
+  /** PII redaction report (per-class counts + redacted fingerprint). */
+  def piiStats(docs: DataFrame): DataFrame = TextOps.piiStats(docs)
+
+  /** Per-document tf-idf keywords. */
+  def topTerms(docs: DataFrame, k: Int = 5): DataFrame = TextOps.topTerms(docs, k)
+
+  /** Deterministic training-shard export (one shuffle, interleaved order). */
+  def writeTrainingShards(docs: DataFrame, path: String, nShards: Int): Unit =
+    TextOps.writeTrainingShards(docs, path, nShards)
+
   def sql(text: String): DataFrame = spark.sql(text)
 
   /** Release ALL persistent RDD blocks in the context — the
