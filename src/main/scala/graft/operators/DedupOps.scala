@@ -334,17 +334,42 @@ object DedupOps {
     * dedup pipeline runs after pair generation to pick one representative
     * per cluster.
     *
-    * Distributed min-label propagation: each iteration is one shuffle join
-    * (labels onto edge sources) plus one aggregation (min incoming label
-    * per destination), and stops at the fixpoint. Iterations = component
-    * diameter; LSH components are hub-shaped (stars/cliques — see
-    * [[cappedSelfJoinPairs]]) so the loop converges in a handful of
-    * rounds even on flood-sized clusters. Driver state: one changed-count
-    * per round, never O(data). */
-  def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // Both edge directions in one pass over `pairs` (a union of two
-    // selects would evaluate the upstream pair pipeline twice).
-    val edges = pairs.select(explode(array(
+    * Two modes, the same size-gated pattern as the interval join's
+    * broadcast decision: near-dup EDGES are tiny relative to the corpus
+    * (they are the duplicates, not the data), so up to `localThreshold`
+    * pairs a driver-side union-find answers in one collect (~16 bytes per
+    * pair; the iterative path costs several shuffle rounds of fixed
+    * overhead). Above the gate — flood corpora, all-vs-all boilerplate —
+    * distributed min-label propagation takes over: each iteration is one
+    * shuffle join (labels onto edge sources) plus one aggregation (min
+    * incoming label per destination), stopping at the fixpoint.
+    * Iterations = component diameter; LSH components are hub-shaped
+    * (stars/cliques — see [[cappedSelfJoinPairs]]) so the loop converges
+    * in a handful of rounds even on flood-sized clusters. Driver state in
+    * that mode: one convergence scalar per round, never O(data). */
+  def clusters(pairs: DataFrame, maxIter: Int = 50,
+      localThreshold: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val raw = pairs.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = raw.count() // also materializes the persist barrier
+    if (nPairs <= localThreshold) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      raw.as[(Long, Long)].toLocalIterator().forEachRemaining { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val resolved = parent.keys.toSeq.map(k => (k, find(k)))
+      raw.unpersist(blocking = false)
+      return resolved.toDF("doc_id", "cluster_id").repartition(col("doc_id"))
+    }
+    // Both edge directions in one pass over the persisted pairs.
+    val edges = raw.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
@@ -393,6 +418,7 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    raw.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

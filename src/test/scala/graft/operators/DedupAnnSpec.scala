@@ -172,10 +172,16 @@ class DedupAnnSpec extends SparkSpec {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val truth = parent.keys.map(k => k -> find(k)).toMap
-    val got = DedupOps.clusters(pairs).collect()
+    // localThreshold = 0 forces the distributed label-propagation mode;
+    // the default gate takes the driver union-find path on a set this
+    // small — assert both agree with the ground truth and each other.
+    val distributed = DedupOps.clusters(pairs, localThreshold = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === truth)
-    assert(got.values.toSet.size > 1, "multiple clusters expected")
+    val local = DedupOps.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed === truth)
+    assert(local === truth)
+    assert(truth.values.toSet.size > 1, "multiple clusters expected")
   }
 
   test("clusters survive the capped flood: one component, linear work") {
@@ -185,7 +191,8 @@ class DedupAnnSpec extends SparkSpec {
         "CAST(id % 5 AS STRING)) AS text")
     val docs = corpus.select("doc_id", "text").unionByName(flood)
     val pairs = DedupOps.nearDupPairs(docs, threshold = 0.6, cap = 50)
-    val labels = DedupOps.clusters(pairs)
+    // Distributed mode: the flood is the case the scale path exists for.
+    val labels = DedupOps.clusters(pairs, localThreshold = 0)
       .filter(col("doc_id") >= 2000000L).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length === 500, "every flood doc is in a cluster")
