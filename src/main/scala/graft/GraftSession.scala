@@ -8,8 +8,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * `utvf/SequilaSession.scala:89-113`). */
 case class Coverage(contig: String, pos_start: Int, pos_end: Int, coverage: Int)
 
-/** Typed record of one pileup row (string-rendered alts/quals form). */
-case class Pileup(contig: String, pos: Int, coverage: Int,
+/** Typed record of one pileup row (string-rendered alts/quals form);
+  * `ref` is the reference base at the position (A4, [[operators.MockReference]]). */
+case class Pileup(contig: String, pos: Int, ref: String, coverage: Int,
     count_ref: Long, count_nonref: Long, alts: String, quals: String)
 
 /** Typed Scala facade — parity with the reference's

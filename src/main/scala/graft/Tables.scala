@@ -40,10 +40,25 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /** Alignment-shaped table derived from `lineitem`: one row per read with
-    * `(sample_id, contig, pos_start, pos_end, mapq, flag)`. 1-based,
-    * end-inclusive, read length 1..30. Mirrors reference Alignment schema
-    * (SURVEY §1.2, reference `Alignment.avsc`). */
-  def reads(spark: SparkSession, dir: String): DataFrame =
+    * `(sample_id, contig, pos_start, pos_end, mapq, flag, cigar, ...)`.
+    * 1-based, end-inclusive, read length 1..30. Mirrors reference Alignment
+    * schema (SURVEY §1.2, reference `Alignment.avsc`).
+    *
+    * CIGAR (reference `pileup/model/Read.scala:27-54`): every read of
+    * reference length ≥ 9 whose orderkey % 5 == 0 is spliced (every
+    * sample_id = orderkey % 4 residue class contains such orderkeys, so
+    * all per-sample queries see gapped reads) —
+    * `"<m1>M<n>N<m2>M"` with m1 = n = len div 3, m2 = the remainder — so
+    * the middle third of its span is an N gap that consumes reference
+    * positions but adds no coverage. All other reads are solid
+    * `"<len>M"`. `pos_start`/`pos_end` still bound the full reference
+    * span (len = pos_end - pos_start + 1 in both shapes). Alt positions
+    * of spliced reads are folded into the first M segment (a mismatch
+    * cannot sit in a skipped region). */
+  def reads(spark: SparkSession, dir: String): DataFrame = {
+    val len = expr("CAST(l_suppkey % 30 + 1 AS INT)")
+    val third = expr("CAST((l_suppkey % 30 + 1) div 3 AS INT)")
+    val spliced = expr("l_orderkey % 5 = 0 AND l_suppkey % 30 >= 8")
     lineitem(spark, dir).select(
       concat(lit("s"), (col("l_orderkey") % 4).cast("string")).as("sample_id"),
       (col("l_partkey") % 4).cast("string").as("contig"),
@@ -51,14 +66,20 @@ object Tables {
       ((col("l_orderkey") % 1000) + 1 + (col("l_suppkey") % 30)).cast("int").as("pos_end"),
       (col("l_linenumber") * 10).cast("int").as("mapq"),
       ((col("l_orderkey") % 2) * 1024).cast("int").as("flag"),
+      when(spliced, concat(third.cast("string"), lit("M"), third.cast("string"), lit("N"),
+          (len - third * 2).cast("string"), lit("M")))
+        .otherwise(concat(len.cast("string"), lit("M"))).as("cigar"),
       // Deterministic mismatch info standing in for MD-tag parsing
       // (reference `pileup/MDTagParser.scala`): ~30% of reads carry one
       // alt base at a position inside the read, with a 0..40 base quality.
       (col("l_orderkey") % 10 < 3).as("has_alt"),
-      least(((col("l_orderkey") % 1000) + 1 + (col("l_suppkey") % 7)).cast("int"),
-        ((col("l_orderkey") % 1000) + 1 + (col("l_suppkey") % 30)).cast("int")).as("alt_pos"),
+      when(spliced,
+          ((col("l_orderkey") % 1000) + 1 + (col("l_suppkey") % 7) % third).cast("int"))
+        .otherwise(least(((col("l_orderkey") % 1000) + 1 + (col("l_suppkey") % 7)).cast("int"),
+          ((col("l_orderkey") % 1000) + 1 + (col("l_suppkey") % 30)).cast("int"))).as("alt_pos"),
       substring(lit("ACGT"), (col("l_partkey") % 4).cast("int") + 1, lit(1)).as("alt_base"),
       (col("l_suppkey") % 41).cast("int").as("base_qual"))
+  }
 
   /** BED-shaped interval/annotation table derived from `part`
     * (reference BED source, SURVEY §2.1 S5). */
@@ -126,12 +147,39 @@ object OracleCtes {
       |  CAST(l_orderkey % 1000 + 1 + l_suppkey % 30 AS INT) AS pos_end,
       |  CAST(l_linenumber * 10 AS INT) AS mapq,
       |  CAST((l_orderkey % 2) * 1024 AS INT) AS flag,
+      |  CASE WHEN l_orderkey % 5 = 0 AND l_suppkey % 30 >= 8
+      |    THEN CAST((l_suppkey % 30 + 1) // 3 AS VARCHAR) || 'M' ||
+      |         CAST((l_suppkey % 30 + 1) // 3 AS VARCHAR) || 'N' ||
+      |         CAST(l_suppkey % 30 + 1 - 2 * ((l_suppkey % 30 + 1) // 3) AS VARCHAR) || 'M'
+      |    ELSE CAST(l_suppkey % 30 + 1 AS VARCHAR) || 'M' END AS cigar,
       |  (l_orderkey % 10 < 3) AS has_alt,
-      |  LEAST(CAST(l_orderkey % 1000 + 1 + l_suppkey % 7 AS INT),
-      |        CAST(l_orderkey % 1000 + 1 + l_suppkey % 30 AS INT)) AS alt_pos,
+      |  CASE WHEN l_orderkey % 5 = 0 AND l_suppkey % 30 >= 8
+      |    THEN CAST(l_orderkey % 1000 + 1 + (l_suppkey % 7) % ((l_suppkey % 30 + 1) // 3) AS INT)
+      |    ELSE LEAST(CAST(l_orderkey % 1000 + 1 + l_suppkey % 7 AS INT),
+      |               CAST(l_orderkey % 1000 + 1 + l_suppkey % 30 AS INT)) END AS alt_pos,
       |  substr('ACGT', CAST(l_partkey % 4 AS INT) + 1, 1) AS alt_base,
       |  CAST(l_suppkey % 41 AS INT) AS base_qual
       |  FROM lineitem)""".stripMargin
+
+  /** Per-read covered segments + exploded positions for coverage oracles,
+    * mirroring [[graft.operators.CoverageOps.cigarCoveredSegments]] over
+    * the fixture's two CIGAR shapes (`<len>M` and `<m1>M<n>N<m2>M`): the
+    * first SELECT is the leading M run of every read, the second is the
+    * trailing M run of spliced reads. `keys` are passed through (e.g.
+    * `"contig"` or `"sample_id, contig"`). */
+  def segPositions(src: String, keys: String = "contig"): String =
+    s"""segs AS (
+       |  SELECT $keys, pos_start AS seg_start,
+       |    pos_start + CAST(regexp_extract(cigar, '^(\\d+)M', 1) AS INT) - 1 AS seg_end
+       |  FROM $src
+       |  UNION ALL
+       |  SELECT $keys,
+       |    pos_start + CAST(regexp_extract(cigar, '^(\\d+)M', 1) AS INT)
+       |              + CAST(regexp_extract(cigar, 'M(\\d+)N', 1) AS INT) AS seg_start,
+       |    pos_end AS seg_end
+       |  FROM $src WHERE cigar LIKE '%N%'),
+       |positions AS (
+       |  SELECT $keys, unnest(generate_series(seg_start, seg_end)) AS pos FROM segs)""".stripMargin
 
   val targets: String =
     """targets AS (SELECT CAST(p_partkey % 4 AS VARCHAR) AS contig,

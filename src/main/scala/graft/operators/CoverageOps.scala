@@ -50,17 +50,73 @@ object CoverageOps {
     StructField("pos_end", IntegerType, nullable = false),
     StructField("coverage", IntegerType, nullable = false)))
 
+  /** Reference-covering segments of one read per its CIGAR string
+    * (reference `pileup/model/Read.scala:27-54`): M/=/X consume reference
+    * positions AND add coverage; D/N consume reference positions without
+    * coverage (deletion / spliced intron); I/S/H/P consume none. Adjacent
+    * covering segments produced by a non-reference op in between (e.g.
+    * `5M2I5M`) need no merging — their touching +1/-1 events cancel in the
+    * event scan. Pure per-read loop, no allocation beyond the output. */
+  private[graft] def cigarCoveredSegments(posStart: Int, cigar: String): List[(Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+    var pos = posStart
+    var num = 0
+    var i = 0
+    while (i < cigar.length) {
+      val c = cigar.charAt(i)
+      if (c >= '0' && c <= '9') num = num * 10 + (c - '0')
+      else {
+        c match {
+          case 'M' | '=' | 'X' =>
+            if (num > 0) out += ((pos, pos + num - 1))
+            pos += num
+          case 'D' | 'N' => pos += num
+          case 'I' | 'S' | 'H' | 'P' => ()
+          case other =>
+            throw new IllegalArgumentException(s"unsupported CIGAR op '$other' in '$cigar'")
+        }
+        num = 0
+      }
+      i += 1
+    }
+    out.toList
+  }
+
   /** RLE coverage blocks for a reads DataFrame with
-    * `(contig, pos_start, pos_end)` columns (1-based, end-inclusive). */
+    * `(contig, pos_start, pos_end)` columns (1-based, end-inclusive).
+    * When a `cigar` column is present the event points follow the CIGAR
+    * walk — N/D stretches consume positions without adding coverage, so a
+    * spliced read contributes two (or more) disjoint covered runs. A
+    * null/empty cigar falls back to the solid `[pos_start, pos_end]`
+    * interval. */
   def blocks(reads: DataFrame): DataFrame = {
     val spark = reads.sparkSession
     import spark.implicits._
 
-    val events = reads
-      .select(col("contig"), explode(array(
-        struct(col("pos_start").cast("int").as("pos"), lit(1).as("delta")),
-        struct((col("pos_end") + 1).cast("int").as("pos"), lit(-1).as("delta")))).as("ev"))
-      .select(col("contig"), col("ev.pos").as("pos"), col("ev.delta").as("delta"))
+    val events =
+      if (reads.columns.contains("cigar")) {
+        // Typed kernel, not an expression: a general CIGAR walk is a small
+        // per-read state machine no codegen'd expression composition
+        // expresses; output volume stays 2 rows per covered segment.
+        reads.select(col("contig"), col("pos_start").cast("int"),
+            col("pos_end").cast("int"), col("cigar"))
+          .as[(String, Int, Int, String)]
+          .flatMap { case (contig, start, end, cigar) =>
+            val segs =
+              if (cigar == null || cigar.isEmpty) (start, end) :: Nil
+              else cigarCoveredSegments(start, cigar)
+            segs.iterator.flatMap { case (s, e) =>
+              Iterator((contig, s, 1), (contig, e + 1, -1))
+            }
+          }
+          .toDF("contig", "pos", "delta")
+      } else {
+        reads
+          .select(col("contig"), explode(array(
+            struct(col("pos_start").cast("int").as("pos"), lit(1).as("delta")),
+            struct((col("pos_end") + 1).cast("int").as("pos"), lit(-1).as("delta")))).as("ev"))
+          .select(col("contig"), col("ev.pos").as("pos"), col("ev.delta").as("delta"))
+      }
 
     val sorted = events
       .repartitionByRange(col("contig"), col("pos"))
@@ -198,9 +254,10 @@ object CoverageOps {
   def blocksBy(reads: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "blocksBy needs at least one key column")
     val sep = "\u0001"
+    val passThrough = Seq(col("pos_start"), col("pos_end")) ++
+      (if (reads.columns.contains("cigar")) Seq(col("cigar")) else Nil)
     val synth = reads.select(
-      concat_ws(sep, (keys :+ "contig").map(col): _*).as("contig"),
-      col("pos_start"), col("pos_end"))
+      concat_ws(sep, (keys :+ "contig").map(col): _*).as("contig") +: passThrough: _*)
     val parts = split(col("contig"), sep)
     blocks(synth).select(
       keys.zipWithIndex.map { case (k, i) => parts.getItem(i).as(k) } ++

@@ -38,12 +38,15 @@ object PileupOps {
   }
 
   /** Depth lookup: point-in-block interval join against coverage blocks
-    * (plans as IntervalForestJoin; perPos is the small broadcast side). */
+    * (plans as IntervalForestJoin; perPos is the small broadcast side).
+    * `ref` is the per-position reference base from [[MockReference]]
+    * (A4 — the FASTA stand-in), evaluated on the emitted rows only. */
   private def withDepth(perPos: DataFrame, reads: DataFrame): DataFrame = {
     val blocks = CoverageOps.blocks(reads)
     perPos.as("p").join(blocks.as("b"),
         expr("p.contig = b.contig AND p.pos >= b.pos_start AND p.pos <= b.pos_end"))
       .select(col("p.contig").as("contig"), col("p.pos").as("pos"),
+        MockReference.refBase("p.contig", "p.pos").as("ref"),
         col("b.coverage").as("coverage"),
         (col("b.coverage").cast("long") - col("count_nonref")).as("count_ref"),
         col("count_nonref"), col("alts"), col("quals"))
@@ -61,29 +64,37 @@ object PileupOps {
     // grouping key below — so all three aggregation levels run
     // shuffle-free on top of this single exchange (vs three chained
     // exchanges when each groupBy repartitions on its own key set).
+    // Counts aggregate in long and only narrow to the reference's Short
+    // schema at the output boundary, clamped at Short.MaxValue — at depth
+    // > 32767 per base (deep/amplicon sequencing) a mid-aggregation
+    // smallint cast would overflow, and under Spark 4 ANSI mode that is a
+    // runtime error, not a wrap.
+    val shortMax = lit(32767L)
     val perBaseQ = reads.filter(col("has_alt"))
       .select(col("contig"), col("alt_pos").as("pos"),
         ascii(col("alt_base")).cast("tinyint").as("base"), qualExpr(qualsBinSize).as("q"))
       .repartition(col("contig"), col("pos"))
       .groupBy(col("contig"), col("pos"), col("base"), col("q"))
-      .agg(count(lit(1)).cast("smallint").as("qcnt"))
+      .agg(count(lit(1)).as("qcnt"))
 
     // Level 1: per (contig, pos, base) — count + dense quality histogram.
     // try_element_at: absent keys must be 0, not an ANSI error.
     val perBase = perBaseQ
       .groupBy(col("contig"), col("pos"), col("base"))
-      .agg(sum(col("qcnt")).cast("smallint").as("cnt"),
+      .agg(sum(col("qcnt")).as("cnt"),
         map_from_entries(array_sort(collect_list(struct(col("q"), col("qcnt"))))).as("qmap"),
         max(col("q")).as("mq"))
       .select(col("contig"), col("pos"), col("base"), col("cnt"),
         transform(sequence(lit(0), col("mq")),
-          i => coalesce(try_element_at(col("qmap"), i), lit(0).cast("smallint"))).as("qhist"))
+          i => least(coalesce(try_element_at(col("qmap"), i), lit(0L)), shortMax)
+            .cast("smallint")).as("qhist"))
 
     // Level 2: per (contig, pos) — the reference's map columns.
     val perPos = perBase
       .groupBy(col("contig"), col("pos"))
       .agg(sum(col("cnt")).as("count_nonref"),
-        map_from_entries(array_sort(collect_list(struct(col("base"), col("cnt"))))).as("alts"),
+        map_from_entries(array_sort(collect_list(
+          struct(col("base"), least(col("cnt"), shortMax).cast("smallint"))))).as("alts"),
         map_from_entries(array_sort(collect_list(struct(col("base"), col("qhist"))))).as("quals"))
     withDepth(perPos, reads)
   }
@@ -122,7 +133,8 @@ object PileupOps {
       .groupBy(col("contig"), col("pos"))
       .agg(sum(col("cnt")).as("count_nonref"),
         map_from_entries(array_sort(collect_list(
-          struct(ascii(col("base")).cast("tinyint"), col("cnt").cast("smallint"))))).as("alts_map"),
+          struct(ascii(col("base")).cast("tinyint"),
+            least(col("cnt"), lit(32767L)).cast("smallint"))))).as("alts_map"),
         array_join(transform(array_sort(collect_list(struct(col("base"), col("quals_b")))),
           x => concat(x.getField("base"), lit(":"), x.getField("quals_b"))), " ").as("quals"))
       .withColumn("alts", expr("altmap_to_str(alts_to_char(alts_map))"))

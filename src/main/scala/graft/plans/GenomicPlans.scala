@@ -33,14 +33,19 @@ object GenomicSchemas {
     StructField("coverage", IntegerType)))
   val pileup: StructType = StructType(Seq(
     StructField("contig", StringType), StructField("pos", IntegerType, nullable = false),
+    StructField("ref", StringType),
     StructField("coverage", IntegerType), StructField("count_ref", LongType),
     StructField("count_nonref", LongType), StructField("alts", StringType),
     StructField("quals", StringType)))
+  /** `pileup(view, sample, true, false)` — alt counts, no qualities
+    * (reference per-flag schemas,
+    * `utvf/ResolveTableValuedFunctionsSeq.scala:176-201`). */
+  val pileupNoQuals: StructType = StructType(pileup.fields.filterNot(_.name == "quals"))
 
   def attrs(s: StructType): Seq[Attribute] =
     s.fields.toIndexedSeq.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
 
-  val coverageInputs: Set[String] = Set("contig", "pos_start", "pos_end", "sample_id")
+  val coverageInputs: Set[String] = Set("contig", "pos_start", "pos_end", "sample_id", "cigar")
   val pileupInputs: Set[String] =
     coverageInputs ++ Set("has_alt", "alt_pos", "alt_base", "base_qual")
 }
@@ -116,8 +121,11 @@ case class CoverageExec(override val output: Seq[Attribute],
 case class PileupExec(override val output: Seq[Attribute],
     sampleId: Option[String], binSize: Option[Int], child: SparkPlan)
     extends GenomicPipelineExec {
+  // Project to the node's (possibly flag-narrowed) schema: the quals
+  // column is dropped here when `pileup(..., alts, quals=false)` asked
+  // for the narrower reference schema.
   override protected def pipeline(reads: org.apache.spark.sql.DataFrame) =
-    PileupOps.pileup(reads, binSize)
+    PileupOps.pileup(reads, binSize).select(output.map(a => col(a.name)): _*)
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
 }

@@ -111,20 +111,41 @@ object GraftTableFunctions {
       GenomicSchemas.attrs(schema))
   }
 
+  private def boolVal(e: Expression, what: String): Boolean = e.eval() match {
+    case b: Boolean => b
+    case s: UTF8String => s.toString.toBoolean
+    case other => throw new IllegalArgumentException(s"$what must be boolean, got $other")
+  }
+
   /** `pileup(viewName[, sampleId[, alts[, quals[, binSize]]]])` TVF
     * (reference overloads at
-    * `utvf/ResolveTableValuedFunctionsSeq.scala:88-109`; the alts/quals
-    * flags are accepted for signature parity — this pileup always emits
-    * both, and there is no refPath in the relational surface). `binSize`
-    * coarsens the quality axis (SURVEY §2.4 A5). */
+    * `utvf/ResolveTableValuedFunctionsSeq.scala:88-109`; no refPath in the
+    * relational surface — the ref base comes from
+    * [[graft.operators.MockReference]]). The alts/quals flags select the
+    * reference's per-flag output schema
+    * (`ResolveTableValuedFunctionsSeq.scala:176-201`):
+    * `(false, false)` is depth-only — the coverage-blocks schema —
+    * `(true, false)` drops the quals column, `(true, true)` is the full
+    * schema. `binSize` coarsens the quality axis (SURVEY §2.4 A5). */
   private val pileupB: Builder = { args =>
     require(args.nonEmpty && args.length <= 5,
       s"pileup expects (tableName[, sampleId[, alts[, quals[, binSize]]]]), got ${args.length} args")
     require(args.forall(_.foldable), "pileup arguments must be literals")
-    PileupNode(
-      sampled(str(args.head), if (args.length >= 2) Some(str(args(1))) else None),
-      sampleId = None, // the sample filter is in the child plan (pushed down)
-      binSize = if (args.length >= 5) Some(intVal(args(4), "pileup binSize")) else None)
+    val alts = if (args.length >= 3) boolVal(args(2), "pileup alts flag") else true
+    val quals = if (args.length >= 4) boolVal(args(3), "pileup quals flag") else alts
+    require(alts || !quals, "pileup quals=true requires alts=true")
+    val child = sampled(str(args.head), if (args.length >= 2) Some(str(args(1))) else None)
+    if (!alts) {
+      // Depth-only pileup IS coverage blocks (reference emits the coverage
+      // schema for this flag combination) — reuse the coverage node.
+      CoverageNode(child, sampleId = None, target = None)
+    } else {
+      PileupNode(child,
+        sampleId = None, // the sample filter is in the child plan (pushed down)
+        binSize = if (args.length >= 5) Some(intVal(args(4), "pileup binSize")) else None,
+        output = GenomicSchemas.attrs(
+          if (quals) GenomicSchemas.pileup else GenomicSchemas.pileupNoQuals))
+    }
   }
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =

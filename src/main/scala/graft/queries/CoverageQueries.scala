@@ -59,11 +59,10 @@ object CoverageQueries {
       CoverageOps.blocksBy(Tables.reads(s, dir), Seq("sample_id"))
     })
 
-  private val coverageOracle: String = {
+  private[queries] val coverageOracle: String = {
     s"""WITH ${OracleCtes.reads},
        |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
-       |positions AS (
-       |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
+       |${OracleCtes.segPositions("r")},
        |cov AS (
        |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
        |runs AS (
@@ -80,8 +79,7 @@ object CoverageQueries {
     "coverage_tvf" -> coverageOracle,
     "coverage_tvf_all" ->
       s"""WITH ${OracleCtes.reads},
-         |positions AS (
-         |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM reads),
+         |${OracleCtes.segPositions("reads")},
          |cov AS (
          |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
          |runs AS (
@@ -93,9 +91,7 @@ object CoverageQueries {
          |FROM runs GROUP BY contig, coverage, grp""".stripMargin,
     "coverage_by_sample" ->
       s"""WITH ${OracleCtes.reads},
-         |positions AS (
-         |  SELECT sample_id, contig, unnest(generate_series(pos_start, pos_end)) AS pos
-         |  FROM reads),
+         |${OracleCtes.segPositions("reads", "sample_id, contig")},
          |cov AS (
          |  SELECT sample_id, contig, pos, COUNT(*) AS coverage
          |  FROM positions GROUP BY 1, 2, 3),
@@ -112,16 +108,14 @@ object CoverageQueries {
     "coverage_bases_tvf" ->
       s"""WITH ${OracleCtes.reads},
          |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
-         |positions AS (
-         |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r)
+         |${OracleCtes.segPositions("r")}
          |SELECT contig, CAST(pos AS INT) AS pos, CAST(COUNT(*) AS INT) AS coverage
          |FROM positions GROUP BY 1, 2""".stripMargin)
 
   private lazy val windowOracle: String =
     s"""WITH ${OracleCtes.reads},
        |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
-       |positions AS (
-       |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
+       |${OracleCtes.segPositions("r")},
        |cov AS (
        |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2)
        |SELECT contig, (pos - 1) // 500 AS tile,

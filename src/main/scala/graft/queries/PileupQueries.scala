@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Graft, OracleCtes, Tables}
-import graft.operators.PileupOps
+import graft.operators.{MockReference, PileupOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,6 +35,20 @@ object PileupQueries {
       Tables.reads(s, dir).createOrReplaceTempView("reads_v")
       s.sql("SELECT * FROM pileup('reads_v', 's1', true, true, 10)")
     },
+    // Per-flag TVF schemas (reference
+    // `ResolveTableValuedFunctionsSeq.scala:176-201`): quals=false drops
+    // the quals column; alts=false is depth-only — the coverage-blocks
+    // schema.
+    "pileup_tvf_noquals" -> { (s, dir) =>
+      Graft.ensure(s)
+      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      s.sql("SELECT * FROM pileup('reads_v', 's1', true, false)")
+    },
+    "pileup_tvf_cov" -> { (s, dir) =>
+      Graft.ensure(s)
+      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      s.sql("SELECT * FROM pileup('reads_v', 's1', false, false)")
+    },
     // Reference-schema map output (alts Map<Byte,Short>,
     // quals Map<Byte,Array<Short>>), rendered to canonical strings through
     // the F7-F14 UDF pack — the reference composition
@@ -43,7 +57,7 @@ object PileupQueries {
     "pileup_alts_maps" -> { (s, dir) =>
       Graft.ensure(s)
       PileupOps.pileupMaps(Tables.reads(s, dir).filter(col("sample_id") === "s1"))
-        .select(col("contig"), col("pos"), col("coverage"), col("count_ref"),
+        .select(col("contig"), col("pos"), col("ref"), col("coverage"), col("count_ref"),
           col("count_nonref"),
           expr("altmap_to_str(alts_to_char(alts))").as("alts"),
           expr("qualsmap_to_str(to_charmap(quals))").as("quals"))
@@ -52,8 +66,7 @@ object PileupQueries {
   private val pileupOracle: String =
     s"""WITH ${OracleCtes.reads},
        |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
-       |positions AS (
-       |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
+       |${OracleCtes.segPositions("r")},
        |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
        |alt1 AS (SELECT contig, alt_pos AS pos, alt_base AS base, base_qual
        |         FROM r WHERE has_alt),
@@ -64,7 +77,9 @@ object PileupQueries {
        |           string_agg(base || ' -> ' || cnt, ', ' ORDER BY base) AS alts,
        |           string_agg(base || ':' || quals_b, ' ' ORDER BY base) AS quals
        |           FROM perbase GROUP BY 1, 2)
-       |SELECT p.contig, p.pos, CAST(c.coverage AS INT) AS coverage,
+       |SELECT p.contig, p.pos,
+       |       ${MockReference.refBaseSql("p.contig", "p.pos")} AS ref,
+       |       CAST(c.coverage AS INT) AS coverage,
        |       CAST(c.coverage - p.count_nonref AS BIGINT) AS count_ref,
        |       p.count_nonref, p.alts, p.quals
        |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
@@ -72,8 +87,7 @@ object PileupQueries {
   private val pileupBinnedOracle: String =
     s"""WITH ${OracleCtes.reads},
        |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
-       |positions AS (
-       |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
+       |${OracleCtes.segPositions("r")},
        |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
        |alt1 AS (SELECT contig, alt_pos AS pos, alt_base AS base, base_qual // 10 AS q
        |         FROM r WHERE has_alt),
@@ -84,7 +98,9 @@ object PileupQueries {
        |           string_agg(base || ' -> ' || cnt, ', ' ORDER BY base) AS alts,
        |           string_agg(base || ':' || quals_b, ' ' ORDER BY base) AS quals
        |           FROM perbase GROUP BY 1, 2)
-       |SELECT p.contig, p.pos, CAST(c.coverage AS INT) AS coverage,
+       |SELECT p.contig, p.pos,
+       |       ${MockReference.refBaseSql("p.contig", "p.pos")} AS ref,
+       |       CAST(c.coverage AS INT) AS coverage,
        |       CAST(c.coverage - p.count_nonref AS BIGINT) AS count_ref,
        |       p.count_nonref, p.alts, p.quals
        |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
@@ -97,8 +113,7 @@ object PileupQueries {
   private val pileupMapsOracle: String =
     s"""WITH ${OracleCtes.reads},
        |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
-       |positions AS (
-       |  SELECT contig, unnest(generate_series(pos_start, pos_end)) AS pos FROM r),
+       |${OracleCtes.segPositions("r")},
        |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
        |alt1 AS (SELECT contig, alt_pos AS pos, alt_base AS base, base_qual AS q
        |         FROM r WHERE has_alt),
@@ -111,14 +126,24 @@ object PileupQueries {
        |           string_agg(base || ' -> ' || cnt, ', ' ORDER BY base) AS alts,
        |           string_agg(base || ' -> (' || qstr || ')', '; ' ORDER BY base) AS quals
        |           FROM perbase GROUP BY 1, 2)
-       |SELECT p.contig, p.pos, CAST(c.coverage AS INT) AS coverage,
+       |SELECT p.contig, p.pos,
+       |       ${MockReference.refBaseSql("p.contig", "p.pos")} AS ref,
+       |       CAST(c.coverage AS INT) AS coverage,
        |       CAST(c.coverage - p.count_nonref AS BIGINT) AS count_ref,
        |       p.count_nonref, p.alts, p.quals
        |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
 
+  // quals=false: identical pipeline, final select without the quals column.
+  private val pileupNoQualsOracle: String = {
+    val full = pileupOracle
+    full.replace("p.count_nonref, p.alts, p.quals\n", "p.count_nonref, p.alts\n")
+  }
+
   val oracle: Map[String, String] = Map(
     "pileup_alts" -> pileupOracle,
     "pileup_tvf" -> pileupOracle,
+    "pileup_tvf_noquals" -> pileupNoQualsOracle,
+    "pileup_tvf_cov" -> CoverageQueries.coverageOracle,
     "pileup_binned" -> pileupBinnedOracle,
     "pileup_binned_tvf" -> pileupBinnedOracle,
     "pileup_alts_maps" -> pileupMapsOracle)

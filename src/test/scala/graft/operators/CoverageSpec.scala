@@ -117,6 +117,34 @@ class CoverageSpec extends SparkSpec {
     }
   }
 
+  test("cigarCoveredSegments walks M/=/X vs N/D vs I/S/H/P correctly") {
+    assert(CoverageOps.cigarCoveredSegments(100, "10M") === List((100, 109)))
+    // N gap: two covered runs, gap consumes reference positions.
+    assert(CoverageOps.cigarCoveredSegments(100, "5M3N4M") === List((100, 104), (108, 111)))
+    // D behaves like N for coverage (consumes reference, no depth).
+    assert(CoverageOps.cigarCoveredSegments(100, "5M2D5M") === List((100, 104), (107, 111)))
+    // I/S/H/P consume no reference: runs stay adjacent.
+    assert(CoverageOps.cigarCoveredSegments(100, "3S5M2I5M") === List((100, 104), (105, 109)))
+    assert(CoverageOps.cigarCoveredSegments(50, "4=1X4=") === List((50, 53), (54, 54), (55, 58)))
+    assertThrows[IllegalArgumentException](CoverageOps.cigarCoveredSegments(1, "5M2Q3M"))
+  }
+
+  test("a gapped (spliced) read yields two coverage runs") {
+    import graft.SharedSpark.spark.implicits._
+    val reads = Seq(("1", 100, 111, "5M3N4M")).toDF("contig", "pos_start", "pos_end", "cigar")
+    val got = CoverageOps.blocks(reads).collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._2)
+    assert(got === Seq(("1", 100, 104, 1), ("1", 108, 111, 1)))
+  }
+
+  test("solid cigar '<len>M' equals the no-cigar interval path") {
+    val base = randomReads(400, 23)
+    val withCigar = base.withColumn("cigar",
+      concat(col("pos_end") - col("pos_start") + 1, lit("M")))
+    assert(engineBlocks(withCigar) === engineBlocks(base))
+  }
+
   test("windowed coverage equals per-position mean over tiles") {
     val reads = randomReads(300, 21)
     reads.createOrReplaceTempView("nv_reads")
