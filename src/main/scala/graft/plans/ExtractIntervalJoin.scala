@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Extracted keys of an interval (range) join:
   * `leftStart <= rightEnd && rightStart <= leftEnd` with optional equality
@@ -44,7 +44,16 @@ object ExtractIntervalJoin extends PredicateHelper {
   private def evaluableOn(e: Expression, p: LogicalPlan): Boolean =
     e.deterministic && e.references.nonEmpty && e.references.subsetOf(p.outputSet)
 
-  private def isIntTyped(e: Expression): Boolean = e.dataType == IntegerType
+  /** Coordinate columns may be int or bigint: a user with bigint
+    * positions must not silently fall back to BroadcastNestedLoopJoin —
+    * the exact scale-killer this strategy exists to avoid. Long bounds
+    * are narrowed with an ANSI cast (loud runtime error above 2^31 —
+    * far beyond any genomic coordinate — rather than a silent wrap). */
+  private def isCoordTyped(e: Expression): Boolean =
+    e.dataType == IntegerType || e.dataType == LongType
+
+  private def asInt(e: Expression): Expression =
+    if (e.dataType == LongType) Cast(e, IntegerType) else e
 
   def extract(left: LogicalPlan, right: LogicalPlan, cond: Expression): Option[IntervalJoinKeys] = {
     val conjuncts = splitConjunctivePredicates(cond)
@@ -59,12 +68,12 @@ object ExtractIntervalJoin extends PredicateHelper {
     val residual = Seq.newBuilder[Expression]
 
     def classifyLe(a: Expression, b: Expression, orig: Expression): Unit = {
-      if (isIntTyped(a) && isIntTyped(b) &&
+      if (isCoordTyped(a) && isCoordTyped(b) &&
           evaluableOn(a, left) && evaluableOn(b, right) && ltr.isEmpty) {
-        ltr = Some((a, b))
-      } else if (isIntTyped(a) && isIntTyped(b) &&
+        ltr = Some((asInt(a), asInt(b)))
+      } else if (isCoordTyped(a) && isCoordTyped(b) &&
           evaluableOn(a, right) && evaluableOn(b, left) && rtl.isEmpty) {
-        rtl = Some((a, b))
+        rtl = Some((asInt(a), asInt(b)))
       } else {
         residual += orig
       }

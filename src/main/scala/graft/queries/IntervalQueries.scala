@@ -14,12 +14,22 @@ object IntervalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Pin the join-mode confs for this query. Every interval query sets
+    * its own mode/gap explicitly: queries() is a Map (iteration order
+    * unspecified) and Verify/Bench plan each query lazily at execution,
+    * so a conf left behind by `interval_join_binrange` or `_maxgap` would
+    * otherwise leak into whichever query runs next. */
+  private def joinConf(s: SparkSession, method: String = "auto", maxGap: Int = 0): Unit = {
+    s.conf.set("spark.graft.rangejoin.method", method)
+    s.conf.set("spark.graft.rangejoin.maxGap", maxGap.toString)
+  }
+
   val queries: Map[String, Q] = Map(
     // featureCounts shape (reference apps/FeatureCounts.scala:35-50):
     // reads (ivA) x targets (ivB) interval join with contig equality, then
     // count per target. Plans as a broadcast interval-forest join (J1).
     "interval_join_count" -> { (s, dir) =>
-      Graft.ensure(s)
+      Graft.ensure(s); joinConf(s)
       val a = Tables.ivA(s, dir)
       val b = Tables.ivB(s, dir)
       a.join(b,
@@ -31,7 +41,34 @@ object IntervalQueries {
     },
     // Raw pair set — hash-compares every matched (a_key, b_key) pair.
     "interval_join_pairs" -> { (s, dir) =>
-      Graft.ensure(s)
+      Graft.ensure(s); joinConf(s)
+      val a = Tables.ivA(s, dir)
+      val b = Tables.ivB(s, dir)
+      a.join(b,
+          a("contig") === b("contig") &&
+          a("pos_end") >= b("pos_start") &&
+          a("pos_start") <= b("pos_end"))
+        .select(col("a_key"), col("b_key"))
+    },
+    // J3 through the hard correctness gate: the identical pair set under
+    // the shuffle bin-range method — the path that carries the join when
+    // neither side fits a broadcast (the 100 TB shape). Same oracle SQL
+    // as interval_join_pairs: the physical method must not change results.
+    "interval_join_binrange" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s, method = "binrange")
+      val a = Tables.ivA(s, dir)
+      val b = Tables.ivB(s, dir)
+      a.join(b,
+          a("contig") === b("contig") &&
+          a("pos_end") >= b("pos_start") &&
+          a("pos_start") <= b("pos_end"))
+        .select(col("a_key"), col("b_key"))
+    },
+    // J6 maxGap: pairs within gap <= 3 of touching also join (reference
+    // `IntervalTreeJoinOptimChromosomeImpl.scala:82-87`). The oracle
+    // widens one side by the gap in plain SQL.
+    "interval_join_maxgap" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s, maxGap = 3)
       val a = Tables.ivA(s, dir)
       val b = Tables.ivB(s, dir)
       a.join(b,
@@ -43,7 +80,7 @@ object IntervalQueries {
     // No-equality variant (J2): both sides pre-filtered to one contig, the
     // join condition is the bare interval overlap.
     "interval_join_nochr" -> { (s, dir) =>
-      Graft.ensure(s)
+      Graft.ensure(s); joinConf(s)
       val a = Tables.ivA(s, dir).filter(col("contig") === "3")
       val b = Tables.ivB(s, dir).filter(col("contig") === "3")
       a.join(b,
@@ -54,7 +91,7 @@ object IntervalQueries {
     // minOverlap semantics (J6) expressed as a residual predicate over the
     // engine's own overlaplength function: forest join + codegen'd filter.
     "interval_join_overlap10" -> { (s, dir) =>
-      Graft.ensure(s)
+      Graft.ensure(s); joinConf(s)
       val a = Tables.ivA(s, dir).as("a")
       val b = Tables.ivB(s, dir).as("b")
       a.join(b, expr(
@@ -114,6 +151,18 @@ object IntervalQueries {
         |  ON a.contig = b.contig
         | AND a.pos_end >= b.pos_start
         | AND a.pos_start <= b.pos_end""".stripMargin),
+    "interval_join_binrange" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key
+        |FROM iva a JOIN ivb b
+        |  ON a.contig = b.contig
+        | AND a.pos_end >= b.pos_start
+        | AND a.pos_start <= b.pos_end""".stripMargin),
+    "interval_join_maxgap" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key
+        |FROM iva a JOIN ivb b
+        |  ON a.contig = b.contig
+        | AND a.pos_end >= b.pos_start - 3
+        | AND a.pos_start <= b.pos_end + 3""".stripMargin),
     "interval_join_nochr" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT a_key, b_key
         |FROM (SELECT * FROM iva WHERE contig = '3') a

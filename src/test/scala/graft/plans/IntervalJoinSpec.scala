@@ -57,6 +57,25 @@ class IntervalJoinSpec extends SparkSpec {
     any(physical(df))
   }
 
+  test("bigint coordinate columns still plan the forest join (widening)") {
+    val a = randomIntervals(300, 41, "a_key")
+      .withColumn("pos_start", col("pos_start").cast("bigint"))
+      .withColumn("pos_end", col("pos_end").cast("bigint"))
+    val b = randomIntervals(50, 42, "b_key")
+      .withColumn("pos_start", col("pos_start").cast("bigint"))
+      .withColumn("pos_end", col("pos_end").cast("bigint"))
+    val df = joined(a, b)
+    assert(usesForestJoin(df), "bigint coordinates must not fall back to BNLJ")
+    val stock = withConf("spark.graft.rangejoin.enabled", "false") {
+      collectSorted(joined(a, b))
+    }
+    assert(collectSorted(df) === stock)
+    // Mixed int/long sides (analyzer inserts widening casts) as well.
+    val mixed = joined(randomIntervals(300, 41, "a_key"), b)
+    assert(usesForestJoin(mixed))
+    assert(collectSorted(mixed) === stock)
+  }
+
   test("differential: forest join equals stock Spark on random data") {
     val a = randomIntervals(400, 1, "a_key")
     val b = randomIntervals(60, 2, "b_key")
