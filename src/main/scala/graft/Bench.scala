@@ -51,6 +51,14 @@ object Bench {
       operators.PileupOps.pileup(r, None).count()
       docs.unpersist(blocking = false)
       emb.unpersist(blocking = false)
+      // SourceQueries write their file fixtures (parquet/BED/partitioned
+      // renditions) once per JVM on first use; building each query here
+      // absorbs that one-off write so the measured ddl_*/distinct_samples
+      // runs time the scan, not the fixture rewrite (r3 verdict #6).
+      Seq("ddl_alignment_scan", "ddl_bed_scan", "ddl_variant_scan", "distinct_samples")
+        .foreach { n =>
+          SparkEntry.queries.get(n).foreach(fn => fn(spark, sfDir).limit(1).count())
+        }
     } catch { case _: Throwable => () } // warmup must never fail the bench
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     spark.catalog.clearCache()

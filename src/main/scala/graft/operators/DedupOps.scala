@@ -32,13 +32,33 @@ object DedupOps {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Spread `df` by `key` only when it arrives in fewer partitions than
+    * the session's parallelism — the small-file/local-test shape where the
+    * heavy per-row kernels downstream would otherwise run on a handful of
+    * cores. A corpus already at cluster parallelism skips the exchange:
+    * an unconditional `repartition` here is a full shuffle of the raw
+    * corpus text, pure waste at the 100 TB design point (r3 ADVICE).
+    * Override with `spark.graft.dedup.spreadInput` = always | never. */
+  private[graft] def spreadByKey(df: DataFrame, key: Column): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get("spark.graft.dedup.spreadInput", "auto") match {
+      case "always" => df.repartition(key)
+      case "never" => df
+      case _ =>
+        if (df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+          df.repartition(key)
+        else df
+    }
+  }
+
   /** (doc_id, st: array<string>) — distinct word n-shingles per document.
     * Documents with fewer than n words get an empty set. */
   def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
     val w = split(lower(trim(col("text"))), "\\s+")
-    // The corpus parquet arrives in O(1) input splits; shingling is the
-    // heaviest per-row pass in the family, so spread it first.
-    docs.repartition(col("doc_id")).select(col("doc_id"), w.as("w"))
+    // Test-scale parquet arrives in O(1) input splits; shingling is the
+    // heaviest per-row pass in the family, so spread it first (gated —
+    // no-op when the input is already parallel).
+    spreadByKey(docs, col("doc_id")).select(col("doc_id"), w.as("w"))
       .select(col("doc_id"),
         when(size(col("w")) < n, array().cast("array<string>"))
           .otherwise(array_distinct(expr(
@@ -75,12 +95,12 @@ object DedupOps {
     * engine where dropping below the DataFrame API is justified
     * (SURVEY §-style last resort); the signature hash family does not
     * need cross-engine reproducibility because candidates are re-verified
-    * with exact Jaccard. The repartition spreads hashing across the
-    * cluster when the corpus arrives in few input splits. */
+    * with exact Jaccard. The gated spread parallelizes hashing when the
+    * corpus arrives in few input splits (no-op otherwise). */
   def minhashSignatures(shingles: DataFrame, k: Int = NumHashes): DataFrame = {
     val spark = shingles.sparkSession
     import spark.implicits._
-    shingles.repartition(col("doc_id"))
+    spreadByKey(shingles, col("doc_id"))
       .select(col("doc_id"), col("st"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
@@ -126,7 +146,7 @@ object DedupOps {
     // One stats join, materialized once; both the small self-join sides and
     // the star edges read the persisted result.
     val tagged = keyed.join(stats, "bkey")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val small = tagged.filter(col("bsz") <= cap).select(col("bkey"), col("id"))
     val pairsSmall = small.as("x").join(small.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
@@ -152,7 +172,7 @@ object DedupOps {
       xxhash64(lit(j) +: (0 until BandRows).map(r => col("sig")(j * BandRows + r)): _*)
     }
     val banded = sigs.select(col("doc_id").as("id"), explode(array(bandKeys: _*)).as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     cappedSelfJoinPairs(banded, cap)
   }
 
@@ -205,7 +225,7 @@ object DedupOps {
       cap: Int = DefaultBucketCap): DataFrame = {
     // Reused by the signature pass and both sides of the verify join.
     val sh = shingleSets(docs, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     verifyJaccard(lshCandidatePairs(minhashSignatures(sh), cap), sh, threshold)
   }
 
@@ -247,7 +267,7 @@ object DedupOps {
   def jaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
       cap: Int = DefaultBucketCap, minPrefixMatches: Int = 4): DataFrame = {
     val sh = shingleSets(docs, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val tokens = sh.select(col("doc_id").as("id"), explode(col("st")).as("shingle"))
     val freq = tokens.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // Global total order = (document frequency asc, shingle): array_sort
@@ -266,7 +286,7 @@ object DedupOps {
     val stats = inverted.groupBy(col("bkey"))
       .agg(count(lit(1)).as("bsz"), min(col("id")).as("rep"))
     val tagged = inverted.join(stats, "bkey")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     // Eager barrier: the index feeds three consumers (both self-join
     // sides and the star pass). Materializing it here keeps the rank
     // pipeline at exactly one evaluation — left lazy, the first action
@@ -309,7 +329,7 @@ object DedupOps {
   def winnowPairs(docs: DataFrame, minShared: Int = 3, maxDfFrac: Double = 0.05,
       k: Int = 5, w: Int = 4, cap: Int = DefaultBucketCap): DataFrame = {
     val fps = TextOps.winnowFingerprints(docs, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     // Barrier (feeds df stats, candidates, and both verify sides) and the
     // corpus size the df cutoff scales with.
     val nDocs = fps.select(col("doc_id")).distinct().count()
@@ -317,7 +337,7 @@ object DedupOps {
     val dfStats = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val keep = fps.join(dfStats.filter(col("df") <= maxDf), "fp")
       .select(col("doc_id").as("id"), col("fp").as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val candidates = cappedSelfJoinPairs(keep, cap)
     candidates
       .join(keep.select(col("id").as("id_a"), col("bkey").as("fp")), "id_a")
@@ -346,13 +366,16 @@ object DedupOps {
     * Iterations = component diameter; LSH components are hub-shaped
     * (stars/cliques — see [[cappedSelfJoinPairs]]) so the loop converges
     * in a handful of rounds even on flood-sized clusters. Driver state in
-    * that mode: one convergence scalar per round, never O(data). */
+    * that mode: one convergence scalar per round, never O(data). If the
+    * iteration budget runs out while labels are still moving (a
+    * pathological high-diameter chain) the method THROWS instead of
+    * returning silently-unmerged clusters. */
   def clusters(pairs: DataFrame, maxIter: Int = 50,
       localThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val raw = pairs.select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val nPairs = raw.count() // also materializes the persist barrier
     if (nPairs <= localThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -373,7 +396,7 @@ object DedupOps {
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     // Each round is localCheckpoint'ed: the plan is truncated to the
     // materialized RDD, so lineage (and analysis cost) stays O(1) per
     // iteration — without it each round references the previous plan
@@ -417,6 +440,21 @@ object DedupOps {
       labels = next
       iter += 1
     }
+    // Labels were still moving when the iteration budget ran out — the
+    // returned ids would be silently WRONG (components not fully merged).
+    // Possible only for chain-shaped components of diameter > 2*maxIter,
+    // which star-capping does not preclude across different buckets
+    // (r3 ADVICE); fail loudly rather than hand back wrong clusters.
+    if (changed) {
+      edges.unpersist(blocking = false)
+      raw.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"dedup clusters did not converge after $maxIter rounds (${2 * maxIter} " +
+        "propagation hops): a component has diameter beyond the iteration " +
+        "budget. Raise maxIter (labels monotonically approach the fixpoint; " +
+        "more rounds always finish) or raise localThreshold to use the exact " +
+        "driver union-find.")
+    }
     edges.unpersist(blocking = false)
     raw.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -439,14 +477,14 @@ object DedupOps {
     * as [[minhashSignatures]]): hash each token once, update 64 counters
     * in a tight loop. The previous explode + 64 conditional-sum aggregates
     * evaluated 64 branch expressions per token row and shuffled the
-    * exploded tokens; here the only movement is the repartition that
-    * spreads documents when the corpus arrives in few input splits.
+    * exploded tokens; here the only movement is the gated spread that
+    * parallelizes few-split inputs (no-op on an already-parallel corpus).
     * Fingerprints need no cross-engine reproducibility — pairs are
     * verified by Hamming distance on the fingerprints themselves. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.repartition(col("doc_id"))
+    spreadByKey(docs, col("doc_id"))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -485,14 +523,14 @@ object DedupOps {
     require(maxDist <= 6,
       s"block-pair banding guarantees recall only for maxDist <= 6, got $maxDist")
     val sigs = simhashSignatures(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     def block(i: Int) = shiftright(col("simhash"), i * 8).bitwiseAND(0xFF)
     val bandKeys = for { i <- 0 until 8; j <- i + 1 until 8 } yield
       // Band identity (i,j) in the high bits keeps bands disjoint.
       lit((i.toLong * 8 + j) << 16).bitwiseOR(shiftleft(block(i), 8)).bitwiseOR(block(j))
     val banded = sigs
       .select(col("doc_id").as("id"), explode(array(bandKeys: _*)).as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     cappedSelfJoinPairs(banded, cap)
       .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("fp_a")), "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("fp_b")), "id_b")

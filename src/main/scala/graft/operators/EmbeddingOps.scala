@@ -158,14 +158,14 @@ object EmbeddingOps {
     // kernel into every band key (the DedupOps pathology), and reuse the
     // corpus index across the stats and join consumers.
     val cb = bandKeys(signBuckets(corpus, "c_id"), "c_id", bandBits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val capped = cb.withColumn("rn",
         row_number().over(Window.partitionBy(col("bkey")).orderBy(col("id"))))
       .filter(col("rn") <= bucketCap)
       .select(col("id").as("c_id"), col("bkey"))
     val qb = bandKeys(signBuckets(queries, "q_id"), "q_id", bandBits)
       .select(col("id").as("q_id"), col("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val candidates = qb.join(capped, "bkey")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))
@@ -220,7 +220,7 @@ object EmbeddingOps {
     val spark = corpus.sparkSession
     import spark.implicits._
     val ce = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val n = ce.count()
     val lists = if (nLists > 0) nLists
       else math.max(4, math.min(4096, math.sqrt(n.toDouble).toInt))
@@ -320,10 +320,17 @@ object EmbeddingOps {
     * survivors leave the partition — shuffle volume is
     * O(partitions × queries × k·rerankFactor), independent of corpus
     * size, where [[exactTopK]] shuffles every (query, corpus) pair into
-    * the rank window. The survivors are re-ranked in exact double
-    * precision, so the output schema and determinism guarantees match
-    * [[exactTopK]]; only recall is approximate (int8 rounding can demote
-    * a true neighbor past the heap boundary — asserted ≥0.9 in tests). */
+    * the rank window. Per-partition survivors are then pruned to ONE
+    * global top-(k × rerankFactor) per query by quantized similarity
+    * (deterministic (sim desc, id asc) tie-break) before the exact
+    * re-rank — without that step the re-rank pool would be the union of
+    * per-partition heaps, so a vector outside the global quantized top-m
+    * but inside some partition's top-m could enter the re-rank and make
+    * the answer depend on partition layout (r3 ADVICE). With it, the
+    * candidate set is a pure function of the data, so the output schema
+    * and determinism guarantees match [[exactTopK]]; only recall is
+    * approximate (int8 rounding can demote a true neighbor past the
+    * global top-m boundary — asserted ≥0.9 in tests). */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       rerankFactor: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
@@ -368,11 +375,19 @@ object EmbeddingOps {
           }
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          h.iterator.map { case (_, cid) => (qs(qi)._1, cid) }
+          h.iterator.map { case (sim, cid) => (qs(qi)._1, cid, sim) }
         }
-      }.toDF("q_id", "c_id")
-      .dropDuplicates("q_id", "c_id")
-    rerankTopK(candidates, corpus, queries, k)
+      }.toDF("q_id", "c_id", "qsim")
+    // qsim is a pure function of the quantized pair, so replicas of the
+    // same (q_id, c_id) across partitions carry identical values and the
+    // dedup is unambiguous. The window then keeps the global top-m per
+    // query — the structural partition-invariance guarantee.
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("c_id").asc)
+    val pruned = candidates.dropDuplicates("q_id", "c_id")
+      .withColumn("qrank", row_number().over(w))
+      .filter(col("qrank") <= m)
+      .select(col("q_id"), col("c_id"))
+    rerankTopK(pruned, corpus, queries, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (the vector member of the dedup
@@ -386,7 +401,7 @@ object EmbeddingOps {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       cap: Int = DedupOps.DefaultBucketCap): DataFrame = {
     val banded = bandKeys(signBuckets(corpus, "vec_id"), "vec_id", bandBitsFor(threshold))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val candidates = DedupOps.cappedSelfJoinPairs(banded, cap)
     val ea = corpus.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("emb_a"))
     val eb = corpus.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("emb_b"))

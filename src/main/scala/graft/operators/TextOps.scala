@@ -83,12 +83,13 @@ object TextOps {
     * is interpreted (5-30× slower) as higher-order SQL expressions. The
     * hash is deliberately simple portable integer arithmetic — the DuckDB
     * oracle recomputes it bit-for-bit. Per-doc state only: scales to any
-    * corpus by partitioning on doc_id. */
+    * corpus by partitioning on doc_id (spread gated on input parallelism —
+    * see [[DedupOps.spreadByKey]]). */
   def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.repartition(col("doc_id"))
+    DedupOps.spreadByKey(docs, col("doc_id"))
       .select(col("doc_id"), DedupOps.normText(col("text")).as("t"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
@@ -192,7 +193,7 @@ object TextOps {
     // would execute once per branch (the measured CollapseProject cliff).
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy(col("token")).agg(count_distinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)

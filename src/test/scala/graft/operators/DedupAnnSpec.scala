@@ -278,4 +278,52 @@ class DedupAnnSpec extends SparkSpec {
       rs.foreach(r => assert(r.getLong(2) !== r.getLong(0)))
     }
   }
+
+  test("clusters throws on non-convergence instead of returning wrong ids") {
+    import graft.SharedSpark.spark.implicits._
+    // A pure chain has diameter n-1; maxIter=1 allows only 2 propagation
+    // hops, so labels are still moving when the budget runs out.
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      DedupOps.clusters(chain, maxIter = 1, localThreshold = 0).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // The same chain converges with the default budget.
+    val labels = DedupOps.clusters(chain, localThreshold = 0).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(labels === Set(1L))
+  }
+
+  test("CacheScope.withCaches releases exactly the operator-internal persists") {
+    val sc = spark.sparkContext
+    val docs = corpus
+    val before = sc.getPersistentRDDs.keySet
+    var inside = 0
+    val pairs = CacheScope.withCaches {
+      val p = DedupOps.nearDupPairs(docs, threshold = 0.6)
+      p
+    } { p => inside = p.collect().length }
+    // Everything the operator persisted (shingle sets, band index, bucket
+    // stats) is gone again; nothing else was touched.
+    val after = sc.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"leaked cache ids: ${(after -- before).mkString(",")}")
+    assert(inside > 0)
+    // The released result recomputes correctly from the plan.
+    assert(pairs.count().toInt === inside)
+  }
+
+  test("spreadByKey is a no-op on an already-parallel input") {
+    import graft.SharedSpark.spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val wide = (1L to 100L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+      .repartition(par + 4)
+    // Already-parallel input: returned untouched (no exchange added).
+    assert(DedupOps.spreadByKey(wide, col("doc_id")) eq wide)
+    // Few-split input: a spread IS added (AQE may later coalesce the tiny
+    // test exchange, so assert the decision, not the final partition count).
+    val narrow = (1L to 100L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+      .coalesce(1)
+    assert(!(DedupOps.spreadByKey(narrow, col("doc_id")) eq narrow))
+  }
 }

@@ -146,6 +146,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("annotateStream refuses an oversized static side (broadcast gate)") {
+    import graft.SharedSpark.spark.implicits._
+    val targets = Seq(("1", 100, 200, "tA")).toDF("contig", "pos_start", "pos_end", "name")
+    val in = MemoryStream[StreamingOps.StreamRead]
+    val conf = "spark.graft.rangejoin.maxBroadcastBytes"
+    spark.conf.set(conf, "1") // 1 byte: any real table is over the gate
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StreamingOps.annotateStream(in.toDS(), targets)
+      }
+      assert(e.getMessage.contains("maxBroadcastBytes"))
+    } finally spark.conf.unset(conf)
+    // With the default gate the same call plans fine.
+    StreamingOps.annotateStream(in.toDS(), targets)
+  }
+
+  test("e2e: curateStream file source → parquet sink, exactly-once across restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_e2e")
+    val (inDir, outDir, cpDir) = (s"$base/in", s"$base/out", s"$base/cp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts_sec", LongType)))
+    def writeBatch(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, name),
+        rows.map { case (id, text, sec) =>
+          s"""{"doc_id":$id,"text":"$text","ts_sec":$sec}"""
+        }.mkString("", "\n", "\n"))
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema(schema).json(inDir)
+        .select(col("doc_id"), col("text"), col("ts_sec").cast("timestamp").as("ts"))
+      val q = StreamingOps.curateStream(docs, minQuality = 0.6)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", cpDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val longDoc = (1 to 40).map(i => s"word$i").mkString(" ")
+    // Run 1: one kept doc, one below the quality gate, one kept variant.
+    writeBatch("b1.json", Seq(
+      (1L, longDoc, 60L), (2L, "tiny", 120L), (3L, longDoc + " tail3", 180L)))
+    runOnce()
+    // Run 2 (restart from the checkpoint): b1 must NOT reprocess; the
+    // exact dup of doc 1 must be dropped by the fingerprint state
+    // restored from the checkpoint (its ts is within the 1h watermark).
+    writeBatch("b2.json", Seq((4L, longDoc, 240L), (5L, longDoc + " tail5", 300L)))
+    runOnce()
+    val out = spark.read.parquet(outDir).select("doc_id").collect().map(_.getLong(0))
+    assert(out.sorted === Array(1L, 3L, 5L), s"got ${out.mkString(",")}")
+    assert(out.length === out.distinct.length, "exactly-once violated")
+  }
+
   test("stateful contig progress accumulates across batches") {
     import graft.SharedSpark.spark.implicits._
     val in = MemoryStream[StreamingOps.StreamRead]
