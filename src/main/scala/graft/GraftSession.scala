@@ -53,6 +53,14 @@ class GraftSession(val spark: SparkSession) {
   def pileupMaps(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame =
     PileupOps.pileupMaps(reads, qualsBinSize)
 
+  /** Map-schema pileup rendered as samtools-mpileup text rows (§2.9
+    * converter surface, reference `SamtoolsConverter`). */
+  def toMpileup(pileupMaps: DataFrame): DataFrame = MpileupOps.toMpileup(pileupMaps)
+
+  /** Parse mpileup text rows back into the map-schema pileup —
+    * `fromMpileup(toMpileup(pm)) == pm` (MpileupSpec round-trip law). */
+  def fromMpileup(rows: DataFrame): DataFrame = MpileupOps.fromMpileup(rows)
+
   /** Exact-duplicate groups over normalized text. */
   def exactDuplicates(docs: DataFrame): DataFrame = DedupOps.exactDupGroups(docs)
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Graft, OracleCtes, Tables}
-import graft.operators.{MockReference, PileupOps}
+import graft.operators.{MockReference, MpileupOps, PileupOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,14 @@ object PileupQueries {
       Graft.ensure(s)
       Tables.reads(s, dir).createOrReplaceTempView("reads_v")
       s.sql("SELECT * FROM pileup('reads_v', 's1', false, false)")
+    },
+    // §2.9 samtools-format converter (reference `SamtoolsConverter`):
+    // the map-schema pileup rendered as canonical mpileup text rows.
+    // Oracle rebuilds the pileup/qual strings with ordered string_agg.
+    "pileup_format_samtools" -> { (s, dir) =>
+      Graft.ensure(s)
+      MpileupOps.toMpileup(
+        PileupOps.pileupMaps(Tables.reads(s, dir).filter(col("sample_id") === "s1")))
     },
     // Reference-schema map output (alts Map<Byte,Short>,
     // quals Map<Byte,Array<Short>>), rendered to canonical strings through
@@ -133,6 +141,32 @@ object PileupQueries {
        |       p.count_nonref, p.alts, p.quals
        |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
 
+  // mpileup text rendering: '.' per ref match then alt chars ascending;
+  // quals 'I' (Q40 placeholder) per ref match then per-base chr(q+33)
+  // ascending — exactly MpileupOps.toMpileup's canonical order.
+  private val pileupSamtoolsOracle: String =
+    s"""WITH ${OracleCtes.reads},
+       |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+       |${OracleCtes.segPositions("r")},
+       |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+       |alt1 AS (SELECT contig, alt_pos AS pos, alt_base AS base, base_qual AS q
+       |         FROM r WHERE has_alt),
+       |perbq AS (SELECT contig, pos, base, q, COUNT(*) AS qcnt
+       |          FROM alt1 GROUP BY 1, 2, 3, 4),
+       |perbase AS (SELECT contig, pos, base, SUM(qcnt) AS cnt,
+       |            string_agg(repeat(chr(q + 33), CAST(qcnt AS INT)), '' ORDER BY q) AS qstr
+       |            FROM perbq GROUP BY 1, 2, 3),
+       |perpos AS (SELECT contig, pos, CAST(SUM(cnt) AS BIGINT) AS count_nonref,
+       |           string_agg(repeat(base, CAST(cnt AS INT)), '' ORDER BY base) AS altstr,
+       |           string_agg(qstr, '' ORDER BY base) AS qualstr
+       |           FROM perbase GROUP BY 1, 2)
+       |SELECT p.contig, p.pos,
+       |       ${MockReference.refBaseSql("p.contig", "p.pos")} AS ref,
+       |       CAST(c.coverage AS INT) AS coverage,
+       |       repeat('.', CAST(c.coverage - p.count_nonref AS INT)) || p.altstr AS pileup,
+       |       repeat('I', CAST(c.coverage - p.count_nonref AS INT)) || p.qualstr AS quals
+       |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
+
   // quals=false: identical pipeline, final select without the quals column.
   private val pileupNoQualsOracle: String = {
     val full = pileupOracle
@@ -146,5 +180,6 @@ object PileupQueries {
     "pileup_tvf_cov" -> CoverageQueries.coverageOracle,
     "pileup_binned" -> pileupBinnedOracle,
     "pileup_binned_tvf" -> pileupBinnedOracle,
-    "pileup_alts_maps" -> pileupMapsOracle)
+    "pileup_alts_maps" -> pileupMapsOracle,
+    "pileup_format_samtools" -> pileupSamtoolsOracle)
 }
