@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -27,17 +27,25 @@ case class IntervalJoinKeys(
   * `rangejoins/common/ExtractRangeJoinKeysWithEquality.scala:29-44`,
   * `ExtractRangeJoinKeys.scala:23-39`).
   *
-  * Reference parity notes (SURVEY §2.3): Inner joins only; `<=`/`>=` only
-  * (strict `<`/`>` is NOT matched, same as the reference); key side
-  * assignment by attribute containment (the reference's `canEvaluate`).
+  * Reference parity notes (SURVEY §2.3): `<=`/`>=` only (strict `<`/`>`
+  * is NOT matched, same as the reference); key side assignment by
+  * attribute containment (the reference's `canEvaluate`).
+  *
+  * Beyond the reference (which is Inner-only,
+  * `ExtractRangeJoinKeysWithEquality.scala:29-44`): LeftOuter/RightOuter/
+  * LeftSemi/LeftAnti interval joins are also matched — stock Spark plans
+  * every one of these as a BroadcastNestedLoopJoin (the O(|L|·|R|)
+  * scale-killer), so "reads with no annotation" (anti) or "keep all reads,
+  * tag matched" (outer) hit exactly the wall this engine exists to remove.
   */
 object ExtractIntervalJoin extends PredicateHelper {
 
-  def unapply(plan: LogicalPlan): Option[(LogicalPlan, LogicalPlan, IntervalJoinKeys)] =
+  private val supported: Set[JoinType] = Set(Inner, LeftOuter, RightOuter, LeftSemi, LeftAnti)
+
+  def unapply(plan: LogicalPlan): Option[(LogicalPlan, LogicalPlan, JoinType, IntervalJoinKeys)] =
     plan match {
-      case Join(left, right, Inner, Some(cond), _) => extract(left, right, cond).map {
-        keys => (left, right, keys)
-      }
+      case Join(left, right, jt, Some(cond), _) if supported(jt) =>
+        extract(left, right, cond).map { keys => (left, right, jt, keys) }
       case _ => None
     }
 

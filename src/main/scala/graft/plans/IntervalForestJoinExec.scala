@@ -7,6 +7,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, GenerateUnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -61,10 +62,23 @@ case class IntervalForestJoinExec(
     maxGap: Int,
     binWidth: Int,
     holderClass: String,
+    joinType: JoinType,
+    residual: Option[Expression],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // Non-inner joins (beyond the reference): the preserved side is always
+  // the stream side (strategy guarantees buildLeft=false for Left*,
+  // buildLeft=true for RightOuter), so unmatched stream rows can be
+  // emitted locally — no global matched-set tracking, the same restriction
+  // Spark's own BroadcastHashJoinExec imposes.
+  override def output: Seq[Attribute] = joinType match {
+    case Inner => left.output ++ right.output
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case RightOuter => left.output.map(_.withNullability(true)) ++ right.output
+    case LeftSemi | LeftAnti => left.output
+    case x => throw new IllegalArgumentException(s"IntervalForestJoinExec: unsupported join type $x")
+  }
 
   @transient private lazy val buildPlan = if (buildLeft) left else right
   @transient private lazy val streamedPlan = if (buildLeft) right else left
@@ -138,6 +152,39 @@ case class IntervalForestJoinExec(
   private def bound(e: Expression, plan: SparkPlan): Expression =
     BindReferences.bindReference(e, plan.output)
 
+  /** Replicate each row to every bin its (normalized, gap-widened on the
+    * build side) interval overlaps. Key = (eqKey bytes, bin). Null
+    * interval/key rows are dropped — callers that must preserve them
+    * (outer/anti stream sides) route them separately. */
+  private def binnedRdd(
+      plan: SparkPlan,
+      eqExprs: Seq[Expression],
+      ivExprs: Seq[Expression],
+      widen: Int,
+      nEqs: Int,
+      binW: Int): RDD[((UnsafeRow, Int), (Int, Int, InternalRow))] =
+    plan.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(eqExprs)
+      val ivProj = UnsafeProjection.create(ivExprs)
+      it.flatMap { row =>
+        val iv = ivProj(row)
+        if (iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
+        else {
+          val s = iv.getInt(0) - widen
+          val e = iv.getInt(1) + widen
+          val key = keyProj(row)
+          if (nEqs > 0 && key.anyNull) Iterator.empty
+          else {
+            val copy = row.copy()
+            val k = key.copy()
+            val lo = Math.floorDiv(math.min(s, e), binW)
+            val hi = Math.floorDiv(math.max(s, e), binW)
+            (lo to hi).iterator.map(b => ((k, b), (s, e, copy)))
+          }
+        }
+      }
+    }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val (buildPlan, streamPlan) = (this.buildPlan, this.streamedPlan)
     val (bStart, bEnd, bEqs) =
@@ -161,8 +208,14 @@ case class IntervalForestJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val buildRowsMetric = longMetric("buildRows")
 
+    val jt = joinType
+    val residLocal = residual
+    // Candidate pair rows are always assembled in (left, right) order.
+    val pairAttrs = left.output ++ right.output
+    val nBuildCols = buildPlan.output.length
+
     mode match {
-      case BroadcastForestMode =>
+      case BroadcastForestMode if jt == Inner =>
         // (1) Build side collected, assembled into per-key holders and
         //     broadcast (shared lazy val — also used by the codegen path).
         val bcast = broadcastForests
@@ -199,41 +252,66 @@ case class IntervalForestJoinExec(
           }
         }
 
-      case BinRangeMode =>
-        val binW = binWidth
-        val numParts = conf.numShufflePartitions
-
-        // Replicate each row to every bin its (normalized, gap-widened on the
-        // build side) interval overlaps. Key = (eqKey bytes, bin).
-        def binned(
-            plan: SparkPlan,
-            eqExprs: Seq[Expression],
-            ivExprs: Seq[Expression],
-            widen: Int): RDD[((UnsafeRow, Int), (Int, Int, InternalRow))] =
-          plan.execute().mapPartitions { it =>
-            val keyProj = UnsafeProjection.create(eqExprs)
-            val ivProj = UnsafeProjection.create(ivExprs)
-            it.flatMap { row =>
-              val iv = ivProj(row)
-              if (iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
-              else {
-                val s = iv.getInt(0) - widen
-                val e = iv.getInt(1) + widen
-                val key = keyProj(row)
-                if (nEqs > 0 && key.anyNull) Iterator.empty
-                else {
-                  val copy = row.copy()
-                  val k = key.copy()
-                  val lo = Math.floorDiv(math.min(s, e), binW)
-                  val hi = Math.floorDiv(math.max(s, e), binW)
-                  (lo to hi).iterator.map(b => ((k, b), (s, e, copy)))
+      case BroadcastForestMode =>
+        // Outer/semi/anti probe: same broadcast forest, but a stream row
+        // with no (residual-surviving) match is preserved (outer: build
+        // side null-padded; anti: emitted bare) or used as the existence
+        // test (semi). Residuals must be decided per candidate pair HERE —
+        // a post-join filter would wrongly drop preserved rows.
+        val bcast = broadcastForests
+        val pairSchema = pairAttrs
+        streamPlan.execute().mapPartitionsWithIndex { (pidx, it) =>
+          val keyProj = UnsafeProjection.create(sEqsBL)
+          val ivProj = UnsafeProjection.create(sIvB)
+          val joinedRow = new JoinedRow
+          val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+          val pred = residLocal.map(Predicate.create(_, pairSchema))
+          pred.foreach(_.initialize(pidx))
+          val forestMap = bcast.value
+          val nullBuild = new GenericInternalRow(nBuildCols)
+          def pair(brow: InternalRow, srow: InternalRow): InternalRow =
+            if (buildIsLeft) joinedRow(brow, srow) else joinedRow(srow, brow)
+          it.flatMap { srow =>
+            val iv = ivProj(srow)
+            val nullSide = iv.isNullAt(0) || iv.isNullAt(1)
+            val matches = mutable.ArrayBuffer.empty[InternalRow]
+            if (!nullSide) {
+              val key = keyProj(srow)
+              if (!(nEqs > 0 && key.anyNull)) forestMap.get(key).foreach { forest =>
+                val qs = iv.getInt(0)
+                val qe = iv.getInt(1)
+                forest.foreachOverlap(qs, qe) { (bs, be, brow) =>
+                  if ((minOv <= 1 || math.min(be, qe) - math.max(bs, qs) + 1 >= minOv) &&
+                      pred.forall(_.eval(pair(brow, srow))))
+                    matches += brow
                 }
               }
             }
+            jt match {
+              case LeftSemi =>
+                if (matches.nonEmpty) { numOutputRows += 1; Iterator.single(resultProj(srow)) }
+                else Iterator.empty
+              case LeftAnti =>
+                if (matches.isEmpty) { numOutputRows += 1; Iterator.single(resultProj(srow)) }
+                else Iterator.empty
+              case _ => // LeftOuter / RightOuter (stream = preserved side)
+                if (matches.isEmpty) {
+                  numOutputRows += 1
+                  Iterator.single(resultProj(pair(nullBuild, srow)))
+                } else matches.iterator.map { brow =>
+                  numOutputRows += 1
+                  resultProj(pair(brow, srow))
+                }
+            }
           }
+        }
 
-        val buildBinned = binned(buildPlan, bEqsB, bIvB, gap)
-        val streamBinned = binned(streamPlan, sEqsB, sIvB, 0)
+      case BinRangeMode if jt == Inner =>
+        val binW = binWidth
+        val numParts = conf.numShufflePartitions
+
+        val buildBinned = binnedRdd(buildPlan, bEqsB, bIvB, gap, nEqs, binW)
+        val streamBinned = binnedRdd(streamPlan, sEqsB, sIvB, 0, nEqs, binW)
 
         buildBinned.cogroup(streamBinned, numParts).mapPartitions { groups =>
           val joinedRow = new JoinedRow
@@ -265,6 +343,119 @@ case class IntervalForestJoinExec(
             }
           }
         }
+
+      case BinRangeMode =>
+        // Outer/semi/anti at shuffle scale. Matched-ness of a stream row is
+        // a GLOBAL property (its replicas see different bins), so stream
+        // rows get a unique id (zipWithUniqueId — no extra job, unlike
+        // zipWithIndex) and per-bin verdicts aggregate by id:
+        //   semi — only matched replicas are emitted into the id shuffle
+        //          (volume = matched rows, deduped by reduceByKey),
+        //   anti — every replica reports (id, matched); OR-reduce, keep
+        //          the never-matched,
+        //   outer — pairs ride the same id shuffle (first-intersection-bin
+        //          dedup as in inner mode; matched=true ⇒ that bin's
+        //          replica carried the pair), unmatched ids null-pad.
+        // Stream rows with a null interval/key never enter a real bin but
+        // are still preserved for outer/anti: they ship to a sentinel bin
+        // (no build row can share it) and aggregate as unmatched.
+        val binW = binWidth
+        val numParts = conf.numShufflePartitions
+        val pairSchema = pairAttrs
+        val sentinelBin = Int.MinValue
+
+        val buildBinned = binnedRdd(buildPlan, bEqsB, bIvB, gap, nEqs, binW)
+
+        val streamWithId = streamPlan.execute().zipWithUniqueId()
+        val streamBinned: RDD[((UnsafeRow, Int), (Long, Int, Int, InternalRow))] =
+          streamWithId.mapPartitions { it =>
+            val keyProj = UnsafeProjection.create(sEqsBL)
+            val ivProj = UnsafeProjection.create(sIvB)
+            it.flatMap { case (row, id) =>
+              val iv = ivProj(row)
+              val copy = row.copy()
+              if (iv.isNullAt(0) || iv.isNullAt(1))
+                Iterator.single(((keyProj(copy).copy(), sentinelBin), (id, 0, 0, copy)))
+              else {
+                val s = iv.getInt(0)
+                val e = iv.getInt(1)
+                val key = keyProj(copy)
+                if (nEqs > 0 && key.anyNull)
+                  Iterator.single(((key.copy(), sentinelBin), (id, 0, 0, copy)))
+                else {
+                  val k = key.copy()
+                  val lo = Math.floorDiv(math.min(s, e), binW)
+                  val hi = Math.floorDiv(math.max(s, e), binW)
+                  (lo to hi).iterator.map(b => ((k, b), (id, s, e, copy)))
+                }
+              }
+            }
+          }
+
+        // Per-replica verdicts: (id, (srow, pairsFromThisBin, matchedHere)).
+        val verdicts = buildBinned.cogroup(streamBinned, numParts).mapPartitionsWithIndex {
+          (pidx, groups) =>
+            val joinedRow = new JoinedRow
+            val pred = residLocal.map(Predicate.create(_, pairSchema))
+            pred.foreach(_.initialize(pidx))
+            def pair(brow: InternalRow, srow: InternalRow): InternalRow =
+              if (buildIsLeft) joinedRow(brow, srow) else joinedRow(srow, brow)
+            groups.flatMap { case ((_, bin), (buildRows, streamRows)) =>
+              if (streamRows.isEmpty) Iterator.empty
+              else {
+                val items = buildRows.map { case (s, e, r) => (s, e, r) }.toIndexedSeq
+                buildRowsMetric += items.length
+                val forest = if (items.isEmpty) null else IntervalForest(items)
+                streamRows.iterator.flatMap { case (id, qs, qe, srow) =>
+                  var matchedHere = false
+                  val pairs = mutable.ArrayBuffer.empty[InternalRow]
+                  if (forest != null && bin != sentinelBin) {
+                    forest.foreachOverlap(qs, qe) { (bs, be, brow) =>
+                      if ((minOv <= 1 || math.min(be, qe) - math.max(bs, qs) + 1 >= minOv) &&
+                          pred.forall(_.eval(pair(brow, srow)))) {
+                        matchedHere = true
+                        if (jt != LeftSemi && jt != LeftAnti &&
+                            Math.floorDiv(math.max(math.min(bs, be), math.min(qs, qe)), binW) == bin)
+                          pairs += brow
+                      }
+                    }
+                  }
+                  if (jt == LeftSemi && !matchedHere) Iterator.empty
+                  else Iterator.single((id, (srow, pairs.toSeq, matchedHere)))
+                }
+              }
+            }
+        }
+
+        verdicts.reduceByKey(
+            (a: (InternalRow, Seq[InternalRow], Boolean),
+             b: (InternalRow, Seq[InternalRow], Boolean)) =>
+              (a._1, a._2 ++ b._2, a._3 || b._3),
+            numParts)
+          .mapPartitions { it =>
+            val joinedRow = new JoinedRow
+            val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+            val nullBuild = new GenericInternalRow(nBuildCols)
+            def pair(brow: InternalRow, srow: InternalRow): InternalRow =
+              if (buildIsLeft) joinedRow(brow, srow) else joinedRow(srow, brow)
+            it.flatMap { case (_, (srow, pairs, matched)) =>
+              jt match {
+                case LeftSemi =>
+                  numOutputRows += 1; Iterator.single(resultProj(srow))
+                case LeftAnti =>
+                  if (matched) Iterator.empty
+                  else { numOutputRows += 1; Iterator.single(resultProj(srow)) }
+                case _ => // LeftOuter / RightOuter
+                  if (!matched) {
+                    numOutputRows += 1
+                    Iterator.single(resultProj(pair(nullBuild, srow)))
+                  } else pairs.iterator.map { brow =>
+                    numOutputRows += 1
+                    resultProj(pair(brow, srow))
+                  }
+              }
+            }
+          }
     }
   }
 
@@ -284,7 +475,8 @@ case class IntervalForestJoinExec(
   // forest).
 
   override def supportCodegen: Boolean =
-    mode == BroadcastForestMode && holderClass == classOf[IntervalForestFactory].getName
+    joinType == Inner && mode == BroadcastForestMode &&
+      holderClass == classOf[IntervalForestFactory].getName
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     streamedPlan.asInstanceOf[CodegenSupport].inputRDDs()

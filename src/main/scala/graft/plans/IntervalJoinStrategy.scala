@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.{FilterExec, SparkPlan, SparkStrategy}
 
@@ -40,14 +41,22 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
     // planning: both batch modes here collect or cogroup a child, neither
     // of which is defined over an unbounded side. (Streaming interval
     // joins: graft.streaming.StreamingOps.{annotateStream, joinStreams}.)
-    case ExtractIntervalJoin(left, right, keys)
+    case ExtractIntervalJoin(left, right, joinType, keys)
         if conf("enabled", "true").toBoolean && !left.isStreaming && !right.isStreaming =>
       val minOverlap = conf("minOverlap", "1").toInt
       val maxGap = conf("maxGap", "0").toInt
-      val buildLeft = conf("buildSide", "auto") match {
-        case "left" => true
-        case "right" => false
-        case _ => left.stats.sizeInBytes <= right.stats.sizeInBytes
+      // Non-inner joins pin the build side: the preserved side must stream
+      // so unmatched rows can be emitted locally (same restriction as
+      // Spark's BroadcastHashJoinExec) — a conflicting buildSide conf is
+      // overridden, not honored.
+      val buildLeft = joinType match {
+        case RightOuter => true
+        case LeftOuter | LeftSemi | LeftAnti => false
+        case _ => conf("buildSide", "auto") match {
+          case "left" => true
+          case "right" => false
+          case _ => left.stats.sizeInBytes <= right.stats.sizeInBytes
+        }
       }
       val buildSize = if (buildLeft) left.stats.sizeInBytes else right.stats.sizeInBytes
       val maxBroadcast = conf("maxBroadcastBytes", (256L << 20).toString).toLong
@@ -59,10 +68,15 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
       val binWidth = conf("binWidth", "5000").toInt
       val holderClass = conf("intervalHolderClass",
         classOf[graft.operators.IntervalForestFactory].getName)
+      // Inner: residual stays a post-join FilterExec (whole-stage codegen
+      // fuses it). Non-inner: the residual decides matched-ness per
+      // candidate pair, so it must run inside the join.
+      val residualInExec = if (joinType == Inner) None else keys.residual
       val exec = IntervalForestJoinExec(
         keys, buildLeft, mode, minOverlap, maxGap, binWidth, holderClass,
-        planLater(left), planLater(right))
-      keys.residual.map(FilterExec(_, exec)).getOrElse(exec) :: Nil
+        joinType, residualInExec, planLater(left), planLater(right))
+      if (joinType == Inner) keys.residual.map(FilterExec(_, exec)).getOrElse(exec) :: Nil
+      else exec :: Nil
     case _ => Nil
   }
 }

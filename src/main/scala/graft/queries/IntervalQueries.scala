@@ -77,6 +77,40 @@ object IntervalQueries {
           a("pos_start") <= b("pos_end"))
         .select(col("a_key"), col("b_key"))
     },
+    // Beyond-reference join types (the reference and stock Spark both
+    // leave these to nested-loop plans): outer keeps every read with its
+    // annotation or null, semi/anti are the "has / lacks an overlapping
+    // feature" filters — all through the same forest exec.
+    "interval_join_left" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      val a = Tables.ivA(s, dir)
+      val b = Tables.ivB(s, dir)
+      a.join(b,
+          a("contig") === b("contig") &&
+          a("pos_end") >= b("pos_start") &&
+          a("pos_start") <= b("pos_end"), "left_outer")
+        .select(col("a_key"), col("b_key"))
+    },
+    "interval_join_semi" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      val a = Tables.ivA(s, dir)
+      val b = Tables.ivB(s, dir)
+      a.join(b,
+          a("contig") === b("contig") &&
+          a("pos_end") >= b("pos_start") &&
+          a("pos_start") <= b("pos_end"), "left_semi")
+        .select(col("a_key"), col("contig"), col("pos_start"))
+    },
+    "interval_join_anti" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      val a = Tables.ivA(s, dir)
+      val b = Tables.ivB(s, dir)
+      a.join(b,
+          a("contig") === b("contig") &&
+          a("pos_end") >= b("pos_start") &&
+          a("pos_start") <= b("pos_end"), "left_anti")
+        .select(col("a_key"), col("contig"), col("pos_start"))
+    },
     // No-equality variant (J2): both sides pre-filtered to one contig, the
     // join condition is the bare interval overlap.
     "interval_join_nochr" -> { (s, dir) =>
@@ -163,6 +197,26 @@ object IntervalQueries {
         |  ON a.contig = b.contig
         | AND a.pos_end >= b.pos_start - 3
         | AND a.pos_start <= b.pos_end + 3""".stripMargin),
+    "interval_join_left" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key
+        |FROM iva a LEFT JOIN ivb b
+        |  ON a.contig = b.contig
+        | AND a.pos_end >= b.pos_start
+        | AND a.pos_start <= b.pos_end""".stripMargin),
+    "interval_join_semi" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, contig, pos_start
+        |FROM iva a WHERE EXISTS (
+        |  SELECT 1 FROM ivb b
+        |  WHERE a.contig = b.contig
+        |    AND a.pos_end >= b.pos_start
+        |    AND a.pos_start <= b.pos_end)""".stripMargin),
+    "interval_join_anti" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, contig, pos_start
+        |FROM iva a WHERE NOT EXISTS (
+        |  SELECT 1 FROM ivb b
+        |  WHERE a.contig = b.contig
+        |    AND a.pos_end >= b.pos_start
+        |    AND a.pos_start <= b.pos_end)""".stripMargin),
     "interval_join_nochr" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT a_key, b_key
         |FROM (SELECT * FROM iva WHERE contig = '3') a

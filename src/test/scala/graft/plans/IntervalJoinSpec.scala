@@ -250,13 +250,84 @@ class IntervalJoinSpec extends SparkSpec {
       "the configured factory must actually be used")
   }
 
-  test("outer/semi join types fall through to stock Spark (Inner only)") {
-    val a = randomIntervals(50, 13, "a_key")
-    val b = randomIntervals(50, 14, "b_key")
-    val left = a.join(b,
-      a("contig") === b("contig") &&
-      a("pos_end") >= b("pos_start") &&
-      a("pos_start") <= b("pos_end"), "left_outer")
-    assert(!usesForestJoin(left))
+  // ---- non-inner join types (beyond the reference: stock Spark plans all
+  // of these as BroadcastNestedLoopJoin) ----
+
+  /** Full-row comparison robust to nulls in outer-padded columns. */
+  private def collectAllSorted(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString).sorted
+
+  private def typedJoin(l: DataFrame, r: DataFrame, jt: String): DataFrame =
+    l.join(r,
+      l("contig") === r("contig") &&
+      l("pos_end") >= r("pos_start") &&
+      l("pos_start") <= r("pos_end"), jt)
+
+  /** Preserved side carrying rows that can never match: a null contig, an
+    * out-of-range interval, and null coordinates — outer/anti must emit
+    * them, semi must drop them, exactly as stock Spark does. */
+  private def withUnmatchable(df: DataFrame, keyCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.unionByName(Seq((9001L, null.asInstanceOf[String], 10, 20))
+        .toDF(keyCol, "contig", "pos_start", "pos_end"))
+      .unionByName(Seq(9002L).toDF(keyCol)
+        .selectExpr(keyCol, "'1' AS contig", "CAST(NULL AS INT) AS pos_start",
+          "CAST(NULL AS INT) AS pos_end"))
+      .unionByName(Seq((9003L, "1", 100000, 100010))
+        .toDF(keyCol, "contig", "pos_start", "pos_end"))
+  }
+
+  test("outer/semi/anti join types match stock Spark in both modes") {
+    val a = withUnmatchable(randomIntervals(300, 61, "a_key"), "a_key")
+    val b = randomIntervals(25, 62, "b_key") // sparse: many unmatched a rows
+    for (jt <- Seq("left_outer", "right_outer", "left_semi", "left_anti");
+         (l, r) <- Seq((a, b), (b, a))) {
+      val df = typedJoin(l, r, jt)
+      assert(usesForestJoin(df), s"$jt must plan the forest join")
+      val stock = withConf("spark.graft.rangejoin.enabled", "false") {
+        collectAllSorted(typedJoin(l, r, jt))
+      }
+      assert(collectAllSorted(df) === stock, s"$jt broadcast mode (l=${l eq a})")
+      val bin = withConf("spark.graft.rangejoin.method", "binrange") {
+        collectAllSorted(typedJoin(l, r, jt))
+      }
+      assert(bin === stock, s"$jt binrange mode (l=${l eq a})")
+    }
+  }
+
+  test("non-inner residual decides matched-ness inside the join") {
+    val a = withUnmatchable(randomIntervals(250, 63, "a_key"), "a_key")
+    val b = randomIntervals(30, 64, "b_key")
+    for (jt <- Seq("left_outer", "left_semi", "left_anti")) {
+      val cond = a("contig") === b("contig") &&
+        a("pos_end") >= b("pos_start") &&
+        a("pos_start") <= b("pos_end") &&
+        (a("a_key") + b("b_key")) % 3 === 0 // residual over both sides
+      val df = a.join(b, cond, jt)
+      assert(usesForestJoin(df), s"$jt with residual must still plan the forest join")
+      val stock = withConf("spark.graft.rangejoin.enabled", "false") {
+        collectAllSorted(a.join(b, cond, jt))
+      }
+      assert(collectAllSorted(df) === stock, s"$jt broadcast+residual")
+      val bin = withConf("spark.graft.rangejoin.method", "binrange") {
+        collectAllSorted(a.join(b, cond, jt))
+      }
+      assert(bin === stock, s"$jt binrange+residual")
+    }
+  }
+
+  test("binrange outer dedups pairs spanning many bins (tiny binWidth)") {
+    val a = randomIntervals(200, 65, "a_key")
+    val b = randomIntervals(30, 66, "b_key")
+    val stock = withConf("spark.graft.rangejoin.enabled", "false") {
+      collectAllSorted(typedJoin(a, b, "left_outer"))
+    }
+    val got = withConf("spark.graft.rangejoin.method", "binrange") {
+      withConf("spark.graft.rangejoin.binWidth", "7") {
+        collectAllSorted(typedJoin(a, b, "left_outer"))
+      }
+    }
+    assert(got === stock)
   }
 }
