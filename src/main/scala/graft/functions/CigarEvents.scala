@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CIGAR → coverage event points, as a native codegen'd expression.
+  *
+  * The coverage walk (reference `pileup/model/Read.scala:27-54`) turns one
+  * read into ±1 event points at the boundaries of its reference-covering
+  * segments: M/=/X ops consume reference positions AND add coverage, D/N
+  * consume positions without coverage (deletion / spliced intron),
+  * I/S/H/P consume none. A null/empty CIGAR degrades to the solid
+  * `[start, end]` interval.
+  *
+  * Emitting the events from an expression (rather than a typed `flatMap`)
+  * keeps the reads scan → explode → exchange pipeline inside one
+  * whole-stage-codegen span and skips the Dataset encoder boundary — the
+  * typed kernel measured ~+0.3-0.9s per query at sf0.1 across every
+  * coverage/pileup query. The per-read state machine itself lives in
+  * [[CigarWalk.coverageEvents]] (compiled Scala, called from generated
+  * code — the `StaticInvoke` pattern).
+  */
+object CigarWalk {
+  /** Event points for one read: array of (pos, delta) structs. Touching
+    * segments (e.g. from `5M2I5M`) need no merging — their +1/-1 events at
+    * the same position cancel in the downstream prefix scan. */
+  def coverageEvents(start: Int, end: Int, cigar: UTF8String): ArrayData = {
+    if (cigar == null || cigar.numBytes() == 0) {
+      return new GenericArrayData(Array[Any](
+        new GenericInternalRow(Array[Any](start, 1)),
+        new GenericInternalRow(Array[Any](end + 1, -1))))
+    }
+    val n = cigar.numBytes()
+    // Count covering segments first so the output array is exact-sized.
+    var segs = 0
+    var i = 0
+    var num = 0
+    while (i < n) {
+      val c = cigar.getByte(i).toChar
+      if (c >= '0' && c <= '9') num = num * 10 + (c - '0')
+      else {
+        c match {
+          case 'M' | '=' | 'X' => if (num > 0) segs += 1
+          case 'D' | 'N' | 'I' | 'S' | 'H' | 'P' => ()
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported CIGAR op '$other' in '${cigar.toString}'")
+        }
+        num = 0
+      }
+      i += 1
+    }
+    val out = new Array[Any](segs * 2)
+    var pos = start
+    var k = 0
+    i = 0
+    num = 0
+    while (i < n) {
+      val c = cigar.getByte(i).toChar
+      if (c >= '0' && c <= '9') num = num * 10 + (c - '0')
+      else {
+        c match {
+          case 'M' | '=' | 'X' =>
+            if (num > 0) {
+              out(k) = new GenericInternalRow(Array[Any](pos, 1))
+              out(k + 1) = new GenericInternalRow(Array[Any](pos + num, -1))
+              k += 2
+            }
+            pos += num
+          case 'D' | 'N' => pos += num
+          case _ => ()
+        }
+        num = 0
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `cigar_coverage_events(pos_start, pos_end, cigar)` →
+  * `array<struct<pos:int, delta:int>>`. Children must be non-null
+  * (coalesce a nullable cigar to `''` at the call site — empty means
+  * "no CIGAR", falling back to the solid interval). */
+case class CigarCoverageEvents(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(IntegerType, IntegerType, StringType)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("delta", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "cigar_coverage_events"
+
+  override protected def nullSafeEval(s: Any, e: Any, c: Any): Any =
+    CigarWalk.coverageEvents(s.asInstanceOf[Int], e.asInstanceOf[Int], c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, e, c) =>
+      s"${ev.value} = graft.functions.CigarWalk.coverageEvents($s, $e, $c);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

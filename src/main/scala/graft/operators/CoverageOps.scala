@@ -53,33 +53,41 @@ object CoverageOps {
   /** Reference-covering segments of one read per its CIGAR string
     * (reference `pileup/model/Read.scala:27-54`): M/=/X consume reference
     * positions AND add coverage; D/N consume reference positions without
-    * coverage (deletion / spliced intron); I/S/H/P consume none. Adjacent
-    * covering segments produced by a non-reference op in between (e.g.
-    * `5M2I5M`) need no merging — their touching +1/-1 events cancel in the
-    * event scan. Pure per-read loop, no allocation beyond the output. */
+    * coverage (deletion / spliced intron); I/S/H/P consume none. Thin
+    * test/derivation view over the single production walker
+    * ([[graft.functions.CigarWalk.coverageEvents]], whose event pairs
+    * `(s,+1),(e+1,-1)` are folded back into `[s,e]` segments here). */
   private[graft] def cigarCoveredSegments(posStart: Int, cigar: String): List[(Int, Int)] = {
-    val out = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
-    var pos = posStart
-    var num = 0
-    var i = 0
-    while (i < cigar.length) {
-      val c = cigar.charAt(i)
-      if (c >= '0' && c <= '9') num = num * 10 + (c - '0')
-      else {
-        c match {
-          case 'M' | '=' | 'X' =>
-            if (num > 0) out += ((pos, pos + num - 1))
-            pos += num
-          case 'D' | 'N' => pos += num
-          case 'I' | 'S' | 'H' | 'P' => ()
-          case other =>
-            throw new IllegalArgumentException(s"unsupported CIGAR op '$other' in '$cigar'")
-        }
-        num = 0
+    require(cigar != null && cigar.nonEmpty, "cigarCoveredSegments needs a CIGAR")
+    val events = graft.functions.CigarWalk.coverageEvents(
+      posStart, posStart, org.apache.spark.unsafe.types.UTF8String.fromString(cigar))
+    (0 until events.numElements() by 2).map { i =>
+      (events.getStruct(i, 2).getInt(0), events.getStruct(i + 1, 2).getInt(0) - 1)
+    }.toList
+  }
+
+  /** ±1 coverage event points for a reads DataFrame, 2 rows per covered
+    * segment. When a `cigar` column is present the points follow the CIGAR
+    * walk via the native [[graft.functions.CigarCoverageEvents]]
+    * expression (not a typed flatMap — the scan → explode → exchange
+    * pipeline stays in one whole-stage-codegen span with no Dataset
+    * encoder boundary; a null/empty cigar degrades to the solid
+    * interval). PlanAuditSpec pins this shape. */
+  private[graft] def eventPoints(reads: DataFrame): DataFrame = {
+    val ev =
+      if (reads.columns.contains("cigar")) {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.functions.CigarCoverageEvents(
+          ColumnBridge.expression(col("pos_start").cast("int")),
+          ColumnBridge.expression(col("pos_end").cast("int")),
+          ColumnBridge.expression(coalesce(col("cigar"), lit("")))))
+      } else {
+        array(
+          struct(col("pos_start").cast("int").as("pos"), lit(1).as("delta")),
+          struct((col("pos_end") + 1).cast("int").as("pos"), lit(-1).as("delta")))
       }
-      i += 1
-    }
-    out.toList
+    reads.select(col("contig"), explode(ev).as("ev"))
+      .select(col("contig"), col("ev.pos").as("pos"), col("ev.delta").as("delta"))
   }
 
   /** RLE coverage blocks for a reads DataFrame with
@@ -92,31 +100,7 @@ object CoverageOps {
   def blocks(reads: DataFrame): DataFrame = {
     val spark = reads.sparkSession
     import spark.implicits._
-
-    val events =
-      if (reads.columns.contains("cigar")) {
-        // Typed kernel, not an expression: a general CIGAR walk is a small
-        // per-read state machine no codegen'd expression composition
-        // expresses; output volume stays 2 rows per covered segment.
-        reads.select(col("contig"), col("pos_start").cast("int"),
-            col("pos_end").cast("int"), col("cigar"))
-          .as[(String, Int, Int, String)]
-          .flatMap { case (contig, start, end, cigar) =>
-            val segs =
-              if (cigar == null || cigar.isEmpty) (start, end) :: Nil
-              else cigarCoveredSegments(start, cigar)
-            segs.iterator.flatMap { case (s, e) =>
-              Iterator((contig, s, 1), (contig, e + 1, -1))
-            }
-          }
-          .toDF("contig", "pos", "delta")
-      } else {
-        reads
-          .select(col("contig"), explode(array(
-            struct(col("pos_start").cast("int").as("pos"), lit(1).as("delta")),
-            struct((col("pos_end") + 1).cast("int").as("pos"), lit(-1).as("delta")))).as("ev"))
-          .select(col("contig"), col("ev.pos").as("pos"), col("ev.delta").as("delta"))
-      }
+    val events = eventPoints(reads)
 
     val sorted = events
       .repartitionByRange(col("contig"), col("pos"))

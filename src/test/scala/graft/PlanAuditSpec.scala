@@ -49,6 +49,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** The CIGAR event walk is a native expression precisely so the reads
+    * scan → explode → exchange stays in one whole-stage-codegen span; a
+    * typed-kernel regression would reintroduce the encoder boundary
+    * (measured ~+0.3-0.9s/query at sf0.1 across the coverage/pileup
+    * family). */
+  test("coverage event walk plans no Dataset encoder boundary") {
+    val plan = operators.CoverageOps.eventPoints(Tables.reads(spark, sf0001))
+      .queryExecution.executedPlan
+    val text = treeStrings(plan).mkString("\n")
+    assert(!text.contains("DeserializeToObject") && !text.contains("MapPartitions"),
+      s"coverage events must stay in codegen, not a typed kernel:\n$text")
+    assert(text.contains("cigar_coverage_events"), s"native CIGAR walk missing:\n$text")
+    // '*(n)' marks whole-stage-codegen'd operators in the tree string.
+    assert(text.contains("*(1) Generate"), s"event walk fell out of codegen:\n$text")
+  }
+
   test("interval-join queries plan the forest join") {
     Seq("interval_join_count", "interval_join_pairs", "interval_join_nochr",
         "interval_join_overlap10", "grange_tvf",
