@@ -383,7 +383,11 @@ object DedupOps {
         val p = parent.getOrElseUpdate(x, x)
         if (p == x) x else { val r = find(p); parent(x) = r; r }
       }
-      raw.as[(Long, Long)].toLocalIterator().forEachRemaining { case (a, b) =>
+      // One collect, not toLocalIterator: the latter runs one Spark job
+      // per partition (32 scheduling round-trips for a tiny edge list);
+      // the gate bounds this at ~16 MB on the driver, same order as the
+      // union-find map itself.
+      raw.as[(Long, Long)].collect().foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
