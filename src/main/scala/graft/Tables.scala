@@ -81,6 +81,50 @@ object Tables {
       (col("l_suppkey") % 41).cast("int").as("base_qual"))
   }
 
+  /** [[reads]] plus the raw per-read tag/sequence columns a real BAM
+    * carries — `md_tag`, `seq`, `qual_str` — derived CONSISTENTLY with
+    * the pre-digested mismatch columns (`has_alt`/`alt_pos`/`alt_base`/
+    * `base_qual`) and with [[graft.operators.MockReference]]:
+    *
+    *  - `md_tag`: `"<before><refBase><after>"` for reads with a mismatch
+    *    (counts of matching ALIGNED bases around it, the letter = the
+    *    mock-reference base at `alt_pos`), else `"<alignedLen>"`.
+    *  - `seq`: the read's bases — the mock reference restricted to the
+    *    M-consumed positions (reference bases cycle `ACGT` by coordinate,
+    *    so each M segment is a rotation of the cycle — pure substring
+    *    arithmetic, no per-character lambda), with `alt_base` overlaid at
+    *    the mismatch offset.
+    *  - `qual_str`: Phred+33 chars, the read's `base_qual` repeated.
+    *
+    * Pileup queries run over THIS table so the engine actually derives
+    * mismatches by walking CIGAR+MD+SEQ ([[graft.functions.MdMismatches]],
+    * the reference's `MDTagParser` semantics) — while the DuckDB oracles
+    * keep using the equivalent pre-digested columns, making the whole MD
+    * walk oracle-checked. */
+  def readsMd(spark: SparkSession, dir: String): DataFrame =
+    reads(spark, dir)
+      .withColumn("_len", expr("pos_end - pos_start + 1"))
+      .withColumn("_gap", expr("CASE WHEN cigar LIKE '%N%' THEN _len div 3 ELSE 0 END"))
+      .withColumn("_mlen", expr("CAST(_len - _gap AS INT)"))
+      .withColumn("_off", expr("alt_pos - pos_start"))
+      .withColumn("md_tag", expr(
+        """CASE WHEN has_alt THEN concat(CAST(_off AS STRING),
+          |  substr('ACGT', CAST((ascii(contig) + alt_pos) % 4 AS INT) + 1, 1),
+          |  CAST(_mlen - _off - 1 AS STRING))
+          |ELSE CAST(_mlen AS STRING) END""".stripMargin))
+      .withColumn("_cyc", expr("repeat('ACGT', CAST(_mlen div 4 AS INT) + 2)"))
+      .withColumn("_seqref", expr(
+        """CASE WHEN _gap > 0 THEN concat(
+          |  substr(_cyc, CAST((ascii(contig) + pos_start) % 4 AS INT) + 1, _gap),
+          |  substr(_cyc, CAST((ascii(contig) + pos_start + 2 * _gap) % 4 AS INT) + 1, _mlen - _gap))
+          |ELSE substr(_cyc, CAST((ascii(contig) + pos_start) % 4 AS INT) + 1, _mlen) END""".stripMargin))
+      .withColumn("seq", expr(
+        """CASE WHEN has_alt
+          |THEN concat(substr(_seqref, 1, _off), alt_base, substr(_seqref, _off + 2))
+          |ELSE _seqref END""".stripMargin))
+      .withColumn("qual_str", expr("repeat(char(base_qual + 33), _mlen)"))
+      .drop("_len", "_gap", "_mlen", "_off", "_cyc", "_seqref")
+
   /** BED-shaped interval/annotation table derived from `part`
     * (reference BED source, SURVEY §2.1 S5). */
   def targets(spark: SparkSession, dir: String): DataFrame =

@@ -37,6 +37,32 @@ object PileupOps {
     case None => col("base_qual")
   }
 
+  /** Per-read mismatch rows `(contig, pos, alt_base, base_qual)`. When the
+    * input carries the raw BAM tag/sequence columns (`md_tag`, `seq`,
+    * `qual_str`) the mismatches are DERIVED by walking CIGAR+MD+SEQ — the
+    * reference's MDTagParser semantics
+    * (`pileup/MDTagParser.scala:19-67`) — via the native codegen'd
+    * [[graft.functions.MdMismatches]] expression; otherwise the
+    * pre-digested `has_alt`/`alt_pos`/`alt_base`/`base_qual` columns are
+    * used directly. Both shapes feed the same aggregation. */
+  private def altRows(reads: DataFrame): DataFrame = {
+    if (reads.columns.contains("md_tag")) {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val mm = ColumnBridge.column(graft.functions.MdMismatches(
+        ColumnBridge.expression(col("pos_start").cast("int")),
+        ColumnBridge.expression(coalesce(col("cigar"), lit(""))),
+        ColumnBridge.expression(coalesce(col("md_tag"), lit(""))),
+        ColumnBridge.expression(coalesce(col("seq"), lit(""))),
+        ColumnBridge.expression(coalesce(col("qual_str"), lit("")))))
+      reads.select(col("contig"), explode(mm).as("mm"))
+        .select(col("contig"), col("mm.pos").as("alt_pos"),
+          col("mm.base").as("alt_base"), col("mm.qual").as("base_qual"))
+    } else {
+      reads.filter(col("has_alt"))
+        .select(col("contig"), col("alt_pos"), col("alt_base"), col("base_qual"))
+    }
+  }
+
   /** Depth lookup: point-in-block interval join against coverage blocks
     * (plans as IntervalForestJoin; perPos is the small broadcast side).
     * `ref` is the per-position reference base from [[MockReference]]
@@ -70,7 +96,7 @@ object PileupOps {
     // smallint cast would overflow, and under Spark 4 ANSI mode that is a
     // runtime error, not a wrap.
     val shortMax = lit(32767L)
-    val perBaseQ = reads.filter(col("has_alt"))
+    val perBaseQ = altRows(reads)
       .select(col("contig"), col("alt_pos").as("pos"),
         ascii(col("alt_base")).cast("tinyint").as("base"), qualExpr(qualsBinSize).as("q"))
       .repartition(col("contig"), col("pos"))
@@ -119,7 +145,7 @@ object PileupOps {
     // Level 1: per (contig, pos, base) — count + sorted qual rendering.
     // Pre-partitioned by (contig, pos): both aggregation levels run on
     // one exchange (see pileupMaps).
-    val perBase = reads.filter(col("has_alt"))
+    val perBase = altRows(reads)
       .select(col("contig"), col("alt_pos").as("pos"), col("alt_base").as("base"),
         qualExpr(qualsBinSize).as("q"))
       .repartition(col("contig"), col("pos"))

@@ -46,8 +46,12 @@ object GenomicSchemas {
     s.fields.toIndexedSeq.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
 
   val coverageInputs: Set[String] = Set("contig", "pos_start", "pos_end", "sample_id", "cigar")
+  /** Either mismatch shape works: raw BAM tag/sequence columns (md_tag/
+    * seq/qual_str — parsed by the MD walk) or the pre-digested alt
+    * columns; [[graft.operators.PileupOps.altRows]] picks per input. */
   val pileupInputs: Set[String] =
-    coverageInputs ++ Set("has_alt", "alt_pos", "alt_base", "base_qual")
+    coverageInputs ++ Set("has_alt", "alt_pos", "alt_base", "base_qual",
+      "md_tag", "seq", "qual_str")
 }
 
 /** `target` selects the output form (reference `coverage(..., 'blocks' |

@@ -16,23 +16,23 @@ object PileupQueries {
   val queries: Map[String, Q] = Map(
     "pileup_alts" -> { (s, dir) =>
       Graft.ensure(s)
-      PileupOps.pileup(Tables.reads(s, dir).filter(col("sample_id") === "s1"))
+      PileupOps.pileup(Tables.readsMd(s, dir).filter(col("sample_id") === "s1"))
     },
     "pileup_tvf" -> { (s, dir) =>
       Graft.ensure(s)
-      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      Tables.readsMd(s, dir).createOrReplaceTempView("reads_v")
       s.sql("SELECT * FROM pileup('reads_v', 's1', true, true)")
     },
     // A5: quality binning — qualities floored to bins of 10.
     "pileup_binned" -> { (s, dir) =>
       Graft.ensure(s)
-      PileupOps.pileup(Tables.reads(s, dir).filter(col("sample_id") === "s1"),
+      PileupOps.pileup(Tables.readsMd(s, dir).filter(col("sample_id") === "s1"),
         qualsBinSize = Some(10))
     },
     // 5-arg TVF overload: binSize through SQL.
     "pileup_binned_tvf" -> { (s, dir) =>
       Graft.ensure(s)
-      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      Tables.readsMd(s, dir).createOrReplaceTempView("reads_v")
       s.sql("SELECT * FROM pileup('reads_v', 's1', true, true, 10)")
     },
     // Per-flag TVF schemas (reference
@@ -41,12 +41,12 @@ object PileupQueries {
     // schema.
     "pileup_tvf_noquals" -> { (s, dir) =>
       Graft.ensure(s)
-      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      Tables.readsMd(s, dir).createOrReplaceTempView("reads_v")
       s.sql("SELECT * FROM pileup('reads_v', 's1', true, false)")
     },
     "pileup_tvf_cov" -> { (s, dir) =>
       Graft.ensure(s)
-      Tables.reads(s, dir).createOrReplaceTempView("reads_v")
+      Tables.readsMd(s, dir).createOrReplaceTempView("reads_v")
       s.sql("SELECT * FROM pileup('reads_v', 's1', false, false)")
     },
     // §2.9 samtools-format converter (reference `SamtoolsConverter`):
@@ -55,7 +55,7 @@ object PileupQueries {
     "pileup_format_samtools" -> { (s, dir) =>
       Graft.ensure(s)
       MpileupOps.toMpileup(
-        PileupOps.pileupMaps(Tables.reads(s, dir).filter(col("sample_id") === "s1")))
+        PileupOps.pileupMaps(Tables.readsMd(s, dir).filter(col("sample_id") === "s1")))
     },
     // Reference-schema map output (alts Map<Byte,Short>,
     // quals Map<Byte,Array<Short>>), rendered to canonical strings through
@@ -64,7 +64,7 @@ object PileupQueries {
     // the same renderings with ordered string_agg.
     "pileup_alts_maps" -> { (s, dir) =>
       Graft.ensure(s)
-      PileupOps.pileupMaps(Tables.reads(s, dir).filter(col("sample_id") === "s1"))
+      PileupOps.pileupMaps(Tables.readsMd(s, dir).filter(col("sample_id") === "s1"))
         .select(col("contig"), col("pos"), col("ref"), col("coverage"), col("count_ref"),
           col("count_nonref"),
           expr("altmap_to_str(alts_to_char(alts))").as("alts"),
