@@ -91,8 +91,16 @@ object GraftFunctions {
 
   private val cosineB: Builder = { case Seq(a, b) => CosineSimilarity(a, b) }
 
+  private val cigarEventsB: Builder = { case Seq(s, e, c) => CigarCoverageEvents(s, e, c) }
+
+  private val mdMismatchesB: Builder = { case Seq(s, cg, md, sq, q) =>
+    MdMismatches(s, cg, md, sq, q)
+  }
+
   private val builders: Seq[(String, Int, Builder)] = Seq(
     ("cosine_similarity", 2, cosineB),
+    ("cigar_coverage_events", 3, cigarEventsB),
+    ("md_mismatches", 5, mdMismatchesB),
     ("shift", 3, shiftB),
     ("resize", 4, resizeB),
     ("overlap", 4, overlapB),

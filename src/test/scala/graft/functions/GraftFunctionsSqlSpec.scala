@@ -58,6 +58,19 @@ class GraftFunctionsSqlSpec extends SparkSpec {
     assert(r.head.getString(0) === "42")
   }
 
+  test("cigar_coverage_events and md_mismatches are SQL-callable") {
+    val ev = spark.sql(
+      "SELECT cigar_coverage_events(100, 109, '5M3N2M') AS e").collect().head
+    val rows = ev.getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))) ===
+      Seq((100, 1), (105, -1), (108, 1), (110, -1)))
+    val mm = spark.sql(
+      "SELECT md_mismatches(100, '10M', '4A5', 'CCCCGCCCCC', 'IIIIJIIIII') AS m")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(mm.map(r => (r.getInt(0), r.getString(1), r.getInt(2))) ===
+      Seq((104, "G", 'J' - 33)))
+  }
+
   test("clean_contig SQL matches the mirror on representative names") {
     import graft.SharedSpark.spark.implicits._
     val names = Seq("chr1", "chr22", "chrX", "chrM", "chrMT", "M", "MT", "7", "chr7_alt")
