@@ -65,6 +65,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(text.contains("*(1) Generate"), s"event walk fell out of codegen:\n$text")
   }
 
+  /** Same guardrail for the MD-tag mismatch walk feeding pileup. */
+  test("pileup mismatch derivation stays in codegen via md_mismatches") {
+    val plan = SparkEntry.queries("pileup_alts")(spark, sf0001)
+      .queryExecution.executedPlan
+    val text = treeStrings(plan).mkString("\n")
+    assert(text.contains("md_mismatches"), s"MD walk missing from pileup plan:\n$text")
+    assert(!text.contains("DeserializeToObject") && !text.contains("MapPartitions"),
+      s"pileup alt rows must stay in codegen, not a typed kernel:\n$text")
+  }
+
   test("interval-join queries plan the forest join") {
     Seq("interval_join_count", "interval_join_pairs", "interval_join_nochr",
         "interval_join_overlap10", "grange_tvf",
