@@ -40,6 +40,15 @@ object DedupQueries {
     // dup-injected corpus: fingerprints are about shared passages.
     "dedup_winnow" -> { (s, dir) =>
       DedupOps.winnowPairs(Tables.documents(s, dir))
+    },
+    // Incremental dedup: the corpus's injected duplicates play the "new
+    // crawl" (left), the raw documents the existing base (right) — each
+    // left doc is checked against the base, never base-vs-base.
+    "dedup_cross" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      DedupOps.crossDupPairs(
+        Tables.corpus(s, dir).filter(col("doc_id") >= 10000),
+        Tables.documents(s, dir), threshold = 0.6)
     })
 
   val oracle: Map[String, String] = Map(
@@ -92,6 +101,24 @@ object DedupQueries {
          |  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
          |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY s""".stripMargin,
+    "dedup_cross" ->
+      s"""WITH ${OracleCtes.corpus},
+         |newdocs AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 10000),
+         |wl AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM newdocs),
+         |wr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |shl AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in generate_series(1, len(w)-2)]) AS st
+         |  FROM wl),
+         |shr AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in generate_series(1, len(w)-2)]) AS st
+         |  FROM wr),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+         |    / len(list_distinct(a.st || b.st)) AS jaccard
+         |  FROM shl a CROSS JOIN shr b)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin,
     // Bit-for-bit mirror of DedupOps.winnowPairs (k=5, w=4, minShared=3,
     // maxDf = floor(0.05 * nDocs)): same rolling hash as text_winnow_fp,
     // df filter on the fingerprint index, exact shared counts.

@@ -142,6 +142,36 @@ class DedupAnnSpec extends SparkSpec {
     assert(floodIds === 2000L, s"flood members linked: $floodIds")
   }
 
+  test("cross-corpus dedup finds every injected duplicate against the base") {
+    // Injected exact dups (+10000) must pair with their source at J=1.0;
+    // tail-modified copies (+20000) at their true Jaccard >= 0.6.
+    val left = corpus.filter(col("doc_id") >= 10000)
+    val right = Tables.documents(spark, sf0001)
+    val pairs = DedupOps.crossDupPairs(left, right, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = left.filter(col("doc_id") < 20000).select("doc_id")
+      .collect().map(_.getLong(0))
+    exact.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id - 10000 && p._3 == 1.0),
+        s"injected exact dup $id must match its source at J=1.0")
+    }
+    // No base-vs-base or left-vs-left pairs leak in.
+    assert(pairs.forall { case (a, b, _) => a >= 10000 && b < 10000 })
+  }
+
+  test("cross-corpus flood cap degrades to the bucket representative") {
+    import graft.SharedSpark.spark.implicits._
+    val base = (0L until 60L).map(i => (i, "the same boilerplate text repeated many times"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((1000L, "the same boilerplate text repeated many times"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.crossDupPairs(fresh, base, threshold = 0.9, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Every band bucket floods (all 60 identical) → only the min-id
+    // representative pairs with the new doc; detection preserved.
+    assert(pairs === Array((1000L, 0L)))
+  }
+
   test("clusters on an empty pair set returns an empty frame") {
     import graft.SharedSpark.spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
