@@ -72,6 +72,12 @@ class GraftSession(val spark: SparkSession) {
   def nearDuplicatesExact(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     DedupOps.jaccardPairs(docs, threshold)
 
+  /** Incremental dedup: near-dup pairs of `newDocs` AGAINST `baseDocs`
+    * (never base-vs-base) — the growing-corpus shape. */
+  def crossDuplicates(newDocs: DataFrame, baseDocs: DataFrame,
+      threshold: Double = 0.8): DataFrame =
+    DedupOps.crossDupPairs(newDocs, baseDocs, threshold)
+
   /** Connected components over near-dup pairs → (doc_id, cluster_id). */
   def dedupClusters(pairs: DataFrame): DataFrame = DedupOps.clusters(pairs)
 
