@@ -137,6 +137,11 @@ class GraftSession(val spark: SparkSession) {
   /** PII redaction report (per-class counts + redacted fingerprint). */
   def piiStats(docs: DataFrame): DataFrame = TextOps.piiStats(docs)
 
+  /** Context-window packing assignment (concat-and-chunk) — which
+    * `budget`-token window each document starts in, and where. */
+  def packForTraining(docs: DataFrame, budget: Int, nShards: Int = 8): DataFrame =
+    TextOps.packAssignments(docs, budget, nShards)
+
   /** Per-document tf-idf keywords. */
   def topTerms(docs: DataFrame, k: Int = 5): DataFrame = TextOps.topTerms(docs, k)
 

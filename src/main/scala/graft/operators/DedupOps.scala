@@ -103,22 +103,37 @@ object DedupOps {
     spreadByKey(shingles, col("doc_id"))
       .select(col("doc_id"), col("st"))
       .as[(Long, Seq[String])]
-      .mapPartitions { it =>
-        it.map { case (id, st) =>
-          val sig = Array.fill(k)(Long.MaxValue)
-          st.foreach { s =>
-            val base = baseHash(s)
-            var i = 0
-            while (i < k) {
-              val h = fmix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
-              if (h < sig(i)) sig(i) = h
-              i += 1
-            }
-          }
-          (id, sig.toSeq)
-        }
-      }
+      .mapPartitions(it => it.map { case (id, st) => (id, minhashSig(st, k).toSeq) })
       .toDF("doc_id", "sig")
+  }
+
+  /** The per-document signature kernel, shared with the streaming gate. */
+  private[graft] def minhashSig(st: Iterable[String], k: Int = NumHashes): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    st.foreach { s =>
+      val base = baseHash(s)
+      var i = 0
+      while (i < k) {
+        val h = fmix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Exact Jaccard of two sorted 64-bit shingle-hash arrays (the verify
+    * merge-scan, shared with the streaming gate). */
+  private[graft] def mergeJaccard(sa: Array[Long], sb: Array[Long]): Double = {
+    var i = 0; var j = 0; var m = 0
+    while (i < sa.length && j < sb.length) {
+      val x = sa(i); val y = sb(j)
+      if (x == y) { m += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = sa.length + sb.length - m
+    if (union == 0) 0.0 else m.toDouble / union
   }
 
   /** Default per-bucket size cap for the banded self-joins. Buckets of up
@@ -167,14 +182,15 @@ object DedupOps {
     * recomputes the full MinHash per comparison (measured 11.8s vs 0.2s
     * on the 672-doc corpus). The persisted state is (doc_id, bkey)
     * — 64 small rows per doc, the standard LSH index. */
-  /** (id, bkey) LSH band index: 64 bands × 2 signature rows per document,
-    * band identity folded into the 64-bit key. */
-  private def bandIndex(sigs: DataFrame): DataFrame = {
-    val bandKeys = (0 until NumBands).map { j =>
-      xxhash64(lit(j) +: (0 until BandRows).map(r => col("sig")(j * BandRows + r)): _*)
-    }
-    sigs.select(col("doc_id").as("id"), explode(array(bandKeys: _*)).as("bkey"))
-  }
+  /** The 64 band-bucket keys of a `sig` column as one array expression
+    * (band identity folded into each 64-bit key). */
+  private[graft] def bandKeysArray: Column = array((0 until NumBands).map { j =>
+    xxhash64(lit(j) +: (0 until BandRows).map(r => col("sig")(j * BandRows + r)): _*)
+  }: _*)
+
+  /** (id, bkey) LSH band index: 64 bands × 2 signature rows per document. */
+  private[graft] def bandIndex(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id").as("id"), explode(bandKeysArray).as("bkey"))
 
   def lshCandidatePairs(sigs: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
     val banded = bandIndex(sigs)
@@ -216,15 +232,7 @@ object DedupOps {
       .as[(Long, Long, Array[Long], Array[Long])]
       .mapPartitions { it =>
         it.flatMap { case (a, b, sa, sb) =>
-          var i = 0; var j = 0; var m = 0
-          while (i < sa.length && j < sb.length) {
-            val x = sa(i); val y = sb(j)
-            if (x == y) { m += 1; i += 1; j += 1 }
-            else if (x < y) i += 1
-            else j += 1
-          }
-          val union = sa.length + sb.length - m
-          val jac = if (union == 0) 0.0 else m.toDouble / union
+          val jac = mergeJaccard(sa, sb)
           if (jac >= threshold) Iterator.single((a, b, jac)) else Iterator.empty
         }
       }

@@ -387,6 +387,30 @@ object TextOps {
       .sortWithinPartitions(col("shard"), col("ord"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 
+  /** Context-window packing assignment — the concat-and-chunk layout LLM
+    * pretraining uses: documents are laid out in the deterministic
+    * hash-interleaved order of [[shardForTraining]], each shard's token
+    * stream is cut into fixed `budget`-token context windows, and every
+    * document learns which window its first token lands in
+    * (`pack_id`, globally unique as `shard * ceil(shardTokens/budget) +
+    * window` would be — emitted per-shard here so ids are stable under
+    * corpus growth in OTHER shards) and at what offset (`pack_offset`;
+    * a long document spans into subsequent windows). One exchange —
+    * the window partition on `shard` — then a running sum; no RNG, so
+    * the layout is reproducible at any parallelism and any corpus
+    * growth only appends within shards. */
+  def packAssignments(docs: DataFrame, budget: Int, nShards: Int = 8): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+    shardForTraining(docs, nShards)
+      .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("pack_id"),
+        ((col("cum") - col("n_tokens")) % budget).cast("int").as("pack_offset"))
+  }
+
   /** One-pass curation pipeline — the composite a training-data run
     * executes per corpus snapshot: score every document, keep one
     * representative per exact-duplicate group (minimum doc_id over the

@@ -109,6 +109,12 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("id_sum"),
           min_by(col("doc_id"), col("ord")).as("first_doc"))
+    },
+    // Context-window packing: per-document (shard, pack_id, pack_offset)
+    // for 512-token windows over the hash-interleaved shard order —
+    // concat-and-chunk, the standard pretraining layout.
+    "pipeline_pack" -> { (s, dir) =>
+      TextOps.packAssignments(Tables.documents(s, dir), budget = 512, nShards = 8)
     })
 
   private def statsSqlOver(table: String): String = statsSqlBody + table
@@ -271,6 +277,22 @@ object TextQueries {
         |SELECT shard, count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
         |  arg_min(doc_id, ord) AS first_doc
         |FROM b GROUP BY shard""".stripMargin,
+    "pipeline_pack" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT)
+        |      % 8 AS INT) AS shard,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':order'), 1, 8)) AS BIGINT) AS ord,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id) AS cum
+        |  FROM b)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 512 AS INT) AS pack_offset
+        |FROM c""".stripMargin,
     // 3-grams via list comprehension (inclusive slicing: t[i:i+2] is
     // three tokens); eval grams left-joined so unhit docs report 0.
     "pipeline_decontam" ->

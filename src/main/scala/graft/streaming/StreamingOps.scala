@@ -47,6 +47,84 @@ object StreamingOps {
         .filter(col("quality_score") >= minQuality && col("lang_guess") === lang))
       .select(col("doc_id"), col("quality_score"), col("split"))
 
+  /** Streaming NEAR-dup gate against a static base corpus: every arriving
+    * document gets a verdict row `(doc_id, ts, is_dup, dup_of, jaccard)` —
+    * `is_dup` when some base document's exact word-shingle Jaccard reaches
+    * `threshold`, `dup_of` the best-matching base id (-1 when none). The
+    * incremental form of [[graft.operators.DedupOps.crossDupPairs]]: a new
+    * crawl streaming in is checked AGAINST the accepted corpus.
+    *
+    * Shape: the base's MinHash band index and sorted shingle hashes are
+    * computed once with the batch kernels, collected, and broadcast (the
+    * [[annotateStream]] pattern — size-gated below against the same
+    * broadcast budget; for a base corpus beyond it, run the batch
+    * crossDupPairs shuffle join instead). Each stream doc then probes the
+    * broadcast maps in ONE stateless pass: shingle → signature → band
+    * keys → candidate base ids → exact merge-scan Jaccard. Zero streaming
+    * state, no watermark requirement, nothing shuffles — per-doc cost is
+    * O(shingles + candidates·set size) regardless of stream length. Band
+    * keys and shingle hashes are built from the same expressions/kernels
+    * as the batch index, so both sides hash identically. */
+  def dedupGateStream(docs: DataFrame, base: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val maxBytes = spark.conf
+      .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+    val estimated = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(estimated <= BigInt(maxBytes),
+      s"dedupGateStream base corpus is estimated at $estimated bytes, over " +
+      s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — its shingle index is " +
+      "collected and broadcast. Dedup against a corpus this size with the batch " +
+      "DedupOps.crossDupPairs instead, or raise the conf if the driver can hold it.")
+    val shR = DedupOps.shingleSets(base)
+    val shMap: Map[Long, Array[Long]] = shR
+      .select(col("doc_id"), array_sort(transform(col("st"), s => xxhash64(s))).as("sth"))
+      .as[(Long, Seq[Long])].collect().map { case (i, s) => (i, s.toArray) }.toMap
+    val bandMap: Map[Long, Array[Long]] = DedupOps.bandIndex(DedupOps.minhashSignatures(shR))
+      .as[(Long, Long)].collect().groupBy(_._2).map { case (k, v) => (k, v.map(_._1)) }
+    val bc = spark.sparkContext.broadcast((bandMap, shMap))
+
+    val shingled = docs
+      .select(col("doc_id"), col("ts"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"), col("ts"),
+        when(size(col("w")) < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(expr(
+            "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+          .as("st"))
+      .select(col("doc_id"), col("ts"), col("st"),
+        array_sort(transform(col("st"), s => xxhash64(s))).as("sth"))
+    val withBands = shingled
+      .as[(Long, Timestamp, Seq[String], Seq[Long])]
+      .mapPartitions(_.map { case (id, ts, st, sth) =>
+        (id, ts, DedupOps.minhashSig(st).toSeq, sth)
+      })
+      .toDF("doc_id", "ts", "sig", "sth")
+      .select(col("doc_id"), col("ts"), DedupOps.bandKeysArray.as("bands"), col("sth"))
+    withBands.as[(Long, Timestamp, Seq[Long], Seq[Long])]
+      .map { case (id, ts, bands, sth) =>
+        val (bm, sm) = bc.value
+        val a = sth.toArray
+        var bestId = -1L
+        var bestJ = 0.0
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        bands.foreach { b =>
+          bm.getOrElse(b, Array.empty[Long]).foreach { c =>
+            if (seen.add(c)) {
+              val jac = DedupOps.mergeJaccard(a, sm(c))
+              // Deterministic tie-break: higher jaccard, then lower id.
+              if (jac > bestJ || (jac == bestJ && bestJ > 0 && c < bestId)) {
+                bestJ = jac; bestId = c
+              }
+            }
+          }
+        }
+        val dup = bestJ >= threshold
+        (id, ts, dup, if (dup) bestId else -1L, bestJ)
+      }
+      .toDF("doc_id", "ts", "is_dup", "dup_of", "jaccard")
+  }
+
   case class StreamRead(contig: String, pos_start: Int, pos_end: Int, ts: Timestamp)
   case class ContigProgress(contig: String, n_reads: Long, min_pos: Int, max_pos: Int, covered_span: Long)
 

@@ -48,6 +48,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup gate: verdicts against a static base corpus") {
+    import graft.SharedSpark.spark.implicits._
+    val baseText = (1 to 30).map(i => s"base$i").mkString(" ")
+    val base = Seq((100L, baseText), (101L, "a completely different document about other things entirely"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingOps.dedupGateStream(df, base, threshold = 0.8)
+      .writeStream.format("memory").queryName("gate").outputMode("append").start()
+    in.addData(
+      (ts(1), 1L, baseText),                             // exact copy of base 100
+      (ts(2), 2L, baseText + " extra tail"),             // near dup of base 100
+      (ts(3), 3L, "fresh unseen content that matches nothing in the base corpus at all"))
+    run(query) {
+      val rows = spark.table("gate").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(_._1)
+      assert(rows(0) === ((1L, true, 100L, 1.0)))
+      assert(rows(1)._2 && rows(1)._3 == 100L && rows(1)._4 >= 0.8 && rows(1)._4 < 1.0,
+        s"near dup should gate: ${rows(1)}")
+      assert(rows(2)._1 == 3L && !rows(2)._2 && rows(2)._3 == -1L)
+    }
+  }
+
+  test("streaming dedup gate refuses an over-budget base corpus") {
+    import graft.SharedSpark.spark.implicits._
+    val base = Seq((1L, "text")).toDF("doc_id", "text")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    spark.conf.set("spark.graft.rangejoin.maxBroadcastBytes", "1")
+    try {
+      val e = intercept[IllegalArgumentException](StreamingOps.dedupGateStream(df, base))
+      assert(e.getMessage.contains("crossDupPairs"))
+    } finally spark.conf.unset("spark.graft.rangejoin.maxBroadcastBytes")
+  }
+
   test("streaming curation: dedup + quality gate + split label in one stream") {
     import graft.SharedSpark.spark.implicits._
     val in = MemoryStream[(Timestamp, Long, String)]
