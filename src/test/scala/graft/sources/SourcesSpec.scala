@@ -41,6 +41,28 @@ class SourcesSpec extends SparkSpec {
       Tables.reads(spark, sf0001).filter(col("sample_id") === "s1").count())
   }
 
+  test("writeAligned produces the hive + position-sorted layout") {
+    val path = s"$base/aligned"
+    val reads = Tables.reads(spark, sf0001)
+    SourceUtil.writeAligned(reads, path)
+    // Hive partition dirs per sample.
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("sample_id="))
+    assert(dirs.toSet === reads.select("sample_id").distinct()
+      .collect().map(r => s"sample_id=${r.getString(0)}").toSet)
+    // Nothing lost, and every file is internally (contig, pos_start)-sorted —
+    // the property parquet row-group min/max pruning (P4) relies on.
+    val back = spark.read.parquet(path)
+    assert(back.count() === reads.count())
+    import org.apache.spark.sql.expressions.Window
+    val rows = back.select(col("contig"), col("pos_start"),
+      input_file_name().as("f"), monotonically_increasing_id().as("rowpos"))
+    val w = Window.partitionBy(col("f"), col("contig")).orderBy(col("rowpos"))
+    val disorder = rows
+      .select(col("pos_start"), lag(col("pos_start"), 1).over(w).as("prev"))
+      .filter(col("prev") > col("pos_start")).count()
+    assert(disorder === 0L, "files must be position-sorted within contig")
+  }
+
   test("distinct samples over the hive layout reads no data columns (A6)") {
     val path = s"$base/partitioned_a6"
     val reads = Tables.reads(spark, sf0001)
