@@ -32,5 +32,10 @@ class GraftSessionSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") < 5)
     assert(gs.similarityTopKIvf(emb, q, 3).count() === 15)
     assert(gs.sql("SELECT * FROM bdg_grange('1', 10, 20)").count() === 1)
+    val base = Tables.documents(spark, sf0001)
+    assert(gs.crossDuplicates(docs.filter(col("doc_id") >= 10000), base, 0.6).count() > 0)
+    val packed = gs.packForTraining(base, budget = 256)
+    assert(packed.count() === base.count())
+    assert(packed.filter(col("pack_offset") >= 256 || col("pack_offset") < 0).count() === 0)
   }
 }
