@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Inner bin-range interval join as a pure Catalyst rewrite — the shape
+  * the engine plans at shuffle scale (build side over the broadcast
+  * budget). Both sides explode to the fixed-width genome bins their
+  * interval overlaps, join on `(eq keys..., bin)` — a stock equi-join,
+  * so Tungsten shuffle serialization, whole-stage codegen, and AQE skew
+  * splitting all apply (the RDD-cogroup implementation, kept for
+  * differential testing under `spark.graft.rangejoin.binrangeImpl=
+  * cogroup`, gets none of these and buffers each (key,bin) group) — with
+  * the widened overlap core and the exactly-once first-intersection-bin
+  * dedup as non-equi join conjuncts evaluated inside the join's
+  * generated loop.
+  *
+  * Semantics identical to [[IntervalForestJoinExec]]'s BinRangeMode
+  * (maxGap widens the build side before binning and overlap/minOverlap
+  * use the widened values, reference
+  * `IntervalTreeJoinOptimChromosomeImpl.scala:82-87`): a pair is emitted
+  * exactly once because the first bin of its (widened) intersection is
+  * provably covered by both sides' replica ranges whenever the join
+  * predicate holds — including degenerate (start > end) rows, whose
+  * replicas cover their coordinate envelope.
+  *
+  * All arithmetic is in Long: genomic coordinates fit, and a single type
+  * avoids int/long comparison mismatches in hand-built resolved
+  * expressions.
+  */
+object BinRangeRewrite {
+
+  /** Marker prefix of the generated bin attributes;
+    * [[IntervalJoinStrategy]] refuses to re-extract a join whose equality
+    * keys carry it (the rewrite's own join would otherwise recurse). */
+  val BinAttr = "__graft_bin"
+
+  def isRewriteJoin(keys: IntervalJoinKeys): Boolean =
+    (keys.leftEqs ++ keys.rightEqs).exists {
+      case a: AttributeReference => a.name.startsWith(BinAttr)
+      case _ => false
+    }
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  /** floorDiv in expressions: `(x - pmod(x, w)) div w` — pmod is
+    * non-negative for a positive modulus, so the subtraction lands
+    * exactly on the floor multiple (IntegralDivide alone truncates
+    * toward zero, wrong for negative coordinates after gap widening). */
+  private def floorDiv(x: Expression, w: Long): Expression = {
+    val xl = asLong(x)
+    IntegralDivide(Subtract(xl, Pmod(xl, Literal(w))), Literal(w))
+  }
+
+  /** Explode `plan` to one row per overlapped bin of `[min(s,e)-widen,
+    * max(s,e)+widen]`. Null intervals vanish (Sequence of a null bound is
+    * null; Explode of null emits nothing) — inner-join semantics. */
+  private def binned(plan: LogicalPlan, s: Expression, e: Expression,
+      widen: Int, binW: Long, attrName: String): (LogicalPlan, Attribute) = {
+    val lo = floorDiv(Subtract(Least(Seq(asLong(s), asLong(e))), Literal(widen.toLong)), binW)
+    val hi = floorDiv(Add(Greatest(Seq(asLong(s), asLong(e))), Literal(widen.toLong)), binW)
+    val binAttr = AttributeReference(attrName, LongType, nullable = false)()
+    val gen = Generate(Explode(new Sequence(lo, hi)), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(binAttr), child = plan)
+    (gen, binAttr)
+  }
+
+  /** The rewritten logical plan: binned(left) ⋈ binned(right) on
+    * `(eqKeys, bin, widened overlap, minOverlap, first-bin dedup)`,
+    * projected back to `left.output ++ right.output`, residual filter on
+    * top. */
+  def rewrite(left: LogicalPlan, right: LogicalPlan, keys: IntervalJoinKeys,
+      buildLeft: Boolean, minOverlap: Int, maxGap: Int, binWidth: Int): LogicalPlan = {
+    val binW = binWidth.toLong
+    val (gl, gr) = if (buildLeft) (maxGap, 0) else (0, maxGap)
+    val (lb, binL) = binned(left, keys.leftStart, keys.leftEnd, gl, binW, s"${BinAttr}_l")
+    val (rb, binR) = binned(right, keys.rightStart, keys.rightEnd, gr, binW, s"${BinAttr}_r")
+
+    // Widened interval bounds (only the build side moves).
+    val ls = Subtract(asLong(keys.leftStart), Literal(gl.toLong))
+    val le = Add(asLong(keys.leftEnd), Literal(gl.toLong))
+    val rs = Subtract(asLong(keys.rightStart), Literal(gr.toLong))
+    val re = Add(asLong(keys.rightEnd), Literal(gr.toLong))
+
+    val conjuncts = Seq.newBuilder[Expression]
+    keys.leftEqs.zip(keys.rightEqs).foreach { case (a, b) => conjuncts += EqualTo(a, b) }
+    conjuncts += EqualTo(binL, binR)
+    // Overlap core on the widened bounds.
+    conjuncts += LessThanOrEqual(ls, re)
+    conjuncts += LessThanOrEqual(rs, le)
+    if (minOverlap > 1) {
+      conjuncts += GreaterThanOrEqual(
+        Add(Subtract(Least(Seq(le, re)), Greatest(Seq(ls, rs))), Literal(1L)),
+        Literal(minOverlap.toLong))
+    }
+    // Exactly-once: only the first bin of the pair's intersection emits.
+    conjuncts += EqualTo(
+      floorDiv(Greatest(Seq(Least(Seq(ls, le)), Least(Seq(rs, re)))), binW), binL)
+
+    val join = Join(lb, rb, Inner, Some(conjuncts.result().reduce(And)), JoinHint.NONE)
+    val projected = Project((left.output ++ right.output).map(a => a: NamedExpression), join)
+    keys.residual.map(Filter(_, projected)).getOrElse(projected)
+  }
+}

@@ -191,10 +191,30 @@ class IntervalJoinSpec extends SparkSpec {
     val (rows, usedBinRange) = withConf("spark.graft.rangejoin.maxBroadcastBytes", "1") {
       val df = joined(a, b)
       val plan = df.queryExecution.executedPlan.toString
-      (collectSorted(df), plan.contains("BinRangeMode"))
+      // Inner bin-range plans the Catalyst equi-join rewrite: exploded
+      // __graft_bin keys, no custom exec, no nested-loop join.
+      (collectSorted(df), plan.contains("__graft_bin"))
     }
     assert(usedBinRange, "size-based auto selection should pick the bin-range fallback")
     assert(rows === base)
+  }
+
+  test("bin-range SQL rewrite and cogroup exec agree (incl. gap/overlap confs)") {
+    val a = randomIntervals(300, 77, "a_key")
+    val b = randomIntervals(60, 78, "b_key")
+    for ((ov, gap) <- Seq((1, 0), (10, 0), (1, 25))) {
+      val run = (impl: String) =>
+        withConf("spark.graft.rangejoin.method", "binrange") {
+          withConf("spark.graft.rangejoin.binrangeImpl", impl) {
+            withConf("spark.graft.rangejoin.minOverlap", ov.toString) {
+              withConf("spark.graft.rangejoin.maxGap", gap.toString) {
+                collectSorted(joined(a, b))
+              }
+            }
+          }
+        }
+      assert(run("sql") === run("cogroup"), s"minOverlap=$ov maxGap=$gap")
+    }
   }
 
   test("exact counts on sf0.001 are stable") {
