@@ -142,6 +142,11 @@ class GraftSession(val spark: SparkSession) {
   def packForTraining(docs: DataFrame, budget: Int, nShards: Int = 8): DataFrame =
     TextOps.packAssignments(docs, budget, nShards)
 
+  /** Line-level dedup: strip text segments shared by more than `maxDf`
+    * documents (boilerplate removal, CCNet-style). */
+  def stripBoilerplate(docs: DataFrame, maxDf: Int = 1): DataFrame =
+    TextOps.lineDedup(docs, maxDf)
+
   /** Per-document tf-idf keywords. */
   def topTerms(docs: DataFrame, k: Int = 5): DataFrame = TextOps.topTerms(docs, k)
 

@@ -387,6 +387,48 @@ object TextOps {
       .sortWithinPartitions(col("shard"), col("ord"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 
+  /** Line-level (chunk-level) dedup — the CCNet/RefinedWeb preprocessing
+    * step that strips boilerplate by dropping every text segment whose
+    * exact normalized form appears in more than `maxDf` distinct
+    * documents (headers, footers, nav chrome dominate a crawl's byte
+    * count and repeat across pages while real prose doesn't). Segments
+    * here are fixed `chunkWords`-word windows of the normalized token
+    * stream (the corpus has no newlines; a real crawl would split on
+    * them — same plan shape either way). Output: one row per input doc
+    * with the reassembled `text_clean` (empty when everything was
+    * boilerplate), `n_kept`, `n_dropped`.
+    *
+    * Plan: chunk explode → one df aggregation keyed by chunk text (key
+    * cardinality ~ corpus vocabulary of segments, uniformly hashable,
+    * grows with data — no broadcast, no skew hot-spot beyond the
+    * boilerplate chunks themselves, which are exactly the rows this op
+    * deletes) → join back → per-doc ordered reassembly. Three
+    * exchanges, all keyed, no driver state. */
+  def lineDedup(docs: DataFrame, maxDf: Int = 1, chunkWords: Int = 20): DataFrame = {
+    require(maxDf >= 1 && chunkWords >= 1, s"bad lineDedup params ($maxDf, $chunkWords)")
+    val w = tokens(col("text"))
+    val chunks = docs
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(w) + ${chunkWords - 1}) div $chunkWords - 1), " +
+        s"i -> concat_ws(' ', slice(w, i * $chunkWords + 1, $chunkWords)))")))
+      .toDF("doc_id", "idx", "chunk")
+    val dfs = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = chunks.join(dfs, "chunk").filter(col("df") <= maxDf)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    val total = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_total"))
+    total.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Context-window packing assignment — the concat-and-chunk layout LLM
     * pretraining uses: documents are laid out in the deterministic
     * hash-interleaved order of [[shardForTraining]], each shard's token

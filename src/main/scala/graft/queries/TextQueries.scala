@@ -115,6 +115,12 @@ object TextQueries {
     // concat-and-chunk, the standard pretraining layout.
     "pipeline_pack" -> { (s, dir) =>
       TextOps.packAssignments(Tables.documents(s, dir), budget = 512, nShards = 8)
+    },
+    // Line-level dedup over the dup-injected corpus: every 20-word chunk
+    // of a duplicated document appears in >= 2 docs, so whole duplicated
+    // texts strip to empty while unique prose passes through.
+    "pipeline_linededup" -> { (s, dir) =>
+      TextOps.lineDedup(Tables.corpus(s, dir), maxDf = 1)
     })
 
   private def statsSqlOver(table: String): String = statsSqlBody + table
@@ -277,6 +283,23 @@ object TextQueries {
         |SELECT shard, count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
         |  arg_min(doc_id, ord) AS first_doc
         |FROM b GROUP BY shard""".stripMargin,
+    "pipeline_linededup" ->
+      s"""WITH ${graft.OracleCtes.corpus},
+         |toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),
+         |ch AS (SELECT doc_id,
+         |  unnest([{'idx': i, 'chunk': array_to_string(w[i*20+1 : i*20+20], ' ')}
+         |          for i in range(0, CAST(ceil(len(w) / 20.0) AS BIGINT))]) AS c
+         |  FROM toks),
+         |chunks AS (SELECT doc_id, c.idx AS idx, c.chunk AS chunk FROM ch),
+         |dfs AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY 1),
+         |kept AS (SELECT c.doc_id, string_agg(c.chunk, ' ' ORDER BY c.idx) AS text_clean,
+         |                count(*) AS n_kept
+         |         FROM chunks c JOIN dfs USING (chunk) WHERE dfs.df <= 1 GROUP BY 1),
+         |total AS (SELECT doc_id, count(*) AS n_total FROM chunks GROUP BY 1)
+         |SELECT t.doc_id, coalesce(k.text_clean, '') AS text_clean,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  t.n_total - coalesce(k.n_kept, 0) AS n_dropped
+         |FROM total t LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "pipeline_pack" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -123,6 +123,29 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(s2 / 3000.0 - 0.5) < 0.05) // default rate ~50%
   }
 
+  test("lineDedup strips cross-document boilerplate, keeps unique prose in order") {
+    import graft.SharedSpark.spark.implicits._
+    val boiler = (1 to 20).map(i => s"nav$i").mkString(" ")       // one exact chunk
+    val uniqueA = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val uniqueB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $uniqueA"),   // boilerplate header + unique body
+      (2L, s"$boiler $uniqueB"),
+      (3L, uniqueA.toUpperCase)    // same words as A but only this doc (normalized equal!)
+    ).toDF("doc_id", "text")
+    // doc 3 normalizes to doc 1's body chunk -> df 2 -> both stripped.
+    val out = TextOps.lineDedup(docs, maxDf = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out(0) === ((1L, "", 0L, 2L)))          // header df=2, body df=2 (doc 3)
+    assert(out(1) === ((2L, uniqueB, 1L, 1L)))     // header stripped, body kept
+    assert(out(2) === ((3L, "", 0L, 1L)))
+    // With maxDf = 2 everything but nothing... header df=2 <= 2: all kept.
+    val lax = TextOps.lineDedup(docs, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(lax === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("shardForTraining: balanced shards, stable interleave, files round-trip in ord order") {
     import graft.SharedSpark.spark.implicits._
     val d = graft.SharedSpark.spark.range(8000).toDF("doc_id")
