@@ -61,6 +61,11 @@ class GraftSession(val spark: SparkSession) {
     * `fromMpileup(toMpileup(pm)) == pm` (MpileupSpec round-trip law). */
   def fromMpileup(rows: DataFrame): DataFrame = MpileupOps.fromMpileup(rows)
 
+  /** Parse GATK Pileup walker text rows (no quality string) into the
+    * reference map schema. */
+  def fromGatkPileup(rows: DataFrame, caseSensitive: Boolean = true): DataFrame =
+    MpileupOps.fromGatkPileup(rows, caseSensitive)
+
   /** Exact-duplicate groups over normalized text. */
   def exactDuplicates(docs: DataFrame): DataFrame = DedupOps.exactDupGroups(docs)
 

@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *    WHOLE table to the driver; here blocks come from composing with
   *    [[Converters.perBaseToBlocks]], which stays distributed).
   *
+  * [[fromGatkPileup]] covers the second text flavor the reference
+  * converts (`converters/gatk/GatkConverter.scala`) — GATK Pileup walker
+  * rows, no quality string.
+  *
   * Round-trip law (tested): `fromMpileup(toMpileup(pm)) == pm` on every
   * pileupMaps frame. Cross-position deletion transfer (the reference's
   * `DelTransfer` coverage adjustment at loci FOLLOWING a deletion) is out
@@ -60,6 +64,44 @@ object MpileupOps {
       concat(repeat(lit("."), col("count_ref").cast("int")), altsStr).as("pileup"),
       concat(repeat(lit("I"), col("count_ref").cast("int")),
         qualsRender(col("quals"))).as("quals"))
+  }
+
+  /** GATK-pileup text parity (reference
+    * `pileup/converters/gatk/GatkConverter.scala:13-50` /
+    * `GatkSchema.scala`): rows `(contig, pos, ref, coverage, pileup)` —
+    * the space-delimited GATK Pileup walker output, which carries NO
+    * quality string — parsed into the engine's map schema. Reference
+    * semantics: per-base counts are raw character counts of
+    * `A/C/G/T/N` (case kept as distinct alt keys when `caseSensitive`,
+    * folded to upper otherwise), `coverage` is the pileup string length,
+    * `ref` uppercased, contig normalized, `quals` null.
+    *
+    * Unlike the reference — which `collect()`s the WHOLE table to the
+    * driver and rebuilds a DataFrame (`GatkConverter.scala:47`) — this is
+    * pure column expressions: codegen'd, distributed, and mirrored by a
+    * DuckDB oracle (`pileup_format_gatk`). */
+  def fromGatkPileup(rows: DataFrame, caseSensitive: Boolean = true): DataFrame = {
+    val p = if (caseSensitive) col("pileup") else upper(col("pileup"))
+    val baseChars = if (caseSensitive) "ACGTNacgtn" else "ACGTN"
+    def countOf(ch: Char) =
+      length(p) - length(replace(p, lit(ch.toString), lit("")))
+    val entries = baseChars.map { ch =>
+      struct(lit(ch.toByte).as("key"),
+        least(countOf(ch), lit(32767)).cast("smallint").as("value"))
+    }
+    val alts = filter(array(entries: _*), e => e.getField("value") > 0)
+    val nonref = baseChars.map(countOf).reduce(_ + _).cast("long")
+    val stripped = when(col("contig").startsWith("chr"),
+      col("contig").substr(lit(4), lit(Int.MaxValue))).otherwise(col("contig"))
+    rows.select(
+      when(stripped === "M", lit("MT")).otherwise(stripped).as("contig"),
+      col("pos").cast("int").as("pos"),
+      upper(col("ref")).as("ref"),
+      length(p).cast("int").as("coverage"),
+      (countOf('.') + countOf(',')).cast("long").as("count_ref"),
+      nonref.as("count_nonref"),
+      when(size(alts) > 0, map_from_entries(alts)).as("alts"),
+      lit(null).cast("map<tinyint,array<smallint>>").as("quals"))
   }
 
   /** Parse mpileup rows `(contig, pos, ref, pileup, quals)` into the

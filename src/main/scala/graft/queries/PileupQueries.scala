@@ -57,6 +57,18 @@ object PileupQueries {
       MpileupOps.toMpileup(
         PileupOps.pileupMaps(Tables.readsMd(s, dir).filter(col("sample_id") === "s1")))
     },
+    // §2.9 GATK converter (reference `GatkConverter`): GATK-pileup text
+    // (no quals) parsed back to the map schema — rendered from the
+    // engine's own pileup and round-tripped, alts re-rendered for the
+    // oracle compare.
+    "pileup_format_gatk" -> { (s, dir) =>
+      Graft.ensure(s)
+      val maps = PileupOps.pileupMaps(Tables.readsMd(s, dir).filter(col("sample_id") === "s1"))
+      MpileupOps.fromGatkPileup(MpileupOps.toMpileup(maps).drop("quals"))
+        .select(col("contig"), col("pos"), col("ref"), col("coverage"),
+          col("count_ref"), col("count_nonref"),
+          expr("altmap_to_str(alts_to_char(alts))").as("alts"))
+    },
     // Reference-schema map output (alts Map<Byte,Short>,
     // quals Map<Byte,Array<Short>>), rendered to canonical strings through
     // the F7-F14 UDF pack — the reference composition
@@ -167,6 +179,28 @@ object PileupQueries {
        |       repeat('I', CAST(c.coverage - p.count_nonref AS INT)) || p.qualstr AS quals
        |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
 
+  // GATK text round-trip: coverage = pileup string length = depth, alts
+  // re-counted from the rendered characters — identical to the map-form
+  // aggregation minus the quality level.
+  private val pileupGatkOracle: String =
+    s"""WITH ${OracleCtes.reads},
+       |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+       |${OracleCtes.segPositions("r")},
+       |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+       |alt1 AS (SELECT contig, alt_pos AS pos, alt_base AS base
+       |         FROM r WHERE has_alt),
+       |perbase AS (SELECT contig, pos, base, COUNT(*) AS cnt
+       |            FROM alt1 GROUP BY 1, 2, 3),
+       |perpos AS (SELECT contig, pos, CAST(SUM(cnt) AS BIGINT) AS count_nonref,
+       |           string_agg(base || ' -> ' || cnt, ', ' ORDER BY base) AS alts
+       |           FROM perbase GROUP BY 1, 2)
+       |SELECT p.contig, p.pos,
+       |       ${MockReference.refBaseSql("p.contig", "p.pos")} AS ref,
+       |       CAST(c.coverage AS INT) AS coverage,
+       |       CAST(c.coverage - p.count_nonref AS BIGINT) AS count_ref,
+       |       p.count_nonref, p.alts
+       |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
+
   // quals=false: identical pipeline, final select without the quals column.
   private val pileupNoQualsOracle: String = {
     val full = pileupOracle
@@ -181,5 +215,6 @@ object PileupQueries {
     "pileup_binned" -> pileupBinnedOracle,
     "pileup_binned_tvf" -> pileupBinnedOracle,
     "pileup_alts_maps" -> pileupMapsOracle,
-    "pileup_format_samtools" -> pileupSamtoolsOracle)
+    "pileup_format_samtools" -> pileupSamtoolsOracle,
+    "pileup_format_gatk" -> pileupGatkOracle)
 }

@@ -52,6 +52,25 @@ class MpileupSpec extends SparkSpec {
       == Seq((34, 1.toShort)))
   }
 
+  test("fromGatkPileup: raw char counts, case handling, contig cleaning, null quals") {
+    import graft.SharedSpark.spark.implicits._
+    val in = Seq(("chrM", 42, "a", 7, "..GgNt,")).toDF("contig", "pos", "ref", "cov", "pileup")
+    // caseSensitive: lowercase alts stay distinct keys (reference default).
+    val cs = MpileupOps.fromGatkPileup(in).collect()(0)
+    assert(cs.getString(0) == "MT" && cs.getInt(1) == 42 && cs.getString(2) == "A")
+    assert(cs.getInt(3) == 7)      // coverage = string length (reference parity)
+    assert(cs.getLong(4) == 3L)    // '.' + ','
+    assert(cs.getLong(5) == 4L)    // G g N t
+    assert(cs.getAs[Map[Byte, Short]](6) ==
+      Map('G'.toByte -> 1.toShort, 'g'.toByte -> 1.toShort,
+          'N'.toByte -> 1.toShort, 't'.toByte -> 1.toShort))
+    assert(cs.isNullAt(7))
+    // caseSensitive = false folds minus-strand bases into upper keys.
+    val ci = MpileupOps.fromGatkPileup(in, caseSensitive = false).collect()(0)
+    assert(ci.getAs[Map[Byte, Short]](6) ==
+      Map('G'.toByte -> 2.toShort, 'N'.toByte -> 1.toShort, 'T'.toByte -> 1.toShort))
+  }
+
   test("toMpileup renders ref dots first, then alts ascending with quals aligned") {
     import graft.SharedSpark.spark.implicits._
     val pm = Seq(("1", 5, "C", 4, 2L, 2L,
