@@ -125,6 +125,65 @@ object StreamingOps {
       .toDF("doc_id", "ts", "is_dup", "dup_of", "jaccard")
   }
 
+  /** Streaming similarity search: every arriving embedding row
+    * `(vec_id, ts, embedding)` gets its top-`k` cosine neighbors from a
+    * STATIC corpus — streaming retrieval, the ANN analogue of
+    * [[dedupGateStream]]. The corpus is collected (size-gated against
+    * the broadcast budget, same pattern) and probed per row in one
+    * stateless pass: no streaming state, no watermark, nothing shuffles.
+    * Output: `(vec_id, ts, rank, neighbor_id, sim)`, rank 1..k by
+    * descending cosine (ties by ascending neighbor id — the batch
+    * [[graft.operators.EmbeddingOps.exactTopK]] order); self-matches by
+    * id are excluded like the batch op. Cosine runs in double precision
+    * in sequential index order — the same arithmetic as the batch
+    * [[graft.functions.CosineSimilarity]] expression. */
+  def similarStream(vecs: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be positive, got $k")
+    val maxBytes = spark.conf
+      .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+    val estimated = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(estimated <= BigInt(maxBytes),
+      s"similarStream corpus is estimated at $estimated bytes, over " +
+      s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — it is collected and " +
+      "broadcast. Use the batch EmbeddingOps paths (IVF/LSH/quantized) for a " +
+      "corpus this size, or raise the conf if the driver can hold it.")
+    val base: Array[(Long, Array[Double])] = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().map { case (i, e) => (i, e.toArray) }
+    val bc = spark.sparkContext.broadcast(base)
+    vecs
+      .select(col("vec_id"), col("ts"), col("embedding").cast("array<double>"))
+      .as[(Long, Timestamp, Seq[Double])]
+      .flatMap { case (id, ts, emb) =>
+        val q = emb.toArray
+        var qn = 0.0
+        var i = 0
+        while (i < q.length) { qn += q(i) * q(i); i += 1 }
+        // Bounded top-k: scan the broadcast corpus, keep the k best.
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)] { case (s, c) => (-s, c) })
+        bc.value.foreach { case (cid, ce) =>
+          if (cid != id) {
+            val n = math.min(q.length, ce.length)
+            var dot = 0.0
+            var cn = 0.0
+            var j = 0
+            while (j < n) { dot += q(j) * ce(j); j += 1 }
+            j = 0
+            while (j < ce.length) { cn += ce(j) * ce(j); j += 1 }
+            val sim = dot / (math.sqrt(qn) * math.sqrt(cn))
+            heap.enqueue((sim, cid))
+            if (heap.size > k) heap.dequeue()
+          }
+        }
+        val best: Seq[(Double, Long)] = heap.dequeueAll.reverse
+        best.iterator.zipWithIndex.map { case ((s, cid), r) => (id, ts, r + 1, cid, s) }
+      }
+      .toDF("vec_id", "ts", "rank", "neighbor_id", "sim")
+  }
+
   case class StreamRead(contig: String, pos_start: Int, pos_end: Int, ts: Timestamp)
   case class ContigProgress(contig: String, n_reads: Long, min_pos: Int, max_pos: Int, covered_span: Long)
 
