@@ -316,6 +316,24 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("full-outer joins decompose into forest branches and match stock Spark") {
+    val a = withUnmatchable(randomIntervals(200, 67, "a_key"), "a_key")
+    val b = withUnmatchable(randomIntervals(25, 68, "b_key"), "b_key")
+    val df = typedJoin(a, b, "full_outer")
+    val plan = physical(df).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"full outer must not fall back to BNLJ:\n$plan")
+    assert(usesForestJoin(df), "both branches should plan forest joins")
+    val stock = withConf("spark.graft.rangejoin.enabled", "false") {
+      collectAllSorted(typedJoin(a, b, "full_outer"))
+    }
+    assert(collectAllSorted(df) === stock, "full outer broadcast branches")
+    val bin = withConf("spark.graft.rangejoin.method", "binrange") {
+      collectAllSorted(typedJoin(a, b, "full_outer"))
+    }
+    assert(bin === stock, "full outer binrange branches")
+  }
+
   test("non-inner residual decides matched-ness inside the join") {
     val a = withUnmatchable(randomIntervals(250, 63, "a_key"), "a_key")
     val b = randomIntervals(30, 64, "b_key")
