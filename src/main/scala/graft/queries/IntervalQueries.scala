@@ -91,6 +91,19 @@ object IntervalQueries {
           a("pos_start") <= b("pos_end"), "left_outer")
         .select(col("a_key"), col("b_key"))
     },
+    // Full outer through the LeftOuter ∪ null-padded RightAnti
+    // decomposition (stock Spark: BNLJ). ivB filtered to a sliver so
+    // unmatched rows exist on BOTH sides.
+    "interval_join_full" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      val a = Tables.ivA(s, dir).filter(col("pos_start") < 50000)
+      val b = Tables.ivB(s, dir)
+      a.join(b,
+          a("contig") === b("contig") &&
+          a("pos_end") >= b("pos_start") &&
+          a("pos_start") <= b("pos_end"), "full_outer")
+        .select(col("a_key"), col("b_key"))
+    },
     "interval_join_semi" -> { (s, dir) =>
       Graft.ensure(s); joinConf(s)
       val a = Tables.ivA(s, dir)
@@ -200,6 +213,13 @@ object IntervalQueries {
     "interval_join_left" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT a_key, b_key
         |FROM iva a LEFT JOIN ivb b
+        |  ON a.contig = b.contig
+        | AND a.pos_end >= b.pos_start
+        | AND a.pos_start <= b.pos_end""".stripMargin),
+    "interval_join_full" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key
+        |FROM (SELECT * FROM iva WHERE pos_start < 50000) a
+        |FULL OUTER JOIN ivb b
         |  ON a.contig = b.contig
         | AND a.pos_end >= b.pos_start
         | AND a.pos_start <= b.pos_end""".stripMargin),
