@@ -83,6 +83,12 @@ class GraftSession(val spark: SparkSession) {
       threshold: Double = 0.8): DataFrame =
     DedupOps.crossDupPairs(newDocs, baseDocs, threshold)
 
+  /** Incremental embedding dedup: cosine near-dup pairs of `newVecs`
+    * AGAINST `baseVecs` (sign-LSH candidates, exact-cosine verified). */
+  def crossEmbeddingDuplicates(newVecs: DataFrame, baseVecs: DataFrame,
+      threshold: Double = 0.9): DataFrame =
+    operators.EmbeddingOps.crossCosineDupPairs(newVecs, baseVecs, threshold)
+
   /** Connected components over near-dup pairs → (doc_id, cluster_id). */
   def dedupClusters(pairs: DataFrame): DataFrame = DedupOps.clusters(pairs)
 

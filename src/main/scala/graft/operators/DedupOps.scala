@@ -275,6 +275,16 @@ object DedupOps {
       .transform(CacheScope.persistTracked)
     val bR = bandIndex(minhashSignatures(shR))
       .transform(CacheScope.persistTracked)
+    verifyJaccardAB(crossCappedPairs(bL, bR, cap), shL, shR, threshold)
+  }
+
+  /** Cross-index candidate pairs `(id_a from bL, id_b from bR)` sharing a
+    * bucket key — the cross-join flavor of [[cappedSelfJoinPairs]]'s
+    * flood guard, shared by the text and embedding cross-dedup families:
+    * a bucket whose RIGHT membership exceeds `cap` pairs left members
+    * against only its min right id (detection preserved, Θ(L·R) per-
+    * bucket blowup avoided). Inputs are `(id, bkey)` band indexes. */
+  private[graft] def crossCappedPairs(bL: DataFrame, bR: DataFrame, cap: Int): DataFrame = {
     val statsR = bR.groupBy(col("bkey"))
       .agg(count(lit(1)).as("bsz"), min(col("id")).as("rep"))
     val taggedR = bR.join(statsR, "bkey")
@@ -285,8 +295,7 @@ object DedupOps {
     val floodPairs = bL.as("l")
       .join(statsR.filter(col("bsz") > cap).as("r"), col("l.bkey") === col("r.bkey"))
       .select(col("l.id").as("id_a"), col("rep").as("id_b"))
-    val candidates = smallPairs.unionByName(floodPairs).distinct()
-    verifyJaccardAB(candidates, shL, shR, threshold)
+    smallPairs.unionByName(floodPairs).distinct()
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs — the no-approximation

@@ -402,9 +402,32 @@ object EmbeddingOps {
       cap: Int = DedupOps.DefaultBucketCap): DataFrame = {
     val banded = bandKeys(signBuckets(corpus, "vec_id"), "vec_id", bandBitsFor(threshold))
       .transform(CacheScope.persistTracked)
-    val candidates = DedupOps.cappedSelfJoinPairs(banded, cap)
-    val ea = corpus.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("emb_a"))
-    val eb = corpus.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("emb_b"))
+    verifyCosine(DedupOps.cappedSelfJoinPairs(banded, cap), corpus, corpus, threshold)
+  }
+
+  /** Cross-corpus embedding near-dup pairs: for each `left` vector, the
+    * `right` vectors with cosine >= threshold — the vector member of the
+    * incremental-dedup family ([[graft.operators.DedupOps.crossDupPairs]]
+    * is the text member). Candidates come from shared sign-LSH band keys
+    * across the two indexes (the hyperplanes are dimension-derived, so
+    * both sides hash identically) with the shared cross flood guard;
+    * survivors are exact-cosine verified. */
+  def crossCosineDupPairs(left: DataFrame, right: DataFrame, threshold: Double,
+      cap: Int = DedupOps.DefaultBucketCap): DataFrame = {
+    val bits = bandBitsFor(threshold)
+    val bL = bandKeys(signBuckets(left, "vec_id"), "vec_id", bits)
+      .transform(CacheScope.persistTracked)
+    val bR = bandKeys(signBuckets(right, "vec_id"), "vec_id", bits)
+      .transform(CacheScope.persistTracked)
+    verifyCosine(DedupOps.crossCappedPairs(bL, bR, cap), left, right, threshold)
+  }
+
+  /** Exact-cosine verification of candidate pairs: `id_a` against
+    * `corpusA`, `id_b` against `corpusB`. */
+  private def verifyCosine(candidates: DataFrame, corpusA: DataFrame,
+      corpusB: DataFrame, threshold: Double): DataFrame = {
+    val ea = corpusA.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("emb_a"))
+    val eb = corpusB.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("emb_b"))
     candidates.join(ea, "id_a").join(eb, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") >= threshold)

@@ -267,6 +267,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall") // sign-LSH at cos~0.4: ~0.5 expected
   }
 
+  test("cross-corpus embedding near-dup: perfect precision, recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val left = emb.filter(col("vec_id") % 10 === 0)
+    val right = emb.filter(col("vec_id") % 10 =!= 0)
+    val got = EmbeddingOps.crossCosineDupPairs(left, right, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = left.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("ea"))
+    val b = right.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("eb"))
+    val truth = a.crossJoin(b)
+      .select(col("id_a"), col("id_b"), EmbeddingOps.cosine(col("ea"), col("eb")).as("s"))
+      .filter(col("s") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "every returned pair must truly exceed the threshold")
+    assert(got.forall { case (l, r) => l % 10 == 0 && r % 10 != 0 }, "sides must not mix")
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.25, s"recall $recall")
+  }
+
   test("int8 quantization: bounded reconstruction error, cosine preserved") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = EmbeddingOps.quantize(emb)

@@ -199,6 +199,18 @@ class IntervalJoinSpec extends SparkSpec {
     assert(rows === base)
   }
 
+  test("bin-range rewrite is AQE-invariant") {
+    val a = randomIntervals(300, 91, "a_key")
+    val b = randomIntervals(60, 92, "b_key")
+    val run = (aqe: String) =>
+      withConf("spark.sql.adaptive.enabled", aqe) {
+        withConf("spark.graft.rangejoin.method", "binrange") {
+          collectSorted(joined(a, b))
+        }
+      }
+    assert(run("true") === run("false"))
+  }
+
   test("bin-range SQL rewrite and cogroup exec agree (incl. gap/overlap confs)") {
     val a = randomIntervals(300, 77, "a_key")
     val b = randomIntervals(60, 78, "b_key")
