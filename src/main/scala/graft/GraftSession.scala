@@ -89,6 +89,12 @@ class GraftSession(val spark: SparkSession) {
       threshold: Double = 0.9): DataFrame =
     operators.EmbeddingOps.crossCosineDupPairs(newVecs, baseVecs, threshold)
 
+  /** SemDedup (cluster-then-prune semantic dedup): k-means clusters via
+    * the trained IVF quantizer, keep-lowest-id within each epsilon-ball →
+    * (vec_id, is_dup). */
+  def semanticDuplicates(vecs: DataFrame, threshold: Double = 0.9): DataFrame =
+    EmbeddingOps.semDedup(vecs, threshold)
+
   /** Connected components over near-dup pairs → (doc_id, cluster_id). */
   def dedupClusters(pairs: DataFrame): DataFrame = DedupOps.clusters(pairs)
 

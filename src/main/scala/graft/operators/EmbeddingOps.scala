@@ -422,6 +422,38 @@ object EmbeddingOps {
     verifyCosine(DedupOps.crossCappedPairs(bL, bR, cap), left, right, threshold)
   }
 
+  /** SemDedup-style semantic deduplication (cluster-then-prune, the method
+    * of Abbas et al. 2023): cluster the corpus with the Lloyd-trained
+    * coarse quantizer (hard assignment, `replicas = 1`), then mark a
+    * vector as a semantic duplicate iff some *same-cluster* vector with a
+    * smaller id has cosine >= `threshold` — the deterministic stand-in
+    * for the paper's keep-one-per-epsilon-ball choice. Output
+    * `(vec_id, is_dup)` for every corpus vector.
+    *
+    * Scale shape: no all-pairs stage anywhere. Candidate pairs come from
+    * the cluster id as an LSH-style bucket key through
+    * [[DedupOps.cappedSelfJoinPairs]] — Lloyd balance keeps clusters at
+    * ~N/nLists (~sqrt(N) by default), and a runaway cluster degrades to
+    * star edges against its min-id representative, which preserves
+    * exactly the keep-lowest-id semantics this operator needs (a member
+    * is compared to the representative it would defer to). The verify is
+    * the codegen'd cosine over candidates only. Like all cluster-bounded
+    * dedup, recall is approximate: a near-dup pair split across cluster
+    * boundaries is missed (the paper accepts the same trade) — asserted
+    * against brute force on separable fixtures in DedupAnnSpec. */
+  def semDedup(corpus: DataFrame, threshold: Double, nLists: Int = 0,
+      iters: Int = 3, cap: Int = DedupOps.DefaultBucketCap): DataFrame = {
+    val (_, assigned) = ivfIndex(corpus, nLists, iters, replicas = 1)
+    val keyed = assigned.select(col("c_id").as("id"), col("list").cast("long").as("bkey"))
+    val dupPairs = verifyCosine(DedupOps.cappedSelfJoinPairs(keyed, cap),
+      corpus, corpus, threshold)
+    val dropped = dupPairs.select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    corpus.select(col("vec_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
+
   /** Exact-cosine verification of candidate pairs: `id_a` against
     * `corpusA`, `id_b` against `corpusB`. */
   private def verifyCosine(candidates: DataFrame, corpusA: DataFrame,

@@ -47,6 +47,13 @@ object EmbeddingQueries {
     // DedupAnnSpec against brute force.
     "embedding_neardup" -> { (s, dir) =>
       EmbeddingOps.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+    },
+    // SemDedup (cluster-then-prune semantic dedup, Abbas et al. 2023). No
+    // SQL oracle (the trained quantizer isn't SQL-expressible); the
+    // nLists=1 degenerate case is proven identical to global brute force
+    // and the clustered case precision/recall-asserted in DedupAnnSpec.
+    "ann_semdedup" -> { (s, dir) =>
+      EmbeddingOps.semDedup(Tables.embeddings(s, dir), threshold = 0.4)
     })
 
   val oracle: Map[String, String] = Map(

@@ -285,6 +285,43 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall")
   }
 
+  test("semDedup with nLists=1 equals global keep-lowest-id brute force") {
+    // One cluster = no boundary effects: the prune must match the global
+    // definition exactly (x is a dup iff some smaller-id y has cos >= t).
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = EmbeddingOps.semDedup(emb, threshold = 0.4, nLists = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("eb"))
+    val dupTruth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), EmbeddingOps.cosine(col("ea"), col("eb")).as("s"))
+      .filter(col("s") >= 0.4)
+      .select(col("id_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size === emb.count(), "one verdict per corpus vector")
+    assert(got.filter(_._2).keySet === dupTruth)
+    assert(dupTruth.nonEmpty, "fixture should contain semantic dups")
+  }
+
+  test("semDedup clustered: structural precision, cluster-bounded recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val flagged = EmbeddingOps.semDedup(emb, threshold = 0.4) // default ~sqrt(N) lists
+      .filter(col("is_dup")).collect().map(_.getLong(0)).toSet
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("eb"))
+    val dupTruth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), EmbeddingOps.cosine(col("ea"), col("eb")).as("s"))
+      .filter(col("s") >= 0.4)
+      .select(col("id_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // Precision is structural: a flagged vector was exact-cosine-verified
+    // against a smaller-id neighbor, so it must be in the global dup set.
+    assert(flagged.subsetOf(dupTruth))
+    // Recall loses only cross-cluster pairs; deterministic fixture+seed.
+    val recall = flagged.size.toDouble / dupTruth.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("int8 quantization: bounded reconstruction error, cosine preserved") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = EmbeddingOps.quantize(emb)
