@@ -125,6 +125,10 @@ class GraftSession(val spark: SparkSession) {
   /** Corpus vocabulary → (token, tf, df). */
   def vocabulary(docs: DataFrame): DataFrame = TextOps.vocabulary(docs)
 
+  /** Unigram-LM surprisal scores (CCNet-style perplexity-filter proxy) →
+    * (doc_id, n_tokens, surprisal_bits, mean_surprisal). */
+  def unigramScores(docs: DataFrame): DataFrame = TextOps.unigramSurprisal(docs)
+
   /** Composite curation pass: score → dedup-to-representative → gate. */
   def curate(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en"): DataFrame =
     TextOps.curate(docs, minQuality, lang)

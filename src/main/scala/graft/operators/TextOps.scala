@@ -137,6 +137,47 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
 
+  /** Integer bit length of a positive integral column:
+    * `floor(log2(x)) + 1`, computed as `length(bin(x))` — pure
+    * string/integer ops, exact in every engine (`log2` falls to libm and
+    * can drift an ulp at power-of-two boundaries). */
+  private def bitLength(x: Column): Column = length(bin(x))
+
+  /** Unigram-LM document scoring — the CCNet-style "how surprising is
+    * this document under the corpus unigram model" quality proxy, in
+    * exact integer arithmetic. Per-token surprisal is the bit-length gap
+    * `floor(log2(total)) - floor(log2(tf))` — a whole-bit surrogate for
+    * `-log2 p(tok) = log2(total) - log2(tf)`, within 1 bit of the real
+    * value per token; like [[topTerms]]' raw-ratio idf, the integer form
+    * is chosen so the score is bit-identical across engines and the
+    * oracle check stays exact. Low mean surprisal = boilerplate /
+    * frequent-token text; high = rare-token-heavy (OOV-ish) text — the
+    * two tails a perplexity filter trims.
+    *
+    * Output `(doc_id, n_tokens, surprisal_bits, mean_surprisal)`.
+    *
+    * Plan shape: one explode, one token aggregation, a token join (AQE
+    * broadcasts the vocabulary when small; otherwise a shuffle join keyed
+    * on token — never per-corpus on a node), one per-doc aggregation.
+    * Driver state is the single total-token scalar. */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    // Persist barrier: toks feeds the vocabulary, the total count, and
+    // the scoring join — left lazy, tokenize+explode would run per branch
+    // (the measured CollapseProject cliff).
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .transform(CacheScope.persistTracked)
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = toks.count()
+    val surprisal = bitLength(lit(total)) - bitLength(col("tf"))
+    toks.join(vocab, "token")
+      .select(col("doc_id"), surprisal.cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("surprisal_bits"))
+      .withColumn("mean_surprisal",
+        col("surprisal_bits").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Redaction patterns applied in order: emails first (their local parts
     * contain digit runs), then IPv4 (dotted digits would otherwise feed
     * the phone pattern), then card/account-shaped 13-19-digit runs

@@ -87,6 +87,11 @@ object TextQueries {
     "text_top_terms" -> { (s, dir) =>
       TextOps.topTerms(Tables.documents(s, dir))
     },
+    // Unigram-LM surprisal scoring (CCNet-style perplexity-filter proxy)
+    // in exact integer bit arithmetic.
+    "text_unigram" -> { (s, dir) =>
+      TextOps.unigramSurprisal(Tables.documents(s, dir))
+    },
     // The curation columns through the SQL surface only (TextFunctions
     // registered via GraftExtensions) — proves a SQL-only user gets the
     // identical pipeline.
@@ -362,5 +367,19 @@ object TextQueries {
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
-        |FROM toks WHERE token <> '' GROUP BY token""".stripMargin)
+        |FROM toks WHERE token <> '' GROUP BY token""".stripMargin,
+    "text_unigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |v AS (SELECT token, count(*) AS tf FROM t GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM t)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(bin(tot.total)) - length(bin(v.tf))) AS BIGINT) AS surprisal_bits,
+        |  CAST(SUM(length(bin(tot.total)) - length(bin(v.tf))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_surprisal
+        |FROM t JOIN v USING (token) CROSS JOIN tot
+        |GROUP BY t.doc_id""".stripMargin)
 }

@@ -224,6 +224,23 @@ class TextOpsSpec extends SparkSpec {
     assert(top((2L, 2)) === "common")
   }
 
+  test("unigramSurprisal: hand-computed bit gaps, boilerplate scores below rare text") {
+    import graft.SharedSpark.spark.implicits._
+    val d = Seq(
+      (1L, "the the the the"), // 4x the most frequent token
+      (2L, "the zyx"), //         one common + one hapax
+      (3L, "qqq www")) //         two hapaxes
+      .toDF("doc_id", "text")
+    // Corpus: total=8 tokens (bits 4); tf: the=5 (bits 3), each hapax=1 (bits 1).
+    val got = TextOps.unigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((4L, 4L, 1.0))) //  4 x (4-3)
+    assert(got(2L) === ((2L, 4L, 2.0))) //  (4-3) + (4-1)
+    assert(got(3L) === ((2L, 6L, 3.0))) //  2 x (4-1)
+    // The quality-proxy ordering the filter relies on.
+    assert(got(1L)._3 < got(2L)._3 && got(2L)._3 < got(3L)._3)
+  }
+
   test("documents shorter than k chars produce no rows; shorter than w grams one window") {
     val m = fps(docs(1L -> "abc", 2L -> "abcdef"))
     assert(!m.contains(1L)) // 3 chars < k=5: no grams
