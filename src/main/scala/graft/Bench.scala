@@ -62,7 +62,10 @@ object Bench {
     } catch { case _: Throwable => () } // warmup must never fail the bench
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     spark.catalog.clearCache()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Dev-only filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    // queries (the driver never sets it — full runs are unaffected).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.filter(n => only.forall(_ (n))).sorted
     // Two passes per query, min taken: single-shot timings at the 1-2s
     // scale swing ±30% with JIT/GC/machine contention (the r3 driver
     // snapshot recorded 3-9x outliers that vanished on re-run); the min
@@ -79,8 +82,11 @@ object Bench {
       catch {
         case e: Throwable =>
           failed = true
-          if (pass == 1)
-            errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          // Any pass's failure is an error (dedup by name): a query that
+          // succeeds on pass 1 but fails on pass 2 is flaky, not clean.
+          if (!errors.exists(_._1 == name))
+            errors :+= (name ->
+              (s"pass $pass: " + Option(e.getMessage).getOrElse(e.getClass.getName)).take(200))
       }
       val t = (System.nanoTime() - t0) / 1e9
       if (!failed) best += (name -> math.min(t, best.getOrElse(name, Double.MaxValue)))

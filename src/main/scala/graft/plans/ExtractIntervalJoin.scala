@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -33,14 +33,16 @@ case class IntervalJoinKeys(
   *
   * Beyond the reference (which is Inner-only,
   * `ExtractRangeJoinKeysWithEquality.scala:29-44`): LeftOuter/RightOuter/
-  * LeftSemi/LeftAnti interval joins are also matched — stock Spark plans
-  * every one of these as a BroadcastNestedLoopJoin (the O(|L|·|R|)
-  * scale-killer), so "reads with no annotation" (anti) or "keep all reads,
-  * tag matched" (outer) hit exactly the wall this engine exists to remove.
+  * FullOuter/LeftSemi/LeftAnti interval joins are also matched — stock
+  * Spark plans every one of these as a BroadcastNestedLoopJoin (the
+  * O(|L|·|R|) scale-killer), so "reads with no annotation" (anti) or
+  * "keep all reads, tag matched" (outer) hit exactly the wall this engine
+  * exists to remove.
   */
 object ExtractIntervalJoin extends PredicateHelper {
 
-  private val supported: Set[JoinType] = Set(Inner, LeftOuter, RightOuter, LeftSemi, LeftAnti)
+  private val supported: Set[JoinType] =
+    Set(Inner, LeftOuter, RightOuter, FullOuter, LeftSemi, LeftAnti)
 
   def unapply(plan: LogicalPlan): Option[(LogicalPlan, LogicalPlan, JoinType, IntervalJoinKeys)] =
     plan match {

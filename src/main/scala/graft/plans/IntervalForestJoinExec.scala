@@ -7,7 +7,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, GenerateUnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -67,15 +67,21 @@ case class IntervalForestJoinExec(
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
-  // Non-inner joins (beyond the reference): the preserved side is always
-  // the stream side (strategy guarantees buildLeft=false for Left*,
-  // buildLeft=true for RightOuter), so unmatched stream rows can be
-  // emitted locally — no global matched-set tracking, the same restriction
-  // Spark's own BroadcastHashJoinExec imposes.
+  // Non-inner joins (beyond the reference): for one-sided types the
+  // preserved side is always the stream side (strategy guarantees
+  // buildLeft=false for Left*, buildLeft=true for RightOuter), so unmatched
+  // stream rows can be emitted locally — no global matched-set tracking,
+  // the same restriction Spark's own BroadcastHashJoinExec imposes.
+  // FullOuter additionally tracks matched build rows globally: a bitset
+  // side-job in broadcast mode, build-row-id verdicts in bin-range mode —
+  // single-pass over each child, unlike the LeftOuter ∪ RightAnti
+  // decomposition it replaced (which scanned both sides twice).
   override def output: Seq[Attribute] = joinType match {
     case Inner => left.output ++ right.output
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
     case RightOuter => left.output.map(_.withNullability(true)) ++ right.output
+    case FullOuter =>
+      left.output.map(_.withNullability(true)) ++ right.output.map(_.withNullability(true))
     case LeftSemi | LeftAnti => left.output
     case x => throw new IllegalArgumentException(s"IntervalForestJoinExec: unsupported join type $x")
   }
@@ -132,13 +138,14 @@ case class IntervalForestJoinExec(
   }
 
   // Broadcast mode probes per-partition over the unshuffled stream side, so
-  // the stream partitioning survives. Bin mode's output comes out of a
-  // cogroup shuffle on (key, bin) — claiming anything stronger would let
-  // EnsureRequirements elide a needed exchange above.
+  // the stream partitioning survives — except full outer, whose output is
+  // a union with the driver-parallelized unmatched-build rows. Bin mode's
+  // output comes out of a cogroup shuffle on (key, bin) — claiming anything
+  // stronger would let EnsureRequirements elide a needed exchange above.
   override def outputPartitioning: Partitioning = mode match {
-    case BroadcastForestMode =>
+    case BroadcastForestMode if joinType != FullOuter =>
       if (buildLeft) right.outputPartitioning else left.outputPartitioning
-    case BinRangeMode => UnknownPartitioning(0)
+    case _ => UnknownPartitioning(0)
   }
 
   override lazy val metrics = Map(
@@ -252,6 +259,130 @@ case class IntervalForestJoinExec(
           }
         }
 
+      case BroadcastForestMode if jt == FullOuter =>
+        // Full outer, single-plan (replaces the r4 LeftOuter ∪ null-padded
+        // RightAnti decomposition that scanned both children twice and
+        // built the forest twice). Shape mirrors Spark's own
+        // BroadcastNestedLoopJoinExec full-outer:
+        //   (1) build side collected ONCE — rows with a null interval/key
+        //       are kept (they can never match but must be preserved) and
+        //       excluded from the forest; forest payloads carry the
+        //       build-row index,
+        //   (2) a probe-only side-job over the stream side computes the
+        //       global matched-build bitset (no output materialization —
+        //       far cheaper than the RightAnti join it replaces),
+        //   (3) the main pass emits matched pairs + null-padded unmatched
+        //       stream rows (LeftOuter shape),
+        //   (4) unmatched build rows null-pad from the driver — the build
+        //       side is broadcast-small by mode selection.
+        val collected: Array[(UnsafeRow, Int, Int, InternalRow)] =
+          buildPlan.execute().mapPartitions { it =>
+            val keyProj = UnsafeProjection.create(bEqsBL)
+            val ivProj = UnsafeProjection.create(bIvB)
+            it.map { row =>
+              val iv = ivProj(row)
+              val copy = row.copy()
+              if (iv.isNullAt(0) || iv.isNullAt(1)) (null, 0, 0, copy)
+              else {
+                val key = keyProj(copy)
+                if (nEqs > 0 && key.anyNull) (null, 0, 0, copy)
+                else (key.copy(), iv.getInt(0), iv.getInt(1), copy)
+              }
+            }
+          }.collect()
+        buildRowsMetric += collected.length
+        val forests: Map[UnsafeRow, graft.operators.IntervalForest[(InternalRow, Int)]] =
+          graft.operators.IntervalForest.forest(
+            collected.iterator.zipWithIndex.collect {
+              case ((k, s, e, r), i) if k != null => (k, s, e, (r, i))
+            }, gap)
+        val bcast = sparkContext.broadcast(forests)
+        val nBuild = collected.length
+        val nStreamCols = streamedPlan.output.length
+        val pairSchema = pairAttrs
+
+        val matchedBits = streamPlan.execute().mapPartitionsWithIndex { (pidx, it) =>
+          val keyProj = UnsafeProjection.create(sEqsBL)
+          val ivProj = UnsafeProjection.create(sIvB)
+          val joinedRow = new JoinedRow
+          val pred = residLocal.map(Predicate.create(_, pairSchema))
+          pred.foreach(_.initialize(pidx))
+          def pair(brow: InternalRow, srow: InternalRow): InternalRow =
+            if (buildIsLeft) joinedRow(brow, srow) else joinedRow(srow, brow)
+          val bits = new java.util.BitSet(nBuild)
+          val forestMap = bcast.value
+          it.foreach { srow =>
+            val iv = ivProj(srow)
+            if (!iv.isNullAt(0) && !iv.isNullAt(1)) {
+              val key = keyProj(srow)
+              if (!(nEqs > 0 && key.anyNull)) forestMap.get(key).foreach { forest =>
+                val qs = iv.getInt(0)
+                val qe = iv.getInt(1)
+                forest.foreachOverlap(qs, qe) { (bs, be, v) =>
+                  if ((minOv <= 1 || math.min(be, qe) - math.max(bs, qs) + 1 >= minOv) &&
+                      pred.forall(_.eval(pair(v._1, srow))))
+                    bits.set(v._2)
+                }
+              }
+            }
+          }
+          Iterator.single(bits)
+        }.fold(new java.util.BitSet(nBuild)) { (a, b) => a.or(b); a }
+
+        val mainOut: RDD[InternalRow] = streamPlan.execute().mapPartitionsWithIndex[InternalRow] { (pidx, it) =>
+          val keyProj = UnsafeProjection.create(sEqsBL)
+          val ivProj = UnsafeProjection.create(sIvB)
+          val joinedRow = new JoinedRow
+          val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+          val pred = residLocal.map(Predicate.create(_, pairSchema))
+          pred.foreach(_.initialize(pidx))
+          val forestMap = bcast.value
+          val nullBuild = new GenericInternalRow(nBuildCols)
+          def pair(brow: InternalRow, srow: InternalRow): InternalRow =
+            if (buildIsLeft) joinedRow(brow, srow) else joinedRow(srow, brow)
+          it.flatMap { srow =>
+            val iv = ivProj(srow)
+            val matches = mutable.ArrayBuffer.empty[InternalRow]
+            if (!iv.isNullAt(0) && !iv.isNullAt(1)) {
+              val key = keyProj(srow)
+              if (!(nEqs > 0 && key.anyNull)) forestMap.get(key).foreach { forest =>
+                val qs = iv.getInt(0)
+                val qe = iv.getInt(1)
+                forest.foreachOverlap(qs, qe) { (bs, be, v) =>
+                  if ((minOv <= 1 || math.min(be, qe) - math.max(bs, qs) + 1 >= minOv) &&
+                      pred.forall(_.eval(pair(v._1, srow))))
+                    matches += v._1
+                }
+              }
+            }
+            if (matches.isEmpty) {
+              numOutputRows += 1
+              Iterator.single(resultProj(pair(nullBuild, srow)))
+            } else matches.iterator.map { brow =>
+              numOutputRows += 1
+              resultProj(pair(brow, srow))
+            }
+          }
+        }
+
+        val unmatchedBuild: IndexedSeq[InternalRow] =
+          collected.indices.collect { case i if !matchedBits.get(i) => collected(i)._4 }
+        val padded = sparkContext
+          .parallelize(unmatchedBuild, math.max(1, math.min(
+            conf.numShufflePartitions, 1 + unmatchedBuild.length / 65536)))
+          .mapPartitions[InternalRow] { it =>
+            val joinedRow = new JoinedRow
+            val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+            val nullStream = new GenericInternalRow(nStreamCols)
+            def pair(brow: InternalRow, srow: InternalRow): InternalRow =
+              if (buildIsLeft) joinedRow(brow, srow) else joinedRow(srow, brow)
+            it.map { brow =>
+              numOutputRows += 1
+              resultProj(pair(brow, nullStream))
+            }
+          }
+        mainOut.union(padded)
+
       case BroadcastForestMode =>
         // Outer/semi/anti probe: same broadcast forest, but a stream row
         // with no (residual-surviving) match is preserved (outer: build
@@ -345,30 +476,72 @@ case class IntervalForestJoinExec(
         }
 
       case BinRangeMode =>
-        // Outer/semi/anti at shuffle scale. Matched-ness of a stream row is
-        // a GLOBAL property (its replicas see different bins), so stream
-        // rows get a unique id (zipWithUniqueId — no extra job, unlike
-        // zipWithIndex) and per-bin verdicts aggregate by id:
-        //   semi — only matched replicas are emitted into the id shuffle
-        //          (volume = matched rows, deduped by reduceByKey),
+        // Outer/semi/anti/full at shuffle scale. Matched-ness of a row is
+        // a GLOBAL property (its replicas see different bins), so both
+        // sides get unique ids (zipWithUniqueId — no extra job, unlike
+        // zipWithIndex) and per-bin verdicts aggregate by id. Matched
+        // PAIRS never ride the verdict shuffle: they are emitted directly
+        // from the cogroup (exactly-once by first-intersection-bin, as in
+        // inner mode), so no reduce record ever concatenates a stream
+        // row's full match list — a whole-chromosome stream interval
+        // overlapping millions of build rows streams its pairs instead of
+        // materializing them in one Seq (r4 ADVICE). The verdict shuffle
+        // carries only (id, row, matched) — bounded per record.
+        //   semi — only matched replicas enter the id shuffle (volume =
+        //          matched rows, deduped by reduceByKey),
         //   anti — every replica reports (id, matched); OR-reduce, keep
         //          the never-matched,
-        //   outer — pairs ride the same id shuffle (first-intersection-bin
-        //          dedup as in inner mode; matched=true ⇒ that bin's
-        //          replica carried the pair), unmatched ids null-pad.
-        // Stream rows with a null interval/key never enter a real bin but
-        // are still preserved for outer/anti: they ship to a sentinel bin
-        // (no build row can share it) and aggregate as unmatched.
+        //   outer — unmatched stream ids null-pad; pairs come from the
+        //          direct pass (the cogroup's shuffle files are reused —
+        //          only the reduce side runs twice),
+        //   full — build replicas also report (bid, matched); unmatched
+        //          build ids null-pad on the stream side.
+        // Rows with a null interval/key never enter a real bin but are
+        // still preserved for outer/anti/full: they ship to a sentinel bin
+        // (no forest is built there) and aggregate as unmatched.
         val binW = binWidth
         val numParts = conf.numShufflePartitions
         val pairSchema = pairAttrs
         val sentinelBin = Int.MinValue
+        val fullOuter = jt == FullOuter
+        val nStreamCols = streamedPlan.output.length
 
-        val buildBinned = binnedRdd(buildPlan, bEqsB, bIvB, gap, nEqs, binW)
+        // Build side with unique ids (consumed only by full-outer verdicts
+        // but carried uniformly — one Long per replica, no extra job).
+        // Null-interval/key build rows are preserved only for full outer.
+        val buildBinned: RDD[((UnsafeRow, Int), (Long, Int, Int, InternalRow))] =
+          buildPlan.execute().zipWithUniqueId().mapPartitions { it =>
+            val keyProj = UnsafeProjection.create(bEqsBL)
+            val ivProj = UnsafeProjection.create(bIvB)
+            it.flatMap { case (row, id) =>
+              val iv = ivProj(row)
+              if (iv.isNullAt(0) || iv.isNullAt(1)) {
+                if (fullOuter) {
+                  val copy = row.copy()
+                  Iterator.single(((keyProj(copy).copy(), sentinelBin), (id, 0, 0, copy)))
+                } else Iterator.empty
+              } else {
+                val s = iv.getInt(0) - gap
+                val e = iv.getInt(1) + gap
+                val key = keyProj(row)
+                if (nEqs > 0 && key.anyNull) {
+                  if (fullOuter) {
+                    val copy = row.copy()
+                    Iterator.single(((key.copy(), sentinelBin), (id, 0, 0, copy)))
+                  } else Iterator.empty
+                } else {
+                  val copy = row.copy()
+                  val k = key.copy()
+                  val lo = Math.floorDiv(math.min(s, e), binW)
+                  val hi = Math.floorDiv(math.max(s, e), binW)
+                  (lo to hi).iterator.map(b => ((k, b), (id, s, e, copy)))
+                }
+              }
+            }
+          }
 
-        val streamWithId = streamPlan.execute().zipWithUniqueId()
         val streamBinned: RDD[((UnsafeRow, Int), (Long, Int, Int, InternalRow))] =
-          streamWithId.mapPartitions { it =>
+          streamPlan.execute().zipWithUniqueId().mapPartitions { it =>
             val keyProj = UnsafeProjection.create(sEqsBL)
             val ivProj = UnsafeProjection.create(sIvB)
             it.flatMap { case (row, id) =>
@@ -392,70 +565,113 @@ case class IntervalForestJoinExec(
             }
           }
 
-        // Per-replica verdicts: (id, (srow, pairsFromThisBin, matchedHere)).
-        val verdicts = buildBinned.cogroup(streamBinned, numParts).mapPartitionsWithIndex {
-          (pidx, groups) =>
+        // ONE shuffle: both per-bin passes below are children of the same
+        // cogrouped RDD, so the map stages run once and only the (cheap)
+        // reduce side re-runs for the second pass.
+        val cg = buildBinned.cogroup(streamBinned, numParts)
+
+        // Pass 1 (outer/full only): matched pairs, streamed out directly.
+        lazy val pairRows: RDD[InternalRow] = cg.mapPartitionsWithIndex { (pidx, groups) =>
+          val joinedRow = new JoinedRow
+          val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+          val pred = residLocal.map(Predicate.create(_, pairSchema))
+          pred.foreach(_.initialize(pidx))
+          def pair(brow: InternalRow, srow: InternalRow): InternalRow =
+            if (buildIsLeft) joinedRow(brow, srow) else joinedRow(srow, brow)
+          groups.flatMap { case ((_, bin), (buildRows, streamRows)) =>
+            if (bin == sentinelBin || buildRows.isEmpty || streamRows.isEmpty) Iterator.empty
+            else {
+              val items = buildRows.map { case (_, s, e, r) => (s, e, r) }.toIndexedSeq
+              val forest = IntervalForest(items)
+              streamRows.iterator.flatMap { case (_, qs, qe, srow) =>
+                val buf = mutable.ArrayBuffer.empty[InternalRow]
+                forest.foreachOverlap(qs, qe) { (bs, be, brow) =>
+                  if ((minOv <= 1 || math.min(be, qe) - math.max(bs, qs) + 1 >= minOv) &&
+                      Math.floorDiv(math.max(math.min(bs, be), math.min(qs, qe)), binW) == bin &&
+                      pred.forall(_.eval(pair(brow, srow))))
+                    buf += brow
+                }
+                buf.iterator.map { brow =>
+                  numOutputRows += 1
+                  resultProj(pair(brow, srow))
+                }
+              }
+            }
+          }
+        }
+
+        // Pass 2: per-replica verdicts — (id·2 | side, (row, matchedHere)).
+        // Stream ids are even, build ids odd; the reduce OR-merges flags.
+        val verdicts: RDD[(Long, (InternalRow, Boolean))] =
+          cg.mapPartitionsWithIndex { (pidx, groups) =>
             val joinedRow = new JoinedRow
             val pred = residLocal.map(Predicate.create(_, pairSchema))
             pred.foreach(_.initialize(pidx))
             def pair(brow: InternalRow, srow: InternalRow): InternalRow =
               if (buildIsLeft) joinedRow(brow, srow) else joinedRow(srow, brow)
             groups.flatMap { case ((_, bin), (buildRows, streamRows)) =>
-              if (streamRows.isEmpty) Iterator.empty
-              else {
-                val items = buildRows.map { case (s, e, r) => (s, e, r) }.toIndexedSeq
-                buildRowsMetric += items.length
-                val forest = if (items.isEmpty) null else IntervalForest(items)
-                streamRows.iterator.flatMap { case (id, qs, qe, srow) =>
-                  var matchedHere = false
-                  val pairs = mutable.ArrayBuffer.empty[InternalRow]
-                  if (forest != null && bin != sentinelBin) {
-                    forest.foreachOverlap(qs, qe) { (bs, be, brow) =>
-                      if ((minOv <= 1 || math.min(be, qe) - math.max(bs, qs) + 1 >= minOv) &&
-                          pred.forall(_.eval(pair(brow, srow)))) {
-                        matchedHere = true
-                        if (jt != LeftSemi && jt != LeftAnti &&
-                            Math.floorDiv(math.max(math.min(bs, be), math.min(qs, qe)), binW) == bin)
-                          pairs += brow
-                      }
+              val out = mutable.ArrayBuffer.empty[(Long, (InternalRow, Boolean))]
+              buildRowsMetric += buildRows.size
+              val forest =
+                if (bin == sentinelBin || buildRows.isEmpty) null
+                else IntervalForest(buildRows.map { case (bid, s, e, r) => (s, e, (bid, r)) }.toIndexedSeq)
+              val matchedBids = if (fullOuter) mutable.HashSet.empty[Long] else null
+              streamRows.foreach { case (id, qs, qe, srow) =>
+                var matchedHere = false
+                if (forest != null) {
+                  forest.foreachOverlap(qs, qe) { (bs, be, v) =>
+                    if ((minOv <= 1 || math.min(be, qe) - math.max(bs, qs) + 1 >= minOv) &&
+                        pred.forall(_.eval(pair(v._2, srow)))) {
+                      matchedHere = true
+                      if (fullOuter) matchedBids += v._1
                     }
                   }
-                  if (jt == LeftSemi && !matchedHere) Iterator.empty
-                  else Iterator.single((id, (srow, pairs.toSeq, matchedHere)))
                 }
+                if (!(jt == LeftSemi && !matchedHere))
+                  out += ((id << 1, (srow, matchedHere)))
               }
+              if (fullOuter) buildRows.iterator.foreach { case (bid, _, _, brow) =>
+                out += (((bid << 1) | 1L, (brow, matchedBids.contains(bid))))
+              }
+              out.iterator
             }
-        }
+          }
 
-        verdicts.reduceByKey(
-            (a: (InternalRow, Seq[InternalRow], Boolean),
-             b: (InternalRow, Seq[InternalRow], Boolean)) =>
-              (a._1, a._2 ++ b._2, a._3 || b._3),
-            numParts)
-          .mapPartitions { it =>
+        val preserved: RDD[InternalRow] = verdicts
+          .reduceByKey((a, b) => (a._1, a._2 || b._2), numParts)
+          .mapPartitions[InternalRow] { it =>
             val joinedRow = new JoinedRow
             val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
             val nullBuild = new GenericInternalRow(nBuildCols)
+            val nullStream = new GenericInternalRow(nStreamCols)
             def pair(brow: InternalRow, srow: InternalRow): InternalRow =
               if (buildIsLeft) joinedRow(brow, srow) else joinedRow(srow, brow)
-            it.flatMap { case (_, (srow, pairs, matched)) =>
+            it.flatMap { case (key, (row, matched)) =>
               jt match {
                 case LeftSemi =>
-                  numOutputRows += 1; Iterator.single(resultProj(srow))
+                  numOutputRows += 1; Iterator.single(resultProj(row))
                 case LeftAnti =>
                   if (matched) Iterator.empty
-                  else { numOutputRows += 1; Iterator.single(resultProj(srow)) }
-                case _ => // LeftOuter / RightOuter
-                  if (!matched) {
+                  else { numOutputRows += 1; Iterator.single(resultProj(row)) }
+                case FullOuter =>
+                  if (matched) Iterator.empty
+                  else {
                     numOutputRows += 1
-                    Iterator.single(resultProj(pair(nullBuild, srow)))
-                  } else pairs.iterator.map { brow =>
-                    numOutputRows += 1
-                    resultProj(pair(brow, srow))
+                    val padded =
+                      if ((key & 1L) == 1L) pair(row, nullStream) else pair(nullBuild, row)
+                    Iterator.single(resultProj(padded))
                   }
+                case _ => // LeftOuter / RightOuter
+                  if (matched) Iterator.empty
+                  else { numOutputRows += 1; Iterator.single(resultProj(pair(nullBuild, row))) }
               }
             }
           }
+
+        jt match {
+          case LeftSemi | LeftAnti => preserved
+          case _ => pairRows.union(preserved)
+        }
     }
   }
 

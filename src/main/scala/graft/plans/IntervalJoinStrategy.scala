@@ -37,23 +37,6 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
     session.conf.get(s"spark.graft.rangejoin.$key", default)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    // Full-outer interval joins (stock Spark: BroadcastNestedLoopJoin)
-    // decompose into LeftOuter ∪ null-padded(RightAnti) — both branches
-    // re-enter this strategy and plan as forest/bin-range joins. The
-    // branches partition the output exactly: matched pairs + unmatched
-    // left come from the LeftOuter, unmatched right from the anti.
-    case org.apache.spark.sql.catalyst.plans.logical.Join(
-          l, r, org.apache.spark.sql.catalyst.plans.FullOuter, Some(cond), _)
-        if conf("enabled", "true").toBoolean && !l.isStreaming && !r.isStreaming &&
-          ExtractIntervalJoin.extract(l, r, cond)
-            .exists(k => !BinRangeRewrite.isRewriteJoin(k)) =>
-      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-      import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, Project, Union}
-      val leftOuter = Join(l, r, LeftOuter, Some(cond), JoinHint.NONE)
-      val rightAnti = Join(r, l, LeftAnti, Some(cond), JoinHint.NONE)
-      val nulls = l.output.map(a => Alias(Literal(null, a.dataType), a.name)())
-      val padded = Project(nulls ++ r.output, rightAnti)
-      planLater(Union(Seq(leftOuter, padded), byName = false, allowMissingCol = false)) :: Nil
     // Streaming children fall through to Spark's stream-aware join
     // planning: both batch modes here collect or cogroup a child, neither
     // of which is defined over an unbounded side. (Streaming interval
@@ -63,10 +46,12 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
           !BinRangeRewrite.isRewriteJoin(keys) =>
       val minOverlap = conf("minOverlap", "1").toInt
       val maxGap = conf("maxGap", "0").toInt
-      // Non-inner joins pin the build side: the preserved side must stream
-      // so unmatched rows can be emitted locally (same restriction as
-      // Spark's BroadcastHashJoinExec) — a conflicting buildSide conf is
-      // overridden, not honored.
+      // One-sided non-inner joins pin the build side: the preserved side
+      // must stream so unmatched rows can be emitted locally (same
+      // restriction as Spark's BroadcastHashJoinExec) — a conflicting
+      // buildSide conf is overridden, not honored. FullOuter preserves
+      // both sides (build-side matched-ness is tracked globally by the
+      // exec), so either side may build — auto/conf applies.
       val buildLeft = joinType match {
         case RightOuter => true
         case LeftOuter | LeftSemi | LeftAnti => false

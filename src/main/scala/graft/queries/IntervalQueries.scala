@@ -91,9 +91,10 @@ object IntervalQueries {
           a("pos_start") <= b("pos_end"), "left_outer")
         .select(col("a_key"), col("b_key"))
     },
-    // Full outer through the LeftOuter ∪ null-padded RightAnti
-    // decomposition (stock Spark: BNLJ). ivB filtered to a sliver so
-    // unmatched rows exist on BOTH sides.
+    // Full outer, single-pass through the forest exec (stock Spark: BNLJ):
+    // build side collected once, a probe-only bitset job finds matched
+    // build rows, unmatched pad from the driver. ivA filtered to a sliver
+    // so unmatched rows exist on BOTH sides.
     "interval_join_full" -> { (s, dir) =>
       Graft.ensure(s); joinConf(s)
       val a = Tables.ivA(s, dir).filter(col("pos_start") < 50000)

@@ -328,22 +328,57 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
-  test("full-outer joins decompose into forest branches and match stock Spark") {
+  test("full-outer joins plan a SINGLE forest exec (one scan per side) and match stock Spark") {
     val a = withUnmatchable(randomIntervals(200, 67, "a_key"), "a_key")
     val b = withUnmatchable(randomIntervals(25, 68, "b_key"), "b_key")
     val df = typedJoin(a, b, "full_outer")
-    val plan = physical(df).toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"full outer must not fall back to BNLJ:\n$plan")
-    assert(usesForestJoin(df), "both branches should plan forest joins")
+    val plan = physical(df)
+    val planText = plan.toString
+    assert(!planText.contains("BroadcastNestedLoopJoin"),
+      s"full outer must not fall back to BNLJ:\n$planText")
+    // Single-pass: exactly one exec node, no LeftOuter ∪ RightAnti
+    // decomposition — each child subtree appears (and is scanned) once.
+    def countNodes(p: SparkPlan, pred: SparkPlan => Boolean): Int =
+      (if (pred(p)) 1 else 0) + (p match {
+        case ap: AdaptiveSparkPlanExec => countNodes(ap.executedPlan, pred)
+        case _ => p.children.map(countNodes(_, pred)).sum
+      })
+    assert(countNodes(plan, _.isInstanceOf[IntervalForestJoinExec]) === 1,
+      s"full outer must plan exactly one forest exec:\n$planText")
+    assert(countNodes(plan, _.nodeName.contains("Join")) === 1,
+      s"full outer must not decompose into two joins:\n$planText")
     val stock = withConf("spark.graft.rangejoin.enabled", "false") {
       collectAllSorted(typedJoin(a, b, "full_outer"))
     }
-    assert(collectAllSorted(df) === stock, "full outer broadcast branches")
+    assert(collectAllSorted(df) === stock, "full outer broadcast")
     val bin = withConf("spark.graft.rangejoin.method", "binrange") {
       collectAllSorted(typedJoin(a, b, "full_outer"))
     }
-    assert(bin === stock, "full outer binrange branches")
+    assert(bin === stock, "full outer binrange")
+    // Build side is unpinned for full outer (both sides preserved): either
+    // forced side must agree, in both modes.
+    for (side <- Seq("left", "right"); method <- Seq("broadcast", "binrange")) {
+      val got = withConf("spark.graft.rangejoin.buildSide", side) {
+        withConf("spark.graft.rangejoin.method", method) {
+          collectAllSorted(typedJoin(a, b, "full_outer"))
+        }
+      }
+      assert(got === stock, s"full outer buildSide=$side method=$method")
+    }
+    // Residual + gap/overlap confs decide matched-ness on BOTH sides.
+    val cond = a("contig") === b("contig") &&
+      a("pos_end") >= b("pos_start") &&
+      a("pos_start") <= b("pos_end") &&
+      (a("a_key") + b("b_key")) % 3 === 0
+    val stockResid = withConf("spark.graft.rangejoin.enabled", "false") {
+      collectAllSorted(a.join(b, cond, "full_outer"))
+    }
+    assert(collectAllSorted(a.join(b, cond, "full_outer")) === stockResid,
+      "full outer with residual, broadcast")
+    val binResid = withConf("spark.graft.rangejoin.method", "binrange") {
+      collectAllSorted(a.join(b, cond, "full_outer"))
+    }
+    assert(binResid === stockResid, "full outer with residual, binrange")
   }
 
   test("non-inner residual decides matched-ness inside the join") {
