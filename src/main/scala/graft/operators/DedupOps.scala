@@ -262,11 +262,14 @@ object DedupOps {
     * document per side and no all-pairs stage exists. Skew guard,
     * cross-join flavor: a band bucket whose RIGHT membership exceeds
     * `cap` (a flood of near-identical base documents) joins left members
-    * against only the bucket's min right id — duplicate DETECTION is
-    * preserved (any left doc matching the flood still pairs with its
-    * representative), the exhaustive per-member pair list is forfeited,
-    * same documented degradation as every banded family here. False
-    * band collisions are removed by the exact verify. */
+    * against only the bucket's min right id — detection is preserved
+    * only when the left doc also verifies against that representative
+    * (true for genuinely near-identical floods; a left doc near some
+    * non-representative member but below threshold vs the
+    * representative can be missed), and the exhaustive per-member pair
+    * list is forfeited — same documented degradation as every banded
+    * family here. False band collisions are removed by the exact
+    * verify. */
   def crossDupPairs(left: DataFrame, right: DataFrame, threshold: Double,
       shingleN: Int = 3, cap: Int = DefaultBucketCap): DataFrame = {
     val shL = shingleSets(left, shingleN).transform(CacheScope.persistTracked)
@@ -282,8 +285,10 @@ object DedupOps {
     * bucket key — the cross-join flavor of [[cappedSelfJoinPairs]]'s
     * flood guard, shared by the text and embedding cross-dedup families:
     * a bucket whose RIGHT membership exceeds `cap` pairs left members
-    * against only its min right id (detection preserved, Θ(L·R) per-
-    * bucket blowup avoided). Inputs are `(id, bkey)` band indexes. */
+    * against only its min right id (Θ(L·R) per-bucket blowup avoided;
+    * detection survives only through the representative — see
+    * [[crossDupPairs]] for the caveat). Inputs are `(id, bkey)` band
+    * indexes. */
   private[graft] def crossCappedPairs(bL: DataFrame, bR: DataFrame, cap: Int): DataFrame = {
     val statsR = bR.groupBy(col("bkey"))
       .agg(count(lit(1)).as("bsz"), min(col("id")).as("rep"))

@@ -39,6 +39,23 @@ object EmbeddingOps {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Loud driver-protection gate for every path that collects or
+    * broadcasts a caller-supplied query frame (the same pattern
+    * [[graft.streaming.StreamingOps.similarStream]] applies to its static
+    * corpus): a "queries" frame is small by contract, but a caller passing
+    * a large one would otherwise OOM the driver with no actionable
+    * message. */
+  private def requireBroadcastable(df: DataFrame, what: String): Unit = {
+    val maxBytes = df.sparkSession.conf
+      .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(estimated <= BigInt(maxBytes),
+      s"$what is estimated at $estimated bytes, over " +
+      s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — it is collected and " +
+      "shipped to every task. The query side must be the small side: swap the " +
+      "arguments, pre-filter, or raise the conf if the driver can hold it.")
+  }
+
   private def rerankTopK(candidates: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     val qe = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
@@ -55,6 +72,7 @@ object EmbeddingOps {
     * Output (vec_id, rank, neighbor_id) — ranks only, deterministic
     * tie-break on neighbor id. */
   def exactTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    requireBroadcastable(queries, "exactTopK query set")
     val q = broadcast(queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb")))
     val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
     val sims = c.join(q, col("q_id") =!= col("c_id"))
@@ -335,6 +353,7 @@ object EmbeddingOps {
       rerankFactor: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    requireBroadcastable(queries, "quantizedTopK query set")
     val qq: Array[(Long, Array[Byte])] = quantize(queries)
       .select(col("vec_id"), col("qemb")).as[(Long, Array[Byte])].collect()
     val bc = spark.sparkContext.broadcast(qq)

@@ -450,9 +450,15 @@ object TextOps {
     val w = tokens(col("text"))
     val chunks = docs
       .select(col("doc_id"), w.as("w"))
+      // CASE guard: a 0-token doc would make the sequence upper bound -1,
+      // and sequence(0,-1) is the DESCENDING [0,-1] — two phantom chunks.
+      // (Unreachable via tokens(), which never yields an empty array, but
+      // the kernel must hold for any caller; matches the oracle's
+      // range(0, ceil(len/chunk)) = empty.)
       .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(w) = 0 THEN array() ELSE " +
         s"transform(sequence(0, (size(w) + ${chunkWords - 1}) div $chunkWords - 1), " +
-        s"i -> concat_ws(' ', slice(w, i * $chunkWords + 1, $chunkWords)))")))
+        s"i -> concat_ws(' ', slice(w, i * $chunkWords + 1, $chunkWords))) END")))
       .toDF("doc_id", "idx", "chunk")
     val dfs = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("df"))

@@ -165,17 +165,21 @@ object StreamingOps {
         val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
           Ordering.by[(Double, Long), (Double, Long)] { case (s, c) => (-s, c) })
         bc.value.foreach { case (cid, ce) =>
-          if (cid != id) {
-            val n = math.min(q.length, ce.length)
+          // Dimension-mismatched candidates are skipped (silently
+          // truncating the dot product would rank them on garbage), and
+          // zero-norm vectors on either side are skipped rather than
+          // producing a NaN sim — NaN's unspecified heap ordering could
+          // displace real neighbors.
+          if (cid != id && ce.length == q.length) {
             var dot = 0.0
             var cn = 0.0
             var j = 0
-            while (j < n) { dot += q(j) * ce(j); j += 1 }
-            j = 0
-            while (j < ce.length) { cn += ce(j) * ce(j); j += 1 }
-            val sim = dot / (math.sqrt(qn) * math.sqrt(cn))
-            heap.enqueue((sim, cid))
-            if (heap.size > k) heap.dequeue()
+            while (j < q.length) { dot += q(j) * ce(j); cn += ce(j) * ce(j); j += 1 }
+            val denom = math.sqrt(qn) * math.sqrt(cn)
+            if (denom > 0) {
+              heap.enqueue((dot / denom, cid))
+              if (heap.size > k) heap.dequeue()
+            }
           }
         }
         val best: Seq[(Double, Long)] = heap.dequeueAll.reverse

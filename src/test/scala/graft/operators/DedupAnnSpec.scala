@@ -353,6 +353,29 @@ class DedupAnnSpec extends SparkSpec {
     assert(quant.map(_._1).size === 20, "every query answered")
   }
 
+  test("oversized query frames fail loudly instead of OOMing the driver") {
+    // The query side of every top-k path is collected/broadcast; shrink
+    // the broadcast budget so the whole embeddings table trips the gate.
+    val emb = Tables.embeddings(spark, sf0001)
+    val prev = spark.conf.getOption("spark.graft.rangejoin.maxBroadcastBytes")
+    spark.conf.set("spark.graft.rangejoin.maxBroadcastBytes", "1024")
+    try {
+      val eQuant = intercept[IllegalArgumentException] {
+        EmbeddingOps.quantizedTopK(emb, emb, 3)
+      }
+      assert(eQuant.getMessage.contains("maxBroadcastBytes"), eQuant.getMessage)
+      val eExact = intercept[IllegalArgumentException] {
+        EmbeddingOps.exactTopK(emb, emb, 3)
+      }
+      assert(eExact.getMessage.contains("maxBroadcastBytes"), eExact.getMessage)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.rangejoin.maxBroadcastBytes", v)
+        case None => spark.conf.unset("spark.graft.rangejoin.maxBroadcastBytes")
+      }
+    }
+  }
+
   test("exact ANN: ranks are 1..k per query, no self matches") {
     val emb = Tables.embeddings(spark, sf0001)
     val res = EmbeddingOps.exactTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()
