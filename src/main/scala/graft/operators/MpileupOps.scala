@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   * rows, no quality string.
   *
   * Round-trip law (tested): `fromMpileup(toMpileup(pm)) == pm` on every
-  * pileupMaps frame. Cross-position deletion transfer (the reference's
-  * `DelTransfer` coverage adjustment at loci FOLLOWING a deletion) is out
-  * of scope: it needs adjacent-row state the text format itself doesn't
-  * carry; within-row `*`/indel handling matches the reference.
+  * pileupMaps frame. Cross-position deletion transfer — the reference's
+  * `DelTransfer` coverage adjustment at loci FOLLOWING a deletion — is
+  * [[delTransfer]]: span extraction is per-row, the per-locus overlap
+  * count is an interval join, so the correction is distributed where the
+  * reference's is a driver-sequential mutable context.
   */
 object MpileupOps {
 
@@ -102,6 +103,70 @@ object MpileupOps {
       nonref.as("count_nonref"),
       when(size(alts) > 0, map_from_entries(alts)).as("alts"),
       lit(null).cast("map<tinyint,array<smallint>>").as("quals"))
+  }
+
+  /** Deletion spans declared by `-n<seq>` markers in the pileup strings:
+    * one `(contig, d_start, d_end)` row per occurrence with n > 0,
+    * spanning the n loci FOLLOWING the anchor position — the loci where
+    * samtools prints `*` for the deleted read and still counts it in the
+    * raw coverage column. Per-row parse, no cross-row state. */
+  private[graft] def deletionSpans(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("contig"), col("pos").cast("int"), col("pileup"))
+      .as[(String, Int, String)]
+      .flatMap { case (contig, pos, p) =>
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+        var i = 0
+        while (i < p.length) {
+          p.charAt(i) match {
+            case '^' => i += 2
+            case '+' | '-' =>
+              val isDel = p.charAt(i) == '-'
+              var j = i + 1
+              var n = 0
+              while (j < p.length && p.charAt(j).isDigit) { n = n * 10 + (p.charAt(j) - '0'); j += 1 }
+              if (isDel && n > 0) spans += ((contig, pos + 1, pos + n))
+              i = j + n
+            case _ => i += 1
+          }
+        }
+        spans
+      }
+      .toDF("contig", "d_start", "d_end")
+  }
+
+  /** The reference's DelTransfer coverage correction (reference
+    * `DelTransfer.scala:5-34` wired through
+    * `SamtoolsConverter.generateAltsQuals:105-134`), distributed:
+    * samtools' raw coverage column counts the `*` placeholders of reads
+    * whose deletion spans a locus, so each locus' coverage is reduced by
+    * the number of `-n<seq>` spans (declared at EARLIER rows) that cover
+    * it. The reference threads a mutable `DelContext` through a
+    * sequential row scan — correct only single-threaded, O(dels) scanned
+    * per locus. Here the spans are parsed per-row ([[deletionSpans]]) and
+    * the per-locus overlap count is an interval join of loci against
+    * spans — planned by the engine's own forest/bin-range strategy, so
+    * the correction distributes and survives any partitioning.
+    *
+    * Input needs `(contig, pos, coverage, pileup)`; all columns pass
+    * through with `coverage` adjusted. */
+  def delTransfer(rows: DataFrame): DataFrame = {
+    val dels = deletionSpans(rows)
+    val loci = rows.select(col("contig").as("l_contig"), col("pos").cast("int").as("l_pos"))
+    val counts = loci.join(dels,
+        col("l_contig") === col("contig") &&
+        col("l_pos") >= col("d_start") && col("l_pos") <= col("d_end"))
+      .groupBy(col("l_contig"), col("l_pos"))
+      .agg(count(lit(1)).as("del_cov"))
+    val covAdj = (col("coverage") - coalesce(col("del_cov"), lit(0))).cast("int")
+    rows.join(counts,
+        rows("contig") === col("l_contig") && rows("pos").cast("int") === col("l_pos"),
+        "left")
+      .select(rows.columns.map {
+        case "coverage" => covAdj.as("coverage")
+        case c => rows(c)
+      }: _*)
   }
 
   /** Parse mpileup rows `(contig, pos, ref, pileup, quals)` into the

@@ -69,6 +69,39 @@ object PileupQueries {
           col("count_ref"), col("count_nonref"),
           expr("altmap_to_str(alts_to_char(alts))").as("alts"))
     },
+    // §2.9 DelTransfer (reference `DelTransfer.scala:5-34`): deterministic
+    // `-n<seq>` deletions appended at every pos % 13 == 0 locus (span
+    // 1 + pos % 4), the raw coverage column inflated by the spans covering
+    // each locus (samtools counts a deleted read's `*` in coverage);
+    // MpileupOps.delTransfer must recover the engine coverage by parsing
+    // the spans back and interval-joining loci against them. Both the raw
+    // and the adjusted coverage are emitted so the oracle pins each side
+    // independently (no error cancellation). The synthesis window is
+    // fixture generation, not an operator (spans reach <= 4 loci, so the
+    // previous 4 rows bound the anchors).
+    "pileup_format_samtools_del" -> { (s, dir) =>
+      Graft.ensure(s)
+      import org.apache.spark.sql.expressions.Window
+      val txt = MpileupOps.toMpileup(
+        PileupOps.pileupMaps(Tables.readsMd(s, dir).filter(col("sample_id") === "s1")))
+      val w = Window.partitionBy(col("contig")).orderBy(col("pos")).rowsBetween(-4, -1)
+      val prev = collect_list(struct(col("pos").as("p"), col("dn"))).over(w)
+      val withDel = txt
+        .withColumn("dn", when(col("pos") % 13 === 0, col("pos") % 4 + 1).otherwise(0))
+        .withColumn("pileup_raw", concat(col("pileup"),
+          when(col("dn") > 0,
+            concat(lit("-"), col("dn").cast("string"), repeat(lit("a"), col("dn"))))
+            .otherwise(lit(""))))
+        .withColumn("inflate",
+          size(filter(prev, e => col("pos") - e.getField("p") <= e.getField("dn"))))
+        .withColumn("cov_raw", (col("coverage") + col("inflate")).cast("int"))
+      MpileupOps.delTransfer(
+          withDel.select(col("contig"), col("pos"), col("ref"),
+            col("cov_raw").as("coverage"), col("pileup_raw").as("pileup"),
+            col("quals"), col("cov_raw")))
+        .select(col("contig"), col("pos"), col("ref"), col("cov_raw"),
+          col("coverage").as("cov_adj"), col("pileup"), col("quals"))
+    },
     // Reference-schema map output (alts Map<Byte,Short>,
     // quals Map<Byte,Array<Short>>), rendered to canonical strings through
     // the F7-F14 UDF pack — the reference composition
@@ -179,6 +212,48 @@ object PileupQueries {
        |       repeat('I', CAST(c.coverage - p.count_nonref AS INT)) || p.qualstr AS quals
        |FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos""".stripMargin
 
+  // DelTransfer: the base mpileup rows, plus the deterministic deletion
+  // injection and its coverage inflation recomputed INDEPENDENTLY (the
+  // Spark side inflates via a window and deflates via the span parse +
+  // interval join; the oracle derives both columns analytically, so a
+  // broken parse/join cannot cancel against a broken synthesis).
+  private val pileupSamtoolsDelOracle: String =
+    s"""WITH ${OracleCtes.reads},
+       |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+       |${OracleCtes.segPositions("r")},
+       |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+       |alt1 AS (SELECT contig, alt_pos AS pos, alt_base AS base, base_qual AS q
+       |         FROM r WHERE has_alt),
+       |perbq AS (SELECT contig, pos, base, q, COUNT(*) AS qcnt
+       |          FROM alt1 GROUP BY 1, 2, 3, 4),
+       |perbase AS (SELECT contig, pos, base, SUM(qcnt) AS cnt,
+       |            string_agg(repeat(chr(q + 33), CAST(qcnt AS INT)), '' ORDER BY q) AS qstr
+       |            FROM perbq GROUP BY 1, 2, 3),
+       |perpos AS (SELECT contig, pos, CAST(SUM(cnt) AS BIGINT) AS count_nonref,
+       |           string_agg(repeat(base, CAST(cnt AS INT)), '' ORDER BY base) AS altstr,
+       |           string_agg(qstr, '' ORDER BY base) AS qualstr
+       |           FROM perbase GROUP BY 1, 2),
+       |base AS (
+       |  SELECT p.contig, p.pos,
+       |         ${MockReference.refBaseSql("p.contig", "p.pos")} AS ref,
+       |         CAST(c.coverage AS INT) AS coverage,
+       |         repeat('.', CAST(c.coverage - p.count_nonref AS INT)) || p.altstr AS pileup,
+       |         repeat('I', CAST(c.coverage - p.count_nonref AS INT)) || p.qualstr AS quals
+       |  FROM perpos p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos),
+       |d AS (SELECT *, CASE WHEN pos % 13 = 0 THEN pos % 4 + 1 ELSE 0 END AS dn FROM base),
+       |infl AS (SELECT a.contig, a.pos, count(b.pos) AS inflate
+       |         FROM d a LEFT JOIN d b ON b.contig = a.contig
+       |           AND b.pos >= a.pos - 4 AND b.pos <= a.pos - 1
+       |           AND b.dn >= a.pos - b.pos
+       |         GROUP BY 1, 2)
+       |SELECT d.contig, d.pos, d.ref,
+       |  CAST(d.coverage + i.inflate AS INT) AS cov_raw,
+       |  CAST(d.coverage AS INT) AS cov_adj,
+       |  d.pileup || CASE WHEN d.dn > 0
+       |    THEN '-' || d.dn || repeat('a', d.dn) ELSE '' END AS pileup,
+       |  d.quals
+       |FROM d JOIN infl i ON d.contig = i.contig AND d.pos = i.pos""".stripMargin
+
   // GATK text round-trip: coverage = pileup string length = depth, alts
   // re-counted from the rendered characters — identical to the map-form
   // aggregation minus the quality level.
@@ -216,5 +291,6 @@ object PileupQueries {
     "pileup_binned_tvf" -> pileupBinnedOracle,
     "pileup_alts_maps" -> pileupMapsOracle,
     "pileup_format_samtools" -> pileupSamtoolsOracle,
+    "pileup_format_samtools_del" -> pileupSamtoolsDelOracle,
     "pileup_format_gatk" -> pileupGatkOracle)
 }

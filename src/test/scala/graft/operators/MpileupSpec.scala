@@ -71,6 +71,48 @@ class MpileupSpec extends SparkSpec {
       Map('G'.toByte -> 2.toShort, 'N'.toByte -> 1.toShort, 'T'.toByte -> 1.toShort))
   }
 
+  test("delTransfer subtracts deletion spans from following loci (reference DelTransfer)") {
+    import graft.SharedSpark.spark.implicits._
+    // Row 100 declares -3 (covers 101-103) and -1 (covers 101); row 102
+    // declares +2 (an INSERTION - no transfer). Raw coverages are inflated
+    // as samtools would count the deleted reads' '*' placeholders.
+    val in = Seq(
+      ("1", 100, "A", 5, ".....-3acg-1a", "IIIII"),
+      ("1", 101, "A", 6, "....", "IIII"),   // 4 real + 2 deleted
+      ("1", 102, "C", 5, "....+2gg", "IIII"), // 4 real + 1 deleted
+      ("1", 103, "G", 5, "....", "IIII"),   // 4 real + 1 deleted
+      ("1", 104, "T", 4, "....", "IIII"),   // past both spans
+      ("2", 101, "A", 3, "...", "III"))     // other contig untouched
+      .toDF("contig", "pos", "ref", "coverage", "pileup", "quals")
+    val out = MpileupOps.delTransfer(in)
+      .select(col("contig"), col("pos"), col("coverage"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(out(("1", 100)) === 5, "anchor locus itself is not covered by its span")
+    assert(out(("1", 101)) === 4, "both spans cover 101")
+    assert(out(("1", 102)) === 4, "only -3 covers 102; +2 does not transfer")
+    assert(out(("1", 103)) === 4, "span end is inclusive")
+    assert(out(("1", 104)) === 4, "past the span")
+    assert(out(("2", 101)) === 3, "contig-scoped")
+    // Span extraction grammar: ^-marks guard, digits multi-char.
+    val spans = MpileupOps.deletionSpans(
+        Seq(("1", 50, "X", 1, "^I.-12acgtacgtacgt", "I"))
+          .toDF("contig", "pos", "ref", "coverage", "pileup", "quals"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(spans.toSeq === Seq(("1", 51, 62)), "multi-digit span parses")
+  }
+
+  test("round-trip with deletions: string-derived counts are del-invariant") {
+    // fromMpileup derives coverage from the string (deleted '*' excluded),
+    // so parsing a deletion-bearing frame equals parsing the clean one.
+    val pm = PileupOps.pileupMaps(
+      Tables.reads(spark, sf0001).filter(col("sample_id") === "s1"))
+    val txt = MpileupOps.toMpileup(pm)
+    val withDel = txt.withColumn("pileup",
+      when(col("pos") % 13 === 0,
+        concat(col("pileup"), lit("-2aa"))).otherwise(col("pileup")))
+    assert(canon(MpileupOps.fromMpileup(withDel)) == canon(MpileupOps.fromMpileup(txt)))
+  }
+
   test("toMpileup renders ref dots first, then alts ascending with quals aligned") {
     import graft.SharedSpark.spark.implicits._
     val pm = Seq(("1", 5, "C", 4, 2L, 2L,
