@@ -342,13 +342,19 @@ object DedupOps {
       cap: Int = DefaultBucketCap, minPrefixMatches: Int = 4): DataFrame = {
     val sh = shingleSets(docs, shingleN)
       .transform(CacheScope.persistTracked)
+    // Shingles hash to 64-bit keys BEFORE any shuffle: the frequency
+    // aggregation, rank join, and collect_list then move 8-byte longs
+    // instead of multi-word strings. Any fixed global order satisfies the
+    // prefix lemma, so ordering by (df, hash) instead of (df, string) is
+    // equally valid — and the bucket key was xxhash64(shingle) already.
     val tokens = sh.select(col("doc_id").as("id"), explode(col("st")).as("shingle"))
-    val freq = tokens.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // Global total order = (document frequency asc, shingle): array_sort
-    // on the struct gives rarest-first prefixes per document.
-    val ranked = tokens.join(freq, "shingle")
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val freq = tokens.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Global total order = (document frequency asc, shingle hash):
+    // array_sort on the struct gives rarest-first prefixes per document.
+    val ranked = tokens.join(freq, "h")
       .groupBy(col("id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ordered"))
     val sz = size(col("ordered"))
     val prefixLen = sz - ceil(lit(threshold) * sz).cast("int") + lit(minPrefixMatches)
     // slice() clamps at the array end, which is exactly the k <= a limit
@@ -356,7 +362,7 @@ object DedupOps {
     val inverted = ranked
       .select(col("id"), sz.as("sz"),
         explode(slice(col("ordered"), lit(1), prefixLen)).as("p"))
-      .select(col("id"), col("sz"), xxhash64(col("p.shingle")).as("bkey"))
+      .select(col("id"), col("sz"), col("p.h").as("bkey"))
     val stats = inverted.groupBy(col("bkey"))
       .agg(count(lit(1)).as("bsz"), min(col("id")).as("rep"))
     val tagged = inverted.join(stats, "bkey")
