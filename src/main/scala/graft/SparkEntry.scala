@@ -12,11 +12,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ IntervalQueries.queries ++ CoverageQueries.queries ++
       DedupQueries.queries ++ EmbeddingQueries.queries ++ TextQueries.queries ++
-      MultimodalQueries.queries ++ PileupQueries.queries ++ SourceQueries.queries
+      MultimodalQueries.queries ++ PileupQueries.queries ++ SourceQueries.queries ++
+      StreamingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ IntervalQueries.oracle ++ CoverageQueries.oracle ++
       DedupQueries.oracle ++ EmbeddingQueries.oracle ++ TextQueries.oracle ++
-      MultimodalQueries.oracle ++ PileupQueries.oracle ++ SourceQueries.oracle
+      MultimodalQueries.oracle ++ PileupQueries.oracle ++ SourceQueries.oracle ++
+      StreamingQueries.oracle
 }

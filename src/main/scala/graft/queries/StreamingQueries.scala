@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{OracleCtes, Tables}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalence queries for the streaming gate kernels. Both gates
+  * ([[StreamingOps.dedupGateStream]], [[StreamingOps.similarStream]]) are
+  * stateless per-row maps over a broadcast index, so the SAME code path
+  * the streaming query executes runs unchanged on a batch frame — these
+  * queries invoke the gates directly on batch fixtures, giving the
+  * driver's DuckDB oracle coverage over the verdict logic that
+  * StreamingSpec exercises through MemoryStream.
+  *
+  * `stream_dedup_gate` keeps the exhaustively-checkable fields: `is_dup`
+  * and `dup_of` are exact under the LSH recall the `dedup_cross` oracle
+  * already proves on this fixture (all pairs ≥ threshold are found), and
+  * `jaccard` is exact integer |I|/|U| division — identical doubles on
+  * both sides. The below-threshold best-candidate similarity is NOT
+  * emitted (the gate only scores LSH candidates there, which an
+  * exhaustive SQL oracle can't mirror).
+  *
+  * `stream_similar_topk` is rank-only like `ann_topk`: the fixture's
+  * rank margins (≥ 2e-4) dwarf any double-summation-order divergence
+  * between the gate's sequential loop and DuckDB.
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // The corpus's injected duplicates play the arriving stream (the same
+    // "new crawl vs accepted base" split as dedup_cross); ts is a
+    // deterministic function of doc_id, dropped from the output.
+    "stream_dedup_gate" -> { (s, dir) =>
+      val docs = Tables.corpus(s, dir).filter(col("doc_id") >= 10000)
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(1700000000L)))
+      StreamingOps.dedupGateStream(docs, Tables.documents(s, dir), threshold = 0.6)
+        .select(col("doc_id"), col("is_dup").cast("int").as("is_dup"),
+          col("dup_of"),
+          when(col("is_dup"), col("jaccard")).otherwise(lit(0.0)).as("jaccard"))
+    },
+    "stream_similar_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val vecs = emb.filter(col("vec_id") < 20)
+        .withColumn("ts", timestamp_seconds(col("vec_id") + lit(1700000000L)))
+      StreamingOps.similarStream(vecs, emb, k = 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    // Exhaustive verdict: best exact 3-shingle Jaccard per stream doc
+    // against the whole base, dup iff best ≥ 0.6, tie-break lowest base
+    // id — the gate's (jac desc, id asc) ordering. NULLIF guards the
+    // both-empty-shingle-set division; NULL sorts last under DESC.
+    "stream_dedup_gate" ->
+      s"""WITH ${OracleCtes.corpus},
+         |newdocs AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 10000),
+         |wl AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM newdocs),
+         |wr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |shl AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in generate_series(1, len(w)-2)]) AS st
+         |  FROM wl),
+         |shr AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in generate_series(1, len(w)-2)]) AS st
+         |  FROM wr),
+         |scored AS (SELECT a.doc_id AS doc_id, b.doc_id AS base_id,
+         |  CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+         |    / NULLIF(len(list_distinct(a.st || b.st)), 0) AS j
+         |  FROM shl a CROSS JOIN shr b),
+         |best AS (SELECT doc_id, base_id, j,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j DESC, base_id) AS rn
+         |  FROM scored)
+         |SELECT n.doc_id,
+         |  CAST(COALESCE(b.j >= 0.6, FALSE) AS INT) AS is_dup,
+         |  CAST(CASE WHEN COALESCE(b.j >= 0.6, FALSE) THEN b.base_id ELSE -1 END AS BIGINT) AS dup_of,
+         |  CASE WHEN COALESCE(b.j >= 0.6, FALSE) THEN b.j ELSE 0.0 END AS jaccard
+         |FROM newdocs n
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
+    "stream_similar_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |sims AS (
+        |  SELECT q.vec_id AS vec_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id),
+        |ranked AS (SELECT vec_id, neighbor_id, sim,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                              ORDER BY sim DESC, neighbor_id) AS rank
+        |           FROM sims)
+        |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id
+        |FROM ranked WHERE rank <= 3""".stripMargin)
+}
