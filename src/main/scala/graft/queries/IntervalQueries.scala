@@ -149,6 +149,14 @@ object IntervalQueries {
             | AND overlaplength(a.pos_start, a.pos_end, b.pos_start, b.pos_end) >= 10""".stripMargin))
         .select(col("a_key"), col("b_key"))
     },
+    // Nearest-feature join (bedtools closest; beyond-reference — the
+    // reference joins on overlap only): every read paired with ALL
+    // equally-closest targets on its contig, distance 0 on overlap.
+    "interval_join_nearest" -> { (s, dir) =>
+      Graft.ensure(s)
+      graft.operators.NearestJoinOps.nearestJoin(Tables.ivA(s, dir), Tables.ivB(s, dir))
+        .select(col("a_key"), col("b_key"), col("distance"))
+    },
     // grange TVF (§2.7): literal one-row genomic interval joined to the
     // targets table, resolved via the injected table function.
     "grange_tvf" -> { (s, dir) =>
@@ -251,6 +259,19 @@ object IntervalQueries {
         | AND a.pos_end >= b.pos_start
         | AND a.pos_start <= b.pos_end
         | AND LEAST(a.pos_end, b.pos_end) - GREATEST(a.pos_start, b.pos_start) + 1 >= 10""".stripMargin),
+    // Left-row identity is the full (a_key, contig, pos_start, pos_end)
+    // tuple — a_key (l_orderkey) repeats across lineitem lines with
+    // different suppkey/partkey-derived intervals, so the min-distance
+    // window must not mix them. Duplicate identical left rows each emit
+    // their tie set (multiset semantics, same as the engine).
+    "interval_join_nearest" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (
+        |  SELECT a.a_key, a.contig, a.pos_start, a.pos_end, b.b_key,
+        |    GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) AS distance,
+        |    MIN(GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0))
+        |      OVER (PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end) AS md
+        |  FROM iva a JOIN ivb b ON a.contig = b.contig)
+        |WHERE distance = md""".stripMargin),
     "grange_tvf" -> withCtes(OracleCtes.targets)(
       """SELECT name, pos_start, pos_end FROM targets
         |WHERE contig = '2' AND pos_end >= 100 AND pos_start <= 600""".stripMargin),

@@ -51,5 +51,49 @@ class IntervalForestSpec extends AnyFunSuite {
   test("empty forest answers nothing") {
     val f = IntervalForest(IndexedSeq.empty[(Int, Int, Int)])
     assert(f.overlappers(1, 100).isEmpty)
+    assert(f.nearestDistance(1, 100) === -1)
+    assert(f.foreachNearest(1, 100)((_, _, _) => fail("no calls expected")) === -1)
+  }
+
+  private def bruteNearest(items: Seq[(Int, Int, Int)], qs: Int, qe: Int): (Int, Set[Int]) = {
+    val ds = items.map { case (s, e, v) =>
+      (math.max(0, math.max(s - qe, qs - e)), v)
+    }
+    val d = ds.map(_._1).min
+    (d, ds.collect { case (`d`, v) => v }.toSet)
+  }
+
+  test("nearestDistance/foreachNearest agree with brute force") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 20) {
+      val n = 1 + rnd.nextInt(200)
+      val items = IndexedSeq.fill(n) {
+        val s = rnd.nextInt(1000) + 1
+        (s, s + rnd.nextInt(50), rnd.nextInt(1000000))
+      }
+      val forest = IntervalForest(items)
+      for (_ <- 1 to 100) {
+        val qs = rnd.nextInt(1400) - 150 // ranges beyond both flanks
+        val qe = qs + rnd.nextInt(80)
+        val (bd, bset) = bruteNearest(items, qs, qe)
+        assert(forest.nearestDistance(qs, qe) === bd, s"trial $trial dist [$qs,$qe]")
+        val got = scala.collection.mutable.Set.empty[Int]
+        val d = forest.foreachNearest(qs, qe)((_, _, v) => got += v)
+        assert(d === bd, s"trial $trial foreach-dist [$qs,$qe]")
+        assert(got.toSet === bset, s"trial $trial tie set [$qs,$qe]")
+      }
+    }
+  }
+
+  test("nearest ties on both flanks of a gap all emit") {
+    // [10,20] and [30,40] are both 4 away from [24,26].
+    val f = IntervalForest(IndexedSeq((10, 20, 1), (30, 40, 2)))
+    val got = scala.collection.mutable.Set.empty[Int]
+    assert(f.foreachNearest(24, 26)((_, _, v) => got += v) === 4)
+    assert(got.toSet === Set(1, 2))
+    // Overlap beats any gap.
+    got.clear()
+    assert(f.foreachNearest(20, 29)((_, _, v) => got += v) === 0)
+    assert(got.toSet === Set(1))
   }
 }
