@@ -36,6 +36,19 @@ object Tables {
     val raw = table(spark, dir, "events")
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** events with the raw nanosecond long truncated to an exact integer
+    * microsecond column `ts_us` (no TimestampType): ordering/difference
+    * arithmetic on it is identical in Spark and DuckDB
+    * (`epoch_ns(ts)//1000`), which the as-of and sessionization oracles
+    * depend on — two events distinct at ns but equal at µs must tie the
+    * same way in both engines. */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

@@ -85,6 +85,48 @@ object RelationalQueries {
           date_trunc("hour", col("ts")).as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    },
+    // As-of join (the brief's canonical "operator Spark lacks"): each
+    // purchase paired with the user's latest click at-or-before it.
+    // Spark-first — no custom exec: union both sides tagged, one window
+    // pass carries the last click forward (clicks sort before purchases
+    // at equal ts_us via the kind column; event_id breaks exact ties).
+    // ONE shuffle on user_id, linear scan per partition — at 100 TB this
+    // is the sort-merge as-of, no per-row probe or range join needed.
+    "events_asof" -> { (s, dir) =>
+      val e = Tables.eventsUs(s, dir)
+      val u = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), lit(0).as("kind"), col("event_id"))
+        .unionAll(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), lit(1).as("kind"), col("event_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("prior",
+          last(when(col("kind") === 0, struct(col("ts_us"), col("event_id"))),
+            ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("prior.event_id").as("click_id"),
+          expr("(ts_us - prior.ts_us) div 1000000").as("gap_sec"))
+    },
+    // Gap-based sessionization: a new session starts after > 8h of
+    // per-user inactivity (the fixture's median inter-event gap is ~7.3h).
+    // lag + running sum of session starts + one aggregation — all integer
+    // µs arithmetic, so the oracle is exact.
+    "events_sessionize" -> { (s, dir) =>
+      val e = Tables.eventsUs(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val gapUs = 8L * 3600 * 1000000
+      e.withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("newsess",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_idx",
+          sum(col("newsess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("(max(ts_us) - min(ts_us)) div 1000000").as("duration_sec"),
+          round(sum(col("value")), 2).as("session_value"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -126,5 +168,38 @@ object RelationalQueries {
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS ts_us, 0 AS kind, event_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ns(ts)//1000, 1, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER win AS c_ts,
+        |  last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER win AS c_id
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, c_id AS click_id,
+        |  (ts_us - c_ts) // 1000000 AS gap_sec
+        |FROM w WHERE kind = 1""".stripMargin,
+    "events_sessionize" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts)//1000 AS ts_us FROM events),
+        |l AS (SELECT *,
+        |  lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM b),
+        |n AS (SELECT *,
+        |  CASE WHEN prev IS NULL OR ts_us - prev > 28800000000::BIGINT THEN 1 ELSE 0 END AS newsess
+        |  FROM l),
+        |s AS (SELECT *,
+        |  SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+        |  FROM n)
+        |SELECT user_id, sess_idx, COUNT(*) AS n_events,
+        |  (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec,
+        |  ROUND(SUM(value), 2) AS session_value
+        |FROM s GROUP BY user_id, sess_idx""".stripMargin)
 }
