@@ -178,6 +178,38 @@ object TextOps {
         col("surprisal_bits").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Bigram-LM document scoring — the conditional upgrade of
+    * [[unigramSurprisal]], in the same exact integer bit arithmetic.
+    * Per-bigram surprisal is `floor(log2 c(prev)) - floor(log2
+    * c(prev,tok))`, the whole-bit surrogate for `-log2 p(tok|prev)`;
+    * `c(prev)` is the count of `prev` as a bigram context (sum of its
+    * outgoing bigram counts), so the model is self-consistent over
+    * bigram occurrences. Documents with < 2 tokens have no bigrams and
+    * drop out (nothing to condition on).
+    *
+    * Plan shape: bigrams build directly from each document's token array
+    * (`zip_with` of the two shifted slices — no positional self-join),
+    * then one (prev,tok) aggregation, a context roll-up, and two
+    * equi-joins keyed on the bigram/context (AQE broadcasts small
+    * vocabularies; never a per-node corpus pass). */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val w = filter(tokens(col("text")), t => t =!= "")
+    val n1 = greatest(size(w) - 1, lit(0))
+    val bi = docs.select(col("doc_id"), explode(zip_with(
+        slice(w, lit(1), n1), slice(w, lit(2), n1),
+        (a, b) => struct(a.as("prev"), b.as("tok")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+      .transform(CacheScope.persistTracked)
+    val c2 = bi.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    bi.join(c2, Seq("prev", "tok")).join(c1, Seq("prev"))
+      .select(col("doc_id"), (bitLength(col("c1")) - bitLength(col("c2"))).cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("surprisal_bits"))
+      .withColumn("mean_surprisal",
+        col("surprisal_bits").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Redaction patterns applied in order: emails first (their local parts
     * contain digit runs), then IPv4 (dotted digits would otherwise feed
     * the phone pattern), then card/account-shaped 13-19-digit runs

@@ -92,6 +92,11 @@ object TextQueries {
     "text_unigram" -> { (s, dir) =>
       TextOps.unigramSurprisal(Tables.documents(s, dir))
     },
+    // Conditional (bigram) surprisal — same exact-bit arithmetic, the
+    // next rung of the perplexity-filter ladder.
+    "text_bigram" -> { (s, dir) =>
+      TextOps.bigramSurprisal(Tables.documents(s, dir))
+    },
     // The curation columns through the SQL surface only (TextFunctions
     // registered via GraftExtensions) — proves a SQL-only user gets the
     // identical pipeline.
@@ -381,5 +386,24 @@ object TextQueries {
         |  CAST(SUM(length(bin(tot.total)) - length(bin(v.tf))) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS mean_surprisal
         |FROM t JOIN v USING (token) CROSS JOIN tot
-        |GROUP BY t.doc_id""".stripMargin)
+        |GROUP BY t.doc_id""".stripMargin,
+    "text_bigram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, bg['prev'] AS prev, bg['tok'] AS tok FROM (
+        |    SELECT doc_id, unnest([{'prev': w[i], 'tok': w[i+1]}
+        |                           for i in generate_series(1, len(w)-1)]) AS bg
+        |    FROM t)),
+        |c2 AS (SELECT prev, tok, count(*) AS c2 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(length(bin(c1.c1)) - length(bin(c2.c2))) AS BIGINT) AS surprisal_bits,
+        |  CAST(SUM(length(bin(c1.c1)) - length(bin(c2.c2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_surprisal
+        |FROM b JOIN c2 USING (prev, tok) JOIN c1 USING (prev)
+        |GROUP BY b.doc_id""".stripMargin)
 }
