@@ -544,6 +544,48 @@ object DedupOps {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Exact shared-substring spans — the distributed form of exact
+    * substring dedup over training corpora (suffix-array dedup à la Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): a token span is "shared" when its every length-`n`
+    * sub-run occurs at least twice in the corpus (anywhere — another
+    * document or elsewhere in the same one). Per document emits
+    * `(doc_id, n_spans, dup_tokens)`: the count of maximal shared runs
+    * and the total tokens they cover; documents with no shared span
+    * drop out.
+    *
+    * Scale design: grams hash to 64-bit keys and build an inverted
+    * occurrence COUNT — duplication is the boolean `occurrences >= 2`
+    * from a plain aggregation, so a gram shared by a million documents
+    * costs one counter, never a pair explosion (contrast the pair-
+    * emitting LSH family, which needs flood caps). One shuffle on the
+    * gram hash for the count, one equi-join back, and a per-document
+    * window merges consecutive duplicated positions into maximal runs.
+    * No all-pairs stage, no driver state. */
+  def sharedSubstringSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = filter(TextOps.tokens(col("text")), t => t =!= "")
+    // 0-based gram start positions; a doc shorter than n grams to nothing
+    // (guarded: sequence(0, negative) would yield a descending range).
+    val gramArr = when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+    val g = docs.select(col("doc_id"), posexplode(gramArr).as(Seq("pos", "gh")))
+      .transform(CacheScope.persistTracked)
+    val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    g.join(dup, "gh")
+      // Consecutive duplicated positions share (pos - row_number): each
+      // group is one maximal run [p1, p2], covering p2 - p1 + n tokens.
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("p1"), max(col("pos")).as("p2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("p2") - col("p1") + n).as("dup_tokens"))
+  }
+
   /** Exact-duplicate groups over normalized text: (keep_id, n_copies) for
     * groups with more than one member. Plain hash aggregation — Tungsten
     * hashes the grouping key, no extra hashing step needed. */

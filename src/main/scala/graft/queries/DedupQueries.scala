@@ -41,6 +41,12 @@ object DedupQueries {
     "dedup_winnow" -> { (s, dir) =>
       DedupOps.winnowPairs(Tables.documents(s, dir))
     },
+    // Exact shared-substring spans (Lee et al. 2022 style) over the
+    // dup-injected corpus: maximal token runs whose every 10-gram occurs
+    // at least twice anywhere in the corpus.
+    "dedup_substring" -> { (s, dir) =>
+      DedupOps.sharedSubstringSpans(Tables.corpus(s, dir), n = 10)
+    },
     // Incremental dedup: the corpus's injected duplicates play the "new
     // crawl" (left), the raw documents the existing base (right) — each
     // left doc is checked against the base, never base-vs-base.
@@ -101,6 +107,23 @@ object DedupQueries {
          |  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
          |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY s""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH ${OracleCtes.corpus},
+         |t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS w
+         |  FROM corpus),
+         |p AS (SELECT doc_id, e['pos'] AS pos, e['gram'] AS gram FROM (
+         |  SELECT doc_id, unnest([{'pos': s - 1, 'gram': array_to_string(w[s : s+9], ' ')}
+         |                         for s in generate_series(1, len(w) - 9)]) AS e
+         |  FROM t)),
+         |dup AS (SELECT gram FROM p GROUP BY gram HAVING count(*) >= 2),
+         |r AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM p JOIN dup USING (gram)),
+         |runs AS (SELECT doc_id, min(pos) AS p1, max(pos) AS p2 FROM r GROUP BY doc_id, grp)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(p2 - p1 + 10) AS BIGINT) AS dup_tokens
+         |FROM runs GROUP BY doc_id""".stripMargin,
     "dedup_cross" ->
       s"""WITH ${OracleCtes.corpus},
          |newdocs AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 10000),
