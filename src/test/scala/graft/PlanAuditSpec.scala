@@ -99,6 +99,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sText.contains("Exchange"), s"sampling must not shuffle:\n$sText")
   }
 
+  /** The as-of join's scale claim: the tagged-union + window form costs
+    * exactly ONE shuffle (on user_id) — no per-row probe, no range join,
+    * no second exchange. Sessionization adds only the session-key
+    * re-aggregation on top of the same window shuffle. */
+  test("events_asof plans one exchange; sessionize at most two") {
+    // treeStrings returns the AQE wrapper and the executed plan as two
+    // separate trees — count within each, not across the concatenation.
+    def maxExchanges(name: String): Int =
+      treeStrings(SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan)
+        .map(_.linesIterator.count(_.contains("Exchange "))).max
+    assert(maxExchanges("events_asof") == 1,
+      "as-of join must shuffle exactly once, on user_id")
+    assert(maxExchanges("events_sessionize") <= 2,
+      "sessionize must need no third exchange")
+  }
+
   /** P4 analogue: the reference pushes `contig + pos range` predicates to
     * the BAI index (`datasources/BAM/AlignmentRelation.scala:316-367`);
     * on parquet the same selective-read behavior comes from row-group
