@@ -290,6 +290,22 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("contig"), col("tile"), col("mean_coverage"))
 
+  /** Streaming gap sessionization — the incremental analogue of the
+    * batch `events_sessionize` query: per-user sessions close after
+    * `gap` of event-time inactivity, via Spark's native
+    * `session_window` aggregation. State is one open window per
+    * (user, session) and expires once the watermark passes the
+    * session's close — bounded regardless of stream length. Emits on
+    * session close (append mode), the natural output for downstream
+    * training-data or analytics sinks. */
+  def sessionizeStream(events: DataFrame, gap: String = "8 hours",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+
   /** Stateful per-contig ingest progress via mapGroupsWithState: running
     * read count and position envelope. The custom-state hook a full
     * incremental event-array coverage would extend. */

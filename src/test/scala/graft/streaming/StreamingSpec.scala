@@ -133,6 +133,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sessionization groups events by per-user inactivity gap") {
+    import graft.SharedSpark.spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val query = StreamingOps.sessionizeStream(df, gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    in.addData(
+      (ts(0), 1L, 1.0), (ts(10), 1L, 2.0),  // user 1, session A (gap 10m < 30m)
+      (ts(60), 1L, 4.0),                    // user 1, session B (50m gap)
+      (ts(5), 2L, 8.0))                     // user 2, own session
+    // Advance the watermark past every open session so append emits them.
+    in.addData((ts(600), 9L, 0.0))
+    run(query) {
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      assert(rows === Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    }
+  }
+
   test("stream-static interval join annotates reads against static targets") {
     import graft.SharedSpark.spark.implicits._
     val targets = Seq(
