@@ -47,6 +47,24 @@ object DedupQueries {
     "dedup_substring" -> { (s, dir) =>
       DedupOps.sharedSubstringSpans(Tables.corpus(s, dir), n = 10)
     },
+    // The span report as a curation ACTION: gate documents on the
+    // fraction of their tokens covered by corpus-shared substrings
+    // (docs over 50% duplicated text drop). Exact integer inputs ->
+    // exact double division, no rounding needed.
+    "dedup_substring_gate" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.corpus(s, dir)
+        .select(col("doc_id"),
+          size(filter(graft.operators.TextOps.tokens(col("text")), t => t =!= ""))
+            .cast("bigint").as("n_tokens"))
+      val spans = DedupOps.sharedSubstringSpans(Tables.corpus(s, dir), n = 10)
+      docs.join(spans, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("dup_frac"))
+        .withColumn("kept", col("dup_frac") <= 0.5)
+    },
     // Incremental dedup: the corpus's injected duplicates play the "new
     // crawl" (left), the raw documents the existing base (right) — each
     // left doc is checked against the base, never base-vs-base.
@@ -124,6 +142,27 @@ object DedupQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          |  CAST(SUM(p2 - p1 + 10) AS BIGINT) AS dup_tokens
          |FROM runs GROUP BY doc_id""".stripMargin,
+    "dedup_substring_gate" ->
+      s"""WITH ${OracleCtes.corpus},
+         |t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS w
+         |  FROM corpus),
+         |p AS (SELECT doc_id, e['pos'] AS pos, e['gram'] AS gram FROM (
+         |  SELECT doc_id, unnest([{'pos': s - 1, 'gram': array_to_string(w[s : s+9], ' ')}
+         |                         for s in generate_series(1, len(w) - 9)]) AS e
+         |  FROM t)),
+         |dup AS (SELECT gram FROM p GROUP BY gram HAVING count(*) >= 2),
+         |r AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM p JOIN dup USING (gram)),
+         |runs AS (SELECT doc_id, min(pos) AS p1, max(pos) AS p2 FROM r GROUP BY doc_id, grp),
+         |spans AS (SELECT doc_id, CAST(SUM(p2 - p1 + 10) AS BIGINT) AS dup_tokens
+         |          FROM runs GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+         |  COALESCE(s.dup_tokens, 0) AS dup_tokens,
+         |  CAST(COALESCE(s.dup_tokens, 0) AS DOUBLE) / len(t.w) AS dup_frac,
+         |  (CAST(COALESCE(s.dup_tokens, 0) AS DOUBLE) / len(t.w)) <= 0.5 AS kept
+         |FROM t LEFT JOIN spans s USING (doc_id)""".stripMargin,
     "dedup_cross" ->
       s"""WITH ${OracleCtes.corpus},
          |newdocs AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 10000),
