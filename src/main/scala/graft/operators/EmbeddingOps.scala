@@ -293,6 +293,18 @@ object EmbeddingOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 0, nProbe: Int = 6, iters: Int = 3): DataFrame = {
     val (centroids, assigned) = ivfIndex(corpus, nLists, iters)
+    ivfTopKWith(centroids, assigned, corpus, queries, k, nProbe)
+  }
+
+  /** Probe-only IVF query against an already-trained quantizer +
+    * assignment — the shape every job after the first should use: at
+    * 100 TB the Lloyd passes and the corpus assignment are the expensive
+    * stages, and they are pure functions of the corpus, not the queries.
+    * Train once ([[ivfIndex]]), persist ([[saveQuantizer]] + write the
+    * assignment frame as a table), then serve every query batch from the
+    * artifacts with zero corpus-wide training scans. */
+  def ivfTopKWith(centroids: Array[Array[Double]], assigned: DataFrame,
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 6): DataFrame = {
     val probes = assignLists(
       queries.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
       "q_id", centroids, nProbe)
@@ -301,6 +313,25 @@ object EmbeddingOps {
       .select(col("q_id"), col("c_id"))
       .dropDuplicates("q_id", "c_id")
     rerankTopK(candidates, corpus, queries, k)
+  }
+
+  /** Persist the trained coarse quantizer as one parquet of
+    * `(list: int, centroid: array<double>)` — doubles round-trip parquet
+    * exactly, so a reloaded quantizer assigns every vector to the same
+    * list as the in-memory original (asserted in spec). */
+  def saveQuantizer(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, li) => (li, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadQuantizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("list"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
   }
 
   /** Scalar int8 quantization of the embedding column: per-vector max-abs

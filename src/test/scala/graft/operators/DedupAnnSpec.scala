@@ -120,6 +120,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(sizes.max <= 4 * mean, s"max list ${sizes.max} vs mean $mean")
   }
 
+  test("IVF quantizer persists: reloaded centroids answer identically") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val (centroids, assigned) = EmbeddingOps.ivfIndex(emb)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/quantizer"
+    EmbeddingOps.saveQuantizer(spark, centroids, path)
+    val reloaded = EmbeddingOps.loadQuantizer(spark, path)
+    // Doubles round-trip parquet exactly — the reloaded quantizer is the
+    // same model, not an approximation.
+    assert(reloaded.length === centroids.length)
+    assert(reloaded.zip(centroids).forall { case (a, b) => a.sameElements(b) })
+    val direct = EmbeddingOps.ivfTopKWith(centroids, assigned, emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val probed = EmbeddingOps.ivfTopKWith(reloaded, assigned, emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(probed === direct, "probe-only path must answer identically from the artifact")
+  }
+
   test("skew guard: banded self-joins stay linear under a near-dup flood") {
     // 2000 near-identical docs (one clique) — all-pairs within their shared
     // LSH buckets would be ~2M candidate pairs. With a bucket cap the
