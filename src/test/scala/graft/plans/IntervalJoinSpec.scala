@@ -402,6 +402,27 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("nearest join matches the brute-force min-distance window") {
+    import graft.Tables
+    val a = Tables.ivA(spark, graft.SharedSpark.sf0001)
+    val b = Tables.ivB(spark, graft.SharedSpark.sf0001)
+    val got = graft.operators.NearestJoinOps.nearestJoin(a, b)
+      .select(col("a_key"), col("b_key"), col("distance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // Brute force: all same-contig pairs, min-distance window, keep ties.
+    val d = greatest(b("pos_start") - a("pos_end"), a("pos_start") - b("pos_end"), lit(0))
+    val all = a.join(b, a("contig") === b("contig"))
+      .select(a("a_key"), a("contig"), a("pos_start").as("ls"), a("pos_end").as("le"),
+        b("b_key"), d.as("distance"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_key"), col("contig"), col("ls"), col("le"))
+    val brute = all.withColumn("md", min(col("distance")).over(w))
+      .filter(col("distance") === col("md"))
+      .select(col("a_key"), col("b_key"), col("distance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got === brute)
+  }
+
   test("binrange outer dedups pairs spanning many bins (tiny binWidth)") {
     val a = randomIntervals(200, 65, "a_key")
     val b = randomIntervals(30, 66, "b_key")
