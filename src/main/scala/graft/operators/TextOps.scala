@@ -68,6 +68,24 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(DedupOps.normText(text))
 
+  /** Corpus snapshot diff — the reconcile step of an incremental
+    * ingest: classify every doc_id across two corpus snapshots as
+    * `added` / `removed` / `changed` / `unchanged` by content
+    * fingerprint. One equi-join on doc_id; fingerprints are computed
+    * scan-side so only `(id, 16-byte md5)` pairs shuffle — at 100 TB
+    * the snapshots' text never moves. Downstream: process only
+    * `added`+`changed` (the delta), retire `removed`. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), fingerprint(col("text")).as("fp_old"))
+    val n = newDocs.select(col("doc_id"), fingerprint(col("text")).as("fp_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Winnowing fingerprints (the Schleimer–Wilkerson–Aiken "local
     * algorithms" scheme, as in MOSS): hash every `k`-codepoint gram of the
     * whitespace-normalized text with a base-257 polynomial mod 2³¹−1, then

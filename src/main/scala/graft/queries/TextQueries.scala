@@ -97,6 +97,19 @@ object TextQueries {
     "text_bigram" -> { (s, dir) =>
       TextOps.bigramSurprisal(Tables.documents(s, dir))
     },
+    // Snapshot reconcile: documents vs a derived second snapshot with
+    // deterministic deletions (%11), edits (%7), and additions (%13).
+    "pipeline_snapshot_diff" -> { (s, dir) =>
+      val old = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val neu = old.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(old.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+      TextOps.snapshotDiff(old, neu)
+    },
     // The curation columns through the SQL surface only (TextFunctions
     // registered via GraftExtensions) — proves a SQL-only user gets the
     // identical pipeline.
@@ -387,6 +400,25 @@ object TextQueries {
         |    / CAST(count(*) AS DOUBLE) AS mean_surprisal
         |FROM t JOIN v USING (token) CROSS JOIN tot
         |GROUP BY t.doc_id""".stripMargin,
+    "pipeline_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_old
+        |  FROM documents),
+        |nsrc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 50000, text || ' new' FROM documents WHERE doc_id % 13 = 0),
+        |n AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_new FROM nsrc)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp_old <> n.fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "text_bigram" ->
       """WITH t AS (
         |  SELECT doc_id,
