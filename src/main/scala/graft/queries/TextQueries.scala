@@ -97,6 +97,17 @@ object TextQueries {
     "text_bigram" -> { (s, dir) =>
       TextOps.bigramSurprisal(Tables.documents(s, dir))
     },
+    // Per-source corpus report — the at-a-glance table a curation run
+    // publishes per snapshot. Mean is integer-sum / count (exact in any
+    // engine); no floating aggregation order dependence anywhere.
+    "text_source_report" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("bigint")).as("total_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("mean_chars"),
+          count_distinct(col("lang")).as("n_langs"))
+    },
     // Snapshot reconcile: documents vs a derived second snapshot with
     // deterministic deletions (%11), edits (%7), and additions (%13).
     "pipeline_snapshot_diff" -> { (s, dir) =>
@@ -400,6 +411,13 @@ object TextQueries {
         |    / CAST(count(*) AS DOUBLE) AS mean_surprisal
         |FROM t JOIN v USING (token) CROSS JOIN tot
         |GROUP BY t.doc_id""".stripMargin,
+    "text_source_report" ->
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
     "pipeline_snapshot_diff" ->
       """WITH o AS (
         |  SELECT doc_id,
