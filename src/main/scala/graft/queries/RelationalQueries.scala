@@ -110,6 +110,56 @@ object RelationalQueries {
           col("prior.event_id").as("click_id"),
           expr("(ts_us - prior.ts_us) div 1000000").as("gap_sec"))
     },
+    // Semi-structured extraction: the events `props` column is a JSON
+    // document; parse with the codegen'd get_json_object (no UDF) and
+    // aggregate exact integers. At 100 TB this is a stateless per-row
+    // expression + one partial-aggregated shuffle on event_type.
+    "events_props_json" -> { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, dir)
+        .withColumn("k", k)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+    },
+    // First-touch funnel: how far each user progressed through the strict
+    // view -> click -> purchase sequence, judged on first-occurrence
+    // times. One shuffle on user_id (conditional min aggregation), then a
+    // trivially small aggregation on the 4-row stage key — no joins, no
+    // per-user event ordering materialized.
+    "events_funnel" -> { (s, dir) =>
+      Tables.eventsUs(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts_us"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts_us"))).as("t_purchase"))
+        .withColumn("stage",
+          when(col("t_view").isNull, lit(0))
+            .when(col("t_click").isNull || col("t_click") <= col("t_view"), lit(1))
+            .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), lit(2))
+            .otherwise(lit(3)))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    // Weekly retention cohorts: users grouped by first-touch week, the
+    // distinct-user count per (cohort, weeks-since-first-touch) cell.
+    // Two shuffles: first-touch min per user, then the cohort-cell
+    // distinct count — integer µs week arithmetic throughout, so the
+    // oracle is exact.
+    "events_retention" -> { (s, dir) =>
+      val e = Tables.eventsUs(s, dir)
+      val first = e.groupBy(col("user_id")).agg(min(col("ts_us")).as("t0"))
+      e.join(first, "user_id")
+        .select(col("user_id"),
+          expr("t0 div 604800000000").as("cohort_week"),
+          expr("(ts_us div 604800000000) - (t0 div 604800000000)").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
     // Gap-based sessionization: a new session starts after > 8h of
     // per-user inactivity (the fixture's median inter-event gap is ~7.3h).
     // lag + running sum of session starts + one aggregation — all integer
@@ -185,6 +235,36 @@ object RelationalQueries {
         |SELECT event_id, user_id, c_id AS click_id,
         |  (ts_us - c_ts) // 1000000 AS gap_sec
         |FROM w WHERE kind = 1""".stripMargin,
+    "events_props_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+        |  COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS n_distinct_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "events_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts)//1000 END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts)//1000 END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts)//1000 END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT CASE WHEN t_view IS NULL THEN 0
+        |            WHEN t_click IS NULL OR t_click <= t_view THEN 1
+        |            WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+        |            ELSE 3 END AS stage,
+        |  COUNT(*) AS n_users
+        |FROM f GROUP BY 1""".stripMargin,
+    "events_retention" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+        |f AS (SELECT user_id, MIN(ts_us) AS t0 FROM b GROUP BY user_id),
+        |c AS (SELECT b.user_id,
+        |  f.t0 // 604800000000 AS cohort_week,
+        |  (b.ts_us // 604800000000) - (f.t0 // 604800000000) AS week_offset
+        |  FROM b JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY cohort_week, week_offset""".stripMargin,
     "events_sessionize" ->
       """WITH b AS (
         |  SELECT user_id, event_id, value, epoch_ns(ts)//1000 AS ts_us FROM events),

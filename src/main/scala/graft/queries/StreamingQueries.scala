@@ -47,6 +47,38 @@ object StreamingQueries {
         .withColumn("ts", timestamp_seconds(col("vec_id") + lit(1700000000L)))
       StreamingOps.similarStream(vecs, emb, k = 3)
         .select(col("vec_id"), col("rank"), col("neighbor_id"))
+    },
+    // Stream-static interval annotation: the same flatMap-over-broadcast-
+    // forest kernel the streaming query runs, on a batch reads frame —
+    // the oracle is the exhaustive overlap join. ts (a deterministic
+    // function of pos_start) is dropped from the output: it rides the
+    // kernel untouched.
+    "stream_interval_annotate" -> { (s, dir) =>
+      import s.implicits._
+      val reads = Tables.reads(s, dir)
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          timestamp_seconds(col("pos_start").cast("long") * 7 + lit(1700000000L)).as("ts"))
+        .as[StreamingOps.StreamRead]
+      // Every 10th target: same kernel coverage, a tenth of the output
+      // volume for the driver's row-by-row oracle compare.
+      val targets = Tables.targets(s, dir).filter(col("pos_start") % 10 === 3)
+      StreamingOps.annotateStream(reads, targets)
+        .select(col("contig"), col("pos_start"), col("pos_end"), col("target_name"))
+    },
+    // Streaming windowed coverage kernel on a batch frame (withWatermark
+    // and window() are batch no-op/native): mean depth per (hour window,
+    // contig, 100bp tile). Integer contribution sums + one final double
+    // division → exact oracle. window_start is emitted as epoch seconds
+    // so both engines compare BIGINT, not timestamp encodings.
+    "stream_coverage_window" -> { (s, dir) =>
+      import s.implicits._
+      val reads = Tables.reads(s, dir)
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          timestamp_seconds(col("pos_start").cast("long") * 7 + lit(1700000000L)).as("ts"))
+        .as[StreamingOps.StreamRead]
+      StreamingOps.windowedCoverageStream(reads, windowSize = 100)
+        .select(unix_timestamp(col("window_start")).as("window_start_sec"),
+          col("contig"), col("tile"), col("mean_coverage"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -92,5 +124,27 @@ object StreamingQueries {
         |                              ORDER BY sim DESC, neighbor_id) AS rank
         |           FROM sims)
         |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id
-        |FROM ranked WHERE rank <= 3""".stripMargin)
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "stream_interval_annotate" ->
+      s"""WITH ${OracleCtes.reads}, ${OracleCtes.targets}
+         |SELECT r.contig, r.pos_start, r.pos_end, t.name AS target_name
+         |FROM reads r JOIN targets t ON r.contig = t.contig
+         |  AND r.pos_end >= t.pos_start AND r.pos_start <= t.pos_end
+         |WHERE t.pos_start % 10 = 3""".stripMargin,
+    "stream_coverage_window" ->
+      s"""WITH ${OracleCtes.reads},
+         |tiled AS (
+         |  SELECT contig,
+         |    (1700000000 + pos_start * 7) // 3600 * 3600 AS window_start_sec,
+         |    unnest(generate_series((pos_start - 1) // 100, (pos_end - 1) // 100)) AS tile,
+         |    pos_start, pos_end
+         |  FROM reads),
+         |contribs AS (
+         |  SELECT contig, window_start_sec, tile,
+         |    LEAST(pos_end, (tile + 1) * 100) - GREATEST(pos_start, tile * 100 + 1) + 1 AS contrib
+         |  FROM tiled)
+         |SELECT CAST(window_start_sec AS BIGINT) AS window_start_sec, contig,
+         |  CAST(tile AS BIGINT) AS tile,
+         |  CAST(SUM(contrib) AS BIGINT) / 100.0 AS mean_coverage
+         |FROM contribs GROUP BY window_start_sec, contig, tile""".stripMargin)
 }

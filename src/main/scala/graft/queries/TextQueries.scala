@@ -28,6 +28,28 @@ object TextQueries {
           min(col("quality_score")).as("min_q"),
           max(col("quality_score")).as("max_q"))
     },
+    // Exact per-source quantile gate: keep the top half of each source's
+    // docs by token count (median-and-above), reporting the kept count,
+    // token mass, and realized cutoff. Rank arithmetic is all-integer, so
+    // the oracle is exact. Scale: one sort-window per source partition;
+    // at 100 TB swap the exact rank for an approx-quantile threshold +
+    // stateless filter (same output columns), but the exact form is what
+    // the oracle can pin.
+    "text_quality_quantile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rn") * 2 <= col("n") + 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"),
+          min(col("n_tokens")).as("cutoff_tokens"))
+    },
     // Winnowing (rolling-hash) fingerprints — the substring-level
     // fingerprint family (shared >=8-char runs guarantee a shared row).
     "text_winnow_fp" -> { (s, dir) =>
@@ -197,6 +219,20 @@ object TextQueries {
          |  MIN(s.quality_score) AS min_q, MAX(s.quality_score) AS max_q
          |FROM stats s JOIN documents d USING (doc_id)
          |GROUP BY d.lang, d.source""".stripMargin,
+    "text_quality_quantile" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+        |  MIN(n_tokens) AS cutoff_tokens
+        |FROM r WHERE rn * 2 <= n + 1 GROUP BY source""".stripMargin,
     // Bit-for-bit mirror of TextOps.winnowFingerprints (k=5, w=4): same
     // base-257 polynomial mod 2^31-1 over the normalized text's code
     // points (ord = code point; ASCII corpus), same clamped windows with

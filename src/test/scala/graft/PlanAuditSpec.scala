@@ -115,6 +115,15 @@ class PlanAuditSpec extends SparkSpec {
       "sessionize must need no third exchange")
   }
 
+  /** The stream-static annotate kernel must probe a broadcast forest —
+    * no Exchange anywhere in its plan (the unbounded side of the real
+    * streaming query never shuffles). */
+  test("stream annotate kernel plans no exchange") {
+    val ann = treeStrings(SparkEntry.queries("stream_interval_annotate")(spark, sf0001)
+      .queryExecution.executedPlan).mkString("\n")
+    assert(!ann.contains("Exchange"), s"annotate must not shuffle:\n$ann")
+  }
+
   /** P4 analogue: the reference pushes `contig + pos range` predicates to
     * the BAI index (`datasources/BAM/AlignmentRelation.scala:316-367`);
     * on parquet the same selective-read behavior comes from row-group
