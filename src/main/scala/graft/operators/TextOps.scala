@@ -377,6 +377,50 @@ object TextOps {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** [[contaminationReport]] with a Bloom-filter prefilter — the shape
+    * that survives when the eval-gram set itself is too large to
+    * broadcast as strings (stacked benchmark suites reach GBs of distinct
+    * grams; a 1%-fpp Bloom over the same set is ~1.2 MB per million
+    * grams). The sketch is built distributed (`stat.bloomFilter`
+    * tree-aggregates per-partition filters), broadcast once, and probed
+    * inside the corpus scan; only grams the sketch *might* contain — true
+    * hits plus the fpp sliver — reach the exact verify join, which then
+    * runs as a plain shuffle equi-join of two small sides instead of a
+    * broadcast of the full eval set. False positives are eliminated by
+    * the verify join, so the report is bit-identical to the exact
+    * operator (same oracle SQL); per-doc totals come from `ngramArray`
+    * sizes computed at scan speed with no join at all.
+    *
+    * `expectedGrams` sizes the sketch when the caller knows the eval
+    * cardinality; pass 0 (default) to spend one count job on it. */
+  def contaminationReportBloom(corpus: DataFrame, evalSet: DataFrame, n: Int = 3,
+      fpp: Double = 0.01, expectedGrams: Long = 0L): DataFrame = {
+    val spark = corpus.sparkSession
+    val evalGrams = tokenNgrams(evalSet, n).select(col("gram")).distinct()
+    val expected = if (expectedGrams > 0) expectedGrams
+      else math.max(evalGrams.count(), 1L)
+    // ~1.2 MB per 1M grams at 1% fpp; refuse sketches that would not fit
+    // the same broadcast budget the exact path is held to.
+    val maxBytes = spark.conf
+      .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+    require(expected * 10 / 8 <= maxBytes,
+      s"eval gram cardinality $expected needs a Bloom sketch over " +
+        s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes; shard the eval set")
+    val bloom = evalGrams.stat.bloomFilter("gram", expected, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bloomB.value.mightContainString(g))
+    val hits = tokenNgrams(corpus, n)
+      .filter(mightContain(col("gram")))
+      .join(evalGrams.withColumn("hit", lit(1)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("hit")).as("n_hits"))
+    corpus.select(col("doc_id"),
+        size(ngramArray(col("text"), n)).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Intra-document repetition stats (the Gopher-style repeated-n-gram
     * gate): per document, total and distinct `n`-gram counts and the
     * duplicate fraction. Pure codegen'd expressions over [[ngramArray]]

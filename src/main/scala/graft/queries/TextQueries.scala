@@ -78,6 +78,15 @@ object TextQueries {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"))
     },
+    // Same report through the Bloom-prefiltered scale path: the sketch
+    // replaces the eval-gram broadcast, the exact verify join kills the
+    // false positives, and the oracle is therefore the identical SQL.
+    "pipeline_decontam_bloom" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextOps.contaminationReportBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    },
     // Deterministic stratified sampling: keep all of src0, none of src1,
     // a quarter of everything else.
     "pipeline_sample" -> { (s, dir) =>
@@ -210,7 +219,7 @@ object TextQueries {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM """.stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "text_stats" -> statsSql,
     "text_quality_by_source" ->
       s"""WITH stats AS ($statsSql)
@@ -388,6 +397,8 @@ object TextQueries {
         |FROM c""".stripMargin,
     // 3-grams via list comprehension (inclusive slicing: t[i:i+2] is
     // three tokens); eval grams left-joined so unhit docs report 0.
+    // The Bloom variant is exact after its verify join, so it shares
+    // this SQL verbatim (bound below the map).
     "pipeline_decontam" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -492,4 +503,10 @@ object TextQueries {
         |    / CAST(count(*) AS DOUBLE) AS mean_surprisal
         |FROM b JOIN c2 USING (prev, tok) JOIN c1 USING (prev)
         |GROUP BY b.doc_id""".stripMargin)
+
+  // The Bloom path's verify join makes it bit-identical to the exact
+  // operator, so its oracle is the exact operator's SQL, not a weaker
+  // rows-only check.
+  val oracle: Map[String, String] =
+    oracleBase + ("pipeline_decontam_bloom" -> oracleBase("pipeline_decontam"))
 }

@@ -97,6 +97,27 @@ class TextOpsSpec extends SparkSpec {
     assert(rep(3L) === ((0L, 0L)))
   }
 
+  test("contaminationReportBloom: bit-identical to the exact report on real data") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val corpus = docs.filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+    val eval = docs.filter(org.apache.spark.sql.functions.col("source") === "src0")
+    val exact = TextOps.contaminationReport(corpus, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = TextOps.contaminationReportBloom(corpus, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom === exact)
+    assert(exact.exists(_._3 > 0L), "fixture should contain some contamination")
+  }
+
+  test("contaminationReportBloom: oversized eval cardinality fails loudly") {
+    import graft.SharedSpark.spark.implicits._
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.contaminationReportBloom(d, d, expectedGrams = Long.MaxValue / 4)
+    }
+    assert(e.getMessage.contains("maxBroadcastBytes"))
+  }
+
   test("repetitionStats: duplicate-2gram fraction, degenerate docs give 0.0") {
     import graft.SharedSpark.spark.implicits._
     val d = Seq((1L, "x x x y"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
