@@ -23,6 +23,18 @@ object CoverageQueries {
       Graft.ensure(s)
       CoverageOps.blocks(s1Reads(s, dir))
     },
+    // Depth-of-coverage histogram (the samtools/mosdepth "coverage
+    // distribution" summary): per depth, covered loci and RLE-block
+    // counts. One aggregation over the already-RLE blocks — loci counted
+    // as block lengths, never re-exploded per position, so the histogram
+    // costs O(blocks) regardless of genome size.
+    "coverage_hist" -> { (s, dir) =>
+      Graft.ensure(s)
+      CoverageOps.blocks(s1Reads(s, dir))
+        .groupBy(col("coverage"))
+        .agg((sum(col("pos_end") - col("pos_start") + 1)).cast("long").as("n_loci"),
+          count(lit(1)).as("n_blocks"))
+    },
     // Fixed-length window coverage (W1): mean depth per 500-bp tile.
     "coverage_window" -> { (s, dir) =>
       Graft.ensure(s)
@@ -76,6 +88,23 @@ object CoverageQueries {
 
   val oracle: Map[String, String] = Map(
     "coverage_blocks" -> coverageOracle,
+    "coverage_hist" ->
+      s"""WITH ${OracleCtes.reads},
+         |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+         |${OracleCtes.segPositions("r")},
+         |cov AS (
+         |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+         |runs AS (
+         |  SELECT contig, pos, coverage,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY contig, coverage ORDER BY pos) AS grp
+         |  FROM cov),
+         |blocks AS (
+         |  SELECT contig, MIN(pos) AS ps, MAX(pos) AS pe, coverage
+         |  FROM runs GROUP BY contig, coverage, grp)
+         |SELECT CAST(coverage AS INT) AS coverage,
+         |       CAST(SUM(pe - ps + 1) AS BIGINT) AS n_loci,
+         |       COUNT(*) AS n_blocks
+         |FROM blocks GROUP BY 1""".stripMargin,
     "coverage_tvf" -> coverageOracle,
     "coverage_tvf_all" ->
       s"""WITH ${OracleCtes.reads},
