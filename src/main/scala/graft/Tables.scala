@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md) plus
   * deterministic genomic-shaped derivations shared by queries and their
@@ -27,28 +28,33 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * 4.x refuses to infer. Read it as Long nanos (legacy conf) and convert
-    * to a microsecond timestamp with integer division (`div`, not `/` —
-    * double division loses precision above 2^53 ns). */
+  /** `events.parquet` has shipped `ts` in two physical encodings across
+    * testdata generations: parquet TIMESTAMP(NANOS) — which Spark 4.x only
+    * reads as a Long under the legacy conf — and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark infers as TIMESTAMP_NTZ. Accept
+    * both and normalize to a UTC-instant TimestampType with exact integer
+    * micros (`div`, not `/` — double division loses precision above
+    * 2^53 ns). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
-  /** events with the raw nanosecond long truncated to an exact integer
-    * microsecond column `ts_us` (no TimestampType): ordering/difference
-    * arithmetic on it is identical in Spark and DuckDB
-    * (`epoch_ns(ts)//1000`), which the as-of and sessionization oracles
-    * depend on — two events distinct at ns but equal at µs must tie the
-    * same way in both engines. */
-  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+  /** events with `ts` reduced to an exact integer microsecond column
+    * `ts_us` (no TimestampType): ordering/difference arithmetic on it is
+    * identical in Spark and DuckDB (`epoch_ns(ts)//1000`), which the
+    * as-of and sessionization oracles depend on — two events distinct
+    * only below the µs must tie the same way in both engines. */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        expr("ts div 1000").as("ts_us"))
-  }
+        unix_micros(col("ts")).as("ts_us"))
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
