@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable
+
+/** Interval *set* algebra — the bedtools/GenomicRanges operations over a
+  * table of `(contig, pos_start, pos_end)` intervals (1-based,
+  * end-inclusive): merge, complement, subtract, intersect. The reference
+  * engine stops at interval *joins*; these close the set-operation half of
+  * the genomic-ranges surface (bedtools merge/complement/subtract/
+  * intersect semantics), built from the same primitives — and `subtract`/
+  * `intersect` deliberately plan through the interval-forest join engine
+  * ([[graft.plans.IntervalForestJoinExec]]), so the set ops inherit its
+  * broadcast/bin-range scale paths.
+  *
+  * Scale design for [[merge]] (the foundation the others build on): the
+  * classic SQL island-detection window (`max(pos_end) OVER (PARTITION BY
+  * contig ORDER BY pos_start)`) serializes each contig onto one task — a
+  * genome has ~25 contigs, so at 100 TB that is ~25 straggler tasks.
+  * Instead, the same seeded-prefix-scan shape as
+  * [[CoverageOps.blocks]]:
+  *
+  *  1. one range-partition shuffle on `(contig, pos_start)` — uniformly
+  *     splittable, no per-contig hot key;
+  *  2. a cheap first pass collects per-`(partition, contig)` max
+  *     `pos_end` — O(partitions × contigs-per-partition) driver rows;
+  *  3. the driver prefix-folds those into a carry-in "running max end"
+  *     seed per partition (this closes the correctness hole a naive
+  *     local-merge + boundary-patch scheme has: one giant interval can
+  *     span *entire* later partitions and must bridge their interior
+  *     runs — the seed carries exactly that information);
+  *  4. each partition walks its sorted rows once with the seeded running
+  *     max, emitting locally-maximal runs;
+  *  5. only first/last runs per `(partition, contig)` can be fragments of
+  *     one global run; the driver merges those O(partitions) rows and
+  *     unions them with the untouched interior runs.
+  */
+object RangeSetOps {
+
+  val runSchema: StructType = StructType(Seq(
+    StructField("contig", StringType, nullable = true),
+    StructField("pos_start", IntegerType, nullable = false),
+    StructField("pos_end", IntegerType, nullable = false),
+    StructField("n_merged", LongType, nullable = false)))
+
+  /** bedtools-merge: coalesce intervals whose gap is ≤ `maxGap` bases
+    * (`maxGap = 0` merges touching-or-overlapping only) into maximal runs,
+    * per contig. Output: `(contig, pos_start, pos_end, n_merged)` where
+    * `n_merged` counts source intervals folded into the run. */
+  def merge(intervals: DataFrame, maxGap: Int = 0): DataFrame = {
+    require(maxGap >= 0, s"maxGap must be >= 0, got $maxGap")
+    val spark = intervals.sparkSession
+    import spark.implicits._
+
+    val sorted = intervals
+      .select(col("contig"), col("pos_start").cast("int"), col("pos_end").cast("int"))
+      .repartitionByRange(col("contig"), col("pos_start"))
+      .sortWithinPartitions(col("contig"), col("pos_start"), col("pos_end"))
+      .as[(String, Int, Int)]
+    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Pass 1: per-(partition, contig) max end. Driver state is
+    // O(partitions × contigs-per-partition), never O(rows).
+    val partMax: Array[Seq[(String, Int)]] = {
+      val collected = rdd.mapPartitionsWithIndex { (idx, it) =>
+        val m = mutable.LinkedHashMap.empty[String, Int]
+        it.foreach { case (contig, _, pe) =>
+          m(contig) = math.max(m.getOrElse(contig, Int.MinValue), pe)
+        }
+        Iterator.single((idx, m.toSeq))
+      }.collect()
+      val n = rdd.getNumPartitions
+      val arr = Array.fill[Seq[(String, Int)]](n)(Seq.empty)
+      collected.foreach { case (idx, s) => arr(idx) = s }
+      arr
+    }
+    // Carry-in running max end per (partition, contig): fold pass-1 maxima
+    // of all earlier partitions.
+    val seeds: Array[Map[String, Int]] = {
+      val acc = mutable.HashMap.empty[String, Int]
+      partMax.map { here =>
+        val snapshot = acc.toMap
+        here.foreach { case (c, e) => acc(c) = math.max(acc.getOrElse(c, Int.MinValue), e) }
+        snapshot
+      }
+    }
+    val seedsB = spark.sparkContext.broadcast(seeds)
+
+    // Pass 2: seeded local walk. A row extends the current run when its
+    // start is within (running max end + 1 + maxGap); the carry-in seed
+    // participates in the running max, so a run bridged from an earlier
+    // partition is recognized even when the bridge interval itself lives
+    // partitions away. Runs are tagged boundary when first/last of their
+    // contig within the partition.
+    val tagged = rdd.mapPartitionsWithIndex { (idx, it) =>
+      val seed = seedsB.value(idx)
+      val out = mutable.ArrayBuffer.empty[(String, Int, Int, Long)]
+      var curContig: String = null
+      var curStart = 0
+      var curEnd = 0
+      var curN = 0L
+      var maxEnd = Int.MinValue // running max incl. seed for curContig
+      def flush(): Unit = if (curContig != null) out += ((curContig, curStart, curEnd, curN))
+      it.foreach { case (contig, ps, pe) =>
+        if (contig != curContig) {
+          flush()
+          curContig = contig; curStart = ps; curEnd = pe; curN = 1L
+          maxEnd = seed.getOrElse(contig, Int.MinValue)
+          // The partition's first interval of this contig may already be
+          // inside a run carried from earlier partitions; the boundary
+          // flag below hands it to the driver merge either way.
+        } else if (maxEnd != Int.MinValue && ps.toLong > maxEnd.toLong + 1 + maxGap) {
+          flush()
+          curStart = ps; curEnd = pe; curN = 1L
+        } else {
+          curEnd = math.max(curEnd, pe); curN += 1
+        }
+        maxEnd = math.max(maxEnd, pe)
+      }
+      flush()
+      // boundary = first or last run of its contig in this partition.
+      val lastIdxPerContig = mutable.HashMap.empty[String, Int]
+      val firstIdxPerContig = mutable.HashMap.empty[String, Int]
+      out.zipWithIndex.foreach { case ((c, _, _, _), i) =>
+        if (!firstIdxPerContig.contains(c)) firstIdxPerContig(c) = i
+        lastIdxPerContig(c) = i
+      }
+      out.iterator.zipWithIndex.map { case ((c, s, e, n), i) =>
+        (c, s, e, n, firstIdxPerContig(c) == i || lastIdxPerContig(c) == i)
+      }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val taggedDf = tagged.toDF("contig", "pos_start", "pos_end", "n_merged", "boundary")
+
+    // Driver boundary merge over O(partitions × contigs) rows. Rows are in
+    // global (contig, start) order after the sort; the same gap rule
+    // stitches cross-partition fragments (including k-partition chains).
+    val boundaryRows = taggedDf.filter(col("boundary")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(b => (b._1, b._2, b._3))
+    val merged = mutable.ArrayBuffer.empty[(String, Int, Int, Long)]
+    boundaryRows.foreach { b =>
+      merged.lastOption match {
+        case Some(last) if last._1 == b._1 && b._2.toLong <= last._3.toLong + 1 + maxGap =>
+          merged(merged.length - 1) =
+            (last._1, last._2, math.max(last._3, b._3), last._4 + b._4)
+        case _ => merged += b
+      }
+    }
+    val mergedDf = taggedDf.sparkSession.createDataFrame(
+      taggedDf.sparkSession.sparkContext.parallelize(
+        merged.toSeq.map(b => Row(b._1, b._2, b._3, b._4)), 1),
+      runSchema)
+    taggedDf.filter(!col("boundary"))
+      .select(col("contig"), col("pos_start"), col("pos_end"), col("n_merged"))
+      .unionAll(mergedDf)
+  }
+
+  /** bedtools-complement: the gaps NOT covered by `intervals`, per contig,
+    * within `[1, max(pos_end)]` of that contig (interior gaps plus the
+    * leading gap from position 1). Runs [[merge]] first, then a lag window
+    * over the *merged* runs — by then the data is the compressed run
+    * representation (output-sized), so the per-contig window is cheap at
+    * any input scale; the heavy lifting happened in merge's seeded scan. */
+  def complement(intervals: DataFrame): DataFrame = {
+    val runs = merge(intervals)
+    val w = Window.partitionBy(col("contig")).orderBy(col("pos_start"))
+    runs
+      .withColumn("prev_end", lag(col("pos_end"), 1, 0).over(w))
+      .withColumn("gap_start", col("prev_end") + 1)
+      .withColumn("gap_end", col("pos_start") - 1)
+      .filter(col("gap_start") <= col("gap_end"))
+      .select(col("contig"), col("gap_start").as("pos_start"),
+        col("gap_end").as("pos_end"))
+  }
+
+  /** bedtools-subtract: the parts of each `a` interval not covered by any
+    * `b` interval. `a` must carry a row-identity column `aKey` such that
+    * `(aKey, contig, pos_start, pos_end)` is unique — output fragments
+    * are grouped per source row.
+    *
+    * Plan shape: merge(b) compresses the subtrahend to disjoint runs;
+    * the *inner* interval-forest join finds each a-row's overlapping runs
+    * (disjoint + start-sorted by construction, so a lag/lead window over
+    * `(a identity)` emits the between-run fragments directly — no
+    * per-row array materialization); the *anti* interval-forest join
+    * passes untouched a-rows through whole. Both joins ride the engine's
+    * broadcast/bin-range selection, so neither side is ever
+    * nested-loop-scanned. */
+  def subtract(a: DataFrame, b: DataFrame, aKey: String): DataFrame = {
+    val runs = merge(b).select(
+      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be"))
+
+    val overlap = a.join(runs,
+      col("contig") === col("_bc") &&
+        col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"))
+
+    val w = Window
+      .partitionBy(col(aKey), col("contig"), col("pos_start"), col("pos_end"))
+      .orderBy(col("_bs"))
+    // Per overlapping run, at most two fragments survive around it:
+    //  - the gap between the previous run (or the a-start) and this run;
+    //  - after the LAST run (lead is null), the tail to the a-end.
+    val pieces = overlap
+      .withColumn("_prev_end", lag(col("_be"), 1).over(w))
+      .withColumn("_is_last", lead(col("_bs"), 1).over(w).isNull)
+      .select(col(aKey), col("contig"),
+        explode(array(
+          struct(
+            greatest(col("pos_start"), col("_prev_end") + 1).as("fs"),
+            (col("_bs") - 1).as("fe")),
+          struct(
+            when(col("_is_last"), greatest(col("pos_start"), col("_be") + 1))
+              .otherwise(lit(null)).as("fs"),
+            col("pos_end").as("fe")))).as("f"))
+      .filter(col("f.fs").isNotNull && col("f.fs") <= col("f.fe") &&
+        col("f.fe") <= col("pos_end") && col("f.fs") >= col("pos_start"))
+      .select(col(aKey), col("contig"),
+        col("f.fs").as("pos_start"), col("f.fe").as("pos_end"))
+
+    val untouched = a.join(runs,
+        col("contig") === col("_bc") &&
+          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"),
+        "left_anti")
+      .select(col(aKey), col("contig"), col("pos_start"), col("pos_end"))
+
+    pieces.unionAll(untouched)
+  }
+
+  /** bedtools-intersect (pairwise form): one row per overlapping
+    * `(a, b)` pair with the overlap clipped to the shared bases. Plans as
+    * an inner interval-forest join plus a clip projection. */
+  def intersect(a: DataFrame, b: DataFrame,
+      aCols: Seq[String], bCols: Seq[String]): DataFrame = {
+    val bb = b.select(
+      (col("contig").as("_bc") +: col("pos_start").as("_bs") +:
+        col("pos_end").as("_be") +: bCols.map(col)): _*)
+    a.join(bb,
+        col("contig") === col("_bc") &&
+          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"))
+      .select((aCols.map(col) :+ col("contig") :+
+        greatest(col("pos_start"), col("_bs")).as("pos_start") :+
+        least(col("pos_end"), col("_be")).as("pos_end")) ++ bCols.map(col): _*)
+  }
+}

@@ -157,6 +157,36 @@ object IntervalQueries {
       graft.operators.NearestJoinOps.nearestJoin(Tables.ivA(s, dir), Tables.ivB(s, dir))
         .select(col("a_key"), col("b_key"), col("distance"))
     },
+    // Interval set algebra (bedtools merge/complement/subtract/intersect;
+    // beyond-reference — it stops at interval joins). merge is the seeded
+    // prefix-scan (no per-contig window, CoverageOps pattern); subtract
+    // and intersect plan through the interval-forest engine.
+    // merge/complement/subtract run on the sparser 1-in-5 subset of ivB
+    // (the full set coalesces to one run per contig — a degenerate merge);
+    // at 1-in-5 density the merged set keeps hundreds of runs, so the
+    // boundary stitching and the subtract gap walk face real multi-run
+    // rows.
+    "interval_merge" -> { (s, dir) =>
+      Graft.ensure(s)
+      graft.operators.RangeSetOps.merge(
+        Tables.ivB(s, dir).filter(col("b_key") % 5 === 0))
+    },
+    "interval_complement" -> { (s, dir) =>
+      Graft.ensure(s)
+      graft.operators.RangeSetOps.complement(
+        Tables.ivB(s, dir).filter(col("b_key") % 5 === 0))
+    },
+    "interval_subtract" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      graft.operators.RangeSetOps.subtract(
+        Tables.ivA(s, dir).distinct(),
+        Tables.ivB(s, dir).filter(col("b_key") % 5 === 0), "a_key")
+    },
+    "interval_intersect" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      graft.operators.RangeSetOps.intersect(
+        Tables.ivA(s, dir), Tables.ivB(s, dir), Seq("a_key"), Seq("b_key"))
+    },
     // grange TVF (§2.7): literal one-row genomic interval joined to the
     // targets table, resolved via the injected table function.
     "grange_tvf" -> { (s, dir) =>
@@ -193,7 +223,78 @@ object IntervalQueries {
   private def withCtes(ctes: String*)(sql: String): String =
     "WITH " + ctes.mkString(",\n") + "\n" + sql
 
+  /** Merged (bedtools-merge, maxGap=0) runs of ivB via classic SQL island
+    * detection — the oracle counterpart of [[graft.operators.RangeSetOps
+    * .merge]]'s seeded prefix scan. */
+  private val ivbMerged: String =
+    """ivbm AS (
+      |  SELECT contig, CAST(MIN(pos_start) AS INT) AS pos_start,
+      |         CAST(MAX(pos_end) AS INT) AS pos_end, COUNT(*) AS n_merged
+      |  FROM (
+      |    SELECT contig, pos_start, pos_end,
+      |      SUM(CASE WHEN prev_max IS NULL OR pos_start > prev_max + 1
+      |               THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY contig ORDER BY pos_start, pos_end
+      |              ROWS UNBOUNDED PRECEDING) AS g
+      |    FROM (
+      |      SELECT contig, pos_start, pos_end,
+      |        MAX(pos_end) OVER (PARTITION BY contig
+      |          ORDER BY pos_start, pos_end
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |      FROM ivb WHERE b_key % 5 = 0))
+      |  GROUP BY contig, g)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "interval_merge" -> withCtes(OracleCtes.ivB, ivbMerged)(
+      "SELECT contig, pos_start, pos_end, n_merged FROM ivbm"),
+    "interval_complement" -> withCtes(OracleCtes.ivB, ivbMerged)(
+      """SELECT contig, CAST(prev_end + 1 AS INT) AS pos_start,
+        |       CAST(pos_start - 1 AS INT) AS pos_end
+        |FROM (SELECT contig, pos_start,
+        |        LAG(pos_end, 1, 0) OVER (PARTITION BY contig
+        |          ORDER BY pos_start) AS prev_end
+        |      FROM ivbm)
+        |WHERE prev_end + 1 <= pos_start - 1""".stripMargin),
+    "interval_subtract" -> withCtes(OracleCtes.ivA, OracleCtes.ivB, ivbMerged)(
+      """, ad AS (SELECT DISTINCT a_key, contig, pos_start, pos_end FROM iva),
+        |ov AS (
+        |  SELECT ad.a_key, ad.contig, ad.pos_start, ad.pos_end,
+        |         m.pos_start AS bs, m.pos_end AS be
+        |  FROM ad JOIN ivbm m ON ad.contig = m.contig
+        |   AND ad.pos_end >= m.pos_start AND ad.pos_start <= m.pos_end),
+        |win AS (
+        |  SELECT *, LAG(be) OVER w AS prev_end,
+        |         (LEAD(bs) OVER w IS NULL) AS is_last
+        |  FROM ov
+        |  WINDOW w AS (PARTITION BY a_key, contig, pos_start, pos_end
+        |               ORDER BY bs)),
+        |pieces AS (
+        |  SELECT a_key, contig,
+        |    GREATEST(pos_start, COALESCE(prev_end + 1, pos_start)) AS fs,
+        |    bs - 1 AS fe
+        |  FROM win
+        |  UNION ALL
+        |  SELECT a_key, contig, GREATEST(pos_start, be + 1) AS fs,
+        |    pos_end AS fe
+        |  FROM win WHERE is_last)
+        |SELECT a_key, contig, CAST(fs AS INT) AS pos_start,
+        |       CAST(fe AS INT) AS pos_end
+        |FROM pieces WHERE fs <= fe
+        |UNION ALL
+        |SELECT a_key, contig, pos_start, pos_end FROM ad
+        |WHERE NOT EXISTS (SELECT 1 FROM ivbm m
+        |  WHERE m.contig = ad.contig
+        |    AND ad.pos_end >= m.pos_start AND ad.pos_start <= m.pos_end)"""
+        .stripMargin),
+    "interval_intersect" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a.a_key, a.contig,
+        |  CAST(GREATEST(a.pos_start, b.pos_start) AS INT) AS pos_start,
+        |  CAST(LEAST(a.pos_end, b.pos_end) AS INT) AS pos_end,
+        |  b.b_key
+        |FROM iva a JOIN ivb b
+        |  ON a.contig = b.contig
+        | AND a.pos_end >= b.pos_start
+        | AND a.pos_start <= b.pos_end""".stripMargin),
     "interval_join_count" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT b_key, COUNT(*) AS n_reads
         |FROM iva a JOIN ivb b

@@ -78,7 +78,8 @@ class PlanAuditSpec extends SparkSpec {
   test("interval-join queries plan the forest join") {
     Seq("interval_join_count", "interval_join_pairs", "interval_join_nochr",
         "interval_join_overlap10", "grange_tvf",
-        "interval_join_left", "interval_join_semi", "interval_join_anti").foreach { name =>
+        "interval_join_left", "interval_join_semi", "interval_join_anti",
+        "interval_subtract", "interval_intersect").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
       assert(plan.toString.contains("IntervalForestJoin"), name)
     }

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval set algebra laws, with emphasis on the cross-partition cases
+  * the seeded prefix scan in [[RangeSetOps.merge]] exists for. */
+class RangeSetOpsSpec extends SparkSpec {
+
+  private def iv(rows: (String, Int, Int)*): DataFrame = {
+    import graft.SharedSpark.spark.implicits._
+    rows.toDF("contig", "pos_start", "pos_end")
+  }
+
+  private def runs(df: DataFrame): Set[(String, Int, Int, Long)] =
+    df.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+
+  private def frags(df: DataFrame): Set[(String, Int, Int)] =
+    df.select(col("contig"), col("pos_start"), col("pos_end"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+
+  test("merge coalesces overlapping, touching, and contained intervals") {
+    val m = runs(RangeSetOps.merge(iv(
+      ("1", 10, 20), ("1", 15, 25), ("1", 26, 30), // overlap + touching chain
+      ("1", 12, 14),                               // contained
+      ("1", 40, 50),                               // separate
+      ("2", 10, 20))))                             // other contig
+    assert(m === Set(("1", 10, 30, 4L), ("1", 40, 50, 1L), ("2", 10, 20, 1L)))
+  }
+
+  test("maxGap bridges gaps up to the limit, not beyond") {
+    val in = iv(("1", 10, 20), ("1", 24, 30), ("1", 36, 40))
+    assert(runs(RangeSetOps.merge(in, maxGap = 3)) ===
+      Set(("1", 10, 30, 2L), ("1", 36, 40, 1L)))
+    assert(runs(RangeSetOps.merge(in, maxGap = 5)) ===
+      Set(("1", 10, 40, 3L)))
+  }
+
+  test("a giant interval bridges runs in partitions it never touches by start order") {
+    // The run (5,1000) sorts first; with many range partitions the later
+    // intervals land in partitions whose interior runs must still merge
+    // through the carried-in running max — the exact hole a naive
+    // local-merge + first/last-boundary patch has.
+    val rows = ("1", 5, 1000) +: (0 until 200).map(i => ("1", 10 + 4 * i, 11 + 4 * i))
+    val spread = iv(rows: _*).repartition(16)
+    val m = runs(RangeSetOps.merge(spread))
+    assert(m === Set(("1", 5, 1000, 201L)))
+  }
+
+  test("merge is partition-count invariant") {
+    val rows = (0 until 500).map { i =>
+      (s"c${i % 3}", (i * 37) % 2000 + 1, (i * 37) % 2000 + 1 + (i % 60))
+    }
+    val one = runs(RangeSetOps.merge(iv(rows: _*).coalesce(1)))
+    val many = runs(RangeSetOps.merge(iv(rows: _*).repartition(13)))
+    assert(one === many)
+    assert(one.nonEmpty)
+  }
+
+  test("complement emits leading and interior gaps only") {
+    val c = frags(RangeSetOps.complement(iv(
+      ("1", 5, 10), ("1", 21, 30), ("1", 25, 40), ("2", 1, 7))))
+    // contig 1: [1,4] before the first run, [11,20] between runs; the
+    // trailing space past max(pos_end) is unbounded — not emitted.
+    // contig 2 starts at 1 — no leading gap.
+    assert(c === Set(("1", 1, 4), ("1", 11, 20)))
+  }
+
+  test("subtract: covering, interior, flank, and no-overlap cases") {
+    val a = {
+      import graft.SharedSpark.spark.implicits._
+      Seq((1L, "1", 10, 30), (2L, "1", 100, 110), (3L, "1", 200, 210), (4L, "3", 10, 20))
+        .toDF("a_key", "contig", "pos_start", "pos_end")
+    }
+    val b = iv(
+      ("1", 15, 18), ("1", 22, 24),   // two interior holes in a_key=1
+      ("1", 90, 120),                 // covers a_key=2 entirely
+      ("1", 205, 300))                // right flank of a_key=3
+    val out = RangeSetOps.subtract(a, b, "a_key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(out === Set(
+      (1L, "1", 10, 14), (1L, "1", 19, 21), (1L, "1", 25, 30),
+      (3L, "1", 200, 204),
+      (4L, "3", 10, 20))) // contig absent from b passes through whole
+  }
+
+  test("intersect clips to the shared bases") {
+    val a = {
+      import graft.SharedSpark.spark.implicits._
+      Seq((1L, "1", 10, 30), (2L, "1", 50, 60))
+        .toDF("a_key", "contig", "pos_start", "pos_end")
+    }
+    val b = {
+      import graft.SharedSpark.spark.implicits._
+      Seq((7L, "1", 20, 40), (8L, "1", 5, 12), (9L, "1", 100, 200))
+        .toDF("b_key", "contig", "pos_start", "pos_end")
+    }
+    val out = RangeSetOps.intersect(a, b, Seq("a_key"), Seq("b_key")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(out === Set((1L, "1", 20, 30, 7L), (1L, "1", 10, 12, 8L)))
+  }
+
+  test("subtract/merge/complement interlock: a - b == a intersect complement-closure") {
+    // Differential law on fixture data: every subtracted fragment must be
+    // disjoint from every merged b-run, and fragments + clipped overlaps
+    // exactly tile each a interval.
+    val a = {
+      import graft.SharedSpark.spark.implicits._
+      (0 until 120).map(i => (i.toLong, s"c${i % 2}", (i * 53) % 900 + 1, (i * 53) % 900 + 1 + (i % 40)))
+        .toDF("a_key", "contig", "pos_start", "pos_end")
+    }
+    val b = iv((0 until 80).map(i => (s"c${i % 2}", (i * 97) % 900 + 1, (i * 97) % 900 + 1 + 15)): _*)
+    val bRuns = runs(RangeSetOps.merge(b))
+    val fr = RangeSetOps.subtract(a, b, "a_key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    // disjointness from every b run
+    fr.foreach { case (_, c, fs, fe) =>
+      assert(!bRuns.exists { case (bc, bs, be, _) => bc == c && fe >= bs && fs <= be },
+        s"fragment ($c,$fs,$fe) overlaps a b-run")
+    }
+    // tiling: per a row, fragment lengths + overlap-clip lengths == a length
+    val aRows = a.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val fragLen = fr.groupBy(_._1).view.mapValues(_.map(f => f._4 - f._3 + 1L).sum).toMap
+    aRows.foreach { case (k, c, ps, pe) =>
+      val covered = bRuns.toList.collect { case (bc, bs, be, _) if bc == c && pe >= bs && ps <= be =>
+        (math.min(pe, be) - math.max(ps, bs) + 1L) }.sum
+      assert(fragLen.getOrElse(k, 0L) + covered === (pe - ps + 1L),
+        s"a_key=$k does not tile: frags=${fragLen.getOrElse(k, 0L)} covered=$covered")
+    }
+  }
+}
