@@ -196,6 +196,43 @@ object TextOps {
         col("surprisal_bits").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Token-id encoding — the vocab-build + encode step that turns curated
+    * text into the integer sequences a training pipeline packs into
+    * context windows. The vocabulary is the `vocabSize` most frequent
+    * tokens (ties broken lexicographically, so the id assignment is
+    * deterministic and engine-independent); out-of-vocabulary tokens
+    * encode as -1. Output `(doc_id, token_ids, n_tokens, n_oov)` with
+    * `token_ids` ordered by token position.
+    *
+    * Plan shape: one explode + token aggregation for counts, a
+    * distributed top-`vocabSize` cut (TakeOrdered — partial top-K per
+    * partition, only `vocabSize` rows ever reach the driver), id
+    * assignment by a window over the CAPPED vocab (a model-sized
+    * artifact like the IVF codebook — bounded by contract, not by data),
+    * then an explicitly-broadcast id join and one per-doc aggregation.
+    * At 100 TB: the corpus is scanned twice (count + encode) and shuffled
+    * on token and doc_id once each; nothing data-sized converges on a
+    * single node. */
+  def tokenizeEncode(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+      .transform(CacheScope.persistTracked)
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc).limit(vocabSize)
+    val vids = vocab.withColumn("token_id",
+      (row_number().over(Window.orderBy(col("tf").desc, col("token").asc)) - 1).cast("int"))
+    toks.join(broadcast(vids.select(col("token"), col("token_id"))), Seq("token"), "left")
+      .withColumn("token_id", coalesce(col("token_id"), lit(-1)))
+      .groupBy(col("doc_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("token_id")))),
+          x => x("token_id")).as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id") === -1, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Bigram-LM document scoring — the conditional upgrade of
     * [[unigramSurprisal]], in the same exact integer bit arithmetic.
     * Per-bigram surprisal is `floor(log2 c(prev)) - floor(log2

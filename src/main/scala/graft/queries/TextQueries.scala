@@ -128,6 +128,12 @@ object TextQueries {
     "text_bigram" -> { (s, dir) =>
       TextOps.bigramSurprisal(Tables.documents(s, dir))
     },
+    // Token-id encoding: top-256 frequency-ranked vocab (deterministic
+    // lexicographic tie-break), OOV = -1, per-doc int sequence in token
+    // order — the encode step feeding context packing.
+    "pipeline_tokenize" -> { (s, dir) =>
+      TextOps.tokenizeEncode(Tables.documents(s, dir), vocabSize = 256)
+    },
     // Per-source corpus report — the at-a-glance table a curation run
     // publishes per snapshot. Mean is integer-sum / count (exact in any
     // engine); no floating aggregation order dependence anywhere.
@@ -444,6 +450,25 @@ object TextQueries {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks WHERE token <> '' GROUP BY token""".stripMargin,
+    "pipeline_tokenize" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token,
+        |    generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |toks AS (SELECT * FROM toks0 WHERE token <> ''),
+        |v AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1
+        |      ORDER BY tf DESC, token ASC LIMIT 256),
+        |vid AS (SELECT token,
+        |          CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) - 1 AS INT) AS token_id
+        |        FROM v),
+        |j AS (SELECT t.doc_id, t.pos, CAST(COALESCE(vid.token_id, -1) AS INT) AS token_id
+        |      FROM toks t LEFT JOIN vid ON t.token = vid.token)
+        |SELECT doc_id,
+        |  list(token_id ORDER BY pos) AS token_ids,
+        |  COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN token_id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM j GROUP BY doc_id""".stripMargin,
     "text_unigram" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

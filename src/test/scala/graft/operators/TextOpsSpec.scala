@@ -267,4 +267,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!m.contains(1L)) // 3 chars < k=5: no grams
     assert(m(2L).size === 1) // 2 grams < w=4: single whole-text window
   }
+
+  test("tokenizeEncode: rank by frequency then lexicographic, OOV = -1, position order kept") {
+    // tf: b=3, a=2, c=2, z=1. vocabSize=3 keeps b(0), a(1), c(2); z is OOV.
+    val d = docs(
+      1L -> "a b c",
+      2L -> "b b a c",
+      3L -> "z  B") // double space + case: normalization folds both
+    val got = TextOps.tokenizeEncode(d, vocabSize = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((Seq(1, 0, 2), 3L, 0L)))
+    assert(got(2L) === ((Seq(0, 0, 1, 2), 4L, 0L)))
+    assert(got(3L) === ((Seq(-1, 0), 2L, 1L)))
+  }
+
+  test("tokenizeEncode: whitespace-only docs drop out; n_oov counts every miss") {
+    val d = docs(1L -> "   ", 2L -> "q w e r")
+    val got = TextOps.tokenizeEncode(d, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(3)))).toMap
+    assert(!got.contains(1L))
+    // vocab keeps e(0), q(1) (all tf=1, lexicographic): w and r are OOV.
+    assert(got(2L) === ((Seq(1, -1, 0, -1), 2L)))
+  }
 }
