@@ -57,9 +57,19 @@ object RangeSetOps {
     val spark = intervals.sparkSession
     import spark.implicits._
 
+    // Partition count from Catalyst stats (~64 MB per range partition,
+    // capped at the session shuffle parallelism): a small interval set
+    // runs the whole seeded scan as one task instead of paying
+    // sample + 2×numShufflePartitions task latency for rows that fit in
+    // one buffer; unknown stats (8 EB default) clamp to the session cap.
+    val defaultN = spark.sessionState.conf.numShufflePartitions
+    val statBytes = intervals.queryExecution.optimizedPlan.stats.sizeInBytes
+    val wantN = statBytes / (64L << 20) + 1
+    val nParts = if (wantN >= defaultN) defaultN else wantN.toInt
+
     val sorted = intervals
       .select(col("contig"), col("pos_start").cast("int"), col("pos_end").cast("int"))
-      .repartitionByRange(col("contig"), col("pos_start"))
+      .repartitionByRange(nParts, col("contig"), col("pos_start"))
       .sortWithinPartitions(col("contig"), col("pos_start"), col("pos_end"))
       .as[(String, Int, Int)]
     val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
@@ -184,20 +194,30 @@ object RangeSetOps {
     * are grouped per source row.
     *
     * Plan shape: merge(b) compresses the subtrahend to disjoint runs;
-    * the *inner* interval-forest join finds each a-row's overlapping runs
-    * (disjoint + start-sorted by construction, so a lag/lead window over
-    * `(a identity)` emits the between-run fragments directly — no
-    * per-row array materialization); the *anti* interval-forest join
-    * passes untouched a-rows through whole. Both joins ride the engine's
-    * broadcast/bin-range selection, so neither side is ever
-    * nested-loop-scanned. */
+    * ONE *left-outer* interval-forest join finds each a-row's overlapping
+    * runs (disjoint + start-sorted by construction, so a lag/lead window
+    * over `(a identity)` emits the between-run fragments directly — no
+    * per-row array materialization), and a null-matched row IS its own
+    * whole-interval fragment — untouched a-rows need no second anti-join
+    * pass, so `a` and the merged runs are each computed and scanned
+    * exactly once. The join rides the engine's broadcast/bin-range
+    * selection, so neither side is ever nested-loop-scanned. */
   def subtract(a: DataFrame, b: DataFrame, aKey: String): DataFrame = {
-    val runs = merge(b).select(
-      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be"))
+    // The merged runs come partly from a driver-parallelized RDD, whose
+    // Catalyst stats default to "unknown = enormous" — without the
+    // broadcast hint the strategy would take the bin-range shuffle path
+    // for a provably compressed build side (runs are capped by the
+    // coordinate space / gap structure, not the subtrahend row count).
+    // The hint keeps the stream side's partitioning intact, so a
+    // downstream window/aggregate on the `a` identity re-uses `a`'s
+    // existing distribution instead of re-shuffling the join output.
+    val runs = broadcast(merge(b).select(
+      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")))
 
-    val overlap = a.join(runs,
+    val joined = a.join(runs,
       col("contig") === col("_bc") &&
-        col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"))
+        col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"),
+      "left_outer")
 
     val w = Window
       .partitionBy(col(aKey), col("contig"), col("pos_start"), col("pos_end"))
@@ -205,30 +225,26 @@ object RangeSetOps {
     // Per overlapping run, at most two fragments survive around it:
     //  - the gap between the previous run (or the a-start) and this run;
     //  - after the LAST run (lead is null), the tail to the a-end.
-    val pieces = overlap
+    // A null-matched row (no overlapping run at all) passes through as
+    // one whole-interval fragment.
+    joined
       .withColumn("_prev_end", lag(col("_be"), 1).over(w))
       .withColumn("_is_last", lead(col("_bs"), 1).over(w).isNull)
-      .select(col(aKey), col("contig"),
-        explode(array(
+      .select(col(aKey), col("contig"), col("pos_start"), col("pos_end"),
+        explode(when(col("_bs").isNull,
+          array(struct(col("pos_start").as("fs"), col("pos_end").as("fe"))))
+        .otherwise(array(
           struct(
             greatest(col("pos_start"), col("_prev_end") + 1).as("fs"),
             (col("_bs") - 1).as("fe")),
           struct(
             when(col("_is_last"), greatest(col("pos_start"), col("_be") + 1))
               .otherwise(lit(null)).as("fs"),
-            col("pos_end").as("fe")))).as("f"))
+            col("pos_end").as("fe"))))).as("f"))
       .filter(col("f.fs").isNotNull && col("f.fs") <= col("f.fe") &&
         col("f.fe") <= col("pos_end") && col("f.fs") >= col("pos_start"))
       .select(col(aKey), col("contig"),
         col("f.fs").as("pos_start"), col("f.fe").as("pos_end"))
-
-    val untouched = a.join(runs,
-        col("contig") === col("_bc") &&
-          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"),
-        "left_anti")
-      .select(col(aKey), col("contig"), col("pos_start"), col("pos_end"))
-
-    pieces.unionAll(untouched)
   }
 
   /** bedtools-intersect (pairwise form): one row per overlapping

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Extracted keys of an interval (range) join:
@@ -44,10 +44,11 @@ object ExtractIntervalJoin extends PredicateHelper {
   private val supported: Set[JoinType] =
     Set(Inner, LeftOuter, RightOuter, FullOuter, LeftSemi, LeftAnti)
 
-  def unapply(plan: LogicalPlan): Option[(LogicalPlan, LogicalPlan, JoinType, IntervalJoinKeys)] =
+  def unapply(plan: LogicalPlan)
+      : Option[(LogicalPlan, LogicalPlan, JoinType, IntervalJoinKeys, JoinHint)] =
     plan match {
-      case Join(left, right, jt, Some(cond), _) if supported(jt) =>
-        extract(left, right, cond).map { keys => (left, right, jt, keys) }
+      case Join(left, right, jt, Some(cond), hint) if supported(jt) =>
+        extract(left, right, cond).map { keys => (left, right, jt, keys, hint) }
       case _ => None
     }
 

@@ -41,20 +41,31 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
     // planning: both batch modes here collect or cogroup a child, neither
     // of which is defined over an unbounded side. (Streaming interval
     // joins: graft.streaming.StreamingOps.{annotateStream, joinStreams}.)
-    case ExtractIntervalJoin(left, right, joinType, keys)
+    case ExtractIntervalJoin(left, right, joinType, keys, hint)
         if conf("enabled", "true").toBoolean && !left.isStreaming && !right.isStreaming &&
           !BinRangeRewrite.isRewriteJoin(keys) =>
       val minOverlap = conf("minOverlap", "1").toInt
       val maxGap = conf("maxGap", "0").toInt
+      // Standard Spark broadcast hints (`broadcast(df)` / `/*+ BROADCAST */`)
+      // name the side the USER wants built — honored like stock Spark's
+      // join selection, and trusted over statistics (a driver-computed
+      // frame's stats default to 8 EB, which would otherwise force the
+      // shuffle path for a provably tiny build side).
+      def hinted(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
+        h.exists(_.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+      val (hintLeft, hintRight) = (hinted(hint.leftHint), hinted(hint.rightHint))
       // One-sided non-inner joins pin the build side: the preserved side
       // must stream so unmatched rows can be emitted locally (same
       // restriction as Spark's BroadcastHashJoinExec) — a conflicting
-      // buildSide conf is overridden, not honored. FullOuter preserves
-      // both sides (build-side matched-ness is tracked globally by the
-      // exec), so either side may build — auto/conf applies.
+      // buildSide conf or hint is overridden, not honored. FullOuter
+      // preserves both sides (build-side matched-ness is tracked globally
+      // by the exec), so either side may build — hint/conf/auto applies.
       val buildLeft = joinType match {
         case RightOuter => true
         case LeftOuter | LeftSemi | LeftAnti => false
+        case _ if hintLeft && !hintRight => true
+        case _ if hintRight && !hintLeft => false
         case _ => conf("buildSide", "auto") match {
           case "left" => true
           case "right" => false
@@ -63,9 +74,11 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
       }
       val buildSize = if (buildLeft) left.stats.sizeInBytes else right.stats.sizeInBytes
       val maxBroadcast = conf("maxBroadcastBytes", (256L << 20).toString).toLong
+      val buildHinted = if (buildLeft) hintLeft else hintRight
       val mode = conf("method", "auto") match {
         case "broadcast" => BroadcastForestMode
         case "binrange" | "twophase" => BinRangeMode
+        case _ if buildHinted => BroadcastForestMode
         case _ => if (buildSize <= maxBroadcast) BroadcastForestMode else BinRangeMode
       }
       // Inner at shuffle scale plans as a pure Catalyst equi-join rewrite

@@ -199,6 +199,40 @@ class IntervalJoinSpec extends SparkSpec {
     assert(rows === base)
   }
 
+  test("broadcast hint forces the forest over a tiny threshold and names the build side") {
+    val a = randomIntervals(300, 15, "a_key")
+    val b = randomIntervals(50, 16, "b_key")
+    val base = collectSorted(joined(a, b))
+    // With maxBroadcastBytes=1 auto would take the bin-range path (prior
+    // test); a broadcast hint on b must override the stats decision —
+    // standard Spark hint semantics — and plan the broadcast forest.
+    val (rows, plan) = withConf("spark.graft.rangejoin.maxBroadcastBytes", "1") {
+      val df = a.join(broadcast(b),
+        a("contig") === b("contig") &&
+        a("pos_end") >= b("pos_start") &&
+        a("pos_start") <= b("pos_end"))
+      (collectSorted(df), df.queryExecution.executedPlan.toString)
+    }
+    assert(plan.contains("BroadcastForestMode"), plan.linesIterator.take(8).mkString("\n"))
+    assert(!plan.contains("__graft_bin"))
+    assert(rows === base)
+    // The hinted side becomes the build side even when stats favor the
+    // other: hint the LARGER side and check it builds (buildLeft=true).
+    val df2 = broadcast(a).join(b,
+      a("contig") === b("contig") &&
+      a("pos_end") >= b("pos_start") &&
+      a("pos_start") <= b("pos_end"))
+    val exec2 = {
+      def find(p: SparkPlan): Option[IntervalForestJoinExec] = p match {
+        case e: IntervalForestJoinExec => Some(e)
+        case other => other.children.view.flatMap(find).headOption
+      }
+      find(physical(df2))
+    }
+    assert(exec2.exists(_.buildLeft), "hinted left side should build")
+    assert(collectSorted(df2) === base)
+  }
+
   test("bin-range rewrite is AQE-invariant") {
     val a = randomIntervals(300, 91, "a_key")
     val b = randomIntervals(60, 92, "b_key")
