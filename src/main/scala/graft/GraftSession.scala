@@ -66,6 +66,28 @@ class GraftSession(val spark: SparkSession) {
   def fromGatkPileup(rows: DataFrame, caseSensitive: Boolean = true): DataFrame =
     MpileupOps.fromGatkPileup(rows, caseSensitive)
 
+  /** bedtools-merge: coalesce intervals within `maxGap` into maximal runs
+    * (`(contig, pos_start, pos_end, n_merged)`). */
+  def mergeIntervals(intervals: DataFrame, maxGap: Int = 0): DataFrame =
+    RangeSetOps.merge(intervals, maxGap)
+
+  /** bedtools-complement: per-contig gaps not covered by `intervals`,
+    * within `[1, max(pos_end)]`. */
+  def complementIntervals(intervals: DataFrame): DataFrame =
+    RangeSetOps.complement(intervals)
+
+  /** bedtools-subtract: the fragments of each `a` interval not covered by
+    * any `b` interval; `aKey` with the coordinates must uniquely identify
+    * `a` rows. */
+  def subtractIntervals(a: DataFrame, b: DataFrame, aKey: String): DataFrame =
+    RangeSetOps.subtract(a, b, aKey)
+
+  /** bedtools-intersect (pairwise): overlapping `(a, b)` pairs clipped to
+    * the shared bases, carrying the named passthrough columns. */
+  def intersectIntervals(a: DataFrame, b: DataFrame,
+      aCols: Seq[String], bCols: Seq[String]): DataFrame =
+    RangeSetOps.intersect(a, b, aCols, bCols)
+
   /** Exact-duplicate groups over normalized text. */
   def exactDuplicates(docs: DataFrame): DataFrame = DedupOps.exactDupGroups(docs)
 
@@ -170,6 +192,12 @@ class GraftSession(val spark: SparkSession) {
 
   /** Per-document tf-idf keywords. */
   def topTerms(docs: DataFrame, k: Int = 5): DataFrame = TextOps.topTerms(docs, k)
+
+  /** Token-id encoding: frequency-ranked top-`vocabSize` vocabulary
+    * (lexicographic tie-break), OOV = -1, per-doc id arrays in token
+    * order plus `n_tokens`/`n_oov`. */
+  def tokenize(docs: DataFrame, vocabSize: Int = 65536): DataFrame =
+    TextOps.tokenizeEncode(docs, vocabSize)
 
   /** Deterministic training-shard export (one shuffle, interleaved order). */
   def writeTrainingShards(docs: DataFrame, path: String, nShards: Int): Unit =
