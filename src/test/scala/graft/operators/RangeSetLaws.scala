@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Generative law for the seeded prefix-scan merge: any interval multiset
+  * under any input partitioning must merge identically to the obvious
+  * sequential reference (sort by start, extend while
+  * `start <= runningMaxEnd + 1 + maxGap`). Random inputs reach the
+  * cross-partition stitching paths (boundary chains, seed bridging) that
+  * fixed fixtures undersample. */
+object RangeSetLaws extends Properties("RangeSet") {
+
+  // Spark jobs per sample are not free: fewer, larger samples.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private def spark = graft.SharedSpark.spark
+
+  private case class Iv(contig: String, s: Int, e: Int)
+
+  private val genIvs: Gen[List[Iv]] = for {
+    n <- Gen.chooseNum(0, 120)
+    ivs <- Gen.listOfN(n, for {
+      c <- Gen.oneOf("c0", "c1", "c2")
+      s <- Gen.chooseNum(1, 300)
+      len <- Gen.frequency(5 -> Gen.chooseNum(0, 20), 1 -> Gen.chooseNum(100, 250))
+    } yield Iv(c, s, s + len))
+  } yield ivs
+
+  private def referenceMerge(ivs: List[Iv], maxGap: Int): Set[(String, Int, Int, Long)] =
+    ivs.groupBy(_.contig).flatMap { case (c, rs) =>
+      val sorted = rs.map(iv => (iv.s, iv.e)).sortBy(identity)
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+      sorted.foreach { case (s, e) =>
+        acc.lastOption match {
+          case Some((ls, le, ln)) if s.toLong <= le.toLong + 1 + maxGap =>
+            acc(acc.length - 1) = (ls, math.max(le, e), ln + 1)
+          case _ => acc += ((s, e, 1L))
+        }
+      }
+      acc.map(t => (c, t._1, t._2, t._3))
+    }.toSet
+
+  property("merge == sequential reference under any partitioning") =
+    forAll(genIvs, Gen.oneOf(0, 1, 5), Gen.oneOf(1, 3, 8)) { (ivs, maxGap, nPart) =>
+      import graft.SharedSpark.spark.implicits._
+      val df = ivs.map(iv => (iv.contig, iv.s, iv.e))
+        .toDF("contig", "pos_start", "pos_end").repartition(nPart)
+      val got = RangeSetOps.merge(df, maxGap).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+      got == referenceMerge(ivs, maxGap)
+    }
+
+  property("merged runs and complement gaps tile [1, maxEnd] per contig") =
+    forAll(genIvs.suchThat(_.nonEmpty)) { ivs =>
+      import graft.SharedSpark.spark.implicits._
+      val df = ivs.map(iv => (iv.contig, iv.s, iv.e))
+        .toDF("contig", "pos_start", "pos_end")
+      val runs = RangeSetOps.merge(df).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toList
+      val gaps = RangeSetOps.complement(df).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toList
+      ivs.groupBy(_.contig).forall { case (c, rs) =>
+        val hi = rs.map(_.e).max
+        val segs = (runs.filter(_._1 == c) ++ gaps.filter(_._1 == c))
+          .map(t => (t._2, t._3)).sorted
+        // exact tiling: starts at 1, contiguous, ends at hi, no overlap
+        segs.headOption.exists(_._1 == 1 || rs.map(_.s).min == 1) &&
+          segs.zip(segs.drop(1)).forall { case ((_, e1), (s2, _)) => s2 == e1 + 1 } &&
+          segs.lastOption.exists(_._2 == hi) &&
+          segs.map(t => t._2 - t._1 + 1L).sum == hi.toLong - segs.head._1 + 1
+      }
+    }
+}
