@@ -77,7 +77,11 @@ object StreamingOps {
       s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — its shingle index is " +
       "collected and broadcast. Dedup against a corpus this size with the batch " +
       "DedupOps.crossDupPairs instead, or raise the conf if the driver can hold it.")
+    // Persist barrier: shR feeds BOTH the exact-shingle map collect and
+    // the minhash/band index collect below — unpersisted, the tokenize +
+    // shingle scan of the base corpus runs twice.
     val shR = DedupOps.shingleSets(base)
+      .transform(graft.operators.CacheScope.persistTracked)
     val shMap: Map[Long, Array[Long]] = shR
       .select(col("doc_id"), array_sort(transform(col("st"), s => xxhash64(s))).as("sth"))
       .as[(Long, Seq[Long])].collect().map { case (i, s) => (i, s.toArray) }.toMap
