@@ -37,6 +37,12 @@ class GraftSession(val spark: SparkSession) {
     CoverageOps.blocksBy(reads, keys)
 
   /** Mean coverage per fixed-size window (W1). */
+  /** Merge per-batch/per-sample RLE coverage block sets into the
+    * coverage of their union without rescanning reads (incremental
+    * ingest): `mergeCoverage(coverage(a), coverage(b)) == coverage(a ∪ b)`. */
+  def mergeCoverage(blockSets: DataFrame*): DataFrame =
+    CoverageOps.mergeCoverage(blockSets: _*)
+
   def coverageWindowed(reads: DataFrame, windowSize: Int): DataFrame =
     CoverageOps.windowed(reads, windowSize)
 

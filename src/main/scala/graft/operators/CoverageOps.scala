@@ -97,10 +97,34 @@ object CoverageOps {
     * spliced read contributes two (or more) disjoint covered runs. A
     * null/empty cigar falls back to the solid `[pos_start, pos_end]`
     * interval. */
-  def blocks(reads: DataFrame): DataFrame = {
-    val spark = reads.sparkSession
+  def blocks(reads: DataFrame): DataFrame =
+    scanEvents(eventPoints(reads))
+
+  /** Merge already-computed RLE coverage block sets into the coverage of
+    * their union — the incremental-ingest path: per-batch (or per-sample)
+    * blocks combine WITHOUT rescanning reads. Each block becomes two
+    * event points weighted by its depth (`(start, +cov)`,
+    * `(end+1, -cov)`), and the identical distributed prefix scan emits
+    * the summed RLE — so `mergeCoverage(blocks(a), blocks(b)) ==
+    * blocks(a ∪ b)` exactly (a law the oracle query checks). At 100 TB
+    * the block sets are the compressed representation; merging N batches
+    * shuffles O(blocks) rows instead of re-reading O(reads). */
+  def mergeCoverage(blockSets: DataFrame*): DataFrame = {
+    require(blockSets.nonEmpty, "mergeCoverage needs at least one block set")
+    val events = blockSets.map(_.select(col("contig"),
+        explode(array(
+          struct(col("pos_start").cast("int").as("pos"),
+            col("coverage").cast("int").as("delta")),
+          struct((col("pos_end") + 1).cast("int").as("pos"),
+            (-col("coverage")).cast("int").as("delta")))).as("ev"))
+      .select(col("contig"), col("ev.pos").as("pos"), col("ev.delta").as("delta")))
+      .reduce(_ unionAll _)
+    scanEvents(events)
+  }
+
+  private def scanEvents(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    val events = eventPoints(reads)
 
     val sorted = events
       .repartitionByRange(col("contig"), col("pos"))

@@ -23,6 +23,17 @@ object CoverageQueries {
       Graft.ensure(s)
       CoverageOps.blocks(s1Reads(s, dir))
     },
+    // Mergeable coverage (incremental-ingest law): per-sample RLE blocks
+    // for s1 and s2 computed separately, then merged WITHOUT rescanning
+    // reads — must equal the coverage of both samples together, which is
+    // exactly what the oracle computes from the raw reads.
+    "coverage_merge" -> { (s, dir) =>
+      Graft.ensure(s)
+      val r = Tables.reads(s, dir)
+      CoverageOps.mergeCoverage(
+        CoverageOps.blocks(r.filter(col("sample_id") === "s1")),
+        CoverageOps.blocks(r.filter(col("sample_id") === "s2")))
+    },
     // Depth-of-coverage histogram (the samtools/mosdepth "coverage
     // distribution" summary): per depth, covered loci and RLE-block
     // counts. One aggregation over the already-RLE blocks — loci counted
@@ -88,6 +99,19 @@ object CoverageQueries {
 
   val oracle: Map[String, String] = Map(
     "coverage_blocks" -> coverageOracle,
+    "coverage_merge" ->
+      s"""WITH ${OracleCtes.reads},
+         |r AS (SELECT * FROM reads WHERE sample_id IN ('s1', 's2')),
+         |${OracleCtes.segPositions("r")},
+         |cov AS (
+         |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+         |runs AS (
+         |  SELECT contig, pos, coverage,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY contig, coverage ORDER BY pos) AS grp
+         |  FROM cov)
+         |SELECT contig, CAST(MIN(pos) AS INT) AS pos_start,
+         |       CAST(MAX(pos) AS INT) AS pos_end, CAST(coverage AS INT) AS coverage
+         |FROM runs GROUP BY contig, coverage, grp""".stripMargin,
     "coverage_hist" ->
       s"""WITH ${OracleCtes.reads},
          |r AS (SELECT * FROM reads WHERE sample_id = 's1'),

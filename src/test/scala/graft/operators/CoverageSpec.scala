@@ -117,6 +117,31 @@ class CoverageSpec extends SparkSpec {
     }
   }
 
+  test("mergeCoverage(blocks(a), blocks(b)) == blocks(a union b)") {
+    val a = randomReads(300, 77)
+    val b = randomReads(250, 78)
+    val direct = engineBlocks(a.unionAll(b))
+    val merged = CoverageOps.mergeCoverage(CoverageOps.blocks(a), CoverageOps.blocks(b))
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getInt(1)))
+    assert(merged === direct)
+  }
+
+  test("mergeCoverage fuses adjacent equal-depth runs across sets and is n-ary") {
+    import graft.SharedSpark.spark.implicits._
+    // a covers [1,10], b covers [11,20] at the same depth: the merged RLE
+    // must be ONE run [1,20]x1. A third set stacks [5,15] on top.
+    val a = Seq(("1", 1, 10)).toDF("contig", "pos_start", "pos_end")
+    val b = Seq(("1", 11, 20)).toDF("contig", "pos_start", "pos_end")
+    val c = Seq(("1", 5, 15)).toDF("contig", "pos_start", "pos_end")
+    val two = CoverageOps.mergeCoverage(CoverageOps.blocks(a), CoverageOps.blocks(b))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(two === Set(("1", 1, 20, 1)))
+    val three = CoverageOps.mergeCoverage(
+        CoverageOps.blocks(a), CoverageOps.blocks(b), CoverageOps.blocks(c))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(three === Set(("1", 1, 4, 1), ("1", 5, 15, 2), ("1", 16, 20, 1)))
+  }
+
   test("cigarCoveredSegments walks M/=/X vs N/D vs I/S/H/P correctly") {
     assert(CoverageOps.cigarCoveredSegments(100, "10M") === List((100, 109)))
     // N gap: two covered runs, gap consumes reference positions.
