@@ -205,6 +205,11 @@ class GraftSession(val spark: SparkSession) {
   def tokenize(docs: DataFrame, vocabSize: Int = 65536): DataFrame =
     TextOps.tokenizeEncode(docs, vocabSize)
 
+  /** Fixed token-window chunking with overlap (RAG/context prep):
+    * `(doc_id, chunk_id, n_tokens, text_chunk)`. */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0): DataFrame =
+    TextOps.chunkDocuments(docs, chunkTokens, overlapTokens)
+
   /** Deterministic training-shard export (one shuffle, interleaved order). */
   def writeTrainingShards(docs: DataFrame, path: String, nShards: Int): Unit =
     TextOps.writeTrainingShards(docs, path, nShards)

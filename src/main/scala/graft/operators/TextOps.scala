@@ -233,6 +233,31 @@ object TextOps {
         sum(when(col("token_id") === -1, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the context/RAG
+    * prep step that cuts each document into windows of `chunkTokens`
+    * tokens advancing by `chunkTokens - overlapTokens`. Output
+    * `(doc_id, chunk_id, n_tokens, text_chunk)`; the final window may be
+    * shorter; empty/whitespace-only documents emit nothing.
+    *
+    * Pure codegen'd column expressions (split → sequence of window
+    * starts → posexplode → slice/join) — zero shuffle, scan-speed at any
+    * corpus size. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlapTokens < chunkTokens, got chunk=$chunkTokens overlap=$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col("doc_id"), filter(tokens(col("text")), t => t =!= "").as("w"))
+      // window starts 0, stride, 2*stride, ... while start < n
+      .withColumn("starts", expr(
+        s"CASE WHEN size(w) = 0 THEN array() " +
+        s"ELSE transform(sequence(0, (size(w) - 1) div $stride), i -> i * $stride) END"))
+      .select(col("doc_id"), col("w"), posexplode(col("starts")).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("w"), col("start") + 1, lit(chunkTokens))).as("n_tokens"),
+        array_join(slice(col("w"), col("start") + 1, lit(chunkTokens)), " ").as("text_chunk"))
+  }
+
   /** Bigram-LM document scoring — the conditional upgrade of
     * [[unigramSurprisal]], in the same exact integer bit arithmetic.
     * Per-bigram surprisal is `floor(log2 c(prev)) - floor(log2

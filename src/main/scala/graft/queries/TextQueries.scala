@@ -134,6 +134,11 @@ object TextQueries {
     "pipeline_tokenize" -> { (s, dir) =>
       TextOps.tokenizeEncode(Tables.documents(s, dir), vocabSize = 256)
     },
+    // Fixed token-window chunking with overlap (RAG/context prep):
+    // 40-token windows advancing by 32 — scan-speed, zero shuffle.
+    "pipeline_chunk" -> { (s, dir) =>
+      TextOps.chunkDocuments(Tables.documents(s, dir), chunkTokens = 40, overlapTokens = 8)
+    },
     // Per-source corpus report — the at-a-glance table a curation run
     // publishes per snapshot. Mean is integer-sum / count (exact in any
     // engine); no floating aggregation order dependence anywhere.
@@ -450,6 +455,22 @@ object TextQueries {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks WHERE token <> '' GROUP BY token""".stripMargin,
+    "pipeline_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                t -> t <> '') AS w
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w) - 1) // 32)) AS chunk_id
+        |  FROM w WHERE len(w) > 0)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(len(list_slice(w, chunk_id * 32 + 1, chunk_id * 32 + 40)) AS INT)
+        |    AS n_tokens,
+        |  array_to_string(list_slice(w, chunk_id * 32 + 1, chunk_id * 32 + 40), ' ')
+        |    AS text_chunk
+        |FROM starts""".stripMargin,
     "pipeline_tokenize" ->
       """WITH toks0 AS (
         |  SELECT doc_id,

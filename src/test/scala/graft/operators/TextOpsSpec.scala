@@ -281,6 +281,26 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) === ((Seq(-1, 0), 2L, 1L)))
   }
 
+  test("chunkDocuments: overlapping windows tile the token stream; short tail kept") {
+    // 10 tokens, chunk=4, overlap=1 (stride 3): starts 0,3,6,9 ->
+    // [t0..t3], [t3..t6], [t6..t9], [t9] (tail shorter than a window).
+    val d = docs(1L -> (0 until 10).map(i => s"t$i").mkString(" "), 2L -> "   ")
+    val got = TextOps.chunkDocuments(d, chunkTokens = 4, overlapTokens = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      (1L, 0, 4, "t0 t1 t2 t3"),
+      (1L, 1, 4, "t3 t4 t5 t6"),
+      (1L, 2, 4, "t6 t7 t8 t9"),
+      (1L, 3, 1, "t9")))
+    // every consecutive pair shares exactly `overlap` tokens
+    got.sliding(2).foreach {
+      case Array((_, _, _, a), (_, _, n2, b)) if n2 == 4 =>
+        assert(a.split(" ").takeRight(1).toSeq === b.split(" ").take(1).toSeq)
+      case _ => ()
+    }
+  }
+
   test("tokenizeEncode: whitespace-only docs drop out; n_oov counts every miss") {
     val d = docs(1L -> "   ", 2L -> "q w e r")
     val got = TextOps.tokenizeEncode(d, vocabSize = 2).collect()
