@@ -43,6 +43,13 @@ class GraftSession(val spark: SparkSession) {
   def mergeCoverage(blockSets: DataFrame*): DataFrame =
     CoverageOps.mergeCoverage(blockSets: _*)
 
+  /** Per-target coverage summary (bedtools coverage / mosdepth regions):
+    * depth_sum, covered_bases, mean_depth per target interval, with
+    * zero-coverage targets kept. */
+  def targetCoverage(reads: DataFrame, targets: DataFrame,
+      nameCol: String = "name"): DataFrame =
+    CoverageOps.targetCoverage(reads, targets, nameCol)
+
   def coverageWindowed(reads: DataFrame, windowSize: Int): DataFrame =
     CoverageOps.windowed(reads, windowSize)
 

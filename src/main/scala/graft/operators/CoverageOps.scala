@@ -248,6 +248,39 @@ object CoverageOps {
       .unionAll(mergedDf)
   }
 
+  /** Per-target coverage summary (bedtools-coverage / mosdepth-regions
+    * semantics): for each target interval, the summed depth over its
+    * bases, the count of covered bases, and the mean depth (uncovered
+    * bases count as zero). Composes the RLE [[blocks]] with the
+    * interval-forest join — depth blocks are the compressed
+    * representation, so the join moves O(blocks ∩ targets) rows, never
+    * per-base rows; a left-outer join keeps zero-coverage targets with
+    * zeros. `targets` needs `(contig, pos_start, pos_end)` plus the
+    * `nameCol` identity; `(nameCol, contig, pos_start, pos_end)` must be
+    * unique. */
+  def targetCoverage(reads: DataFrame, targets: DataFrame,
+      nameCol: String = "name"): DataFrame = {
+    val b = blocks(reads).select(
+      col("contig").as("_bc"), col("pos_start").as("_bs"),
+      col("pos_end").as("_be"), col("coverage").as("_cov"))
+    // least/greatest SKIP null operands, so on an unmatched (null-block)
+    // outer row the raw clip would silently evaluate to the full target
+    // length — gate the overlap on block presence explicitly.
+    val ov = when(col("_bs").isNotNull,
+      least(col("pos_end"), col("_be")) - greatest(col("pos_start"), col("_bs")) + 1)
+    targets.join(b,
+        col("contig") === col("_bc") &&
+          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"),
+        "left_outer")
+      .groupBy(col(nameCol), col("contig"), col("pos_start"), col("pos_end"))
+      .agg(
+        coalesce(sum(ov.cast("long") * col("_cov")), lit(0L)).as("depth_sum"),
+        coalesce(sum(ov.cast("long")), lit(0L)).as("covered_bases"))
+      .withColumn("mean_depth",
+        col("depth_sum").cast("double") /
+          (col("pos_end") - col("pos_start") + 1).cast("double"))
+  }
+
   /** RLE coverage for every group in ONE pass — `keys` (e.g. `sample_id`)
     * fold into the range-partition key, so a multi-sample corpus is
     * scanned and shuffled once instead of once per sample. Beyond the

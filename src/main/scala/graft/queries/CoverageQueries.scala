@@ -34,6 +34,18 @@ object CoverageQueries {
         CoverageOps.blocks(r.filter(col("sample_id") === "s1")),
         CoverageOps.blocks(r.filter(col("sample_id") === "s2")))
     },
+    // Per-target coverage summary (bedtools coverage / mosdepth regions):
+    // depth blocks forest-joined to the BED-shaped targets, summed per
+    // target with zero-coverage targets kept.
+    // Reads restricted to the low half of the coordinate space so a band
+    // of targets has NO coverage — the zero-row outer path is part of the
+    // oracle check (a dense fixture would never exercise it).
+    "coverage_targets" -> { (s, dir) =>
+      Graft.ensure(s)
+      CoverageOps.targetCoverage(
+        s1Reads(s, dir).filter(col("pos_start") <= 400),
+        Tables.targets(s, dir))
+    },
     // Depth-of-coverage histogram (the samtools/mosdepth "coverage
     // distribution" summary): per depth, covered loci and RLE-block
     // counts. One aggregation over the already-RLE blocks — loci counted
@@ -112,6 +124,24 @@ object CoverageQueries {
          |SELECT contig, CAST(MIN(pos) AS INT) AS pos_start,
          |       CAST(MAX(pos) AS INT) AS pos_end, CAST(coverage AS INT) AS coverage
          |FROM runs GROUP BY contig, coverage, grp""".stripMargin,
+    "coverage_targets" ->
+      s"""WITH ${OracleCtes.reads},
+         |r AS (SELECT * FROM reads WHERE sample_id = 's1' AND pos_start <= 400),
+         |${OracleCtes.segPositions("r")},
+         |cov AS (
+         |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+         |${OracleCtes.targets},
+         |j AS (
+         |  SELECT t.name, t.contig, t.pos_start, t.pos_end, c.coverage
+         |  FROM targets t LEFT JOIN cov c
+         |    ON c.contig = t.contig AND c.pos BETWEEN t.pos_start AND t.pos_end)
+         |SELECT name, contig, pos_start, pos_end,
+         |  CAST(COALESCE(SUM(coverage), 0) AS BIGINT) AS depth_sum,
+         |  CAST(COALESCE(SUM(CASE WHEN coverage IS NOT NULL THEN 1 END), 0) AS BIGINT)
+         |    AS covered_bases,
+         |  CAST(COALESCE(SUM(coverage), 0) AS DOUBLE) / (pos_end - pos_start + 1)
+         |    AS mean_depth
+         |FROM j GROUP BY name, contig, pos_start, pos_end""".stripMargin,
     "coverage_hist" ->
       s"""WITH ${OracleCtes.reads},
          |r AS (SELECT * FROM reads WHERE sample_id = 's1'),

@@ -126,6 +126,29 @@ class CoverageSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("targetCoverage equals the naive per-position formulation, zeros kept") {
+    import graft.SharedSpark.spark.implicits._
+    val reads = randomReads(400, 99)
+    val targets = (0 until 60).map { i =>
+      val s = (i * 131) % 1900 + 1
+      (s"t$i", (i % 3).toString, s, s + 49)
+    }.toDF("name", "contig", "pos_start", "pos_end")
+    val got = CoverageOps.targetCoverage(reads, targets).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+
+    // naive: per-position depth map on the driver
+    val rs = reads.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val depth = scala.collection.mutable.HashMap.empty[(String, Int), Int]
+    rs.foreach { case (c, s, e) =>
+      (s to e).foreach(p => depth((c, p)) = depth.getOrElse((c, p), 0) + 1) }
+    targets.collect().foreach { r =>
+      val (n, c, s, e) = (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
+      val ds = (s to e).map(p => depth.getOrElse((c, p), 0))
+      val (sum, covered) = (ds.map(_.toLong).sum, ds.count(_ > 0).toLong)
+      assert(got(n) === ((sum, covered, sum.toDouble / (e - s + 1))), n)
+    }
+  }
+
   test("mergeCoverage fuses adjacent equal-depth runs across sets and is n-ary") {
     import graft.SharedSpark.spark.implicits._
     // a covers [1,10], b covers [11,20] at the same depth: the merged RLE
