@@ -66,6 +66,12 @@ class GraftSession(val spark: SparkSession) {
   def pileupMaps(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame =
     PileupOps.pileupMaps(reads, qualsBinSize)
 
+  /** Naive threshold variant caller over [[pileupMaps]] output: alt
+    * fraction ≥ minAltPct% at depth ≥ minDepth, exact integer gate. */
+  def callVariants(pileupMaps: DataFrame,
+      minDepth: Int = 5, minAltPct: Int = 20): DataFrame =
+    PileupOps.naiveVariantCalls(pileupMaps, minDepth, minAltPct)
+
   /** Map-schema pileup rendered as samtools-mpileup text rows (§2.9
     * converter surface, reference `SamtoolsConverter`). */
   def toMpileup(pileupMaps: DataFrame): DataFrame = MpileupOps.toMpileup(pileupMaps)

@@ -78,6 +78,26 @@ object PileupOps {
         col("count_nonref"), col("alts"), col("quals"))
   }
 
+  /** Naive threshold variant caller over the map-typed pileup — the
+    * classic "alt fraction ≥ cutoff at depth ≥ minDepth" first-pass
+    * caller, showing the pileup family composes downstream. The gate is
+    * exact integer arithmetic (`alt_count·100 ≥ depth·minAltPct`), so no
+    * float compare can drift between engines; `alt_frac` is reported as
+    * the deterministic integer-valued double division. One explode over
+    * the alts map + a codegen'd filter — scan-speed over the pileup. */
+  def naiveVariantCalls(pileupMaps: DataFrame,
+      minDepth: Int = 5, minAltPct: Int = 20): DataFrame =
+    pileupMaps
+      .select(col("contig"), col("pos"), col("ref"), col("coverage"),
+        explode(col("alts")).as(Seq("alt_byte", "alt_count")))
+      .filter(col("coverage") >= minDepth &&
+        col("alt_count").cast("long") * 100 >= col("coverage").cast("long") * minAltPct)
+      .select(col("contig"), col("pos"), col("ref"),
+        expr("char(alt_byte)").as("alt"),
+        col("coverage").cast("int").as("depth"),
+        col("alt_count").cast("long").as("alt_count"),
+        (col("alt_count").cast("double") / col("coverage").cast("double")).as("alt_frac"))
+
   /** Map-typed pileup (the reference's native schema). Output:
     * (contig, pos, coverage, count_ref, count_nonref,
     *  alts: map<tinyint,smallint>, quals: map<tinyint,array<smallint>>).

@@ -114,6 +114,14 @@ object PileupQueries {
           col("count_nonref"),
           expr("altmap_to_str(alts_to_char(alts))").as("alts"),
           expr("qualsmap_to_str(to_charmap(quals))").as("quals"))
+    },
+    // Naive threshold variant caller on top of the map-typed pileup:
+    // alt fraction >= 8% at depth >= 3, exact integer gate.
+    "pileup_calls" -> { (s, dir) =>
+      Graft.ensure(s)
+      PileupOps.naiveVariantCalls(
+        PileupOps.pileupMaps(Tables.readsMd(s, dir).filter(col("sample_id") === "s1")),
+        minDepth = 3, minAltPct = 8)
     })
 
   private val pileupOracle: String =
@@ -290,6 +298,23 @@ object PileupQueries {
     "pileup_binned" -> pileupBinnedOracle,
     "pileup_binned_tvf" -> pileupBinnedOracle,
     "pileup_alts_maps" -> pileupMapsOracle,
+    "pileup_calls" ->
+      s"""WITH ${OracleCtes.reads},
+         |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+         |${OracleCtes.segPositions("r")},
+         |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+         |alt1 AS (SELECT contig, alt_pos AS pos, alt_base AS base
+         |         FROM r WHERE has_alt),
+         |perbase AS (SELECT contig, pos, base, COUNT(*) AS cnt
+         |            FROM alt1 GROUP BY 1, 2, 3)
+         |SELECT p.contig, p.pos,
+         |       ${MockReference.refBaseSql("p.contig", "p.pos")} AS ref,
+         |       p.base AS alt,
+         |       CAST(c.coverage AS INT) AS depth,
+         |       CAST(p.cnt AS BIGINT) AS alt_count,
+         |       CAST(p.cnt AS DOUBLE) / CAST(c.coverage AS DOUBLE) AS alt_frac
+         |FROM perbase p JOIN cov c ON p.contig = c.contig AND p.pos = c.pos
+         |WHERE c.coverage >= 3 AND p.cnt * 100 >= c.coverage * 8""".stripMargin,
     "pileup_format_samtools" -> pileupSamtoolsOracle,
     "pileup_format_samtools_del" -> pileupSamtoolsDelOracle,
     "pileup_format_gatk" -> pileupGatkOracle)
