@@ -101,6 +101,13 @@ class GraftSession(val spark: SparkSession) {
   def subtractIntervals(a: DataFrame, b: DataFrame, aKey: String): DataFrame =
     RangeSetOps.subtract(a, b, aKey)
 
+  /** UCSC-liftOver-style translation through a chain of
+    * `(contig, pos_start, pos_end, dest_contig, offset)` blocks: mapped
+    * pieces shift into the destination space, uncovered pieces come out
+    * as `unmapped` rows with source coordinates. */
+  def liftover(a: DataFrame, chain: DataFrame, aKey: String): DataFrame =
+    RangeSetOps.liftover(a, chain, aKey)
+
   /** bedtools-intersect (pairwise): overlapping `(a, b)` pairs clipped to
     * the shared bases, carrying the named passthrough columns. */
   def intersectIntervals(a: DataFrame, b: DataFrame,

@@ -247,6 +247,35 @@ object RangeSetOps {
         col("f.fs").as("pos_start"), col("f.fe").as("pos_end"))
   }
 
+  /** UCSC-liftOver-style coordinate translation: map each `a` interval
+    * through a chain of disjoint source blocks
+    * `(contig, pos_start, pos_end, dest_contig, offset)` — the piece of
+    * an interval overlapping a chain block maps to
+    * `(dest_contig, clipped ± offset)`; pieces covered by no block come
+    * out as `unmapped` rows keeping their source coordinates (the
+    * liftOver "unmapped" file). `(aKey, contig, pos_start, pos_end)`
+    * must identify `a` rows uniquely.
+    *
+    * Composition of the two set-algebra paths: mapped pieces are the
+    * forest-join clip (as [[intersect]]) plus the offset arithmetic;
+    * unmapped pieces are exactly [[subtract]](a, chain). Chain blocks
+    * broadcast like any annotation set; the 100 TB side streams. */
+  def liftover(a: DataFrame, chain: DataFrame, aKey: String): DataFrame = {
+    val ch = broadcast(chain.select(
+      col("contig").as("_cc"), col("pos_start").as("_cs"), col("pos_end").as("_ce"),
+      col("dest_contig").as("_dc"), col("offset").as("_off")))
+    val mapped = a.join(ch,
+        col("contig") === col("_cc") &&
+          col("pos_end") >= col("_cs") && col("pos_start") <= col("_ce"))
+      .select(col(aKey), lit("mapped").as("status"), col("_dc").as("contig"),
+        (greatest(col("pos_start"), col("_cs")) + col("_off")).cast("int").as("pos_start"),
+        (least(col("pos_end"), col("_ce")) + col("_off")).cast("int").as("pos_end"))
+    val unmapped = subtract(a, chain, aKey)
+      .select(col(aKey), lit("unmapped").as("status"), col("contig"),
+        col("pos_start"), col("pos_end"))
+    mapped.unionAll(unmapped)
+  }
+
   /** bedtools-intersect (pairwise form): one row per overlapping
     * `(a, b)` pair with the overlap clipped to the shared bases. Plans as
     * an inner interval-forest join plus a clip projection. */

@@ -101,6 +101,23 @@ class RangeSetOpsSpec extends SparkSpec {
     assert(out === Set((1L, "1", 20, 30, 7L), (1L, "1", 10, 12, 8L)))
   }
 
+  test("liftover: clipped pieces shift by block offset; gaps emit unmapped") {
+    import graft.SharedSpark.spark.implicits._
+    val a = Seq((1L, "1", 10, 30), (2L, "2", 5, 8))
+      .toDF("a_key", "contig", "pos_start", "pos_end")
+    val chain = Seq(
+      ("1", 1, 14, "L1", 100),   // covers [10,14] -> [110,114]
+      ("1", 20, 40, "L1b", -5))  // covers [20,30] -> [15,25]
+      .toDF("contig", "pos_start", "pos_end", "dest_contig", "offset")
+    val out = RangeSetOps.liftover(a, chain, "a_key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3), r.getInt(4))).toSet
+    assert(out === Set(
+      (1L, "mapped", "L1", 110, 114),
+      (1L, "mapped", "L1b", 15, 25),
+      (1L, "unmapped", "1", 15, 19),    // the gap between the two blocks
+      (2L, "unmapped", "2", 5, 8)))     // contig absent from the chain
+  }
+
   test("subtract/merge/complement interlock: a - b == a intersect complement-closure") {
     // Differential law on fixture data: every subtracted fragment must be
     // disjoint from every merged b-run, and fragments + clipped overlaps
