@@ -101,6 +101,13 @@ class GraftSession(val spark: SparkSession) {
   def subtractIntervals(a: DataFrame, b: DataFrame, aKey: String): DataFrame =
     RangeSetOps.subtract(a, b, aKey)
 
+  /** bedtools-cluster: tag intervals with their transitive
+    * overlap-cluster identity (the containing merged run's
+    * coordinates). */
+  def clusterIntervals(intervals: DataFrame, keyCols: Seq[String],
+      maxGap: Int = 0): DataFrame =
+    RangeSetOps.cluster(intervals, keyCols, maxGap)
+
   /** UCSC-liftOver-style translation through a chain of
     * `(contig, pos_start, pos_end, dest_contig, offset)` blocks: mapped
     * pieces shift into the destination space, uncovered pieces come out

@@ -247,6 +247,28 @@ object RangeSetOps {
         col("f.fs").as("pos_start"), col("f.fe").as("pos_end"))
   }
 
+  /** bedtools-cluster: tag every interval with the identity of the
+    * maximal merged run containing it — intervals sharing a run are one
+    * overlap cluster (transitively, under the same `maxGap` rule as
+    * [[merge]]). The cluster id is the run's `(cluster_start,
+    * cluster_end)` coordinates: deterministic and engine-independent,
+    * where bedtools' sequential integer ids depend on scan order. Each
+    * interval lies inside exactly one merged run, so the broadcast
+    * forest join adds one output row per input row and the input side
+    * never shuffles. */
+  def cluster(intervals: DataFrame, keyCols: Seq[String], maxGap: Int = 0): DataFrame = {
+    val runs = broadcast(merge(intervals, maxGap).select(
+      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")))
+    // Overlap ⇔ containment against maximal disjoint runs (an interval
+    // overlapping two runs would have merged them), and the overlap core
+    // is the shape the forest extractor recognizes.
+    intervals.join(runs,
+        col("contig") === col("_bc") &&
+          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"))
+      .select(keyCols.map(col) ++ Seq(col("contig"), col("pos_start"), col("pos_end"),
+        col("_bs").as("cluster_start"), col("_be").as("cluster_end")): _*)
+  }
+
   /** UCSC-liftOver-style coordinate translation: map each `a` interval
     * through a chain of disjoint source blocks
     * `(contig, pos_start, pos_end, dest_contig, offset)` — the piece of

@@ -187,6 +187,13 @@ object IntervalQueries {
       graft.operators.RangeSetOps.intersect(
         Tables.ivA(s, dir), Tables.ivB(s, dir), Seq("a_key"), Seq("b_key"))
     },
+    // bedtools-cluster: every sparse-ivB interval tagged with its
+    // overlap-cluster identity (the containing merged run's coordinates).
+    "interval_cluster" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      graft.operators.RangeSetOps.cluster(
+        Tables.ivB(s, dir).filter(col("b_key") % 5 === 0), Seq("b_key"))
+    },
     // UCSC-liftOver through a deterministic chain built from the merged
     // sparse ivB runs: mapped pieces shift into the "L"-prefixed dest
     // space; uncovered pieces come out as unmapped rows (liftOver's
@@ -299,6 +306,13 @@ object IntervalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM ivbm m
         |  WHERE m.contig = ad.contig
         |    AND ad.pos_end >= m.pos_start AND ad.pos_start <= m.pos_end)"""
+        .stripMargin),
+    "interval_cluster" -> withCtes(OracleCtes.ivB, ivbMerged)(
+      """SELECT b.b_key, b.contig, b.pos_start, b.pos_end,
+        |       m.pos_start AS cluster_start, m.pos_end AS cluster_end
+        |FROM (SELECT * FROM ivb WHERE b_key % 5 = 0) b JOIN ivbm m
+        |  ON b.contig = m.contig
+        | AND b.pos_end >= m.pos_start AND b.pos_start <= m.pos_end"""
         .stripMargin),
     "interval_liftover" -> withCtes(OracleCtes.ivA, OracleCtes.ivB, ivbMerged)(
       """, chain AS (

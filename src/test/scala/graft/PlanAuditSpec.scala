@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkSpec {
     Seq("interval_join_count", "interval_join_pairs", "interval_join_nochr",
         "interval_join_overlap10", "grange_tvf",
         "interval_join_left", "interval_join_semi", "interval_join_anti",
-        "interval_subtract", "interval_intersect").foreach { name =>
+        "interval_subtract", "interval_intersect", "interval_cluster",
+        "interval_liftover").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
       assert(plan.toString.contains("IntervalForestJoin"), name)
     }

@@ -101,6 +101,18 @@ class RangeSetOpsSpec extends SparkSpec {
     assert(out === Set((1L, "1", 20, 30, 7L), (1L, "1", 10, 12, 8L)))
   }
 
+  test("cluster: transitive overlap groups share a run identity, singletons self-cluster") {
+    import graft.SharedSpark.spark.implicits._
+    val in = Seq((1L, "1", 10, 20), (2L, "1", 18, 30), (3L, "1", 29, 35), // one chain
+      (4L, "1", 50, 60), (5L, "2", 10, 20))
+      .toDF("b_key", "contig", "pos_start", "pos_end")
+    val out = RangeSetOps.cluster(in, Seq("b_key")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    assert(out(1L) === ((10, 35)) && out(2L) === ((10, 35)) && out(3L) === ((10, 35)))
+    assert(out(4L) === ((50, 60)))
+    assert(out(5L) === ((10, 20)))
+  }
+
   test("liftover: clipped pieces shift by block offset; gaps emit unmapped") {
     import graft.SharedSpark.spark.implicits._
     val a = Seq((1L, "1", 10, 30), (2L, "2", 5, 8))
