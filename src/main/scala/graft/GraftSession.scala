@@ -101,6 +101,11 @@ class GraftSession(val spark: SparkSession) {
   def subtractIntervals(a: DataFrame, b: DataFrame, aKey: String): DataFrame =
     RangeSetOps.subtract(a, b, aKey)
 
+  /** bedtools-jaccard: one-row genome-wide similarity of two interval
+    * sets — intersection/union bases over the merged base sets. */
+  def intervalSetJaccard(a: DataFrame, b: DataFrame): DataFrame =
+    RangeSetOps.setJaccard(a, b)
+
   /** bedtools-cluster: tag intervals with their transitive
     * overlap-cluster identity (the containing merged run's
     * coordinates). */

@@ -247,6 +247,35 @@ object RangeSetOps {
         col("f.fs").as("pos_start"), col("f.fe").as("pos_end"))
   }
 
+  /** bedtools-jaccard: genome-wide similarity of two interval SETS —
+    * `intersection_bases / union_bases` over the merged (deduplicated)
+    * base sets, one summary row. Both sides reduce to merged runs first
+    * (so duplicated/overlapping input intervals count each base once);
+    * intersection bases come from the forest-join clip, and union bases
+    * from inclusion–exclusion. The two merge scans dominate: O(n) with
+    * the seeded prefix scan, never per-base. */
+  def setJaccard(a: DataFrame, b: DataFrame): DataFrame = {
+    val ra = merge(a).select(col("contig"), col("pos_start"), col("pos_end"))
+    val rb = broadcast(merge(b).select(
+      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val lenA = ra.select(sum(col("pos_end") - col("pos_start") + 1).cast("long"))
+      .as[Long].collect().headOption.getOrElse(0L)
+    val lenB = rb.select(sum(col("_be") - col("_bs") + 1).cast("long"))
+      .as[Long].collect().headOption.getOrElse(0L)
+    val inter = ra.join(rb,
+        col("contig") === col("_bc") &&
+          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"))
+      .select((least(col("pos_end"), col("_be")) -
+        greatest(col("pos_start"), col("_bs")) + 1).cast("long").as("ov"))
+      .agg(coalesce(sum(col("ov")), lit(0L))).as[Long].collect().head
+    val union = lenA + lenB - inter
+    spark.createDataFrame(Seq(
+      (inter, union, if (union == 0) 0.0 else inter.toDouble / union)))
+      .toDF("intersection_bases", "union_bases", "jaccard")
+  }
+
   /** bedtools-cluster: tag every interval with the identity of the
     * maximal merged run containing it — intervals sharing a run are one
     * overlap cluster (transitively, under the same `maxGap` rule as

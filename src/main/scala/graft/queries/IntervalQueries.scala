@@ -187,6 +187,14 @@ object IntervalQueries {
       graft.operators.RangeSetOps.intersect(
         Tables.ivA(s, dir), Tables.ivB(s, dir), Seq("a_key"), Seq("b_key"))
     },
+    // bedtools-jaccard: one-row genome-wide similarity of the ivA and
+    // sparse-ivB base sets (merged first, so every base counts once).
+    "interval_set_jaccard" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      graft.operators.RangeSetOps.setJaccard(
+        Tables.ivA(s, dir),
+        Tables.ivB(s, dir).filter(col("b_key") % 5 === 0))
+    },
     // bedtools-cluster: every sparse-ivB interval tagged with its
     // overlap-cluster identity (the containing merged run's coordinates).
     "interval_cluster" -> { (s, dir) =>
@@ -307,6 +315,34 @@ object IntervalQueries {
         |  WHERE m.contig = ad.contig
         |    AND ad.pos_end >= m.pos_start AND ad.pos_start <= m.pos_end)"""
         .stripMargin),
+    "interval_set_jaccard" -> withCtes(OracleCtes.ivA, OracleCtes.ivB, ivbMerged)(
+      """, ivam AS (
+        |  SELECT contig, CAST(MIN(pos_start) AS INT) AS pos_start,
+        |         CAST(MAX(pos_end) AS INT) AS pos_end
+        |  FROM (
+        |    SELECT contig, pos_start, pos_end,
+        |      SUM(CASE WHEN prev_max IS NULL OR pos_start > prev_max + 1
+        |               THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY contig ORDER BY pos_start, pos_end
+        |              ROWS UNBOUNDED PRECEDING) AS g
+        |    FROM (
+        |      SELECT contig, pos_start, pos_end,
+        |        MAX(pos_end) OVER (PARTITION BY contig
+        |          ORDER BY pos_start, pos_end
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |      FROM iva))
+        |  GROUP BY contig, g),
+        |la AS (SELECT COALESCE(SUM(pos_end - pos_start + 1), 0) AS v FROM ivam),
+        |lb AS (SELECT COALESCE(SUM(pos_end - pos_start + 1), 0) AS v FROM ivbm),
+        |li AS (SELECT COALESCE(SUM(
+        |         LEAST(a.pos_end, b.pos_end) - GREATEST(a.pos_start, b.pos_start) + 1
+        |       ), 0) AS v
+        |       FROM ivam a JOIN ivbm b ON a.contig = b.contig
+        |        AND a.pos_end >= b.pos_start AND a.pos_start <= b.pos_end)
+        |SELECT CAST(li.v AS BIGINT) AS intersection_bases,
+        |       CAST(la.v + lb.v - li.v AS BIGINT) AS union_bases,
+        |       CAST(li.v AS DOUBLE) / CAST(la.v + lb.v - li.v AS DOUBLE) AS jaccard
+        |FROM la, lb, li""".stripMargin),
     "interval_cluster" -> withCtes(OracleCtes.ivB, ivbMerged)(
       """SELECT b.b_key, b.contig, b.pos_start, b.pos_end,
         |       m.pos_start AS cluster_start, m.pos_end AS cluster_end

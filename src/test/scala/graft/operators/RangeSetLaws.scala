@@ -52,6 +52,27 @@ object RangeSetLaws extends Properties("RangeSet") {
       got == referenceMerge(ivs, maxGap)
     }
 
+  property("subtract fragments are disjoint from b and tile a exactly") =
+    forAll(genIvs.suchThat(_.nonEmpty), genIvs) { (as, bs) =>
+      import graft.SharedSpark.spark.implicits._
+      val a = as.zipWithIndex.map { case (iv, i) => (i.toLong, iv.contig, iv.s, iv.e) }
+        .toDF("a_key", "contig", "pos_start", "pos_end")
+      val b = bs.map(iv => (iv.contig, iv.s, iv.e)).toDF("contig", "pos_start", "pos_end")
+      val bRuns = referenceMerge(bs, 0)
+      val frags = RangeSetOps.subtract(a, b, "a_key").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      val disjoint = frags.forall { case (_, c, fs, fe) =>
+        !bRuns.exists { case (bc, rs, re, _) => bc == c && fe >= rs && fs <= re } }
+      val fragLen = frags.groupBy(_._1).view.mapValues(_.map(f => f._4 - f._3 + 1L).sum)
+      val tiles = as.zipWithIndex.forall { case (iv, i) =>
+        val covered = bRuns.toList.collect {
+          case (bc, rs, re, _) if bc == iv.contig && iv.e >= rs && iv.s <= re =>
+            math.min(iv.e, re) - math.max(iv.s, rs) + 1L }.sum
+        fragLen.getOrElse(i.toLong, 0L) + covered == (iv.e - iv.s + 1L)
+      }
+      disjoint && tiles
+    }
+
   property("merged runs and complement gaps tile [1, maxEnd] per contig") =
     forAll(genIvs.suchThat(_.nonEmpty)) { ivs =>
       import graft.SharedSpark.spark.implicits._

@@ -113,6 +113,17 @@ class RangeSetOpsSpec extends SparkSpec {
     assert(out(5L) === ((10, 20)))
   }
 
+  test("setJaccard: duplicated bases count once; disjoint sets score 0") {
+    val a = iv(("1", 1, 10), ("1", 5, 10), ("1", 21, 30)) // merged: 10 + 10 bases
+    val b = iv(("1", 6, 25), ("2", 1, 100))               // overlaps [6,10] and [21,25]
+    val r = RangeSetOps.setJaccard(a, b).collect().head
+    // inter = 5 + 5; union = 20 + 120 - 10
+    assert((r.getLong(0), r.getLong(1)) === ((10L, 130L)))
+    assert(r.getDouble(2) === 10.0 / 130.0)
+    val z = RangeSetOps.setJaccard(iv(("1", 1, 5)), iv(("2", 1, 5))).collect().head
+    assert(z.getLong(0) === 0L && z.getDouble(2) === 0.0)
+  }
+
   test("liftover: clipped pieces shift by block offset; gaps emit unmapped") {
     import graft.SharedSpark.spark.implicits._
     val a = Seq((1L, "1", 10, 30), (2L, "2", 5, 8))
