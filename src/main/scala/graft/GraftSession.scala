@@ -66,6 +66,12 @@ class GraftSession(val spark: SparkSession) {
   def pileupMaps(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame =
     PileupOps.pileupMaps(reads, qualsBinSize)
 
+  /** Multi-group pileup in one pass — all samples' alt/qual/depth rows
+    * from a single scan (the reference TVF re-scans per sample). */
+  def pileupBy(reads: DataFrame, keys: Seq[String] = Seq("sample_id"),
+      qualsBinSize: Option[Int] = None): DataFrame =
+    PileupOps.pileupBy(reads, keys, qualsBinSize)
+
   /** Naive threshold variant caller over [[pileupMaps]] output: alt
     * fraction ≥ minAltPct% at depth ≥ minDepth, exact integer gate. */
   def callVariants(pileupMaps: DataFrame,

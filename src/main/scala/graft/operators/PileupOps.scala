@@ -45,7 +45,8 @@ object PileupOps {
     * [[graft.functions.MdMismatches]] expression; otherwise the
     * pre-digested `has_alt`/`alt_pos`/`alt_base`/`base_qual` columns are
     * used directly. Both shapes feed the same aggregation. */
-  private def altRows(reads: DataFrame): DataFrame = {
+  private def altRows(reads: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val k = keys.map(col)
     if (reads.columns.contains("md_tag")) {
       import org.apache.spark.sql.graft.ColumnBridge
       val mm = ColumnBridge.column(graft.functions.MdMismatches(
@@ -54,12 +55,13 @@ object PileupOps {
         ColumnBridge.expression(coalesce(col("md_tag"), lit(""))),
         ColumnBridge.expression(coalesce(col("seq"), lit(""))),
         ColumnBridge.expression(coalesce(col("qual_str"), lit("")))))
-      reads.select(col("contig"), explode(mm).as("mm"))
-        .select(col("contig"), col("mm.pos").as("alt_pos"),
-          col("mm.base").as("alt_base"), col("mm.qual").as("base_qual"))
+      reads.select(k ++ Seq(col("contig"), explode(mm).as("mm")): _*)
+        .select(k ++ Seq(col("contig"), col("mm.pos").as("alt_pos"),
+          col("mm.base").as("alt_base"), col("mm.qual").as("base_qual")): _*)
     } else {
       reads.filter(col("has_alt"))
-        .select(col("contig"), col("alt_pos"), col("alt_base"), col("base_qual"))
+        .select(k ++ Seq(col("contig"), col("alt_pos"), col("alt_base"),
+          col("base_qual")): _*)
     }
   }
 
@@ -158,25 +160,38 @@ object PileupOps {
     * `pileup/PileupStrategy.scala:110-118`) coarsens the quality axis:
     * each base quality is floored to its bin (`qual div binSize`) before
     * rendering, shrinking distinct qual entries per position. */
-  def pileup(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame = {
+  def pileup(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame =
+    pileupBy(reads, Nil, qualsBinSize)
+
+  /** Multi-group pileup in ONE pass — `keys` (e.g. `sample_id`) join the
+    * aggregation and depth keys, so an N-sample corpus is scanned and
+    * shuffled once instead of once per sample (the same beyond-reference
+    * generalization [[CoverageOps.blocksBy]] gives coverage; the
+    * reference pileup TVF takes a single sample,
+    * `ResolveTableValuedFunctionsSeq.scala:119-140`). Depth comes from
+    * [[CoverageOps.blocksBy]] on the same keys, probed through the
+    * forest join with the keys as extra equality columns. */
+  def pileupBy(reads: DataFrame, keys: Seq[String],
+      qualsBinSize: Option[Int] = None): DataFrame = {
     val spark = reads.sparkSession
     graft.Graft.ensure(spark)
+    val k = keys.map(col)
 
-    // Level 1: per (contig, pos, base) — count + sorted qual rendering.
-    // Pre-partitioned by (contig, pos): both aggregation levels run on
-    // one exchange (see pileupMaps).
-    val perBase = altRows(reads)
-      .select(col("contig"), col("alt_pos").as("pos"), col("alt_base").as("base"),
-        qualExpr(qualsBinSize).as("q"))
-      .repartition(col("contig"), col("pos"))
-      .groupBy(col("contig"), col("pos"), col("base"))
+    // Level 1: per (keys, contig, pos, base) — count + sorted qual
+    // rendering. Pre-partitioned by (keys, contig, pos): both aggregation
+    // levels run on one exchange (see pileupMaps).
+    val perBase = altRows(reads, keys)
+      .select(k ++ Seq(col("contig"), col("alt_pos").as("pos"),
+        col("alt_base").as("base"), qualExpr(qualsBinSize).as("q")): _*)
+      .repartition(k ++ Seq(col("contig"), col("pos")): _*)
+      .groupBy(k ++ Seq(col("contig"), col("pos"), col("base")): _*)
       .agg(count(lit(1)).as("cnt"),
         array_join(array_sort(collect_list(col("q"))), "+").as("quals_b"))
 
-    // Level 2: per (contig, pos) — alts map rendered through the UDF pack,
-    // quals as the canonical sorted string.
+    // Level 2: per (keys, contig, pos) — alts map rendered through the
+    // UDF pack, quals as the canonical sorted string.
     val perPos = perBase
-      .groupBy(col("contig"), col("pos"))
+      .groupBy(k ++ Seq(col("contig"), col("pos")): _*)
       .agg(sum(col("cnt")).as("count_nonref"),
         map_from_entries(array_sort(collect_list(
           struct(ascii(col("base")).cast("tinyint"),
@@ -185,6 +200,26 @@ object PileupOps {
           x => concat(x.getField("base"), lit(":"), x.getField("quals_b"))), " ").as("quals"))
       .withColumn("alts", expr("altmap_to_str(alts_to_char(alts_map))"))
       .drop("alts_map")
-    withDepth(perPos, reads)
+    if (keys.isEmpty) withDepth(perPos, reads)
+    else withDepthBy(perPos, reads, keys)
+  }
+
+  /** [[withDepth]] generalized over group keys: depth per
+    * `(keys, contig, pos)` from [[CoverageOps.blocksBy]], probed through
+    * the forest join with the keys as extra equality columns. */
+  private def withDepthBy(perPos: DataFrame, reads: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val blocks = CoverageOps.blocksBy(reads, keys)
+    val cond = (keys.map(kc => col(s"p.$kc") === col(s"b.$kc")) ++ Seq(
+      col("p.contig") === col("b.contig"),
+      col("p.pos") >= col("b.pos_start"),
+      col("p.pos") <= col("b.pos_end"))).reduce(_ && _)
+    perPos.as("p").join(blocks.as("b"), cond)
+      .select(keys.map(kc => col(s"p.$kc").as(kc)) ++ Seq(
+        col("p.contig").as("contig"), col("p.pos").as("pos"),
+        MockReference.refBase("p.contig", "p.pos").as("ref"),
+        col("b.coverage").as("coverage"),
+        (col("b.coverage").cast("long") - col("count_nonref")).as("count_ref"),
+        col("count_nonref"), col("alts"), col("quals")): _*)
   }
 }

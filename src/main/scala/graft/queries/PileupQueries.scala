@@ -115,6 +115,14 @@ object PileupQueries {
           expr("altmap_to_str(alts_to_char(alts))").as("alts"),
           expr("qualsmap_to_str(to_charmap(quals))").as("quals"))
     },
+    // Multi-sample pileup in ONE pass (beyond reference: its pileup TVF
+    // takes a single sample and would re-scan per sample) — all four
+    // samples' alt/qual/depth rows from one scan, one alt exchange, one
+    // blocksBy depth pass.
+    "pileup_by_sample" -> { (s, dir) =>
+      Graft.ensure(s)
+      PileupOps.pileupBy(Tables.readsMd(s, dir), Seq("sample_id"))
+    },
     // Naive threshold variant caller on top of the map-typed pileup:
     // alt fraction >= 8% at depth >= 3, exact integer gate.
     "pileup_calls" -> { (s, dir) =>
@@ -298,6 +306,28 @@ object PileupQueries {
     "pileup_binned" -> pileupBinnedOracle,
     "pileup_binned_tvf" -> pileupBinnedOracle,
     "pileup_alts_maps" -> pileupMapsOracle,
+    "pileup_by_sample" ->
+      s"""WITH ${OracleCtes.reads},
+         |${OracleCtes.segPositions("reads", "sample_id, contig")},
+         |cov AS (SELECT sample_id, contig, pos, COUNT(*) AS coverage
+         |        FROM positions GROUP BY 1, 2, 3),
+         |alt1 AS (SELECT sample_id, contig, alt_pos AS pos, alt_base AS base, base_qual
+         |         FROM reads WHERE has_alt),
+         |perbase AS (SELECT sample_id, contig, pos, base, COUNT(*) AS cnt,
+         |            string_agg(CAST(base_qual AS VARCHAR), '+' ORDER BY base_qual) AS quals_b
+         |            FROM alt1 GROUP BY 1, 2, 3, 4),
+         |perpos AS (SELECT sample_id, contig, pos, CAST(SUM(cnt) AS BIGINT) AS count_nonref,
+         |           string_agg(base || ' -> ' || cnt, ', ' ORDER BY base) AS alts,
+         |           string_agg(base || ':' || quals_b, ' ' ORDER BY base) AS quals
+         |           FROM perbase GROUP BY 1, 2, 3)
+         |SELECT p.sample_id, p.contig, p.pos,
+         |       ${MockReference.refBaseSql("p.contig", "p.pos")} AS ref,
+         |       CAST(c.coverage AS INT) AS coverage,
+         |       CAST(c.coverage - p.count_nonref AS BIGINT) AS count_ref,
+         |       p.count_nonref, p.alts, p.quals
+         |FROM perpos p JOIN cov c
+         |  ON p.sample_id = c.sample_id AND p.contig = c.contig AND p.pos = c.pos"""
+        .stripMargin,
     "pileup_calls" ->
       s"""WITH ${OracleCtes.reads},
          |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
