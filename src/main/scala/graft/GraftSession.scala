@@ -36,7 +36,6 @@ class GraftSession(val spark: SparkSession) {
   def coverageBy(reads: DataFrame, keys: Seq[String] = Seq("sample_id")): DataFrame =
     CoverageOps.blocksBy(reads, keys)
 
-  /** Mean coverage per fixed-size window (W1). */
   /** Merge per-batch/per-sample RLE coverage block sets into the
     * coverage of their union without rescanning reads (incremental
     * ingest): `mergeCoverage(coverage(a), coverage(b)) == coverage(a ∪ b)`. */
@@ -50,6 +49,7 @@ class GraftSession(val spark: SparkSession) {
       nameCol: String = "name"): DataFrame =
     CoverageOps.targetCoverage(reads, targets, nameCol)
 
+  /** Mean coverage per fixed-size window (W1). */
   def coverageWindowed(reads: DataFrame, windowSize: Int): DataFrame =
     CoverageOps.windowed(reads, windowSize)
 
@@ -75,8 +75,9 @@ class GraftSession(val spark: SparkSession) {
   /** Naive threshold variant caller over [[pileupMaps]] output: alt
     * fraction ≥ minAltPct% at depth ≥ minDepth, exact integer gate. */
   def callVariants(pileupMaps: DataFrame,
-      minDepth: Int = 5, minAltPct: Int = 20): DataFrame =
-    PileupOps.naiveVariantCalls(pileupMaps, minDepth, minAltPct)
+      minDepth: Int = 5, minAltPct: Int = 20,
+      keys: Seq[String] = Nil): DataFrame =
+    PileupOps.naiveVariantCalls(pileupMaps, minDepth, minAltPct, keys)
 
   /** Map-schema pileup rendered as samtools-mpileup text rows (§2.9
     * converter surface, reference `SamtoolsConverter`). */

@@ -88,25 +88,37 @@ object PileupOps {
     * the deterministic integer-valued double division. One explode over
     * the alts map + a codegen'd filter — scan-speed over the pileup. */
   def naiveVariantCalls(pileupMaps: DataFrame,
-      minDepth: Int = 5, minAltPct: Int = 20): DataFrame =
+      minDepth: Int = 5, minAltPct: Int = 20,
+      keys: Seq[String] = Nil): DataFrame = {
+    val k = keys.map(col)
     pileupMaps
-      .select(col("contig"), col("pos"), col("ref"), col("coverage"),
-        explode(col("alts")).as(Seq("alt_byte", "alt_count")))
+      .select(k ++ Seq(col("contig"), col("pos"), col("ref"), col("coverage"),
+        explode(col("alts")).as(Seq("alt_byte", "alt_count"))): _*)
       .filter(col("coverage") >= minDepth &&
         col("alt_count").cast("long") * 100 >= col("coverage").cast("long") * minAltPct)
-      .select(col("contig"), col("pos"), col("ref"),
+      .select(k ++ Seq(col("contig"), col("pos"), col("ref"),
         expr("char(alt_byte)").as("alt"),
         col("coverage").cast("int").as("depth"),
         col("alt_count").cast("long").as("alt_count"),
-        (col("alt_count").cast("double") / col("coverage").cast("double")).as("alt_frac"))
+        (col("alt_count").cast("double") / col("coverage").cast("double"))
+          .as("alt_frac")): _*)
+  }
 
   /** Map-typed pileup (the reference's native schema). Output:
     * (contig, pos, coverage, count_ref, count_nonref,
     *  alts: map<tinyint,smallint>, quals: map<tinyint,array<smallint>>).
     * Quality histograms are dense from 0 to the position's max quality —
     * the form `quals_to_map` renders (zero slots skipped there). */
-  def pileupMaps(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame = {
+  def pileupMaps(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame =
+    pileupMapsBy(reads, Nil, qualsBinSize)
+
+  /** [[pileupMaps]] generalized over group keys — the map-schema sibling
+    * of [[pileupBy]]: one scan, one alt exchange, one blocksBy depth
+    * pass for an N-group corpus. */
+  def pileupMapsBy(reads: DataFrame, keys: Seq[String],
+      qualsBinSize: Option[Int] = None): DataFrame = {
     graft.Graft.ensure(reads.sparkSession)
+    val k = keys.map(col)
     // Level 0: per (contig, pos, base, qual) occurrence counts. The alt
     // rows are pre-partitioned by (contig, pos) — a subset of every
     // grouping key below — so all three aggregation levels run
@@ -118,33 +130,35 @@ object PileupOps {
     // smallint cast would overflow, and under Spark 4 ANSI mode that is a
     // runtime error, not a wrap.
     val shortMax = lit(32767L)
-    val perBaseQ = altRows(reads)
-      .select(col("contig"), col("alt_pos").as("pos"),
-        ascii(col("alt_base")).cast("tinyint").as("base"), qualExpr(qualsBinSize).as("q"))
-      .repartition(col("contig"), col("pos"))
-      .groupBy(col("contig"), col("pos"), col("base"), col("q"))
+    val perBaseQ = altRows(reads, keys)
+      .select(k ++ Seq(col("contig"), col("alt_pos").as("pos"),
+        ascii(col("alt_base")).cast("tinyint").as("base"),
+        qualExpr(qualsBinSize).as("q")): _*)
+      .repartition(k ++ Seq(col("contig"), col("pos")): _*)
+      .groupBy(k ++ Seq(col("contig"), col("pos"), col("base"), col("q")): _*)
       .agg(count(lit(1)).as("qcnt"))
 
     // Level 1: per (contig, pos, base) — count + dense quality histogram.
     // try_element_at: absent keys must be 0, not an ANSI error.
     val perBase = perBaseQ
-      .groupBy(col("contig"), col("pos"), col("base"))
+      .groupBy(k ++ Seq(col("contig"), col("pos"), col("base")): _*)
       .agg(sum(col("qcnt")).as("cnt"),
         map_from_entries(array_sort(collect_list(struct(col("q"), col("qcnt"))))).as("qmap"),
         max(col("q")).as("mq"))
-      .select(col("contig"), col("pos"), col("base"), col("cnt"),
+      .select(k ++ Seq(col("contig"), col("pos"), col("base"), col("cnt"),
         transform(sequence(lit(0), col("mq")),
           i => least(coalesce(try_element_at(col("qmap"), i), lit(0L)), shortMax)
-            .cast("smallint")).as("qhist"))
+            .cast("smallint")).as("qhist")): _*)
 
     // Level 2: per (contig, pos) — the reference's map columns.
     val perPos = perBase
-      .groupBy(col("contig"), col("pos"))
+      .groupBy(k ++ Seq(col("contig"), col("pos")): _*)
       .agg(sum(col("cnt")).as("count_nonref"),
         map_from_entries(array_sort(collect_list(
           struct(col("base"), least(col("cnt"), shortMax).cast("smallint"))))).as("alts"),
         map_from_entries(array_sort(collect_list(struct(col("base"), col("qhist"))))).as("quals"))
-    withDepth(perPos, reads)
+    if (keys.isEmpty) withDepth(perPos, reads)
+    else withDepthBy(perPos, reads, keys)
   }
 
   /** String-rendered pileup for a reads DataFrame carrying

@@ -123,6 +123,14 @@ object PileupQueries {
       Graft.ensure(s)
       PileupOps.pileupBy(Tables.readsMd(s, dir), Seq("sample_id"))
     },
+    // The multi-sample composition: per-sample calls from one corpus
+    // pass (pileupMapsBy + the keys-aware caller).
+    "pileup_calls_by" -> { (s, dir) =>
+      Graft.ensure(s)
+      PileupOps.naiveVariantCalls(
+        PileupOps.pileupMapsBy(Tables.readsMd(s, dir), Seq("sample_id")),
+        minDepth = 3, minAltPct = 8, keys = Seq("sample_id"))
+    },
     // Naive threshold variant caller on top of the map-typed pileup:
     // alt fraction >= 8% at depth >= 3, exact integer gate.
     "pileup_calls" -> { (s, dir) =>
@@ -328,6 +336,24 @@ object PileupQueries {
          |FROM perpos p JOIN cov c
          |  ON p.sample_id = c.sample_id AND p.contig = c.contig AND p.pos = c.pos"""
         .stripMargin,
+    "pileup_calls_by" ->
+      s"""WITH ${OracleCtes.reads},
+         |${OracleCtes.segPositions("reads", "sample_id, contig")},
+         |cov AS (SELECT sample_id, contig, pos, COUNT(*) AS coverage
+         |        FROM positions GROUP BY 1, 2, 3),
+         |alt1 AS (SELECT sample_id, contig, alt_pos AS pos, alt_base AS base
+         |         FROM reads WHERE has_alt),
+         |perbase AS (SELECT sample_id, contig, pos, base, COUNT(*) AS cnt
+         |            FROM alt1 GROUP BY 1, 2, 3, 4)
+         |SELECT p.sample_id, p.contig, p.pos,
+         |       ${MockReference.refBaseSql("p.contig", "p.pos")} AS ref,
+         |       p.base AS alt,
+         |       CAST(c.coverage AS INT) AS depth,
+         |       CAST(p.cnt AS BIGINT) AS alt_count,
+         |       CAST(p.cnt AS DOUBLE) / CAST(c.coverage AS DOUBLE) AS alt_frac
+         |FROM perbase p JOIN cov c
+         |  ON p.sample_id = c.sample_id AND p.contig = c.contig AND p.pos = c.pos
+         |WHERE c.coverage >= 3 AND p.cnt * 100 >= c.coverage * 8""".stripMargin,
     "pileup_calls" ->
       s"""WITH ${OracleCtes.reads},
          |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
