@@ -73,6 +73,25 @@ object RangeSetLaws extends Properties("RangeSet") {
       disjoint && tiles
     }
 
+  property("liftover mapped+unmapped pieces tile every interval") =
+    forAll(genIvs.suchThat(_.nonEmpty), genIvs.suchThat(_.nonEmpty)) { (as, bs) =>
+      import graft.SharedSpark.spark.implicits._
+      val a = as.zipWithIndex.map { case (iv, i) => (i.toLong, iv.contig, iv.s, iv.e) }
+        .toDF("a_key", "contig", "pos_start", "pos_end")
+      // chain blocks = merged b (disjoint by construction) with a
+      // deterministic per-block offset and dest contig
+      val chain = referenceMerge(bs, 0).toSeq
+        .map { case (c, s, e, _) => (c, s, e, "L" + c, (s % 7) * 3) }
+        .toDF("contig", "pos_start", "pos_end", "dest_contig", "offset")
+      val out = RangeSetOps.liftover(a, chain, "a_key").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(4)))
+      val lenByKey = out.groupBy(_._1).view
+        .mapValues(_.map(p => p._4 - p._3 + 1L).sum).toMap
+      as.zipWithIndex.forall { case (iv, i) =>
+        lenByKey.getOrElse(i.toLong, 0L) == (iv.e - iv.s + 1L)
+      }
+    }
+
   property("merged runs and complement gaps tile [1, maxEnd] per contig") =
     forAll(genIvs.suchThat(_.nonEmpty)) { ivs =>
       import graft.SharedSpark.spark.implicits._
