@@ -101,6 +101,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sText.contains("Exchange"), s"sampling must not shuffle:\n$sText")
   }
 
+  /** Multi-sample pileup's scale claim: the alt pipeline costs exactly
+    * ONE Exchange (the (keys, contig, pos) repartition all three
+    * aggregation levels ride), and depth probes the forest join — an
+    * N-sample corpus must not pay per-sample or per-level shuffles.
+    * (blocksBy's event shuffle is RDD-level by design, not an Exchange.) */
+  test("pileup_by_sample plans one exchange and the forest depth probe") {
+    val plan = SparkEntry.queries("pileup_by_sample")(spark, sf0001)
+      .queryExecution.executedPlan
+    val text = treeStrings(plan).map(_.linesIterator.count(_.contains("Exchange "))).max
+    assert(text == 1, s"multi-sample pileup must shuffle alts exactly once, saw $text")
+    assert(treeStrings(plan).mkString.contains("IntervalForestJoin"))
+  }
+
   /** The as-of join's scale claim: the tagged-union + window form costs
     * exactly ONE shuffle (on user_id) — no per-row probe, no range join,
     * no second exchange. Sessionization adds only the session-key
