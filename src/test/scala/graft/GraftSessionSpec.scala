@@ -24,6 +24,40 @@ class GraftSessionSpec extends SparkSpec {
     assert(row.alts.contains(" -> "))
   }
 
+  test("round-5 facade additions run end-to-end") {
+    val gs = GraftSession(spark)
+    val reads = Tables.reads(spark, sf0001).filter(col("sample_id") === "s1")
+    val b = Tables.ivB(spark, sf0001).filter(col("b_key") % 5 === 0)
+    val a = Tables.ivA(spark, sf0001).distinct()
+
+    // interval set algebra family
+    assert(gs.mergeIntervals(b).count() > 0)
+    assert(gs.complementIntervals(b).count() > 0)
+    assert(gs.subtractIntervals(a, b, "a_key").count() > 0)
+    assert(gs.clusterIntervals(b, Seq("b_key")).count() === b.count())
+    val jac = gs.intervalSetJaccard(a, b).head()
+    assert(jac.getDouble(2) > 0.0 && jac.getDouble(2) <= 1.0)
+    val chain = gs.mergeIntervals(b)
+      .select(col("contig"), col("pos_start"), col("pos_end"),
+        concat(lit("L"), col("contig")).as("dest_contig"), lit(5).as("offset"))
+    assert(gs.liftover(a, chain, "a_key").count() > 0)
+
+    // coverage/pileup extensions
+    val s2 = Tables.reads(spark, sf0001).filter(col("sample_id") === "s2")
+    assert(gs.mergeCoverage(gs.coverage(reads), gs.coverage(s2)).count() > 0)
+    assert(gs.targetCoverage(reads, Tables.targets(spark, sf0001)).count() > 0)
+    val md = Tables.readsMd(spark, sf0001)
+    assert(gs.pileupBy(md).select(col("sample_id")).distinct().count() === 4)
+    assert(gs.callVariants(gs.pileupMaps(
+      md.filter(col("sample_id") === "s1")), minDepth = 1, minAltPct = 1).count() > 0)
+
+    // training-pipeline additions
+    val docs = Tables.documents(spark, sf0001)
+    val tok = gs.tokenize(docs, vocabSize = 64).head()
+    assert(tok.getSeq[Int](1).nonEmpty)
+    assert(gs.chunk(docs, chunkTokens = 32, overlapTokens = 8).count() >= docs.count())
+  }
+
   test("facade operators run end-to-end") {
     val gs = GraftSession(spark)
     val docs = Tables.corpus(spark, sf0001)
