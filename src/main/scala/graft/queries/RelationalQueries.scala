@@ -162,8 +162,14 @@ object RelationalQueries {
     },
     // Gap-based sessionization: a new session starts after > 8h of
     // per-user inactivity (the fixture's median inter-event gap is ~7.3h).
-    // lag + running sum of session starts + one aggregation — all integer
-    // µs arithmetic, so the oracle is exact.
+    // lag + running sum of session starts + one aggregation. Session
+    // boundaries are integer µs arithmetic (exact); session_value sums
+    // the double `value` column THROUGH decimal(18,6) — a double sum is
+    // aggregation-order-dependent (r5's one hash-red row landed a session
+    // on a .005 boundary), while decimal sums are exact and
+    // order-independent in both Spark and DuckDB. The final cast back to
+    // double keeps the published schema; a rounded 2-dp decimal maps to
+    // the same nearest double in both engines.
     "events_sessionize" -> { (s, dir) =>
       val e = Tables.eventsUs(s, dir)
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
@@ -176,7 +182,8 @@ object RelationalQueries {
         .groupBy(col("user_id"), col("sess_idx"))
         .agg(count(lit(1)).as("n_events"),
           expr("(max(ts_us) - min(ts_us)) div 1000000").as("duration_sec"),
-          round(sum(col("value")), 2).as("session_value"))
+          round(sum(col("value").cast("decimal(18,6)")), 2)
+            .cast("double").as("session_value"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -280,6 +287,6 @@ object RelationalQueries {
         |  FROM n)
         |SELECT user_id, sess_idx, COUNT(*) AS n_events,
         |  (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec,
-        |  ROUND(SUM(value), 2) AS session_value
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, sess_idx""".stripMargin)
 }

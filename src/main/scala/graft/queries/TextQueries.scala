@@ -130,9 +130,14 @@ object TextQueries {
     },
     // Token-id encoding: top-256 frequency-ranked vocab (deterministic
     // lexicographic tie-break), OOV = -1, per-doc int sequence in token
-    // order — the encode step feeding context packing.
+    // order — the encode step feeding context packing. The operator API
+    // returns token_ids as array<int>; the QUERY surface renders it to a
+    // space-joined string because the driver's pandas harness cannot
+    // sort/hash array cells (r5's `err` row) — scalar columns only in
+    // anything oracle-compared.
     "pipeline_tokenize" -> { (s, dir) =>
       TextOps.tokenizeEncode(Tables.documents(s, dir), vocabSize = 256)
+        .withColumn("token_ids", array_join(col("token_ids"), " "))
     },
     // Fixed token-window chunking with overlap (RAG/context prep):
     // 40-token windows advancing by 32 — scan-speed, zero shuffle.
@@ -486,7 +491,7 @@ object TextQueries {
         |j AS (SELECT t.doc_id, t.pos, CAST(COALESCE(vid.token_id, -1) AS INT) AS token_id
         |      FROM toks t LEFT JOIN vid ON t.token = vid.token)
         |SELECT doc_id,
-        |  list(token_id ORDER BY pos) AS token_ids,
+        |  array_to_string(list(token_id ORDER BY pos), ' ') AS token_ids,
         |  COUNT(*) AS n_tokens,
         |  CAST(SUM(CASE WHEN token_id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         |FROM j GROUP BY doc_id""".stripMargin,

@@ -2,12 +2,26 @@
 """Local approximation of the driver's correctness gate: for each parquet
 result dumped by graft.Verify, run the matching oracle SQL in DuckDB over
 the same testdata tables and compare (columns sorted by name, rows sorted,
-values compared exactly with a small float tolerance fallback).
+values compared EXACTLY — the driver hashes values, so any float fuzz or
+array stringification here would report green for a driver-red query;
+r5 shipped two such slips because this script was more tolerant than the
+driver).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Driver parity rules enforced here:
+ - exact value equality (no float tolerance; NaN==NaN allowed so a
+   legitimately-NaN cell doesn't flap);
+ - non-scalar (list/struct/map) result columns are a hard FAIL: the
+   driver's pandas sort raises `unhashable type: numpy.ndarray` on them
+   (CORRECTNESS_r05 `pipeline_tokenize`), so a query surface must render
+   arrays to strings before it is driver-comparable.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [nameRegex]
+(nameRegex restricts the compare for local iteration against a filtered
+graft.Verify run; the driver equivalent always runs the full suite.)
 """
-import sys, json, glob, os
+import sys, json, glob, os, math, re
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 def canon(rows, cols):
@@ -17,12 +31,14 @@ def canon(rows, cols):
         out.append(tuple(r[i] for i in idx))
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
-def approx_eq(a, b):
-    if a == b:
+def eq(a, b):
+    # bools vs ints must not conflate (True == 1 in python); everything
+    # else is exact equality with NaN==NaN.
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a is b
+    if isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b):
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
-    return str(a) == str(b)
+    return a == b
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -31,13 +47,23 @@ def main():
         name = os.path.basename(f).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    name_re = re.compile(sys.argv[3]) if len(sys.argv) > 3 else None
     n_ok = n_bad = 0
     for qname, sql in sorted(oracle.items()):
+        if name_re and not name_re.search(qname):
+            continue
         res_dir = os.path.join(out_dir, qname)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
             print(f"FAIL {qname}: no spark result"); n_bad += 1; continue
         tbl = pq.read_table(files[0])
+        nested = [f.name for f in tbl.schema
+                  if pa.types.is_nested(f.type)]
+        if nested:
+            print(f"FAIL {qname}: non-scalar result column(s) {nested} — the "
+                  "driver's pandas sort crashes on these; render to string "
+                  "(array_join) in the query surface")
+            n_bad += 1; continue
         spark_cols = tbl.column_names
         spark_rows = [tuple(r) for r in zip(*[c.to_pylist() for c in tbl.columns])] if tbl.num_rows else []
         try:
@@ -46,6 +72,9 @@ def main():
             duck_rows = cur.fetchall()
         except Exception as e:
             print(f"FAIL {qname}: duckdb error: {e}"); n_bad += 1; continue
+        if duck_rows and any(isinstance(x, (list, tuple, dict)) for x in duck_rows[0]):
+            print(f"FAIL {qname}: non-scalar oracle column — render to string "
+                  "in the oracle SQL"); n_bad += 1; continue
         sc, sr = canon(spark_rows, spark_cols)
         dc, dr = canon(duck_rows, duck_cols)
         if sc != dc:
@@ -54,7 +83,7 @@ def main():
             print(f"FAIL {qname}: rowcount spark={len(sr)} duck={len(dr)}"); n_bad += 1; continue
         bad = None
         for i, (a, b) in enumerate(zip(sr, dr)):
-            if len(a) != len(b) or not all(approx_eq(x, y) for x, y in zip(a, b)):
+            if len(a) != len(b) or not all(eq(x, y) for x, y in zip(a, b)):
                 bad = (i, a, b); break
         if bad:
             print(f"FAIL {qname}: row {bad[0]} spark={bad[1]} duck={bad[2]}"); n_bad += 1
