@@ -186,6 +186,25 @@ class GraftSession(val spark: SparkSession) {
   def similarityTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     EmbeddingOps.ivfTopK(corpus, queries, k)
 
+  /** Train the IVF index once and persist it (quantizer + corpus
+    * assignment) under `path` — the expensive half of the ANN lifecycle,
+    * run per corpus snapshot, not per query batch. */
+  def ivfTrain(corpus: DataFrame, path: String, nLists: Int = 0,
+      iters: Int = 3, replicas: Int = 2): Unit = {
+    val (centroids, assigned) = EmbeddingOps.ivfIndex(corpus, nLists, iters, replicas)
+    EmbeddingOps.saveIndex(spark, centroids, assigned, path)
+  }
+
+  /** Serve IVF top-k strictly from a persisted index ([[ivfTrain]]'s
+    * artifacts): no Lloyd pass, no corpus-wide assignment — only the
+    * query batch is assigned to its probe lists and the probed slice of
+    * the corpus is re-ranked. */
+  def similarityTopKIvfServed(corpus: DataFrame, queries: DataFrame, k: Int,
+      path: String, nProbe: Int = 6): DataFrame = {
+    val (centroids, assigned) = EmbeddingOps.loadIndex(spark, path)
+    EmbeddingOps.ivfTopKWith(centroids, assigned, corpus, queries, k, nProbe)
+  }
+
   /** Text quality/language/fingerprint stats. */
   def textStats(docs: DataFrame): DataFrame = TextOps.stats(docs)
 

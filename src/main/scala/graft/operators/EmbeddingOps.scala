@@ -315,6 +315,35 @@ object EmbeddingOps {
     rerankTopK(candidates, corpus, queries, k)
   }
 
+  /** Public corpus→list assignment against an externally supplied (e.g.
+    * reloaded) quantizer — the missing link between [[loadQuantizer]] and
+    * [[ivfTopKWith]]: a serve job that starts from artifacts needs to
+    * (re)build or refresh the `(c_id, list)` side without retraining.
+    * Same soft-assignment semantics as [[ivfIndex]]. */
+  def ivfAssign(corpus: DataFrame, centroids: Array[Array[Double]],
+      replicas: Int = 2): DataFrame =
+    assignLists(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      "c_id", centroids, replicas)
+
+  /** Persist the full trained IVF index — quantizer (small, one file) +
+    * corpus assignment (O(corpus), distributed parquet) — under one
+    * directory. The 100 TB contract: training and assignment are pure
+    * functions of the corpus and run ONCE; every later query batch is
+    * [[loadIndex]] + [[ivfTopKWith]], which touches only the probed
+    * lists. */
+  def saveIndex(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], assigned: DataFrame, path: String): Unit = {
+    saveQuantizer(spark, centroids, s"$path/quantizer")
+    assigned.select(col("c_id"), col("list"))
+      .write.mode("overwrite").parquet(s"$path/assignment")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Double]], DataFrame) =
+    (loadQuantizer(spark, s"$path/quantizer"),
+      spark.read.parquet(s"$path/assignment"))
+
   /** Persist the trained coarse quantizer as one parquet of
     * `(list: int, centroid: array<double>)` — doubles round-trip parquet
     * exactly, so a reloaded quantizer assigns every vector to the same

@@ -35,6 +35,22 @@ object EmbeddingQueries {
       val (corpus, queries) = split(s, dir)
       EmbeddingOps.ivfTopK(corpus, queries, k = 3)
     },
+    // The ANN serve lifecycle end-to-end: train the IVF index once, save
+    // the artifacts (quantizer parquet + corpus assignment parquet), then
+    // answer STRICTLY from the reloaded artifacts — no Lloyd pass and no
+    // corpus-wide assignment on the serve side, which is the shape every
+    // query batch after the first takes on a real vector store (training
+    // is per corpus snapshot, serving is per batch). Rows-only like the
+    // other ANN rows; served == in-memory equality asserted in
+    // DedupAnnSpec.
+    "ann_ivf_served" -> { (s, dir) =>
+      val (corpus, queries) = split(s, dir)
+      val gs = new graft.GraftSession(s)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-serve").toString
+      gs.ivfTrain(corpus, path)
+      gs.similarityTopKIvfServed(corpus, queries, k = 3, path)
+    },
     // Int8-quantized scan + exact re-rank (rows-only: int8 rounding is
     // approximate; recall vs exactTopK asserted in spec).
     "ann_quantized_topk" -> { (s, dir) =>

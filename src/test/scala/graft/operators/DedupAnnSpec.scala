@@ -138,6 +138,33 @@ class DedupAnnSpec extends SparkSpec {
     assert(probed === direct, "probe-only path must answer identically from the artifact")
   }
 
+  test("IVF serve lifecycle: train-once/save/serve-from-artifact equals in-memory") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val gs = new graft.GraftSession(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    gs.ivfTrain(emb, path)
+    // The artifact is the full index: quantizer + O(corpus) assignment.
+    assert(new java.io.File(s"$path/quantizer").exists())
+    assert(new java.io.File(s"$path/assignment").exists())
+    val served = gs.similarityTopKIvfServed(emb, queries, 3, path)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // Training is deterministic (hashed-id seed sample, fixed-partition
+    // Lloyd reduction), so an independent in-memory train+probe must give
+    // the same answer the artifact serve path gives.
+    val inMem = EmbeddingOps.ivfTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served === inMem, "serve-from-artifact must equal the in-memory result")
+    // ivfAssign against the reloaded quantizer reproduces the persisted
+    // assignment — a serve job can refresh the corpus side without
+    // retraining.
+    val (centroids, assigned) = EmbeddingOps.loadIndex(spark, path)
+    val reassigned = EmbeddingOps.ivfAssign(emb, centroids)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val persisted = assigned.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(reassigned === persisted)
+  }
+
   test("skew guard: banded self-joins stay linear under a near-dup flood") {
     // 2000 near-identical docs (one clique) — all-pairs within their shared
     // LSH buckets would be ~2M candidate pairs. With a bucket cap the
