@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md) plus
   * deterministic genomic-shaped derivations shared by queries and their
@@ -37,11 +37,19 @@ object Tables {
     * 2^53 ns). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      // NTZ wall time means UTC in this dataset. `cast(TimestampType)`
+      // would interpret it in the SESSION timezone — r5 set
+      // spark.sql.session.timeZone globally here as a side effect of
+      // loading one table (ADVICE). The timestampdiff-from-NTZ-epoch
+      // form is timezone-free: same instant whatever the session tz;
+      // entrypoints that compare against the DuckDB oracle (Verify/
+      // Bench) still pin UTC themselves for tz-sensitive display ops
+      // like date_trunc.
+      case TimestampNTZType => raw.withColumn("ts", timestamp_micros(expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
       case _ => raw
     }
   }

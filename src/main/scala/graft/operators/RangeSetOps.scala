@@ -42,6 +42,36 @@ import scala.collection.mutable
   */
 object RangeSetOps {
 
+  /** Broadcast-or-not for a merged-run build side, decided on the
+    * ORIGINAL input's Catalyst size estimate (merged runs are never
+    * larger than their input, so input-fits ⇒ runs-fit; the runs frame
+    * itself carries unknown/huge stats because part of it is
+    * driver-parallelized). Under the engine's broadcast budget the runs
+    * broadcast — the common genomics case, keeping the stream side's
+    * partitioning intact for downstream windows. Over it (an adversarial
+    * subtrahend with tens of millions of disjoint runs) the hint is
+    * dropped and the interval-join strategy takes its bin-range shuffle
+    * path for the same join shape — nothing is force-collected to the
+    * driver (r5 ADVICE). */
+  private def gatedBroadcast(runs: DataFrame, sizeProxy: DataFrame): DataFrame = {
+    val maxBytes = sizeProxy.sparkSession.conf
+      .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+    if (sizeProxy.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes))
+      broadcast(runs) // input provably fits → runs fit, zero extra jobs
+    else {
+      // Stats are large OR unknown — and a merge output is always
+      // "unknown = enormous" because part of it is driver-parallelized,
+      // so treating this branch as non-broadcast would demote the COMMON
+      // case (a compressed run set) to the shuffle path. One cheap count
+      // decides honestly: merge has already materialized and persisted
+      // its heavy lineage by the time its output is consumed, so the
+      // count is a pass over cached partitions (or parquet metadata for
+      // a raw assumeDisjoint side), never a recompute of the merge.
+      val rowBytes = 48L // (contig string, 2 ints) + row overhead
+      if (runs.count() * rowBytes <= maxBytes) broadcast(runs) else runs
+    }
+  }
+
   val runSchema: StructType = StructType(Seq(
     StructField("contig", StringType, nullable = true),
     StructField("pos_start", IntegerType, nullable = false),
@@ -80,6 +110,13 @@ object RangeSetOps {
       val collected = rdd.mapPartitionsWithIndex { (idx, it) =>
         val m = mutable.LinkedHashMap.empty[String, Int]
         it.foreach { case (contig, _, pe) =>
+          // Every input row flows through this pass, so this is the one
+          // fail-fast for the documented non-null-contig contract — a
+          // null would otherwise NPE opaquely in the driver's
+          // Ordering[String] boundary sort (r5 ADVICE).
+          if (contig == null) throw new IllegalArgumentException(
+            "RangeSetOps.merge: null contig — interval set algebra requires " +
+            "a non-null contig on every row; filter or fill nulls upstream")
           m(contig) = math.max(m.getOrElse(contig, Int.MinValue), pe)
         }
         Iterator.single((idx, m.toSeq))
@@ -201,18 +238,25 @@ object RangeSetOps {
     * whole-interval fragment — untouched a-rows need no second anti-join
     * pass, so `a` and the merged runs are each computed and scanned
     * exactly once. The join rides the engine's broadcast/bin-range
-    * selection, so neither side is ever nested-loop-scanned. */
-  def subtract(a: DataFrame, b: DataFrame, aKey: String): DataFrame = {
-    // The merged runs come partly from a driver-parallelized RDD, whose
-    // Catalyst stats default to "unknown = enormous" — without the
-    // broadcast hint the strategy would take the bin-range shuffle path
-    // for a provably compressed build side (runs are capped by the
-    // coordinate space / gap structure, not the subtrahend row count).
-    // The hint keeps the stream side's partitioning intact, so a
-    // downstream window/aggregate on the `a` identity re-uses `a`'s
-    // existing distribution instead of re-shuffling the join output.
-    val runs = broadcast(merge(b).select(
-      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")))
+    * selection, so neither side is ever nested-loop-scanned.
+    *
+    * `assumeDisjoint = true` skips the merge when the caller guarantees
+    * `b` is already disjoint non-touching runs per contig (e.g.
+    * [[liftover]]'s chain contract, or a pre-merged annotation set) —
+    * the gap-walk window is only correct over disjoint runs, so this is
+    * a caller promise, not an inference the engine can make. */
+  def subtract(a: DataFrame, b: DataFrame, aKey: String,
+      assumeDisjoint: Boolean = false): DataFrame = {
+    // The broadcast is size-gated on the subtrahend (gatedBroadcast):
+    // under the budget the hint keeps the stream side's partitioning
+    // intact, so a downstream window/aggregate on the `a` identity
+    // re-uses `a`'s existing distribution instead of re-shuffling the
+    // join output; over it the strategy's bin-range path takes over.
+    val runRows =
+      if (assumeDisjoint) b.select(col("contig"), col("pos_start"), col("pos_end"))
+      else merge(b)
+    val runs = gatedBroadcast(runRows.select(
+      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")), b)
 
     val joined = a.join(runs,
       col("contig") === col("_bc") &&
@@ -256,8 +300,8 @@ object RangeSetOps {
     * the seeded prefix scan, never per-base. */
   def setJaccard(a: DataFrame, b: DataFrame): DataFrame = {
     val ra = merge(a).select(col("contig"), col("pos_start"), col("pos_end"))
-    val rb = broadcast(merge(b).select(
-      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")))
+    val rb = gatedBroadcast(merge(b).select(
+      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")), b)
     val spark = a.sparkSession
     import spark.implicits._
     val lenA = ra.select(sum(col("pos_end") - col("pos_start") + 1).cast("long"))
@@ -286,8 +330,9 @@ object RangeSetOps {
     * forest join adds one output row per input row and the input side
     * never shuffles. */
   def cluster(intervals: DataFrame, keyCols: Seq[String], maxGap: Int = 0): DataFrame = {
-    val runs = broadcast(merge(intervals, maxGap).select(
-      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")))
+    val runs = gatedBroadcast(merge(intervals, maxGap).select(
+      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")),
+      intervals)
     // Overlap ⇔ containment against maximal disjoint runs (an interval
     // overlapping two runs would have merged them), and the overlap core
     // is the shape the forest extractor recognizes.
@@ -300,28 +345,49 @@ object RangeSetOps {
 
   /** UCSC-liftOver-style coordinate translation: map each `a` interval
     * through a chain of disjoint source blocks
-    * `(contig, pos_start, pos_end, dest_contig, offset)` — the piece of
-    * an interval overlapping a chain block maps to
-    * `(dest_contig, clipped ± offset)`; pieces covered by no block come
-    * out as `unmapped` rows keeping their source coordinates (the
-    * liftOver "unmapped" file). `(aKey, contig, pos_start, pos_end)`
-    * must identify `a` rows uniquely.
+    * `(contig, pos_start, pos_end, dest_contig, offset[, strand])` — the
+    * piece of an interval overlapping a chain block maps into the dest
+    * space; pieces covered by no block come out as `unmapped` rows
+    * keeping their source coordinates (the liftOver "unmapped" file).
+    * `(aKey, contig, pos_start, pos_end)` must identify `a` rows
+    * uniquely. Chain-block disjointness is a CONTRACT (real UCSC chains
+    * satisfy it), which lets the unmapped walk run [[subtract]] with
+    * `assumeDisjoint` — the chain is never re-merged here, so a caller
+    * that built it via [[merge]] pays for exactly one merge.
+    *
+    * Strand: an optional `strand` column ('+'/'-', absent = all '+')
+    * models the chain blocks that align to the reverse strand of the
+    * destination — the case every real liftOver user hits. A `-` block
+    * REFLECTS coordinates: source position p maps to `offset - p`, so a
+    * clipped piece `[s, e]` lands at `[offset - e, offset - s]` (still
+    * start <= end, orientation flipped), matching the
+    * dest = chainDestEnd - (p - chainSrcStart) arithmetic of UCSC chains
+    * with `offset = chainDestEnd + chainSrcStart`.
     *
     * Composition of the two set-algebra paths: mapped pieces are the
     * forest-join clip (as [[intersect]]) plus the offset arithmetic;
     * unmapped pieces are exactly [[subtract]](a, chain). Chain blocks
-    * broadcast like any annotation set; the 100 TB side streams. */
+    * broadcast like any annotation set (size-gated, bin-range fallback);
+    * the 100 TB side streams. */
   def liftover(a: DataFrame, chain: DataFrame, aKey: String): DataFrame = {
-    val ch = broadcast(chain.select(
+    val withStrand =
+      if (chain.columns.contains("strand")) chain
+      else chain.withColumn("strand", lit("+"))
+    val ch = gatedBroadcast(withStrand.select(
       col("contig").as("_cc"), col("pos_start").as("_cs"), col("pos_end").as("_ce"),
-      col("dest_contig").as("_dc"), col("offset").as("_off")))
+      col("dest_contig").as("_dc"), col("offset").as("_off"),
+      col("strand").as("_strand")), chain)
+    val clipS = greatest(col("pos_start"), col("_cs"))
+    val clipE = least(col("pos_end"), col("_ce"))
     val mapped = a.join(ch,
         col("contig") === col("_cc") &&
           col("pos_end") >= col("_cs") && col("pos_start") <= col("_ce"))
       .select(col(aKey), lit("mapped").as("status"), col("_dc").as("contig"),
-        (greatest(col("pos_start"), col("_cs")) + col("_off")).cast("int").as("pos_start"),
-        (least(col("pos_end"), col("_ce")) + col("_off")).cast("int").as("pos_end"))
-    val unmapped = subtract(a, chain, aKey)
+        when(col("_strand") === "-", col("_off") - clipE)
+          .otherwise(clipS + col("_off")).cast("int").as("pos_start"),
+        when(col("_strand") === "-", col("_off") - clipS)
+          .otherwise(clipE + col("_off")).cast("int").as("pos_end"))
+    val unmapped = subtract(a, chain, aKey, assumeDisjoint = true)
       .select(col(aKey), lit("unmapped").as("status"), col("contig"),
         col("pos_start"), col("pos_end"))
     mapped.unionAll(unmapped)

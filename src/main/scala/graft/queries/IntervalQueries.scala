@@ -216,6 +216,23 @@ object IntervalQueries {
       graft.operators.RangeSetOps.liftover(
         Tables.ivA(s, dir).distinct(), chain, "a_key")
     },
+    // Strand-aware liftOver: odd-start chain blocks align to the reverse
+    // strand ('-') and REFLECT coordinates (offset = block_start +
+    // block_end keeps the image inside the block's own range); even-start
+    // blocks shift as before. Exercises the `-` branch every real UCSC
+    // chain user hits.
+    "interval_liftover_strand" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      val chain = graft.operators.RangeSetOps.merge(
+          Tables.ivB(s, dir).filter(col("b_key") % 5 === 0))
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          concat(lit("L"), col("contig")).as("dest_contig"),
+          when(col("pos_start") % 2 === 1, col("pos_start") + col("pos_end"))
+            .otherwise(col("pos_start") % 997 * 10).as("offset"),
+          when(col("pos_start") % 2 === 1, lit("-")).otherwise(lit("+")).as("strand"))
+      graft.operators.RangeSetOps.liftover(
+        Tables.ivA(s, dir).distinct(), chain, "a_key")
+    },
     // grange TVF (§2.7): literal one-row genomic interval joined to the
     // targets table, resolved via the injected table function.
     "grange_tvf" -> { (s, dir) =>
@@ -361,6 +378,58 @@ object IntervalQueries {
         |  SELECT ad.a_key, 'mapped' AS status, c.dest_contig AS contig,
         |    CAST(GREATEST(ad.pos_start, c.pos_start) + c.offset AS INT) AS pos_start,
         |    CAST(LEAST(ad.pos_end, c.pos_end) + c.offset AS INT) AS pos_end
+        |  FROM ad JOIN chain c ON ad.contig = c.contig
+        |   AND ad.pos_end >= c.pos_start AND ad.pos_start <= c.pos_end),
+        |ov AS (
+        |  SELECT ad.a_key, ad.contig, ad.pos_start, ad.pos_end,
+        |         m.pos_start AS bs, m.pos_end AS be
+        |  FROM ad JOIN ivbm m ON ad.contig = m.contig
+        |   AND ad.pos_end >= m.pos_start AND ad.pos_start <= m.pos_end),
+        |win AS (
+        |  SELECT *, LAG(be) OVER w AS prev_end,
+        |         (LEAD(bs) OVER w IS NULL) AS is_last
+        |  FROM ov
+        |  WINDOW w AS (PARTITION BY a_key, contig, pos_start, pos_end
+        |               ORDER BY bs)),
+        |pieces AS (
+        |  SELECT a_key, contig,
+        |    GREATEST(pos_start, COALESCE(prev_end + 1, pos_start)) AS fs,
+        |    bs - 1 AS fe
+        |  FROM win
+        |  UNION ALL
+        |  SELECT a_key, contig, GREATEST(pos_start, be + 1) AS fs,
+        |    pos_end AS fe
+        |  FROM win WHERE is_last)
+        |SELECT * FROM mapped
+        |UNION ALL
+        |SELECT a_key, 'unmapped' AS status, contig,
+        |       CAST(fs AS INT) AS pos_start, CAST(fe AS INT) AS pos_end
+        |FROM pieces WHERE fs <= fe
+        |UNION ALL
+        |SELECT a_key, 'unmapped' AS status, contig, pos_start, pos_end FROM ad
+        |WHERE NOT EXISTS (SELECT 1 FROM ivbm m
+        |  WHERE m.contig = ad.contig
+        |    AND ad.pos_end >= m.pos_start AND ad.pos_start <= m.pos_end)"""
+        .stripMargin),
+    "interval_liftover_strand" -> withCtes(OracleCtes.ivA, OracleCtes.ivB, ivbMerged)(
+      """, chain AS (
+        |  SELECT contig, pos_start, pos_end,
+        |         'L' || contig AS dest_contig,
+        |         CASE WHEN pos_start % 2 = 1 THEN pos_start + pos_end
+        |              ELSE (pos_start % 997) * 10 END AS offset,
+        |         CASE WHEN pos_start % 2 = 1 THEN '-' ELSE '+' END AS strand
+        |  FROM ivbm),
+        |ad AS (SELECT DISTINCT a_key, contig, pos_start, pos_end FROM iva),
+        |mapped AS (
+        |  SELECT ad.a_key, 'mapped' AS status, c.dest_contig AS contig,
+        |    CAST(CASE WHEN c.strand = '-'
+        |              THEN c.offset - LEAST(ad.pos_end, c.pos_end)
+        |              ELSE GREATEST(ad.pos_start, c.pos_start) + c.offset
+        |         END AS INT) AS pos_start,
+        |    CAST(CASE WHEN c.strand = '-'
+        |              THEN c.offset - GREATEST(ad.pos_start, c.pos_start)
+        |              ELSE LEAST(ad.pos_end, c.pos_end) + c.offset
+        |         END AS INT) AS pos_end
         |  FROM ad JOIN chain c ON ad.contig = c.contig
         |   AND ad.pos_end >= c.pos_start AND ad.pos_start <= c.pos_end),
         |ov AS (

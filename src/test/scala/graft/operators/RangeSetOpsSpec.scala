@@ -169,4 +169,85 @@ class RangeSetOpsSpec extends SparkSpec {
         s"a_key=$k does not tile: frags=${fragLen.getOrElse(k, 0L)} covered=$covered")
     }
   }
+
+  test("oversized subtrahend drops the broadcast hint and answers identically") {
+    // The set-algebra build sides are broadcast only under the engine's
+    // budget (gated on the ORIGINAL input's stats); over it the interval
+    // join strategy must take its non-broadcast path with the same
+    // result — nothing is force-collected to the driver.
+    import graft.SharedSpark.spark.implicits._
+    val spark = graft.SharedSpark.spark
+    graft.Graft.ensure(spark)
+    val a = Seq((1L, "1", 10, 30), (2L, "1", 100, 110), (3L, "3", 10, 20))
+      .toDF("a_key", "contig", "pos_start", "pos_end")
+    val b = iv(("1", 15, 18), ("1", 90, 120))
+    val expect = Set((1L, "1", 10, 14), (1L, "1", 19, 30), (3L, "3", 10, 20))
+    def run() = RangeSetOps.subtract(a, b, "a_key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(run() === expect)
+    val key = "spark.graft.rangejoin.maxBroadcastBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1") // every subtrahend is now "oversized"
+    try assert(run() === expect, "non-broadcast path must answer identically")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // cluster and setJaccard ride the same gate
+    spark.conf.set(key, "1")
+    try {
+      val cl = RangeSetOps.cluster(
+        Seq((1L, "1", 10, 20), (2L, "1", 18, 30)).toDF("b_key", "contig", "pos_start", "pos_end"),
+        Seq("b_key")).collect().map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+      assert(cl(1L) === ((10, 30)) && cl(2L) === ((10, 30)))
+      val j = RangeSetOps.setJaccard(iv(("1", 1, 10)), iv(("1", 6, 15))).collect().head
+      assert((j.getLong(0), j.getLong(1)) === ((5L, 15L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("subtract assumeDisjoint: pre-merged runs answer identically without a merge") {
+    import graft.SharedSpark.spark.implicits._
+    val a = Seq((1L, "1", 10, 30), (2L, "1", 100, 110))
+      .toDF("a_key", "contig", "pos_start", "pos_end")
+    val b = iv(("1", 15, 18), ("1", 22, 24), ("1", 90, 120))
+    val viaMerge = RangeSetOps.subtract(a, b, "a_key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    val disjointRuns = RangeSetOps.merge(b)
+      .select(col("contig"), col("pos_start"), col("pos_end"))
+    val direct = RangeSetOps.subtract(a, disjointRuns, "a_key", assumeDisjoint = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(direct === viaMerge)
+  }
+
+  test("liftover: reverse-strand blocks reflect coordinates") {
+    import graft.SharedSpark.spark.implicits._
+    val a = Seq((1L, "1", 10, 30)).toDF("a_key", "contig", "pos_start", "pos_end")
+    val chain = Seq(
+      ("1", 1, 14, "L1", 100, "+"),    // [10,14] -> [110,114]
+      ("1", 20, 40, "L1r", 60, "-"))   // [20,30] reflects: p -> 60-p => [30,40]
+      .toDF("contig", "pos_start", "pos_end", "dest_contig", "offset", "strand")
+    val out = RangeSetOps.liftover(a, chain, "a_key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3), r.getInt(4))).toSet
+    assert(out === Set(
+      (1L, "mapped", "L1", 110, 114),
+      (1L, "mapped", "L1r", 30, 40),   // 60-30=30 .. 60-20=40, start<=end kept
+      (1L, "unmapped", "1", 15, 19)))
+  }
+
+  test("merge fails fast on a null contig") {
+    import graft.SharedSpark.spark.implicits._
+    val in = Seq((null.asInstanceOf[String], 1, 5), ("1", 1, 5))
+      .toDF("contig", "pos_start", "pos_end")
+    val e = intercept[org.apache.spark.SparkException] {
+      RangeSetOps.merge(in).collect()
+    }
+    assert(e.getMessage != null)
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(e).exists(_.contains("null contig")),
+      s"expected the loud null-contig message, got: ${rootMessages(e)}")
+  }
 }
