@@ -205,6 +205,17 @@ class GraftSession(val spark: SparkSession) {
     EmbeddingOps.ivfTopKWith(centroids, assigned, corpus, queries, k, nProbe)
   }
 
+  /** Train a BPE subword tokenizer (distributed Sennrich merges over the
+    * compressed word-frequency table) → merge table
+    * (rank, left, right, merged, pair_freq). */
+  def trainBpe(docs: DataFrame, numMerges: Int, batch: Int = 8): DataFrame =
+    BpeOps.trainBpe(docs, numMerges, batch)
+
+  /** Apply a learned BPE merge table → per-doc fertility counts
+    * (doc_id, n_words, n_pieces, n_chars_in_words). */
+  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame =
+    BpeOps.bpeEncode(docs, merges)
+
   /** Text quality/language/fingerprint stats. */
   def textStats(docs: DataFrame): DataFrame = TextOps.stats(docs)
 

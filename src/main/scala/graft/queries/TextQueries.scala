@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.TextOps
+import graft.operators.{BpeOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -143,6 +143,20 @@ object TextQueries {
     // 40-token windows advancing by 32 — scan-speed, zero shuffle.
     "pipeline_chunk" -> { (s, dir) =>
       TextOps.chunkDocuments(Tables.documents(s, dir), chunkTokens = 40, overlapTokens = 8)
+    },
+    // Distributed BPE tokenizer training (Sennrich-style subword merges,
+    // batched non-interfering rounds on the compressed word-freq table).
+    // Rows-only: the iterative trainer isn't SQL-expressible; batch=1
+    // equivalence to the sequential textbook algorithm and per-merge
+    // count exactness are differentially asserted in BpeSpec.
+    "pipeline_bpe" -> { (s, dir) =>
+      BpeOps.trainBpe(Tables.documents(s, dir), numMerges = 32, batch = 8)
+    },
+    // Encode the corpus with the learned merges: per-doc word/piece/char
+    // counts (tokenizer fertility report). Rows-only, spec-bounded.
+    "pipeline_bpe_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      BpeOps.bpeEncode(docs, BpeOps.trainBpe(docs, numMerges = 32, batch = 8))
     },
     // Per-source corpus report — the at-a-glance table a curation run
     // publishes per snapshot. Mean is integer-sum / count (exact in any

@@ -92,6 +92,31 @@ object RangeSetLaws extends Properties("RangeSet") {
       }
     }
 
+  property("strand-aware liftover preserves lengths; reflection keeps start<=end") =
+    forAll(genIvs.suchThat(_.nonEmpty), genIvs.suchThat(_.nonEmpty)) { (as, bs) =>
+      import graft.SharedSpark.spark.implicits._
+      val a = as.zipWithIndex.map { case (iv, i) => (i.toLong, iv.contig, iv.s, iv.e) }
+        .toDF("a_key", "contig", "pos_start", "pos_end")
+      // Deterministic per-block strand + offset: '-' blocks REFLECT
+      // (p -> off - p), which preserves clipped-piece length — so the
+      // same exact-tiling law as the forward chain must hold.
+      val chain = referenceMerge(bs, 0).toSeq
+        .map { case (c, s, e, _) =>
+          val strand = if ((s + e) % 2 == 0) "+" else "-"
+          val off = if (strand == "-") s + e + (s % 5) else (s % 7) * 3
+          (c, s, e, "L" + c, off, strand)
+        }
+        .toDF("contig", "pos_start", "pos_end", "dest_contig", "offset", "strand")
+      val out = RangeSetOps.liftover(a, chain, "a_key").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(4)))
+      val ordered = out.forall(p => p._3 <= p._4)
+      val lenByKey = out.groupBy(_._1).view
+        .mapValues(_.map(p => p._4 - p._3 + 1L).sum).toMap
+      ordered && as.zipWithIndex.forall { case (iv, i) =>
+        lenByKey.getOrElse(i.toLong, 0L) == (iv.e - iv.s + 1L)
+      }
+    }
+
   property("merged runs and complement gaps tile [1, maxEnd] per contig") =
     forAll(genIvs.suchThat(_.nonEmpty)) { ivs =>
       import graft.SharedSpark.spark.implicits._
