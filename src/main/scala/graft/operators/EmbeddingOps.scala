@@ -220,12 +220,17 @@ object EmbeddingOps {
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (id, emb) =>
-          val v = emb.toArray
-          cs.indices.map(li => (li, cosTo(cs(li), v)))
-            .sortBy(-_._2).take(probes).map { case (li, _) => (id, li) }
+          nearestLists(emb.toArray, cs, probes).map(li => (id, li))
         }
       }.toDF(idCol, "list")
   }
+
+  /** The `n` nearest centroid list ids (cosine) for one vector —
+    * deterministic tie-break toward the lower list index (stable sort).
+    * Shared by the batch assignment and the streaming serve path. */
+  def nearestLists(v: Array[Double], cents: Array[Array[Double]], n: Int): Seq[Int] =
+    cents.indices.map(li => (li, cosTo(cents(li), v)))
+      .sortBy(-_._2).take(n).map(_._1)
 
   /** Trained IVF index: Lloyd-refined centroids + the corpus assignment
     * `(c_id, list)` with each vector replicated to its `replicas` nearest

@@ -299,15 +299,22 @@ object RangeSetOps {
     * from inclusion–exclusion. The two merge scans dominate: O(n) with
     * the seeded prefix scan, never per-base. */
   def setJaccard(a: DataFrame, b: DataFrame): DataFrame = {
-    val ra = merge(a).select(col("contig"), col("pos_start"), col("pos_end"))
-    val rb = gatedBroadcast(merge(b).select(
-      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")), b)
     val spark = a.sparkSession
     import spark.implicits._
+    val ra = merge(a).select(col("contig"), col("pos_start"), col("pos_end"))
+    val rbRuns = merge(b).select(
+      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be"))
     val lenA = ra.select(sum(col("pos_end") - col("pos_start") + 1).cast("long"))
       .as[Long].collect().headOption.getOrElse(0L)
-    val lenB = rb.select(sum(col("_be") - col("_bs") + 1).cast("long"))
-      .as[Long].collect().headOption.getOrElse(0L)
+    // One pass gives both the base total AND the run count the broadcast
+    // gate needs — no separate gate job (the generic gatedBroadcast
+    // would pay one, since a merge output always has unknown stats).
+    val (nB, lenB) = rbRuns
+      .select(count(lit(1)), coalesce(sum(col("_be") - col("_bs") + 1).cast("long"), lit(0L)))
+      .as[(Long, Long)].collect().headOption.getOrElse((0L, 0L))
+    val maxBytes = spark.conf
+      .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+    val rb = if (nB * 48L <= maxBytes) broadcast(rbRuns) else rbRuns
     val inter = ra.join(rb,
         col("contig") === col("_bc") &&
           col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"))

@@ -48,6 +48,21 @@ object StreamingQueries {
       StreamingOps.similarStream(vecs, emb, k = 3)
         .select(col("vec_id"), col("rank"), col("neighbor_id"))
     },
+    // Streaming IVF serve kernel on a batch frame: train-once/save, then
+    // answer strictly from the artifacts via stream-static joins — no
+    // corpus broadcast, the serve shape a long-running ANN stream runs.
+    // Rows-only (approximate); MemoryStream equality against the batch
+    // probe path is asserted in StreamingSpec.
+    "stream_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val vecs = emb.filter(col("vec_id") < 20)
+        .withColumn("ts", timestamp_seconds(col("vec_id") + lit(1700000000L)))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-stream").toString
+      new graft.GraftSession(s).ivfTrain(emb, path)
+      StreamingOps.similarStreamIvf(vecs, path, emb, k = 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"))
+    },
     // Stream-static interval annotation: the same flatMap-over-broadcast-
     // forest kernel the streaming query runs, on a batch reads frame —
     // the oracle is the exhaustive overlap join. ts (a deterministic

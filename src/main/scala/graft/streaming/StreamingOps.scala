@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{IntervalForest, TextOps}
+import graft.operators.{EmbeddingOps, IntervalForest, TextOps}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -190,6 +190,79 @@ object StreamingOps {
         best.iterator.zipWithIndex.map { case ((s, cid), r) => (id, ts, r + 1, cid, s) }
       }
       .toDF("vec_id", "ts", "rank", "neighbor_id", "sim")
+  }
+
+  /** Streaming ANN serve from a persisted IVF index
+    * ([[graft.operators.EmbeddingOps.saveIndex]] artifacts): each
+    * micro-batch of query vectors is assigned to its `nProbe` nearest
+    * lists against the BROADCAST quantizer (model-sized — the only
+    * driver-resident piece), candidates come from stream-static joins
+    * against the distributed assignment and corpus tables, and the
+    * per-batch exact top-k is a hash exchange on the query id plus a
+    * bounded per-partition heap — append-mode safe, no stateful
+    * aggregation, no watermark needed (every query is answered within
+    * its own batch).
+    *
+    * This removes [[similarStream]]'s whole-corpus broadcast gate: the
+    * corpus never converges on the driver, so the streaming serve path
+    * scales with the same ~replicas·nProbe/nLists probe fraction as the
+    * batch [[graft.operators.EmbeddingOps.ivfTopKWith]]. Results match
+    * the batch path exactly for the same artifacts (spec-asserted):
+    * same candidate lists, same (sim desc, id asc) tie-break. */
+  def similarStreamIvf(vecs: DataFrame, indexPath: String, corpus: DataFrame,
+      k: Int, nProbe: Int = 6): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be positive, got $k")
+    val (centroids, assigned) = EmbeddingOps.loadIndex(spark, indexPath)
+    val bc = spark.sparkContext.broadcast(centroids)
+    // Probe assignment carries the query embedding along so the sim
+    // projection needs no second join back to the stream.
+    val probes = vecs
+      .select(col("vec_id"), col("ts"), col("embedding").cast("array<double>"))
+      .as[(Long, Timestamp, Seq[Double])]
+      .flatMap { case (id, ts, emb) =>
+        EmbeddingOps.nearestLists(emb.toArray, bc.value, nProbe)
+          .map(li => (id, ts, emb, li))
+      }.toDF("q_id", "ts", "q_emb", "list")
+    val ce = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("c_emb"))
+    val cands = probes
+      .join(assigned.select(col("c_id"), col("list")), "list") // stream-static
+      .filter(col("q_id") =!= col("c_id"))
+      .join(ce, "c_id")                                        // stream-static
+      .select(col("q_id"), col("ts"),
+        EmbeddingOps.cosine(col("q_emb"), col("c_emb")).as("sim"), col("c_id"))
+    // Soft assignment (replicas) can surface the same (q, c) pair from
+    // more than one shared list with an IDENTICAL sim; the heap dedups
+    // by candidate id on qualifying inserts (O(k) scan — no unbounded
+    // seen-set state). Hash exchange on q_id co-locates each query's
+    // candidates; heap order (-sim, id) mirrors the batch window's
+    // (sim desc, id asc) so stream == batch row for row.
+    cands.repartition(col("q_id"))
+      .as[(Long, Timestamp, Double, Long)]
+      .mapPartitions { it =>
+        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+          case (s, c) => (-s, c)
+        }
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, (Timestamp, scala.collection.mutable.PriorityQueue[(Double, Long)])]
+        it.foreach { case (q, ts, sim, cid) =>
+          val (_, h) = heaps.getOrElseUpdate(q,
+            (ts, scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)))
+          if (h.size < k) {
+            if (!h.exists(_._2 == cid)) h.enqueue((sim, cid))
+          } else if (worstFirst.lt((sim, cid), h.head) && !h.exists(_._2 == cid)) {
+            h.dequeue(); h.enqueue((sim, cid))
+          }
+        }
+        heaps.iterator.flatMap { case (q, (ts, h)) =>
+          val best: Seq[(Double, Long)] = h.dequeueAll.reverse
+          best.iterator.zipWithIndex.map {
+            case ((s, cid), r) => (q, ts, r + 1, cid, s)
+          }
+        }
+      }.toDF("vec_id", "ts", "rank", "neighbor_id", "sim")
   }
 
   case class StreamRead(contig: String, pos_start: Int, pos_end: Int, ts: Timestamp)

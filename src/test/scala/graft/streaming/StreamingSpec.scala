@@ -97,6 +97,35 @@ class StreamingSpec extends SparkSpec {
     corpus.unpersist(blocking = false)
   }
 
+  test("streaming IVF serve from artifacts matches the batch probe path") {
+    import graft.SharedSpark.spark.implicits._
+    val corpus = graft.Tables.embeddings(spark, graft.SharedSpark.sf0001)
+      .limit(64).cache()
+    corpus.count()
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    new graft.GraftSession(spark).ivfTrain(corpus, path)
+    // Re-id the queries so nothing is excluded as a self-match on either path.
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val (centroids, assigned) = graft.operators.EmbeddingOps.loadIndex(spark, path)
+    val batch = graft.operators.EmbeddingOps
+      .ivfTopKWith(centroids, assigned, corpus, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val qRows = queries.as[(Long, Seq[Float])].collect()
+    val in = MemoryStream[(Timestamp, Long, Seq[Float])]
+    val df = in.toDF().toDF("ts", "vec_id", "embedding")
+    val query = StreamingOps.similarStreamIvf(df, path, corpus, k = 3)
+      .writeStream.format("memory").queryName("ivfstream").outputMode("append").start()
+    in.addData(qRows.map { case (id, e) => (ts(1), id, e) }.toSeq: _*)
+    run(query) {
+      val got = spark.table("ivfstream")
+        .select("vec_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === batch, "stream serve must equal the batch probe-only answer")
+    }
+    corpus.unpersist(blocking = false)
+  }
+
   test("streaming dedup gate refuses an over-budget base corpus") {
     import graft.SharedSpark.spark.implicits._
     val base = Seq((1L, "text")).toDF("doc_id", "text")
