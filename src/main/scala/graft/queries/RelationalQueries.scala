@@ -13,18 +13,33 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Order-independent 2-dp rounded sum of a double column: a plain
+    * `round(sum(double), 2)` depends on aggregation order and can land
+    * on a .005 boundary (exactly how `events_sessionize` went hash-red
+    * in r5 — this helper applies that fix to the whole class). The
+    * per-row double→decimal cast is rounding-mode-independent (a double
+    * can never be a tie at scale 10: the 10^-11 halves are not binary
+    * fractions), the decimal sum is exact in both engines, and the
+    * rounded 2-dp decimal maps to the same nearest double everywhere.
+    * DuckDB mirror: `CAST(ROUND(SUM(CAST(x AS DECIMAL(28,10))), 2) AS DOUBLE)`. */
+  private def exactRoundedSum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    round(sum(c.cast("decimal(28,10)")), scale).cast("double")
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary: hash aggregate with partial
-    // (map-side) aggregation; doubles rounded so the oracle compare is
-    // order-insensitive.
+    // (map-side) aggregation; double aggregates routed through exact
+    // decimal so the oracle compare is order-insensitive (see
+    // exactRoundedSum; avg = exact decimal sum ÷ count in double, where
+    // both engines divide the same exact operands).
     "q1_agg" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          exactRoundedSum(col("l_quantity")).as("sum_qty"),
+          exactRoundedSum(col("l_extendedprice")).as("sum_base_price"),
+          exactRoundedSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          round(sum(col("l_discount").cast("decimal(28,10)")).cast("double")
+            / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
     },
     // Multi-way equi-join; `region`/`nation` are tiny → broadcast joins.
@@ -38,7 +53,7 @@ object RelationalQueries {
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("o_totalprice")), 2).as("revenue"),
+          exactRoundedSum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders"))
     },
     // Top-k: orderBy + limit → Spark plans TakeOrderedAndProject (no full
@@ -74,7 +89,7 @@ object RelationalQueries {
     "rollup_agg" -> { (s, dir) =>
       Tables.orders(s, dir)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), exactRoundedSum(col("o_totalprice")).as("total"))
     },
     // Time-bucketed aggregation over events (batch analogue of the
     // streaming windowed agg; ns-vs-us timestamp precision normalized by
@@ -84,7 +99,7 @@ object RelationalQueries {
         .groupBy(
           date_trunc("hour", col("ts")).as("hour"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"), exactRoundedSum(col("value")).as("total_value"))
     },
     // As-of join (the brief's canonical "operator Spark lacks"): each
     // purchase paired with the user's latest click at-or-before it.
@@ -189,15 +204,15 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | ROUND(SUM(l_quantity), 2) AS sum_qty,
-        | ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | ROUND(AVG(l_discount), 6) AS avg_disc,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_disc_price,
+        | ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join_agg" ->
       """SELECT r_name, n_name,
-        | ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -220,11 +235,13 @@ object RelationalQueries {
         | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
     "rollup_agg" ->
       """SELECT o_orderstatus, o_orderpriority,
-        | COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        | COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-        | COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        | COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_asof" ->
       """WITH u AS (
