@@ -400,6 +400,34 @@ object RangeSetOps {
     mapped.unionAll(unmapped)
   }
 
+  /** bedtools-map: for each `a` interval, aggregate a numeric column of
+    * the overlapping `b` rows — count/sum/min/max/mean in one pass, with
+    * non-overlapping `a` rows kept (count 0, null aggregates), matching
+    * `bedtools map -null`. `(aKey, contig, pos_start, pos_end)` must
+    * identify `a` rows uniquely.
+    *
+    * Plan shape: ONE left-outer interval-forest join (broadcast or
+    * bin-range by the engine's selection) + one hash aggregate on the
+    * `a` identity — integer/exact-decimal aggregation so the oracle is
+    * exact; the mean is exact-sum ÷ count in double. */
+  def mapIntervals(a: DataFrame, b: DataFrame, aKey: String,
+      valueCol: String): DataFrame = {
+    val bb = b.select(col("contig").as("_bc"), col("pos_start").as("_bs"),
+      col("pos_end").as("_be"), col(valueCol).as("_v"))
+    a.join(bb,
+        col("contig") === col("_bc") &&
+          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"),
+        "left_outer")
+      .groupBy(col(aKey), col("contig"), col("pos_start"), col("pos_end"))
+      .agg(
+        count(col("_v")).as("n_overlaps"),
+        sum(col("_v").cast("decimal(28,10)")).cast("double").as("sum_v"),
+        min(col("_v")).cast("double").as("min_v"),
+        max(col("_v")).cast("double").as("max_v"),
+        (sum(col("_v").cast("decimal(28,10)")).cast("double") / count(col("_v")))
+          .as("mean_v"))
+  }
+
   /** bedtools-intersect (pairwise form): one row per overlapping
     * `(a, b)` pair with the overlap clipped to the shared bases. Plans as
     * an inner interval-forest join plus a clip projection. */

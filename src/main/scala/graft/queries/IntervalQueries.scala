@@ -182,6 +182,17 @@ object IntervalQueries {
         Tables.ivA(s, dir).distinct(),
         Tables.ivB(s, dir).filter(col("b_key") % 5 === 0), "a_key")
     },
+    // bedtools-map: per ivA interval, count/sum/min/max/mean of the
+    // overlapping sparse-ivB b_key values; non-overlapping intervals
+    // keep a row (count 0, null aggregates) — one left-outer forest
+    // join + one hash aggregate, exact decimal arithmetic.
+    "interval_map" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      graft.operators.RangeSetOps.mapIntervals(
+        Tables.ivA(s, dir).distinct(),
+        Tables.ivB(s, dir).filter(col("b_key") % 5 === 0),
+        "a_key", "b_key")
+    },
     "interval_intersect" -> { (s, dir) =>
       Graft.ensure(s); joinConf(s)
       graft.operators.RangeSetOps.intersect(
@@ -411,6 +422,19 @@ object IntervalQueries {
         |  WHERE m.contig = ad.contig
         |    AND ad.pos_end >= m.pos_start AND ad.pos_start <= m.pos_end)"""
         .stripMargin),
+    "interval_map" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT ad.a_key, ad.contig, ad.pos_start, ad.pos_end,
+        |  COUNT(b.b_key) AS n_overlaps,
+        |  CAST(SUM(CAST(b.b_key AS DECIMAL(28,10))) AS DOUBLE) AS sum_v,
+        |  CAST(MIN(b.b_key) AS DOUBLE) AS min_v,
+        |  CAST(MAX(b.b_key) AS DOUBLE) AS max_v,
+        |  CAST(SUM(CAST(b.b_key AS DECIMAL(28,10))) AS DOUBLE) / COUNT(b.b_key)
+        |    AS mean_v
+        |FROM (SELECT DISTINCT a_key, contig, pos_start, pos_end FROM iva) ad
+        |LEFT JOIN (SELECT * FROM ivb WHERE b_key % 5 = 0) b
+        |  ON ad.contig = b.contig
+        | AND ad.pos_end >= b.pos_start AND ad.pos_start <= b.pos_end
+        |GROUP BY 1, 2, 3, 4""".stripMargin),
     "interval_liftover_strand" -> withCtes(OracleCtes.ivA, OracleCtes.ivB, ivbMerged)(
       """, chain AS (
         |  SELECT contig, pos_start, pos_end,

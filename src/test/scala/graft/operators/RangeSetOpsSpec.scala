@@ -237,6 +237,23 @@ class RangeSetOpsSpec extends SparkSpec {
       (1L, "unmapped", "1", 15, 19)))
   }
 
+  test("mapIntervals: bedtools-map aggregates with empty intervals kept") {
+    import graft.SharedSpark.spark.implicits._
+    val a = Seq((1L, "1", 10, 30), (2L, "1", 100, 110), (3L, "2", 1, 5))
+      .toDF("a_key", "contig", "pos_start", "pos_end")
+    val b = Seq(("1", 5, 12, 4L), ("1", 20, 25, 10L), ("1", 28, 40, 1L), ("2", 50, 60, 7L))
+      .toDF("contig", "pos_start", "pos_end", "score")
+    val out = RangeSetOps.mapIntervals(a, b, "a_key", "score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(8)).map(_.asInstanceOf[Double])))).toMap
+    // a_key=1 overlaps all three b rows: count 3, sum 15, mean 5
+    assert(out(1L) === ((3L, Some(15.0), Some(5.0))))
+    // a_key=2 overlaps none; a_key=3 is on a contig whose only b row misses
+    assert(out(2L) === ((0L, None, None)))
+    assert(out(3L) === ((0L, None, None)))
+  }
+
   test("merge fails fast on a null contig") {
     import graft.SharedSpark.spark.implicits._
     val in = Seq((null.asInstanceOf[String], 1, 5), ("1", 1, 5))
