@@ -80,7 +80,8 @@ class PlanAuditSpec extends SparkSpec {
         "interval_join_overlap10", "grange_tvf",
         "interval_join_left", "interval_join_semi", "interval_join_anti",
         "interval_subtract", "interval_intersect", "interval_cluster",
-        "interval_liftover").foreach { name =>
+        "interval_liftover", "interval_liftover_strand", "interval_map")
+      .foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
       assert(plan.toString.contains("IntervalForestJoin"), name)
     }
