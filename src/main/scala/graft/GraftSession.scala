@@ -133,6 +133,19 @@ class GraftSession(val spark: SparkSession) {
       aCols: Seq[String], bCols: Seq[String]): DataFrame =
     RangeSetOps.intersect(a, b, aCols, bCols)
 
+  /** bedtools-map: count/sum/min/max/mean of `valueCol` over the `b`
+    * rows overlapping each `a` interval; non-overlapping intervals kept
+    * (count 0, null aggregates). */
+  def mapIntervals(a: DataFrame, b: DataFrame, aKey: String,
+      valueCol: String): DataFrame =
+    RangeSetOps.mapIntervals(a, b, aKey, valueCol)
+
+  /** bedtools-closest: each left interval paired with its nearest right
+    * feature(s) on the same contig (all ties emit) plus `distance`
+    * (0 when overlapping). */
+  def nearestJoin(left: DataFrame, right: DataFrame): DataFrame =
+    NearestJoinOps.nearestJoin(left, right)
+
   /** Exact-duplicate groups over normalized text. */
   def exactDuplicates(docs: DataFrame): DataFrame = DedupOps.exactDupGroups(docs)
 
