@@ -53,6 +53,13 @@ class GraftSession(val spark: SparkSession) {
   def coverageWindowed(reads: DataFrame, windowSize: Int): DataFrame =
     CoverageOps.windowed(reads, windowSize)
 
+  /** GATK-CallableLoci-style depth classification: maximal NO_COVERAGE /
+    * LOW_COVERAGE / CALLABLE / EXCESSIVE_COVERAGE runs over each
+    * contig's covered span. */
+  def callableLoci(reads: DataFrame, minDepth: Int = 4,
+      maxDepth: Int = Int.MaxValue): DataFrame =
+    CoverageOps.callableLoci(reads, minDepth, maxDepth)
+
   /** Per-alt-position pileup (A3/A4), optional quality binning (A5). */
   def pileup(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame =
     PileupOps.pileup(reads, qualsBinSize)

@@ -100,6 +100,57 @@ object CoverageOps {
   def blocks(reads: DataFrame): DataFrame =
     scanEvents(eventPoints(reads))
 
+  /** GATK-CallableLoci / mosdepth-thresholds style depth classification:
+    * every base of each contig's covered span labeled
+    * `NO_COVERAGE` (interior zero-depth gaps) / `LOW_COVERAGE`
+    * (< `minDepth`) / `CALLABLE` / `EXCESSIVE_COVERAGE` (> `maxDepth`),
+    * emitted as maximal same-status runs
+    * `(contig, pos_start, pos_end, status)`. The span convention is the
+    * same as [[graft.operators.RangeSetOps.complement]]: interior gaps
+    * between the contig's first and last covered base (leading/trailing
+    * reference is not reported — there is no contig-length source here).
+    *
+    * Scale shape: everything after [[blocks]] operates on the RLE
+    * representation — output-sized, bounded by depth changes, never
+    * per-base — so the per-contig windows here run over compressed runs
+    * exactly like complement's (the heavy lifting is blocks' event-point
+    * scan). Classification can only merge runs, never split them, so
+    * the result is at most the block count plus gaps. */
+  def callableLoci(reads: DataFrame, minDepth: Int = 4,
+      maxDepth: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minDepth >= 1 && maxDepth >= minDepth,
+      s"need 1 <= minDepth <= maxDepth, got $minDepth/$maxDepth")
+    val cls = blocks(reads).withColumn("status",
+      when(col("coverage") < minDepth, lit("LOW_COVERAGE"))
+        .when(col("coverage") > maxDepth, lit("EXCESSIVE_COVERAGE"))
+        .otherwise(lit("CALLABLE")))
+      .select(col("contig"), col("pos_start"), col("pos_end"), col("status"))
+    val w = Window.partitionBy(col("contig")).orderBy(col("pos_start"))
+    val gaps = cls
+      .withColumn("prev_end", lag(col("pos_end"), 1).over(w))
+      .withColumn("gap_start", col("prev_end") + 1)
+      .withColumn("gap_end", col("pos_start") - 1)
+      .filter(col("prev_end").isNotNull && col("gap_start") <= col("gap_end"))
+      .select(col("contig"), col("gap_start").as("pos_start"),
+        col("gap_end").as("pos_end"), lit("NO_COVERAGE").as("status"))
+    // RLE over the classified runs: adjacent runs with equal status fuse
+    // (neighboring depths 5 and 7 are both CALLABLE), everything else
+    // stays split. Runs are disjoint by construction, so "adjacent"
+    // means exactly pos_start == prev_end + 1.
+    cls.unionAll(gaps)
+      .withColumn("prev_status", lag(col("status"), 1).over(w))
+      .withColumn("prev_end2", lag(col("pos_end"), 1).over(w))
+      .withColumn("newrun",
+        when(col("prev_end2").isNull || col("pos_start") =!= col("prev_end2") + 1 ||
+          col("status") =!= col("prev_status"), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum(col("newrun")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("contig"), col("run_id"), col("status"))
+      .agg(min(col("pos_start")).as("pos_start"), max(col("pos_end")).as("pos_end"))
+      .select(col("contig"), col("pos_start"), col("pos_end"), col("status"))
+  }
+
   /** Merge already-computed RLE coverage block sets into the coverage of
     * their union — the incremental-ingest path: per-batch (or per-sample)
     * blocks combine WITHOUT rescanning reads. Each block becomes two

@@ -23,6 +23,13 @@ object CoverageQueries {
       Graft.ensure(s)
       CoverageOps.blocks(s1Reads(s, dir))
     },
+    // GATK-CallableLoci-style depth classification over s1: maximal
+    // NO_COVERAGE / LOW_COVERAGE / CALLABLE / EXCESSIVE_COVERAGE runs,
+    // all derived from the RLE blocks (output-sized windows only).
+    "coverage_callable" -> { (s, dir) =>
+      Graft.ensure(s)
+      CoverageOps.callableLoci(s1Reads(s, dir), minDepth = 3, maxDepth = 6)
+    },
     // Mergeable coverage (incremental-ingest law): per-sample RLE blocks
     // for s1 and s2 computed separately, then merged WITHOUT rescanning
     // reads — must equal the coverage of both samples together, which is
@@ -111,6 +118,37 @@ object CoverageQueries {
 
   val oracle: Map[String, String] = Map(
     "coverage_blocks" -> coverageOracle,
+    // Per-base classification (the slow-but-obvious way): coverage per
+    // position, zero-filled across each contig's covered span, CASE'd
+    // into the status bands, re-run-length-encoded with the
+    // gaps-and-islands trick.
+    "coverage_callable" ->
+      s"""WITH ${OracleCtes.reads},
+         |r AS (SELECT * FROM reads WHERE sample_id = 's1'),
+         |${OracleCtes.segPositions("r")},
+         |cov AS (
+         |  SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+         |span AS (SELECT contig, MIN(pos) AS lo, MAX(pos) AS hi FROM cov GROUP BY 1),
+         |allpos AS (
+         |  SELECT s.contig, g.pos
+         |  FROM span s, LATERAL (SELECT unnest(generate_series(s.lo, s.hi)) AS pos) g),
+         |filled AS (
+         |  SELECT a.contig, a.pos, COALESCE(c.coverage, 0) AS coverage
+         |  FROM allpos a LEFT JOIN cov c ON a.contig = c.contig AND a.pos = c.pos),
+         |cls AS (
+         |  SELECT contig, pos,
+         |    CASE WHEN coverage = 0 THEN 'NO_COVERAGE'
+         |         WHEN coverage < 3 THEN 'LOW_COVERAGE'
+         |         WHEN coverage > 6 THEN 'EXCESSIVE_COVERAGE'
+         |         ELSE 'CALLABLE' END AS status
+         |  FROM filled),
+         |runs AS (
+         |  SELECT contig, pos, status,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY contig, status ORDER BY pos) AS grp
+         |  FROM cls)
+         |SELECT contig, CAST(MIN(pos) AS INT) AS pos_start,
+         |       CAST(MAX(pos) AS INT) AS pos_end, status
+         |FROM runs GROUP BY contig, status, grp""".stripMargin,
     "coverage_merge" ->
       s"""WITH ${OracleCtes.reads},
          |r AS (SELECT * FROM reads WHERE sample_id IN ('s1', 's2')),

@@ -208,4 +208,51 @@ class CoverageSpec extends SparkSpec {
       .collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1)))
     assert(got === expected)
   }
+
+  test("callableLoci: gaps become NO_COVERAGE, adjacent same-status runs fuse") {
+    import graft.SharedSpark.spark.implicits._
+    // depth: [10,19]=3 CALLABLE, [20,24]=2 CALLABLE (different block, same
+    // status -> must fuse), [25,39] gap -> NO_COVERAGE, [40,45]=1 LOW,
+    // [46,50]=5 EXCESSIVE (adjacent to LOW, different status -> stays split)
+    val reads = (
+      Seq.fill(3)(("1", 10, 19)) ++ Seq.fill(2)(("1", 20, 24)) ++
+      Seq(("1", 40, 45)) ++ Seq.fill(5)(("1", 46, 50)) ++
+      Seq(("2", 5, 8))  // second contig: single LOW run, no gaps
+    ).toDF("contig", "pos_start", "pos_end")
+    val got = CoverageOps.callableLoci(reads, minDepth = 2, maxDepth = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got === Set(
+      ("1", 10, 24, "CALLABLE"),
+      ("1", 25, 39, "NO_COVERAGE"),
+      ("1", 40, 45, "LOW_COVERAGE"),
+      ("1", 46, 50, "EXCESSIVE_COVERAGE"),
+      ("2", 5, 8, "LOW_COVERAGE")))
+    // differential cross-check vs the per-base obvious formulation
+    reads.createOrReplaceTempView("cl_reads")
+    val expected = spark.sql(
+      """WITH positions AS (
+        |  SELECT contig, explode(sequence(pos_start, pos_end)) AS pos FROM cl_reads),
+        |cov AS (SELECT contig, pos, COUNT(*) AS coverage FROM positions GROUP BY 1, 2),
+        |span AS (SELECT contig, MIN(pos) AS lo, MAX(pos) AS hi FROM cov GROUP BY 1),
+        |allpos AS (
+        |  SELECT contig, explode(sequence(lo, hi)) AS pos FROM span),
+        |filled AS (
+        |  SELECT a.contig, a.pos, COALESCE(c.coverage, 0) AS coverage
+        |  FROM allpos a LEFT JOIN cov c ON a.contig = c.contig AND a.pos = c.pos),
+        |cls AS (
+        |  SELECT contig, pos,
+        |    CASE WHEN coverage = 0 THEN 'NO_COVERAGE'
+        |         WHEN coverage < 2 THEN 'LOW_COVERAGE'
+        |         WHEN coverage > 3 THEN 'EXCESSIVE_COVERAGE'
+        |         ELSE 'CALLABLE' END AS status
+        |  FROM filled),
+        |runs AS (
+        |  SELECT contig, pos, status,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY contig, status ORDER BY pos) AS grp
+        |  FROM cls)
+        |SELECT contig, CAST(MIN(pos) AS INT), CAST(MAX(pos) AS INT), status
+        |FROM runs GROUP BY contig, status, grp""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got === expected)
+  }
 }
