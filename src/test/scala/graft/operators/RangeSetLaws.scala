@@ -117,6 +117,27 @@ object RangeSetLaws extends Properties("RangeSet") {
       }
     }
 
+  property("mapIntervals equals the per-row brute-force aggregate") =
+    forAll(genIvs.suchThat(_.nonEmpty), genIvs) { (as, bs) =>
+      import graft.SharedSpark.spark.implicits._
+      val a = as.zipWithIndex.map { case (iv, i) => (i.toLong, iv.contig, iv.s, iv.e) }
+        .toDF("a_key", "contig", "pos_start", "pos_end")
+      val b = bs.zipWithIndex.map { case (iv, i) => (iv.contig, iv.s, iv.e, i.toLong * 3 + 1) }
+        .toDF("contig", "pos_start", "pos_end", "score")
+      val got = RangeSetOps.mapIntervals(a, b, "a_key", "score").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double]))))
+        .toMap
+      as.zipWithIndex.forall { case (iv, i) =>
+        val overl = bs.zipWithIndex.collect {
+          case (biv, j) if biv.contig == iv.contig && iv.e >= biv.s && iv.s <= biv.e =>
+            j.toLong * 3 + 1
+        }
+        val (n, sum) = got(i.toLong)
+        n == overl.length &&
+          (if (overl.isEmpty) sum.isEmpty else sum.contains(overl.sum.toDouble))
+      }
+    }
+
   property("merged runs and complement gaps tile [1, maxEnd] per contig") =
     forAll(genIvs.suchThat(_.nonEmpty)) { ivs =>
       import graft.SharedSpark.spark.implicits._
