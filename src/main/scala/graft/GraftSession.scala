@@ -215,6 +215,13 @@ class GraftSession(val spark: SparkSession) {
     EmbeddingOps.saveIndex(spark, centroids, assigned, path)
   }
 
+  /** IVF probe + int8 prune + exact re-rank — the three-stage
+    * production ANN shape (probe fraction × 4× smaller integer scan ×
+    * small exact pool). */
+  def similarityTopKIvfQuantized(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame =
+    EmbeddingOps.ivfQuantizedTopK(corpus, queries, k)
+
   /** Serve IVF top-k strictly from a persisted index ([[ivfTrain]]'s
     * artifacts): no Lloyd pass, no corpus-wide assignment — only the
     * query batch is assigned to its probe lists and the probed slice of

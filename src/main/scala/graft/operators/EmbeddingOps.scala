@@ -395,6 +395,68 @@ object EmbeddingOps {
       }.toDF(idCol, "qemb", "scale")
   }
 
+  /** Integer cosine over two int8-quantized vectors (scale-invariant, so
+    * no dequantization): the shared kernel of [[quantizedTopK]]'s scan
+    * and [[ivfQuantizedTopKWith]]'s candidate prune. Zero-norm returns
+    * -2.0 (below any real cosine) rather than NaN. */
+  private def int8Cos(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length == b.length,
+      s"quantized dim mismatch: ${a.length} vs ${b.length}")
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < a.length) {
+      val x = a(i).toLong; val y = b(i).toLong
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0L || nb == 0L) -2.0
+    else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  /** IVF probe + int8 prune + exact re-rank — the three-stage shape of a
+    * production vector store: the probed lists bound the candidate set
+    * to the ~replicas·nProbe/nLists corpus fraction, the INTEGER dot
+    * over 4×-smaller int8 payloads cuts the candidate pool to
+    * `k · rerankFactor` per query, and only that pool is re-ranked in
+    * exact double. With `rerankFactor` large enough to keep every
+    * candidate, the prune is a no-op and the result equals
+    * [[ivfTopKWith]] exactly (a spec law); at the default it trades
+    * bounded recall (int8 rounding near the cut) for a much smaller
+    * exact-rerank stage. */
+  def ivfQuantizedTopKWith(centroids: Array[Array[Double]], assigned: DataFrame,
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 6,
+      rerankFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    requireBroadcastable(queries, "ivfQuantizedTopKWith query set")
+    val probes = assignLists(
+      queries.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      "q_id", centroids, nProbe)
+    val candidates = probes.join(assigned, "list")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+      .dropDuplicates("q_id", "c_id")
+    val qq = quantize(queries).select(col("vec_id").as("q_id"), col("qemb").as("q_q"))
+    val cq = quantize(corpus).select(col("vec_id").as("c_id"), col("qemb").as("c_q"))
+    val scored = candidates
+      .join(broadcast(qq), "q_id").join(cq, "c_id")
+      .select(col("q_id"), col("c_id"), col("q_q"), col("c_q"))
+      .as[(Long, Long, Array[Byte], Array[Byte])]
+      .map { case (q, c, qa, ca) => (q, c, int8Cos(qa, ca)) }
+      .toDF("q_id", "c_id", "qsim")
+    val m = k * rerankFactor
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("c_id").asc)
+    val pruned = scored.withColumn("qrank", row_number().over(w))
+      .filter(col("qrank") <= m)
+      .select(col("q_id"), col("c_id"))
+    rerankTopK(pruned, corpus, queries, k)
+  }
+
+  def ivfQuantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 0, nProbe: Int = 6, iters: Int = 3,
+      rerankFactor: Int = 4): DataFrame = {
+    val (centroids, assigned) = ivfIndex(corpus, nLists, iters)
+    ivfQuantizedTopKWith(centroids, assigned, corpus, queries, k, nProbe, rerankFactor)
+  }
+
   /** Approximate top-k over int8-quantized vectors with exact re-rank.
     *
     * The scan kernel holds the (broadcast) quantized query set and a
@@ -441,16 +503,7 @@ object EmbeddingOps {
           while (qi < qs.length) {
             val qv = qs(qi)._2
             if (qs(qi)._1 != cid) {
-              require(qv.length == cq.length,
-                s"quantized dim mismatch: query ${qv.length} vs corpus ${cq.length}")
-              var dot = 0L; var na = 0L; var nb = 0L; var i = 0
-              while (i < cq.length) {
-                val a = qv(i).toLong; val b = cq(i).toLong
-                dot += a * b; na += a * a; nb += b * b; i += 1
-              }
-              val sim =
-                if (na == 0L || nb == 0L) -2.0
-                else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+              val sim = int8Cos(qv, cq)
               val h = heaps(qi)
               if (h.size < m) h.enqueue((sim, cid))
               else if (worstFirst.lt((sim, cid), h.head)) { h.dequeue(); h.enqueue((sim, cid)) }

@@ -57,6 +57,14 @@ object EmbeddingQueries {
       val (corpus, queries) = split(s, dir)
       EmbeddingOps.quantizedTopK(corpus, queries, k = 3)
     },
+    // The production three-stage shape: IVF probe bounds the candidates,
+    // int8 integer-dot prunes to k·factor, exact double re-ranks only
+    // that pool. Rows-only; no-prune degeneracy to ivfTopKWith and
+    // default-prune recall asserted in spec.
+    "ann_ivf_quantized" -> { (s, dir) =>
+      val (corpus, queries) = split(s, dir)
+      EmbeddingOps.ivfQuantizedTopK(corpus, queries, k = 3)
+    },
     // Embedding-cosine near-dup (dedup family, vector modality). No SQL
     // oracle: sign-LSH recall at this similarity band is ~0.5, so the
     // driver records a rows-only check; precision/recall are asserted in

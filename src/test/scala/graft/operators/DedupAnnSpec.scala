@@ -138,6 +138,28 @@ class DedupAnnSpec extends SparkSpec {
     assert(probed === direct, "probe-only path must answer identically from the artifact")
   }
 
+  test("IVF+int8: huge rerankFactor degenerates to ivfTopKWith; default keeps recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val (centroids, assigned) = EmbeddingOps.ivfIndex(emb)
+    val full = EmbeddingOps.ivfTopKWith(centroids, assigned, emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // With m >= every candidate list, the int8 prune keeps everything —
+    // the three-stage path must equal the two-stage one exactly.
+    val noPrune = EmbeddingOps.ivfQuantizedTopKWith(
+        centroids, assigned, emb, queries, 3, rerankFactor = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(noPrune === full)
+    // Default prune: int8 rounding may demote near-ties past the top-m
+    // cut, but recall vs the unpruned path must stay high.
+    val pruned = EmbeddingOps.ivfQuantizedTopKWith(
+        centroids, assigned, emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val recall = (full & pruned).size.toDouble / full.size
+    info(s"IVF+int8 recall vs unpruned IVF: $recall")
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("IVF serve lifecycle: train-once/save/serve-from-artifact equals in-memory") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 20)
