@@ -121,21 +121,24 @@ object BpeOps {
       if (candidates.isEmpty) exhausted = true
       else {
         // Greedy non-interfering selection in rank order: a pair is
-        // skipped this round if it shares a symbol with one already
-        // selected (including the self-overlap case (a,a) vs (a,x)).
+        // skipped this round if any of its operands OR its minted symbol
+        // collides with a previously selected pair's operands or minted
+        // symbol. The minted symbol matters because an earlier merge in
+        // the batch can MINT a symbol that a later pair consumes — e.g.
+        // "xyz" already exists from an earlier round, A=("x","yz") mints
+        // new "xyz" occurrences, and B=("xyz","w") would then match them
+        // and apply at more than its recorded count. Tracking
+        // {left, right, merged} for every selected pair closes that hole
+        // (and still covers the (a,a)-vs-(a,x) self-overlap case). The
+        // first candidate always passes the empty set, so at least one
+        // merge is selected whenever candidates exist.
         val touched = scala.collection.mutable.HashSet.empty[String]
         val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         candidates.iterator.takeWhile(_ => selected.length < want).foreach {
           case (l, r, f) =>
-            if (!touched.contains(l) && !touched.contains(r)) {
-              selected += ((l, r, f)); touched += l; touched += r
+            if (!touched.contains(l) && !touched.contains(r) && !touched.contains(l + r)) {
+              selected += ((l, r, f)); touched += l; touched += r; touched += l + r
             }
-        }
-        if (selected.isEmpty) {
-          // Window was all-interfering (degenerate tiny alphabet): fall
-          // back to strict sequential for this round.
-          val (l, r, f) = candidates.head
-          selected += ((l, r, f))
         }
         val rules = selected.zipWithIndex.map { case ((l, r, f), i) =>
           (merges.length + i, l, r, l + r, f)

@@ -53,24 +53,34 @@ object RangeSetOps {
     * dropped and the interval-join strategy takes its bin-range shuffle
     * path for the same join shape — nothing is force-collected to the
     * driver (r5 ADVICE). */
-  private def gatedBroadcast(runs: DataFrame, sizeProxy: DataFrame): DataFrame = {
+  /** Should this (run-set-shaped) build side broadcast? Input stats when
+    * they prove it fits; otherwise one cheap count × a schema-derived
+    * row-width estimate. Stats are large OR unknown exactly when the
+    * frame is a merge output (part of it is driver-parallelized, so
+    * Catalyst defaults to "enormous") — treating that as non-broadcast
+    * would demote the COMMON case (a compressed run set) to the shuffle
+    * path, and merge has already materialized/persisted its heavy
+    * lineage by then, so the count is a pass over cached partitions (or
+    * parquet metadata for a raw assumeDisjoint side), never a recompute. */
+  private def shouldBroadcast(runs: DataFrame, sizeProxy: DataFrame): Boolean = {
     val maxBytes = sizeProxy.sparkSession.conf
       .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
-    if (sizeProxy.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes))
-      broadcast(runs) // input provably fits → runs fit, zero extra jobs
+    if (sizeProxy.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes)) true
     else {
-      // Stats are large OR unknown — and a merge output is always
-      // "unknown = enormous" because part of it is driver-parallelized,
-      // so treating this branch as non-broadcast would demote the COMMON
-      // case (a compressed run set) to the shuffle path. One cheap count
-      // decides honestly: merge has already materialized and persisted
-      // its heavy lineage by the time its output is consumed, so the
-      // count is a pass over cached partitions (or parquet metadata for
-      // a raw assumeDisjoint side), never a recompute of the merge.
-      val rowBytes = 48L // (contig string, 2 ints) + row overhead
-      if (runs.count() * rowBytes <= maxBytes) broadcast(runs) else runs
+      // Width from the ACTUAL schema (liftover's chain side carries
+      // dest_contig/offset/strand on top of the 3 run columns — a
+      // fixed 48 B under-estimated it ~2x): strings at a conservative
+      // 32 B, scalars 8 B, plus row overhead.
+      val rowBytes = 16L + runs.schema.fields.map(_.dataType match {
+        case StringType => 32L
+        case _ => 8L
+      }).sum
+      runs.count() * rowBytes <= maxBytes
     }
   }
+
+  private def gatedBroadcast(runs: DataFrame, sizeProxy: DataFrame): DataFrame =
+    if (shouldBroadcast(runs, sizeProxy)) broadcast(runs) else runs
 
   val runSchema: StructType = StructType(Seq(
     StructField("contig", StringType, nullable = true),
@@ -255,9 +265,16 @@ object RangeSetOps {
     val runRows =
       if (assumeDisjoint) b.select(col("contig"), col("pos_start"), col("pos_end"))
       else merge(b)
-    val runs = gatedBroadcast(runRows.select(
-      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")), b)
+    subtractRuns(a, gatedBroadcast(runRows.select(
+      col("contig").as("_bc"), col("pos_start").as("_bs"), col("pos_end").as("_be")), b),
+      aKey)
+  }
 
+  /** The gap-walk core of [[subtract]] over an ALREADY prepared (renamed
+    * `_bc/_bs/_be`, disjoint, broadcast-hinted-or-not) run set — shared
+    * with [[liftover]], whose single gate decision covers both of its
+    * chain consumers. */
+  private def subtractRuns(a: DataFrame, runs: DataFrame, aKey: String): DataFrame = {
     val joined = a.join(runs,
       col("contig") === col("_bc") &&
         col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"),
@@ -380,10 +397,16 @@ object RangeSetOps {
     val withStrand =
       if (chain.columns.contains("strand")) chain
       else chain.withColumn("strand", lit("+"))
-    val ch = gatedBroadcast(withStrand.select(
+    val chData = withStrand.select(
       col("contig").as("_cc"), col("pos_start").as("_cs"), col("pos_end").as("_ce"),
       col("dest_contig").as("_dc"), col("offset").as("_off"),
-      col("strand").as("_strand")), chain)
+      col("strand").as("_strand"))
+    // ONE gate decision for BOTH chain consumers (mapped join + the
+    // unmapped gap walk) — sized on the wide 6-column frame, which is
+    // conservative for the 3-column run side; an over-budget chain pays
+    // one count job, not two.
+    val bcastChain = shouldBroadcast(chData, chain)
+    val ch = if (bcastChain) broadcast(chData) else chData
     val clipS = greatest(col("pos_start"), col("_cs"))
     val clipE = least(col("pos_end"), col("_ce"))
     val mapped = a.join(ch,
@@ -394,7 +417,10 @@ object RangeSetOps {
           .otherwise(clipS + col("_off")).cast("int").as("pos_start"),
         when(col("_strand") === "-", col("_off") - clipS)
           .otherwise(clipE + col("_off")).cast("int").as("pos_end"))
-    val unmapped = subtract(a, chain, aKey, assumeDisjoint = true)
+    val runRows = chain.select(col("contig").as("_bc"),
+      col("pos_start").as("_bs"), col("pos_end").as("_be"))
+    val unmapped = subtractRuns(a,
+        if (bcastChain) broadcast(runRows) else runRows, aKey)
       .select(col(aKey), lit("unmapped").as("status"), col("contig"),
         col("pos_start"), col("pos_end"))
     mapped.unionAll(unmapped)
@@ -420,7 +446,12 @@ object RangeSetOps {
         "left_outer")
       .groupBy(col(aKey), col("contig"), col("pos_start"), col("pos_end"))
       .agg(
-        count(col("_v")).as("n_overlaps"),
+        // n_overlaps counts OVERLAPPING ROWS (join-matched `_bc`), not
+        // non-null values — a b row with a null valueCol still overlaps
+        // (bedtools map counts the feature; only the value aggregates
+        // skip the null). The mean denominator stays the non-null value
+        // count so null values don't drag it.
+        count(col("_bc")).as("n_overlaps"),
         sum(col("_v").cast("decimal(28,10)")).cast("double").as("sum_v"),
         min(col("_v")).cast("double").as("min_v"),
         max(col("_v")).cast("double").as("max_v"),

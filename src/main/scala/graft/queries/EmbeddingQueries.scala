@@ -12,6 +12,24 @@ import org.apache.spark.sql.functions._
   * path; no SQL oracle (bucketing isn't SQL-expressible), recall is
   * asserted in ScalaTest against the exact result.
   */
+/** Train-once-per-JVM cache of the persisted IVF index, keyed by scale
+  * dir — shared by the batch and streaming serve queries. Re-training on
+  * every invocation would (a) make the benched "serve" number mostly
+  * measure Lloyd training + artifact IO (pass 2 of the bench now times
+  * the true probe-only serve), and (b) leak a fresh temp directory per
+  * run. This mirrors production: training is per corpus snapshot,
+  * serving is per query batch. */
+private[queries] object ServeIndexCache {
+  private val paths = scala.collection.concurrent.TrieMap.empty[String, String]
+  def indexFor(s: SparkSession, dir: String,
+      corpus: org.apache.spark.sql.DataFrame): String =
+    paths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+      new graft.GraftSession(s).ivfTrain(corpus, p)
+      p
+    })
+}
+
 object EmbeddingQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -45,11 +63,8 @@ object EmbeddingQueries {
     // DedupAnnSpec.
     "ann_ivf_served" -> { (s, dir) =>
       val (corpus, queries) = split(s, dir)
-      val gs = new graft.GraftSession(s)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ivf-serve").toString
-      gs.ivfTrain(corpus, path)
-      gs.similarityTopKIvfServed(corpus, queries, k = 3, path)
+      val path = ServeIndexCache.indexFor(s, dir, corpus)
+      new graft.GraftSession(s).similarityTopKIvfServed(corpus, queries, k = 3, path)
     },
     // Int8-quantized scan + exact re-rank (rows-only: int8 rounding is
     // approximate; recall vs exactTopK asserted in spec).

@@ -424,7 +424,7 @@ object IntervalQueries {
         .stripMargin),
     "interval_map" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT ad.a_key, ad.contig, ad.pos_start, ad.pos_end,
-        |  COUNT(b.b_key) AS n_overlaps,
+        |  COUNT(b.contig) AS n_overlaps,
         |  CAST(SUM(CAST(b.b_key AS DECIMAL(28,10))) AS DOUBLE) AS sum_v,
         |  CAST(MIN(b.b_key) AS DOUBLE) AS min_v,
         |  CAST(MAX(b.b_key) AS DOUBLE) AS max_v,

@@ -57,9 +57,7 @@ object StreamingQueries {
       val emb = Tables.embeddings(s, dir)
       val vecs = emb.filter(col("vec_id") < 20)
         .withColumn("ts", timestamp_seconds(col("vec_id") + lit(1700000000L)))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ivf-stream").toString
-      new graft.GraftSession(s).ivfTrain(emb, path)
+      val path = ServeIndexCache.indexFor(s, dir, emb)
       StreamingOps.similarStreamIvf(vecs, path, emb, k = 3)
         .select(col("vec_id"), col("rank"), col("neighbor_id"))
     },

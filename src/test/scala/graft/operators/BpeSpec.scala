@@ -3,49 +3,15 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Differential tests for the distributed BPE trainer: `batch = 1` must
-  * reproduce the sequential textbook algorithm (count every adjacent
-  * position, merge the (freq desc, pair asc) max, greedy left-to-right
-  * application) exactly; batched rounds must stay valid merges; encode
-  * obeys the structural piece-count bounds. */
+/** Differential tests for the distributed BPE trainer against the shared
+  * [[BpeReference]] textbook implementation: `batch = 1` must reproduce
+  * it exactly; batched rounds must apply every merge at exactly its
+  * recorded count; encode obeys the structural piece-count bounds. */
 class BpeSpec extends SparkSpec {
 
   private def docsOf(texts: String*) = {
     import graft.SharedSpark.spark.implicits._
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-  }
-
-  /** In-memory sequential reference (textbook BPE on a word-freq table). */
-  private def refTrain(wordFreq: Map[String, Long], numMerges: Int,
-      minFreq: Long): List[(Int, String, String, String, Long)] = {
-    var words: List[(Array[String], Long)] =
-      wordFreq.toList.map { case (w, f) => (w.map(_.toString).toArray :+ BpeOps.EndOfWord, f) }
-    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, String, Long)]
-    var done = false
-    while (out.length < numMerges && !done) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (sym, f) =>
-        (0 until sym.length - 1).foreach { i =>
-          counts((sym(i), sym(i + 1))) = counts.getOrElse((sym(i), sym(i + 1)), 0L) + f
-        }
-      }
-      val eligible = counts.filter(_._2 >= minFreq)
-      if (eligible.isEmpty) done = true
-      else {
-        val ((l, r), f) = eligible.minBy { case ((l, r), f) => (-f, l, r) }
-        out += ((out.length, l, r, l + r, f))
-        words = words.map { case (sym, wf) =>
-          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < sym.length) {
-            if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) { buf += l + r; i += 2 }
-            else { buf += sym(i); i += 1 }
-          }
-          (buf.toArray, wf)
-        }
-      }
-    }
-    out.toList
   }
 
   private val fixture = docsOf(
@@ -55,11 +21,11 @@ class BpeSpec extends SparkSpec {
     "newer newest new new newer",
     "the the the low low cat")
 
+  private def wordFreqOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    BpeOps.wordFrequencies(df).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   test("batch=1 equals the sequential textbook reference, merge for merge") {
-    val spark = graft.SharedSpark.spark
-    val wordFreq = BpeOps.wordFrequencies(fixture).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val expect = refTrain(wordFreq, numMerges = 20, minFreq = 2)
+    val expect = BpeReference.refTrain(wordFreqOf(fixture), numMerges = 20, minFreq = 2)
     val got = BpeOps.trainBpe(fixture, numMerges = 20, batch = 1, minFreq = 2)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toList.sortBy(_._1)
@@ -67,36 +33,19 @@ class BpeSpec extends SparkSpec {
   }
 
   test("batched rounds: every merge's recorded count is exact at selection time") {
-    // Re-derive each rank's pair count by replaying all PRIOR merges
-    // over the word table with the in-memory machinery; the
-    // non-interference selection must have recorded exactly that count.
-    val wordFreq = BpeOps.wordFrequencies(fixture).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Replay all merges sequentially over the word table; the
+    // non-interference selection (operands AND minted symbols disjoint
+    // within a round) must make each recorded pair_freq exactly the true
+    // count at the moment the merge applies.
     val merges = BpeOps.trainBpe(fixture, numMerges = 16, batch = 4, minFreq = 2)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).sortBy(_._1)
-    var words: List[(Array[String], Long)] =
-      wordFreq.toList.map { case (w, f) => (w.map(_.toString).toArray :+ BpeOps.EndOfWord, f) }
-    def countPair(l: String, r: String): Long = words.map { case (sym, f) =>
-      (0 until sym.length - 1).count(i => sym(i) == l && sym(i + 1) == r) * f
-    }.sum
-    def apply1(l: String, r: String): Unit = words = words.map { case (sym, wf) =>
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < sym.length) {
-        if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) { buf += l + r; i += 2 }
-        else { buf += sym(i); i += 1 }
-      }
-      (buf.toArray, wf)
-    }
-    // Within a round (batch), counts were all taken BEFORE any of the
-    // round's merges applied; non-interference makes them exact anyway.
-    // Replay sequentially and check each recorded count.
+    var words = BpeReference.toWords(wordFreqOf(fixture))
     merges.foreach { case (_, l, r, m, f) =>
-      assert(countPair(l, r) === f,
+      assert(BpeReference.countPair(words, l, r) === f,
         s"recorded count for ($l,$r)->$m must equal the true count at application time")
       assert(m === l + r)
-      apply1(l, r)
+      words = BpeReference.applyMerge(words, l, r)
     }
   }
 

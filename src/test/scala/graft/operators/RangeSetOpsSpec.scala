@@ -254,6 +254,17 @@ class RangeSetOpsSpec extends SparkSpec {
     assert(out(3L) === ((0L, None, None)))
   }
 
+  test("mapIntervals: a null-valued b row still counts as an overlap") {
+    import graft.SharedSpark.spark.implicits._
+    val a = Seq((1L, "1", 10, 30)).toDF("a_key", "contig", "pos_start", "pos_end")
+    val b = Seq(("1", 12, 15, Some(4L)), ("1", 20, 25, None))
+      .toDF("contig", "pos_start", "pos_end", "score")
+    val r = RangeSetOps.mapIntervals(a, b, "a_key", "score").collect().head
+    // two overlapping FEATURES, but the value aggregates skip the null
+    assert(r.getLong(4) === 2L, "n_overlaps counts rows, not non-null values")
+    assert(r.getDouble(5) === 4.0 && r.getDouble(8) === 4.0)
+  }
+
   test("merge fails fast on a null contig") {
     import graft.SharedSpark.spark.implicits._
     val in = Seq((null.asInstanceOf[String], 1, 5), ("1", 1, 5))
