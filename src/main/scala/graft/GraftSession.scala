@@ -153,6 +153,12 @@ class GraftSession(val spark: SparkSession) {
   def nearestJoin(left: DataFrame, right: DataFrame): DataFrame =
     NearestJoinOps.nearestJoin(left, right)
 
+  /** vt/bcftools-norm variant normalization: right-trim, left-extend
+    * through reference repeats, left-trim to parsimony →
+    * `(variant_id, contig, pos_start, pos_end, ref, alt)`. */
+  def normalizeVariants(variants: DataFrame): DataFrame =
+    VariantOps.normalize(variants)
+
   /** Exact-duplicate groups over normalized text. */
   def exactDuplicates(docs: DataFrame): DataFrame = DedupOps.exactDupGroups(docs)
 

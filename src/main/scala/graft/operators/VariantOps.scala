@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Variant normalization — the vt/bcftools-norm algorithm (Tan et al.
+  * 2015, "Unified representation of genetic variants"): every indel is
+  * rewritten to its unique left-aligned, parsimonious form so that
+  * equivalent variants compare equal across callers. The reference
+  * engine stops at variant SCANS (SURVEY §2.1 S3/S4); normalization is
+  * the first thing every downstream VCF pipeline does with them.
+  *
+  * Two phases, exactly the published algorithm:
+  *
+  *  1. While the alleles end with the same base: if both are longer
+  *     than one base, truncate the shared last base; otherwise EXTEND
+  *     LEFT — prepend the reference-genome base at `pos - 1` to both
+  *     alleles and decrement `pos` (this is what shifts an indel
+  *     through a repeat run to its leftmost representation), stopping
+  *     at the contig start.
+  *  2. While both alleles are longer than one base and share their
+  *     first base, truncate it and increment `pos` (parsimony).
+  *
+  * The genome lookups go through [[MockReference]] (the deterministic
+  * FASTA stand-in — a real deployment swaps in a broadcast genome, same
+  * per-row probe shape, see MockReference's scaladoc), which is what
+  * makes the DuckDB oracle exact: the identical recursive rewrite runs
+  * against the identical coordinate-function reference.
+  *
+  * Scale shape: one typed map over the variants, zero shuffles, no
+  * driver state; per-row work is bounded by allele length plus the
+  * left-shift distance (repeat run length in a real genome). */
+object VariantOps {
+
+  /** [[MockReference.refBase]] as a plain Scala function for the typed
+    * kernel: `base(contig, pos) = "ACGT"[(ascii(contig) + pos) mod 4]`. */
+  private def mockBase(contig: String, pos: Int): Char = {
+    val a = if (contig.isEmpty) 0 else contig.charAt(0).toInt
+    "ACGT".charAt(((a + pos) % 4 + 4) % 4)
+  }
+
+  /** Normalize `(variant_id, contig, pos_start, ref, alt)` rows; output
+    * the same columns with normalized coordinates plus `pos_end`
+    * (`pos_start + length(ref) - 1`, the interval convention the join
+    * engine uses). Alleles must be non-empty. */
+  def normalize(variants: DataFrame): DataFrame = {
+    val spark = variants.sparkSession
+    import spark.implicits._
+    variants
+      .select(col("variant_id").cast("long"), col("contig"),
+        col("pos_start").cast("int"), col("ref"), col("alt"))
+      .as[(Long, String, Int, String, String)]
+      .map { case (id, c, p0, r0, a0) =>
+        require(r0.nonEmpty && a0.nonEmpty,
+          s"variant $id has an empty allele (ref='$r0', alt='$a0')")
+        var pos = p0; var ref = r0; var alt = a0
+        // Phase 1: right-trim / left-extend.
+        var cont = true
+        while (cont) {
+          val rEq = ref != alt && ref.last == alt.last
+          if (rEq && ref.length > 1 && alt.length > 1) {
+            ref = ref.init; alt = alt.init
+          } else if (rEq && pos > 1) {
+            val b = mockBase(c, pos - 1)
+            ref = (s"$b$ref").init
+            alt = (s"$b$alt").init
+            pos -= 1
+          } else cont = false
+        }
+        // Phase 2: left-trim to parsimony.
+        while (ref.length > 1 && alt.length > 1 && ref.head == alt.head) {
+          ref = ref.tail; alt = alt.tail; pos += 1
+        }
+        (id, c, pos, pos + ref.length - 1, ref, alt)
+      }
+      .toDF("variant_id", "contig", "pos_start", "pos_end", "ref", "alt")
+  }
+}

@@ -14,6 +14,23 @@ object PileupQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // vt/bcftools-norm variant normalization against the deterministic
+    // mock reference: multi-base alleles derived from `part` (including
+    // degenerate identical-allele rows), right-trimmed, left-extended
+    // through reference repeats, left-trimmed to parsimony. Oracle = the
+    // identical rewrite as a DuckDB recursive CTE over the identical
+    // coordinate-function reference.
+    "variant_normalize" -> { (s, dir) =>
+      val v = Tables.part(s, dir).select(
+        col("p_partkey").as("variant_id"),
+        (col("p_partkey") % 4).cast("string").as("contig"),
+        ((col("p_partkey") * 7) % 5000 + 2).cast("int").as("pos_start"),
+        expr("substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1, " +
+          "1 + CAST(p_partkey % 3 AS INT))").as("ref"),
+        expr("substr('TGCATGCA', CAST(p_partkey % 5 AS INT) % 4 + 1, " +
+          "1 + CAST(p_partkey % 2 AS INT))").as("alt"))
+      graft.operators.VariantOps.normalize(v)
+    },
     "pileup_alts" -> { (s, dir) =>
       Graft.ensure(s)
       PileupOps.pileup(Tables.readsMd(s, dir).filter(col("sample_id") === "s1"))
@@ -307,6 +324,52 @@ object PileupQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // One rewrite step per recursion; `rule` picks right-trim ('rt'),
+    // left-extend ('ex'), the phase-1→2 transition ('tr'), left-trim
+    // ('lt'), or 'stop'. The final row per variant is the max-step one.
+    "variant_normalize" ->
+      """WITH RECURSIVE v0 AS (
+        |  SELECT p_partkey AS variant_id,
+        |         CAST(p_partkey % 4 AS VARCHAR) AS contig,
+        |         CAST((p_partkey * 7) % 5000 + 2 AS INT) AS pos,
+        |         substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1,
+        |                1 + CAST(p_partkey % 3 AS INT)) AS ref,
+        |         substr('TGCATGCA', CAST(p_partkey % 5 AS INT) % 4 + 1,
+        |                1 + CAST(p_partkey % 2 AS INT)) AS alt
+        |  FROM part),
+        |n AS (
+        |  SELECT variant_id, contig, pos, ref, alt, 1 AS phase, 0 AS step FROM v0
+        |  UNION ALL
+        |  SELECT variant_id, contig,
+        |    CASE y.rule WHEN 'ex' THEN pos - 1 WHEN 'lt' THEN pos + 1
+        |                ELSE pos END,
+        |    CASE y.rule WHEN 'rt' THEN substr(ref, 1, length(ref) - 1)
+        |                WHEN 'ex' THEN x.b || substr(ref, 1, length(ref) - 1)
+        |                WHEN 'lt' THEN substr(ref, 2)
+        |                ELSE ref END,
+        |    CASE y.rule WHEN 'rt' THEN substr(alt, 1, length(alt) - 1)
+        |                WHEN 'ex' THEN x.b || substr(alt, 1, length(alt) - 1)
+        |                WHEN 'lt' THEN substr(alt, 2)
+        |                ELSE alt END,
+        |    CASE WHEN y.rule IN ('tr', 'lt') THEN 2 ELSE phase END,
+        |    step + 1
+        |  FROM n,
+        |  LATERAL (SELECT
+        |      (ref <> alt AND substr(ref, length(ref), 1) = substr(alt, length(alt), 1)) AS r_eq,
+        |      (length(ref) > 1 AND length(alt) > 1) AS both_gt1,
+        |      substr('ACGT', (ascii(contig) + pos - 1) % 4 + 1, 1) AS b) x,
+        |  LATERAL (SELECT CASE
+        |      WHEN phase = 1 AND x.r_eq AND x.both_gt1 THEN 'rt'
+        |      WHEN phase = 1 AND x.r_eq AND pos > 1 THEN 'ex'
+        |      WHEN phase = 1 THEN 'tr'
+        |      WHEN length(ref) > 1 AND length(alt) > 1
+        |           AND substr(ref, 1, 1) = substr(alt, 1, 1) THEN 'lt'
+        |      ELSE 'stop' END AS rule) y
+        |  WHERE y.rule <> 'stop')
+        |SELECT variant_id, contig, CAST(pos AS INT) AS pos_start,
+        |       CAST(pos + length(ref) - 1 AS INT) AS pos_end, ref, alt
+        |FROM n
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY variant_id ORDER BY step DESC) = 1""".stripMargin,
     "pileup_alts" -> pileupOracle,
     "pileup_tvf" -> pileupOracle,
     "pileup_tvf_noquals" -> pileupNoQualsOracle,
