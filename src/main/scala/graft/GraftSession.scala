@@ -159,6 +159,12 @@ class GraftSession(val spark: SparkSession) {
   def normalizeVariants(variants: DataFrame): DataFrame =
     VariantOps.normalize(variants)
 
+  /** bcftools `norm -m- && norm`: decompose multi-allelic rows
+    * (comma-separated `alt`), then left-align each allele
+    * independently; adds `allele_idx`. */
+  def decomposeVariants(variants: DataFrame): DataFrame =
+    VariantOps.decomposeAndNormalize(variants)
+
   /** Exact-duplicate groups over normalized text. */
   def exactDuplicates(docs: DataFrame): DataFrame = DedupOps.exactDupGroups(docs)
 

@@ -39,6 +39,38 @@ object VariantOps {
     "ACGT".charAt(((a + pos) % 4 + 4) % 4)
   }
 
+  /** bcftools `norm -m-` multi-allelic decomposition: a row whose `alt`
+    * carries comma-separated alleles becomes one row per allele,
+    * `allele_idx` preserving the original order (1-based, matching VCF
+    * GT indices). Pure codegen split+posexplode — scan speed, zero
+    * shuffles; compose with [[normalize]] for the full
+    * `norm -m- && norm` pipeline (each split allele then left-aligns
+    * independently, which is the entire point of decomposing first). */
+  def splitMultiallelic(variants: DataFrame): DataFrame =
+    variants.select(col("variant_id"), col("contig"), col("pos_start"), col("ref"),
+        posexplode(split(col("alt"), ",")).as(Seq("_i", "alt")))
+      .select(col("variant_id"), col("contig"), col("pos_start"), col("ref"),
+        col("alt"), (col("_i") + 1).cast("int").as("allele_idx"))
+
+  /** The full `bcftools norm -m- && norm` pipeline: decompose
+    * multi-allelic rows, then left-align each allele independently.
+    * Output adds `allele_idx`; the identity passes through [[normalize]]
+    * packed as `variant_id * 1000 + allele_idx` (≥1000 alts on one row
+    * fails loudly — the VCF spec's practical ceiling is far below). */
+  def decomposeAndNormalize(variants: DataFrame): DataFrame = {
+    val sp = splitMultiallelic(variants)
+      .withColumn("_chk", assert_true(col("allele_idx") < 1000,
+        concat(lit("decomposeAndNormalize: >=1000 alt alleles on variant_id="),
+          col("variant_id"))))
+      .filter(col("_chk").isNull).drop("_chk")
+    normalize(sp.select(
+        (col("variant_id") * 1000 + col("allele_idx")).as("variant_id"),
+        col("contig"), col("pos_start"), col("ref"), col("alt")))
+      .select(expr("variant_id div 1000").as("variant_id"),
+        (col("variant_id") % 1000).cast("int").as("allele_idx"),
+        col("contig"), col("pos_start"), col("pos_end"), col("ref"), col("alt"))
+  }
+
   /** Normalize `(variant_id, contig, pos_start, ref, alt)` rows; output
     * the same columns with normalized coordinates plus `pos_end`
     * (`pos_start + length(ref) - 1`, the interval convention the join

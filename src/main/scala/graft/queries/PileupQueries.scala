@@ -31,6 +31,19 @@ object PileupQueries {
           "1 + CAST(p_partkey % 2 AS INT))").as("alt"))
       graft.operators.VariantOps.normalize(v)
     },
+    // bcftools `norm -m- && norm`: decompose 1-3-allele rows (the alt
+    // derivation is the shared multiAltSql text), then left-align each
+    // allele independently. The identity is (variant_id, allele_idx).
+    "variant_split_normalize" -> { (s, dir) =>
+      val v = Tables.part(s, dir).select(
+        col("p_partkey").as("variant_id"),
+        (col("p_partkey") % 4).cast("string").as("contig"),
+        ((col("p_partkey") * 7) % 5000 + 2).cast("int").as("pos_start"),
+        expr("substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1, " +
+          "1 + CAST(p_partkey % 3 AS INT))").as("ref"),
+        expr(multiAltSql).as("alt"))
+      graft.operators.VariantOps.decomposeAndNormalize(v)
+    },
     "pileup_alts" -> { (s, dir) =>
       Graft.ensure(s)
       PileupOps.pileup(Tables.readsMd(s, dir).filter(col("sample_id") === "s1"))
@@ -323,12 +336,60 @@ object PileupQueries {
     full.replace("p.count_nonref, p.alts, p.quals\n", "p.count_nonref, p.alts\n")
   }
 
+  /** The shared normalization rewrite as a recursive CTE body over a
+    * `v0(variant_id, contig, pos, ref, alt)` relation: one step per
+    * recursion; `rule` picks right-trim ('rt'), left-extend ('ex'), the
+    * phase-1→2 transition ('tr'), left-trim ('lt'), or 'stop'. The
+    * final row per variant is the max-step one. */
+  private val normRecursive: String =
+    """n AS (
+      |  SELECT variant_id, contig, pos, ref, alt, 1 AS phase, 0 AS step FROM v0
+      |  UNION ALL
+      |  SELECT variant_id, contig,
+      |    CASE y.rule WHEN 'ex' THEN pos - 1 WHEN 'lt' THEN pos + 1
+      |                ELSE pos END,
+      |    CASE y.rule WHEN 'rt' THEN substr(ref, 1, length(ref) - 1)
+      |                WHEN 'ex' THEN x.b || substr(ref, 1, length(ref) - 1)
+      |                WHEN 'lt' THEN substr(ref, 2)
+      |                ELSE ref END,
+      |    CASE y.rule WHEN 'rt' THEN substr(alt, 1, length(alt) - 1)
+      |                WHEN 'ex' THEN x.b || substr(alt, 1, length(alt) - 1)
+      |                WHEN 'lt' THEN substr(alt, 2)
+      |                ELSE alt END,
+      |    CASE WHEN y.rule IN ('tr', 'lt') THEN 2 ELSE phase END,
+      |    step + 1
+      |  FROM n,
+      |  LATERAL (SELECT
+      |      (ref <> alt AND substr(ref, length(ref), 1) = substr(alt, length(alt), 1)) AS r_eq,
+      |      (length(ref) > 1 AND length(alt) > 1) AS both_gt1,
+      |      substr('ACGT', (ascii(contig) + pos - 1) % 4 + 1, 1) AS b) x,
+      |  LATERAL (SELECT CASE
+      |      WHEN phase = 1 AND x.r_eq AND x.both_gt1 THEN 'rt'
+      |      WHEN phase = 1 AND x.r_eq AND pos > 1 THEN 'ex'
+      |      WHEN phase = 1 THEN 'tr'
+      |      WHEN length(ref) > 1 AND length(alt) > 1
+      |           AND substr(ref, 1, 1) = substr(alt, 1, 1) THEN 'lt'
+      |      ELSE 'stop' END AS rule) y
+      |  WHERE y.rule <> 'stop')""".stripMargin
+
+  /** The multi-allelic `alt` derivation shared by the Spark query and
+    * the oracle: 1-3 comma-separated alleles, each varying with the key.
+    * NOTE: this text is re-embedded into an outer stripMargin'd string,
+    * so no continuation line may start with `||` (the outer stripMargin
+    * would eat one pipe) — concatenation operators sit at line ends. */
+  private[queries] val multiAltSql: String =
+    """CASE CAST(p_partkey % 3 AS INT)
+      | WHEN 0 THEN substr('TGCATGCA', CAST(p_partkey % 5 AS INT) % 4 + 1, 1 + CAST(p_partkey % 2 AS INT))
+      | WHEN 1 THEN substr('TGCATGCA', CAST(p_partkey % 5 AS INT) % 4 + 1, 1 + CAST(p_partkey % 2 AS INT)) || ',' ||
+      |   substr('GATCGATC', CAST(p_partkey % 6 AS INT) % 4 + 1, 1 + CAST(p_partkey % 2 AS INT))
+      | ELSE substr('TGCATGCA', CAST(p_partkey % 5 AS INT) % 4 + 1, 1 + CAST(p_partkey % 2 AS INT)) || ',' ||
+      |   substr('GATCGATC', CAST(p_partkey % 6 AS INT) % 4 + 1, 1 + CAST(p_partkey % 2 AS INT)) || ',' ||
+      |   substr('CTAGCTAG', CAST(p_partkey % 7 AS INT) % 4 + 1, 1)
+      |END""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // One rewrite step per recursion; `rule` picks right-trim ('rt'),
-    // left-extend ('ex'), the phase-1→2 transition ('tr'), left-trim
-    // ('lt'), or 'stop'. The final row per variant is the max-step one.
     "variant_normalize" ->
-      """WITH RECURSIVE v0 AS (
+      s"""WITH RECURSIVE v0 AS (
         |  SELECT p_partkey AS variant_id,
         |         CAST(p_partkey % 4 AS VARCHAR) AS contig,
         |         CAST((p_partkey * 7) % 5000 + 2 AS INT) AS pos,
@@ -337,36 +398,30 @@ object PileupQueries {
         |         substr('TGCATGCA', CAST(p_partkey % 5 AS INT) % 4 + 1,
         |                1 + CAST(p_partkey % 2 AS INT)) AS alt
         |  FROM part),
-        |n AS (
-        |  SELECT variant_id, contig, pos, ref, alt, 1 AS phase, 0 AS step FROM v0
-        |  UNION ALL
-        |  SELECT variant_id, contig,
-        |    CASE y.rule WHEN 'ex' THEN pos - 1 WHEN 'lt' THEN pos + 1
-        |                ELSE pos END,
-        |    CASE y.rule WHEN 'rt' THEN substr(ref, 1, length(ref) - 1)
-        |                WHEN 'ex' THEN x.b || substr(ref, 1, length(ref) - 1)
-        |                WHEN 'lt' THEN substr(ref, 2)
-        |                ELSE ref END,
-        |    CASE y.rule WHEN 'rt' THEN substr(alt, 1, length(alt) - 1)
-        |                WHEN 'ex' THEN x.b || substr(alt, 1, length(alt) - 1)
-        |                WHEN 'lt' THEN substr(alt, 2)
-        |                ELSE alt END,
-        |    CASE WHEN y.rule IN ('tr', 'lt') THEN 2 ELSE phase END,
-        |    step + 1
-        |  FROM n,
-        |  LATERAL (SELECT
-        |      (ref <> alt AND substr(ref, length(ref), 1) = substr(alt, length(alt), 1)) AS r_eq,
-        |      (length(ref) > 1 AND length(alt) > 1) AS both_gt1,
-        |      substr('ACGT', (ascii(contig) + pos - 1) % 4 + 1, 1) AS b) x,
-        |  LATERAL (SELECT CASE
-        |      WHEN phase = 1 AND x.r_eq AND x.both_gt1 THEN 'rt'
-        |      WHEN phase = 1 AND x.r_eq AND pos > 1 THEN 'ex'
-        |      WHEN phase = 1 THEN 'tr'
-        |      WHEN length(ref) > 1 AND length(alt) > 1
-        |           AND substr(ref, 1, 1) = substr(alt, 1, 1) THEN 'lt'
-        |      ELSE 'stop' END AS rule) y
-        |  WHERE y.rule <> 'stop')
+        |$normRecursive
         |SELECT variant_id, contig, CAST(pos AS INT) AS pos_start,
+        |       CAST(pos + length(ref) - 1 AS INT) AS pos_end, ref, alt
+        |FROM n
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY variant_id ORDER BY step DESC) = 1""".stripMargin,
+    "variant_split_normalize" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT p_partkey AS orig_id,
+        |         CAST(p_partkey % 4 AS VARCHAR) AS contig,
+        |         CAST((p_partkey * 7) % 5000 + 2 AS INT) AS pos,
+        |         substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1,
+        |                1 + CAST(p_partkey % 3 AS INT)) AS ref,
+        |         $multiAltSql AS altstr
+        |  FROM part),
+        |v0 AS (
+        |  SELECT orig_id * 1000 + idx AS variant_id, contig, pos, ref, alt
+        |  FROM (SELECT orig_id, contig, pos, ref,
+        |          unnest(string_split(altstr, ',')) AS alt,
+        |          generate_subscripts(string_split(altstr, ','), 1) AS idx
+        |        FROM base)),
+        |$normRecursive
+        |SELECT CAST(variant_id // 1000 AS BIGINT) AS variant_id,
+        |       CAST(variant_id % 1000 AS INT) AS allele_idx,
+        |       contig, CAST(pos AS INT) AS pos_start,
         |       CAST(pos + length(ref) - 1 AS INT) AS pos_end, ref, alt
         |FROM n
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY variant_id ORDER BY step DESC) = 1""".stripMargin,
