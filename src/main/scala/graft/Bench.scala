@@ -49,6 +49,18 @@ object Bench {
       val r = Tables.reads(spark, sfDir).limit(2000)
       operators.CoverageOps.blocks(r).count()
       operators.PileupOps.pileup(r, None).count()
+      // Set-algebra family: warm the seeded prefix-scan merge, the
+      // broadcast gate, and the subtract gap-walk window — otherwise
+      // the alphabetically-first set query absorbs their JIT.
+      val ia = Tables.ivA(spark, sfDir).limit(500)
+      val ibSmall = b.limit(200)
+      val chain0 = operators.RangeSetOps.merge(ibSmall)
+        .selectExpr("contig", "pos_start", "pos_end",
+          "concat('L', contig) AS dest_contig", "pos_start % 7 AS offset")
+      operators.RangeSetOps.liftover(ia, chain0, "a_key").count()
+      operators.VariantOps.normalize(
+        ia.selectExpr("a_key AS variant_id", "contig", "pos_start",
+          "'AC' AS ref", "'A' AS alt")).count()
       docs.unpersist(blocking = false)
       emb.unpersist(blocking = false)
       // SourceQueries write their file fixtures (parquet/BED/partitioned
