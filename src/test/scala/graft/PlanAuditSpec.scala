@@ -140,6 +140,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!ann.contains("Exchange"), s"annotate must not shuffle:\n$ann")
   }
 
+  /** Variant normalization is a pure per-row rewrite — its scale claim
+    * ("one typed map, zero shuffles") as a plan shape. */
+  test("variant normalization plans no exchange") {
+    val vn = treeStrings(SparkEntry.queries("variant_normalize")(spark, sf0001)
+      .queryExecution.executedPlan).mkString("\n")
+    assert(!vn.contains("Exchange"), s"normalize must not shuffle:\n$vn")
+  }
+
   /** P4 analogue: the reference pushes `contig + pos range` predicates to
     * the BAI index (`datasources/BAM/AlignmentRelation.scala:316-367`);
     * on parquet the same selective-read behavior comes from row-group
