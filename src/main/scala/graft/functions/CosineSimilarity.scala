@@ -19,9 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * product (norms still use each array's own full length). A zero-norm
   * vector yields NaN (0/0) — deliberately NOT coerced to 0.0, because the
   * oracle contract is bit-parity with DuckDB's `list_cosine_similarity`,
-  * which propagates NaN the same way; NaN also sorts last under
-  * `desc_nulls_last`-style top-k, which is the sane treatment for a
-  * degenerate embedding.
+  * which propagates NaN the same way. CAUTION: both Spark and DuckDB
+  * order NaN as GREATER than every real double, so a raw
+  * `ORDER BY sim DESC` would rank a degenerate zero-norm embedding
+  * FIRST — every ranking consumer in [[graft.operators.EmbeddingOps]]
+  * therefore filters NaN sims out before its rank window ("no direction
+  * ⇒ not a neighbor"), matching the bounded-heap kernels, which skip
+  * zero-norm candidates.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with ExpectsInputTypes {

@@ -60,8 +60,12 @@ object EmbeddingOps {
       queries: DataFrame, k: Int): DataFrame = {
     val qe = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
     val ce = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
+    // NaN (zero-norm degenerate) sims are excluded BEFORE ranking: Spark
+    // orders NaN above every real double, so without the filter a
+    // directionless embedding would outrank true neighbors.
     val sims = candidates.join(broadcast(qe), "q_id").join(ce, "c_id")
       .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .filter(!isnan(col("sim")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -77,6 +81,7 @@ object EmbeddingOps {
     val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
     val sims = c.join(q, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .filter(!isnan(col("sim"))) // degenerate zero-norm vectors never rank
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -442,6 +447,7 @@ object EmbeddingOps {
       .as[(Long, Long, Array[Byte], Array[Byte])]
       .map { case (q, c, qa, ca) => (q, c, int8Cos(qa, ca)) }
       .toDF("q_id", "c_id", "qsim")
+      .filter(col("qsim") =!= -2.0) // zero-norm degenerates never rank
     val m = k * rerankFactor
     val w = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("c_id").asc)
     val pruned = scored.withColumn("qrank", row_number().over(w))
@@ -504,9 +510,13 @@ object EmbeddingOps {
             val qv = qs(qi)._2
             if (qs(qi)._1 != cid) {
               val sim = int8Cos(qv, cq)
-              val h = heaps(qi)
-              if (h.size < m) h.enqueue((sim, cid))
-              else if (worstFirst.lt((sim, cid), h.head)) { h.dequeue(); h.enqueue((sim, cid)) }
+              // -2.0 marks a zero-norm side — degenerate, never a
+              // neighbor (mirrors the NaN filter on the exact paths).
+              if (sim != -2.0) {
+                val h = heaps(qi)
+                if (h.size < m) h.enqueue((sim, cid))
+                else if (worstFirst.lt((sim, cid), h.head)) { h.dequeue(); h.enqueue((sim, cid)) }
+              }
             }
             qi += 1
           }

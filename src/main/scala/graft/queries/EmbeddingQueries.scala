@@ -106,7 +106,7 @@ object EmbeddingQueries {
         |ranked AS (SELECT vec_id, neighbor_id, sim,
         |           ROW_NUMBER() OVER (PARTITION BY vec_id
         |                              ORDER BY sim DESC, neighbor_id) AS rank
-        |           FROM sims)
+        |           FROM sims WHERE NOT isnan(sim))
         |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id
         |FROM ranked WHERE rank <= 3""".stripMargin)
 }

@@ -248,12 +248,16 @@ object StreamingOps {
         val heaps = scala.collection.mutable.HashMap
           .empty[Long, (Timestamp, scala.collection.mutable.PriorityQueue[(Double, Long)])]
         it.foreach { case (q, ts, sim, cid) =>
-          val (_, h) = heaps.getOrElseUpdate(q,
-            (ts, scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)))
-          if (h.size < k) {
-            if (!h.exists(_._2 == cid)) h.enqueue((sim, cid))
-          } else if (worstFirst.lt((sim, cid), h.head) && !h.exists(_._2 == cid)) {
-            h.dequeue(); h.enqueue((sim, cid))
+          // NaN = zero-norm degenerate; never a neighbor (the batch
+          // paths filter the same way, keeping stream == batch).
+          if (!sim.isNaN) {
+            val (_, h) = heaps.getOrElseUpdate(q,
+              (ts, scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)))
+            if (h.size < k) {
+              if (!h.exists(_._2 == cid)) h.enqueue((sim, cid))
+            } else if (worstFirst.lt((sim, cid), h.head) && !h.exists(_._2 == cid)) {
+              h.dequeue(); h.enqueue((sim, cid))
+            }
           }
         }
         heaps.iterator.flatMap { case (q, (ts, h)) =>

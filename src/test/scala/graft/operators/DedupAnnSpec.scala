@@ -138,6 +138,31 @@ class DedupAnnSpec extends SparkSpec {
     assert(probed === direct, "probe-only path must answer identically from the artifact")
   }
 
+  test("a zero-norm embedding never ranks as a neighbor on any path") {
+    import graft.SharedSpark.spark.implicits._
+    // 6 real vectors + one all-zero degenerate; ask for top-5 so the
+    // degenerate WOULD appear if merely ranked low instead of excluded.
+    val base = (0L until 6L).map(i =>
+      (i, Seq.tabulate(8)(j => (((i + 1) * (j + 2)) % 7 + 1).toFloat)))
+    val corpus = (base :+ ((99L, Seq.fill(8)(0.0f)))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(EmbeddingOps.exactTopK(corpus, queries, 5))
+    assert(!exact.contains(99L), s"exact ranked the zero vector: $exact")
+    assert(exact.size === 5 && exact.subsetOf(Set(0L, 1L, 2L, 3L, 4L, 5L)),
+      s"top-5 must be real vectors only: $exact")
+    val quant = ids(EmbeddingOps.quantizedTopK(corpus, queries, 5))
+    assert(!quant.contains(99L), s"quantized ranked the zero vector: $quant")
+    val ivf = ids(EmbeddingOps.ivfTopK(corpus, queries, 5, nLists = 1))
+    assert(!ivf.contains(99L), s"ivf ranked the zero vector: $ivf")
+    // A zero-norm QUERY has no direction either: no output rows.
+    val zq = corpus.filter(col("vec_id") === 99L)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    assert(EmbeddingOps.exactTopK(corpus, zq, 3).count() === 0L)
+  }
+
   test("IVF+int8: huge rerankFactor degenerates to ivfTopKWith; default keeps recall") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 20)
