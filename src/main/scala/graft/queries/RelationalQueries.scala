@@ -56,6 +56,21 @@ object RelationalQueries {
           exactRoundedSum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders"))
     },
+    // Supplier rollup through the region/nation dims (closes the table
+    // matrix: every driver-provided table now has an oracle-checked
+    // query). Broadcast dim joins + exact decimal balance sums.
+    "q5_supplier_stats" -> { (s, dir) =>
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          exactRoundedSum(col("s_acctbal")).as("total_acctbal"),
+          round(min(col("s_acctbal")), 2).as("min_acctbal"),
+          round(max(col("s_acctbal")), 2).as("max_acctbal"))
+    },
     // Top-k: orderBy + limit → Spark plans TakeOrderedAndProject (no full
     // sort shuffle). Deterministic tie-break on the unique key.
     "topk_orders" -> { (s, dir) =>
@@ -216,6 +231,15 @@ object RelationalQueries {
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q5_supplier_stats" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+        | CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_acctbal,
+        | ROUND(MIN(s_acctbal), 2) AS min_acctbal,
+        | ROUND(MAX(s_acctbal), 2) AS max_acctbal
+        |FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
     "topk_orders" ->
