@@ -130,9 +130,12 @@ class GraftSession(val spark: SparkSession) {
   /** UCSC-liftOver-style translation through a chain of
     * `(contig, pos_start, pos_end, dest_contig, offset)` blocks: mapped
     * pieces shift into the destination space, uncovered pieces come out
-    * as `unmapped` rows with source coordinates. */
-  def liftover(a: DataFrame, chain: DataFrame, aKey: String): DataFrame =
-    RangeSetOps.liftover(a, chain, aKey)
+    * as `unmapped` rows with source coordinates. `assumeDisjoint = false`
+    * re-merges the block spans for the unmapped walk when the chain is
+    * unvetted (real UCSC chains are disjoint; the default trusts that). */
+  def liftover(a: DataFrame, chain: DataFrame, aKey: String,
+      assumeDisjoint: Boolean = true): DataFrame =
+    RangeSetOps.liftover(a, chain, aKey, assumeDisjoint)
 
   /** bedtools-intersect (pairwise): overlapping `(a, b)` pairs clipped to
     * the shared bases, carrying the named passthrough columns. */

@@ -34,10 +34,23 @@ object Tables {
     * isAdjustedToUTC=false), which Spark infers as TIMESTAMP_NTZ. Accept
     * both and normalize to a UTC-instant TimestampType with exact integer
     * micros (`div`, not `/` — double division loses precision above
-    * 2^53 ns). */
+    * 2^53 ns).
+    *
+    * The NANOS encoding needs `spark.sql.legacy.parquet.nanosAsLong=true`
+    * ON THE SESSION — set by the Verify/Bench/test builders, NOT mutated
+    * here: r6 set it as a side effect of loading one table, which is
+    * surprising in a shared session (ADVICE r6); loading a table must not
+    * change how other reads behave. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
+    val raw =
+      try table(spark, dir, "events")
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") =>
+          throw new IllegalStateException(
+            "events.parquet uses parquet TIMESTAMP(NANOS); set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true when building the session " +
+              "(graft.Verify/Bench and the test harness do)", e)
+      }
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // NTZ wall time means UTC in this dataset. `cast(TimestampType)`

@@ -621,18 +621,39 @@ object DedupOps {
       .filter(col("n_copies") > 1)
       .select(col("keep_id"), col("n_copies"))
 
+  /** Token hash for SimHash: two independent polynomial hashes mod a
+    * 31-bit prime, packed `(h1 << 32) | h2` — 62 usable fingerprint bits
+    * (bits 31 and 63 are always 0; the block-pair banding guarantee is
+    * unaffected and two constant bits cost nothing at Hamming time).
+    *
+    * Deliberately NOT [[baseHash]]: fmix64's overflowing 64-bit
+    * multiplies have no DuckDB counterpart, while this form is exactly
+    * `list_reduce` over code points — making `dedup_simhash` fully
+    * oracle-checkable the same way `text_winnow_fp` is (r6 VERDICT #3).
+    * Distribution of mod-p polynomial hashes is ample for counter
+    * voting; candidates are verified by exact Hamming distance anyway. */
+  private[graft] def simTokenHash(s: String): Long = {
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toLong
+      h1 = (h1 * 257 + c) % 2147483647L
+      h2 = (h2 * 263 + c) % 2147483629L
+      i += 1
+    }
+    (h1 << 32) | h2
+  }
+
   /** (doc_id, simhash: long) — 64-bit SimHash over word tokens: bit b of
     * the fingerprint is the sign of sum over tokens of ±1 depending on bit
-    * b of the token hash.
+    * b of the token hash ([[simTokenHash]] — oracle-reproducible).
     *
     * Computed in a typed `mapPartitions` kernel (same hot-kernel reasoning
     * as [[minhashSignatures]]): hash each token once, update 64 counters
     * in a tight loop. The previous explode + 64 conditional-sum aggregates
     * evaluated 64 branch expressions per token row and shuffled the
     * exploded tokens; here the only movement is the gated spread that
-    * parallelizes few-split inputs (no-op on an already-parallel corpus).
-    * Fingerprints need no cross-engine reproducibility — pairs are
-    * verified by Hamming distance on the fingerprints themselves. */
+    * parallelizes few-split inputs (no-op on an already-parallel corpus). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -642,7 +663,7 @@ object DedupOps {
         it.map { case (id, text) =>
           val counters = new Array[Int](64)
           text.trim.toLowerCase.split("\\s+").foreach { t =>
-            val h = baseHash(t)
+            val h = simTokenHash(t)
             var b = 0
             while (b < 64) {
               if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1

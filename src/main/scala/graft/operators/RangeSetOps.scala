@@ -42,17 +42,6 @@ import scala.collection.mutable
   */
 object RangeSetOps {
 
-  /** Broadcast-or-not for a merged-run build side, decided on the
-    * ORIGINAL input's Catalyst size estimate (merged runs are never
-    * larger than their input, so input-fits ⇒ runs-fit; the runs frame
-    * itself carries unknown/huge stats because part of it is
-    * driver-parallelized). Under the engine's broadcast budget the runs
-    * broadcast — the common genomics case, keeping the stream side's
-    * partitioning intact for downstream windows. Over it (an adversarial
-    * subtrahend with tens of millions of disjoint runs) the hint is
-    * dropped and the interval-join strategy takes its bin-range shuffle
-    * path for the same join shape — nothing is force-collected to the
-    * driver (r5 ADVICE). */
   /** Should this (run-set-shaped) build side broadcast? Input stats when
     * they prove it fits; otherwise one cheap count × a schema-derived
     * row-width estimate. Stats are large OR unknown exactly when the
@@ -61,7 +50,11 @@ object RangeSetOps {
     * would demote the COMMON case (a compressed run set) to the shuffle
     * path, and merge has already materialized/persisted its heavy
     * lineage by then, so the count is a pass over cached partitions (or
-    * parquet metadata for a raw assumeDisjoint side), never a recompute. */
+    * parquet metadata for a raw assumeDisjoint side), never a recompute.
+    * When the answer is no (an adversarial side with tens of millions of
+    * disjoint runs), the hint is dropped and the interval-join strategy
+    * takes its bin-range shuffle path for the same join shape — nothing
+    * is force-collected to the driver (r5 ADVICE). */
   private def shouldBroadcast(runs: DataFrame, sizeProxy: DataFrame): Boolean = {
     val maxBytes = sizeProxy.sparkSession.conf
       .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
@@ -375,9 +368,14 @@ object RangeSetOps {
     * keeping their source coordinates (the liftOver "unmapped" file).
     * `(aKey, contig, pos_start, pos_end)` must identify `a` rows
     * uniquely. Chain-block disjointness is a CONTRACT (real UCSC chains
-    * satisfy it), which lets the unmapped walk run [[subtract]] with
-    * `assumeDisjoint` — the chain is never re-merged here, so a caller
-    * that built it via [[merge]] pays for exactly one merge.
+    * satisfy it), surfaced as `assumeDisjoint = true`: the chain is not
+    * re-merged, so a caller that built it via [[merge]] pays for exactly
+    * one merge. A caller with an UNVETTED chain passes
+    * `assumeDisjoint = false` and the unmapped gap-walk re-merges the
+    * block spans first (overlapping blocks would otherwise yield wrong
+    * unmapped output — the gap walk is only correct over disjoint runs;
+    * mapped rows are unaffected either way, each overlapping block
+    * legitimately produces its own mapping).
     *
     * Strand: an optional `strand` column ('+'/'-', absent = all '+')
     * models the chain blocks that align to the reverse strand of the
@@ -393,7 +391,8 @@ object RangeSetOps {
     * unmapped pieces are exactly [[subtract]](a, chain). Chain blocks
     * broadcast like any annotation set (size-gated, bin-range fallback);
     * the 100 TB side streams. */
-  def liftover(a: DataFrame, chain: DataFrame, aKey: String): DataFrame = {
+  def liftover(a: DataFrame, chain: DataFrame, aKey: String,
+      assumeDisjoint: Boolean = true): DataFrame = {
     val withStrand =
       if (chain.columns.contains("strand")) chain
       else chain.withColumn("strand", lit("+"))
@@ -417,7 +416,8 @@ object RangeSetOps {
           .otherwise(clipS + col("_off")).cast("int").as("pos_start"),
         when(col("_strand") === "-", col("_off") - clipS)
           .otherwise(clipE + col("_off")).cast("int").as("pos_end"))
-    val runRows = chain.select(col("contig").as("_bc"),
+    val runSrc = if (assumeDisjoint) chain else merge(chain)
+    val runRows = runSrc.select(col("contig").as("_bc"),
       col("pos_start").as("_bs"), col("pos_end").as("_be"))
     val unmapped = subtractRuns(a,
         if (bcastChain) broadcast(runRows) else runRows, aKey)

@@ -56,12 +56,15 @@ object VariantOps {
     * multi-allelic rows, then left-align each allele independently.
     * Output adds `allele_idx`; the identity passes through [[normalize]]
     * packed as `variant_id * 1000 + allele_idx` (≥1000 alts on one row
-    * fails loudly — the VCF spec's practical ceiling is far below). */
+    * fails loudly — the VCF spec's practical ceiling is far below; and
+    * `variant_id` must be ≥ 0, also enforced loudly — a negative id
+    * would silently corrupt the div/% unpacking, r6 ADVICE). */
   def decomposeAndNormalize(variants: DataFrame): DataFrame = {
     val sp = splitMultiallelic(variants)
-      .withColumn("_chk", assert_true(col("allele_idx") < 1000,
-        concat(lit("decomposeAndNormalize: >=1000 alt alleles on variant_id="),
-          col("variant_id"))))
+      .withColumn("_chk", assert_true(col("allele_idx") < 1000 && col("variant_id") >= 0,
+        concat(lit("decomposeAndNormalize: needs variant_id >= 0 and < 1000 alt "),
+          lit("alleles per row; got variant_id="), col("variant_id"),
+          lit(" allele_idx="), col("allele_idx"))))
       .filter(col("_chk").isNull).drop("_chk")
     normalize(sp.select(
         (col("variant_id") * 1000 + col("allele_idx")).as("variant_id"),

@@ -6,9 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Training-data dedup queries over the documents corpus (with
   * deterministically injected duplicates — see [[graft.Tables.corpus]]).
-  * `dedup_simhash` has no SQL oracle (DuckDB's hash function differs), so
-  * the driver records a rows-only check; its semantics are covered by
-  * ScalaTest instead.
+  * Every query here is oracle-checked — including `dedup_simhash`, whose
+  * token hash ([[graft.operators.DedupOps.simTokenHash]]) is a two-prime
+  * polynomial chosen to be bit-for-bit expressible as a DuckDB
+  * `list_reduce`, the `text_winnow_fp` fingerprint-oracle pattern; the
+  * oracle then brute-forces all Hamming<=6 pairs, which the block-pair
+  * banding's recall-1.0 guarantee makes set-equal to the banded result.
   */
 object DedupQueries {
 
@@ -94,6 +97,34 @@ object DedupQueries {
          |    / len(list_distinct(a.st || b.st)) AS jaccard
          |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin,
+    // Bit-for-bit mirror of DedupOps.simhashSignatures: same token split,
+    // same two-prime polynomial token hash (257 mod 2147483647 packed over
+    // 263 mod 2147483629), same sign-of-counter-sum fingerprint. Pairs are
+    // brute-forced (the corpus is small at oracle SF) — exact vs the
+    // banded Spark plan because block-pair banding has recall 1.0 for
+    // Hamming <= 6 by pigeonhole.
+    "dedup_simhash" ->
+      s"""WITH ${OracleCtes.corpus},
+         |toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),
+         |th AS (SELECT doc_id,
+         |  list_reduce([CAST(0 AS BIGINT)] || [ord(tok[i]) for i in generate_series(1, len(tok))],
+         |              (h, c) -> (h * 257 + c) % 2147483647) * 4294967296
+         |  + list_reduce([CAST(0 AS BIGINT)] || [ord(tok[i]) for i in generate_series(1, len(tok))],
+         |              (h, c) -> (h * 263 + c) % 2147483629) AS h
+         |  FROM (SELECT doc_id, unnest(w) AS tok FROM toks)),
+         |bits AS (
+         |  SELECT doc_id, bb.b,
+         |    SUM(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+         |  GROUP BY doc_id, bb.b),
+         |fps AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 6""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH ${OracleCtes.corpus},
          |words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),

@@ -326,7 +326,7 @@ object RelationalQueries {
         |  SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
         |  FROM n)
-        |SELECT user_id, sess_idx, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx, COUNT(*) AS n_events,
         |  (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, sess_idx""".stripMargin)

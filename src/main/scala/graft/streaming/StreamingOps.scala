@@ -327,14 +327,27 @@ object StreamingOps {
     * time bound, stream-stream join state grows forever. State per
     * executor is O(rows in the time band of its contig partitions),
     * independent of stream length — the property that lets this run
-    * indefinitely. */
+    * indefinitely (pinned by StreamingSpec's bounded-state test).
+    *
+    * The overlap residual is deliberately the single-conjunct
+    * `greatest(starts) <= least(ends)` form, not the two-conjunct
+    * `l.end >= r.start && l.start <= r.end`: Spark's
+    * `StreamingJoinHelper` inspects every cross-stream comparison
+    * conjunct for a state-cleanup constraint, and a conjunct with ONE
+    * attribute per side reaches the constant-term eval, which throws
+    * `Cannot evaluate expression: pos_start` and logs an INTERNAL_ERROR
+    * warning every micro-batch (r6 VERDICT #2). A conjunct with two
+    * attributes on a side is skipped silently (the helper's
+    * more-than-one-attribute early return), so this form yields the same
+    * join with the same band-derived state eviction and clean logs. */
   def joinStreams(left: Dataset[StreamRead], right: Dataset[StreamRead],
       watermark: String = "2 hours", band: String = "1 hour"): DataFrame = {
     val l = left.toDF().withWatermark("ts", watermark).alias("l")
     val r = right.toDF().withWatermark("ts", watermark).alias("r")
     l.join(r,
       col("l.contig") === col("r.contig") &&
-      col("l.pos_end") >= col("r.pos_start") && col("l.pos_start") <= col("r.pos_end") &&
+      greatest(col("l.pos_start"), col("r.pos_start")) <=
+        least(col("l.pos_end"), col("r.pos_end")) &&
       col("r.ts") >= col("l.ts") - expr(s"INTERVAL $band") &&
       col("r.ts") <= col("l.ts") + expr(s"INTERVAL $band"))
       .select(col("l.contig").as("contig"),

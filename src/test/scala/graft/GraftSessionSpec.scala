@@ -58,6 +58,18 @@ class GraftSessionSpec extends SparkSpec {
     assert(gs.chunk(docs, chunkTokens = 32, overlapTokens = 8).count() >= docs.count())
   }
 
+  test("loading events mutates no session conf (r6 ADVICE twin of the r5 timezone fix)") {
+    // Targeted keys rather than conf.getAll: suites may run in parallel in
+    // this JVM, and these two are the ones table loads have historically
+    // leaked (r5: session.timeZone, r6: nanosAsLong).
+    val keys = Seq("spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    Tables.events(spark, sf0001).count()
+    Tables.eventsUs(spark, sf0001).count()
+    val after = keys.map(k => k -> spark.conf.getOption(k))
+    assert(after === before)
+  }
+
   test("facade operators run end-to-end") {
     val gs = GraftSession(spark)
     val docs = Tables.corpus(spark, sf0001)

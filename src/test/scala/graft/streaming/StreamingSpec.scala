@@ -228,6 +228,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join state is bounded: eviction keeps rows out of state") {
+    // r6 VERDICT #2: the scaladoc promises watermark-bounded state; this
+    // pins it. Five batches, each 6h later in event time, each adding 2+2
+    // rows; the 2h watermark + ±1h band make every batch's rows evictable
+    // two batches later, so total state must stay far below the 20 rows
+    // ingested — a join whose state grows with stream length would fail.
+    import graft.SharedSpark.spark.implicits._
+    val inL = MemoryStream[StreamingOps.StreamRead]
+    val inR = MemoryStream[StreamingOps.StreamRead]
+    val query = StreamingOps.joinStreams(inL.toDS(), inR.toDS())
+      .writeStream.format("memory").queryName("ssjoin_state").outputMode("append").start()
+    val stateSizes = (0 until 5).map { i =>
+      val t = ts(i * 360 + 10)
+      inL.addData(StreamingOps.StreamRead("1", 100, 200, t),
+        StreamingOps.StreamRead("2", 300, 400, t))
+      inR.addData(StreamingOps.StreamRead("1", 150, 160, t),
+        StreamingOps.StreamRead("3", 100, 110, t))
+      query.processAllAvailable()
+      // One more empty micro-batch so eviction for the just-advanced
+      // watermark lands before we read the gauge.
+      query.processAllAvailable()
+      query.lastProgress.stateOperators.head.numRowsTotal
+    }
+    try {
+      // Every batch matches within itself (contig 1 overlap, same ts), so
+      // output grows; state must not.
+      assert(spark.table("ssjoin_state").count() === 5)
+      // Plateau: the last batches hold no more state than the second one,
+      // and nothing approaches the 20-row ingest total.
+      assert(stateSizes.last <= stateSizes(1),
+        s"state should plateau, got $stateSizes")
+      assert(stateSizes.max < 20, s"state must stay below total ingested rows, got $stateSizes")
+    } finally query.stop()
+  }
+
   test("streaming windowed coverage equals the batch windowed operator") {
     import graft.SharedSpark.spark.implicits._
     val reads = Seq(

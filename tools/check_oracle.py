@@ -13,7 +13,13 @@ Driver parity rules enforced here:
  - non-scalar (list/struct/map) result columns are a hard FAIL: the
    driver's pandas sort raises `unhashable type: numpy.ndarray` on them
    (CORRECTNESS_r05 `pipeline_tokenize`), so a query surface must render
-   arrays to strings before it is driver-comparable.
+   arrays to strings before it is driver-comparable;
+ - dtype parity (r6's hash-red class): the driver's hash is dtype
+   sensitive, so a DuckDB HUGEINT window sum that pandas renders as
+   float64 against a Spark int64 column hash-mismatches even when every
+   value compares equal (CORRECTNESS_r06 `events_sessionize`). We compare
+   pandas-level dtype KINDS (int/float/bool/datetime/object) of the
+   DuckDB `fetch_df()` result vs the Spark parquet read and FAIL on skew.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [nameRegex]
 (nameRegex restricts the compare for local iteration against a filtered
@@ -30,6 +36,24 @@ def canon(rows, cols):
     for r in rows:
         out.append(tuple(r[i] for i in idx))
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+def dtype_kind(dt):
+    # numpy dtype -> coarse kind; the driver's hash conflates nothing
+    # across these buckets, so any cross-bucket skew is a driver red.
+    k = getattr(dt, "kind", "?")
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "datetime", "O": "object"}.get(k, "other")
+
+def dtype_skew(spark_df, duck_df, cols):
+    """Columns whose pandas dtype kind differs between the Spark parquet
+    (read the way the driver reads it) and the DuckDB fetch_df result."""
+    bad = []
+    for c in cols:
+        ks = dtype_kind(spark_df.dtypes[c])
+        kd = dtype_kind(duck_df.dtypes[c])
+        if ks != kd:
+            bad.append(f"{c}: spark={spark_df.dtypes[c]}({ks}) duck={duck_df.dtypes[c]}({kd})")
+    return bad
 
 def eq(a, b):
     # bools vs ints must not conflate (True == 1 in python); everything
@@ -79,6 +103,14 @@ def main():
         dc, dr = canon(duck_rows, duck_cols)
         if sc != dc:
             print(f"FAIL {qname}: schema mismatch spark={sc} duck={dc}"); n_bad += 1; continue
+        try:
+            skew = dtype_skew(tbl.to_pandas(), con.execute(sql).fetch_df(), sc)
+        except Exception as e:
+            print(f"FAIL {qname}: dtype check error: {e}"); n_bad += 1; continue
+        if skew:
+            print(f"FAIL {qname}: dtype skew {skew} — the driver hash is "
+                  "dtype-sensitive; CAST the oracle column to the Spark type")
+            n_bad += 1; continue
         if len(sr) != len(dr):
             print(f"FAIL {qname}: rowcount spark={len(sr)} duck={len(dr)}"); n_bad += 1; continue
         bad = None
