@@ -16,6 +16,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // The shuffle-scale bin-range rewrite runs as a LOGICAL rule so AQE
+    // can fold stages back and skew-split a hot contig at runtime; the
+    // strategy handles broadcast-forest planning and keeps a bin-range
+    // fallback (see BinRangeLogicalRule's scaladoc for why placement
+    // decides whether OptimizeSkewedJoin can ever fire).
+    ext.injectPreCBORule(plans.BinRangeLogicalRule(_))
     ext.injectPlannerStrategy(IntervalJoinStrategy(_))
     ext.injectPlannerStrategy(plans.GenomicStrategy(_))
     functions.GraftFunctions.registrations.foreach(ext.injectFunction)

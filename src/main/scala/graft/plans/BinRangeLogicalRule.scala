@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, Join, LogicalPlan, BROADCAST}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Applies [[BinRangeRewrite]] at LOGICAL optimization time (injected as a
+  * pre-CBO rule) rather than inside the planner strategy.
+  *
+  * Why the placement matters — AQE re-optimization: when a strategy emits
+  * `planLater(rewrittenLogical)`, the physical stages link to logical
+  * nodes that do NOT exist in `AdaptiveSparkPlanExec`'s logical plan (it
+  * holds the ORIGINAL interval join). AQE then cannot fold materialized
+  * stages back into the logical plan, `reOptimize` never runs, and every
+  * runtime optimization this engine's scaladocs promise for the shuffle
+  * path — skew-join splitting of a hot contig above all — silently never
+  * applies (verified: no `LogicalQueryStage` stats, `isSkewJoin=false`
+  * even under forced skew confs). Rewriting in the optimizer puts the
+  * Generate + equi-Join into the logical plan itself, so stages map back,
+  * replanning works, and `OptimizeSkewedJoin` fires exactly as it does
+  * for any stock equi-join (pinned by IntervalJoinSpec's AQE skew test).
+  *
+  * The decision mirrors [[IntervalJoinStrategy]]'s Inner-join mode
+  * selection (method/buildSide/maxBroadcastBytes confs, broadcast hints,
+  * Catalyst stats); the strategy keeps its own `sqlBinRange` branch as a
+  * fallback for sessions that register the strategy without this rule,
+  * and refuses joins this rule already rewrote via
+  * [[BinRangeRewrite.isRewriteJoin]].
+  */
+case class BinRangeLogicalRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def conf(key: String, default: String): String =
+    session.conf.get(s"spark.graft.rangejoin.$key", default)
+
+  private def hinted(h: Option[HintInfo]): Boolean =
+    h.exists(_.strategy.contains(BROADCAST))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf("enabled", "true").toBoolean) return plan
+    if (conf("binrangeImpl", "sql") != "sql") return plan
+    plan.transformUp {
+      case j @ Join(_, _, Inner, Some(_), _) =>
+        ExtractIntervalJoin.unapply(j) match {
+          case Some((left, right, Inner, keys, hint))
+              if !left.isStreaming && !right.isStreaming &&
+                !BinRangeRewrite.isRewriteJoin(keys) =>
+            val (hintLeft, hintRight) = (hinted(hint.leftHint), hinted(hint.rightHint))
+            val buildLeft =
+              if (hintLeft && !hintRight) true
+              else if (hintRight && !hintLeft) false
+              else conf("buildSide", "auto") match {
+                case "left" => true
+                case "right" => false
+                case _ => left.stats.sizeInBytes <= right.stats.sizeInBytes
+              }
+            val buildSize = if (buildLeft) left.stats.sizeInBytes else right.stats.sizeInBytes
+            val maxBroadcast = conf("maxBroadcastBytes", (256L << 20).toString).toLong
+            val buildHinted = if (buildLeft) hintLeft else hintRight
+            val binRange = conf("method", "auto") match {
+              case "binrange" | "twophase" => true
+              case "broadcast" => false
+              case _ if buildHinted => false
+              case _ => buildSize > maxBroadcast
+            }
+            if (binRange) {
+              val minOverlap = conf("minOverlap", "1").toInt
+              val maxGap = conf("maxGap", "0").toInt
+              val binWidth = conf("binWidth", "300").toInt
+              BinRangeRewrite.rewrite(
+                left, right, keys, buildLeft, minOverlap, maxGap, binWidth)
+            } else j
+          case _ => j
+        }
+    }
+  }
+}

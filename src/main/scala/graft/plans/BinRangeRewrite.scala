@@ -63,7 +63,12 @@ object BinRangeRewrite {
     val lo = floorDiv(Subtract(Least(Seq(asLong(s), asLong(e))), Literal(widen.toLong)), binW)
     val hi = floorDiv(Add(Greatest(Seq(asLong(s), asLong(e))), Literal(widen.toLong)), binW)
     val binAttr = AttributeReference(attrName, LongType, nullable = false)()
-    val gen = Generate(Explode(new Sequence(lo, hi)), unrequiredChildIndex = Nil,
+    // timeZoneId must be set: a TimeZoneAwareExpression with None counts
+    // as UNRESOLVED, and the optimizer's plan validator rejects a rule
+    // output containing it (the value is irrelevant for a Long sequence).
+    val seq = new Sequence(lo, hi).withTimeZone(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binAttr), child = plan)
     (gen, binAttr)
   }

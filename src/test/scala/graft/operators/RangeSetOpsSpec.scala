@@ -141,6 +141,36 @@ class RangeSetOpsSpec extends SparkSpec {
       (2L, "unmapped", "2", 5, 8)))     // contig absent from the chain
   }
 
+  test("liftover: assumeDisjoint=false re-merges an overlapping chain for the unmapped walk") {
+    // r6 ADVICE: the disjointness contract is now an explicit parameter.
+    // Chain block [10,14] is CONTAINED in [1,25] — the violation shape
+    // the merge-free gap walk actually mis-handles (a plain overlap is
+    // absorbed by its running max, but a contained block ends the walk
+    // early and re-emits covered bases as unmapped).
+    // assumeDisjoint=false merges the spans to [1,25] first, so only the
+    // truly uncovered [26,30] comes out unmapped; mapped rows (one per
+    // overlapping block, the inherent semantics of an ambiguous chain)
+    // are identical either way.
+    import graft.SharedSpark.spark.implicits._
+    val a = Seq((1L, "1", 10, 30)).toDF("a_key", "contig", "pos_start", "pos_end")
+    val chain = Seq(
+      ("1", 1, 25, "L1", 100),   // covers [10,25] -> [110,125]
+      ("1", 10, 14, "L2", 200))  // covers [10,14] -> [210,214], inside L1
+      .toDF("contig", "pos_start", "pos_end", "dest_contig", "offset")
+    val out = RangeSetOps.liftover(a, chain, "a_key", assumeDisjoint = false).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3), r.getInt(4))).toSet
+    assert(out === Set(
+      (1L, "mapped", "L1", 110, 125),
+      (1L, "mapped", "L2", 210, 214),
+      (1L, "unmapped", "1", 26, 30)))
+    val trusted = RangeSetOps.liftover(a, chain, "a_key").collect()
+      .filter(_.getString(1) == "unmapped")
+      .map(r => (r.getInt(3), r.getInt(4))).toSet
+    // The default trusts a contract this chain violates: the walk ends at
+    // the contained block's end (14) and re-emits covered bases.
+    assert(trusted !== Set((26, 30)), s"expected the trusting default to mis-walk, got $trusted")
+  }
+
   test("subtract/merge/complement interlock: a - b == a intersect complement-closure") {
     // Differential law on fixture data: every subtracted fragment must be
     // disjoint from every merged b-run, and fragments + clipped overlaps

@@ -457,6 +457,57 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("binrange under AQE: a hot contig's skewed partition is split at runtime") {
+    // The 100x-scale claim the bin-range design makes (r6 VERDICT
+    // stretch): because the rewrite is a pure Catalyst equi-join on
+    // (contig, bin), AQE's skew-join optimization applies to it
+    // unmodified — a hot contig that lands 95% of rows in one shuffle
+    // partition is split into parallel chunks at runtime, which a
+    // hand-scheduled RDD cogroup would never get. Thresholds are scaled
+    // down so the test corpus trips the same machinery a hot chromosome
+    // would at cluster scale.
+    import graft.SharedSpark.spark.implicits._
+    val rnd = new Random(77)
+    val a = (0 until 6000).map { i =>
+      val c = if (i % 20 != 0) "1" else (2 + i % 3).toString
+      val s = rnd.nextInt(200) + 1
+      (i.toLong, c, s, s + rnd.nextInt(30))
+    }.toDF("a_key", "contig", "pos_start", "pos_end")
+    val b = (0 until 150).map { i =>
+      val s = rnd.nextInt(200) + 1
+      ((i + 100000).toLong, (1 + i % 4).toString, s, s + rnd.nextInt(30))
+    }.toDF("b_key", "contig", "pos_start", "pos_end")
+    val confs = Seq(
+      "spark.graft.rangejoin.method" -> "binrange",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // 8k sits between the probe side's hot partition (~3 KB) and the
+      // stream side's (~100 KB): only one side reads as skewed —
+      // OptimizeSkewedJoin skips partitions skewed on BOTH sides.
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k")
+    def withConfs[T](cs: Seq[(String, String)])(f: => T): T = cs match {
+      case Nil => f
+      case (k, v) +: rest => withConf(k, v)(withConfs(rest)(f))
+    }
+    val (n, planText) = withConfs(confs) {
+      val df = joined(a, b)
+      // collect() (not count()) so the AQE final plan belongs to THIS
+      // queryExecution — count() plans a separate aggregate query.
+      val n = df.collect().length
+      (n, physical(df).toString)
+    }
+    val stock = withConf("spark.graft.rangejoin.enabled", "false") {
+      joined(a, b).count()
+    }
+    assert(n === stock, "skew-split plan must not change the result")
+    assert(planText.contains("skew=true") || planText.contains("isSkewJoin=true"),
+      s"expected AQE to mark the hot-contig join skewed:\n$planText")
+  }
+
   test("binrange outer dedups pairs spanning many bins (tiny binWidth)") {
     val a = randomIntervals(200, 65, "a_key")
     val b = randomIntervals(30, 66, "b_key")
