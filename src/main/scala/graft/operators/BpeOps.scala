@@ -160,6 +160,32 @@ object BpeOps {
       .toDF("rank", "left", "right", "merged", "pair_freq")
   }
 
+  /** A fixed, deterministic merge table (common English merges, rank
+    * order) for oracle-checking the ENCODE kernel: [[bpeEncode]] is a
+    * pure function of (corpus, merges), so encoding with this fixture is
+    * exactly SQL-expressible (a DuckDB recursive CTE iterating
+    * boundary-safe replace to fixpoint per rule — equivalent to
+    * [[applyMerge]]'s single greedy left-to-right pass because a merge
+    * can never create a new occurrence of its own pair). The TRAINED
+    * table's encode path stays differentially covered by BpeSpec. */
+  val FixtureMerges: Seq[(Int, String, String, String)] = Seq(
+    (1, "e", EndOfWord, s"e$EndOfWord"), (2, "t", "h", "th"),
+    (3, "th", s"e$EndOfWord", s"the$EndOfWord"), (4, "i", "n", "in"),
+    (5, "a", "n", "an"), (6, "o", "n", "on"), (7, "e", "r", "er"),
+    (8, "r", "e", "re"), (9, "a", "t", "at"),
+    (10, "s", EndOfWord, s"s$EndOfWord"), (11, "d", EndOfWord, s"d$EndOfWord"),
+    (12, "in", "g", "ing"), (13, "ing", EndOfWord, s"ing$EndOfWord"),
+    (14, "o", "r", "or"), (15, "t", EndOfWord, s"t$EndOfWord"),
+    (16, "an", s"d$EndOfWord", s"and$EndOfWord"), (17, "o", "f", "of"),
+    (18, "of", EndOfWord, s"of$EndOfWord"), (19, "t", "o", "to"),
+    (20, "c", "o", "co"))
+
+  /** [[FixtureMerges]] as the merge-table frame [[bpeEncode]] accepts. */
+  def fixtureMerges(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    FixtureMerges.toDF("rank", "left", "right", "merged")
+  }
+
   /** Apply a learned merge table to encode documents: per word, start
     * from characters + `</w>` and replay merges in rank order (the
     * standard inference rule). Output per doc:

@@ -152,11 +152,13 @@ object TextQueries {
     "pipeline_bpe" -> { (s, dir) =>
       BpeOps.trainBpe(Tables.documents(s, dir), numMerges = 32, batch = 8)
     },
-    // Encode the corpus with the learned merges: per-doc word/piece/char
-    // counts (tokenizer fertility report). Rows-only, spec-bounded.
+    // Encode the corpus with a FIXED merge table: per-doc word/piece/char
+    // counts (tokenizer fertility report). Fixture merges (not trained
+    // in-query) make the encode kernel fully oracle-checkable — a DuckDB
+    // recursive CTE replays the same rules (r6 VERDICT stretch #7); the
+    // trained-merge composition stays spec-covered in BpeSpec.
     "pipeline_bpe_encode" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      BpeOps.bpeEncode(docs, BpeOps.trainBpe(docs, numMerges = 32, batch = 8))
+      BpeOps.bpeEncode(Tables.documents(s, dir), BpeOps.fixtureMerges(s))
     },
     // Per-source corpus report — the at-a-glance table a curation run
     // publishes per snapshot. Mean is integer-sum / count (exact in any
@@ -292,6 +294,47 @@ object TextQueries {
         |    [ list_min(hs[s : s + 3]) for s in generate_series(1, greatest(1, len(hs) - 3)) ] AS fps
         |  FROM grams WHERE len(hs) >= 1)
         |SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins""".stripMargin,
+    // Bit-for-bit mirror of BpeOps.bpeEncode over the FixtureMerges
+    // table (interpolated below from the same Scala value — one source
+    // of truth). Encoding state is the space-joined symbol string with
+    // sentinel spaces; each recursion step applies the current rule's
+    // boundary-safe replace-all and stays on the rule until fixpoint.
+    // Iterated replace-all == applyMerge's single greedy left-to-right
+    // pass: replace-all is left-to-right non-overlapping, the skipped
+    // boundary-sharing occurrences are exactly the non-overlapping pairs
+    // a later iteration picks up, and a merge never creates a new
+    // occurrence of its own pair (merged = left+right is longer than
+    // either side).
+    "pipeline_bpe_encode" -> {
+      val vals = graft.operators.BpeOps.FixtureMerges
+        .map { case (r, l, ri, m) => s"($r,'$l','$ri','$m')" }.mkString(", ")
+      s"""WITH RECURSIVE
+         |rules(rank, l, r, m) AS (VALUES $vals),
+         |dw AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |vocab AS (SELECT DISTINCT w FROM dw),
+         |enc AS (
+         |  SELECT w, ' ' || array_to_string([w[i] for i in generate_series(1, len(w))], ' ') || ' </w> ' AS s, 1 AS rk
+         |  FROM vocab
+         |  UNION ALL
+         |  SELECT e.w,
+         |    CASE WHEN position((' ' || ru.l || ' ' || ru.r || ' ') IN e.s) > 0
+         |         THEN replace(e.s, ' ' || ru.l || ' ' || ru.r || ' ', ' ' || ru.m || ' ')
+         |         ELSE e.s END,
+         |    CASE WHEN position((' ' || ru.l || ' ' || ru.r || ' ') IN e.s) > 0 THEN e.rk ELSE e.rk + 1 END
+         |  FROM enc e JOIN rules ru ON ru.rank = e.rk),
+         |pieces AS (
+         |  SELECT w, len(string_split(trim(s), ' ')) AS n_pieces
+         |  FROM enc WHERE rk = (SELECT max(rank) + 1 FROM rules)),
+         |agg AS (
+         |  SELECT dw.doc_id, COUNT(*) AS n_words, SUM(p.n_pieces) AS n_pieces, SUM(len(dw.w)) AS n_chars
+         |  FROM dw JOIN pieces p USING (w) GROUP BY dw.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  CAST(COALESCE(a.n_chars, 0) AS BIGINT) AS n_chars_in_words
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
     "pipeline_curate" ->
       s"""WITH ${graft.OracleCtes.corpus},
          |s AS (${statsSqlOver("corpus")}),
