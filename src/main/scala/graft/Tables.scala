@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md) plus
   * deterministic genomic-shaped derivations shared by queries and their
@@ -36,20 +36,31 @@ object Tables {
     * micros (`div`, not `/` — double division loses precision above
     * 2^53 ns).
     *
-    * The NANOS encoding needs `spark.sql.legacy.parquet.nanosAsLong=true`
-    * ON THE SESSION — set by the Verify/Bench/test builders, NOT mutated
-    * here: r6 set it as a side effect of loading one table, which is
-    * surprising in a shared session (ADVICE r6); loading a table must not
-    * change how other reads behave. */
+    * Loading a table must not change how other reads behave (r6 set
+    * `spark.sql.legacy.parquet.nanosAsLong` as a side effect, ADVICE r6),
+    * and it must also work on a session this repo did NOT build (an
+    * external harness calling `SparkEntry.queries` directly). So the
+    * NANOS case is handled session-independently: when the plain read
+    * rejects the NANOS logical type, retry with an explicit schema that
+    * reads `ts` as raw INT64 nanos — the vectorized reader accepts the
+    * physical type directly, feeding the existing LongType branch. The
+    * Verify/Bench/test builders still set the legacy conf (skipping the
+    * retry), but nothing depends on it. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    def isNanosError(e: Throwable): Boolean = e != null &&
+      (String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") ||
+        String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") ||
+        isNanosError(e.getCause))
     val raw =
       try table(spark, dir, "events")
       catch {
-        case e: Exception if String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") =>
-          throw new IllegalStateException(
-            "events.parquet uses parquet TIMESTAMP(NANOS); set " +
-              "spark.sql.legacy.parquet.nanosAsLong=true when building the session " +
-              "(graft.Verify/Bench and the test harness do)", e)
+        case e: Exception if isNanosError(e) =>
+          // TESTDATA.md's fixed events schema with ts as raw nanos.
+          val sch = StructType(Seq(
+            StructField("event_id", LongType), StructField("ts", LongType),
+            StructField("user_id", LongType), StructField("event_type", StringType),
+            StructField("value", DoubleType), StructField("props", StringType)))
+          spark.read.schema(sch).parquet(s"$dir/events.parquet")
       }
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

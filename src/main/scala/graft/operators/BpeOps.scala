@@ -180,9 +180,20 @@ object BpeOps {
     (18, "of", EndOfWord, s"of$EndOfWord"), (19, "t", "o", "to"),
     (20, "c", "o", "co"))
 
-  /** [[FixtureMerges]] as the merge-table frame [[bpeEncode]] accepts. */
+  /** [[FixtureMerges]] as the merge-table frame [[bpeEncode]] accepts.
+    *
+    * `left != right` is a REQUIREMENT of the oracle equivalence, not just
+    * a property of the current table: for a self-pair rule (a,a) the
+    * oracle's replace-all consumes the shared boundary space and steals
+    * the skipped occurrence's right token ("aaaaa" → [aa,a,aa] where the
+    * greedy kernel gives [aa,aa,a]) — a different symbol SEQUENCE that no
+    * later fixpoint iteration repairs, so piece counts can diverge under
+    * follow-up rules. Enforced loudly so extending the fixture can't
+    * silently break the oracle. */
   def fixtureMerges(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    require(FixtureMerges.forall { case (_, l, r, _) => l != r },
+      "fixture merge rules must have left != right (oracle equivalence precondition)")
     FixtureMerges.toDF("rank", "left", "right", "merged")
   }
 

@@ -662,7 +662,13 @@ object DedupOps {
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val counters = new Array[Int](64)
-          text.trim.toLowerCase.split("\\s+").foreach { t =>
+          // Locale.ROOT + empty-token filter keep this bit-for-bit equal
+          // to the DuckDB oracle: Java trim strips \n/\t where DuckDB
+          // trim() strips only spaces (a trailing newline would otherwise
+          // give the oracle one extra ''-token vote), and a default-locale
+          // toLowerCase is tr_TR-sensitive. Mirrors the winnow kernel.
+          text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            .iterator.filter(_.nonEmpty).foreach { t =>
             val h = simTokenHash(t)
             var b = 0
             while (b < 64) {

@@ -1,9 +1,58 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, Join, LogicalPlan, BROADCAST}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, Join, JoinHint, LogicalPlan, BROADCAST}
 import org.apache.spark.sql.catalyst.rules.Rule
+
+/** The build-side + broadcast-vs-bin-range decision for a range join —
+  * ONE implementation shared by [[BinRangeLogicalRule]] (the logical
+  * rewrite) and [[IntervalJoinStrategy]] (the physical planner, which
+  * also keeps a bin-range fallback). Duplicating it would let a future
+  * conf tweak make the two placements silently choose different modes
+  * for the same query.
+  *
+  * Standard Spark broadcast hints (`broadcast(df)` / SQL BROADCAST hint)
+  * name the side the USER wants built — honored like stock Spark's join
+  * selection, and trusted over statistics (a driver-computed frame's
+  * stats default to 8 EB, which would otherwise force the shuffle path
+  * for a provably tiny build side). One-sided non-inner joins pin the
+  * build side: the preserved side must stream so unmatched rows can be
+  * emitted locally (same restriction as Spark's BroadcastHashJoinExec).
+  */
+object RangeJoinChoice {
+
+  def hinted(h: Option[HintInfo]): Boolean =
+    h.exists(_.strategy.contains(BROADCAST))
+
+  /** Returns `(buildLeft, useBinRange)` under the `spark.graft.rangejoin`
+    * confs read through `conf(key, default)`. */
+  def choose(conf: (String, String) => String, joinType: JoinType,
+      left: LogicalPlan, right: LogicalPlan, hint: JoinHint): (Boolean, Boolean) = {
+    val (hintLeft, hintRight) = (hinted(hint.leftHint), hinted(hint.rightHint))
+    val buildLeft = joinType match {
+      case RightOuter => true
+      case LeftOuter | LeftSemi | LeftAnti => false
+      case _ if hintLeft && !hintRight => true
+      case _ if hintRight && !hintLeft => false
+      case _ => conf("buildSide", "auto") match {
+        case "left" => true
+        case "right" => false
+        case _ => left.stats.sizeInBytes <= right.stats.sizeInBytes
+      }
+    }
+    val buildSize = if (buildLeft) left.stats.sizeInBytes else right.stats.sizeInBytes
+    val buildHinted = if (buildLeft) hintLeft else hintRight
+    val maxBroadcast = conf("maxBroadcastBytes", (256L << 20).toString).toLong
+    val binRange = conf("method", "auto") match {
+      case "binrange" | "twophase" => true
+      case "broadcast" => false
+      case _ if buildHinted => false
+      case _ => buildSize > maxBroadcast
+    }
+    (buildLeft, binRange)
+  }
+}
 
 /** Applies [[BinRangeRewrite]] at LOGICAL optimization time (injected as a
   * pre-CBO rule) rather than inside the planner strategy.
@@ -33,9 +82,6 @@ case class BinRangeLogicalRule(session: SparkSession) extends Rule[LogicalPlan] 
   private def conf(key: String, default: String): String =
     session.conf.get(s"spark.graft.rangejoin.$key", default)
 
-  private def hinted(h: Option[HintInfo]): Boolean =
-    h.exists(_.strategy.contains(BROADCAST))
-
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf("enabled", "true").toBoolean) return plan
     if (conf("binrangeImpl", "sql") != "sql") return plan
@@ -45,24 +91,7 @@ case class BinRangeLogicalRule(session: SparkSession) extends Rule[LogicalPlan] 
           case Some((left, right, Inner, keys, hint))
               if !left.isStreaming && !right.isStreaming &&
                 !BinRangeRewrite.isRewriteJoin(keys) =>
-            val (hintLeft, hintRight) = (hinted(hint.leftHint), hinted(hint.rightHint))
-            val buildLeft =
-              if (hintLeft && !hintRight) true
-              else if (hintRight && !hintLeft) false
-              else conf("buildSide", "auto") match {
-                case "left" => true
-                case "right" => false
-                case _ => left.stats.sizeInBytes <= right.stats.sizeInBytes
-              }
-            val buildSize = if (buildLeft) left.stats.sizeInBytes else right.stats.sizeInBytes
-            val maxBroadcast = conf("maxBroadcastBytes", (256L << 20).toString).toLong
-            val buildHinted = if (buildLeft) hintLeft else hintRight
-            val binRange = conf("method", "auto") match {
-              case "binrange" | "twophase" => true
-              case "broadcast" => false
-              case _ if buildHinted => false
-              case _ => buildSize > maxBroadcast
-            }
+            val (buildLeft, binRange) = RangeJoinChoice.choose(conf, Inner, left, right, hint)
             if (binRange) {
               val minOverlap = conf("minOverlap", "1").toInt
               val maxGap = conf("maxGap", "0").toInt

@@ -46,41 +46,13 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
           !BinRangeRewrite.isRewriteJoin(keys) =>
       val minOverlap = conf("minOverlap", "1").toInt
       val maxGap = conf("maxGap", "0").toInt
-      // Standard Spark broadcast hints (`broadcast(df)` / `/*+ BROADCAST */`)
-      // name the side the USER wants built — honored like stock Spark's
-      // join selection, and trusted over statistics (a driver-computed
-      // frame's stats default to 8 EB, which would otherwise force the
-      // shuffle path for a provably tiny build side).
-      def hinted(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
-        h.exists(_.strategy.contains(
-          org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
-      val (hintLeft, hintRight) = (hinted(hint.leftHint), hinted(hint.rightHint))
-      // One-sided non-inner joins pin the build side: the preserved side
-      // must stream so unmatched rows can be emitted locally (same
-      // restriction as Spark's BroadcastHashJoinExec) — a conflicting
-      // buildSide conf or hint is overridden, not honored. FullOuter
-      // preserves both sides (build-side matched-ness is tracked globally
-      // by the exec), so either side may build — hint/conf/auto applies.
-      val buildLeft = joinType match {
-        case RightOuter => true
-        case LeftOuter | LeftSemi | LeftAnti => false
-        case _ if hintLeft && !hintRight => true
-        case _ if hintRight && !hintLeft => false
-        case _ => conf("buildSide", "auto") match {
-          case "left" => true
-          case "right" => false
-          case _ => left.stats.sizeInBytes <= right.stats.sizeInBytes
-        }
-      }
-      val buildSize = if (buildLeft) left.stats.sizeInBytes else right.stats.sizeInBytes
-      val maxBroadcast = conf("maxBroadcastBytes", (256L << 20).toString).toLong
-      val buildHinted = if (buildLeft) hintLeft else hintRight
-      val mode = conf("method", "auto") match {
-        case "broadcast" => BroadcastForestMode
-        case "binrange" | "twophase" => BinRangeMode
-        case _ if buildHinted => BroadcastForestMode
-        case _ => if (buildSize <= maxBroadcast) BroadcastForestMode else BinRangeMode
-      }
+      // Build side + mode come from the ONE decision shared with the
+      // logical bin-range rewrite ([[RangeJoinChoice]] — hints over
+      // stats, non-inner build pinning, maxBroadcastBytes threshold);
+      // FullOuter preserves both sides (build-side matched-ness is
+      // tracked globally by the exec), so either side may build.
+      val (buildLeft, binRange) = RangeJoinChoice.choose(conf, joinType, left, right, hint)
+      val mode = if (binRange) BinRangeMode else BroadcastForestMode
       // Inner at shuffle scale plans as a pure Catalyst equi-join rewrite
       // (Tungsten shuffle + codegen + AQE skew splitting); the RDD-cogroup
       // exec stays available under binrangeImpl=cogroup for differential

@@ -105,7 +105,9 @@ object DedupQueries {
     // Hamming <= 6 by pigeonhole.
     "dedup_simhash" ->
       s"""WITH ${OracleCtes.corpus},
-         |toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),
+         |toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS w
+         |  FROM corpus),
          |th AS (SELECT doc_id,
          |  list_reduce([CAST(0 AS BIGINT)] || [ord(tok[i]) for i in generate_series(1, len(tok))],
          |              (h, c) -> (h * 257 + c) % 2147483647) * 4294967296

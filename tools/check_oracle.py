@@ -91,9 +91,14 @@ def main():
         spark_cols = tbl.column_names
         spark_rows = [tuple(r) for r in zip(*[c.to_pylist() for c in tbl.columns])] if tbl.num_rows else []
         try:
-            cur = con.execute(sql)
-            duck_cols = [d[0] for d in cur.description]
-            duck_rows = cur.fetchall()
+            # ONE execution serves both the value compare (to_pylist gives
+            # the same python natives fetchall did) and the dtype check
+            # (to_pandas is what the driver-equivalent fetch_df does) —
+            # the quadratic pair oracles dominate sf0.1 wall-clock and
+            # must not run twice.
+            atbl = con.execute(sql).fetch_arrow_table()
+            duck_cols = atbl.column_names
+            duck_rows = [tuple(r) for r in zip(*[c.to_pylist() for c in atbl.columns])] if atbl.num_rows else []
         except Exception as e:
             print(f"FAIL {qname}: duckdb error: {e}"); n_bad += 1; continue
         if duck_rows and any(isinstance(x, (list, tuple, dict)) for x in duck_rows[0]):
@@ -104,7 +109,7 @@ def main():
         if sc != dc:
             print(f"FAIL {qname}: schema mismatch spark={sc} duck={dc}"); n_bad += 1; continue
         try:
-            skew = dtype_skew(tbl.to_pandas(), con.execute(sql).fetch_df(), sc)
+            skew = dtype_skew(tbl.to_pandas(), atbl.to_pandas(), sc)
         except Exception as e:
             print(f"FAIL {qname}: dtype check error: {e}"); n_bad += 1; continue
         if skew:
