@@ -58,9 +58,30 @@ class GraftSessionSpec extends SparkSpec {
     assert(gs.chunk(docs, chunkTokens = 32, overlapTokens = 8).count() >= docs.count())
   }
 
+  test("events self-heals on TIMESTAMP(NANOS) parquet without the legacy conf") {
+    // A session this repo did NOT build (no nanosAsLong conf) must still
+    // load a NANOS-generation events.parquet: the plain read rejects the
+    // logical type, and Tables.events retries with an explicit raw-INT64
+    // schema. Fixture: 20 rows, ts = 1.7e18 ns + i hours (pyarrow
+    // timestamp[ns], the encoding Spark 4 cannot read without the conf).
+    val dir = getClass.getResource("/nanos").getPath
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.unset(key)
+      val df = Tables.eventsUs(spark, dir)
+      assert(df.count() === 20)
+      assert(df.orderBy("event_id").select("ts_us").head().getLong(0) === 1700000000000000L)
+    } finally prev.foreach(spark.conf.set(key, _))
+    // With the conf set (this harness's builders), the plain-read
+    // LongType branch must give the identical instant.
+    assert(Tables.eventsUs(spark, dir).orderBy("event_id")
+      .select("ts_us").head().getLong(0) === 1700000000000000L)
+  }
+
   test("loading events mutates no session conf (r6 ADVICE twin of the r5 timezone fix)") {
-    // Targeted keys rather than conf.getAll: suites may run in parallel in
-    // this JVM, and these two are the ones table loads have historically
+    // Targeted keys (not conf.getAll — other confs move legitimately):
+    // these two are the ones table loads have historically
     // leaked (r5: session.timeZone, r6: nanosAsLong).
     val keys = Seq("spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone")
     val before = keys.map(k => k -> spark.conf.getOption(k))
