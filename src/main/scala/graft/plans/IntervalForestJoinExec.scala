@@ -65,7 +65,13 @@ case class IntervalForestJoinExec(
     joinType: JoinType,
     residual: Option[Expression],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
+    right: SparkPlan,
+    // True only when the broadcast decision came from Catalyst STATS
+    // (auto method, no user hint): the runtime build-budget guard then
+    // protects against a stats lie. A broadcast hint or an explicit
+    // method=broadcast conf is the user taking responsibility — standard
+    // Spark hint semantics — so the guard stands down.
+    enforceBuildBudget: Boolean = true) extends BinaryExecNode with CodegenSupport {
 
   // Non-inner joins (beyond the reference): for one-sided types the
   // preserved side is always the stream side (strategy guarantees
@@ -128,6 +134,34 @@ case class IntervalForestJoinExec(
       }
     }.collect()
     longMetric("buildRows") += collected.length
+    // Runtime stats-lie guard (only for stats-made decisions, see
+    // enforceBuildBudget): the strategy picked broadcast from Catalyst
+    // ESTIMATES, which can under-shoot by orders of magnitude after
+    // selective filters. Broadcasting a multi-GB forest to a 1000-executor
+    // cluster is a cluster-killer, so fail fast — with actionable advice —
+    // when the ACTUAL collected bytes blow past `buildBytesSlack`x the
+    // budget (default 4x, so estimate noise never flips a working query;
+    // Spark's own driver.maxResultSize still backstops the collect).
+    if (enforceBuildBudget) {
+      val actualBytes = collected.foldLeft(0L) { case (acc, (k, _, _, r)) =>
+        acc + k.getSizeInBytes + 16L + (r match {
+          case u: UnsafeRow => u.getSizeInBytes.toLong
+          case _ => 64L
+        })
+      }
+      val budget = conf.getConfString(
+        "spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+      val slack = conf.getConfString("spark.graft.rangejoin.buildBytesSlack", "4.0").toDouble
+      if (actualBytes > budget * slack) {
+        throw new IllegalStateException(
+          s"interval-join build side is $actualBytes bytes at runtime, over ${slack}x the " +
+            s"spark.graft.rangejoin.maxBroadcastBytes budget ($budget) the broadcast " +
+            "decision was made against (plan statistics under-estimated it). Either " +
+            "raise the budget if the cluster can hold the broadcast, force the side " +
+            "with a broadcast() hint to take responsibility, or set " +
+            "spark.graft.rangejoin.method=binrange to take the shuffle path.")
+      }
+    }
     // Pluggable holder (reference intervalHolderClassName conf): the
     // broadcast structure is whatever the configured factory builds;
     // the bin-range fallback always uses the array forest (per-bin

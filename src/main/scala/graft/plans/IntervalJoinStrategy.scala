@@ -77,9 +77,15 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
       // fuses it). Non-inner: the residual decides matched-ness per
       // candidate pair, so it must run inside the join.
       val residualInExec = if (joinType == Inner) None else keys.residual
+      // The runtime build-budget guard applies only when WE decided to
+      // broadcast from stats; a hint or an explicit method=broadcast is
+      // the user's call (standard Spark hint semantics).
+      val buildHinted = if (buildLeft) RangeJoinChoice.hinted(hint.leftHint)
+        else RangeJoinChoice.hinted(hint.rightHint)
+      val enforceBudget = conf("method", "auto") != "broadcast" && !buildHinted
       val exec = IntervalForestJoinExec(
         keys, buildLeft, mode, minOverlap, maxGap, binWidth, holderClass,
-        joinType, residualInExec, planLater(left), planLater(right))
+        joinType, residualInExec, planLater(left), planLater(right), enforceBudget)
       if (joinType == Inner) keys.residual.map(FilterExec(_, exec)).getOrElse(exec) :: Nil
       else exec :: Nil
     case _ => Nil

@@ -457,6 +457,34 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("runtime stats-lie guard: stats-decided broadcast over budget fails with guidance") {
+    // Catalyst can under-estimate a build side by orders of magnitude
+    // (selective-filter selectivity guesses); broadcasting multi-GB to a
+    // 1000-executor cluster must fail fast instead. Simulate the lie by
+    // shrinking the slack to ~0: the AUTO decision still says broadcast
+    // (stats under budget), but the collected bytes exceed budget*slack.
+    val a = randomIntervals(300, 90, "a_key")
+    val b = randomIntervals(50, 91, "b_key")
+    val e = intercept[Exception] {
+      withConf("spark.graft.rangejoin.buildBytesSlack", "1e-9") {
+        joined(a, b).count()
+      }
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxBroadcastBytes")),
+      s"expected the budget guard's guidance, got: ${messages(e).mkString(" | ")}")
+    // A user hint stands the guard down even with zero slack (the hint
+    // takes responsibility, standard Spark semantics)...
+    withConf("spark.graft.rangejoin.buildBytesSlack", "1e-9") {
+      assert(a.join(broadcast(b),
+        a("contig") === b("contig") &&
+        a("pos_end") >= b("pos_start") && a("pos_start") <= b("pos_end")).count() > 0)
+    }
+    // ...and at the default slack the auto path runs fine.
+    assert(joined(a, b).count() > 0)
+  }
+
   test("binrange under AQE: a hot contig's skewed partition is split at runtime") {
     // The 100x-scale claim the bin-range design makes (r6 VERDICT
     // stretch): because the rewrite is a pure Catalyst equi-join on
