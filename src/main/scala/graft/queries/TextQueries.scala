@@ -146,11 +146,24 @@ object TextQueries {
     },
     // Distributed BPE tokenizer training (Sennrich-style subword merges,
     // batched non-interfering rounds on the compressed word-freq table).
-    // Rows-only: the iterative trainer isn't SQL-expressible; batch=1
-    // equivalence to the sequential textbook algorithm and per-merge
-    // count exactness are differentially asserted in BpeSpec.
+    // Rows-only: the BATCHED trainer's greedy non-interfering top-K
+    // selection isn't worth mirroring in SQL (its batch=1 degenerate case
+    // IS oracle-checked below as pipeline_bpe_seq, and batch equivalence
+    // plus per-merge count exactness are differentially asserted in
+    // BpeSpec).
     "pipeline_bpe" -> { (s, dir) =>
       BpeOps.trainBpe(Tables.documents(s, dir), numMerges = 32, batch = 8)
+    },
+    // Sequential (batch=1) BPE TRAINING, oracle-checked end-to-end: with
+    // one merge per round the trainer is the textbook algorithm, and a
+    // DuckDB recursive CTE can replay it exactly — selection = argmax of
+    // overlap-inclusive adjacent-pair counts (freq desc, left, right
+    // ties), application = leftmost-occurrence replace iterated to
+    // fixpoint (replace-FIRST, not replace-all, so self-pairs like (a,a)
+    // keep the greedy kernel's exact symbol sequence). The batched
+    // production trainer stays `pipeline_bpe` (rows-only, spec-covered).
+    "pipeline_bpe_seq" -> { (s, dir) =>
+      BpeOps.trainBpe(Tables.documents(s, dir), numMerges = 24, batch = 1)
     },
     // Encode the corpus with a FIXED merge table: per-doc word/piece/char
     // counts (tokenizer fertility report). Fixture merges (not trained
@@ -294,6 +307,72 @@ object TextQueries {
         |    [ list_min(hs[s : s + 3]) for s in generate_series(1, greatest(1, len(hs) - 3)) ] AS fps
         |  FROM grams WHERE len(hs) >= 1)
         |SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM wins""".stripMargin,
+    // Bit-for-bit mirror of BpeOps.trainBpe(batch = 1) — sequential
+    // textbook BPE as one recursive CTE. State rows: kind 'w' = one live
+    // row per vocab word (s = sentinel-spaced symbol string, done =
+    // merges completed, pl/pr/sf = the pending rule and its recorded
+    // count); kind 'm' = one emitted merge-log row (recursive results
+    // accumulate, so each 'm' row appears once in the final table and
+    // never recurses — `cur` filters to 'w'). Per step exactly one phase
+    // fires: (a) a rule is pending and some word still contains it →
+    // every word replaces its LEFTMOST occurrence (replace-first iterated
+    // == the kernel's greedy left-to-right pass, self-pairs included —
+    // replace-ALL would mis-order odd runs of a self-pair); (b) pending +
+    // fixpoint → clear the rule, count the merge; (c) nothing pending and
+    // budget left → pick argmax(count, then left, right) over
+    // overlap-inclusive adjacent pairs >= minFreq 2, log it. No candidate
+    // or budget exhausted → no rows → recursion terminates.
+    "pipeline_bpe_seq" ->
+      """WITH RECURSIVE
+        |wf AS (
+        |  SELECT w, count(*)::BIGINT AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |    FROM documents) GROUP BY w),
+        |st AS (
+        |  SELECT 'w' AS kind, w, freq,
+        |    ' ' || array_to_string([w[i] for i in generate_series(1, len(w))], ' ') || ' </w> ' AS s,
+        |    0 AS done, NULL::VARCHAR AS pl, NULL::VARCHAR AS pr, NULL::BIGINT AS sf
+        |  FROM wf
+        |  UNION ALL
+        |  (
+        |  WITH cur AS (SELECT * FROM st WHERE kind = 'w'),
+        |  pending AS (SELECT max(pl) AS pl, max(pr) AS pr, max(done) AS done FROM cur),
+        |  occ AS (SELECT bool_or(position((' ' || p.pl || ' ' || p.pr || ' ') IN c.s) > 0) AS any
+        |          FROM cur c, pending p WHERE p.pl IS NOT NULL),
+        |  best AS (
+        |    SELECT l, r, sum(freq) AS f FROM (
+        |      SELECT c.freq, e.x['l'] AS l, e.x['r'] AS r FROM (
+        |        SELECT freq, string_split(trim(s), ' ') AS sy FROM cur) c,
+        |        LATERAL (SELECT unnest([{'l': c.sy[i], 'r': c.sy[i+1]} for i in generate_series(1, len(c.sy)-1)]) AS x) e)
+        |    GROUP BY l, r HAVING sum(freq) >= 2
+        |    ORDER BY f DESC, l ASC, r ASC LIMIT 1)
+        |  SELECT * FROM (
+        |    SELECT c.kind, c.w, c.freq,
+        |      CASE WHEN position((' ' || p.pl || ' ' || p.pr || ' ') IN c.s) > 0 THEN
+        |        substr(c.s, 1, position((' ' || p.pl || ' ' || p.pr || ' ') IN c.s) - 1)
+        |          || ' ' || p.pl || p.pr || ' '
+        |          || substr(c.s, position((' ' || p.pl || ' ' || p.pr || ' ') IN c.s)
+        |                         + len(' ' || p.pl || ' ' || p.pr || ' '))
+        |      ELSE c.s END AS s,
+        |      c.done, c.pl, c.pr, c.sf
+        |    FROM cur c, pending p, occ o WHERE p.pl IS NOT NULL AND o.any
+        |    UNION ALL
+        |    SELECT c.kind, c.w, c.freq, c.s, c.done + 1, NULL, NULL, NULL
+        |    FROM cur c, pending p, occ o WHERE p.pl IS NOT NULL AND NOT o.any
+        |    UNION ALL
+        |    SELECT c.kind, c.w, c.freq, c.s, c.done, b.l, b.r, b.f
+        |    FROM cur c, pending p, best b WHERE p.pl IS NULL AND p.done < 24
+        |    UNION ALL
+        |    -- log row: rank = merges completed so far (0-based, matching
+        |    -- the Spark trainer's merge-table ranks)
+        |    SELECT 'm', NULL, NULL, NULL, p.done, b.l, b.r, b.f
+        |    FROM pending p, best b WHERE p.pl IS NULL AND p.done < 24
+        |  )
+        |  )
+        |)
+        |SELECT CAST(done AS INT) AS rank, pl AS "left", pr AS "right",
+        |  pl || pr AS merged, sf AS pair_freq
+        |FROM st WHERE kind = 'm'""".stripMargin,
     // Bit-for-bit mirror of BpeOps.bpeEncode over the FixtureMerges
     // table (interpolated below from the same Scala value — one source
     // of truth). Encoding state is the space-joined symbol string with
