@@ -8,9 +8,16 @@ import org.apache.spark.sql.functions._
 /** Similarity-search queries over the embeddings table. `ann_topk` is the
   * exact brute-force baseline with a DuckDB `list_cosine_similarity`
   * oracle (rank-only output — rank margins are >= 2e-4, far above any
-  * double-rounding divergence). `ann_lsh_topk` is the approximate scale
-  * path; no SQL oracle (bucketing isn't SQL-expressible), recall is
-  * asserted in ScalaTest against the exact result.
+  * double-rounding divergence). `ann_lsh_topk` and `embedding_neardup`
+  * are ALSO oracle-checked since the r7 move to Rademacher (±1,
+  * integer-hash-derived) planes: the sign buckets are a sequential
+  * ±emb[j] fold both engines compute bit-identically, and the exact
+  * re-rank / threshold verify uses a `list_reduce` mirror of the
+  * [[graft.functions.CosineSimilarity]] op order (same sequential sums,
+  * same sqrt/divide shape), so even the emitted `sim` doubles match
+  * bit-for-bit. The remaining rows-only members (IVF family, SemDedup)
+  * depend on Lloyd-trained centroids, whose float aggregation order is
+  * engine-specific — recall is asserted in ScalaTest instead.
   */
 /** Train-once-per-JVM cache of the persisted IVF index, keyed by scale
   * dir — shared by the batch and streaming serve queries. Re-training on
@@ -80,10 +87,10 @@ object EmbeddingQueries {
       val (corpus, queries) = split(s, dir)
       EmbeddingOps.ivfQuantizedTopK(corpus, queries, k = 3)
     },
-    // Embedding-cosine near-dup (dedup family, vector modality). No SQL
-    // oracle: sign-LSH recall at this similarity band is ~0.5, so the
-    // driver records a rows-only check; precision/recall are asserted in
-    // DedupAnnSpec against brute force.
+    // Embedding-cosine near-dup (dedup family, vector modality). Oracle
+    // replicates the WHOLE approximate pipeline — deterministic
+    // Rademacher banding, capped pairs, bit-exact cosine verify — so the
+    // approximation itself is driver-checked, not just spec-bounded.
     "embedding_neardup" -> { (s, dir) =>
       EmbeddingOps.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
     },
@@ -95,7 +102,63 @@ object EmbeddingQueries {
       EmbeddingOps.semDedup(Tables.embeddings(s, dir), threshold = 0.4)
     })
 
+  /** Exact SQL mirror of [[graft.functions.CosineSimilarity]]: the same
+    * sequential left-to-right dot/norm sums (list_reduce), the same
+    * `dot / (sqrt(na) * sqrt(nb))` association — bit-identical doubles,
+    * not just equal ranks. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_reduce([CAST(0.0 AS DOUBLE)] || " +
+      s"[$a[t] * $b[t] for t in generate_series(1, least(len($a), len($b)))], (x, y) -> x + y) " +
+      s"/ (sqrt(list_reduce([CAST(0.0 AS DOUBLE)] || " +
+      s"[$a[t] * $a[t] for t in generate_series(1, len($a))], (x, y) -> x + y)) " +
+      s"* sqrt(list_reduce([CAST(0.0 AS DOUBLE)] || " +
+      s"[$b[t] * $b[t] for t in generate_series(1, len($b))], (x, y) -> x + y))))"
+
+  /** Shared sign-LSH oracle CTEs: per-vector 64-bit sign bucket from the
+    * Rademacher planes (quadratic hash of (plane i, dim j) → ±1, the
+    * EXACT construction in EmbeddingOps.planesFor; the fold adds ±emb[j]
+    * in the same sequential order as the typed kernel), then 16×4-bit
+    * band keys with band identity in the high bits (bandKeys with
+    * bandBits=4 — both ann_lsh_topk's default and bandBitsFor(0.4)).
+    * Bucket caps (2048 / 10000) cannot trip at <=500 vectors. */
+  private val bucketsCte: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, ii.i,
+      |    CASE WHEN list_reduce([CAST(0.0 AS DOUBLE)] ||
+      |      [CASE WHEN ((((2654435761*(ii.i+1) + 40503*j + 12345) % 2147483647)
+      |                 * ((2654435761*(ii.i+1) + 40503*j + 12345) % 2147483647)) % 2147483647) & 1 = 0
+      |            THEN emb[j] ELSE -emb[j] END for j in generate_series(1, len(emb))],
+      |      (a, b) -> a + b) >= 0
+      |    THEN 1 ELSE 0 END AS bit
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) ii),
+      |-- band keys assembled 4 bits at a time (bit 63 as 1<<63 would
+      |-- overflow signed BIGINT; the Spark side's (bucket >> 4j) & 15 on
+      |-- a signed long extracts exactly these 4 bits)
+      |bands AS (SELECT vec_id,
+      |  (CAST(i // 4 AS BIGINT) << 48) + CAST(SUM(bit << (i % 4)) AS BIGINT) AS bkey
+      |  FROM bits GROUP BY vec_id, i // 4)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_lsh_topk" ->
+      s"""WITH $bucketsCte,
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+         |  FROM bands q JOIN bands c ON q.bkey = c.bkey AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20),
+         |sims AS (SELECT q_id, c_id, ${cosSql("qe.emb", "ce.emb")} AS sim
+         |  FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ce ON ce.vec_id = c_id),
+         |ranked AS (SELECT q_id, c_id,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+         |  FROM sims WHERE NOT isnan(sim))
+         |SELECT q_id AS vec_id, CAST(rank AS INT) AS rank, c_id AS neighbor_id
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "embedding_neardup" ->
+      s"""WITH $bucketsCte,
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |verified AS (SELECT id_a, id_b, ${cosSql("ea.emb", "eb.emb")} AS sim
+         |  FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, sim FROM verified WHERE sim >= 0.4""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
         |sims AS (
