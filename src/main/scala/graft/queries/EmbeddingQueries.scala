@@ -73,8 +73,10 @@ object EmbeddingQueries {
       val path = ServeIndexCache.indexFor(s, dir, corpus)
       new graft.GraftSession(s).similarityTopKIvfServed(corpus, queries, k = 3, path)
     },
-    // Int8-quantized scan + exact re-rank (rows-only: int8 rounding is
-    // approximate; recall vs exactTopK asserted in spec).
+    // Int8-quantized scan + exact re-rank. Oracle-checked: the whole
+    // quantize → integer-cosine prune → re-rank pipeline is
+    // deterministic, so the oracle replays it (the approximation itself
+    // is driver-verified; recall vs exactTopK additionally in spec).
     "ann_quantized_topk" -> { (s, dir) =>
       val (corpus, queries) = split(s, dir)
       EmbeddingOps.quantizedTopK(corpus, queries, k = 3)
@@ -140,6 +142,40 @@ object EmbeddingQueries {
       |  FROM bits GROUP BY vec_id, i // 4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // quantizedTopK is centroid-free and fully deterministic: per-vector
+    // max-abs int8 quantization (floor(x+0.5), Java Math.round — NOT SQL
+    // round(), which is half-away-from-zero), integer cosine prune to the
+    // global top-(k*rerankFactor)=12 per query (exact BIGINT sums → one
+    // double divide, bit-identical ties), exact re-rank of that pool.
+    // The per-partition heaps + window in the Spark plan are just a
+    // distributed computation of the same global top-12.
+    "ann_quantized_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |mx AS (SELECT vec_id, emb,
+         |  list_max([abs(emb[t]) for t in generate_series(1, len(emb))]) AS m FROM e),
+         |qz AS (SELECT vec_id,
+         |  [CAST(floor(emb[t] / (CASE WHEN m = 0.0 THEN 1.0 ELSE m / 127.0 END) + 0.5) AS BIGINT)
+         |   for t in generate_series(1, len(emb))] AS q
+         |  FROM mx),
+         |sims AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    list_reduce([CAST(0 AS BIGINT)] || [q.q[t] * c.q[t] for t in generate_series(1, len(q.q))], (x, y) -> x + y) AS dot,
+         |    list_reduce([CAST(0 AS BIGINT)] || [q.q[t] * q.q[t] for t in generate_series(1, len(q.q))], (x, y) -> x + y) AS na,
+         |    list_reduce([CAST(0 AS BIGINT)] || [c.q[t] * c.q[t] for t in generate_series(1, len(c.q))], (x, y) -> x + y) AS nb
+         |  FROM qz q JOIN qz c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20),
+         |qsim AS (SELECT q_id, c_id,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS qs
+         |  FROM sims WHERE na > 0 AND nb > 0),
+         |pruned AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qs DESC, c_id) AS qr
+         |  FROM qsim) WHERE qr <= 12),
+         |rer AS (SELECT q_id, c_id, ${cosSql("qe.emb", "ce.emb")} AS sim
+         |  FROM pruned JOIN e qe ON qe.vec_id = q_id JOIN e ce ON ce.vec_id = c_id),
+         |ranked AS (SELECT q_id, c_id,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+         |  FROM rer WHERE NOT isnan(sim))
+         |SELECT q_id AS vec_id, CAST(rank AS INT) AS rank, c_id AS neighbor_id
+         |FROM ranked WHERE rank <= 3""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH $bucketsCte,
          |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
