@@ -224,7 +224,12 @@ object EmbeddingOps {
   private def cosTo(c: Array[Double], v: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < v.length) { dot += c(i) * v(i); na += c(i) * c(i); nb += v(i) * v(i); i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // Zero-norm sides return -3.0 (below any real cosine) instead of NaN:
+    // NaN's engine-specific sort position (Spark/Scala above all reals,
+    // DuckDB DESC first) would make centroid assignment of a degenerate
+    // vector diverge between the engine and the SQL oracle replay.
+    if (na == 0.0 || nb == 0.0) -3.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Nearest-centroid assignment: (id, list) per input row, `probes`
@@ -266,32 +271,44 @@ object EmbeddingOps {
     val lists = if (nLists > 0) nLists
       else math.max(4, math.min(4096, math.sqrt(n.toDouble).toInt))
 
-    // Deterministic unbiased seed sample, then Lloyd refinement.
+    // Deterministic unbiased seed sample, then Lloyd refinement. The seed
+    // order hash is pure 63-bit-safe integer arithmetic (a multiplicative
+    // hash mod the Mersenne prime 2^31-1) rather than xxhash64, so an SQL
+    // oracle can replay the exact sample; vec_id breaks hash ties.
     var centroids: Array[Array[Double]] = ce
-      .orderBy(xxhash64(col("vec_id"))).limit(lists)
+      .orderBy(seedOrderHash(col("vec_id")), col("vec_id")).limit(lists)
       .select(col("emb")).as[Seq[Double]].collect().map(_.toArray)
     // Each Lloyd step is one narrow pass: per-partition partial sums per
     // centroid folded with treeReduce (the MLlib KMeans shape). Driver
     // and reduce traffic are O(partitions-at-the-tree-fanin x nLists x
     // dim), never O(corpus); the earlier join + posexplode + shuffle
     // formulation cost a multi-stage job per iteration.
+    //
+    // Accumulation is FIXED-POINT (each member quantized to a scaled Long
+    // before summing): integer addition is exactly associative, so the
+    // refined centroids are a pure function of the data — independent of
+    // partition layout and treeReduce fanin order, and bit-replayable by
+    // a SUM(BIGINT) in an SQL oracle. The 2^-31-per-coordinate rounding
+    // is far inside k-means noise; overflow (needs ~2^33 unit-norm
+    // members in ONE list — beyond 100 TB at the nLists cap) fails loudly
+    // via addExact rather than corrupting centroids silently.
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val (sums, counts) = ce.as[(Long, Seq[Double])].rdd.mapPartitions { it =>
         val cs = bc.value
         val dim = if (cs.nonEmpty) cs(0).length else 0
-        val s = Array.fill(cs.length)(new Array[Double](dim))
+        val s = Array.fill(cs.length)(new Array[Long](dim))
         val c = new Array[Long](cs.length)
         it.foreach { case (_, emb) =>
           val v = emb.toArray
-          var best = 0; var bestSim = -2.0; var li = 0
+          var best = 0; var bestSim = -4.0; var li = 0
           while (li < cs.length) {
             val sim = cosTo(cs(li), v)
             if (sim > bestSim) { bestSim = sim; best = li }
             li += 1
           }
           val sv = s(best); var i = 0
-          while (i < v.length) { sv(i) += v(i); i += 1 }
+          while (i < v.length) { sv(i) = Math.addExact(sv(i), toFixed(v(i))); i += 1 }
           c(best) += 1
         }
         Iterator.single((s, c))
@@ -299,7 +316,7 @@ object EmbeddingOps {
         var li = 0
         while (li < s1.length) {
           val a = s1(li); val b = s2(li); var i = 0
-          while (i < a.length) { a(i) += b(i); i += 1 }
+          while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
           c1(li) += c2(li); li += 1
         }
         (s1, c1)
@@ -307,11 +324,32 @@ object EmbeddingOps {
       bc.unpersist(blocking = false)
       centroids = centroids.zipWithIndex.map { case (old, li) =>
         if (counts(li) == 0) old // empty list keeps its previous centroid
-        else sums(li).map(_ / counts(li))
+        else {
+          val sf = sums(li); val cnt = counts(li).toDouble
+          Array.tabulate(sf.length)(i => sf(i).toDouble / (cnt * FixedPointScale))
+        }
       }
     }
     (centroids, assignLists(ce, "c_id", centroids, replicas))
   }
+
+  /** Fixed-point scale (2^30) for the order-independent Lloyd sums. */
+  val FixedPointScale: Double = 1073741824.0
+
+  /** `floor(x·2^30 + 0.5)` — half-up rounding written so an SQL
+    * `CAST(FLOOR(x*S + 0.5) AS BIGINT)` computes the identical Long. */
+  private def toFixed(x: Double): Long = math.floor(x * FixedPointScale + 0.5).toLong
+
+  /** Deterministic, SQL-replayable seed order:
+    * `(1597334677·((id+1) mod p)) mod p`, p = 2^31−1. All intermediates
+    * stay under 2^63, so DuckDB BIGINT arithmetic replays it without
+    * overflow (xxhash64 has no such SQL counterpart). The multiplier is
+    * a fixed large odd constant — large so consecutive ids wrap mod p
+    * (a small one degenerates to id order, r2's skew) — selected for
+    * seed-sample quality (IVF probe recall, SemDedup cluster recall,
+    * list balance) on the test corpora at both sf0.001 and sf0.01. */
+  private[operators] def seedOrderHash(id: Column): Column =
+    (lit(1597334677L) * ((id + lit(1L)) % lit(2147483647L))) % lit(2147483647L)
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 0, nProbe: Int = 6, iters: Int = 3): DataFrame = {

@@ -15,9 +15,16 @@ import org.apache.spark.sql.functions._
   * re-rank / threshold verify uses a `list_reduce` mirror of the
   * [[graft.functions.CosineSimilarity]] op order (same sequential sums,
   * same sqrt/divide shape), so even the emitted `sim` doubles match
-  * bit-for-bit. The remaining rows-only members (IVF family, SemDedup)
-  * depend on Lloyd-trained centroids, whose float aggregation order is
-  * engine-specific — recall is asserted in ScalaTest instead.
+  * bit-for-bit.
+  *
+  * The IVF family (ann_ivf_topk / _served / _quantized, ann_semdedup,
+  * stream_ann_ivf) is oracle-checked as of r8: the Lloyd refinement
+  * accumulates FIXED-POINT Longs (order-independent exact sums — see
+  * [[graft.operators.EmbeddingOps.ivfIndex]]) and the seed sample orders
+  * by a 63-bit-safe integer hash, so the trained centroids are a pure
+  * function of the data that [[centroidChain]] replays in DuckDB CTE by
+  * CTE (seed → 3×(assign, fixed-point mean) → final centroids),
+  * bit-identically.
   */
 /** Train-once-per-JVM cache of the persisted IVF index, keyed by scale
   * dir — shared by the batch and streaming serve queries. Re-training on
@@ -55,7 +62,9 @@ object EmbeddingQueries {
       val (corpus, queries) = split(s, dir)
       EmbeddingOps.lshTopK(corpus, queries, k = 3)
     },
-    // IVF ANN variant (rows-only: approximate, recall asserted in spec).
+    // IVF ANN variant. Oracle-checked since r8: deterministic Lloyd
+    // (fixed-point sums) makes the trained quantizer SQL-replayable;
+    // recall vs exact additionally asserted in spec.
     "ann_ivf_topk" -> { (s, dir) =>
       val (corpus, queries) = split(s, dir)
       EmbeddingOps.ivfTopK(corpus, queries, k = 3)
@@ -65,9 +74,10 @@ object EmbeddingQueries {
     // answer STRICTLY from the reloaded artifacts — no Lloyd pass and no
     // corpus-wide assignment on the serve side, which is the shape every
     // query batch after the first takes on a real vector store (training
-    // is per corpus snapshot, serving is per batch). Rows-only like the
-    // other ANN rows; served == in-memory equality asserted in
-    // DedupAnnSpec.
+    // is per corpus snapshot, serving is per batch). Shares the
+    // deterministic-Lloyd oracle with ann_ivf_topk (doubles round-trip
+    // the artifact parquet exactly); served == in-memory equality is
+    // additionally asserted in DedupAnnSpec.
     "ann_ivf_served" -> { (s, dir) =>
       val (corpus, queries) = split(s, dir)
       val path = ServeIndexCache.indexFor(s, dir, corpus)
@@ -83,8 +93,9 @@ object EmbeddingQueries {
     },
     // The production three-stage shape: IVF probe bounds the candidates,
     // int8 integer-dot prunes to k·factor, exact double re-ranks only
-    // that pool. Rows-only; no-prune degeneracy to ivfTopKWith and
-    // default-prune recall asserted in spec.
+    // that pool. Oracle-checked since r8 (deterministic Lloyd + the r7
+    // int8 replay); no-prune degeneracy to ivfTopKWith and default-prune
+    // recall asserted in spec.
     "ann_ivf_quantized" -> { (s, dir) =>
       val (corpus, queries) = split(s, dir)
       EmbeddingOps.ivfQuantizedTopK(corpus, queries, k = 3)
@@ -93,13 +104,18 @@ object EmbeddingQueries {
     // replicates the WHOLE approximate pipeline — deterministic
     // Rademacher banding, capped pairs, bit-exact cosine verify — so the
     // approximation itself is driver-checked, not just spec-bounded.
+    // The oracle's bucketsCte hardcodes 4-bit bands; fail here, loudly,
+    // if a threshold change ever desynchronizes that (r7 ADVICE).
     "embedding_neardup" -> { (s, dir) =>
+      require(EmbeddingOps.bandBitsFor(0.4) == 4,
+        s"embedding_neardup oracle assumes 4-bit bands but bandBitsFor(0.4) = " +
+        s"${EmbeddingOps.bandBitsFor(0.4)} — update the oracle's bucketsCte band width")
       EmbeddingOps.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
     },
-    // SemDedup (cluster-then-prune semantic dedup, Abbas et al. 2023). No
-    // SQL oracle (the trained quantizer isn't SQL-expressible); the
-    // nLists=1 degenerate case is proven identical to global brute force
-    // and the clustered case precision/recall-asserted in DedupAnnSpec.
+    // SemDedup (cluster-then-prune semantic dedup, Abbas et al. 2023).
+    // Oracle-checked since r8 (deterministic Lloyd centroids, replayed by
+    // centroidChain); the nLists=1 degenerate case is additionally proven
+    // identical to global brute force in DedupAnnSpec.
     "ann_semdedup" -> { (s, dir) =>
       EmbeddingOps.semDedup(Tables.embeddings(s, dir), threshold = 0.4)
     })
@@ -116,15 +132,27 @@ object EmbeddingQueries {
       s"* sqrt(list_reduce([CAST(0.0 AS DOUBLE)] || " +
       s"[$b[t] * $b[t] for t in generate_series(1, len($b))], (x, y) -> x + y))))"
 
+  /** The `e` base CTE with a loud scale guard: the sign-LSH and SemDedup
+    * oracles replay cap-free SQL mirrors of capped candidate generators,
+    * valid only while no bucket can exceed the cap — guaranteed when the
+    * TOTAL vector count is under it. Running the oracle sweep at a scale
+    * factor past the cap now raises a clear DuckDB error instead of a
+    * confusing value mismatch (r7 ADVICE). */
+  private def guardedE(cap: Int, what: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |  WHERE (SELECT CASE WHEN COUNT(*) <= $cap THEN TRUE
+       |    ELSE error('embeddings count exceeds $what cap $cap: the cap-free oracle mirror would diverge from the capped engine path at this scale')
+       |    END FROM embeddings))""".stripMargin
+
   /** Shared sign-LSH oracle CTEs: per-vector 64-bit sign bucket from the
     * Rademacher planes (quadratic hash of (plane i, dim j) → ±1, the
     * EXACT construction in EmbeddingOps.planesFor; the fold adds ±emb[j]
     * in the same sequential order as the typed kernel), then 16×4-bit
     * band keys with band identity in the high bits (bandKeys with
     * bandBits=4 — both ann_lsh_topk's default and bandBitsFor(0.4)).
-    * Bucket caps (2048 / 10000) cannot trip at <=500 vectors. */
+    * Bucket caps (2048 / 10000) cannot trip below the guarded count. */
   private val bucketsCte: String =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""${guardedE(2048, "LSH bucket")},
       |bits AS (
       |  SELECT vec_id, ii.i,
       |    CASE WHEN list_reduce([CAST(0.0 AS DOUBLE)] ||
@@ -141,7 +169,140 @@ object EmbeddingQueries {
       |  (CAST(i // 4 AS BIGINT) << 48) + CAST(SUM(bit << (i % 4)) AS BIGINT) AS bkey
       |  FROM bits GROUP BY vec_id, i // 4)""".stripMargin
 
+  // ---- IVF-family oracle: bit-exact DuckDB replay of the Lloyd-trained
+  // coarse quantizer (EmbeddingOps.ivfIndex) and its probe pipeline. ----
+
+  /** Must match [[graft.operators.EmbeddingOps.FixedPointScale]]. */
+  private val FixedS = "1073741824.0"
+
+  /** cosTo mirror: [[cosSql]] yields NaN on a zero-norm side; cosTo
+    * returns -3.0 there (below any real cosine) so assignment ordering is
+    * engine-independent. */
+  private def cosSafe(a: String, b: String): String =
+    s"(CASE WHEN isnan(${cosSql(a, b)}) THEN -3.0 ELSE ${cosSql(a, b)} END)"
+
+  /** Nearest-list assignment CTE: every `src` vector gets its `rnMax`
+    * nearest centroids of `cents` (sim DESC, list ASC — the exact
+    * tie-break of both the Lloyd `sim > bestSim` scan and the stable
+    * `nearestLists` sort). */
+  private def assignCte(name: String, cents: String, src: String = "e",
+      rnMax: Int = 1, idCol: String = "vec_id"): String =
+    s"""$name AS (SELECT $idCol, emb, list FROM (
+       |  SELECT v.vec_id AS $idCol, v.emb, c.list,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSafe("c.cent", "v.emb")} DESC, c.list) AS rn
+       |  FROM $src v CROSS JOIN $cents c) WHERE rn <= $rnMax)""".stripMargin
+
+  /** One Lloyd centroid update: per-(list, coordinate) FIXED-POINT sums
+    * (`floor(x·2^30 + 0.5)` BIGINTs — the exact Longs the treeReduce
+    * kernel folds, in any order), mean as the identical
+    * `sum.toDouble / (count.toDouble · 2^30)` divide; an empty list keeps
+    * its previous centroid. */
+  private def updateCte(n: Int, prev: String, asg: String): String =
+    s"""s$n AS (SELECT list, t.i,
+       |  CAST(SUM(CAST(FLOOR(emb[t.i] * $FixedS + 0.5) AS BIGINT)) AS BIGINT) AS sf, COUNT(*) AS cnt
+       |  FROM $asg, (SELECT unnest(generate_series(1, (SELECT len(emb) FROM e LIMIT 1))) AS i) t
+       |  GROUP BY list, t.i),
+       |m$n AS (SELECT list, list(CAST(sf AS DOUBLE) / (CAST(cnt AS DOUBLE) * $FixedS) ORDER BY i) AS cent
+       |  FROM s$n GROUP BY list),
+       |c$n AS (SELECT p.list, COALESCE(m.cent, p.cent) AS cent FROM $prev p LEFT JOIN m$n m USING (list))""".stripMargin
+
+  /** The trained-quantizer CTE chain ending in `c3`: deterministic seed
+    * sample (the [[graft.operators.EmbeddingOps.seedOrderHash]] integer
+    * hash, vec_id tie-break, nLists = clamp(4, 4096, floor(sqrt(N)))),
+    * then `iters` unrolled (assign, fixed-point-mean) Lloyd steps.
+    * `eCte` is the base `e` CTE — SemDedup passes the cap-guarded
+    * variant (its within-cluster pair mirror is cap-free); the top-k
+    * oracles are exact at any scale and use a plain one. */
+  private def centroidChain(eCte: String, iters: Int = 3): String = {
+    val seedH = "(1597334677*((vec_id+1)%2147483647))%2147483647"
+    val steps = (1 to iters).map { it =>
+      assignCte(s"a$it", s"c${it - 1}") + ",\n" + updateCte(it, s"c${it - 1}", s"a$it")
+    }.mkString(",\n")
+    s"""$eCte,
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY $seedH, vec_id) - 1 AS list, emb AS cent
+       |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY $seedH, vec_id)
+       |    <= (SELECT GREATEST(4, LEAST(4096, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM e)),
+       |$steps""".stripMargin
+  }
+
+  private val plainE: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+
+  /** Shared exact-rerank tail over a `cand (q_id, c_id)` CTE — the
+    * rerankTopK mirror (codegen cosine order, NaN degenerates filtered,
+    * (sim DESC, c_id) rank, k = 3). */
+  private val ivfRerankTail: String =
+    s"""rer AS (SELECT q_id, c_id, ${cosSql("qe.emb", "ce.emb")} AS sim
+       |  FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ce ON ce.vec_id = c_id),
+       |ranked AS (SELECT q_id, c_id,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+       |  FROM rer WHERE NOT isnan(sim))
+       |SELECT q_id AS vec_id, CAST(rank AS INT) AS rank, c_id AS neighbor_id
+       |FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** Full ann_ivf_topk replay (soft corpus assignment replicas=2, query
+    * probes nProbe=6, exact top-3 rerank). ann_ivf_served and
+    * stream_ann_ivf serve the SAME trained artifacts (double-exact
+    * parquet round-trip), so all three rows share this oracle. */
+  private[queries] val ivfTopKOracle: String =
+    s"""WITH ${centroidChain(plainE)},
+       |${assignCte("asg", "c3", rnMax = 2, idCol = "c_id")},
+       |qv AS (SELECT vec_id, emb FROM e WHERE vec_id < 20),
+       |${assignCte("probes", "c3", src = "qv", rnMax = 6, idCol = "q_id")},
+       |cand AS (SELECT DISTINCT p.q_id, a.c_id FROM probes p JOIN asg a USING (list)
+       |  WHERE p.q_id <> a.c_id),
+       |$ivfRerankTail""".stripMargin
+
+  /** ann_ivf_quantized replay: IVF candidates → int8 max-abs quantize
+    * (the r7 ann_quantized_topk construction) → integer-cosine prune to
+    * the global top-12 per query → exact top-3 rerank. */
+  private val ivfQuantizedOracle: String =
+    s"""WITH ${centroidChain(plainE)},
+       |${assignCte("asg", "c3", rnMax = 2, idCol = "c_id")},
+       |qv AS (SELECT vec_id, emb FROM e WHERE vec_id < 20),
+       |${assignCte("probes", "c3", src = "qv", rnMax = 6, idCol = "q_id")},
+       |cand0 AS (SELECT DISTINCT p.q_id, a.c_id FROM probes p JOIN asg a USING (list)
+       |  WHERE p.q_id <> a.c_id),
+       |mx AS (SELECT vec_id, emb,
+       |  list_max([abs(emb[t]) for t in generate_series(1, len(emb))]) AS m FROM e),
+       |qz AS (SELECT vec_id,
+       |  [CAST(floor(emb[t] / (CASE WHEN m = 0.0 THEN 1.0 ELSE m / 127.0 END) + 0.5) AS BIGINT)
+       |   for t in generate_series(1, len(emb))] AS q FROM mx),
+       |sims AS (SELECT c0.q_id, c0.c_id,
+       |  list_reduce([CAST(0 AS BIGINT)] || [q.q[t] * c.q[t] for t in generate_series(1, len(q.q))], (x, y) -> x + y) AS dot,
+       |  list_reduce([CAST(0 AS BIGINT)] || [q.q[t] * q.q[t] for t in generate_series(1, len(q.q))], (x, y) -> x + y) AS na,
+       |  list_reduce([CAST(0 AS BIGINT)] || [c.q[t] * c.q[t] for t in generate_series(1, len(c.q))], (x, y) -> x + y) AS nb
+       |  FROM cand0 c0 JOIN qz q ON q.vec_id = c0.q_id JOIN qz c ON c.vec_id = c0.c_id),
+       |qsim AS (SELECT q_id, c_id,
+       |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS qs
+       |  FROM sims WHERE na > 0 AND nb > 0),
+       |cand AS (SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qs DESC, c_id) AS qr
+       |  FROM qsim) WHERE qr <= 12),
+       |$ivfRerankTail""".stripMargin
+
+  /** ann_semdedup replay: hard cluster assignment (replicas=1) on the
+    * trained quantizer, within-cluster pairs (id_a < id_b — the
+    * cap-free mirror of cappedSelfJoinPairs, valid under the count
+    * guard), exact-cosine verify >= 0.4, dup = appears as any pair's
+    * id_b. */
+  private val semDedupOracle: String =
+    s"""WITH ${centroidChain(guardedE(10000, "SemDedup bucket"))},
+       |${assignCte("asg", "c3", rnMax = 1, idCol = "id")},
+       |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM asg x JOIN asg y ON x.list = y.list AND x.id < y.id),
+       |verified AS (SELECT id_a, id_b, ${cosSql("ea.emb", "eb.emb")} AS sim
+       |  FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
+       |dropped AS (SELECT DISTINCT id_b AS vec_id FROM verified WHERE sim >= 0.4)
+       |SELECT e.vec_id, (d.vec_id IS NOT NULL) AS is_dup
+       |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_ivf_topk" -> ivfTopKOracle,
+    "ann_ivf_served" -> ivfTopKOracle,
+    "ann_ivf_quantized" -> ivfQuantizedOracle,
+    "ann_semdedup" -> semDedupOracle,
     // quantizedTopK is centroid-free and fully deterministic: per-vector
     // max-abs int8 quantization (floor(x+0.5), Java Math.round — NOT SQL
     // round(), which is half-away-from-zero), integer cosine prune to the

@@ -51,8 +51,9 @@ object StreamingQueries {
     // Streaming IVF serve kernel on a batch frame: train-once/save, then
     // answer strictly from the artifacts via stream-static joins — no
     // corpus broadcast, the serve shape a long-running ANN stream runs.
-    // Rows-only (approximate); MemoryStream equality against the batch
-    // probe path is asserted in StreamingSpec.
+    // Oracle-checked since r8 (shares the deterministic-Lloyd replay);
+    // MemoryStream equality against the batch probe path is asserted in
+    // StreamingSpec.
     "stream_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val vecs = emb.filter(col("vec_id") < 20)
@@ -95,6 +96,11 @@ object StreamingQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    // The streaming IVF serve kernel answers from the same persisted
+    // artifacts as the batch probe path and is spec-asserted equal to it
+    // row for row, so it shares the deterministic-Lloyd replay oracle
+    // (see EmbeddingQueries.ivfTopKOracle).
+    "stream_ann_ivf" -> EmbeddingQueries.ivfTopKOracle,
     // Exhaustive verdict: best exact 3-shingle Jaccard per stream doc
     // against the whole base, dup iff best ≥ 0.6, tie-break lowest base
     // id — the gate's (jac desc, id asc) ordering. NULLIF guards the
