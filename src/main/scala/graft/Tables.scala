@@ -46,20 +46,58 @@ object Tables {
     * physical type directly, feeding the existing LongType branch. The
     * Verify/Bench/test builders still set the legacy conf (skipping the
     * retry), but nothing depends on it. */
+  /** Column names from a parquet footer, read directly (the Spark-level
+    * read is what failed on the NANOS-retry path, so schema inference is
+    * unavailable — the footer's physical field list still is). Accepts a
+    * single file or a directory of part files (first footer wins; the
+    * testdata writer emits a uniform schema). */
+  private def parquetFooterColumns(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+          .sortBy(_.getName).headOption.getOrElse(
+            sys.error(s"no parquet part files under $path"))
+      else p
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+    } finally reader.close()
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    def isNanosError(e: Throwable): Boolean = e != null &&
+    // Cause chains can in principle cycle (Throwable.initCause is
+    // user-controlled), so bound the walk (r7 ADVICE).
+    def isNanosError(e: Throwable, depth: Int = 0): Boolean =
+      e != null && depth < 20 &&
       (String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") ||
         String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") ||
-        isNanosError(e.getCause))
+        isNanosError(e.getCause, depth + 1))
     val raw =
       try table(spark, dir, "events")
       catch {
         case e: Exception if isNanosError(e) =>
-          // TESTDATA.md's fixed events schema with ts as raw nanos.
+          // TESTDATA.md's fixed events schema with ts as raw nanos. A
+          // user-supplied schema silently DROPS columns the file has that
+          // the schema lacks — on this retry path only, schema evolution
+          // of events.parquet would vanish (r7 ADVICE). Reconcile against
+          // the file footer and fail loudly on unknown columns instead.
           val sch = StructType(Seq(
             StructField("event_id", LongType), StructField("ts", LongType),
             StructField("user_id", LongType), StructField("event_type", StringType),
             StructField("value", DoubleType), StructField("props", StringType)))
+          val footerCols = parquetFooterColumns(spark, s"$dir/events.parquet")
+          val unknown = footerCols.filterNot(sch.fieldNames.contains)
+          if (unknown.nonEmpty) sys.error(
+            s"events.parquet has columns ${unknown.mkString(", ")} beyond the " +
+            "fixed NANOS-retry schema (TESTDATA.md) — the forced-schema read " +
+            "would silently drop them; extend Tables.events' retry schema.")
           spark.read.schema(sch).parquet(s"$dir/events.parquet")
       }
     raw.schema("ts").dataType match {

@@ -594,8 +594,11 @@ object EmbeddingOps {
     * [[DedupOps.cappedSelfJoinPairs]]), exact-cosine verified against
     * `threshold`. Same no-all-pairs shape as
     * [[graft.operators.DedupOps.nearDupPairs]]; recall depends on the LSH
-    * band match probability at the threshold's angle (asserted against
-    * brute force in tests, not oracle-checked). */
+    * band match probability at the threshold's angle. The whole pipeline
+    * is deterministic and replayed CTE-by-CTE in the `embedding_neardup`
+    * DuckDB oracle (EmbeddingQueries mirrors the banding, so it asserts
+    * `bandBitsFor(0.4) == 4` to stay in sync with its hardcoded band
+    * width); recall vs brute force is additionally asserted in tests. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       cap: Int = DedupOps.DefaultBucketCap): DataFrame = {
     val banded = bandKeys(signBuckets(corpus, "vec_id"), "vec_id", bandBitsFor(threshold))

@@ -109,6 +109,39 @@ case class IntervalForestJoinExec(
     (bound(s, streamedPlan), bound(e, streamedPlan), eqs.map(bound(_, streamedPlan)))
   }
 
+  /** Runtime stats-lie guard (only for stats-made decisions, see
+    * enforceBuildBudget): the strategy picked broadcast from Catalyst
+    * ESTIMATES, which can under-shoot by orders of magnitude after
+    * selective filters. Broadcasting a multi-GB forest to a 1000-executor
+    * cluster is a cluster-killer, so fail fast — with actionable advice —
+    * when the ACTUAL collected bytes blow past `buildBytesSlack`x the
+    * budget (default 4x, so estimate noise never flips a working query;
+    * Spark's own driver.maxResultSize still backstops the collect).
+    * Shared by EVERY broadcast-mode collect — the common forest build and
+    * full outer's own collect (which keeps null-key rows, hence the
+    * nullable key). */
+  private def checkBuildBudget(collected: Iterator[(UnsafeRow, InternalRow)]): Unit = {
+    if (!enforceBuildBudget) return
+    val actualBytes = collected.foldLeft(0L) { case (acc, (k, r)) =>
+      acc + (if (k == null) 0L else k.getSizeInBytes.toLong) + 16L + (r match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong
+        case _ => 64L
+      })
+    }
+    val budget = conf.getConfString(
+      "spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+    val slack = conf.getConfString("spark.graft.rangejoin.buildBytesSlack", "4.0").toDouble
+    if (actualBytes > budget * slack) {
+      throw new IllegalStateException(
+        s"interval-join build side is $actualBytes bytes at runtime, over ${slack}x the " +
+          s"spark.graft.rangejoin.maxBroadcastBytes budget ($budget) the broadcast " +
+          "decision was made against (plan statistics under-estimated it). Either " +
+          "raise the budget if the cluster can hold the broadcast, force the side " +
+          "with a broadcast() hint to take responsibility, or set " +
+          "spark.graft.rangejoin.method=binrange to take the shuffle path.")
+    }
+  }
+
   /** Build-side collect → per-key holder → broadcast, shared by the
     * interpreted and codegen probe paths (built at most once per execute). */
   @transient private lazy val broadcastForests
@@ -134,34 +167,7 @@ case class IntervalForestJoinExec(
       }
     }.collect()
     longMetric("buildRows") += collected.length
-    // Runtime stats-lie guard (only for stats-made decisions, see
-    // enforceBuildBudget): the strategy picked broadcast from Catalyst
-    // ESTIMATES, which can under-shoot by orders of magnitude after
-    // selective filters. Broadcasting a multi-GB forest to a 1000-executor
-    // cluster is a cluster-killer, so fail fast — with actionable advice —
-    // when the ACTUAL collected bytes blow past `buildBytesSlack`x the
-    // budget (default 4x, so estimate noise never flips a working query;
-    // Spark's own driver.maxResultSize still backstops the collect).
-    if (enforceBuildBudget) {
-      val actualBytes = collected.foldLeft(0L) { case (acc, (k, _, _, r)) =>
-        acc + k.getSizeInBytes + 16L + (r match {
-          case u: UnsafeRow => u.getSizeInBytes.toLong
-          case _ => 64L
-        })
-      }
-      val budget = conf.getConfString(
-        "spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
-      val slack = conf.getConfString("spark.graft.rangejoin.buildBytesSlack", "4.0").toDouble
-      if (actualBytes > budget * slack) {
-        throw new IllegalStateException(
-          s"interval-join build side is $actualBytes bytes at runtime, over ${slack}x the " +
-            s"spark.graft.rangejoin.maxBroadcastBytes budget ($budget) the broadcast " +
-            "decision was made against (plan statistics under-estimated it). Either " +
-            "raise the budget if the cluster can hold the broadcast, force the side " +
-            "with a broadcast() hint to take responsibility, or set " +
-            "spark.graft.rangejoin.method=binrange to take the shuffle path.")
-      }
-    }
+    checkBuildBudget(collected.iterator.map { case (k, _, _, r) => (k, r) })
     // Pluggable holder (reference intervalHolderClassName conf): the
     // broadcast structure is whatever the configured factory builds;
     // the bin-range fallback always uses the array forest (per-bin
@@ -325,6 +331,7 @@ case class IntervalForestJoinExec(
             }
           }.collect()
         buildRowsMetric += collected.length
+        checkBuildBudget(collected.iterator.map { case (k, _, _, r) => (k, r) })
         val forests: Map[UnsafeRow, graft.operators.IntervalForest[(InternalRow, Int)]] =
           graft.operators.IntervalForest.forest(
             collected.iterator.zipWithIndex.collect {

@@ -132,27 +132,27 @@ object EmbeddingQueries {
       s"* sqrt(list_reduce([CAST(0.0 AS DOUBLE)] || " +
       s"[$b[t] * $b[t] for t in generate_series(1, len($b))], (x, y) -> x + y))))"
 
-  /** The `e` base CTE with a loud scale guard: the sign-LSH and SemDedup
-    * oracles replay cap-free SQL mirrors of capped candidate generators,
-    * valid only while no bucket can exceed the cap — guaranteed when the
-    * TOTAL vector count is under it. Running the oracle sweep at a scale
-    * factor past the cap now raises a clear DuckDB error instead of a
-    * confusing value mismatch (r7 ADVICE). */
-  private def guardedE(cap: Int, what: String): String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-       |  WHERE (SELECT CASE WHEN COUNT(*) <= $cap THEN TRUE
-       |    ELSE error('embeddings count exceeds $what cap $cap: the cap-free oracle mirror would diverge from the capped engine path at this scale')
-       |    END FROM embeddings))""".stripMargin
+  /** Loud scale guard (r7 ADVICE): the sign-LSH and SemDedup oracles
+    * replay cap-free SQL mirrors of capped candidate generators, valid
+    * only while no bucket actually exceeds the engine's cap. This is a
+    * scalar boolean to AND into the candidate CTE's WHERE: it checks the
+    * EXACT condition — the max membership of `keyTbl` grouped by
+    * `keyCol` — so a scale change that would genuinely trip the engine
+    * cap raises a clear DuckDB error instead of a confusing value
+    * mismatch, while larger-but-still-uncapped corpora stay green. */
+  private def capGuard(keyTbl: String, keyCol: String, cap: Int, what: String): String =
+    s"""(SELECT CASE WHEN COALESCE(MAX(cnt), 0) <= $cap THEN TRUE
+       |    ELSE error('a $what bucket exceeds the engine cap $cap at this scale: the cap-free oracle mirror would diverge from the capped engine path')
+       |    END FROM (SELECT count(*) AS cnt FROM $keyTbl GROUP BY $keyCol))""".stripMargin
 
   /** Shared sign-LSH oracle CTEs: per-vector 64-bit sign bucket from the
     * Rademacher planes (quadratic hash of (plane i, dim j) → ±1, the
     * EXACT construction in EmbeddingOps.planesFor; the fold adds ±emb[j]
     * in the same sequential order as the typed kernel), then 16×4-bit
     * band keys with band identity in the high bits (bandKeys with
-    * bandBits=4 — both ann_lsh_topk's default and bandBitsFor(0.4)).
-    * Bucket caps (2048 / 10000) cannot trip below the guarded count. */
+    * bandBits=4 — both ann_lsh_topk's default and bandBitsFor(0.4)). */
   private val bucketsCte: String =
-    s"""${guardedE(2048, "LSH bucket")},
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |bits AS (
       |  SELECT vec_id, ii.i,
       |    CASE WHEN list_reduce([CAST(0.0 AS DOUBLE)] ||
@@ -288,10 +288,11 @@ object EmbeddingQueries {
     * guard), exact-cosine verify >= 0.4, dup = appears as any pair's
     * id_b. */
   private val semDedupOracle: String =
-    s"""WITH ${centroidChain(guardedE(10000, "SemDedup bucket"))},
+    s"""WITH ${centroidChain(plainE)},
        |${assignCte("asg", "c3", rnMax = 1, idCol = "id")},
        |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
-       |  FROM asg x JOIN asg y ON x.list = y.list AND x.id < y.id),
+       |  FROM asg x JOIN asg y ON x.list = y.list AND x.id < y.id
+       |  AND ${capGuard("asg", "list", 10000, "SemDedup cluster")}),
        |verified AS (SELECT id_a, id_b, ${cosSql("ea.emb", "eb.emb")} AS sim
        |  FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
        |dropped AS (SELECT DISTINCT id_b AS vec_id FROM verified WHERE sim >= 0.4)
@@ -341,7 +342,8 @@ object EmbeddingQueries {
       s"""WITH $bucketsCte,
          |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
          |  FROM bands q JOIN bands c ON q.bkey = c.bkey AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 20),
+         |  WHERE q.vec_id < 20
+         |    AND ${capGuard("bands", "bkey", 2048, "sign-LSH band")}),
          |sims AS (SELECT q_id, c_id, ${cosSql("qe.emb", "ce.emb")} AS sim
          |  FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ce ON ce.vec_id = c_id),
          |ranked AS (SELECT q_id, c_id,
@@ -352,7 +354,8 @@ object EmbeddingQueries {
     "embedding_neardup" ->
       s"""WITH $bucketsCte,
          |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |    AND ${capGuard("bands", "bkey", 10000, "near-dup band")}),
          |verified AS (SELECT id_a, id_b, ${cosSql("ea.emb", "eb.emb")} AS sim
          |  FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, sim FROM verified WHERE sim >= 0.4""".stripMargin,

@@ -146,11 +146,11 @@ object TextQueries {
     },
     // Distributed BPE tokenizer training (Sennrich-style subword merges,
     // batched non-interfering rounds on the compressed word-freq table).
-    // Rows-only: the BATCHED trainer's greedy non-interfering top-K
-    // selection isn't worth mirroring in SQL (its batch=1 degenerate case
-    // IS oracle-checked below as pipeline_bpe_seq, and batch equivalence
-    // plus per-merge count exactness are differentially asserted in
-    // BpeSpec).
+    // Oracle-checked since r8: batchedBpeOracle replays the batched
+    // greedy non-interfering selection + queued application as one
+    // recursive CTE (the batch=1 degenerate stays separately checked as
+    // pipeline_bpe_seq; batch equivalence and per-merge count exactness
+    // additionally asserted in BpeSpec).
     "pipeline_bpe" -> { (s, dir) =>
       BpeOps.trainBpe(Tables.documents(s, dir), numMerges = 32, batch = 8)
     },
@@ -264,7 +264,122 @@ object TextQueries {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM """.stripMargin
 
+  /** Bit-for-bit mirror of BpeOps.trainBpe(numMerges, batch) — the
+    * BATCHED production trainer as one recursive CTE (extends the
+    * pipeline_bpe_seq machine with a pending-rule QUEUE and the greedy
+    * non-interfering selection). State rows: kind 'w' = one live row per
+    * vocab word (s = sentinel-spaced symbols, done = merges logged),
+    * kind 'p' = queued rules of the current batch (ord = application
+    * order), kind 'm' = emitted merge-log rows (never recursed). Per
+    * step exactly one phase fires:
+    *  (a) queue head still occurs in some word → every word replaces its
+    *      LEFTMOST occurrence (replace-first iterated == the kernel's
+    *      greedy left-to-right pass);
+    *  (b) head at fixpoint → pop it;
+    *  (c) queue empty, budget left → count adjacent pairs >= minFreq 2,
+    *      take the trainer's max(want*8, 64) candidate window (freq
+    *      desc, left, right), then the chained
+    *      s1..s`batch` CTEs replay the greedy scan: s_k = the first
+    *      candidate whose {left, right, left||right} avoids every
+    *      previously SELECTED pair's trio (skipped candidates taint
+    *      nothing), truncated to want = min(batch, budget) — exactly
+    *      takeWhile(selected < want). Ranks are assigned at selection
+    *      (done + si - 1) like the trainer; the final batch skips the
+    *      queue + word rows entirely (its application cannot affect any
+    *      further output), so the recursion ends with the last log row.
+    * No candidate or budget exhausted → no rows → termination. */
+  private def batchedBpeOracle(numMerges: Int, batch: Int): String = {
+    // Every CTE here is MATERIALIZED: DuckDB inlines plain CTEs at each
+    // reference, and the u1←s1, s2←u1, u2←u1∪s2, ... chain would expand
+    // `cands` (a full-vocab unnest aggregation) EXPONENTIALLY in the
+    // batch width — measured >150s at sf0.001 vs 0.6s materialized.
+    val selCtes = new StringBuilder(
+      "  s1 AS MATERIALIZED (SELECT l, r, f FROM cands ORDER BY f DESC, l, r LIMIT 1),\n" +
+      "  u1 AS MATERIALIZED (SELECT * FROM s1),\n")
+    for (k <- 2 to batch) {
+      selCtes ++= (
+        s"  s$k AS MATERIALIZED (SELECT c.l, c.r, c.f FROM cands c WHERE NOT EXISTS (" +
+        s"SELECT 1 FROM u${k - 1} u WHERE c.l IN (u.l, u.r, u.l||u.r) " +
+        s"OR c.r IN (u.l, u.r, u.l||u.r) OR (c.l||c.r) IN (u.l, u.r, u.l||u.r)) " +
+        s"ORDER BY c.f DESC, c.l, c.r LIMIT 1),\n")
+      if (k < batch)
+        selCtes ++= s"  u$k AS MATERIALIZED (SELECT * FROM u${k - 1} UNION ALL SELECT * FROM s$k),\n"
+    }
+    val selUnion = (1 to batch)
+      .map(k => s"SELECT $k AS si, * FROM s$k").mkString("\n    UNION ALL ")
+    s"""WITH RECURSIVE
+       |wf AS (
+       |  SELECT w, count(*)::BIGINT AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+       |    FROM documents) GROUP BY w),
+       |st AS (
+       |  SELECT 'w' AS kind, w, freq,
+       |    ' ' || array_to_string([w[i] for i in generate_series(1, len(w))], ' ') || ' </w> ' AS s,
+       |    0 AS done, NULL::INT AS ord, NULL::VARCHAR AS pl, NULL::VARCHAR AS pr, NULL::BIGINT AS sf
+       |  FROM wf
+       |  UNION ALL
+       |  (
+       |  WITH cur AS MATERIALIZED (SELECT * FROM st WHERE kind IN ('w', 'p')),
+       |  wrows AS MATERIALIZED (SELECT * FROM cur WHERE kind = 'w'),
+       |  hasp AS MATERIALIZED (SELECT count(*) > 0 AS yes FROM cur WHERE kind = 'p'),
+       |  head AS MATERIALIZED (SELECT pl, pr FROM cur WHERE kind = 'p' ORDER BY ord LIMIT 1),
+       |  occ AS MATERIALIZED (SELECT bool_or(position((' ' || h.pl || ' ' || h.pr || ' ') IN w.s) > 0) AS any
+       |          FROM wrows w, head h),
+       |  dn AS MATERIALIZED (SELECT max(done) AS done FROM wrows),
+       |  cands AS MATERIALIZED (
+       |    SELECT l, r, f FROM (
+       |      SELECT e.x['l'] AS l, e.x['r'] AS r, sum(c.freq) AS f FROM (
+       |        SELECT freq, string_split(trim(s), ' ') AS sy FROM wrows) c,
+       |        LATERAL (SELECT unnest([{'l': c.sy[i], 'r': c.sy[i+1]} for i in generate_series(1, len(c.sy)-1)]) AS x) e
+       |      GROUP BY l, r HAVING sum(c.freq) >= 2)
+       |    WHERE (SELECT NOT yes FROM hasp) AND (SELECT done FROM dn) < $numMerges
+       |    ORDER BY f DESC, l, r
+       |    LIMIT GREATEST(LEAST($batch, $numMerges - (SELECT done FROM dn)) * 8, 64)),
+       |$selCtes  sel AS MATERIALIZED ($selUnion),
+       |  selw AS MATERIALIZED (SELECT * FROM sel
+       |           WHERE si <= LEAST($batch, $numMerges - (SELECT done FROM dn))),
+       |  nsel AS MATERIALIZED (SELECT count(*) AS k FROM selw)
+       |  SELECT * FROM (
+       |    SELECT w.kind, w.w, w.freq,
+       |      CASE WHEN position((' ' || h.pl || ' ' || h.pr || ' ') IN w.s) > 0 THEN
+       |        substr(w.s, 1, position((' ' || h.pl || ' ' || h.pr || ' ') IN w.s) - 1)
+       |          || ' ' || h.pl || h.pr || ' '
+       |          || substr(w.s, position((' ' || h.pl || ' ' || h.pr || ' ') IN w.s)
+       |                         + len(' ' || h.pl || ' ' || h.pr || ' '))
+       |      ELSE w.s END AS s,
+       |      w.done, w.ord, w.pl, w.pr, w.sf
+       |    FROM wrows w, head h, occ o WHERE o.any
+       |    UNION ALL
+       |    SELECT p.kind, p.w, p.freq, p.s, p.done, p.ord, p.pl, p.pr, p.sf
+       |    FROM cur p, occ o WHERE p.kind = 'p' AND o.any
+       |    UNION ALL
+       |    SELECT w.kind, w.w, w.freq, w.s, w.done, w.ord, w.pl, w.pr, w.sf
+       |    FROM wrows w, occ o WHERE NOT o.any
+       |    UNION ALL
+       |    SELECT p.kind, p.w, p.freq, p.s, p.done, p.ord, p.pl, p.pr, p.sf
+       |    FROM cur p, occ o
+       |    WHERE p.kind = 'p' AND NOT o.any
+       |      AND p.ord > (SELECT min(ord) FROM cur WHERE kind = 'p')
+       |    UNION ALL
+       |    SELECT 'm', NULL, NULL, NULL, d.done + s.si - 1, NULL, s.l, s.r, s.f
+       |    FROM selw s, dn d
+       |    UNION ALL
+       |    SELECT 'p', NULL, NULL, NULL, NULL, s.si, s.l, s.r, NULL
+       |    FROM selw s, dn d, nsel n WHERE d.done + n.k < $numMerges
+       |    UNION ALL
+       |    SELECT w.kind, w.w, w.freq, w.s, w.done + n.k, w.ord, w.pl, w.pr, w.sf
+       |    FROM wrows w, hasp hp, dn d, nsel n
+       |    WHERE NOT hp.yes AND n.k > 0 AND d.done + n.k < $numMerges
+       |  )
+       |  )
+       |)
+       |SELECT CAST(done AS INT) AS rank, pl AS "left", pr AS "right",
+       |  pl || pr AS merged, sf AS pair_freq
+       |FROM st WHERE kind = 'm'""".stripMargin
+  }
+
   private val oracleBase: Map[String, String] = Map(
+    "pipeline_bpe" -> batchedBpeOracle(numMerges = 32, batch = 8),
     "text_stats" -> statsSql,
     "text_quality_by_source" ->
       s"""WITH stats AS ($statsSql)

@@ -339,7 +339,15 @@ object StreamingOps {
     * warning every micro-batch (r6 VERDICT #2). A conjunct with two
     * attributes on a side is skipped silently (the helper's
     * more-than-one-attribute early return), so this form yields the same
-    * join with the same band-derived state eviction and clean logs. */
+    * join with the same band-derived state eviction and clean logs.
+    *
+    * Degenerate rows (`pos_start > pos_end`): the two forms differ there —
+    * the two-conjunct batch convention can still match a containing
+    * interval, this single-conjunct form never matches one (r7 ADVICE).
+    * `StreamRead` ingestion is expected to deliver normalized
+    * `pos_start <= pos_end` rows (TESTDATA.md events are); feed
+    * un-normalized intervals through a `least/greatest` swap upstream if
+    * the source can produce them, or batch and streaming disagree. */
   def joinStreams(left: Dataset[StreamRead], right: Dataset[StreamRead],
       watermark: String = "2 hours", band: String = "1 hour"): DataFrame = {
     val l = left.toDF().withWatermark("ts", watermark).alias("l")
