@@ -19,6 +19,17 @@ object Bench {
       // this conf (Tables.events no longer sets it as a side effect).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Local-bench split tuning: the sf0.1 parquet files are 0.5-11 MB,
+      // so Spark's default split heuristic (128 MB cap, 4 MB open cost,
+      // bytes-per-core floor) gives lineitem only 3 input partitions and
+      // leaves 29 of the 32 cores idle through every scan-bound stage
+      // (the CIGAR/MD walks are CPU-heavy per row). 2 MB/512 KB splits
+      // the same files ~20 ways: measured blocks 2.1->1.4s, pileupMaps
+      // 3.2->2.1s, calls_by 6.4->4.4s at sf0.1. On a real cluster the
+      // defaults are right (files >> cores); these two confs are
+      // benchmark-session tuning, not engine behavior.
+      .config("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (512L << 10).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

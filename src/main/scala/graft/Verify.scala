@@ -18,6 +18,10 @@ object Verify {
       // this conf (Tables.events no longer sets it as a side effect).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Same local split tuning as Bench (small testdata files otherwise
+      // scan on <=3 of the worker threads; see Bench.scala).
+      .config("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (512L << 10).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
     // Robustness-sweep hook (local use only; the driver never sets it):
     // SPARK_GRAFT_CONF="k=v;k2=v2" overrides session confs, e.g.

@@ -153,7 +153,18 @@ object IntervalQueries {
     // reference joins on overlap only): every read paired with ALL
     // equally-closest targets on its contig, distance 0 on overlap.
     "interval_join_nearest" -> { (s, dir) =>
-      Graft.ensure(s)
+      Graft.ensure(s); joinConf(s)
+      s.conf.set("spark.graft.nearestjoin.method", "auto")
+      graft.operators.NearestJoinOps.nearestJoin(Tables.ivA(s, dir), Tables.ivB(s, dir))
+        .select(col("a_key"), col("b_key"), col("distance"))
+    },
+    // The both-sides-large nearest regime through the hard gate: phase-1
+    // distributed merge sweep for d*, phase-2 residual interval join for
+    // the ties (no collect anywhere). Same oracle SQL as
+    // interval_join_nearest — the physical method must not change results.
+    "interval_join_nearest_merge" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      s.conf.set("spark.graft.nearestjoin.method", "merge")
       graft.operators.NearestJoinOps.nearestJoin(Tables.ivA(s, dir), Tables.ivB(s, dir))
         .select(col("a_key"), col("b_key"), col("distance"))
     },
@@ -567,6 +578,14 @@ object IntervalQueries {
     // window must not mix them. Duplicate identical left rows each emit
     // their tie set (multiset semantics, same as the engine).
     "interval_join_nearest" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (
+        |  SELECT a.a_key, a.contig, a.pos_start, a.pos_end, b.b_key,
+        |    GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) AS distance,
+        |    MIN(GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0))
+        |      OVER (PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end) AS md
+        |  FROM iva a JOIN ivb b ON a.contig = b.contig)
+        |WHERE distance = md""".stripMargin),
+    "interval_join_nearest_merge" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (
         |  SELECT a.a_key, a.contig, a.pos_start, a.pos_end, b.b_key,
         |    GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) AS distance,

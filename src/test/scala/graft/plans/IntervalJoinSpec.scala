@@ -455,6 +455,47 @@ class IntervalJoinSpec extends SparkSpec {
       .select(col("a_key"), col("b_key"), col("distance"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     assert(got === brute)
+    // The both-sides-large merge regime (phase-1 distributed distance
+    // sweep + phase-2 residual interval join) must emit the identical
+    // pair set — same rows, same ties, same distances.
+    val merged = withConf("spark.graft.nearestjoin.method", "merge") {
+      graft.operators.NearestJoinOps.nearestJoin(a, b)
+        .select(col("a_key"), col("b_key"), col("distance"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    }
+    assert(merged === brute)
+  }
+
+  test("merge nearest join covers flank ties, absent contigs, and overlap-at-start") {
+    import graft.SharedSpark.spark.implicits._
+    val l = Seq(
+      ("1", 100, 110), // equidistant flanks: rights ending 90 and starting 120 -> d=10, both emit
+      ("1", 300, 310), // overlap (right 305..400)
+      ("2", 50, 60),   // right starts exactly at pos_end -> overlap d=0
+      ("3", 10, 20),   // no right on contig 3 -> dropped
+      ("1", 100, 110)  // duplicate left row: both copies emit
+    ).toDF("contig", "pos_start", "pos_end")
+    val r = Seq(
+      ("1", 80, 90), ("1", 120, 130), ("1", 305, 400), ("2", 60, 70)
+    ).toDF("contig", "pos_start", "pos_end")
+    // Both paths emit left cols ++ right cols ++ distance with duplicate
+    // names; compare on the raw positional columns.
+    def runPos(method: String) = withConf("spark.graft.nearestjoin.method", method) {
+      val out = graft.operators.NearestJoinOps.nearestJoin(l, r)
+      val n = out.columns.length
+      out.collect().map(x => (x.getString(0), x.getInt(1), x.getInt(2),
+        x.getString(3), x.getInt(4), x.getInt(5), x.getInt(n - 1))).sorted.toSeq
+    }
+    val viaMerge = runPos("merge")
+    val viaBroadcast = runPos("broadcast")
+    assert(viaMerge === viaBroadcast)
+    // Spot-check the semantics directly: the equidistant-flank left emits
+    // both flanks at d=10, twice (duplicate left row).
+    assert(viaMerge.count(t => t._1 == "1" && t._2 == 100 && t._7 == 10) === 4)
+    // contig 3 dropped entirely.
+    assert(!viaMerge.exists(_._1 == "3"))
+    // right starting exactly at pos_end is an overlap.
+    assert(viaMerge.filter(_._1 == "2").forall(_._7 == 0))
   }
 
   test("runtime stats-lie guard: stats-decided broadcast over budget fails with guidance") {
