@@ -184,19 +184,24 @@ object CoverageOps {
     // and re-sorted the exchange output once per downstream pass
     // (summaries + main RLE). Instead: persist the small event rows
     // (contig, int, int — 2 per read), so sampling and shuffle share one
-    // scan, and shuffle-sort ONCE via repartitionAndSortWithinPartitions
-    // with both passes reading the persisted sorted partitions. Measured
-    // 3.4s → ~1.5s on the sf0.1 pileup depth pass. RDD-level persists:
-    // dropped before returning (every job needing them runs eagerly in
-    // this method) and ContextCleaner-backstopped.
-    val keyed = events.as[(String, Int, Int)].rdd
-      .map { case (c, p, d) => ((c, p), d) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // scan, and persist the sorted result so the sort runs once with both
+    // passes reading its partitions. Everything stays DataFrame-level —
+    // Tungsten UnsafeRow shuffle + codegen sort; the earlier RDD-tuple
+    // form paid a per-row Dataset decode plus Java-serialized shuffle
+    // (measured ~2x on the 4-sample blocksBy event volume). The scan
+    // passes read InternalRows and intern the contig string only when it
+    // changes (events are contig-sorted, so O(contigs) allocations).
+    // Persists are dropped before returning — every job needing them runs
+    // eagerly in this method.
     val nShuffle = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val partitioner = new org.apache.spark.RangePartitioner(nShuffle, keyed)
-    val rdd = keyed.repartitionAndSortWithinPartitions(partitioner)
-      .map { case ((c, p), d) => (c, p, d) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // A null contig/pos carries no coverage information (and the raw
+    // InternalRow passes below assume non-null fields).
+    val ev = events.na.drop().persist(StorageLevel.MEMORY_AND_DISK)
+    val sortedDf = ev
+      .repartitionByRange(nShuffle, col("contig"), col("pos"))
+      .sortWithinPartitions(col("contig"), col("pos"))
+    sortedDf.persist(StorageLevel.MEMORY_AND_DISK)
+    val rdd = sortedDf.queryExecution.toRdd
 
     // Pass 1: per-partition (first event key, net delta per contig in order).
     case class Summary(idx: Int, first: Option[(String, Int)], perContig: Seq[(String, Long)])
@@ -204,10 +209,14 @@ object CoverageOps {
       var first: Option[(String, Int)] = None
       val order = mutable.ArrayBuffer.empty[String]
       val net = mutable.HashMap.empty[String, Long]
-      it.foreach { case (contig, pos, delta) =>
-        if (first.isEmpty) first = Some((contig, pos))
-        if (!net.contains(contig)) order += contig
-        net(contig) = net.getOrElse(contig, 0L) + delta
+      var curU: org.apache.spark.unsafe.types.UTF8String = null
+      var cur: String = null
+      it.foreach { row =>
+        val c = row.getUTF8String(0)
+        if (curU == null || !c.equals(curU)) { curU = c.copy(); cur = curU.toString }
+        if (first.isEmpty) first = Some((cur, row.getInt(1)))
+        if (!net.contains(cur)) order += cur
+        net(cur) = net.getOrElse(cur, 0L) + row.getInt(2)
       }
       Iterator.single(Summary(idx, first, order.map(c => c -> net(c)).toSeq))
     }.collect().sortBy(_.idx)
@@ -260,13 +269,22 @@ object CoverageOps {
         lastPos = pos
       }
 
-      // Merge equal-(contig,pos) runs of events, then advance.
+      // Merge equal-(contig,pos) runs of events, then advance. Contig
+      // strings are interned on change only (sorted input, so one
+      // allocation per contig run — `eq` then suffices in the hot compare).
       var pendContig: String = null
       var pendPos = 0
       var pendNet = 0L
       var hasPend = false
-      it.foreach { case (contig, pos, delta) =>
-        if (hasPend && contig == pendContig && pos == pendPos) pendNet += delta
+      var curU: org.apache.spark.unsafe.types.UTF8String = null
+      var curS: String = null
+      it.foreach { row =>
+        val c = row.getUTF8String(0)
+        if (curU == null || !c.equals(curU)) { curU = c.copy(); curS = curU.toString }
+        val contig = curS
+        val pos = row.getInt(1)
+        val delta = row.getInt(2)
+        if (hasPend && (contig eq pendContig) && pos == pendPos) pendNet += delta
         else {
           if (hasPend) advance(pendContig, pendPos, pendNet)
           pendContig = contig; pendPos = pos; pendNet = delta; hasPend = true
@@ -299,9 +317,9 @@ object CoverageOps {
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
       .sortBy(b => (b._1, b._2))
     // All eager jobs are done; the returned plan reads taggedRdd only
-    // (lineage through rdd/keyed survives for recompute-on-eviction).
-    keyed.unpersist(blocking = false)
-    rdd.unpersist(blocking = false)
+    // (lineage survives for recompute-on-eviction).
+    ev.unpersist(blocking = false)
+    sortedDf.unpersist(blocking = false)
     val merged = mutable.ArrayBuffer.empty[(String, Int, Int, Int)]
     boundaryRows.foreach { b =>
       merged.lastOption match {
