@@ -156,6 +156,11 @@ class GraftSession(val spark: SparkSession) {
   def nearestJoin(left: DataFrame, right: DataFrame): DataFrame =
     NearestJoinOps.nearestJoin(left, right)
 
+  /** As [[nearestJoin]] with the regime (`auto`/`broadcast`/`merge`)
+    * passed explicitly instead of via `spark.graft.nearestjoin.method`. */
+  def nearestJoin(left: DataFrame, right: DataFrame, method: String): DataFrame =
+    NearestJoinOps.nearestJoin(left, right, method)
+
   /** vt/bcftools-norm variant normalization: right-trim, left-extend
     * through reference repeats, left-trim to parsimony →
     * `(variant_id, contig, pos_start, pos_end, ref, alt)`. */

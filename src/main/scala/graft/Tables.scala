@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType}
 
+import scala.collection.mutable
+
 /** Loaders for the driver-provided parquet tables (TESTDATA.md) plus
   * deterministic genomic-shaped derivations shared by queries and their
   * DuckDB oracles.
@@ -46,29 +48,39 @@ object Tables {
     * physical type directly, feeding the existing LongType branch. The
     * Verify/Bench/test builders still set the legacy conf (skipping the
     * retry), but nothing depends on it. */
-  /** Column names from a parquet footer, read directly (the Spark-level
+  /** Column names from parquet footers, read directly (the Spark-level
     * read is what failed on the NANOS-retry path, so schema inference is
-    * unavailable — the footer's physical field list still is). Accepts a
-    * single file or a directory of part files (first footer wins; the
-    * testdata writer emits a uniform schema). */
+    * unavailable — the footers' physical field lists still are). Accepts
+    * a single file or a directory of part files; for a directory the
+    * field names are UNIONED across every part footer (footers only —
+    * cheap), so per-file schema evolution inside the directory — the
+    * very scenario the guard targets — is caught too (r8 ADVICE: the
+    * earlier first-footer-wins read could miss a column added in a later
+    * part file). Order: first appearance across lexicographic parts. */
   private def parquetFooterColumns(spark: SparkSession, path: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) {
+        val parts = fs.listStatus(p).map(_.getPath)
           .filter(f => f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
-          .sortBy(_.getName).headOption.getOrElse(
-            sys.error(s"no parquet part files under $path"))
-      else p
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      import scala.jdk.CollectionConverters._
-      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
-    } finally reader.close()
+          .sortBy(_.getName).toSeq
+        if (parts.isEmpty) sys.error(s"no parquet part files under $path")
+        parts
+      } else Seq(p)
+    val seen = mutable.LinkedHashSet.empty[String]
+    files.foreach { file =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .foreach(f => seen += f.getName)
+      } finally reader.close()
+    }
+    seen.toSeq
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = {

@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.mutable
 
@@ -37,24 +37,42 @@ import scala.collection.mutable
   *
   * '''Merge''' (both sides large): bedtools' own sweep, distributed.
   * Phase 1 computes the nearest DISTANCE per distinct left interval
-  * without materializing any pair: both sides' endpoints are
-  * range-partitioned and sorted by `(contig, pos)` (rights keyed by
-  * start, lefts by end; 1-2 small rows per input row — the CoverageOps
-  * event-point shape), then one partition-local pass tracks the running
-  * max right-end (flank-left / overlap) and next right-start
-  * (flank-right), with O(partitions x contigs) carry state folded on the
-  * driver exactly like [[CoverageOps]]' prefix scan. Phase 2 re-joins:
-  * each left interval expanded by its own distance overlap-joins the
-  * right side through the engine's interval join (which picks
-  * broadcast-forest or the AQE-skew-splittable bin-range rewrite from
-  * stats), and the residual `distance == d*` keeps exactly the tied
-  * nearest features. At 100 TB nothing collects: phase 1 shuffles
-  * O(|L|+|R|) endpoint rows, phase 2's probe windows are tight by
-  * construction (each widened by exactly its d*), so candidates =
-  * overlaps + ties.
+  * without materializing any pair: both sides' endpoints (rights keyed
+  * by start, lefts by end; 1-2 small rows per input row — the
+  * CoverageOps event-point shape) flow through a DataFrame-level
+  * `repartitionByRange` + `sortWithinPartitions` on
+  * `(contig, pos, tag)` — Tungsten UnsafeRow shuffle + codegen sort;
+  * the earlier RDD-tuple `repartitionAndSortWithinPartitions` paid a
+  * per-row Dataset decode plus a Java-serialized shuffle, the exact
+  * cost class CoverageOps measured at ~2x on the same shape
+  * (`CoverageOps.scala`). One partition-local pass then tracks the
+  * running max right-end (flank-left / overlap) and next right-start
+  * (flank-right), with O(partitions x contigs) carry state folded on
+  * the driver exactly like [[CoverageOps]]' prefix scan. Phase 2
+  * re-joins: each left interval expanded by its own distance
+  * overlap-joins the right side through the engine's interval join
+  * (which picks broadcast-forest or the AQE-skew-splittable bin-range
+  * rewrite from stats), and the residual `distance == d*` keeps exactly
+  * the tied nearest features. At 100 TB nothing collects: phase 1
+  * shuffles O(|L|+|R|) endpoint rows, phase 2's probe windows are tight
+  * by construction (each widened by exactly its d*), so candidates =
+  * overlaps + ties. Per-partition memory in the phase-1 pass is
+  * O(partition rows) — the backward next-right scan needs random access,
+  * so each sorted partition is buffered as primitive int arrays plus one
+  * interned contig ref per row (~20 bytes/row; a 64 MB shuffle partition
+  * buffers well under typical executor memory). A hot contig plus low
+  * parallelism concentrates endpoints — raise
+  * `spark.sql.shuffle.partitions` (range partitioning splits within a
+  * contig freely; correctness never depends on contig-per-partition).
+  * Nothing in the method leaves persisted blocks behind: the endpoint
+  * frame is persisted only to share one input scan between the range
+  * sampling and the shuffle map stage, and is unpersisted before
+  * returning; downstream passes re-read the shuffle files, not the
+  * sources.
   *
-  * Dispatch: `spark.graft.nearestjoin.method` = `auto` (default —
-  * broadcast while the right side's Catalyst estimate fits
+  * Dispatch: `method` parameter (preferred — no session state), or the
+  * `spark.graft.nearestjoin.method` conf for the no-arg form: `auto`
+  * (default — broadcast while the right side's Catalyst estimate fits
   * `spark.graft.rangejoin.maxBroadcastBytes`, else merge), `broadcast`
   * (forced — the user takes responsibility, standard hint semantics),
   * or `merge`.
@@ -63,20 +81,27 @@ object NearestJoinOps {
 
   /** Inner nearest join: left rows on contigs absent from `right` drop
     * (no feature to be near). Output = left columns ++ right columns ++
-    * `distance: Int`; both inputs need `(contig, pos_start, pos_end)`. */
-  def nearestJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    * `distance: Int`; both inputs need `(contig, pos_start, pos_end)`.
+    * Regime from `spark.graft.nearestjoin.method` (default `auto`). */
+  def nearestJoin(left: DataFrame, right: DataFrame): DataFrame =
+    nearestJoin(left, right,
+      left.sparkSession.conf.get("spark.graft.nearestjoin.method", "auto"))
+
+  /** As [[nearestJoin]] with the regime passed explicitly — callers that
+    * pin a regime (tests, the query suite) use this instead of mutating
+    * session conf (r8 ADVICE: conf writes leaked across query lambdas). */
+  def nearestJoin(left: DataFrame, right: DataFrame, method: String): DataFrame = {
     val spark = left.sparkSession
     val maxBytes = spark.conf
       .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
-    val method = spark.conf.get("spark.graft.nearestjoin.method", "auto")
-    val fits = right.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes)
     method match {
       case "broadcast" => broadcastNearestJoin(left, right)
       case "merge" => mergeNearestJoin(left, right)
-      case "auto" => if (fits) broadcastNearestJoin(left, right)
-                     else mergeNearestJoin(left, right)
+      case "auto" =>
+        val fits = right.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes)
+        if (fits) broadcastNearestJoin(left, right) else mergeNearestJoin(left, right)
       case other => throw new IllegalArgumentException(
-        s"spark.graft.nearestjoin.method must be auto|broadcast|merge, got '$other'")
+        s"nearest join method must be auto|broadcast|merge, got '$other'")
     }
   }
 
@@ -131,6 +156,12 @@ object NearestJoinOps {
     ColumnBridge.internalFrame(spark, outRdd, outSchema)
   }
 
+  private val distSchema = StructType(Seq(
+    StructField("contig", StringType, nullable = false),
+    StructField("pos_start", IntegerType, nullable = false),
+    StructField("pos_end", IntegerType, nullable = false),
+    StructField("_nd", IntegerType, nullable = false)))
+
   /** Phase 1 of the merge regime: nearest distance per DISTINCT left
     * `(contig, pos_start, pos_end)` triple (the distance is a pure
     * function of the triple, so duplicates re-attach by equi-join).
@@ -138,40 +169,56 @@ object NearestJoinOps {
     * no right rows are absent (inner semantics). */
   private[operators] def nearestDistances(left: DataFrame, right: DataFrame): DataFrame = {
     val spark = left.sparkSession
-    import spark.implicits._
     // Endpoint rows. Sort key (contig, pos, tag): rights (tag 0) sort
     // before lefts (tag 1) at equal pos, so a right starting exactly at a
     // left's end is visible to its running-max (it overlaps: rs = le and
     // re >= rs >= ls) and correctly absent from next-right (rs > le).
-    //   right -> key (contig, rs, 0), payload re
-    //   left  -> key (contig, le, 1), payload ls
-    val rPts = right.select(col("contig"), col("pos_start").cast("int"),
-        col("pos_end").cast("int")).na.drop()
-      .as[(String, Int, Int)].rdd.map { case (c, rs, re) => ((c, rs, 0), re) }
-    val lPts = left.select(col("contig"), col("pos_start").cast("int"),
-        col("pos_end").cast("int")).na.drop().distinct()
-      .as[(String, Int, Int)].rdd.map { case (c, ls, le) => ((c, le, 1), ls) }
-    val pts = rPts.union(lPts).persist(StorageLevel.MEMORY_AND_DISK)
+    //   right -> (contig, pos=rs, tag=0, payload=re)
+    //   left  -> (contig, pos=le, tag=1, payload=ls)
+    val rPts = right.select(col("contig"),
+        col("pos_start").cast("int").as("pos"),
+        col("pos_end").cast("int").as("payload")).na.drop()
+      .select(col("contig"), col("pos"), lit(0).as("tag"), col("payload"))
+    val lPts = left.select(col("contig"),
+        col("pos_end").cast("int").as("pos"),
+        col("pos_start").cast("int").as("payload")).na.drop().distinct()
+      .select(col("contig"), col("pos"), lit(1).as("tag"), col("payload"))
+    // Persist only to share one scan of both inputs between the range
+    // partitioner's bounds-sampling job and the shuffle map stage;
+    // released below once the shuffle files exist.
+    val pts = CacheScope.persistTracked(rPts.unionAll(lPts))
     val nShuffle = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val partitioner = new org.apache.spark.RangePartitioner(nShuffle, pts)
-    val sorted = pts.repartitionAndSortWithinPartitions(partitioner)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sortedDf = pts
+      .repartitionByRange(nShuffle, col("contig"), col("pos"), col("tag"))
+      .sortWithinPartitions(col("contig"), col("pos"), col("tag"))
+    // ONE physical plan for both scan passes: jobs over the same toRdd
+    // share the shuffle id, so the sort's exchange runs once and every
+    // later pass (including the lazy phase-2 consumer) re-reads shuffle
+    // files — no persist to leak (r8 VERDICT #3 / ADVICE).
+    val rdd = sortedDf.queryExecution.toRdd
 
     // O(partitions x contigs) summaries: per-contig max right-end (for the
     // forward carry) and per-contig first right-start (for the backward
-    // carry), both in partition order.
+    // carry), both in partition order. InternalRow scan; contig strings
+    // interned on change only (sorted input).
     case class Summary(idx: Int, maxEnd: Seq[(String, Int)], firstRight: Seq[(String, Int)])
-    val summaries = sorted.mapPartitionsWithIndex { (idx, it) =>
+    val summaries = rdd.mapPartitionsWithIndex { (idx, it) =>
       val maxEnd = mutable.LinkedHashMap.empty[String, Int]
       val firstRight = mutable.LinkedHashMap.empty[String, Int]
-      it.foreach {
-        case ((c, pos, 0), re) =>
-          if (!firstRight.contains(c)) firstRight(c) = pos
-          maxEnd(c) = math.max(maxEnd.getOrElse(c, Int.MinValue), re)
-        case _ =>
+      var curU: UTF8String = null
+      var cur: String = null
+      it.foreach { row =>
+        val c = row.getUTF8String(0)
+        if (curU == null || !c.equals(curU)) { curU = c.copy(); cur = curU.toString }
+        if (row.getInt(2) == 0) {
+          if (!firstRight.contains(cur)) firstRight(cur) = row.getInt(1)
+          maxEnd(cur) = math.max(maxEnd.getOrElse(cur, Int.MinValue), row.getInt(3))
+        }
       }
       Iterator.single(Summary(idx, maxEnd.toSeq, firstRight.toSeq))
     }.collect().sortBy(_.idx)
+    // Shuffle files are on disk now; nothing re-reads the sources.
+    pts.unpersist(blocking = false)
     val nParts = summaries.length
     // Forward fold: max right-end per contig over all EARLIER partitions.
     val carryMax = new Array[Map[String, Int]](nParts)
@@ -193,62 +240,105 @@ object NearestJoinOps {
     }
     val carryB = spark.sparkContext.broadcast((carryMax, carryNext))
 
-    val out = sorted.mapPartitionsWithIndex { (idx, it) =>
+    val outRdd = rdd.mapPartitionsWithIndex { (idx, it) =>
       val (carryMaxA, carryNextA) = carryB.value
       val cMax = carryMaxA(idx)
       val cNext = carryNextA(idx)
-      val arr = it.toArray
-      // Backward pass: next right-start strictly after index i, same contig.
-      val nextRight = new Array[Int](arr.length)
-      val pend = mutable.HashMap.empty[String, Int]
-      for (i <- arr.length - 1 to 0 by -1) {
-        val ((c, pos, tag), _) = arr(i)
-        nextRight(i) = pend.getOrElse(c, cNext.getOrElse(c, Int.MinValue))
-        if (tag == 0) pend(c) = pos
+      // Buffer the sorted partition as primitive arrays (the backward
+      // next-right pass needs random access): ~20 bytes/row — int pos/tag/
+      // payload plus one interned contig ref per row (one UTF8String copy
+      // per contig run). O(partition rows) heap; see the scaladoc note.
+      val ctg = mutable.ArrayBuffer.empty[UTF8String]
+      val pos = mutable.ArrayBuffer.empty[Int]
+      val tag = mutable.ArrayBuffer.empty[Int]
+      val pay = mutable.ArrayBuffer.empty[Int]
+      var curU: UTF8String = null
+      it.foreach { row =>
+        val c = row.getUTF8String(0)
+        if (curU == null || !c.equals(curU)) curU = c.copy()
+        ctg += curU; pos += row.getInt(1); tag += row.getInt(2); pay += row.getInt(3)
       }
-      // Forward pass: running max right-end per contig; emit lefts.
-      val runMaxP = mutable.HashMap.empty[String, Int]
-      arr.iterator.zipWithIndex.flatMap {
-        case (((c, pos, 0), re), _) =>
-          runMaxP(c) = math.max(runMaxP.getOrElse(c,
-            cMax.getOrElse(c, Int.MinValue)), re)
+      val n = ctg.length
+      // Backward pass: next right-start strictly after index i, same
+      // contig. Carry lookups happen once per contig run (`eq` compare —
+      // rows within a run share the interned ref).
+      val nextRight = new Array[Int](n)
+      var runC: UTF8String = null
+      var pend = Int.MinValue
+      for (i <- n - 1 to 0 by -1) {
+        if (!(ctg(i) eq runC)) {
+          runC = ctg(i)
+          pend = cNext.getOrElse(runC.toString, Int.MinValue)
+        }
+        nextRight(i) = pend
+        if (tag(i) == 0) pend = pos(i)
+      }
+      // Forward pass: running max right-end per contig; emit lefts as
+      // UnsafeRows. Distance math in Long (coordinates near Int extremes
+      // must not wrap, r8 ADVICE); a true distance beyond Int.MaxValue
+      // cannot be represented in the output schema and fails loudly.
+      val outRow = new GenericInternalRow(4)
+      val project = UnsafeProjection.create(distSchema)
+      var fwdC: UTF8String = null
+      var pme = Int.MinValue
+      (0 until n).iterator.flatMap { i =>
+        if (!(ctg(i) eq fwdC)) {
+          fwdC = ctg(i)
+          pme = cMax.getOrElse(fwdC.toString, Int.MinValue)
+        }
+        if (tag(i) == 0) {
+          pme = math.max(pme, pay(i))
           Iterator.empty
-        case (((c, le, _), ls), i) =>
-          val pme = runMaxP.getOrElse(c, cMax.getOrElse(c, Int.MinValue))
-          val nxt = nextRight(i)
-          if (pme >= ls) Iterator.single((c, ls, le, 0)) // overlap
+        } else {
+          val ls = pay(i); val le = pos(i)
+          val d: Long =
+            if (pme != Int.MinValue && pme >= ls) 0L // overlap
+            else {
+              val dl = if (pme == Int.MinValue) Long.MaxValue else ls.toLong - pme
+              val dr = nextRight(i) match {
+                case Int.MinValue => Long.MaxValue
+                case nxt => nxt.toLong - le
+              }
+              math.min(dl, dr)
+            }
+          if (d == Long.MaxValue) Iterator.empty // no right on contig
+          else if (d > Int.MaxValue) sys.error(
+            s"nearest distance $d exceeds Int.MaxValue for (${ctg(i)}, $ls, $le)")
           else {
-            val dl = if (pme == Int.MinValue) Int.MaxValue else ls - pme
-            val dr = if (nxt == Int.MinValue) Int.MaxValue else nxt - le
-            val d = math.min(dl, dr)
-            if (d == Int.MaxValue) Iterator.empty // no right on contig
-            else Iterator.single((c, ls, le, d))
+            outRow.update(0, ctg(i))
+            outRow.setInt(1, ls); outRow.setInt(2, le); outRow.setInt(3, d.toInt)
+            Iterator.single(project(outRow): InternalRow)
           }
+        }
       }
-    }.toDF("contig", "pos_start", "pos_end", "_nd")
-      // Phase 2 consumes this twice conceptually (join-back + the window
-      // expansion feeding the interval join); materialize via localCheckpoint
-      // would lose lineage — a plain persist is dropped by ContextCleaner.
-    pts.unpersist(blocking = false)
-    out
+    }
+    ColumnBridge.internalFrame(spark, outRdd, distSchema)
   }
 
   /** Phase 2: attach d* to every left row, expand its window by d*, and
     * recover the tied nearest rights through the engine's interval join
-    * with the `distance == d*` residual. */
+    * with the `distance == d*` residual. The expansion runs in Long and
+    * clamps back to the Int domain (`r.pos_start <= Int.MaxValue` always,
+    * so a clamped bound keeps the predicate equivalent while staying
+    * IntegerType for the interval-join extractor). */
   private def mergeNearestJoin(left: DataFrame, right: DataFrame): DataFrame = {
     graft.Graft.ensure(left.sparkSession)
     val dstar = nearestDistances(left, right)
     val l = left.join(dstar, Seq("contig", "pos_start", "pos_end"))
-      .withColumn("_xs", col("pos_start") - col("_nd"))
-      .withColumn("_xe", col("pos_end") + col("_nd"))
+      .withColumn("_xs",
+        greatest(col("pos_start").cast("long") - col("_nd"),
+          lit(Int.MinValue.toLong)).cast("int"))
+      .withColumn("_xe",
+        least(col("pos_end").cast("long") + col("_nd"),
+          lit(Int.MaxValue.toLong)).cast("int"))
       .alias("l")
     val r = right.alias("r")
     l.join(r,
         col("l.contig") === col("r.contig") &&
         col("r.pos_start") <= col("l._xe") && col("r.pos_end") >= col("l._xs"))
-      .filter(greatest(col("r.pos_start") - col("l.pos_end"),
-        col("l.pos_start") - col("r.pos_end"), lit(0)) === col("l._nd"))
+      .filter(greatest(col("r.pos_start").cast("long") - col("l.pos_end"),
+        col("l.pos_start").cast("long") - col("r.pos_end"), lit(0L)) ===
+        col("l._nd").cast("long"))
       .select(left.columns.map(c => col("l." + c)) ++
         right.columns.map(c => col("r." + c)) :+
         col("l._nd").cast("int").as("distance"): _*)

@@ -396,10 +396,18 @@ object RangeSetOps {
     val withStrand =
       if (chain.columns.contains("strand")) chain
       else chain.withColumn("strand", lit("+"))
-    val chData = withStrand.select(
+    // The chain is consumed TWICE — the mapped join's broadcast collect
+    // and the unmapped gap walk's — so a chain with heavy upstream
+    // lineage (the common `merge(...)`-built case pays the seeded
+    // prefix scan) would compute it once per consumer. Persist the
+    // 6-column frame once (tracked: freed by an enclosing CacheScope,
+    // else the global clear; it's a broadcast-scale run set, not data);
+    // both consumers below — including the assumeDisjoint=false
+    // re-merge — read the cached rows (r8 VERDICT stretch #7).
+    val chData = CacheScope.persistTracked(withStrand.select(
       col("contig").as("_cc"), col("pos_start").as("_cs"), col("pos_end").as("_ce"),
       col("dest_contig").as("_dc"), col("offset").as("_off"),
-      col("strand").as("_strand"))
+      col("strand").as("_strand")))
     // ONE gate decision for BOTH chain consumers (mapped join + the
     // unmapped gap walk) — sized on the wide 6-column frame, which is
     // conservative for the 3-column run side; an over-budget chain pays
@@ -416,7 +424,12 @@ object RangeSetOps {
           .otherwise(clipS + col("_off")).cast("int").as("pos_start"),
         when(col("_strand") === "-", col("_off") - clipS)
           .otherwise(clipE + col("_off")).cast("int").as("pos_end"))
-    val runSrc = if (assumeDisjoint) chain else merge(chain)
+    // Run side off the SAME cached frame (renamed back), so neither the
+    // disjoint fast path nor the unvetted re-merge re-runs the chain's
+    // upstream lineage.
+    val chRuns = chData.select(col("_cc").as("contig"),
+      col("_cs").as("pos_start"), col("_ce").as("pos_end"))
+    val runSrc = if (assumeDisjoint) chRuns else merge(chRuns)
     val runRows = runSrc.select(col("contig").as("_bc"),
       col("pos_start").as("_bs"), col("pos_end").as("_be"))
     val unmapped = subtractRuns(a,

@@ -154,8 +154,10 @@ object IntervalQueries {
     // equally-closest targets on its contig, distance 0 on overlap.
     "interval_join_nearest" -> { (s, dir) =>
       Graft.ensure(s); joinConf(s)
-      s.conf.set("spark.graft.nearestjoin.method", "auto")
-      graft.operators.NearestJoinOps.nearestJoin(Tables.ivA(s, dir), Tables.ivB(s, dir))
+      // Regime as an explicit parameter — no session-conf writes leaking
+      // across query lambdas (r8 ADVICE).
+      graft.operators.NearestJoinOps
+        .nearestJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), "auto")
         .select(col("a_key"), col("b_key"), col("distance"))
     },
     // The both-sides-large nearest regime through the hard gate: phase-1
@@ -164,8 +166,8 @@ object IntervalQueries {
     // interval_join_nearest — the physical method must not change results.
     "interval_join_nearest_merge" -> { (s, dir) =>
       Graft.ensure(s); joinConf(s)
-      s.conf.set("spark.graft.nearestjoin.method", "merge")
-      graft.operators.NearestJoinOps.nearestJoin(Tables.ivA(s, dir), Tables.ivB(s, dir))
+      graft.operators.NearestJoinOps
+        .nearestJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), "merge")
         .select(col("a_key"), col("b_key"), col("distance"))
     },
     // Interval set algebra (bedtools merge/complement/subtract/intersect;

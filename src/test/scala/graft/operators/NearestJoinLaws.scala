@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Generative law for the nearest join's regime equivalence (r8 VERDICT
+  * stretch #8): on ANY interval multiset — duplicate lefts, contigs with
+  * no rights, dense overlap runs, equidistant flanks — the distributed
+  * merge regime (phase-1 endpoint sweep + phase-2 residual interval
+  * join) must emit the exact pair multiset the broadcast prefix-max
+  * forest probe emits: same pairs, same ties, same distances. Random
+  * inputs reach the sweep's tag-ordering subtleties (right starting
+  * exactly at a left end, partition-boundary carries) that the five
+  * hand-picked fixtures in IntervalJoinSpec undersample. */
+object NearestJoinLaws extends Properties("NearestJoin") {
+
+  // Each sample runs several Spark jobs (sweep summaries + two joins):
+  // fewer, larger samples.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private def spark = graft.SharedSpark.spark
+
+  private case class Iv(key: Long, contig: String, s: Int, e: Int)
+
+  private def genIvs(keyBase: Long): Gen[List[Iv]] = for {
+    n <- Gen.chooseNum(0, 80)
+    ivs <- Gen.listOfN(n, for {
+      // c3 appears on one side only with positive probability — the
+      // absent-contig drop path.
+      c <- Gen.frequency(4 -> Gen.oneOf("c0", "c1", "c2"), 1 -> Gen.const("c3"))
+      s <- Gen.chooseNum(1, 400)
+      len <- Gen.frequency(5 -> Gen.chooseNum(0, 15), 1 -> Gen.chooseNum(80, 200))
+      k <- Gen.chooseNum(0L, 20L) // small key range -> duplicate rows
+    } yield Iv(keyBase + k, c, s, s + len))
+  } yield ivs
+
+  property("merge regime == broadcast regime (pairs, ties, distances)") =
+    forAll(genIvs(0L), genIvs(1000L)) { (ls, rs) =>
+      import graft.SharedSpark.spark.implicits._
+      val l = ls.map(iv => (iv.key, iv.contig, iv.s, iv.e))
+        .toDF("a_key", "contig", "pos_start", "pos_end")
+      val r = rs.map(iv => (iv.key, iv.contig, iv.s, iv.e))
+        .toDF("b_key", "contig", "pos_start", "pos_end")
+      def run(method: String): Seq[(Long, Long, Int)] =
+        NearestJoinOps.nearestJoin(l, r, method)
+          .select("a_key", "b_key", "distance")
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+          .sorted.toSeq
+      run("merge") == run("broadcast")
+    }
+}

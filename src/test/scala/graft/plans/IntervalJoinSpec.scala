@@ -466,6 +466,24 @@ class IntervalJoinSpec extends SparkSpec {
     assert(merged === brute)
   }
 
+  test("merge nearest join leaves no persisted RDD blocks behind") {
+    // r8 VERDICT #3: phase-1 persisted its sorted endpoint RDD and never
+    // released it, so repeated merge-regime calls accumulated
+    // MEMORY_AND_DISK blocks. The rewrite persists only the pre-shuffle
+    // endpoint frame (to share one input scan between range sampling and
+    // the shuffle map) and unpersists it in-method — downstream passes
+    // re-read shuffle files. After materializing the result, the
+    // context's persistent-RDD registry must be exactly what it was.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val a = randomIntervals(200, 77, "a_key")
+    val b = randomIntervals(120, 78, "b_key")
+    val n = graft.operators.NearestJoinOps.nearestJoin(a, b, "merge").count()
+    assert(n > 0)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"merge nearest join leaked persisted RDDs: ${after -- before}")
+  }
+
   test("merge nearest join covers flank ties, absent contigs, and overlap-at-start") {
     import graft.SharedSpark.spark.implicits._
     val l = Seq(
