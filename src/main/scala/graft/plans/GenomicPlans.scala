@@ -134,12 +134,56 @@ case class PileupExec(override val output: Seq[Attribute],
     copy(child = newChild)
 }
 
+/** `nearest_join(leftView, rightView[, method])` TVF plan node — the SQL
+  * surface for [[graft.operators.NearestJoinOps]] (r8 VERDICT #5: the
+  * operator was Scala-API only). Output = left columns ++ right columns
+  * ++ `distance: Int`; the regime argument maps to the operator's
+  * explicit-method dispatch. A BinaryNode, not a rewrite to `Join`: the
+  * nearest semantics (min-distance window with all ties) has no stock
+  * join equivalent, so the node survives to [[GenomicStrategy]], which
+  * runs the operator pipeline over both children's execution-time rows. */
+case class NearestJoinNode(left: LogicalPlan, right: LogicalPlan, method: String,
+    distAttr: AttributeReference =
+      AttributeReference("distance", IntegerType, nullable = false)())
+    extends org.apache.spark.sql.catalyst.plans.logical.BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output :+ distAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(distAttr)
+  // The operator consumes (contig, pos_start, pos_end) and passes every
+  // column through; nothing is prunable below the node.
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): NearestJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+case class NearestJoinExec(override val output: Seq[Attribute], method: String,
+    left: SparkPlan, right: SparkPlan)
+    extends org.apache.spark.sql.execution.BinaryExecNode {
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  override protected def doExecute(): RDD[InternalRow] = {
+    val spark = session
+    val l = ColumnBridge.internalFrame(spark, left.execute(), left.schema)
+    val r = ColumnBridge.internalFrame(spark, right.execute(), right.schema)
+    // Positional contract: the operator emits left ++ right ++ distance,
+    // exactly this node's declared output order.
+    graft.operators.NearestJoinOps.nearestJoin(l, r, method).queryExecution.toRdd
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
 case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case CoverageNode(child, sample, target, out) =>
       CoverageExec(out, sample, target, planLater(child)) :: Nil
     case PileupNode(child, sample, bin, out) =>
       PileupExec(out, sample, bin, planLater(child)) :: Nil
+    case n @ NearestJoinNode(l, r, method, _) =>
+      NearestJoinExec(n.output, method, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -148,6 +148,26 @@ object GraftTableFunctions {
     }
   }
 
+  /** `nearest_join(leftView, rightView[, 'auto'|'broadcast'|'merge'])` —
+    * SQL surface for the bedtools-closest nearest join
+    * ([[graft.operators.NearestJoinOps]]): every left row paired with ALL
+    * same-contig right rows at minimum distance (0 on overlap; all ties
+    * emit), output = left columns ++ right columns ++ `distance: Int`.
+    * Both views need `(contig, pos_start, pos_end)`. Resolution builds a
+    * lazy [[NearestJoinNode]]; no jobs until execution. */
+  private val nearestJoinB: Builder = { args =>
+    require(args.length == 2 || args.length == 3,
+      s"nearest_join expects (leftView, rightView[, method]), got ${args.length} args")
+    require(args.forall(_.foldable), "nearest_join arguments must be literals")
+    val method = if (args.length == 3) str(args(2)) else "auto"
+    require(Set("auto", "broadcast", "merge")(method),
+      s"nearest_join method must be auto|broadcast|merge, got '$method'")
+    NearestJoinNode(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args.head))),
+      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args(1)))),
+      method)
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =
     Seq("grange", "bdg_grange").map { n =>
       (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), grangeB)
@@ -155,5 +175,7 @@ object GraftTableFunctions {
       (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), coverageB)
     } ++ Seq("pileup", "bdg_pileup").map { n =>
       (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), pileupB)
+    } ++ Seq("nearest_join").map { n =>
+      (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), nearestJoinB)
     }
 }

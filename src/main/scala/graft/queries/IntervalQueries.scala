@@ -170,6 +170,15 @@ object IntervalQueries {
         .nearestJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), "merge")
         .select(col("a_key"), col("b_key"), col("distance"))
     },
+    // SQL-only surface for the nearest join (r8 VERDICT #5): the
+    // nearest_join TVF resolves both views through a lazy plan node and
+    // runs the same operator — same oracle as interval_join_nearest.
+    "interval_join_nearest_tvf" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      Tables.ivA(s, dir).createOrReplaceTempView("iva_nj_v")
+      Tables.ivB(s, dir).createOrReplaceTempView("ivb_nj_v")
+      s.sql("SELECT a_key, b_key, distance FROM nearest_join('iva_nj_v', 'ivb_nj_v')")
+    },
     // Interval set algebra (bedtools merge/complement/subtract/intersect;
     // beyond-reference — it stops at interval joins). merge is the seeded
     // prefix-scan (no per-contig window, CoverageOps pattern); subtract
@@ -588,6 +597,14 @@ object IntervalQueries {
         |  FROM iva a JOIN ivb b ON a.contig = b.contig)
         |WHERE distance = md""".stripMargin),
     "interval_join_nearest_merge" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (
+        |  SELECT a.a_key, a.contig, a.pos_start, a.pos_end, b.b_key,
+        |    GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) AS distance,
+        |    MIN(GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0))
+        |      OVER (PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end) AS md
+        |  FROM iva a JOIN ivb b ON a.contig = b.contig)
+        |WHERE distance = md""".stripMargin),
+    "interval_join_nearest_tvf" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (
         |  SELECT a.a_key, a.contig, a.pos_start, a.pos_end, b.b_key,
         |    GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) AS distance,
