@@ -104,7 +104,16 @@ object Bench {
     // and the min is an honestly warm number. Recorded transparently as
     // "passes":N in the output.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // best = min over SUCCESSFUL passes only (r9 ADVICE: a fast-failing
+    // pass 1 must not seed the min with its short failure time). A query
+    // with zero successful passes reports its min failure time — it is
+    // also listed in errors, so the number is visibly tainted. All pass
+    // times (success and failure alike) are emitted per query as
+    // "passes_detail" so noise adjudication never needs a re-run
+    // (r9 VERDICT #5: the events-family phantom survived the min).
     var best = Map.empty[String, Double]
+    var failBest = Map.empty[String, Double]
+    var detail = Map.empty[String, Vector[Double]]
     var errors = Vector.empty[(String, String)]
     for (name <- names; pass <- 1 to passes) {
       val fn = SparkEntry.queries(name)
@@ -121,25 +130,29 @@ object Bench {
               (s"pass $pass: " + Option(e.getMessage).getOrElse(e.getClass.getName)).take(200))
       }
       val t = (System.nanoTime() - t0) / 1e9
+      detail += (name -> (detail.getOrElse(name, Vector.empty) :+ t))
       if (!failed) best += (name -> math.min(t, best.getOrElse(name, Double.MaxValue)))
-      else if (!best.contains(name)) best += (name -> t)
+      else failBest += (name -> math.min(t, failBest.getOrElse(name, Double.MaxValue)))
       // Operators persist intermediate frames (LSH bands, coverage blocks)
       // whose lifecycle outlives the query; drop them so cached blocks
       // don't accumulate across the run and skew later timings.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }
-    val times = names.map(n => n -> best(n))
+    val times = names.map(n => n -> best.getOrElse(n, failBest(n)))
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val det = names.map { n =>
+      s"${jstr(n)}:${detail.getOrElse(n, Vector.empty).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"passes_detail":$det,"errors":$errs,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
     // Last line of stdout, printed after Spark shutdown.

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // fallback (see BinRangeLogicalRule's scaladoc for why placement
     // decides whether OptimizeSkewedJoin can ever fire).
     ext.injectPreCBORule(plans.BinRangeLogicalRule(_))
+    ext.injectResolutionRule(plans.NearestJoinDedupRule(_))
     ext.injectPlannerStrategy(IntervalJoinStrategy(_))
     ext.injectPlannerStrategy(plans.GenomicStrategy(_))
     functions.GraftFunctions.registrations.foreach(ext.injectFunction)

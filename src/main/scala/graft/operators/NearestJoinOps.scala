@@ -245,19 +245,24 @@ object NearestJoinOps {
       val cMax = carryMaxA(idx)
       val cNext = carryNextA(idx)
       // Buffer the sorted partition as primitive arrays (the backward
-      // next-right pass needs random access): ~20 bytes/row — int pos/tag/
-      // payload plus one interned contig ref per row (one UTF8String copy
-      // per contig run). O(partition rows) heap; see the scaladoc note.
-      val ctg = mutable.ArrayBuffer.empty[UTF8String]
-      val pos = mutable.ArrayBuffer.empty[Int]
-      val tag = mutable.ArrayBuffer.empty[Int]
-      val pay = mutable.ArrayBuffer.empty[Int]
+      // next-right pass needs random access): ~20 bytes/row — three
+      // unboxed ints (ArrayBuilder.ofInt keeps a backing Array[Int];
+      // plain ArrayBuffer[Int] would box to java.lang.Integer at
+      // 60-80 B/row, r9 ADVICE) plus one 8-byte interned contig ref per
+      // row (one UTF8String copy per contig run). O(partition rows) heap;
+      // see the scaladoc note.
+      val ctgB = mutable.ArrayBuffer.empty[UTF8String]
+      val posB = new mutable.ArrayBuilder.ofInt
+      val tagB = new mutable.ArrayBuilder.ofInt
+      val payB = new mutable.ArrayBuilder.ofInt
       var curU: UTF8String = null
       it.foreach { row =>
         val c = row.getUTF8String(0)
         if (curU == null || !c.equals(curU)) curU = c.copy()
-        ctg += curU; pos += row.getInt(1); tag += row.getInt(2); pay += row.getInt(3)
+        ctgB += curU; posB += row.getInt(1); tagB += row.getInt(2); payB += row.getInt(3)
       }
+      val ctg = ctgB; val pos = posB.result(); val tag = tagB.result()
+      val pay = payB.result()
       val n = ctg.length
       // Backward pass: next right-start strictly after index i, same
       // contig. Carry lookups happen once per contig run (`eq` compare —

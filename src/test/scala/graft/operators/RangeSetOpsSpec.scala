@@ -141,6 +141,26 @@ class RangeSetOpsSpec extends SparkSpec {
       (2L, "unmapped", "2", 5, 8)))     // contig absent from the chain
   }
 
+  test("liftover with a broadcast-sized chain leaves no persisted RDD blocks behind") {
+    // r9 ADVICE: chData was persistTracked but liftover's public entry is
+    // not wrapped in CacheScope, so API callers accumulated pinned
+    // MEMORY_AND_DISK blocks. Broadcast-gated chains now collect into a
+    // LocalRelation instead; the gate-sharing persist is released
+    // in-method. Registry equality after materializing, as the nearest
+    // join's leak spec.
+    import graft.SharedSpark.spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val a = Seq((1L, "1", 10, 30), (2L, "2", 5, 8))
+      .toDF("a_key", "contig", "pos_start", "pos_end")
+    val chain = Seq(("1", 1, 14, "L1", 100), ("1", 20, 40, "L1b", -5))
+      .toDF("contig", "pos_start", "pos_end", "dest_contig", "offset")
+    val n = RangeSetOps.liftover(a, chain, "a_key").count()
+    assert(n > 0)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"liftover leaked persisted RDDs: ${after -- before}")
+  }
+
   test("liftover: assumeDisjoint=false re-merges an overlapping chain for the unmapped walk") {
     // r6 ADVICE: the disjointness contract is now an explicit parameter.
     // Chain block [10,14] is CONTAINED in [1,25] — the violation shape

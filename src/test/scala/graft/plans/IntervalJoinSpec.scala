@@ -516,6 +516,84 @@ class IntervalJoinSpec extends SparkSpec {
     assert(viaMerge.filter(_._1 == "2").forall(_._7 == 0))
   }
 
+  test("nearest_join TVF in auto mode resolves the regime from logical stats") {
+    // r9 VERDICT #1: NearestJoinExec bridges its children through
+    // ColumnBridge.internalFrame, whose LogicalRDD stats default to
+    // spark.sql.defaultSizeInBytes — an `auto` left for the operator to
+    // resolve could never see the right side fit the broadcast budget and
+    // silently always dispatched merge. GenomicStrategy now resolves
+    // `auto` from the logical children's Catalyst stats before planning.
+    randomIntervals(200, 91, "a_key").createOrReplaceTempView("nj_auto_l")
+    randomIntervals(50, 92, "b_key").createOrReplaceTempView("nj_auto_r")
+    def findExec(p: SparkPlan): Option[NearestJoinExec] = p match {
+      case n: NearestJoinExec => Some(n)
+      case a: AdaptiveSparkPlanExec => findExec(a.executedPlan)
+      case other => other.children.flatMap(findExec(_)).headOption
+    }
+    val auto = spark.sql("SELECT * FROM nearest_join('nj_auto_l', 'nj_auto_r')")
+    val exec = findExec(auto.queryExecution.executedPlan)
+    assert(exec.isDefined, "no NearestJoinExec in the TVF plan")
+    assert(exec.get.method === "broadcast",
+      "auto with a broadcast-sized right side must resolve to broadcast at the strategy")
+    // An explicit method still passes through untouched.
+    val forced = spark.sql("SELECT * FROM nearest_join('nj_auto_l', 'nj_auto_r', 'merge')")
+    assert(findExec(forced.queryExecution.executedPlan).get.method === "merge")
+    // And the two regimes agree on the result.
+    def sorted(df: DataFrame) =
+      df.select(col("a_key"), col("b_key"), col("distance"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(sorted(auto) === sorted(forced))
+    assert(sorted(auto).nonEmpty)
+  }
+
+  test("nearest_join TVF with the same view on both sides dedups exprIds") {
+    // r9 ADVICE: custom BinaryNodes don't get the analyzer's Join
+    // dedupRight, so nearest_join('v','v') carried duplicate attribute
+    // IDs. NearestJoinDedupRule wraps the right child in fresh Aliases.
+    randomIntervals(60, 93, "k").createOrReplaceTempView("nj_self_v")
+    val df = spark.sql("SELECT * FROM nearest_join('nj_self_v', 'nj_self_v')")
+    val out = df.queryExecution.analyzed.output
+    assert(out.map(_.exprId).distinct.length === out.length,
+      s"duplicate exprIds in nearest_join self-join output: $out")
+    // Self-join semantics: every interval overlaps itself, so every
+    // emitted pair is at distance 0 and each left row appears.
+    val rows = df.collect()
+    assert(rows.length >= 60)
+    val distIdx = out.length - 1
+    assert(rows.forall(_.getInt(distIdx) == 0))
+  }
+
+  test("interval queries self-pin join confs (scrambled-conf invariance)") {
+    // IntervalJoinStrategy reads spark.graft.rangejoin.* at planning
+    // time and queries() is a Map with unspecified iteration order — a
+    // query that forgets joinConf inherits whatever the previous lambda
+    // (or the user) left in the session. Invariant: every interval-join
+    // query produces identical results no matter how the result-affecting
+    // confs are scrambled beforehand.
+    val keys = Seq("spark.graft.rangejoin.method", "spark.graft.rangejoin.maxGap",
+      "spark.graft.rangejoin.minOverlap", "spark.graft.nearestjoin.method")
+    val scramble = Map("spark.graft.rangejoin.method" -> "binrange",
+      "spark.graft.rangejoin.maxGap" -> "77",
+      "spark.graft.rangejoin.minOverlap" -> "25",
+      "spark.graft.nearestjoin.method" -> "merge")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      val names = graft.queries.IntervalQueries.queries.keys.toSeq.sorted
+        .filter(_.startsWith("interval_join"))
+      for (name <- names) {
+        val q = graft.queries.IntervalQueries.queries(name)
+        keys.foreach(spark.conf.unset)
+        val want = q(spark, sf0001).collect().map(_.toString).sorted.toSeq
+        scramble.foreach { case (k, v) => spark.conf.set(k, v) }
+        val got = q(spark, sf0001).collect().map(_.toString).sorted.toSeq
+        assert(got === want, s"query $name changed results under scrambled confs")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime stats-lie guard: stats-decided broadcast over budget fails with guidance") {
     // Catalyst can under-estimate a build side by orders of magnitude
     // (selective-filter selectivity guesses); broadcasting multi-GB to a
