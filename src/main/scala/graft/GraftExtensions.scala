@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // decides whether OptimizeSkewedJoin can ever fire).
     ext.injectPreCBORule(plans.BinRangeLogicalRule(_))
     ext.injectResolutionRule(plans.NearestJoinDedupRule(_))
+    ext.injectOptimizerRule(plans.NearestJoinPruneRule(_))
     ext.injectPlannerStrategy(IntervalJoinStrategy(_))
     ext.injectPlannerStrategy(plans.GenomicStrategy(_))
     functions.GraftFunctions.registrations.foreach(ext.injectFunction)

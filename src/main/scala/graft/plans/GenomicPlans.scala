@@ -195,6 +195,35 @@ case class NearestJoinDedupRule(session: SparkSession)
   }
 }
 
+/** Optimizer rule: projection pruning through [[NearestJoinNode]]
+  * (r9 VERDICT stretch #7). The node passes every child column through
+  * positionally, so its `references` pin all child outputs and stock
+  * ColumnPruning can never prune below it — a `SELECT a_key, distance`
+  * over the TVF would ride every wide column through the merge regime's
+  * phase-2 shuffle. When a parent Project consumes only a subset, push a
+  * Project under each side keeping the operator's own inputs
+  * (contig/pos_start/pos_end) plus the referenced pass-through columns;
+  * the node's output recomputes from the pruned children, preserving the
+  * positional contract. Strict-subset guard keeps the rule fixed-point
+  * safe; ColumnPruning then pushes the inserted Projects into the scans. */
+case class NearestJoinPruneRule(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  private val operatorInputs = Set("contig", "pos_start", "pos_end")
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, n: NearestJoinNode) if n.resolved =>
+      def prune(side: LogicalPlan): Option[LogicalPlan] = {
+        val keep = side.output.filter(a =>
+          operatorInputs(a.name) || p.references.contains(a))
+        if (keep.length < side.output.length) Some(Project(keep, side)) else None
+      }
+      val (nl, nr) = (prune(n.left), prune(n.right))
+      if (nl.isEmpty && nr.isEmpty) p
+      else p.copy(child =
+        n.copy(left = nl.getOrElse(n.left), right = nr.getOrElse(n.right)))
+  }
+}
+
 case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case CoverageNode(child, sample, target, out) =>

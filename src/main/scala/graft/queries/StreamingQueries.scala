@@ -79,6 +79,23 @@ object StreamingQueries {
       StreamingOps.annotateStream(reads, targets)
         .select(col("contig"), col("pos_start"), col("pos_end"), col("target_name"))
     },
+    // Stream-static NEAREST join (bedtools closest against a static
+    // feature set): the same flatMap-over-broadcast-forest kernel the
+    // streaming query runs, on a batch reads frame — the oracle is the
+    // exhaustive min-distance window. Left thinned 7x: the oracle CTE is
+    // an all-pairs-per-contig join.
+    "stream_interval_nearest" -> { (s, dir) =>
+      import s.implicits._
+      val reads = Tables.reads(s, dir)
+        .filter(col("pos_start") % 7 === 1)
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          timestamp_seconds(col("pos_start").cast("long") * 7 + lit(1700000000L)).as("ts"))
+        .as[StreamingOps.StreamRead]
+      val targets = Tables.targets(s, dir).filter(col("pos_start") % 10 === 3)
+      StreamingOps.nearestStream(reads, targets)
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          col("target_name"), col("distance"))
+    },
     // Streaming windowed coverage kernel on a batch frame (withWatermark
     // and window() are batch no-op/native): mean depth per (hour window,
     // contig, 100bp tile). Integer contribution sums + one final double
@@ -150,6 +167,18 @@ object StreamingQueries {
          |FROM reads r JOIN targets t ON r.contig = t.contig
          |  AND r.pos_end >= t.pos_start AND r.pos_start <= t.pos_end
          |WHERE t.pos_start % 10 = 3""".stripMargin,
+    "stream_interval_nearest" ->
+      s"""WITH ${OracleCtes.reads}, ${OracleCtes.targets},
+         |r AS (SELECT contig, pos_start, pos_end FROM reads WHERE pos_start % 7 = 1),
+         |t AS (SELECT contig, pos_start, pos_end, name FROM targets WHERE pos_start % 10 = 3),
+         |pairs AS (SELECT r.contig, r.pos_start, r.pos_end, t.name AS target_name,
+         |  GREATEST(t.pos_start - r.pos_end, r.pos_start - t.pos_end, 0) AS distance
+         |  FROM r JOIN t ON r.contig = t.contig),
+         |m AS (SELECT *, MIN(distance) OVER (
+         |  PARTITION BY contig, pos_start, pos_end) AS md FROM pairs)
+         |SELECT contig, pos_start, pos_end, target_name,
+         |  CAST(distance AS INT) AS distance
+         |FROM m WHERE distance = md""".stripMargin,
     "stream_coverage_window" ->
       s"""WITH ${OracleCtes.reads},
          |tiled AS (

@@ -316,6 +316,44 @@ object StreamingOps {
     }.toDF("contig", "pos_start", "pos_end", "ts", "target_name")
   }
 
+  /** Stream-static NEAREST join: annotate a stream of reads with every
+    * static feature at the minimum genomic distance (bedtools-closest
+    * semantics — 0 on overlap, all ties emit, reads on contigs absent
+    * from the static side drop), the streaming face of
+    * [[graft.operators.NearestJoinOps]]. Same design as [[annotateStream]]:
+    * the static side is size-gated, collected once, and broadcast as a
+    * per-contig [[IntervalForest]] whose prefix-max-end array answers
+    * nearest in O(log n); the stream side is probed statelessly per
+    * micro-batch — no state store, no watermark needed, the unbounded
+    * side never shuffles. */
+  def nearestStream(reads: Dataset[StreamRead], targets: DataFrame): DataFrame = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    val maxBytes = spark.conf
+      .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+    val estimated = targets.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(estimated <= BigInt(maxBytes),
+      s"nearestStream static side is estimated at $estimated bytes, over " +
+      s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — it is collected " +
+      "to the driver and broadcast as an interval forest. Filter/project the " +
+      "annotation table down, or raise the conf if the driver can hold it.")
+    val collected = targets
+      .select(col("contig").cast("string"), col("pos_start").cast("int"),
+        col("pos_end").cast("int"), col("name").cast("string"))
+      .as[(String, Int, Int, String)].collect()
+    val bc = spark.sparkContext.broadcast(
+      IntervalForest.forest[String, String](collected.toSeq))
+    reads.flatMap { r =>
+      bc.value.get(r.contig) match {
+        case None => Iterator.empty
+        case Some(f) =>
+          val names = scala.collection.mutable.ArrayBuffer.empty[String]
+          val d = f.foreachNearest(r.pos_start, r.pos_end)((_, _, n) => names += n)
+          names.iterator.map(n => (r.contig, r.pos_start, r.pos_end, r.ts, n, d))
+      }
+    }.toDF("contig", "pos_start", "pos_end", "ts", "target_name", "distance")
+  }
+
   /** Stream-stream interval join: pair two unbounded read streams on
     * overlapping genomic intervals within an event-time band — e.g.
     * reads from two sequencers over the same region, or calls vs

@@ -206,6 +206,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static nearest join pairs each read with its closest static features") {
+    import graft.SharedSpark.spark.implicits._
+    val targets = Seq(
+      ("1", 80, 90, "tL"), ("1", 120, 130, "tR"), ("1", 305, 400, "tO"),
+      ("2", 60, 70, "tC"))
+      .toDF("contig", "pos_start", "pos_end", "name")
+    val in = MemoryStream[StreamingOps.StreamRead]
+    val query = StreamingOps.nearestStream(in.toDS(), targets)
+      .writeStream.format("memory").queryName("nearest_out").outputMode("append").start()
+    in.addData(
+      StreamingOps.StreamRead("1", 100, 110, ts(1)), // equidistant flanks tL/tR, d=10
+      StreamingOps.StreamRead("1", 300, 310, ts(2)), // overlaps tO -> d=0
+      StreamingOps.StreamRead("2", 50, 60, ts(3)),   // touches tC at its start -> d=0
+      StreamingOps.StreamRead("3", 10, 20, ts(4)))   // contig absent -> dropped
+    query.processAllAvailable()
+    // Second batch: the static forest still serves later micro-batches.
+    in.addData(StreamingOps.StreamRead("1", 140, 150, ts(5))) // tR alone, d=10
+    run(query) {
+      val rows = spark.table("nearest_out")
+        .select("contig", "pos_start", "target_name", "distance").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+      assert(rows === Set(
+        ("1", 100, "tL", 10), ("1", 100, "tR", 10),
+        ("1", 300, "tO", 0), ("2", 50, "tC", 0),
+        ("1", 140, "tR", 10)))
+    }
+  }
+
   test("stream-stream interval join pairs overlapping reads within the time band") {
     import graft.SharedSpark.spark.implicits._
     val inL = MemoryStream[StreamingOps.StreamRead]
