@@ -358,7 +358,8 @@ object CoverageOps {
       least(col("pos_end"), col("_be")) - greatest(col("pos_start"), col("_bs")) + 1)
     targets.join(b,
         col("contig") === col("_bc") &&
-          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"),
+          graft.functions.IntervalOverlaps.of(
+            col("pos_start"), col("pos_end"), col("_bs"), col("_be")),
         "left_outer")
       .groupBy(col(nameCol), col("contig"), col("pos_start"), col("pos_end"))
       .agg(

@@ -340,7 +340,8 @@ object NearestJoinOps {
     val r = right.alias("r")
     l.join(r,
         col("l.contig") === col("r.contig") &&
-        col("r.pos_start") <= col("l._xe") && col("r.pos_end") >= col("l._xs"))
+        graft.functions.IntervalOverlaps.of(
+          col("l._xs"), col("l._xe"), col("r.pos_start"), col("r.pos_end")))
       .filter(greatest(col("r.pos_start").cast("long") - col("l.pos_end"),
         col("l.pos_start").cast("long") - col("r.pos_end"), lit(0L)) ===
         col("l._nd").cast("long"))

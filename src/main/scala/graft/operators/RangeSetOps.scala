@@ -270,7 +270,8 @@ object RangeSetOps {
   private def subtractRuns(a: DataFrame, runs: DataFrame, aKey: String): DataFrame = {
     val joined = a.join(runs,
       col("contig") === col("_bc") &&
-        col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"),
+        graft.functions.IntervalOverlaps.of(
+            col("pos_start"), col("pos_end"), col("_bs"), col("_be")),
       "left_outer")
 
     val w = Window
@@ -327,7 +328,8 @@ object RangeSetOps {
     val rb = if (nB * 48L <= maxBytes) broadcast(rbRuns) else rbRuns
     val inter = ra.join(rb,
         col("contig") === col("_bc") &&
-          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"))
+          graft.functions.IntervalOverlaps.of(
+            col("pos_start"), col("pos_end"), col("_bs"), col("_be")))
       .select((least(col("pos_end"), col("_be")) -
         greatest(col("pos_start"), col("_bs")) + 1).cast("long").as("ov"))
       .agg(coalesce(sum(col("ov")), lit(0L))).as[Long].collect().head
@@ -355,7 +357,8 @@ object RangeSetOps {
     // is the shape the forest extractor recognizes.
     intervals.join(runs,
         col("contig") === col("_bc") &&
-          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"))
+          graft.functions.IntervalOverlaps.of(
+            col("pos_start"), col("pos_end"), col("_bs"), col("_be")))
       .select(keyCols.map(col) ++ Seq(col("contig"), col("pos_start"), col("pos_end"),
         col("_bs").as("cluster_start"), col("_be").as("cluster_end")): _*)
   }
@@ -433,7 +436,8 @@ object RangeSetOps {
     val clipE = least(col("pos_end"), col("_ce"))
     val mapped = a.join(ch,
         col("contig") === col("_cc") &&
-          col("pos_end") >= col("_cs") && col("pos_start") <= col("_ce"))
+          graft.functions.IntervalOverlaps.of(
+            col("pos_start"), col("pos_end"), col("_cs"), col("_ce")))
       .select(col(aKey), lit("mapped").as("status"), col("_dc").as("contig"),
         when(col("_strand") === "-", col("_off") - clipE)
           .otherwise(clipS + col("_off")).cast("int").as("pos_start"),
@@ -470,7 +474,8 @@ object RangeSetOps {
       col("pos_end").as("_be"), col(valueCol).as("_v"))
     a.join(bb,
         col("contig") === col("_bc") &&
-          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"),
+          graft.functions.IntervalOverlaps.of(
+            col("pos_start"), col("pos_end"), col("_bs"), col("_be")),
         "left_outer")
       .groupBy(col(aKey), col("contig"), col("pos_start"), col("pos_end"))
       .agg(
@@ -497,7 +502,8 @@ object RangeSetOps {
         col("pos_end").as("_be") +: bCols.map(col)): _*)
     a.join(bb,
         col("contig") === col("_bc") &&
-          col("pos_end") >= col("_bs") && col("pos_start") <= col("_be"))
+          graft.functions.IntervalOverlaps.of(
+            col("pos_start"), col("pos_end"), col("_bs"), col("_be")))
       .select((aCols.map(col) :+ col("contig") :+
         greatest(col("pos_start"), col("_bs")).as("pos_start") :+
         least(col("pos_end"), col("_be")).as("pos_end")) ++ bCols.map(col): _*)

@@ -93,8 +93,10 @@ case class BinRangeLogicalRule(session: SparkSession) extends Rule[LogicalPlan] 
                 !BinRangeRewrite.isRewriteJoin(keys) =>
             val (buildLeft, binRange) = RangeJoinChoice.choose(conf, Inner, left, right, hint)
             if (binRange) {
-              val minOverlap = conf("minOverlap", "1").toInt
-              val maxGap = conf("maxGap", "0").toInt
+              // Same exact-join pin as IntervalJoinStrategy (see
+              // IntervalJoinKeys.exact).
+              val minOverlap = if (keys.exact) 1 else conf("minOverlap", "1").toInt
+              val maxGap = if (keys.exact) 0 else conf("maxGap", "0").toInt
               val binWidth = conf("binWidth", "300").toInt
               BinRangeRewrite.rewrite(
                 left, right, keys, buildLeft, minOverlap, maxGap, binWidth)

@@ -16,7 +16,14 @@ case class IntervalJoinKeys(
     rightEnd: Expression,
     leftEqs: Seq[Expression],
     rightEqs: Seq[Expression],
-    residual: Option[Expression])
+    residual: Option[Expression],
+    /** True when the overlap came from [[graft.functions.IntervalOverlaps]]
+      * — a library operator's exact-by-definition join. The strategy and
+      * the bin-range rewrite then pin `minOverlap=1, maxGap=0` instead of
+      * reading the session confs, so a user-set J6 conf cannot silently
+      * change operator semantics (planning happens at the CALLER's action,
+      * after any conf the operator might have set). */
+    exact: Boolean = false)
 
 /** Recognizes inner joins whose condition contains the interval-overlap
   * core `a.end >= b.start AND a.start <= b.end`, optionally conjoined with
@@ -90,11 +97,28 @@ object ExtractIntervalJoin extends PredicateHelper {
       }
     }
 
+    var exact = false
+    def allCoord(es: Expression*): Boolean = es.forall(isCoordTyped)
+
     conjuncts.foreach {
       case e @ EqualTo(a, b) =>
         if (evaluableOn(a, left) && evaluableOn(b, right)) { eqL += a; eqR += b }
         else if (evaluableOn(a, right) && evaluableOn(b, left)) { eqL += b; eqR += a }
         else residual += e
+      // The operator-authored exact predicate: consumes both bound slots
+      // at once and pins exact semantics. Symmetric (overlap is), so a
+      // swapped-side occurrence relabels rather than falling through.
+      case e @ graft.functions.IntervalOverlaps(ls, le, rs, re)
+          if ltr.isEmpty && rtl.isEmpty && allCoord(ls, le, rs, re) =>
+        if (evaluableOn(ls, left) && evaluableOn(le, left) &&
+            evaluableOn(rs, right) && evaluableOn(re, right)) {
+          ltr = Some((asInt(ls), asInt(re))); rtl = Some((asInt(rs), asInt(le)))
+          exact = true
+        } else if (evaluableOn(ls, right) && evaluableOn(le, right) &&
+            evaluableOn(rs, left) && evaluableOn(re, left)) {
+          ltr = Some((asInt(rs), asInt(le))); rtl = Some((asInt(ls), asInt(re)))
+          exact = true
+        } else residual += e
       case e @ LessThanOrEqual(a, b) => classifyLe(a, b, e)
       case e @ GreaterThanOrEqual(a, b) => classifyLe(b, a, e)
       case e => residual += e
@@ -103,7 +127,7 @@ object ExtractIntervalJoin extends PredicateHelper {
     (ltr, rtl) match {
       case (Some((ls, re)), Some((rs, le))) =>
         Some(IntervalJoinKeys(ls, le, rs, re, eqL.result(), eqR.result(),
-          residual.result().reduceOption(And)))
+          residual.result().reduceOption(And), exact))
       case _ => None
     }
   }

@@ -44,8 +44,11 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
     case ExtractIntervalJoin(left, right, joinType, keys, hint)
         if conf("enabled", "true").toBoolean && !left.isStreaming && !right.isStreaming &&
           !BinRangeRewrite.isRewriteJoin(keys) =>
-      val minOverlap = conf("minOverlap", "1").toInt
-      val maxGap = conf("maxGap", "0").toInt
+      // Exact joins (operator-authored IntervalOverlaps predicate) pin the
+      // overlap semantics; the session confs are the surface for
+      // user-authored comparison-pair joins only (see IntervalJoinKeys.exact).
+      val minOverlap = if (keys.exact) 1 else conf("minOverlap", "1").toInt
+      val maxGap = if (keys.exact) 0 else conf("maxGap", "0").toInt
       // Build side + mode come from the ONE decision shared with the
       // logical bin-range rewrite ([[RangeJoinChoice]] — hints over
       // stats, non-inner build pinning, maxBroadcastBytes threshold);

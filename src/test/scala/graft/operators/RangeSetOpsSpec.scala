@@ -85,6 +85,40 @@ class RangeSetOpsSpec extends SparkSpec {
       (4L, "3", 10, 20))) // contig absent from b passes through whole
   }
 
+  test("set algebra is immune to session rangejoin confs (exact-overlap pin)") {
+    // The strategy reads spark.graft.rangejoin.{minOverlap,maxGap} at
+    // PLANNING time — i.e. at the caller's action, after any conf the
+    // operator could have set — so the operators embed their exactness in
+    // the plan itself (IntervalOverlaps). A session-set maxGap/minOverlap
+    // must not change subtract/intersect results.
+    val a = {
+      import graft.SharedSpark.spark.implicits._
+      Seq((1L, "1", 10, 30), (2L, "1", 100, 110))
+        .toDF("a_key", "contig", "pos_start", "pos_end")
+    }
+    val b = iv(("1", 15, 18), ("1", 38, 50)) // second is 7 bases past a_key=1
+      .withColumn("b_key", col("pos_start").cast("long"))
+    def subtractSet() = RangeSetOps.subtract(a, b, "a_key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    def intersectSet() = frags(RangeSetOps.intersect(a, b, Seq("a_key"), Seq("b_key")))
+    val keys = Seq("spark.graft.rangejoin.maxGap", "spark.graft.rangejoin.minOverlap")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.unset)
+      val wantSub = subtractSet()
+      val wantInt = intersectSet()
+      spark.conf.set("spark.graft.rangejoin.maxGap", "50")
+      spark.conf.set("spark.graft.rangejoin.minOverlap", "10")
+      assert(subtractSet() === wantSub, "subtract changed under session confs")
+      assert(intersectSet() === wantInt, "intersect changed under session confs")
+      // And the baseline is the exact-overlap answer, not an accident.
+      assert(wantSub === Set((1L, "1", 10, 14), (1L, "1", 19, 30), (2L, "1", 100, 110)))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("intersect clips to the shared bases") {
     val a = {
       import graft.SharedSpark.spark.implicits._

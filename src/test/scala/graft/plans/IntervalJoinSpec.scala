@@ -621,8 +621,13 @@ class IntervalJoinSpec extends SparkSpec {
       "spark.graft.nearestjoin.method" -> "merge")
     val saved = keys.map(k => k -> spark.conf.getOption(k))
     try {
+      // The whole interval_* family: the join queries must re-pin the
+      // conf surface (joinConf), and the set-algebra/liftover/nearest
+      // operators must be IMMUNE via the plan-embedded IntervalOverlaps
+      // exact predicate — either way, scrambled confs must not change
+      // results.
       val names = graft.queries.IntervalQueries.queries.keys.toSeq.sorted
-        .filter(_.startsWith("interval_join"))
+        .filter(_.startsWith("interval_"))
       for (name <- names) {
         val q = graft.queries.IntervalQueries.queries(name)
         keys.foreach(spark.conf.unset)
