@@ -23,7 +23,11 @@ final class IntervalForest[T] private (
     private val ends: Array[Int],
     private val maxEnds: Array[Int],
     private val values: Array[T],
-    private val prefixMaxEnds: Array[Int]) extends IntervalHolder[T] {
+    private val prefixMaxEnds: Array[Int],
+    /** Interval indices in ascending `ends` order — the left-flank axis
+      * for [[foreachNearestK]] (k smallest left gaps = k largest ends
+      * below the query start). One extra Int per interval. */
+    private val endOrder: Array[Int]) extends IntervalHolder[T] {
 
   def size: Int = starts.length
 
@@ -89,6 +93,67 @@ final class IntervalForest[T] private (
       foreachOverlap(rp, rp)((s, e, v) => if (s == rp) f(s, e, v))
     }
     d
+  }
+
+  /** Invoke `f(storedStart, storedEnd, value, distance)` for every stored
+    * interval whose distance to `[qs, qe]` is among the `k` smallest
+    * DISTINCT distances present (`bedtools closest -k` over distinct
+    * distances: at each reported distance ALL ties emit — deterministic,
+    * no tie-break rule). Returns the number of distinct distances
+    * reported (< k when the forest holds fewer).
+    *
+    * O(log n + output): the three candidate classes partition the forest —
+    * overlaps (distance 0, the augmented-tree search), strictly-left
+    * intervals (`end < qs`, distance `qs - end`, walked in descending end
+    * order via [[endOrder]]), strictly-right (`start > qe`, distance
+    * `start - qe`, walked in ascending start order) — and the two flank
+    * streams merge like sorted lists, each step emitting one distinct
+    * distance's full tie group. */
+  def foreachNearestK(qs: Int, qe: Int, k: Int)(f: (Int, Int, T, Int) => Unit): Int = {
+    val n = starts.length
+    if (n == 0 || k <= 0) return 0
+    var emitted = 0
+    val j = countStartsAtMost(qe)
+    if (j > 0 && prefixMaxEnds(j - 1) >= qs) {
+      foreachOverlap(qs, qe)((s, e, v) => f(s, e, v, 0))
+      emitted += 1
+    }
+    var li = countEndsBelow(qs) - 1 // endOrder index of the largest end < qs
+    var ri = j // first start > qe
+    while (emitted < k && (li >= 0 || ri < n)) {
+      val dl = if (li >= 0) qs - ends(endOrder(li)) else Int.MaxValue
+      val dr = if (ri < n) starts(ri) - qe else Int.MaxValue
+      val d = math.min(dl, dr)
+      if (dl == d) {
+        val targetEnd = qs - d
+        while (li >= 0 && ends(endOrder(li)) == targetEnd) {
+          val idx = endOrder(li)
+          f(starts(idx), ends(idx), values(idx), d)
+          li -= 1
+        }
+      }
+      if (dr == d) {
+        val targetStart = qe + d
+        while (ri < n && starts(ri) == targetStart) {
+          f(starts(ri), ends(ri), values(ri), d)
+          ri += 1
+        }
+      }
+      emitted += 1
+    }
+    emitted
+  }
+
+  /** Count of stored intervals with `end < q` (binary search over
+    * [[endOrder]]). */
+  private def countEndsBelow(q: Int): Int = {
+    var lo = 0
+    var hi = endOrder.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ends(endOrder(mid)) < q) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   /** Count of stored intervals with `start <= q` (binary search). */
@@ -212,7 +277,8 @@ object IntervalForest {
       prefixMaxEnds(i) = p
       i += 1
     }
-    new IntervalForest(starts, ends, maxEnds, values, prefixMaxEnds)
+    val endOrder = Array.range(0, n).sortBy(ends(_))
+    new IntervalForest(starts, ends, maxEnds, values, prefixMaxEnds, endOrder)
   }
 
   /** Forest keyed by an equality key (e.g. contig): the broadcast value of

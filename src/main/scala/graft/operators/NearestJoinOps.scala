@@ -105,6 +105,82 @@ object NearestJoinOps {
     }
   }
 
+  /** K-nearest join (`bedtools closest -k` semantics over DISTINCT
+    * distances): every left row pairs with all right rows on its contig
+    * whose distance falls in the k smallest distinct distances — at each
+    * reported distance ALL ties emit, so the output is deterministic with
+    * no tie-break rule to mirror in an oracle. `k = 1` is exactly
+    * [[nearestJoin]].
+    *
+    * Broadcast-only by design: a k-nearest probe needs random access to
+    * BOTH flank axes (start-sorted for right gaps, end-sorted for left
+    * gaps), which the broadcast [[IntervalForest]] answers in
+    * O(log n + output) per row while the left side never shuffles. That
+    * matches the operator's use case — ranking a row against a bounded
+    * annotation catalog, not against another 100 TB side. The stats gate
+    * enforces it up front with an actionable error instead of a driver
+    * OOM; a genuinely large right side should go through [[nearestJoin]]'s
+    * merge regime (k = 1) or an overlap join with maxGap. */
+  def nearestKJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"nearestKJoin needs k >= 1, got $k")
+    val spark = left.sparkSession
+    val maxBytes = spark.conf
+      .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+    val estimated = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(estimated <= BigInt(maxBytes),
+      s"nearestKJoin right side is estimated at $estimated bytes, over " +
+      s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — it is collected " +
+      "and broadcast as an interval forest. Filter/project the catalog " +
+      "down, raise the conf, or use nearestJoin's merge regime for k = 1.")
+
+    val rSchema = right.schema
+    val rContig = rSchema.fieldIndex("contig")
+    val rStart = rSchema.fieldIndex("pos_start")
+    val rEnd = rSchema.fieldIndex("pos_end")
+    val rRows: Array[InternalRow] =
+      right.queryExecution.toRdd.mapPartitions(_.map(_.copy())).collect()
+    val bc = spark.sparkContext.broadcast(
+      IntervalForest.forest[String, Int](rRows.iterator.zipWithIndex.collect {
+        case (r, i) if !r.isNullAt(rContig) && !r.isNullAt(rStart) && !r.isNullAt(rEnd) =>
+          (r.getUTF8String(rContig).toString, r.getInt(rStart), r.getInt(rEnd), i)
+      }))
+    val bcRows = spark.sparkContext.broadcast(rRows)
+
+    val lSchema = left.schema
+    val lContig = lSchema.fieldIndex("contig")
+    val lStart = lSchema.fieldIndex("pos_start")
+    val lEnd = lSchema.fieldIndex("pos_end")
+    val outSchema = StructType(lSchema.fields ++ rSchema.fields :+
+      StructField("distance", IntegerType, nullable = false))
+    val outRdd = left.queryExecution.toRdd.mapPartitions { it =>
+      val forests = bc.value
+      val rows = bcRows.value
+      val pair = new JoinedRow
+      val withDist = new JoinedRow
+      val project = UnsafeProjection.create(outSchema)
+      it.flatMap { lrow =>
+        if (lrow.isNullAt(lContig) || lrow.isNullAt(lStart) || lrow.isNullAt(lEnd))
+          Iterator.empty
+        else forests.get(lrow.getUTF8String(lContig).toString) match {
+          case None => Iterator.empty
+          case Some(f) =>
+            // (right index, distance) pairs buffered per left row — the
+            // probe callback must not interleave with the reused JoinedRow.
+            val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            f.foreachNearestK(lrow.getInt(lStart), lrow.getInt(lEnd), k) {
+              (_, _, ri, d) => hits += ((ri, d))
+            }
+            val distRow = new GenericInternalRow(1)
+            hits.iterator.map { case (ri, d) =>
+              distRow.setInt(0, d)
+              project(withDist(pair(lrow, rows(ri)), distRow)): InternalRow
+            }
+        }
+      }
+    }
+    ColumnBridge.internalFrame(spark, outRdd, outSchema)
+  }
+
   private def broadcastNearestJoin(left: DataFrame, right: DataFrame): DataFrame = {
     val spark = left.sparkSession
     val rSchema = right.schema

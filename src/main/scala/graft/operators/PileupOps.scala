@@ -71,13 +71,17 @@ object PileupOps {
     * (A4 — the FASTA stand-in), evaluated on the emitted rows only. */
   private def withDepth(perPos: DataFrame, reads: DataFrame): DataFrame = {
     val blocks = CoverageOps.blocks(reads)
+    // `quals` passes through only when the aggregation built it — the
+    // quals-free fast path (withQuals=false) never computes histograms.
+    val tail = Seq(col("alts")) ++
+      (if (perPos.columns.contains("quals")) Seq(col("quals")) else Nil)
     perPos.as("p").join(blocks.as("b"),
         expr("p.contig = b.contig AND p.pos >= b.pos_start AND p.pos <= b.pos_end"))
-      .select(col("p.contig").as("contig"), col("p.pos").as("pos"),
+      .select(Seq(col("p.contig").as("contig"), col("p.pos").as("pos"),
         MockReference.refBase("p.contig", "p.pos").as("ref"),
         col("b.coverage").as("coverage"),
         (col("b.coverage").cast("long") - col("count_nonref")).as("count_ref"),
-        col("count_nonref"), col("alts"), col("quals"))
+        col("count_nonref")) ++ tail: _*)
   }
 
   /** Naive threshold variant caller over the map-typed pileup — the
@@ -108,55 +112,76 @@ object PileupOps {
     * (contig, pos, coverage, count_ref, count_nonref,
     *  alts: map<tinyint,smallint>, quals: map<tinyint,array<smallint>>).
     * Quality histograms are dense from 0 to the position's max quality —
-    * the form `quals_to_map` renders (zero slots skipped there). */
-  def pileupMaps(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame =
-    pileupMapsBy(reads, Nil, qualsBinSize)
+    * the form `quals_to_map` renders (zero slots skipped there).
+    * `withQuals=false` skips the histogram machinery entirely (no qual
+    * grouping dimension, no per-base dense transform) and omits the
+    * `quals` column — the right input for downstream consumers like
+    * [[naiveVariantCalls]] that only read depth + alt counts. */
+  def pileupMaps(reads: DataFrame, qualsBinSize: Option[Int] = None,
+      withQuals: Boolean = true): DataFrame =
+    pileupMapsBy(reads, Nil, qualsBinSize, withQuals)
 
   /** [[pileupMaps]] generalized over group keys — the map-schema sibling
     * of [[pileupBy]]: one scan, one alt exchange, one blocksBy depth
     * pass for an N-group corpus. */
   def pileupMapsBy(reads: DataFrame, keys: Seq[String],
-      qualsBinSize: Option[Int] = None): DataFrame = {
+      qualsBinSize: Option[Int] = None, withQuals: Boolean = true): DataFrame = {
     graft.Graft.ensure(reads.sparkSession)
     val k = keys.map(col)
-    // Level 0: per (contig, pos, base, qual) occurrence counts. The alt
-    // rows are pre-partitioned by (contig, pos) — a subset of every
-    // grouping key below — so all three aggregation levels run
-    // shuffle-free on top of this single exchange (vs three chained
-    // exchanges when each groupBy repartitions on its own key set).
     // Counts aggregate in long and only narrow to the reference's Short
     // schema at the output boundary, clamped at Short.MaxValue — at depth
     // > 32767 per base (deep/amplicon sequencing) a mid-aggregation
     // smallint cast would overflow, and under Spark 4 ANSI mode that is a
     // runtime error, not a wrap.
     val shortMax = lit(32767L)
-    val perBaseQ = altRows(reads, keys)
-      .select(k ++ Seq(col("contig"), col("alt_pos").as("pos"),
-        ascii(col("alt_base")).cast("tinyint").as("base"),
-        qualExpr(qualsBinSize).as("q")): _*)
-      .repartition(k ++ Seq(col("contig"), col("pos")): _*)
-      .groupBy(k ++ Seq(col("contig"), col("pos"), col("base"), col("q")): _*)
-      .agg(count(lit(1)).as("qcnt"))
+    val perPos = if (withQuals) {
+      // Level 0: per (contig, pos, base, qual) occurrence counts. The alt
+      // rows are pre-partitioned by (contig, pos) — a subset of every
+      // grouping key below — so all three aggregation levels run
+      // shuffle-free on top of this single exchange (vs three chained
+      // exchanges when each groupBy repartitions on its own key set).
+      val perBaseQ = altRows(reads, keys)
+        .select(k ++ Seq(col("contig"), col("alt_pos").as("pos"),
+          ascii(col("alt_base")).cast("tinyint").as("base"),
+          qualExpr(qualsBinSize).as("q")): _*)
+        .repartition(k ++ Seq(col("contig"), col("pos")): _*)
+        .groupBy(k ++ Seq(col("contig"), col("pos"), col("base"), col("q")): _*)
+        .agg(count(lit(1)).as("qcnt"))
 
-    // Level 1: per (contig, pos, base) — count + dense quality histogram.
-    // try_element_at: absent keys must be 0, not an ANSI error.
-    val perBase = perBaseQ
-      .groupBy(k ++ Seq(col("contig"), col("pos"), col("base")): _*)
-      .agg(sum(col("qcnt")).as("cnt"),
-        map_from_entries(array_sort(collect_list(struct(col("q"), col("qcnt"))))).as("qmap"),
-        max(col("q")).as("mq"))
-      .select(k ++ Seq(col("contig"), col("pos"), col("base"), col("cnt"),
-        transform(sequence(lit(0), col("mq")),
-          i => least(coalesce(try_element_at(col("qmap"), i), lit(0L)), shortMax)
-            .cast("smallint")).as("qhist")): _*)
+      // Level 1: per (contig, pos, base) — count + dense quality histogram.
+      // try_element_at: absent keys must be 0, not an ANSI error.
+      val perBase = perBaseQ
+        .groupBy(k ++ Seq(col("contig"), col("pos"), col("base")): _*)
+        .agg(sum(col("qcnt")).as("cnt"),
+          map_from_entries(array_sort(collect_list(struct(col("q"), col("qcnt"))))).as("qmap"),
+          max(col("q")).as("mq"))
+        .select(k ++ Seq(col("contig"), col("pos"), col("base"), col("cnt"),
+          transform(sequence(lit(0), col("mq")),
+            i => least(coalesce(try_element_at(col("qmap"), i), lit(0L)), shortMax)
+              .cast("smallint")).as("qhist")): _*)
 
-    // Level 2: per (contig, pos) — the reference's map columns.
-    val perPos = perBase
-      .groupBy(k ++ Seq(col("contig"), col("pos")): _*)
-      .agg(sum(col("cnt")).as("count_nonref"),
-        map_from_entries(array_sort(collect_list(
-          struct(col("base"), least(col("cnt"), shortMax).cast("smallint"))))).as("alts"),
-        map_from_entries(array_sort(collect_list(struct(col("base"), col("qhist"))))).as("quals"))
+      // Level 2: per (contig, pos) — the reference's map columns.
+      perBase
+        .groupBy(k ++ Seq(col("contig"), col("pos")): _*)
+        .agg(sum(col("cnt")).as("count_nonref"),
+          map_from_entries(array_sort(collect_list(
+            struct(col("base"), least(col("cnt"), shortMax).cast("smallint"))))).as("alts"),
+          map_from_entries(array_sort(collect_list(struct(col("base"), col("qhist"))))).as("quals"))
+    } else {
+      // Quals-free fast path: the qual dimension never enters the
+      // aggregation — one level collapses and the dense-histogram
+      // transform disappears; same single (contig, pos) exchange.
+      altRows(reads, keys)
+        .select(k ++ Seq(col("contig"), col("alt_pos").as("pos"),
+          ascii(col("alt_base")).cast("tinyint").as("base")): _*)
+        .repartition(k ++ Seq(col("contig"), col("pos")): _*)
+        .groupBy(k ++ Seq(col("contig"), col("pos"), col("base")): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(k ++ Seq(col("contig"), col("pos")): _*)
+        .agg(sum(col("cnt")).as("count_nonref"),
+          map_from_entries(array_sort(collect_list(
+            struct(col("base"), least(col("cnt"), shortMax).cast("smallint"))))).as("alts"))
+    }
     if (keys.isEmpty) withDepth(perPos, reads)
     else withDepthBy(perPos, reads, keys)
   }
@@ -173,9 +198,13 @@ object PileupOps {
     * `qualsBinSize` (SURVEY §2.4 A5, reference
     * `pileup/PileupStrategy.scala:110-118`) coarsens the quality axis:
     * each base quality is floored to its bin (`qual div binSize`) before
-    * rendering, shrinking distinct qual entries per position. */
-  def pileup(reads: DataFrame, qualsBinSize: Option[Int] = None): DataFrame =
-    pileupBy(reads, Nil, qualsBinSize)
+    * rendering, shrinking distinct qual entries per position.
+    * `withQuals=false` (the TVF's `pileup(..., true, false)` schema)
+    * omits the quals column AND its sorted-rendering cost — previously
+    * the narrow schema was projected after the full computation. */
+  def pileup(reads: DataFrame, qualsBinSize: Option[Int] = None,
+      withQuals: Boolean = true): DataFrame =
+    pileupBy(reads, Nil, qualsBinSize, withQuals)
 
   /** Multi-group pileup in ONE pass — `keys` (e.g. `sample_id`) join the
     * aggregation and depth keys, so an N-sample corpus is scanned and
@@ -186,32 +215,41 @@ object PileupOps {
     * [[CoverageOps.blocksBy]] on the same keys, probed through the
     * forest join with the keys as extra equality columns. */
   def pileupBy(reads: DataFrame, keys: Seq[String],
-      qualsBinSize: Option[Int] = None): DataFrame = {
+      qualsBinSize: Option[Int] = None, withQuals: Boolean = true): DataFrame = {
     val spark = reads.sparkSession
     graft.Graft.ensure(spark)
     val k = keys.map(col)
 
-    // Level 1: per (keys, contig, pos, base) — count + sorted qual
-    // rendering. Pre-partitioned by (keys, contig, pos): both aggregation
-    // levels run on one exchange (see pileupMaps).
+    // Level 1: per (keys, contig, pos, base) — count + (when asked)
+    // sorted qual rendering. Pre-partitioned by (keys, contig, pos):
+    // both aggregation levels run on one exchange (see pileupMaps).
+    val baseCols = k ++ Seq(col("contig"), col("alt_pos").as("pos"),
+      col("alt_base").as("base")) ++
+      (if (withQuals) Seq(qualExpr(qualsBinSize).as("q")) else Nil)
+    val level1Aggs = Seq(count(lit(1)).as("cnt")) ++
+      (if (withQuals)
+        Seq(array_join(array_sort(collect_list(col("q"))), "+").as("quals_b"))
+      else Nil)
     val perBase = altRows(reads, keys)
-      .select(k ++ Seq(col("contig"), col("alt_pos").as("pos"),
-        col("alt_base").as("base"), qualExpr(qualsBinSize).as("q")): _*)
+      .select(baseCols: _*)
       .repartition(k ++ Seq(col("contig"), col("pos")): _*)
       .groupBy(k ++ Seq(col("contig"), col("pos"), col("base")): _*)
-      .agg(count(lit(1)).as("cnt"),
-        array_join(array_sort(collect_list(col("q"))), "+").as("quals_b"))
+      .agg(level1Aggs.head, level1Aggs.tail: _*)
 
     // Level 2: per (keys, contig, pos) — alts map rendered through the
     // UDF pack, quals as the canonical sorted string.
+    val level2Aggs = Seq(
+      sum(col("cnt")).as("count_nonref"),
+      map_from_entries(array_sort(collect_list(
+        struct(ascii(col("base")).cast("tinyint"),
+          least(col("cnt"), lit(32767L)).cast("smallint"))))).as("alts_map")) ++
+      (if (withQuals)
+        Seq(array_join(transform(array_sort(collect_list(struct(col("base"), col("quals_b")))),
+          x => concat(x.getField("base"), lit(":"), x.getField("quals_b"))), " ").as("quals"))
+      else Nil)
     val perPos = perBase
       .groupBy(k ++ Seq(col("contig"), col("pos")): _*)
-      .agg(sum(col("cnt")).as("count_nonref"),
-        map_from_entries(array_sort(collect_list(
-          struct(ascii(col("base")).cast("tinyint"),
-            least(col("cnt"), lit(32767L)).cast("smallint"))))).as("alts_map"),
-        array_join(transform(array_sort(collect_list(struct(col("base"), col("quals_b")))),
-          x => concat(x.getField("base"), lit(":"), x.getField("quals_b"))), " ").as("quals"))
+      .agg(level2Aggs.head, level2Aggs.tail: _*)
       .withColumn("alts", expr("altmap_to_str(alts_to_char(alts_map))"))
       .drop("alts_map")
     if (keys.isEmpty) withDepth(perPos, reads)
@@ -234,6 +272,7 @@ object PileupOps {
         MockReference.refBase("p.contig", "p.pos").as("ref"),
         col("b.coverage").as("coverage"),
         (col("b.coverage").cast("long") - col("count_nonref")).as("count_ref"),
-        col("count_nonref"), col("alts"), col("quals")): _*)
+        col("count_nonref"), col("alts")) ++
+        (if (perPos.columns.contains("quals")) Seq(col("quals")) else Nil): _*)
   }
 }

@@ -125,11 +125,15 @@ case class CoverageExec(override val output: Seq[Attribute],
 case class PileupExec(override val output: Seq[Attribute],
     sampleId: Option[String], binSize: Option[Int], child: SparkPlan)
     extends GenomicPipelineExec {
-  // Project to the node's (possibly flag-narrowed) schema: the quals
-  // column is dropped here when `pileup(..., alts, quals=false)` asked
-  // for the narrower reference schema.
+  // The node's output schema IS the quals decision: when
+  // `pileup(..., alts, quals=false)` asked for the narrower reference
+  // schema, the operator runs its quals-free fast path (no histogram
+  // aggregation at all) rather than computing quals and projecting them
+  // away here.
   override protected def pipeline(reads: org.apache.spark.sql.DataFrame) =
-    PileupOps.pileup(reads, binSize).select(output.map(a => col(a.name)): _*)
+    PileupOps.pileup(reads, binSize,
+        withQuals = output.exists(_.name == "quals"))
+      .select(output.map(a => col(a.name)): _*)
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
 }

@@ -186,6 +186,15 @@ object IntervalQueries {
       Tables.ivB(s, dir).createOrReplaceTempView("ivb_nj_v")
       s.sql("SELECT a_key, b_key, distance FROM nearest_join('iva_nj_v', 'ivb_nj_v')")
     },
+    // K-nearest (`bedtools closest -k` over distinct distances): each left
+    // row against the 3 smallest distinct distances, all ties at each —
+    // broadcast-only ranking probe against the catalog side.
+    "interval_join_nearest_k" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      graft.operators.NearestJoinOps
+        .nearestKJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), 3)
+        .select(col("a_key"), col("b_key"), col("distance"))
+    },
     // Interval set algebra (bedtools merge/complement/subtract/intersect;
     // beyond-reference — it stops at interval joins). merge is the seeded
     // prefix-scan (no per-contig window, CoverageOps pattern); subtract
@@ -619,6 +628,18 @@ object IntervalQueries {
         |      OVER (PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end) AS md
         |  FROM iva a JOIN ivb b ON a.contig = b.contig)
         |WHERE distance = md""".stripMargin),
+    // k smallest DISTINCT distances per left row, all ties at each —
+    // DENSE_RANK is exactly that semantics. Same left-row identity note
+    // as interval_join_nearest.
+    "interval_join_nearest_k" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (
+        |  SELECT a.a_key, b.b_key,
+        |    GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) AS distance,
+        |    DENSE_RANK() OVER (
+        |      PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end
+        |      ORDER BY GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0)) AS rk
+        |  FROM iva a JOIN ivb b ON a.contig = b.contig)
+        |WHERE rk <= 3""".stripMargin),
     "grange_tvf" -> withCtes(OracleCtes.targets)(
       """SELECT name, pos_start, pos_end FROM targets
         |WHERE contig = '2' AND pos_end >= 100 AND pos_start <= 600""".stripMargin),

@@ -154,11 +154,14 @@ object PileupQueries {
       PileupOps.pileupBy(Tables.readsMd(s, dir), Seq("sample_id"))
     },
     // The multi-sample composition: per-sample calls from one corpus
-    // pass (pileupMapsBy + the keys-aware caller).
+    // pass (pileupMapsBy + the keys-aware caller). withQuals=false: the
+    // caller reads only depth + alt counts, so the pileup skips the
+    // quality-histogram aggregation level entirely.
     "pileup_calls_by" -> { (s, dir) =>
       Graft.ensure(s)
       PileupOps.naiveVariantCalls(
-        PileupOps.pileupMapsBy(Tables.readsMd(s, dir), Seq("sample_id")),
+        PileupOps.pileupMapsBy(Tables.readsMd(s, dir), Seq("sample_id"),
+          withQuals = false),
         minDepth = 3, minAltPct = 8, keys = Seq("sample_id"))
     },
     // Naive threshold variant caller on top of the map-typed pileup:
@@ -166,7 +169,8 @@ object PileupQueries {
     "pileup_calls" -> { (s, dir) =>
       Graft.ensure(s)
       PileupOps.naiveVariantCalls(
-        PileupOps.pileupMaps(Tables.readsMd(s, dir).filter(col("sample_id") === "s1")),
+        PileupOps.pileupMaps(Tables.readsMd(s, dir).filter(col("sample_id") === "s1"),
+          withQuals = false),
         minDepth = 3, minAltPct = 8)
     })
 

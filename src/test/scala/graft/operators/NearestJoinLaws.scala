@@ -49,4 +49,29 @@ object NearestJoinLaws extends Properties("NearestJoin") {
           .sorted.toSeq
       run("merge") == run("broadcast")
     }
+
+  property("k-nearest == brute-force dense-rank; k=1 == nearest") =
+    forAll(genIvs(0L), genIvs(1000L), Gen.chooseNum(1, 4)) { (ls, rs, k) =>
+      import graft.SharedSpark.spark.implicits._
+      val l = ls.map(iv => (iv.key, iv.contig, iv.s, iv.e))
+        .toDF("a_key", "contig", "pos_start", "pos_end")
+      val r = rs.map(iv => (iv.key, iv.contig, iv.s, iv.e))
+        .toDF("b_key", "contig", "pos_start", "pos_end")
+      def collect(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+        df.select("a_key", "b_key", "distance")
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+          .sorted.toSeq
+      // Reference model: all same-contig pairs, keep those whose distance
+      // is among the k smallest distinct distances for that left ROW
+      // (duplicate left rows each emit their set — multiset semantics).
+      val want = ls.flatMap { a =>
+        val cands = rs.filter(_.contig == a.contig)
+          .map(b => (b.key, math.max(math.max(b.s - a.e, a.s - b.e), 0)))
+        val kept = cands.map(_._2).distinct.sorted.take(k).toSet
+        cands.collect { case (bk, d) if kept(d) => (a.key, bk, d) }
+      }.sorted
+      collect(NearestJoinOps.nearestKJoin(l, r, k)) == want &&
+        collect(NearestJoinOps.nearestKJoin(l, r, 1)) ==
+          collect(NearestJoinOps.nearestJoin(l, r, "broadcast"))
+    }
 }

@@ -60,4 +60,25 @@ class PileupSpec extends SparkSpec {
     val api = PileupOps.pileup(s1, qualsBinSize = Some(10))
     assert(tvf.exceptAll(api).isEmpty && api.exceptAll(tvf).isEmpty)
   }
+
+  test("quals-free fast path equals the full pileup minus quals") {
+    Graft.ensure(spark)
+    // Map form: same depth/alt counts, no quals column computed at all.
+    def rendered(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("contig"), col("pos"), col("ref"), col("coverage"),
+        col("count_ref"), col("count_nonref"),
+        expr("altmap_to_str(alts_to_char(alts))").as("alts_str"))
+    val fast = PileupOps.pileupMaps(s1, withQuals = false)
+    assert(!fast.columns.contains("quals"))
+    val full = PileupOps.pileupMaps(s1)
+    assert(rendered(fast).exceptAll(rendered(full)).isEmpty &&
+      rendered(full).exceptAll(rendered(fast)).isEmpty)
+    // String form through the TVF's narrowed (alts=true, quals=false)
+    // schema — the exec now dispatches the fast path from the schema.
+    s1.createOrReplaceTempView("pileup_spec_reads")
+    val tvf = spark.sql("SELECT * FROM pileup('pileup_spec_reads', 's1', true, false)")
+    val api = PileupOps.pileup(s1).drop("quals")
+    assert(!tvf.columns.contains("quals"))
+    assert(tvf.exceptAll(api).isEmpty && api.exceptAll(tvf).isEmpty)
+  }
 }
