@@ -305,14 +305,19 @@ object NearestJoinOps {
         runMax(c) = math.max(runMax.getOrElse(c, Int.MinValue), e)
       }
     }
-    // Backward fold: first right-start per contig over all LATER partitions.
+    // Backward fold: first right-start per contig over all LATER partitions
+    // — i.e. from the NEAREST later partition holding the contig, which is
+    // the smallest (range partitioning orders positions across partitions).
+    // Iterating high→low, a nearer partition must OVERWRITE the running
+    // entry; keep-first would pin the farthest partition's first right and
+    // skip every right between (a left whose nearest right lives 2+
+    // partitions ahead got a wildly inflated d* — caught by the sf0.001
+    // sweep at 32 partitions, invisible at denser scales).
     val carryNext = new Array[Map[String, Int]](nParts)
     val runNext = mutable.HashMap.empty[String, Int]
     for (i <- nParts - 1 to 0 by -1) {
       carryNext(i) = runNext.toMap
-      summaries(i).firstRight.foreach { case (c, p) =>
-        if (!runNext.contains(c)) runNext(c) = p
-      }
+      summaries(i).firstRight.foreach { case (c, p) => runNext(c) = p }
     }
     val carryB = spark.sparkContext.broadcast((carryMax, carryNext))
 

@@ -47,7 +47,18 @@ object NearestJoinLaws extends Properties("NearestJoin") {
           .select("a_key", "b_key", "distance")
           .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
           .sorted.toSeq
-      run("merge") == run("broadcast")
+      // Run the merge regime at a partition count that dwarfs the sample
+      // (few endpoint rows per range partition) — the phase-1 carry folds
+      // only do real work across partition boundaries, and the suite's
+      // default 4 partitions undersampled them (the backward-carry
+      // keep-first bug survived this law until the sf0.001 sweep hit it).
+      val mergeHighPart = {
+        val s = graft.SharedSpark.spark
+        val old = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "24")
+        try run("merge") finally s.conf.set("spark.sql.shuffle.partitions", old)
+      }
+      mergeHighPart == run("broadcast")
     }
 
   property("k-nearest == brute-force dense-rank; k=1 == nearest") =

@@ -516,6 +516,31 @@ class IntervalJoinSpec extends SparkSpec {
     assert(viaMerge.filter(_._1 == "2").forall(_._7 == 0))
   }
 
+  test("merge nearest d* survives a right flank several partitions ahead") {
+    // Regression (caught by the sf0.001 sweep at 32 shuffle partitions):
+    // the phase-1 backward carry fold kept the FIRST-set entry per contig
+    // while iterating partitions high->low, so carryNext pinned the
+    // FARTHEST later partition's first right-start instead of the nearest
+    // one. A left whose nearest right lives 2+ partitions ahead (sparse
+    // contig spanning many range partitions, nothing on its left flank)
+    // got a wildly inflated d*. 16 partitions over 7 endpoint rows puts
+    // every endpoint in its own partition — the fold must pick rs=40, not
+    // rs=4000.
+    import graft.SharedSpark.spark.implicits._
+    val l = Seq(("1", 2, 10)).toDF("contig", "pos_start", "pos_end")
+    val r = Seq(("1", 40, 45), ("1", 1000, 1005), ("1", 2000, 2005),
+        ("1", 3000, 3005), ("1", 4000, 4005))
+      .toDF("contig", "b_start", "b_end")
+      .select(col("contig"), col("b_start").as("pos_start"), col("b_end").as("pos_end"))
+    withConf("spark.sql.shuffle.partitions", "16") {
+      val out = graft.operators.NearestJoinOps.nearestJoin(l, r, "merge")
+      val n = out.columns.length
+      val got = out.collect().map(x => (x.getInt(4), x.getInt(n - 1))).toSeq
+      assert(got === Seq((40, 30)),
+        s"expected the nearest right (rs=40, d=30), got $got")
+    }
+  }
+
   test("nearest_join TVF in auto mode resolves the regime from logical stats") {
     // r9 VERDICT #1: NearestJoinExec bridges its children through
     // ColumnBridge.internalFrame, whose LogicalRDD stats default to
