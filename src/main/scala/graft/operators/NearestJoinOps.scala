@@ -132,7 +132,18 @@ object NearestJoinOps {
       s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — it is collected " +
       "and broadcast as an interval forest. Filter/project the catalog " +
       "down, raise the conf, or use nearestJoin's merge regime for k = 1.")
+    nearestKJoinUngated(left, right, k)
+  }
 
+  /** [[nearestKJoin]] without the broadcast-size stats gate — for
+    * [[graft.plans.NearestJoinExec]], whose bridged children carry
+    * `defaultSizeInBytes` stats (the gate already ran in
+    * [[graft.plans.GenomicStrategy]] against the LOGICAL children's
+    * stats; re-checking the bridge's Long.MaxValue default here would
+    * reject every TVF call). */
+  private[graft] def nearestKJoinUngated(
+      left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+    val spark = left.sparkSession
     val rSchema = right.schema
     val rContig = rSchema.fieldIndex("contig")
     val rStart = rSchema.fieldIndex("pos_start")

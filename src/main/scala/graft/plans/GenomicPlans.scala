@@ -147,6 +147,7 @@ case class PileupExec(override val output: Seq[Attribute],
   * join equivalent, so the node survives to [[GenomicStrategy]], which
   * runs the operator pipeline over both children's execution-time rows. */
 case class NearestJoinNode(left: LogicalPlan, right: LogicalPlan, method: String,
+    k: Int = 1,
     distAttr: AttributeReference =
       AttributeReference("distance", IntegerType, nullable = false)())
     extends org.apache.spark.sql.catalyst.plans.logical.BinaryNode {
@@ -163,7 +164,7 @@ case class NearestJoinNode(left: LogicalPlan, right: LogicalPlan, method: String
 }
 
 case class NearestJoinExec(override val output: Seq[Attribute], method: String,
-    left: SparkPlan, right: SparkPlan)
+    k: Int, left: SparkPlan, right: SparkPlan)
     extends org.apache.spark.sql.execution.BinaryExecNode {
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
@@ -172,8 +173,13 @@ case class NearestJoinExec(override val output: Seq[Attribute], method: String,
     val l = ColumnBridge.internalFrame(spark, left.execute(), left.schema)
     val r = ColumnBridge.internalFrame(spark, right.execute(), right.schema)
     // Positional contract: the operator emits left ++ right ++ distance,
-    // exactly this node's declared output order.
-    graft.operators.NearestJoinOps.nearestJoin(l, r, method).queryExecution.toRdd
+    // exactly this node's declared output order. k > 1 is broadcast-only
+    // and was stats-gated in GenomicStrategy (the bridged frames here
+    // carry defaultSizeInBytes stats — re-gating would always reject).
+    val out =
+      if (k > 1) graft.operators.NearestJoinOps.nearestKJoinUngated(l, r, k)
+      else graft.operators.NearestJoinOps.nearestJoin(l, r, method)
+    out.queryExecution.toRdd
   }
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
@@ -193,7 +199,7 @@ case class NearestJoinDedupRule(session: SparkSession)
   import org.apache.spark.sql.catalyst.expressions.Alias
   import org.apache.spark.sql.catalyst.plans.logical.Project
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case n @ NearestJoinNode(l, r, _, _)
+    case n @ NearestJoinNode(l, r, _, _, _)
         if n.childrenResolved && l.outputSet.intersect(r.outputSet).nonEmpty =>
       n.copy(right = Project(r.output.map(a => Alias(a, a.name)()), r))
   }
@@ -234,19 +240,28 @@ case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
       CoverageExec(out, sample, target, planLater(child)) :: Nil
     case PileupNode(child, sample, bin, out) =>
       PileupExec(out, sample, bin, planLater(child)) :: Nil
-    case n @ NearestJoinNode(l, r, method, _) =>
+    case n @ NearestJoinNode(l, r, method, k, _) =>
       // Resolve `auto` HERE, from the logical children's Catalyst stats:
       // the exec re-wraps its children through ColumnBridge.internalFrame,
       // whose LogicalRDD stats default to spark.sql.defaultSizeInBytes, so
       // an `auto` left for the operator to resolve would never see the
       // right side fit the broadcast budget and silently always pick the
       // merge regime (r9 VERDICT #1 — the SQL surface lost the fast path).
+      val maxBytes = session.conf
+        .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+      val fits = r.stats.sizeInBytes <= BigInt(maxBytes)
+      // k-nearest is broadcast-only (both flank axes need random access);
+      // gate on the LOGICAL stats for the same reason as `auto` above.
+      if (k > 1 && !fits) throw new IllegalArgumentException(
+        s"nearest_k_join right side is estimated at ${r.stats.sizeInBytes} " +
+        s"bytes, over spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — " +
+        "it is collected and broadcast as an interval forest. " +
+        "Filter/project the catalog view down, raise the conf, or use " +
+        "nearest_join (k = 1), whose merge regime streams both sides.")
       val resolved = if (method == "auto") {
-        val maxBytes = session.conf
-          .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
-        if (r.stats.sizeInBytes <= BigInt(maxBytes)) "broadcast" else "merge"
+        if (fits) "broadcast" else "merge"
       } else method
-      NearestJoinExec(n.output, resolved, planLater(l), planLater(r)) :: Nil
+      NearestJoinExec(n.output, resolved, k, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -168,6 +168,25 @@ object GraftTableFunctions {
       method)
   }
 
+  /** `nearest_k_join(leftView, rightView, k)` — SQL surface for the
+    * k-nearest join ([[graft.operators.NearestJoinOps.nearestKJoin]],
+    * `bedtools closest -k` over DISTINCT distances): every left row
+    * paired with all same-contig right rows whose distance is among the
+    * k smallest distinct distances, all ties at each. Broadcast-only —
+    * [[GenomicStrategy]] gates the right side's logical stats against
+    * `spark.graft.rangejoin.maxBroadcastBytes` at planning time. */
+  private val nearestKJoinB: Builder = { args =>
+    require(args.length == 3,
+      s"nearest_k_join expects (leftView, rightView, k), got ${args.length} args")
+    require(args.forall(_.foldable), "nearest_k_join arguments must be literals")
+    val k = intVal(args(2), "nearest_k_join k")
+    require(k >= 1, s"nearest_k_join needs k >= 1, got $k")
+    NearestJoinNode(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args.head))),
+      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args(1)))),
+      method = "broadcast", k = k)
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =
     Seq("grange", "bdg_grange").map { n =>
       (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), grangeB)
@@ -177,5 +196,7 @@ object GraftTableFunctions {
       (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), pileupB)
     } ++ Seq("nearest_join").map { n =>
       (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), nearestJoinB)
+    } ++ Seq("nearest_k_join").map { n =>
+      (FunctionIdentifier(n), new ExpressionInfo(GraftTableFunctions.getClass.getName, n), nearestKJoinB)
     }
 }

@@ -195,6 +195,16 @@ object IntervalQueries {
         .nearestKJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), 3)
         .select(col("a_key"), col("b_key"), col("distance"))
     },
+    // SQL-only surface for the k-nearest join: the nearest_k_join TVF
+    // resolves both views through the same lazy plan node (k > 1 forces
+    // the broadcast ranking probe; GenomicStrategy stats-gates it) —
+    // same oracle as interval_join_nearest_k.
+    "interval_join_nearest_k_tvf" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      Tables.ivA(s, dir).createOrReplaceTempView("iva_njk_v")
+      Tables.ivB(s, dir).createOrReplaceTempView("ivb_njk_v")
+      s.sql("SELECT a_key, b_key, distance FROM nearest_k_join('iva_njk_v', 'ivb_njk_v', 3)")
+    },
     // Interval set algebra (bedtools merge/complement/subtract/intersect;
     // beyond-reference — it stops at interval joins). merge is the seeded
     // prefix-scan (no per-contig window, CoverageOps pattern); subtract
@@ -632,6 +642,16 @@ object IntervalQueries {
     // DENSE_RANK is exactly that semantics. Same left-row identity note
     // as interval_join_nearest.
     "interval_join_nearest_k" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (
+        |  SELECT a.a_key, b.b_key,
+        |    GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) AS distance,
+        |    DENSE_RANK() OVER (
+        |      PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end
+        |      ORDER BY GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0)) AS rk
+        |  FROM iva a JOIN ivb b ON a.contig = b.contig)
+        |WHERE rk <= 3""".stripMargin),
+    // Same DENSE_RANK oracle — the TVF runs the identical operator.
+    "interval_join_nearest_k_tvf" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (
         |  SELECT a.a_key, b.b_key,
         |    GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) AS distance,

@@ -571,6 +571,36 @@ class IntervalJoinSpec extends SparkSpec {
     assert(sorted(auto).nonEmpty)
   }
 
+  test("nearest_k_join TVF matches the Scala API and stats-gates at planning") {
+    randomIntervals(200, 94, "a_key").createOrReplaceTempView("njk_l")
+    randomIntervals(50, 95, "b_key").createOrReplaceTempView("njk_r")
+    val viaSql = spark.sql("SELECT a_key, b_key, distance FROM nearest_k_join('njk_l', 'njk_r', 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val viaApi = graft.operators.NearestJoinOps
+      .nearestKJoin(spark.table("njk_l"), spark.table("njk_r"), 3)
+      .select(col("a_key"), col("b_key"), col("distance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.nonEmpty)
+    // k = 1 degenerates to the nearest join.
+    val k1 = spark.sql("SELECT a_key, b_key, distance FROM nearest_k_join('njk_l', 'njk_r', 1)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val nearest = spark.sql("SELECT a_key, b_key, distance FROM nearest_join('njk_l', 'njk_r')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(k1 === nearest)
+    // k-nearest is broadcast-only: an over-budget right side must fail at
+    // planning with an actionable message, gated on the LOGICAL children's
+    // stats (the exec's bridged frames carry defaultSizeInBytes and can't
+    // be gated there).
+    val err = intercept[Exception] {
+      withConf("spark.graft.rangejoin.maxBroadcastBytes", "1") {
+        spark.sql("SELECT * FROM nearest_k_join('njk_l', 'njk_r', 3)").collect()
+      }
+    }
+    assert(err.getMessage.contains("maxBroadcastBytes"),
+      s"expected the broadcast-budget error, got: ${err.getMessage}")
+  }
+
   test("nearest_join TVF with the same view on both sides dedups exprIds") {
     // r9 ADVICE: custom BinaryNodes don't get the analyzer's Join
     // dedupRight, so nearest_join('v','v') carried duplicate attribute
