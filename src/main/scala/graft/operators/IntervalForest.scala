@@ -109,17 +109,32 @@ final class IntervalForest[T] private (
     * `start - qe`, walked in ascending start order) — and the two flank
     * streams merge like sorted lists, each step emitting one distinct
     * distance's full tie group. */
-  def foreachNearestK(qs: Int, qe: Int, k: Int)(f: (Int, Int, T, Int) => Unit): Int = {
+  def foreachNearestK(qs: Int, qe: Int, k: Int)(f: (Int, Int, T, Int) => Unit): Int =
+    foreachNearestKDir(qs, qe, k, includeOverlaps = true,
+      includeUpstream = true, includeDownstream = true)((s, e, v, d, _) => f(s, e, v, d))
+
+  /** [[foreachNearestK]] with candidate-class control — the bedtools
+    * `closest -io/-iu/-id/-D` surface. The callback's fifth argument is
+    * the class: `-1` upstream (stored interval strictly left of the
+    * query, lower coordinates), `0` overlap, `+1` downstream. Distances
+    * stay unsigned (ranking is by proximity); the caller signs output
+    * from the class. Disabled classes neither emit nor consume a rank:
+    * with `includeOverlaps = false` the nearest flank pair is rank 1
+    * even when an overlap exists. */
+  def foreachNearestKDir(qs: Int, qe: Int, k: Int, includeOverlaps: Boolean,
+      includeUpstream: Boolean, includeDownstream: Boolean)
+      (f: (Int, Int, T, Int, Int) => Unit): Int = {
     val n = starts.length
     if (n == 0 || k <= 0) return 0
     var emitted = 0
     val j = countStartsAtMost(qe)
-    if (j > 0 && prefixMaxEnds(j - 1) >= qs) {
-      foreachOverlap(qs, qe)((s, e, v) => f(s, e, v, 0))
+    if (includeOverlaps && j > 0 && prefixMaxEnds(j - 1) >= qs) {
+      foreachOverlap(qs, qe)((s, e, v) => f(s, e, v, 0, 0))
       emitted += 1
     }
-    var li = countEndsBelow(qs) - 1 // endOrder index of the largest end < qs
-    var ri = j // first start > qe
+    // endOrder index of the largest end < qs (upstream axis).
+    var li = if (includeUpstream) countEndsBelow(qs) - 1 else -1
+    var ri = if (includeDownstream) j else n // first start > qe (downstream)
     while (emitted < k && (li >= 0 || ri < n)) {
       val dl = if (li >= 0) qs - ends(endOrder(li)) else Int.MaxValue
       val dr = if (ri < n) starts(ri) - qe else Int.MaxValue
@@ -128,14 +143,14 @@ final class IntervalForest[T] private (
         val targetEnd = qs - d
         while (li >= 0 && ends(endOrder(li)) == targetEnd) {
           val idx = endOrder(li)
-          f(starts(idx), ends(idx), values(idx), d)
+          f(starts(idx), ends(idx), values(idx), d, -1)
           li -= 1
         }
       }
       if (dr == d) {
         val targetStart = qe + d
         while (ri < n && starts(ri) == targetStart) {
-          f(starts(ri), ends(ri), values(ri), d)
+          f(starts(ri), ends(ri), values(ri), d, 1)
           ri += 1
         }
       }

@@ -121,8 +121,27 @@ object NearestJoinOps {
     * enforces it up front with an actionable error instead of a driver
     * OOM; a genuinely large right side should go through [[nearestJoin]]'s
     * merge regime (k = 1) or an overlap join with maxGap. */
-  def nearestKJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+  def nearestKJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame =
+    nearestKJoin(left, right, k,
+      ignoreOverlaps = false, direction = "both", signed = false)
+
+  /** As [[nearestKJoin]] with the bedtools `closest -io/-iu/-id/-D ref`
+    * surface:
+    *   - `ignoreOverlaps`: overlapping rights are not candidates (`-io`);
+    *     the nearest flank pair is rank 1 even when an overlap exists.
+    *   - `direction`: `"both"` | `"upstream"` (only rights strictly left
+    *     of the query — lower coordinates; bedtools `-id` ignores
+    *     downstream) | `"downstream"` (`-iu` ignores upstream).
+    *     Overlaps are direction-less and stay candidates unless
+    *     `ignoreOverlaps`.
+    *   - `signed`: emit reference-genome-signed distance (`-D ref`) —
+    *     negative for upstream rights, positive downstream, 0 overlap.
+    *     Ranking stays by unsigned proximity; sign is output-only. */
+  def nearestKJoin(left: DataFrame, right: DataFrame, k: Int,
+      ignoreOverlaps: Boolean, direction: String, signed: Boolean): DataFrame = {
     require(k >= 1, s"nearestKJoin needs k >= 1, got $k")
+    require(Set("both", "upstream", "downstream")(direction),
+      s"nearestKJoin direction must be both|upstream|downstream, got '$direction'")
     val spark = left.sparkSession
     val maxBytes = spark.conf
       .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
@@ -132,7 +151,7 @@ object NearestJoinOps {
       s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — it is collected " +
       "and broadcast as an interval forest. Filter/project the catalog " +
       "down, raise the conf, or use nearestJoin's merge regime for k = 1.")
-    nearestKJoinUngated(left, right, k)
+    nearestKJoinUngated(left, right, k, ignoreOverlaps, direction, signed)
   }
 
   /** [[nearestKJoin]] without the broadcast-size stats gate — for
@@ -142,7 +161,12 @@ object NearestJoinOps {
     * stats; re-checking the bridge's Long.MaxValue default here would
     * reject every TVF call). */
   private[graft] def nearestKJoinUngated(
-      left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+      left: DataFrame, right: DataFrame, k: Int,
+      ignoreOverlaps: Boolean = false, direction: String = "both",
+      signed: Boolean = false): DataFrame = {
+    val incOverlaps = !ignoreOverlaps
+    val incUp = direction != "downstream"
+    val incDown = direction != "upstream"
     val spark = left.sparkSession
     val rSchema = right.schema
     val rContig = rSchema.fieldIndex("contig")
@@ -175,11 +199,13 @@ object NearestJoinOps {
         else forests.get(lrow.getUTF8String(lContig).toString) match {
           case None => Iterator.empty
           case Some(f) =>
-            // (right index, distance) pairs buffered per left row — the
-            // probe callback must not interleave with the reused JoinedRow.
+            // (right index, signed distance) pairs buffered per left row —
+            // the probe callback must not interleave with the reused
+            // JoinedRow.
             val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-            f.foreachNearestK(lrow.getInt(lStart), lrow.getInt(lEnd), k) {
-              (_, _, ri, d) => hits += ((ri, d))
+            f.foreachNearestKDir(lrow.getInt(lStart), lrow.getInt(lEnd), k,
+                incOverlaps, incUp, incDown) { (_, _, ri, d, side) =>
+              hits += ((ri, if (signed && side < 0) -d else d))
             }
             val distRow = new GenericInternalRow(1)
             hits.iterator.map { case (ri, d) =>

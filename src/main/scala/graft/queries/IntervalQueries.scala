@@ -195,6 +195,16 @@ object IntervalQueries {
         .nearestKJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), 3)
         .select(col("a_key"), col("b_key"), col("distance"))
     },
+    // Directional/signed nearest (`bedtools closest -io -D ref`): the 2
+    // nearest distinct distances per left row EXCLUDING overlaps, with
+    // reference-genome-signed distance (upstream rights negative).
+    "interval_join_nearest_dir" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      graft.operators.NearestJoinOps
+        .nearestKJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), 2,
+          ignoreOverlaps = true, direction = "both", signed = true)
+        .select(col("a_key"), col("b_key"), col("distance"))
+    },
     // SQL-only surface for the k-nearest join: the nearest_k_join TVF
     // resolves both views through the same lazy plan node (k > 1 forces
     // the broadcast ranking probe; GenomicStrategy stats-gates it) —
@@ -650,6 +660,20 @@ object IntervalQueries {
         |      ORDER BY GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0)) AS rk
         |  FROM iva a JOIN ivb b ON a.contig = b.contig)
         |WHERE rk <= 3""".stripMargin),
+    // Overlaps filtered BEFORE ranking (subquery WHERE precedes the
+    // window), unsigned proximity in the ORDER BY, sign recovered from
+    // which flank the right sits on — upstream (b fully left) negative.
+    "interval_join_nearest_dir" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key, CAST(sd AS INT) AS distance FROM (
+        |  SELECT a.a_key, b.b_key,
+        |    CASE WHEN b.pos_end < a.pos_start THEN b.pos_end - a.pos_start
+        |         ELSE b.pos_start - a.pos_end END AS sd,
+        |    DENSE_RANK() OVER (
+        |      PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end
+        |      ORDER BY GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0)) AS rk
+        |  FROM iva a JOIN ivb b ON a.contig = b.contig
+        |  WHERE GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) > 0)
+        |WHERE rk <= 2""".stripMargin),
     // Same DENSE_RANK oracle — the TVF runs the identical operator.
     "interval_join_nearest_k_tvf" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (

@@ -85,4 +85,37 @@ object NearestJoinLaws extends Properties("NearestJoin") {
         collect(NearestJoinOps.nearestKJoin(l, r, 1)) ==
           collect(NearestJoinOps.nearestJoin(l, r, "broadcast"))
     }
+
+  property("directional/signed k-nearest == brute-force model") =
+    forAll(genIvs(0L), genIvs(1000L), Gen.chooseNum(1, 3),
+      Gen.oneOf(true, false), Gen.oneOf("both", "upstream", "downstream"),
+      Gen.oneOf(true, false)) { (ls, rs, k, io, dir, signed) =>
+      import graft.SharedSpark.spark.implicits._
+      val l = ls.map(iv => (iv.key, iv.contig, iv.s, iv.e))
+        .toDF("a_key", "contig", "pos_start", "pos_end")
+      val r = rs.map(iv => (iv.key, iv.contig, iv.s, iv.e))
+        .toDF("b_key", "contig", "pos_start", "pos_end")
+      val got = NearestJoinOps.nearestKJoin(l, r, k, io, dir, signed)
+        .select("a_key", "b_key", "distance")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+        .sorted.toSeq
+      // Model: classify each same-contig pair (upstream/-1, overlap/0,
+      // downstream/+1 of the LEFT row), drop disabled classes, rank by
+      // unsigned distance over distinct values, sign output from class.
+      val want = ls.flatMap { a =>
+        val cands = rs.filter(_.contig == a.contig).flatMap { b =>
+          val d = math.max(math.max(b.s - a.e, a.s - b.e), 0)
+          val side = if (d == 0) 0 else if (b.e < a.s) -1 else 1
+          val keepClass = (side != 0 || !io) &&
+            (side == 0 || dir == "both" ||
+              (dir == "upstream" && side < 0) || (dir == "downstream" && side > 0))
+          if (keepClass) Some((b.key, d, side)) else None
+        }
+        val kept = cands.map(_._2).distinct.sorted.take(k).toSet
+        cands.collect { case (bk, d, side) if kept(d) =>
+          (a.key, bk, if (signed && side < 0) -d else d)
+        }
+      }.sorted
+      got == want
+    }
 }
