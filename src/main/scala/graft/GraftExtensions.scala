@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strategy handles broadcast-forest planning and keeps a bin-range
     // fallback (see BinRangeLogicalRule's scaladoc for why placement
     // decides whether OptimizeSkewedJoin can ever fire).
+    // Count pushdown must see Aggregate-over-Join BEFORE the bin-range
+    // rewrite can replace the Join (it only fires on broadcast-fit sides,
+    // so the two never want the same query anyway — the order just keeps
+    // that invariant structural).
+    ext.injectPreCBORule(plans.IntervalCountPushdownRule(_))
     ext.injectPreCBORule(plans.BinRangeLogicalRule(_))
     ext.injectResolutionRule(plans.NearestJoinDedupRule(_))
     ext.injectOptimizerRule(plans.NearestJoinPruneRule(_))

@@ -96,6 +96,20 @@ object StreamingQueries {
         .select(col("contig"), col("pos_start"), col("pos_end"),
           col("target_name"), col("distance"))
     },
+    // Stream-static K-NEAREST join: the k=2 smallest distinct distances
+    // per stream row, all ties — same kernel, DENSE_RANK oracle.
+    "stream_interval_nearest_k" -> { (s, dir) =>
+      import s.implicits._
+      val reads = Tables.reads(s, dir)
+        .filter(col("pos_start") % 7 === 1)
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          timestamp_seconds(col("pos_start").cast("long") * 7 + lit(1700000000L)).as("ts"))
+        .as[StreamingOps.StreamRead]
+      val targets = Tables.targets(s, dir).filter(col("pos_start") % 10 === 3)
+      StreamingOps.nearestKStream(reads, targets, 2)
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          col("target_name"), col("distance"))
+    },
     // Streaming windowed coverage kernel on a batch frame (withWatermark
     // and window() are batch no-op/native): mean depth per (hour window,
     // contig, 100bp tile). Integer contribution sums + one final double
@@ -179,6 +193,18 @@ object StreamingQueries {
          |SELECT contig, pos_start, pos_end, target_name,
          |  CAST(distance AS INT) AS distance
          |FROM m WHERE distance = md""".stripMargin,
+    "stream_interval_nearest_k" ->
+      s"""WITH ${OracleCtes.reads}, ${OracleCtes.targets},
+         |r AS (SELECT contig, pos_start, pos_end FROM reads WHERE pos_start % 7 = 1),
+         |t AS (SELECT contig, pos_start, pos_end, name FROM targets WHERE pos_start % 10 = 3),
+         |pairs AS (SELECT r.contig, r.pos_start, r.pos_end, t.name AS target_name,
+         |  GREATEST(t.pos_start - r.pos_end, r.pos_start - t.pos_end, 0) AS distance
+         |  FROM r JOIN t ON r.contig = t.contig),
+         |ranked AS (SELECT *, DENSE_RANK() OVER (
+         |  PARTITION BY contig, pos_start, pos_end ORDER BY distance) AS rk FROM pairs)
+         |SELECT contig, pos_start, pos_end, target_name,
+         |  CAST(distance AS INT) AS distance
+         |FROM ranked WHERE rk <= 2""".stripMargin,
     "stream_coverage_window" ->
       s"""WITH ${OracleCtes.reads},
          |tiled AS (

@@ -354,6 +354,41 @@ object StreamingOps {
     }.toDF("contig", "pos_start", "pos_end", "ts", "target_name", "distance")
   }
 
+  /** Stream-static K-NEAREST join: [[nearestStream]] generalized to the
+    * k smallest distinct distances per stream row (all ties emit —
+    * [[graft.operators.NearestJoinOps.nearestKJoin]]'s semantics with the
+    * same stateless broadcast-forest kernel). */
+  def nearestKStream(reads: Dataset[StreamRead], targets: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"nearestKStream needs k >= 1, got $k")
+    val spark = reads.sparkSession
+    import spark.implicits._
+    val maxBytes = spark.conf
+      .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+    val estimated = targets.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(estimated <= BigInt(maxBytes),
+      s"nearestKStream static side is estimated at $estimated bytes, over " +
+      s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — it is collected " +
+      "to the driver and broadcast as an interval forest. Filter/project the " +
+      "annotation table down, or raise the conf if the driver can hold it.")
+    val collected = targets
+      .select(col("contig").cast("string"), col("pos_start").cast("int"),
+        col("pos_end").cast("int"), col("name").cast("string"))
+      .as[(String, Int, Int, String)].collect()
+    val bc = spark.sparkContext.broadcast(
+      IntervalForest.forest[String, String](collected.toSeq))
+    reads.flatMap { r =>
+      bc.value.get(r.contig) match {
+        case None => Iterator.empty
+        case Some(f) =>
+          val hits = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+          f.foreachNearestK(r.pos_start, r.pos_end, k)((_, _, n, d) => hits += ((n, d)))
+          hits.iterator.map { case (n, d) =>
+            (r.contig, r.pos_start, r.pos_end, r.ts, n, d)
+          }
+      }
+    }.toDF("contig", "pos_start", "pos_end", "ts", "target_name", "distance")
+  }
+
   /** Stream-stream interval join: pair two unbounded read streams on
     * overlapping genomic intervals within an event-time band — e.g.
     * reads from two sequencers over the same region, or calls vs

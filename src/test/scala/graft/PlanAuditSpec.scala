@@ -76,7 +76,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("interval-join queries plan the forest join") {
-    Seq("interval_join_count", "interval_join_pairs", "interval_join_nochr",
+    Seq("interval_join_pairs", "interval_join_nochr",
         "interval_join_overlap10", "grange_tvf",
         "interval_join_left", "interval_join_semi", "interval_join_anti",
         "interval_subtract", "interval_intersect", "interval_cluster",
@@ -85,6 +85,11 @@ class PlanAuditSpec extends SparkSpec {
       val plan = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
       assert(plan.toString.contains("IntervalForestJoin"), name)
     }
+    // The GROUP BY + COUNT(*) shape takes the count pushdown — no pair
+    // rows at all, counts from rank differences over the broadcast index.
+    val cnt = SparkEntry.queries("interval_join_count")(spark, sf0001)
+      .queryExecution.executedPlan
+    assert(cnt.toString.contains("IntervalCountJoin"), "count pushdown must fire")
   }
 
   /** The pipeline composites' scale claims, enforced as plan shapes. */

@@ -234,6 +234,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static k-nearest join emits the k smallest distinct distances") {
+    import graft.SharedSpark.spark.implicits._
+    val targets = Seq(
+      ("1", 80, 90, "tL"), ("1", 120, 130, "tR"), ("1", 305, 400, "tO"))
+      .toDF("contig", "pos_start", "pos_end", "name")
+    val in = MemoryStream[StreamingOps.StreamRead]
+    val query = StreamingOps.nearestKStream(in.toDS(), targets, 2)
+      .writeStream.format("memory").queryName("nearest_k_out").outputMode("append").start()
+    in.addData(
+      StreamingOps.StreamRead("1", 100, 110, ts(1)), // d=10 ties tL/tR (rank 1), d=195 tO (rank 2)
+      StreamingOps.StreamRead("2", 50, 60, ts(2)))   // contig absent -> dropped
+    query.processAllAvailable()
+    run(query) {
+      val rows = spark.table("nearest_k_out")
+        .select("contig", "pos_start", "target_name", "distance").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+      assert(rows === Set(
+        ("1", 100, "tL", 10), ("1", 100, "tR", 10), ("1", 100, "tO", 195)))
+    }
+  }
+
   test("stream-stream interval join pairs overlapping reads within the time band") {
     import graft.SharedSpark.spark.implicits._
     val inL = MemoryStream[StreamingOps.StreamRead]
