@@ -262,13 +262,14 @@ case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
         if (fits) "broadcast" else "merge"
       } else method
       NearestJoinExec(n.output, resolved, k, planLater(l), planLater(r)) :: Nil
-    case n @ IntervalCountJoinNode(l, r, keys, countLeft, buildLeft, enforce, _) =>
+    case n: IntervalCountJoinNode =>
       // The rewrite rule only fires when the build side's stats fit the
       // broadcast budget; the runtime guard still backstops a stats lie
       // (hint/method exemptions resolved at rewrite time, where the
       // JoinHint was available).
-      IntervalCountJoinExec(keys, countLeft, buildLeft, n.output,
-        planLater(l), planLater(r), enforceBuildBudget = enforce) :: Nil
+      IntervalCountJoinExec(n.keys, n.countLeft, n.buildLeft, n.crossSums.map(_._1),
+        n.output, planLater(n.left), planLater(n.right),
+        enforceBuildBudget = n.enforceBudget) :: Nil
     case _ => Nil
   }
 }

@@ -31,26 +31,37 @@ import scala.collection.mutable
   * it) rewrites the `Aggregate(Join)` to `Aggregate(IntervalCountJoinNode)`
   * with `COUNT(1)` re-expressed as `SUM(pair_count)` — the aggregate stays
   * (counts still merge across partitions and stream rows), only the pair
-  * stream between join and aggregate disappears. Matching is deliberately
-  * narrow: Inner, no residual conjuncts, default overlap semantics
-  * (`minOverlap <= 1`, `maxGap = 0` — conf-modified joins take the general
-  * path), every aggregate expression either a grouping attribute or an
-  * unfiltered non-distinct `COUNT(constant)`, all grouping attributes from
-  * one join side, and the forest side within the broadcast budget (the
-  * bin-range shuffle path keeps the stock plan).
+  * stream between join and aggregate disappears. Three aggregate shapes:
+  *  - `COUNT(*)`/`COUNT(1)` → `SUM(pair_count)`;
+  *  - `DISTINCT key` (grouping-only) — the node's emitted rows ARE the
+  *    keys with >= 1 pair;
+  *  - integral `SUM(e)`: same-side e (on the counted side) rewrites to
+  *    `SUM(e * pair_count)` (exact, incl. Long wrap — multiplication ==
+  *    repeated addition mod 2^64); cross-side e rides the rank machinery
+  *    value-weighted as a per-row partial (`SUM(e)` → `SUM(pair_sum)`),
+  *    e.g. total read length per feature — featureCounts with weights.
   *
-  * Two counting shapes in [[IntervalCountJoinExec]]:
-  *  - grouping side == stream side: count per probed row, zero state;
-  *  - grouping side == build side (the `reads per feature` direction): a
-  *    per-partition `Array[Long]` indexed by build ordinal — O(|build|)
-  *    per task, the same order as the broadcast forest already resident —
-  *    flushed as `(build row, partial count)` at partition end; the
-  *    surviving aggregate sums partials across partitions.
+  * Matching is deliberately narrow: Inner, no residual conjuncts, default
+  * overlap semantics (`minOverlap <= 1`, `maxGap = 0` — conf-modified
+  * joins take the general path), every aggregate expression a grouping
+  * attribute / pair count / integral sum as above, all grouping
+  * attributes from one join side, and the forest side within the
+  * broadcast budget (the bin-range shuffle path keeps the stock plan).
+  *
+  * The exec never enumerates pairs: `[qs, qe]` overlaps build interval
+  * `i` iff `bs_i <= qe && be_i >= qs`, and `be < qs` implies `bs <= qe`,
+  * so `#overlaps = #(starts <= qe) − #(ends < qs)` — two binary searches
+  * per stream row. Grouping by the stream side emits the difference
+  * directly (sums: the same difference over prefix sums of build
+  * values); grouping by the build side folds per-row ranks into
+  * per-ordinal counts via histograms + suffix sums per partition (sums:
+  * value-weighted histograms), O(|build| * (1 + nSums)) longs per task.
   *
   * At 100 TB: the unbounded side still never shuffles; what this removes
   * is the per-pair row assembly and the pair stream through the partial
   * aggregate — output volume drops from O(pairs) to O(matched rows) (per
-  * partition for the build direction).
+  * partition for the build direction), and probe work from O(pairs) to
+  * O(stream rows * log |build|).
   */
 case class IntervalCountJoinNode(left: LogicalPlan, right: LogicalPlan,
     keys: IntervalJoinKeys, countLeft: Boolean, buildLeft: Boolean,
@@ -60,11 +71,17 @@ case class IntervalCountJoinNode(left: LogicalPlan, right: LogicalPlan,
       * contract as IntervalForestJoinExec. Resolved at rewrite time, where
       * the JoinHint is still attached. */
     enforceBudget: Boolean,
-    cntAttr: AttributeReference)
+    cntAttr: AttributeReference,
+    /** Cross-side SUM partials: long-typed, non-nullable expressions on
+      * the NON-counted side, each emitted as a per-row partial sum over
+      * that row's pairs (weighted rank arithmetic — see the exec). The
+      * rewrite turns `SUM(e)` into `SUM(partial)`. */
+    crossSums: Seq[(Expression, AttributeReference)] = Nil)
     extends org.apache.spark.sql.catalyst.plans.logical.BinaryNode {
   override def output: Seq[Attribute] =
-    (if (countLeft) left.output else right.output) :+ cntAttr
-  override def producedAttributes: AttributeSet = AttributeSet(cntAttr)
+    ((if (countLeft) left.output else right.output) :+ cntAttr) ++ crossSums.map(_._2)
+  override def producedAttributes: AttributeSet =
+    AttributeSet(cntAttr +: crossSums.map(_._2))
   // The probe consumes the key expressions of both sides; the counted
   // side passes through. Pin everything (same conservative contract as
   // NearestJoinNode — the rule only fires on aggregates that consume a
@@ -91,6 +108,42 @@ case class IntervalCountPushdownRule(session: SparkSession)
       v != null
     case _ => false
   }
+
+  private def integral(e: Expression): Boolean =
+    e.dataType == org.apache.spark.sql.types.LongType ||
+      e.dataType == org.apache.spark.sql.types.IntegerType ||
+      e.dataType == org.apache.spark.sql.types.ShortType ||
+      e.dataType == org.apache.spark.sql.types.ByteType
+
+  /** An unfiltered, non-distinct integral SUM whose argument lives
+    * entirely on `side` (the side whose rows the count node emits): each
+    * emitted `(row, pair_count)` contributes `e * pair_count`, exactly the
+    * repeated addition the pair stream would have produced — including
+    * Long wrap-around (multiplication and repeated addition agree mod
+    * 2^64) and null handling (null e is ignored by SUM either way).
+    * Floating/decimal sums are NOT taken: fp multiplication rounds
+    * differently from repeated addition. */
+  private def sumOnSide(ae: AggregateExpression, side: LogicalPlan): Option[Expression] =
+    ae match {
+      case AggregateExpression(Sum(e, _), Complete, false, None, _)
+          if integral(e) && e.deterministic && e.references.subsetOf(side.outputSet) =>
+        Some(e)
+      case _ => None
+    }
+
+  /** An integral SUM whose argument lives on the OTHER (non-counted)
+    * side: answered by weighted rank arithmetic in the exec, emitted as a
+    * per-row partial (NULL when no non-null value contributed — the exec
+    * tracks per-sum non-null counts so SUM's all-null → NULL semantics
+    * survive the rewrite). */
+  private def sumOnOtherSide(ae: AggregateExpression, other: LogicalPlan): Option[Expression] =
+    ae match {
+      case AggregateExpression(Sum(e, _), Complete, false, None, _)
+          if integral(e) && e.deterministic &&
+            e.references.nonEmpty && e.references.subsetOf(other.outputSet) =>
+        Some(e)
+      case _ => None
+    }
 
   /** The Join, or — the usual optimized shape — an attribute-only Project
     * over it (ColumnPruning narrows the join output to the grouping
@@ -127,15 +180,25 @@ case class IntervalCountPushdownRule(session: SparkSession)
             if (groupAttrs.forall(jl.outputSet.contains)) Some(true)
             else if (groupAttrs.forall(jr.outputSet.contains)) Some(false)
             else None
-          // Every output is a grouping attribute or a pair count.
+          // Every output is a grouping attribute, a pair count, or an
+          // integral SUM over either side's columns.
+          countSide = if (countLeft) jl else jr
+          otherSide = if (countLeft) jr else jl
           if aggExprs.forall {
             case a: AttributeReference => groupAttrs.exists(_.exprId == a.exprId)
-            case Alias(ae: AggregateExpression, _) => isPairCount(ae)
+            case Alias(ae: AggregateExpression, _) =>
+              isPairCount(ae) || sumOnSide(ae, countSide).isDefined ||
+                sumOnOtherSide(ae, otherSide).isDefined
             case _ => false
           }
-          // One counting column required (a grouping-only aggregate is
-          // DISTINCT, not a count).
-          if aggExprs.exists { case Alias(ae: AggregateExpression, _) => isPairCount(ae); case _ => false }
+          // Either an aggregate column (COUNT/SUM shape) or pure
+          // grouping — the DISTINCT shape: `SELECT DISTINCT key FROM a
+          // JOIN b ON overlap` asks "which keys have at least one pair",
+          // which is exactly the node's emitted row set (only cnt > 0
+          // rows emit); the surviving aggregate dedups, the unused cnt
+          // column is ignored.
+          if groupExprs.nonEmpty ||
+            aggExprs.exists { case Alias(_: AggregateExpression, _) => true; case _ => false }
           // The forest side must fit the broadcast budget — reuse the ONE
           // shared mode decision; the bin-range path keeps the stock plan.
           (buildLeft, binRange) = RangeJoinChoice.choose(conf, Inner, jl, jr, hint)
@@ -145,11 +208,40 @@ case class IntervalCountPushdownRule(session: SparkSession)
           val buildHinted = RangeJoinChoice.hinted(
             if (buildLeft) hint.leftHint else hint.rightHint)
           val enforceBudget = conf("method", "auto") != "broadcast" && !buildHinted
+          def widen(e: Expression): Expression =
+            if (e.dataType == LongType) e
+            else org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+          // One partial attr per DISTINCT cross-side sum expression
+          // (canonicalized, so sum(x) twice shares one partial).
+          val crossSums: Seq[(Expression, AttributeReference)] = aggExprs.collect {
+            case Alias(ae: AggregateExpression, _)
+                if !isPairCount(ae) && sumOnSide(ae, countSide).isEmpty =>
+              sumOnOtherSide(ae, otherSide).get
+          }.groupBy(_.canonicalized).map { case (_, es) =>
+            (widen(es.head),
+              AttributeReference("pair_sum", LongType, nullable = es.head.nullable)())
+          }.toSeq
           val node = IntervalCountJoinNode(jl, jr, keys, countLeft, buildLeft,
-            enforceBudget, cnt)
+            enforceBudget, cnt, crossSums)
           val newAggExprs: Seq[NamedExpression] = aggExprs.map {
             case al @ Alias(ae: AggregateExpression, name) if isPairCount(ae) =>
               Alias(ae.copy(aggregateFunction = Sum(cnt)), name)(exprId = al.exprId,
+                qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
+            case al @ Alias(ae: AggregateExpression, name)
+                if sumOnSide(ae, countSide).isDefined =>
+              // SUM(e) over pairs == SUM(e * pair_count) over emitted rows;
+              // cast e to long first so the multiply is long domain (the
+              // general path's Sum also widens integral inputs to long).
+              val e = sumOnSide(ae, countSide).get
+              Alias(ae.copy(aggregateFunction = Sum(
+                org.apache.spark.sql.catalyst.expressions.Multiply(widen(e), cnt))),
+                name)(exprId = al.exprId,
+                qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
+            case al @ Alias(ae: AggregateExpression, name)
+                if sumOnOtherSide(ae, otherSide).isDefined =>
+              val e = widen(sumOnOtherSide(ae, otherSide).get)
+              val partial = crossSums.find(_._1.canonicalized == e.canonicalized).get._2
+              Alias(ae.copy(aggregateFunction = Sum(partial)), name)(exprId = al.exprId,
                 qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
             case other => other
           }
@@ -160,10 +252,14 @@ case class IntervalCountPushdownRule(session: SparkSession)
   }
 }
 
-/** Physical count-probe: broadcast forest of `Int` build ordinals, stream
+/** Physical count-probe: broadcast rank index of the build side, stream
   * side probed in place (never shuffled). See [[IntervalCountJoinNode]]. */
 case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
-    buildLeft: Boolean, override val output: Seq[Attribute],
+    buildLeft: Boolean,
+    /** Long-typed non-nullable expressions on the NON-counted side; each
+      * appends a per-row partial-sum column after `pair_count`. */
+    crossSumExprs: Seq[Expression],
+    override val output: Seq[Attribute],
     left: SparkPlan, right: SparkPlan, enforceBuildBudget: Boolean)
     extends BinaryExecNode {
 
@@ -193,7 +289,6 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
     val sIvB = Seq(bound(sStart, streamPlan), bound(sEnd, streamPlan))
     val sEqsB = sEqs.map(bound(_, streamPlan))
     val nEqs = bEqs.length
-    val countBuild = countLeft == buildLeft
     val outAttrs = output
     val numOutputRows = longMetric("numOutputRows")
     val pairCountMetric = longMetric("pairCount")
@@ -234,6 +329,30 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
         "set spark.graft.rangejoin.countPushdown=false to take the general path.")
     }
     val rowsArr: Array[InternalRow] = collected.map(_._4)
+    // Cross-side SUM plumbing: the exprs live on whichever side the
+    // counted side is NOT.
+    val countBuildV = countLeft == buildLeft // grouping side is the broadcast side
+    val crossOnBuild = !countBuildV && crossSumExprs.nonEmpty
+    val nSums = crossSumExprs.length
+    val crossBoundStream: Seq[Expression] =
+      if (countBuildV) crossSumExprs.map(bound(_, streamPlan)) else Nil
+    // Build-side cross exprs evaluate once per collected row (driver,
+    // interpreted — |build| evals, amortized by the collect itself).
+    // Null values contribute 0 to sums and 0 to the non-null counts the
+    // NULL-iff-all-null semantics need.
+    val (buildVals, buildNonNull): (Array[Array[Long]], Array[Array[Boolean]]) =
+      if (crossOnBuild) {
+        val boundB = crossSumExprs.map(bound(_, buildPlan))
+        val vals = Array.tabulate(nSums) { s =>
+          collected.map { c =>
+            boundB(s).eval(c._4) match { case null => 0L; case v => v.asInstanceOf[Long] }
+          }
+        }
+        val nn = Array.tabulate(nSums) { s =>
+          collected.map(c => boundB(s).eval(c._4) != null)
+        }
+        (vals, nn)
+      } else (null, null)
     // Per-key rank index: overlap COUNTS need no tree walk at all.
     // A stream query [qs, qe] overlaps build interval i iff
     // bs_i <= qe AND be_i >= qs; since be_i < qs implies bs_i <= qe
@@ -243,16 +362,45 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
     // many pairs the general join would have enumerated. This is what
     // makes the pushdown asymptotically different from "join then
     // count": at 65M pairs (sf0.1, widened features) the pair walk and
-    // the rank version part ways by the full pair count.
+    // the rank version part ways by the full pair count. Cross-side
+    // sums use the same identity weighted by the summed value: prefix
+    // sums of build values by rank (stream-grouped direction), or
+    // value-weighted stream histograms (build-grouped direction) —
+    // wrap-around stays exact because rank differences are differences
+    // mod 2^64.
     val index: Map[UnsafeRow, CountRankIndex] = collected.iterator.zipWithIndex
       .map { case ((k, s, e, _), i) => (k, s, e, i) }.toSeq
       .groupBy(_._1)
       .map { case (k, items) =>
         val byStart = items.sortBy(_._2)
         val byEnd = items.sortBy(_._3)
+        // Prefix sums of each cross expr's build values (and non-null
+        // counts) in both rank orders (length n+1, entry 0 = 0): per
+        // stream row the partial is psStart(j) - psEnd(p), NULL when the
+        // non-null-count difference is 0.
+        def prefix(ord: Seq[(UnsafeRow, Int, Int, Int)], s: Int): Array[Long] = {
+          val out = new Array[Long](ord.length + 1)
+          var i = 0
+          while (i < ord.length) { out(i + 1) = out(i) + buildVals(s)(ord(i)._4); i += 1 }
+          out
+        }
+        def prefixN(ord: Seq[(UnsafeRow, Int, Int, Int)], s: Int): Array[Long] = {
+          val out = new Array[Long](ord.length + 1)
+          var i = 0
+          while (i < ord.length) {
+            out(i + 1) = out(i) + (if (buildNonNull(s)(ord(i)._4)) 1L else 0L); i += 1
+          }
+          out
+        }
+        val (psStart, psEnd, pnStart, pnEnd) =
+          if (crossOnBuild)
+            (Array.tabulate(nSums)(prefix(byStart, _)), Array.tabulate(nSums)(prefix(byEnd, _)),
+             Array.tabulate(nSums)(prefixN(byStart, _)), Array.tabulate(nSums)(prefixN(byEnd, _)))
+          else (null, null, null, null)
         k -> CountRankIndex(
           byStart.map(_._2).toArray, byStart.map(_._4).toArray,
-          byEnd.map(_._3).toArray, byEnd.map(_._4).toArray)
+          byEnd.map(_._3).toArray, byEnd.map(_._4).toArray,
+          psStart, psEnd, pnStart, pnEnd)
       }
     val bc = sparkContext.broadcast((index, rowsArr))
 
@@ -261,47 +409,90 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
       val keyProj = UnsafeProjection.create(sEqsB)
       val ivProj = UnsafeProjection.create(sIvB)
       val joined = new JoinedRow
-      val cntRow = new GenericInternalRow(1)
+      val extraRow = new GenericInternalRow(1 + nSums)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-      if (countBuild) {
+      if (countBuildV) {
         // Reads-per-feature direction: per-key histograms over the two
         // rank axes — hA(j) streams whose qe admits j start-ranks,
         // hB(p) streams whose qs excludes p end-ranks — folded into
         // per-ordinal counts by one suffix-sum pass per axis at the end.
-        // O(|build|) longs per task; zero per-pair work.
+        // Cross-side sums ride the same passes with value-weighted
+        // histograms. O(|build| * (1 + nSums)) longs per task; zero
+        // per-pair work.
+        // One codegen'd projection evaluates every sum expr per row.
+        val sumProj = if (nSums > 0) UnsafeProjection.create(crossBoundStream) else null
         val cnts = new Array[Long](rows.length)
-        val hists = mutable.AnyRefMap.empty[UnsafeRow, (Array[Long], Array[Long])]
+        val sums = Array.fill(nSums)(new Array[Long](rows.length))
+        val nncnts = Array.fill(nSums)(new Array[Long](rows.length))
+        final class Hists(n: Int) {
+          val hA = new Array[Long](n + 1); val hB = new Array[Long](n + 1)
+          val wA = Array.fill(nSums)(new Array[Long](n + 1))
+          val wB = Array.fill(nSums)(new Array[Long](n + 1))
+          // Non-null contribution counts per sum (SUM(all-null) is NULL).
+          val cA = Array.fill(nSums)(new Array[Long](n + 1))
+          val cB = Array.fill(nSums)(new Array[Long](n + 1))
+        }
+        val hists = mutable.AnyRefMap.empty[UnsafeRow, Hists]
         it.foreach { srow =>
           val iv = ivProj(srow)
           if (!iv.isNullAt(0) && !iv.isNullAt(1)) {
             val key = keyProj(srow)
             if (nEqs == 0 || !key.anyNull) idxMap.get(key).foreach { idx =>
-              val (hA, hB) = hists.getOrElseUpdate(key.copy(),
-                (new Array[Long](idx.starts.length + 1),
-                 new Array[Long](idx.starts.length + 1)))
-              hA(upperBound(idx.starts, iv.getInt(1))) += 1L
-              hB(lowerBound(idx.endsSorted, iv.getInt(0))) += 1L
+              val h = hists.getOrElseUpdate(key.copy(), new Hists(idx.starts.length))
+              val j = upperBound(idx.starts, iv.getInt(1))
+              val p = lowerBound(idx.endsSorted, iv.getInt(0))
+              h.hA(j) += 1L
+              h.hB(p) += 1L
+              if (nSums > 0) {
+                val vs = sumProj(srow)
+                var s = 0
+                while (s < nSums) {
+                  if (!vs.isNullAt(s)) {
+                    val v = vs.getLong(s)
+                    h.wA(s)(j) += v; h.wB(s)(p) += v
+                    h.cA(s)(j) += 1L; h.cB(s)(p) += 1L
+                  }
+                  s += 1
+                }
+              }
             }
           }
         }
-        hists.foreach { case (key, (hA, hB)) =>
+        hists.foreach { case (key, h) =>
           val idx = idxMap(key)
           val n = idx.starts.length
-          var run = 0L
-          var r = n - 1
-          while (r >= 0) { run += hA(r + 1); cnts(idx.ordByStart(r)) += run; r -= 1 }
-          run = 0L
-          r = n - 1
-          while (r >= 0) { run += hB(r + 1); cnts(idx.ordByEnd(r)) -= run; r -= 1 }
+          def fold(hist: Array[Long], ord: Array[Int], into: Array[Long], sign: Long): Unit = {
+            var run = 0L
+            var r = n - 1
+            while (r >= 0) { run += hist(r + 1); into(ord(r)) += sign * run; r -= 1 }
+          }
+          fold(h.hA, idx.ordByStart, cnts, 1L)
+          fold(h.hB, idx.ordByEnd, cnts, -1L)
+          var s = 0
+          while (s < nSums) {
+            fold(h.wA(s), idx.ordByStart, sums(s), 1L)
+            fold(h.wB(s), idx.ordByEnd, sums(s), -1L)
+            fold(h.cA(s), idx.ordByStart, nncnts(s), 1L)
+            fold(h.cB(s), idx.ordByEnd, nncnts(s), -1L)
+            s += 1
+          }
         }
         Iterator.range(0, cnts.length).filter(cnts(_) > 0L).map { i =>
           numOutputRows += 1
           pairCountMetric += cnts(i)
-          cntRow.setLong(0, cnts(i))
-          resultProj(joined(rows(i), cntRow)): InternalRow
+          extraRow.setLong(0, cnts(i))
+          var s = 0
+          while (s < nSums) {
+            if (nncnts(s)(i) == 0L) extraRow.setNullAt(1 + s)
+            else extraRow.setLong(1 + s, sums(s)(i))
+            s += 1
+          }
+          resultProj(joined(rows(i), extraRow)): InternalRow
         }
       } else {
-        // Features-per-read direction: the rank difference IS the count.
+        // Features-per-read direction: the rank difference IS the count;
+        // cross-side sums are the same difference over the build values'
+        // prefix sums.
         it.flatMap { srow =>
           val iv = ivProj(srow)
           if (iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
@@ -311,14 +502,21 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
             else idxMap.get(key) match {
               case None => Iterator.empty
               case Some(idx) =>
-                val c = (upperBound(idx.starts, iv.getInt(1)) -
-                  lowerBound(idx.endsSorted, iv.getInt(0))).toLong
+                val j = upperBound(idx.starts, iv.getInt(1))
+                val p = lowerBound(idx.endsSorted, iv.getInt(0))
+                val c = (j - p).toLong
                 if (c == 0L) Iterator.empty
                 else {
                   numOutputRows += 1
                   pairCountMetric += c
-                  cntRow.setLong(0, c)
-                  Iterator.single(resultProj(joined(srow, cntRow)): InternalRow)
+                  extraRow.setLong(0, c)
+                  var s = 0
+                  while (s < nSums) {
+                    if (idx.pnStart(s)(j) - idx.pnEnd(s)(p) == 0L) extraRow.setNullAt(1 + s)
+                    else extraRow.setLong(1 + s, idx.psStart(s)(j) - idx.psEnd(s)(p))
+                    s += 1
+                  }
+                  Iterator.single(resultProj(joined(srow, extraRow)): InternalRow)
                 }
             }
           }
@@ -343,6 +541,11 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
 }
 
 /** Per-equality-key rank index of the build side: interval starts and
-  * ends, each ascending, with the global build ordinal at every rank. */
+  * ends, each ascending, with the global build ordinal at every rank —
+  * plus, when cross-side sums push down in the stream-grouped direction,
+  * per-sum prefix sums of the build values in each rank order (length
+  * n + 1, entry 0 = 0; null otherwise). */
 case class CountRankIndex(starts: Array[Int], ordByStart: Array[Int],
-    endsSorted: Array[Int], ordByEnd: Array[Int])
+    endsSorted: Array[Int], ordByEnd: Array[Int],
+    psStart: Array[Array[Long]] = null, psEnd: Array[Array[Long]] = null,
+    pnStart: Array[Array[Long]] = null, pnEnd: Array[Array[Long]] = null)

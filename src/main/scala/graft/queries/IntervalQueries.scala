@@ -46,6 +46,22 @@ object IntervalQueries {
         .groupBy(col("b_key"))
         .agg(count(lit(1)).as("n_reads"))
     },
+    // featureCounts with weights: reads AND total read length per
+    // feature. Takes the count/sum pushdown (IntervalCountPushdownRule)
+    // when the nullability allows the cross-side sum; correct on the
+    // general path either way — the oracle pins both.
+    "interval_join_mass" -> { (s, dir) =>
+      Graft.ensure(s); joinConf(s)
+      val a = Tables.ivA(s, dir)
+      val b = Tables.ivB(s, dir)
+      a.join(b,
+          a("contig") === b("contig") &&
+          a("pos_end") >= b("pos_start") &&
+          a("pos_start") <= b("pos_end"))
+        .groupBy(col("b_key"))
+        .agg(count(lit(1)).as("n_reads"),
+          sum(a("pos_end") - a("pos_start") + 1).as("read_mass"))
+    },
     // Raw pair set — hash-compares every matched (a_key, b_key) pair.
     "interval_join_pairs" -> { (s, dir) =>
       Graft.ensure(s); joinConf(s)
@@ -556,6 +572,17 @@ object IntervalQueries {
         | AND a.pos_start <= b.pos_end""".stripMargin),
     "interval_join_count" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT b_key, COUNT(*) AS n_reads
+        |FROM iva a JOIN ivb b
+        |  ON a.contig = b.contig
+        | AND a.pos_end >= b.pos_start
+        | AND a.pos_start <= b.pos_end
+        |GROUP BY b_key""".stripMargin),
+    // CAST the sum: DuckDB SUM(int) is HUGEINT -> pandas float/object,
+    // which would dtype-skew against Spark's int64 (the r6 hash-red
+    // class).
+    "interval_join_mass" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT b_key, COUNT(*) AS n_reads,
+        |  CAST(SUM(a.pos_end - a.pos_start + 1) AS BIGINT) AS read_mass
         |FROM iva a JOIN ivb b
         |  ON a.contig = b.contig
         | AND a.pos_end >= b.pos_start

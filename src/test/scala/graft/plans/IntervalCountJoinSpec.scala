@@ -70,10 +70,9 @@ class IntervalCountJoinSpec extends AnyFunSuite {
     graft.Graft.ensure(spark)
     val a = ivs(100, 13, "a_key")
     val b = ivs(30, 14, "b_key")
-    // An extra aggregate consuming a real column — counts alone can't
-    // answer it.
+    // A FILTER / DISTINCT aggregate modifier blocks the rewrite.
     assert(!hasCountExec(joined(a, b).groupBy(col("b_key"))
-      .agg(count(lit(1)).as("n"), sum(a("pos_start")).as("s"))))
+      .agg(countDistinct(a("pos_start")).as("n"))))
     // count(nullable expr) counts non-nulls, not pairs. (count of a
     // NON-nullable column canonicalizes to count(1) upstream of the rule,
     // so it correctly pushes down — only a genuinely nullable child pins
@@ -83,8 +82,15 @@ class IntervalCountJoinSpec extends AnyFunSuite {
     // Grouping attributes from both sides.
     assert(!hasCountExec(joined(a, b).groupBy(col("b_key"), col("a_key"))
       .agg(count(lit(1)).as("n"))))
-    // DISTINCT shape (grouping only, no count) is not a count.
-    assert(!hasCountExec(joined(a, b).select(col("b_key")).distinct()))
+    // DISTINCT (grouping-only) pushes down too: the node's emitted rows
+    // are exactly the keys with at least one pair.
+    val d = joined(a, b).select(col("b_key")).distinct()
+    assert(hasCountExec(d))
+    val gotD = d.collect().map(_.getLong(0)).sorted.toSeq
+    val wantD = withConf("spark.graft.rangejoin.countPushdown", "false") {
+      joined(a, b).select(col("b_key")).distinct().collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(gotD === wantD && gotD.nonEmpty)
     // Conf-modified overlap semantics take the general path.
     withConf("spark.graft.rangejoin.minOverlap", "5") {
       assert(!hasCountExec(joined(a, b).groupBy(col("b_key"))
@@ -94,6 +100,80 @@ class IntervalCountJoinSpec extends AnyFunSuite {
       assert(!hasCountExec(joined(a, b).groupBy(col("b_key"))
         .agg(count(lit(1)).as("n"))))
     }
+  }
+
+  test("integral SUM over the counted side pushes down as e * pair_count") {
+    graft.Graft.ensure(spark)
+    val a = ivs(300, 21, "a_key")
+    val b = ivs(50, 22, "b_key")
+    // Group by the build side, sum a build-side expression (feature
+    // length per feature key, weighted by its pair multiplicity).
+    def q() = joined(a, b).groupBy(col("b_key")).agg(
+      count(lit(1)).as("n"),
+      sum(b("pos_end") - b("pos_start")).as("len_mass"))
+    assert(hasCountExec(q()))
+    val got = q().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = withConf("spark.graft.rangejoin.countPushdown", "false") {
+      q().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    }
+    assert(got === want && got.nonEmpty)
+    // Non-integral sums stay general (fp multiply rounds differently
+    // from repeated addition).
+    assert(!hasCountExec(joined(a, b).groupBy(col("b_key"))
+      .agg(sum(b("pos_start").cast("double")).as("s"))))
+  }
+
+  test("cross-side SUM pushes down via weighted rank arithmetic, both directions") {
+    graft.Graft.ensure(spark)
+    val a = ivs(300, 23, "a_key")
+    val b = ivs(50, 24, "b_key")
+    // Group by the BUILD side, sum a STREAM-side expression: total read
+    // length per feature (featureCounts with weights) — weighted
+    // histograms. Also a second distinct sum and a duplicate of the
+    // first (must share one partial).
+    def q1() = joined(a, b).groupBy(col("b_key")).agg(
+      count(lit(1)).as("n"),
+      sum(a("pos_end") - a("pos_start") + 1).as("read_mass"),
+      sum(a("pos_start")).as("start_mass"),
+      sum(a("pos_end") - a("pos_start") + 1).as("read_mass2"))
+    // Group by the STREAM side, sum a BUILD-side expression — prefix-sum
+    // rank differences.
+    def q2() = joined(a, b).groupBy(col("a_key")).agg(
+      sum(b("pos_end") - b("pos_start")).as("feat_mass"))
+    for ((qf, nCols) <- Seq((() => q1(), 5), (() => q2(), 2))) {
+      assert(hasCountExec(qf()), "cross-side sum did not push down")
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (0 until nCols).map(i => r.getLong(i)).toList).sortBy(_.toString).toSeq
+      val got = rows(qf())
+      val want = withConf("spark.graft.rangejoin.countPushdown", "false") {
+        assert(!hasCountExec(qf()))
+        rows(qf())
+      }
+      assert(got === want && got.nonEmpty)
+    }
+  }
+
+  test("nullable cross-side SUM keeps all-null -> NULL semantics") {
+    graft.Graft.ensure(spark)
+    import graft.SharedSpark.spark.implicits._
+    // b1's only pairs have a null measure (all-null group -> SUM NULL);
+    // b2 has one null + one 7 (-> 7); b3 has no pairs (absent).
+    val a = Seq((1L, "1", 10, 20, null.asInstanceOf[java.lang.Long]),
+      (2L, "1", 30, 40, java.lang.Long.valueOf(7L)),
+      (3L, "1", 35, 45, null.asInstanceOf[java.lang.Long]))
+      .toDF("a_key", "contig", "pos_start", "pos_end", "measure")
+    val b = Seq((1L, "1", 5, 12), (2L, "1", 32, 44), (3L, "1", 500, 600))
+      .toDF("b_key", "contig", "pos_start", "pos_end")
+    def q() = joined(a, b).groupBy(col("b_key"))
+      .agg(sum(a("measure")).as("m"), count(lit(1)).as("n"))
+    assert(hasCountExec(q()))
+    def rows(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))
+    }.sortBy(_._1).toSeq
+    val got = rows(q())
+    assert(got === Seq((1L, None, 1L), (2L, Some(7L), 2L)), s"got $got")
+    val want = withConf("spark.graft.rangejoin.countPushdown", "false") { rows(q()) }
+    assert(got === want)
   }
 
   test("global count (no grouping) pushes down and matches") {
