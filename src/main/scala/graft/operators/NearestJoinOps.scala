@@ -192,25 +192,37 @@ object NearestJoinOps {
       val rows = bcRows.value
       val pair = new JoinedRow
       val withDist = new JoinedRow
+      val distRow = new GenericInternalRow(1)
       val project = UnsafeProjection.create(outSchema)
+      // (right index, signed distance) buffered per left row — the probe
+      // callback must not interleave with the reused JoinedRow. Primitive
+      // arrays reused across rows (no boxed tuples, no per-row
+      // allocation): flatMap exhausts each inner iterator before the next
+      // probe refills them.
+      var cap = 64
+      var hitIdx = new Array[Int](cap)
+      var hitDist = new Array[Int](cap)
       it.flatMap { lrow =>
         if (lrow.isNullAt(lContig) || lrow.isNullAt(lStart) || lrow.isNullAt(lEnd))
           Iterator.empty
         else forests.get(lrow.getUTF8String(lContig).toString) match {
           case None => Iterator.empty
           case Some(f) =>
-            // (right index, signed distance) pairs buffered per left row —
-            // the probe callback must not interleave with the reused
-            // JoinedRow.
-            val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            var n = 0
             f.foreachNearestKDir(lrow.getInt(lStart), lrow.getInt(lEnd), k,
                 incOverlaps, incUp, incDown) { (_, _, ri, d, side) =>
-              hits += ((ri, if (signed && side < 0) -d else d))
+              if (n == cap) {
+                cap *= 2
+                hitIdx = java.util.Arrays.copyOf(hitIdx, cap)
+                hitDist = java.util.Arrays.copyOf(hitDist, cap)
+              }
+              hitIdx(n) = ri
+              hitDist(n) = if (signed && side < 0) -d else d
+              n += 1
             }
-            val distRow = new GenericInternalRow(1)
-            hits.iterator.map { case (ri, d) =>
-              distRow.setInt(0, d)
-              project(withDist(pair(lrow, rows(ri)), distRow)): InternalRow
+            Iterator.range(0, n).map { i =>
+              distRow.setInt(0, hitDist(i))
+              project(withDist(pair(lrow, rows(hitIdx(i))), distRow)): InternalRow
             }
         }
       }

@@ -145,6 +145,23 @@ case class IntervalCountPushdownRule(session: SparkSession)
       case _ => None
     }
 
+  /** An unfiltered, non-distinct MIN/MAX over the counted side: the
+    * node's emitted rows are the matched rows, and min/max are
+    * multiplicity-blind, so the aggregate passes through UNCHANGED —
+    * no rewrite, no new column. (Any data type: no arithmetic done.) */
+  private def isMinMaxOnSide(ae: AggregateExpression, side: LogicalPlan): Boolean =
+    ae match {
+      case AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Min(e),
+          Complete, false, None, _) =>
+        e.deterministic && e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+      case AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Max(e),
+          Complete, false, None, _) =>
+        e.deterministic && e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+      case _ => false
+    }
+
   /** The Join, or — the usual optimized shape — an attribute-only Project
     * over it (ColumnPruning narrows the join output to the grouping
     * columns; the rewrite drops the Project since the aggregate above
@@ -188,7 +205,8 @@ case class IntervalCountPushdownRule(session: SparkSession)
             case a: AttributeReference => groupAttrs.exists(_.exprId == a.exprId)
             case Alias(ae: AggregateExpression, _) =>
               isPairCount(ae) || sumOnSide(ae, countSide).isDefined ||
-                sumOnOtherSide(ae, otherSide).isDefined
+                sumOnOtherSide(ae, otherSide).isDefined ||
+                isMinMaxOnSide(ae, countSide)
             case _ => false
           }
           // Either an aggregate column (COUNT/SUM shape) or pure
@@ -213,10 +231,11 @@ case class IntervalCountPushdownRule(session: SparkSession)
             else org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
           // One partial attr per DISTINCT cross-side sum expression
           // (canonicalized, so sum(x) twice shares one partial).
-          val crossSums: Seq[(Expression, AttributeReference)] = aggExprs.collect {
+          val crossSums: Seq[(Expression, AttributeReference)] = aggExprs.flatMap {
             case Alias(ae: AggregateExpression, _)
                 if !isPairCount(ae) && sumOnSide(ae, countSide).isEmpty =>
-              sumOnOtherSide(ae, otherSide).get
+              sumOnOtherSide(ae, otherSide)
+            case _ => None
           }.groupBy(_.canonicalized).map { case (_, es) =>
             (widen(es.head),
               AttributeReference("pair_sum", LongType, nullable = es.head.nullable)())

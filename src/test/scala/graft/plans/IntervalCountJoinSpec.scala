@@ -153,6 +153,26 @@ class IntervalCountJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("same-side MIN/MAX pass through the pushdown unchanged") {
+    graft.Graft.ensure(spark)
+    val a = ivs(300, 25, "a_key")
+    val b = ivs(50, 26, "b_key")
+    // min/max are multiplicity-blind, so the counted side's emitted rows
+    // answer them exactly; the OTHER side's min/max can't (not
+    // rank-decomposable) and must stay general.
+    def q() = joined(a, b).groupBy(col("b_key")).agg(
+      count(lit(1)).as("n"),
+      min(b("pos_start")).as("lo"), max(b("pos_end")).as("hi"))
+    assert(hasCountExec(q()))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted.toSeq
+    val got = rows(q())
+    val want = withConf("spark.graft.rangejoin.countPushdown", "false") { rows(q()) }
+    assert(got === want && got.nonEmpty)
+    assert(!hasCountExec(joined(a, b).groupBy(col("b_key"))
+      .agg(min(a("pos_start")).as("lo"))))
+  }
+
   test("nullable cross-side SUM keeps all-null -> NULL semantics") {
     graft.Graft.ensure(spark)
     import graft.SharedSpark.spark.implicits._
