@@ -88,8 +88,17 @@ case class IntervalCountJoinNode(left: LogicalPlan, right: LogicalPlan,
   // subset anyway).
   override def references: AttributeSet =
     AttributeSet(left.output ++ right.output)
+  /** In the stream-grouped direction (counted side == stream side) each
+    * stream row emits at most one row, so the stream side's maxRows bound
+    * holds. In the build-grouped direction the exec emits each matched
+    * build row once PER STREAM PARTITION (the final aggregate merges the
+    * partials), so the counted side's maxRows is NOT an upper bound —
+    * advertising it would let OptimizeOneRowPlan drop the group-only
+    * Aggregate above a 1-row build side and return per-partition
+    * duplicates. */
   override def maxRows: Option[Long] =
-    (if (countLeft) left else right).maxRows
+    if (countLeft == buildLeft) None
+    else (if (countLeft) left else right).maxRows
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalCountJoinNode =
     copy(left = newLeft, right = newRight)
@@ -320,8 +329,13 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
       val ivProj = UnsafeProjection.create(bIvB)
       it.flatMap { row =>
         val iv = ivProj(row)
-        if (iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
-        else {
+        // Inverted (start > end) rows are dropped: the rank identity
+        // assumes well-formed intervals, and a malformed build row would
+        // silently skew counts instead of matching the general path's
+        // per-pair predicate evaluation.
+        if (iv.isNullAt(0) || iv.isNullAt(1) || iv.getInt(0) > iv.getInt(1)) {
+          Iterator.empty
+        } else {
           val copy = row.copy()
           val key = keyProj(copy)
           if (nEqs > 0 && key.anyNull) Iterator.empty
@@ -391,19 +405,22 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
       .map { case ((k, s, e, _), i) => (k, s, e, i) }.toSeq
       .groupBy(_._1)
       .map { case (k, items) =>
-        val byStart = items.sortBy(_._2)
-        val byEnd = items.sortBy(_._3)
+        // Arrays, not the groupBy's List: the prefix loops below index
+        // positionally, and ord(i) on a List is O(i) — an O(n^2) driver
+        // build for a broadcast-budget-sized contig.
+        val byStart = items.sortBy(_._2).toArray
+        val byEnd = items.sortBy(_._3).toArray
         // Prefix sums of each cross expr's build values (and non-null
         // counts) in both rank orders (length n+1, entry 0 = 0): per
         // stream row the partial is psStart(j) - psEnd(p), NULL when the
         // non-null-count difference is 0.
-        def prefix(ord: Seq[(UnsafeRow, Int, Int, Int)], s: Int): Array[Long] = {
+        def prefix(ord: Array[(UnsafeRow, Int, Int, Int)], s: Int): Array[Long] = {
           val out = new Array[Long](ord.length + 1)
           var i = 0
           while (i < ord.length) { out(i + 1) = out(i) + buildVals(s)(ord(i)._4); i += 1 }
           out
         }
-        def prefixN(ord: Seq[(UnsafeRow, Int, Int, Int)], s: Int): Array[Long] = {
+        def prefixN(ord: Array[(UnsafeRow, Int, Int, Int)], s: Int): Array[Long] = {
           val out = new Array[Long](ord.length + 1)
           var i = 0
           while (i < ord.length) {
@@ -454,7 +471,9 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
         val hists = mutable.AnyRefMap.empty[UnsafeRow, Hists]
         it.foreach { srow =>
           val iv = ivProj(srow)
-          if (!iv.isNullAt(0) && !iv.isNullAt(1)) {
+          // Inverted stream intervals skipped, same rationale as the
+          // build-side collect.
+          if (!iv.isNullAt(0) && !iv.isNullAt(1) && iv.getInt(0) <= iv.getInt(1)) {
             val key = keyProj(srow)
             if (nEqs == 0 || !key.anyNull) idxMap.get(key).foreach { idx =>
               val h = hists.getOrElseUpdate(key.copy(), new Hists(idx.starts.length))
@@ -514,7 +533,7 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
         // prefix sums.
         it.flatMap { srow =>
           val iv = ivProj(srow)
-          if (iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
+          if (iv.isNullAt(0) || iv.isNullAt(1) || iv.getInt(0) > iv.getInt(1)) Iterator.empty
           else {
             val key = keyProj(srow)
             if (nEqs > 0 && key.anyNull) Iterator.empty
@@ -524,7 +543,9 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
                 val j = upperBound(idx.starts, iv.getInt(1))
                 val p = lowerBound(idx.endsSorted, iv.getInt(0))
                 val c = (j - p).toLong
-                if (c == 0L) Iterator.empty
+                // <= 0 (not == 0): a degenerate input slipping past the
+                // well-formedness skips must never emit a negative count.
+                if (c <= 0L) Iterator.empty
                 else {
                   numOutputRows += 1
                   pairCountMetric += c

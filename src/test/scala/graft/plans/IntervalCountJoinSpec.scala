@@ -209,6 +209,22 @@ class IntervalCountJoinSpec extends AnyFunSuite {
     assert(got === want && got > 0L)
   }
 
+  test("build-grouped DISTINCT emits one row per key, not one per stream partition") {
+    graft.Graft.ensure(spark)
+    import graft.SharedSpark.spark.implicits._
+    // A 1-row build side advertises maxRows = 1; if the count node echoed
+    // the counted side's maxRows in the build-grouped direction,
+    // OptimizeOneRowPlan would trust it and remove the group-only
+    // Aggregate — but the exec emits the matched build row once PER
+    // STREAM PARTITION, so DISTINCT would return duplicates (r10 ADVICE,
+    // reproduced with 8 stream partitions before the maxRows fix).
+    val b = Seq((1L, "1", 10, 900)).toDF("b_key", "contig", "pos_start", "pos_end")
+    val a = ivs(200, 31, "a_key").repartition(8)
+    val q = joined(a, b).select(col("b_key")).distinct()
+    assert(hasCountExec(q))
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("rank-difference counting survives duplicate coordinates and high partition counts") {
     graft.Graft.ensure(spark)
     import graft.SharedSpark.spark.implicits._
