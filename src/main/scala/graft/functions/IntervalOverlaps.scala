@@ -5,26 +5,36 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
-/** Exact interval-overlap join predicate:
+/** Interval-overlap join predicate with PLAN-EMBEDDED semantics:
   * `leftStart <= rightEnd AND rightStart <= leftEnd` (1-based inclusive,
-  * >= 1 shared base) — with a semantic pin the plain comparison pair
-  * cannot carry.
+  * >= 1 shared base), optionally modified by `minOverlap`/`maxGap` — and
+  * optionally carrying a physical-method pin (`method`) — all as
+  * constructor parameters baked into the expression tree, a pin the plain
+  * comparison pair cannot carry.
   *
+  * Why plan-embedded instead of session conf:
   * [[graft.plans.IntervalJoinStrategy]] reads
-  * `spark.graft.rangejoin.{minOverlap,maxGap}` from the SESSION at
-  * planning time and applies them to EVERY matched interval join. That is
-  * the right contract for user-authored joins (the conf is the J6
-  * surface), but wrong for library operators whose SEMANTICS are
-  * exact-overlap by definition — `RangeSetOps.subtract` with an inherited
-  * `maxGap=50` would subtract bases it never overlapped, and because
-  * planning happens at the caller's action (not at operator-build time),
-  * the operator cannot re-pin the conf itself. Conjuncts also cannot act
-  * as markers unless they reference BOTH sides — a one-sided or
-  * reference-free predicate gets pushed out of the join condition by the
-  * optimizer. This expression references all four bounds, so it stays in
-  * the condition; [[graft.plans.ExtractIntervalJoin]] recognizes it and
-  * flags the join `exact`, which the strategy and the bin-range rewrite
-  * honor by pinning `minOverlap=1, maxGap=0` regardless of session conf.
+  * `spark.graft.rangejoin.{minOverlap,maxGap,method}` from the SESSION at
+  * planning time and applies them to EVERY matched interval join whose
+  * predicate doesn't pin its own. That is a usable surface for ad-hoc
+  * user-authored joins, but wrong whenever the SEMANTICS belong to the
+  * query: `RangeSetOps.subtract` with an inherited `maxGap=50` would
+  * subtract bases it never overlapped, two queries running CONCURRENTLY
+  * in one session would race on the conf, and because planning happens at
+  * the caller's action (not at operator/query build time), neither can
+  * re-pin the conf itself. Conjuncts also cannot act as markers unless
+  * they reference BOTH sides — a one-sided or reference-free predicate
+  * gets pushed out of the join condition by the optimizer. This
+  * expression references all four bounds, so it stays in the condition;
+  * [[graft.plans.ExtractIntervalJoin]] recognizes it and carries the
+  * pinned values on [[graft.plans.IntervalJoinKeys]], which the strategy,
+  * the bin-range rewrite, and the aggregate pushdown honor over the
+  * session confs (the confs remain defaults-only).
+  *
+  * minOverlap > 1 with maxGap > 0 is rejected: the engine applies the gap
+  * by widening ONE side (whichever builds), so the overlap-length test
+  * under a gap would depend on a physical decision — no defensible
+  * semantics to pin.
   *
   * Evaluation (interpreted fallback) matters only when the engine is
   * disabled (`rangejoin.enabled=false`) and stock Spark runs the
@@ -32,9 +42,13 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * CodegenFallback is fine.
   */
 case class IntervalOverlaps(leftStart: Expression, leftEnd: Expression,
-    rightStart: Expression, rightEnd: Expression)
+    rightStart: Expression, rightEnd: Expression,
+    minOverlap: Int = 1, maxGap: Int = 0, method: String = "")
     extends Expression with Predicate with ImplicitCastInputTypes
     with ExpectsInputTypes with CodegenFallback {
+
+  require(minOverlap <= 1 || maxGap == 0,
+    "interval_overlaps: minOverlap > 1 cannot be combined with maxGap > 0")
 
   override def children: Seq[Expression] = Seq(leftStart, leftEnd, rightStart, rightEnd)
   override def inputTypes: Seq[DataType] =
@@ -47,8 +61,17 @@ case class IntervalOverlaps(leftStart: Expression, leftEnd: Expression,
     val le = leftEnd.eval(input); if (le == null) return null
     val rs = rightStart.eval(input); if (rs == null) return null
     val re = rightEnd.eval(input); if (re == null) return null
-    ls.asInstanceOf[Int] <= re.asInstanceOf[Int] &&
-      rs.asInstanceOf[Int] <= le.asInstanceOf[Int]
+    val lsI = ls.asInstanceOf[Int]; val leI = le.asInstanceOf[Int]
+    val rsI = rs.asInstanceOf[Int]; val reI = re.asInstanceOf[Int]
+    if (minOverlap > 1) {
+      // maxGap == 0 here (require above): plain overlap length.
+      math.min(leI, reI) - math.max(lsI, rsI) + 1 >= minOverlap
+    } else {
+      // Gap-widened overlap core; widening either side is equivalent
+      // (ls <= re + g  <=>  ls - g <= re). Long arithmetic: re + g could
+      // wrap Int for coordinates near 2^31.
+      lsI.toLong <= reI.toLong + maxGap && rsI.toLong <= leI.toLong + maxGap
+    }
   }
 
   override protected def withNewChildrenInternal(
@@ -60,12 +83,17 @@ object IntervalOverlaps {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.ColumnBridge
 
-  /** Column-API surface for library operators: exact overlap of
-    * `[ls, le]` with `[rs, re]`, immune to the session's
-    * minOverlap/maxGap confs. Conjoin with the contig equality as usual:
+  /** Column-API surface: overlap of `[ls, le]` with `[rs, re]` under the
+    * given semantics, immune to the session's minOverlap/maxGap/method
+    * confs (plan-embedded — safe under concurrent queries in one
+    * session). `method` ("" = session default / stats) pins the physical
+    * regime: "broadcast" or "binrange". Conjoin with the contig equality
+    * as usual:
     * `a.join(b, a("contig") === b("contig") && IntervalOverlaps.of(...))`. */
-  def of(ls: Column, le: Column, rs: Column, re: Column): Column =
+  def of(ls: Column, le: Column, rs: Column, re: Column,
+      minOverlap: Int = 1, maxGap: Int = 0, method: String = ""): Column =
     ColumnBridge.column(IntervalOverlaps(
       ColumnBridge.expression(ls), ColumnBridge.expression(le),
-      ColumnBridge.expression(rs), ColumnBridge.expression(re)))
+      ColumnBridge.expression(rs), ColumnBridge.expression(re),
+      minOverlap, maxGap, method))
 }

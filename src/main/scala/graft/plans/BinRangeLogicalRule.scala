@@ -25,10 +25,22 @@ object RangeJoinChoice {
   def hinted(h: Option[HintInfo]): Boolean =
     h.exists(_.strategy.contains(BROADCAST))
 
-  /** Returns `(buildLeft, useBinRange)` under the `spark.graft.rangejoin`
-    * confs read through `conf(key, default)`. */
+  /** Join semantics / method resolution: plan-embedded pins on the keys
+    * (from the operator-authored [[graft.functions.IntervalOverlaps]]
+    * predicate) win; the session confs are defaults-only — immune to
+    * concurrent queries mutating the session. */
+  def minOverlap(conf: (String, String) => String, keys: IntervalJoinKeys): Int =
+    keys.minOverlap.getOrElse(conf("minOverlap", "1").toInt)
+  def maxGap(conf: (String, String) => String, keys: IntervalJoinKeys): Int =
+    keys.maxGap.getOrElse(conf("maxGap", "0").toInt)
+  def method(conf: (String, String) => String, keys: IntervalJoinKeys): String =
+    keys.method.getOrElse(conf("method", "auto"))
+
+  /** Returns `(buildLeft, useBinRange)` under the resolved `method` and
+    * the `spark.graft.rangejoin` confs read through `conf(key, default)`. */
   def choose(conf: (String, String) => String, joinType: JoinType,
-      left: LogicalPlan, right: LogicalPlan, hint: JoinHint): (Boolean, Boolean) = {
+      left: LogicalPlan, right: LogicalPlan, hint: JoinHint,
+      method: String): (Boolean, Boolean) = {
     val (hintLeft, hintRight) = (hinted(hint.leftHint), hinted(hint.rightHint))
     val buildLeft = joinType match {
       case RightOuter => true
@@ -44,7 +56,7 @@ object RangeJoinChoice {
     val buildSize = if (buildLeft) left.stats.sizeInBytes else right.stats.sizeInBytes
     val buildHinted = if (buildLeft) hintLeft else hintRight
     val maxBroadcast = conf("maxBroadcastBytes", (256L << 20).toString).toLong
-    val binRange = conf("method", "auto") match {
+    val binRange = method match {
       case "binrange" | "twophase" => true
       case "broadcast" => false
       case _ if buildHinted => false
@@ -91,12 +103,13 @@ case class BinRangeLogicalRule(session: SparkSession) extends Rule[LogicalPlan] 
           case Some((left, right, Inner, keys, hint))
               if !left.isStreaming && !right.isStreaming &&
                 !BinRangeRewrite.isRewriteJoin(keys) =>
-            val (buildLeft, binRange) = RangeJoinChoice.choose(conf, Inner, left, right, hint)
+            val (buildLeft, binRange) = RangeJoinChoice.choose(
+              conf, Inner, left, right, hint, RangeJoinChoice.method(conf, keys))
             if (binRange) {
-              // Same exact-join pin as IntervalJoinStrategy (see
-              // IntervalJoinKeys.exact).
-              val minOverlap = if (keys.exact) 1 else conf("minOverlap", "1").toInt
-              val maxGap = if (keys.exact) 0 else conf("maxGap", "0").toInt
+              // Same plan-embedded pin as IntervalJoinStrategy (see
+              // IntervalJoinKeys.minOverlap/maxGap).
+              val minOverlap = RangeJoinChoice.minOverlap(conf, keys)
+              val maxGap = RangeJoinChoice.maxGap(conf, keys)
               val binWidth = conf("binWidth", "300").toInt
               BinRangeRewrite.rewrite(
                 left, right, keys, buildLeft, minOverlap, maxGap, binWidth)

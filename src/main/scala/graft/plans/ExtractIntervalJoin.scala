@@ -17,13 +17,24 @@ case class IntervalJoinKeys(
     leftEqs: Seq[Expression],
     rightEqs: Seq[Expression],
     residual: Option[Expression],
-    /** True when the overlap came from [[graft.functions.IntervalOverlaps]]
-      * — a library operator's exact-by-definition join. The strategy and
-      * the bin-range rewrite then pin `minOverlap=1, maxGap=0` instead of
-      * reading the session confs, so a user-set J6 conf cannot silently
-      * change operator semantics (planning happens at the CALLER's action,
-      * after any conf the operator might have set). */
-    exact: Boolean = false)
+    /** Set when the overlap came from [[graft.functions.IntervalOverlaps]]
+      * — a join whose semantics (and optionally physical method) are
+      * PLAN-EMBEDDED at construction. The strategy, the bin-range rewrite,
+      * and the aggregate pushdown then use these values instead of reading
+      * the session confs, so a user-set (or concurrently-mutated) J6 conf
+      * cannot silently change query semantics — planning happens at the
+      * CALLER's action, after any conf the operator might have set.
+      * `None` = user-authored comparison-pair join; the session confs (the
+      * defaults-only surface) apply. */
+    minOverlap: Option[Int] = None,
+    maxGap: Option[Int] = None,
+    /** Pinned physical regime ("broadcast" | "binrange"); None = session
+      * conf / stats decide. Unlike the two above this is plan-shape only,
+      * never result-affecting. */
+    method: Option[String] = None) {
+  /** Operator-authored join (semantics pinned in the plan). */
+  def pinned: Boolean = minOverlap.isDefined
+}
 
 /** Recognizes inner joins whose condition contains the interval-overlap
   * core `a.end >= b.start AND a.start <= b.end`, optionally conjoined with
@@ -97,7 +108,9 @@ object ExtractIntervalJoin extends PredicateHelper {
       }
     }
 
-    var exact = false
+    var pinMinOverlap: Option[Int] = None
+    var pinMaxGap: Option[Int] = None
+    var pinMethod: Option[String] = None
     def allCoord(es: Expression*): Boolean = es.forall(isCoordTyped)
 
     conjuncts.foreach {
@@ -105,20 +118,26 @@ object ExtractIntervalJoin extends PredicateHelper {
         if (evaluableOn(a, left) && evaluableOn(b, right)) { eqL += a; eqR += b }
         else if (evaluableOn(a, right) && evaluableOn(b, left)) { eqL += b; eqR += a }
         else residual += e
-      // The operator-authored exact predicate: consumes both bound slots
-      // at once and pins exact semantics. Symmetric (overlap is), so a
-      // swapped-side occurrence relabels rather than falling through.
-      case e @ graft.functions.IntervalOverlaps(ls, le, rs, re)
+      // The operator-authored predicate: consumes both bound slots at
+      // once and pins the plan-embedded semantics. Symmetric (overlap
+      // is), so a swapped-side occurrence relabels rather than falling
+      // through.
+      case e @ graft.functions.IntervalOverlaps(ls, le, rs, re, m, g, meth)
           if ltr.isEmpty && rtl.isEmpty && allCoord(ls, le, rs, re) =>
-        if (evaluableOn(ls, left) && evaluableOn(le, left) &&
-            evaluableOn(rs, right) && evaluableOn(re, right)) {
-          ltr = Some((asInt(ls), asInt(re))); rtl = Some((asInt(rs), asInt(le)))
-          exact = true
-        } else if (evaluableOn(ls, right) && evaluableOn(le, right) &&
-            evaluableOn(rs, left) && evaluableOn(re, left)) {
-          ltr = Some((asInt(rs), asInt(le))); rtl = Some((asInt(ls), asInt(re)))
-          exact = true
-        } else residual += e
+        val matched =
+          if (evaluableOn(ls, left) && evaluableOn(le, left) &&
+              evaluableOn(rs, right) && evaluableOn(re, right)) {
+            ltr = Some((asInt(ls), asInt(re))); rtl = Some((asInt(rs), asInt(le)))
+            true
+          } else if (evaluableOn(ls, right) && evaluableOn(le, right) &&
+              evaluableOn(rs, left) && evaluableOn(re, left)) {
+            ltr = Some((asInt(rs), asInt(le))); rtl = Some((asInt(ls), asInt(re)))
+            true
+          } else { residual += e; false }
+        if (matched) {
+          pinMinOverlap = Some(m); pinMaxGap = Some(g)
+          pinMethod = Some(meth).filter(_.nonEmpty)
+        }
       case e @ LessThanOrEqual(a, b) => classifyLe(a, b, e)
       case e @ GreaterThanOrEqual(a, b) => classifyLe(b, a, e)
       case e => residual += e
@@ -127,7 +146,7 @@ object ExtractIntervalJoin extends PredicateHelper {
     (ltr, rtl) match {
       case (Some((ls, re)), Some((rs, le))) =>
         Some(IntervalJoinKeys(ls, le, rs, re, eqL.result(), eqR.result(),
-          residual.result().reduceOption(And), exact))
+          residual.result().reduceOption(And), pinMinOverlap, pinMaxGap, pinMethod))
       case _ => None
     }
   }

@@ -195,11 +195,11 @@ case class IntervalCountPushdownRule(session: SparkSession)
           keys <- ExtractIntervalJoin.extract(jl, jr, cond)
           if keys.residual.isEmpty
           if !BinRangeRewrite.isRewriteJoin(keys)
-          // Conf-modified overlap semantics take the general path (the
-          // strategy applies minOverlap/maxGap there; keys.exact pins the
-          // defaults regardless of conf).
-          if keys.exact ||
-            (conf("minOverlap", "1").toInt <= 1 && conf("maxGap", "0").toInt == 0)
+          // Modified overlap semantics take the general path (the
+          // strategy applies minOverlap/maxGap there); plan-embedded pins
+          // win over the session confs.
+          if RangeJoinChoice.minOverlap(conf, keys) <= 1 &&
+            RangeJoinChoice.maxGap(conf, keys) == 0
           groupAttrs <- Some(groupExprs).filter(_.forall(_.isInstanceOf[AttributeReference]))
             .map(_.map(_.asInstanceOf[AttributeReference]))
           countLeft <-
@@ -228,13 +228,15 @@ case class IntervalCountPushdownRule(session: SparkSession)
             aggExprs.exists { case Alias(_: AggregateExpression, _) => true; case _ => false }
           // The forest side must fit the broadcast budget — reuse the ONE
           // shared mode decision; the bin-range path keeps the stock plan.
-          (buildLeft, binRange) = RangeJoinChoice.choose(conf, Inner, jl, jr, hint)
+          (buildLeft, binRange) = RangeJoinChoice.choose(
+            conf, Inner, jl, jr, hint, RangeJoinChoice.method(conf, keys))
           if !binRange
         } yield {
           val cnt = AttributeReference("pair_count", LongType, nullable = false)()
           val buildHinted = RangeJoinChoice.hinted(
             if (buildLeft) hint.leftHint else hint.rightHint)
-          val enforceBudget = conf("method", "auto") != "broadcast" && !buildHinted
+          val enforceBudget =
+            RangeJoinChoice.method(conf, keys) != "broadcast" && !buildHinted
           def widen(e: Expression): Expression =
             if (e.dataType == LongType) e
             else org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)

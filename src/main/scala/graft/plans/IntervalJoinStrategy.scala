@@ -44,17 +44,20 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
     case ExtractIntervalJoin(left, right, joinType, keys, hint)
         if conf("enabled", "true").toBoolean && !left.isStreaming && !right.isStreaming &&
           !BinRangeRewrite.isRewriteJoin(keys) =>
-      // Exact joins (operator-authored IntervalOverlaps predicate) pin the
-      // overlap semantics; the session confs are the surface for
-      // user-authored comparison-pair joins only (see IntervalJoinKeys.exact).
-      val minOverlap = if (keys.exact) 1 else conf("minOverlap", "1").toInt
-      val maxGap = if (keys.exact) 0 else conf("maxGap", "0").toInt
+      // Operator-authored IntervalOverlaps predicates pin the overlap
+      // semantics (and optionally the method) in the plan; the session
+      // confs are the defaults-only surface for user-authored
+      // comparison-pair joins (see IntervalJoinKeys.minOverlap/maxGap).
+      val minOverlap = RangeJoinChoice.minOverlap(conf, keys)
+      val maxGap = RangeJoinChoice.maxGap(conf, keys)
+      val method = RangeJoinChoice.method(conf, keys)
       // Build side + mode come from the ONE decision shared with the
       // logical bin-range rewrite ([[RangeJoinChoice]] — hints over
       // stats, non-inner build pinning, maxBroadcastBytes threshold);
       // FullOuter preserves both sides (build-side matched-ness is
       // tracked globally by the exec), so either side may build.
-      val (buildLeft, binRange) = RangeJoinChoice.choose(conf, joinType, left, right, hint)
+      val (buildLeft, binRange) = RangeJoinChoice.choose(
+        conf, joinType, left, right, hint, method)
       val mode = if (binRange) BinRangeMode else BroadcastForestMode
       // Inner at shuffle scale plans as a pure Catalyst equi-join rewrite
       // (Tungsten shuffle + codegen + AQE skew splitting); the RDD-cogroup
@@ -85,7 +88,7 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
       // the user's call (standard Spark hint semantics).
       val buildHinted = if (buildLeft) RangeJoinChoice.hinted(hint.leftHint)
         else RangeJoinChoice.hinted(hint.rightHint)
-      val enforceBudget = conf("method", "auto") != "broadcast" && !buildHinted
+      val enforceBudget = method != "broadcast" && !buildHinted
       val exec = IntervalForestJoinExec(
         keys, buildLeft, mode, minOverlap, maxGap, binWidth, holderClass,
         joinType, residualInExec, planLater(left), planLater(right), enforceBudget)

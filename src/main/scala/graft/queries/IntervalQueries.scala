@@ -14,35 +14,30 @@ object IntervalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Pin the join-mode confs for this query. INVARIANT (spec-enforced by
-    * IntervalJoinSpec's scrambled-conf test): every interval query calls
-    * this at entry, re-pinning EVERY result-affecting
-    * `spark.graft.rangejoin.*` conf the strategy reads — queries() is a
-    * Map (iteration order unspecified) and Verify/Bench plan each query
-    * lazily at execution, so a conf left behind by
-    * `interval_join_binrange` or `_maxgap` (or set by the user between
-    * queries) would otherwise leak into whichever query runs next. A new
-    * interval query that forgets to call joinConf fails the scramble
-    * spec, not a production run. */
-  private def joinConf(s: SparkSession, method: String = "auto", maxGap: Int = 0,
-      minOverlap: Int = 1): Unit = {
-    s.conf.set("spark.graft.rangejoin.method", method)
-    s.conf.set("spark.graft.rangejoin.maxGap", maxGap.toString)
-    s.conf.set("spark.graft.rangejoin.minOverlap", minOverlap.toString)
-  }
+  /** The contig-equality + overlap join condition with PLAN-EMBEDDED
+    * semantics (IntervalOverlaps pins minOverlap/maxGap/method in the
+    * expression tree). INVARIANT (spec-enforced by IntervalJoinSpec's
+    * scrambled-conf test): every interval query builds its joins through
+    * this (or an operator that pins internally), and NONE writes session
+    * confs — queries() is a Map (iteration order unspecified), Verify/
+    * Bench plan lazily at execution, and a session-conf write would race
+    * under concurrent queries in one session (r10 VERDICT #3). The
+    * `spark.graft.rangejoin.*` confs are defaults-only. */
+  private def overlaps(a: DataFrame, b: DataFrame, minOverlap: Int = 1,
+      maxGap: Int = 0, method: String = ""): org.apache.spark.sql.Column =
+    a("contig") === b("contig") &&
+      graft.functions.IntervalOverlaps.of(a("pos_start"), a("pos_end"),
+        b("pos_start"), b("pos_end"), minOverlap, maxGap, method)
 
   val queries: Map[String, Q] = Map(
     // featureCounts shape (reference apps/FeatureCounts.scala:35-50):
     // reads (ivA) x targets (ivB) interval join with contig equality, then
     // count per target. Plans as a broadcast interval-forest join (J1).
     "interval_join_count" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       val a = Tables.ivA(s, dir)
       val b = Tables.ivB(s, dir)
-      a.join(b,
-          a("contig") === b("contig") &&
-          a("pos_end") >= b("pos_start") &&
-          a("pos_start") <= b("pos_end"))
+      a.join(b, overlaps(a, b))
         .groupBy(col("b_key"))
         .agg(count(lit(1)).as("n_reads"))
     },
@@ -51,26 +46,20 @@ object IntervalQueries {
     // when the nullability allows the cross-side sum; correct on the
     // general path either way — the oracle pins both.
     "interval_join_mass" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       val a = Tables.ivA(s, dir)
       val b = Tables.ivB(s, dir)
-      a.join(b,
-          a("contig") === b("contig") &&
-          a("pos_end") >= b("pos_start") &&
-          a("pos_start") <= b("pos_end"))
+      a.join(b, overlaps(a, b))
         .groupBy(col("b_key"))
         .agg(count(lit(1)).as("n_reads"),
           sum(a("pos_end") - a("pos_start") + 1).as("read_mass"))
     },
     // Raw pair set — hash-compares every matched (a_key, b_key) pair.
     "interval_join_pairs" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       val a = Tables.ivA(s, dir)
       val b = Tables.ivB(s, dir)
-      a.join(b,
-          a("contig") === b("contig") &&
-          a("pos_end") >= b("pos_start") &&
-          a("pos_start") <= b("pos_end"))
+      a.join(b, overlaps(a, b))
         .select(col("a_key"), col("b_key"))
     },
     // J3 through the hard correctness gate: the identical pair set under
@@ -78,26 +67,20 @@ object IntervalQueries {
     // neither side fits a broadcast (the 100 TB shape). Same oracle SQL
     // as interval_join_pairs: the physical method must not change results.
     "interval_join_binrange" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s, method = "binrange")
+      Graft.ensure(s)
       val a = Tables.ivA(s, dir)
       val b = Tables.ivB(s, dir)
-      a.join(b,
-          a("contig") === b("contig") &&
-          a("pos_end") >= b("pos_start") &&
-          a("pos_start") <= b("pos_end"))
+      a.join(b, overlaps(a, b, method = "binrange"))
         .select(col("a_key"), col("b_key"))
     },
     // J6 maxGap: pairs within gap <= 3 of touching also join (reference
     // `IntervalTreeJoinOptimChromosomeImpl.scala:82-87`). The oracle
     // widens one side by the gap in plain SQL.
     "interval_join_maxgap" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s, maxGap = 3)
+      Graft.ensure(s)
       val a = Tables.ivA(s, dir)
       val b = Tables.ivB(s, dir)
-      a.join(b,
-          a("contig") === b("contig") &&
-          a("pos_end") >= b("pos_start") &&
-          a("pos_start") <= b("pos_end"))
+      a.join(b, overlaps(a, b, maxGap = 3))
         .select(col("a_key"), col("b_key"))
     },
     // Beyond-reference join types (the reference and stock Spark both
@@ -105,13 +88,10 @@ object IntervalQueries {
     // annotation or null, semi/anti are the "has / lacks an overlapping
     // feature" filters — all through the same forest exec.
     "interval_join_left" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       val a = Tables.ivA(s, dir)
       val b = Tables.ivB(s, dir)
-      a.join(b,
-          a("contig") === b("contig") &&
-          a("pos_end") >= b("pos_start") &&
-          a("pos_start") <= b("pos_end"), "left_outer")
+      a.join(b, overlaps(a, b), "left_outer")
         .select(col("a_key"), col("b_key"))
     },
     // Full outer, single-pass through the forest exec (stock Spark: BNLJ):
@@ -119,64 +99,62 @@ object IntervalQueries {
     // build rows, unmatched pad from the driver. ivA filtered to a sliver
     // so unmatched rows exist on BOTH sides.
     "interval_join_full" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       val a = Tables.ivA(s, dir).filter(col("pos_start") < 50000)
       val b = Tables.ivB(s, dir)
-      a.join(b,
-          a("contig") === b("contig") &&
-          a("pos_end") >= b("pos_start") &&
-          a("pos_start") <= b("pos_end"), "full_outer")
+      a.join(b, overlaps(a, b), "full_outer")
         .select(col("a_key"), col("b_key"))
     },
     "interval_join_semi" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       val a = Tables.ivA(s, dir)
       val b = Tables.ivB(s, dir)
-      a.join(b,
-          a("contig") === b("contig") &&
-          a("pos_end") >= b("pos_start") &&
-          a("pos_start") <= b("pos_end"), "left_semi")
+      a.join(b, overlaps(a, b), "left_semi")
         .select(col("a_key"), col("contig"), col("pos_start"))
     },
     "interval_join_anti" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       val a = Tables.ivA(s, dir)
       val b = Tables.ivB(s, dir)
-      a.join(b,
-          a("contig") === b("contig") &&
-          a("pos_end") >= b("pos_start") &&
-          a("pos_start") <= b("pos_end"), "left_anti")
+      a.join(b, overlaps(a, b), "left_anti")
         .select(col("a_key"), col("contig"), col("pos_start"))
     },
     // No-equality variant (J2): both sides pre-filtered to one contig, the
     // join condition is the bare interval overlap.
     "interval_join_nochr" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       val a = Tables.ivA(s, dir).filter(col("contig") === "3")
       val b = Tables.ivB(s, dir).filter(col("contig") === "3")
-      a.join(b,
-          a("pos_end") >= b("pos_start") &&
-          a("pos_start") <= b("pos_end"))
+      a.join(b, graft.functions.IntervalOverlaps.of(
+          a("pos_start"), a("pos_end"), b("pos_start"), b("pos_end")))
         .select(col("a_key"), col("b_key"))
     },
     // minOverlap semantics (J6) expressed as a residual predicate over the
-    // engine's own overlaplength function: forest join + codegen'd filter.
+    // engine's own overlaplength function: forest join + codegen'd filter
+    // (the base overlap is plan-pinned; the residual rides on top).
     "interval_join_overlap10" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       val a = Tables.ivA(s, dir).as("a")
       val b = Tables.ivB(s, dir).as("b")
-      a.join(b, expr(
-          """a.contig = b.contig
-            | AND a.pos_end >= b.pos_start
-            | AND a.pos_start <= b.pos_end
-            | AND overlaplength(a.pos_start, a.pos_end, b.pos_start, b.pos_end) >= 10""".stripMargin))
+      a.join(b, overlaps(a, b) && expr(
+          "overlaplength(a.pos_start, a.pos_end, b.pos_start, b.pos_end) >= 10"))
+        .select(col("a_key"), col("b_key"))
+    },
+    // The same J6 semantics through the engine's own minOverlap knob,
+    // plan-embedded (no residual, no conf): the forest emission condition
+    // applies the length test inside the probe.
+    "interval_join_minoverlap" -> { (s, dir) =>
+      Graft.ensure(s)
+      val a = Tables.ivA(s, dir)
+      val b = Tables.ivB(s, dir)
+      a.join(b, overlaps(a, b, minOverlap = 10))
         .select(col("a_key"), col("b_key"))
     },
     // Nearest-feature join (bedtools closest; beyond-reference — the
     // reference joins on overlap only): every read paired with ALL
     // equally-closest targets on its contig, distance 0 on overlap.
     "interval_join_nearest" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       // Regime as an explicit parameter — no session-conf writes leaking
       // across query lambdas (r8 ADVICE).
       graft.operators.NearestJoinOps
@@ -188,7 +166,7 @@ object IntervalQueries {
     // the ties (no collect anywhere). Same oracle SQL as
     // interval_join_nearest — the physical method must not change results.
     "interval_join_nearest_merge" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       graft.operators.NearestJoinOps
         .nearestJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), "merge")
         .select(col("a_key"), col("b_key"), col("distance"))
@@ -197,7 +175,7 @@ object IntervalQueries {
     // nearest_join TVF resolves both views through a lazy plan node and
     // runs the same operator — same oracle as interval_join_nearest.
     "interval_join_nearest_tvf" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       Tables.ivA(s, dir).createOrReplaceTempView("iva_nj_v")
       Tables.ivB(s, dir).createOrReplaceTempView("ivb_nj_v")
       s.sql("SELECT a_key, b_key, distance FROM nearest_join('iva_nj_v', 'ivb_nj_v')")
@@ -206,7 +184,7 @@ object IntervalQueries {
     // row against the 3 smallest distinct distances, all ties at each —
     // broadcast-only ranking probe against the catalog side.
     "interval_join_nearest_k" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       graft.operators.NearestJoinOps
         .nearestKJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), 3)
         .select(col("a_key"), col("b_key"), col("distance"))
@@ -215,7 +193,7 @@ object IntervalQueries {
     // nearest distinct distances per left row EXCLUDING overlaps, with
     // reference-genome-signed distance (upstream rights negative).
     "interval_join_nearest_dir" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       graft.operators.NearestJoinOps
         .nearestKJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), 2,
           ignoreOverlaps = true, direction = "both", signed = true)
@@ -226,7 +204,7 @@ object IntervalQueries {
     // the broadcast ranking probe; GenomicStrategy stats-gates it) —
     // same oracle as interval_join_nearest_k.
     "interval_join_nearest_k_tvf" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       Tables.ivA(s, dir).createOrReplaceTempView("iva_njk_v")
       Tables.ivB(s, dir).createOrReplaceTempView("ivb_njk_v")
       s.sql("SELECT a_key, b_key, distance FROM nearest_k_join('iva_njk_v', 'ivb_njk_v', 3)")
@@ -251,7 +229,7 @@ object IntervalQueries {
         Tables.ivB(s, dir).filter(col("b_key") % 5 === 0))
     },
     "interval_subtract" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       graft.operators.RangeSetOps.subtract(
         Tables.ivA(s, dir).distinct(),
         Tables.ivB(s, dir).filter(col("b_key") % 5 === 0), "a_key")
@@ -261,21 +239,21 @@ object IntervalQueries {
     // keep a row (count 0, null aggregates) — one left-outer forest
     // join + one hash aggregate, exact decimal arithmetic.
     "interval_map" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       graft.operators.RangeSetOps.mapIntervals(
         Tables.ivA(s, dir).distinct(),
         Tables.ivB(s, dir).filter(col("b_key") % 5 === 0),
         "a_key", "b_key")
     },
     "interval_intersect" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       graft.operators.RangeSetOps.intersect(
         Tables.ivA(s, dir), Tables.ivB(s, dir), Seq("a_key"), Seq("b_key"))
     },
     // bedtools-jaccard: one-row genome-wide similarity of the ivA and
     // sparse-ivB base sets (merged first, so every base counts once).
     "interval_set_jaccard" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       graft.operators.RangeSetOps.setJaccard(
         Tables.ivA(s, dir),
         Tables.ivB(s, dir).filter(col("b_key") % 5 === 0))
@@ -283,7 +261,7 @@ object IntervalQueries {
     // bedtools-cluster: every sparse-ivB interval tagged with its
     // overlap-cluster identity (the containing merged run's coordinates).
     "interval_cluster" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       graft.operators.RangeSetOps.cluster(
         Tables.ivB(s, dir).filter(col("b_key") % 5 === 0), Seq("b_key"))
     },
@@ -292,7 +270,7 @@ object IntervalQueries {
     // space; uncovered pieces come out as unmapped rows (liftOver's
     // unmapped file), via the subtract gap walk.
     "interval_liftover" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       val chain = graft.operators.RangeSetOps.merge(
           Tables.ivB(s, dir).filter(col("b_key") % 5 === 0))
         .select(col("contig"), col("pos_start"), col("pos_end"),
@@ -307,7 +285,7 @@ object IntervalQueries {
     // blocks shift as before. Exercises the `-` branch every real UCSC
     // chain user hits.
     "interval_liftover_strand" -> { (s, dir) =>
-      Graft.ensure(s); joinConf(s)
+      Graft.ensure(s)
       val chain = graft.operators.RangeSetOps.merge(
           Tables.ivB(s, dir).filter(col("b_key") % 5 === 0))
         .select(col("contig"), col("pos_start"), col("pos_end"),
@@ -645,6 +623,13 @@ object IntervalQueries {
         |  ON a.contig = b.contig
         | AND a.pos_end >= b.pos_start
         | AND a.pos_start <= b.pos_end
+        | AND LEAST(a.pos_end, b.pos_end) - GREATEST(a.pos_start, b.pos_start) + 1 >= 10""".stripMargin),
+    // Same semantics as overlap10, through the engine's plan-embedded
+    // minOverlap knob instead of a residual filter.
+    "interval_join_minoverlap" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key
+        |FROM iva a JOIN ivb b
+        |  ON a.contig = b.contig
         | AND LEAST(a.pos_end, b.pos_end) - GREATEST(a.pos_start, b.pos_start) + 1 >= 10""".stripMargin),
     // Left-row identity is the full (a_key, contig, pos_start, pos_end)
     // tuple — a_key (l_orderkey) repeats across lineitem lines with

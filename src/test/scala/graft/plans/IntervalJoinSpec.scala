@@ -676,10 +676,10 @@ class IntervalJoinSpec extends SparkSpec {
       "spark.graft.nearestjoin.method" -> "merge")
     val saved = keys.map(k => k -> spark.conf.getOption(k))
     try {
-      // The whole interval_* family: the join queries must re-pin the
-      // conf surface (joinConf), and the set-algebra/liftover/nearest
-      // operators must be IMMUNE via the plan-embedded IntervalOverlaps
-      // exact predicate — either way, scrambled confs must not change
+      // The whole interval_* family: every query (joins, set algebra,
+      // liftover, nearest) must be IMMUNE via the plan-embedded
+      // IntervalOverlaps predicate / explicit operator parameters — no
+      // query writes session confs, so scrambled confs must not change
       // results.
       val names = graft.queries.IntervalQueries.queries.keys.toSeq.sorted
         .filter(_.startsWith("interval_"))
@@ -694,6 +694,37 @@ class IntervalJoinSpec extends SparkSpec {
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("interval queries with conflicting plan-embedded semantics run concurrently in one session") {
+    // r10 VERDICT #3: per-query semantics used to be pinned by MUTATING
+    // session conf (joinConf) — spec-safe for the serial harness but racy
+    // when a user runs two interval queries concurrently in one session.
+    // Semantics now ride the IntervalOverlaps predicate: three queries
+    // with CONFLICTING minOverlap/maxGap/method, interleaved on separate
+    // threads, must each keep their own results with zero conf writes.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.functions.IntervalOverlaps
+    val a = randomIntervals(400, 71, "a_key")
+    val b = randomIntervals(80, 72, "b_key")
+    def q(minOverlap: Int, maxGap: Int, method: String): DataFrame =
+      a.join(b, a("contig") === b("contig") && IntervalOverlaps.of(
+        a("pos_start"), a("pos_end"), b("pos_start"), b("pos_end"),
+        minOverlap, maxGap, method))
+    val shapes = Seq((1, 5, ""), (10, 0, ""), (1, 0, "binrange"))
+    val want = shapes.map { case (m, g, meth) => collectSorted(q(m, g, meth)) }
+    assert(want(0) !== want(1), "shapes must disagree for the race to be observable")
+    assert(want.forall(_.nonEmpty))
+    val futures = (1 to 4).flatMap { _ =>
+      shapes.zipWithIndex.map { case ((m, g, meth), i) =>
+        Future((i, collectSorted(q(m, g, meth))))
+      }
+    }
+    Await.result(Future.sequence(futures), 180.seconds).foreach { case (i, got) =>
+      assert(got === want(i), s"concurrent run of shape $i diverged")
     }
   }
 
