@@ -263,13 +263,21 @@ case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
       } else method
       NearestJoinExec(n.output, resolved, k, planLater(l), planLater(r)) :: Nil
     case n: IntervalCountJoinNode =>
-      // The rewrite rule only fires when the build side's stats fit the
-      // broadcast budget; the runtime guard still backstops a stats lie
-      // (hint/method exemptions resolved at rewrite time, where the
-      // JoinHint was available).
-      IntervalCountJoinExec(n.keys, n.countLeft, n.buildLeft, n.crossSums.map(_._1),
-        n.output, planLater(n.left), planLater(n.right),
-        enforceBuildBudget = n.enforceBudget) :: Nil
+      if (n.binRange) {
+        // Shuffle regime (build side over the broadcast budget, or the
+        // method pinned binrange): per-(key,bin) rank indexes — no
+        // broadcast, no budget guard needed.
+        IntervalBinCountJoinExec(n.keys, n.countLeft, n.crossSums.map(_._1),
+          n.output, planLater(n.left), planLater(n.right), n.binWidth) :: Nil
+      } else {
+        // Broadcast regime: the rewrite rule fired because the build
+        // side's stats fit the budget; the runtime guard still backstops
+        // a stats lie (hint/method exemptions resolved at rewrite time,
+        // where the JoinHint was available).
+        IntervalCountJoinExec(n.keys, n.countLeft, n.buildLeft, n.crossSums.map(_._1),
+          n.output, planLater(n.left), planLater(n.right),
+          enforceBuildBudget = n.enforceBudget) :: Nil
+      }
     case _ => Nil
   }
 }

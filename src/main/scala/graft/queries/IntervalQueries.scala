@@ -54,6 +54,22 @@ object IntervalQueries {
         .agg(count(lit(1)).as("n_reads"),
           sum(a("pos_end") - a("pos_start") + 1).as("read_mass"))
     },
+    // The featureCounts aggregate through the SHUFFLE regime (r10 VERDICT
+    // #1): method pinned binrange, so the count/sum pushdown plans
+    // IntervalBinCountJoinExec — per-(key,bin) rank indexes, partial
+    // counts merged by the surviving aggregate, zero pair
+    // materialization even when the build side exceeds the broadcast
+    // budget. Same oracle SQL as interval_join_mass: the physical regime
+    // must not change results.
+    "interval_join_count_binrange" -> { (s, dir) =>
+      Graft.ensure(s)
+      val a = Tables.ivA(s, dir)
+      val b = Tables.ivB(s, dir)
+      a.join(b, overlaps(a, b, method = "binrange"))
+        .groupBy(col("b_key"))
+        .agg(count(lit(1)).as("n_reads"),
+          sum(a("pos_end") - a("pos_start") + 1).as("read_mass"))
+    },
     // Raw pair set — hash-compares every matched (a_key, b_key) pair.
     "interval_join_pairs" -> { (s, dir) =>
       Graft.ensure(s)
@@ -559,6 +575,14 @@ object IntervalQueries {
     // which would dtype-skew against Spark's int64 (the r6 hash-red
     // class).
     "interval_join_mass" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT b_key, COUNT(*) AS n_reads,
+        |  CAST(SUM(a.pos_end - a.pos_start + 1) AS BIGINT) AS read_mass
+        |FROM iva a JOIN ivb b
+        |  ON a.contig = b.contig
+        | AND a.pos_end >= b.pos_start
+        | AND a.pos_start <= b.pos_end
+        |GROUP BY b_key""".stripMargin),
+    "interval_join_count_binrange" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT b_key, COUNT(*) AS n_reads,
         |  CAST(SUM(a.pos_end - a.pos_start + 1) AS BIGINT) AS read_mass
         |FROM iva a JOIN ivb b

@@ -38,6 +38,25 @@ object CountPushdownLaws extends Properties("CountPushdown") {
   } yield ivs
 
   property("pushdown == general join+aggregate (count/sum/min/max, both directions)") =
+    law(binRange = false)
+
+  /** The same equivalence on the SHUFFLE path: the method pinned binrange
+    * in the plan, so the rewrite lands IntervalBinCountJoinExec — the
+    * per-(key,bin) first-intersection-bin partials must merge to the
+    * general path's aggregates on ANY multiset. A narrow binWidth (7 vs
+    * coordinates up to ~80) makes most intervals span several bins, so
+    * the case split (first replica bin vs later) is exercised densely. */
+  property("binrange pushdown == general join+aggregate (count/sum/min/max, both directions)") = {
+    val old = spark.conf.getOption("spark.graft.rangejoin.binWidth")
+    spark.conf.set("spark.graft.rangejoin.binWidth", "7")
+    try law(binRange = true)
+    finally old match {
+      case Some(v) => spark.conf.set("spark.graft.rangejoin.binWidth", v)
+      case None => spark.conf.unset("spark.graft.rangejoin.binWidth")
+    }
+  }
+
+  private def law(binRange: Boolean) =
     forAll(genIvs(0L), genIvs(1000L)) { (ls, rs) =>
       import graft.SharedSpark.spark.implicits._
       graft.Graft.ensure(spark)
@@ -45,8 +64,12 @@ object CountPushdownLaws extends Properties("CountPushdown") {
         .toDF("a_key", "contig", "pos_start", "pos_end", "measure")
       val b = rs.map(iv => (iv.key, iv.contig, iv.s, iv.e, iv.m))
         .toDF("b_key", "contig", "pos_start", "pos_end", "bm")
-      def joined = a.join(b, a("contig") === b("contig") &&
-        a("pos_end") >= b("pos_start") && a("pos_start") <= b("pos_end"))
+      def joined =
+        if (binRange) a.join(b, a("contig") === b("contig") &&
+          graft.functions.IntervalOverlaps.of(a("pos_start"), a("pos_end"),
+            b("pos_start"), b("pos_end"), method = "binrange"))
+        else a.join(b, a("contig") === b("contig") &&
+          a("pos_end") >= b("pos_start") && a("pos_start") <= b("pos_end"))
       // Group by the build side with a cross-side nullable sum, a
       // same-side sum, and min/max; then by the stream side with the
       // mirrored shapes.
@@ -71,9 +94,10 @@ object CountPushdownLaws extends Properties("CountPushdown") {
           // An empty input side collapses the Join via
           // PropagateEmptyRelation before any rule sees it — skip there.
           if (ls.nonEmpty && rs.nonEmpty) {
-            val fired = q1.queryExecution.executedPlan.toString.contains("IntervalCountJoin") &&
-              q2.queryExecution.executedPlan.toString.contains("IntervalCountJoin")
-            assert(fired == push, s"pushdown fired=$fired with conf=$push")
+            val execName = if (binRange) "IntervalBinCountJoin" else "IntervalCountJoin"
+            val fired = q1.queryExecution.executedPlan.toString.contains(execName) &&
+              q2.queryExecution.executedPlan.toString.contains(execName)
+            assert(fired == push, s"pushdown fired=$fired with conf=$push (binRange=$binRange)")
           }
           (rows(q1), rows(q2))
         } finally old match {

@@ -35,6 +35,15 @@ class IntervalCountJoinSpec extends AnyFunSuite {
     walk(df.queryExecution.executedPlan)
   }
 
+  private def hasBinCountExec(df: DataFrame): Boolean = {
+    def walk(p: SparkPlan): Boolean = p match {
+      case _: IntervalBinCountJoinExec => true
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other.children.exists(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   private def ivs(n: Int, seed: Int, key: String): DataFrame = {
     import graft.SharedSpark.spark.implicits._
     val rnd = new scala.util.Random(seed)
@@ -207,6 +216,94 @@ class IntervalCountJoinSpec extends AnyFunSuite {
       joined(a, b).agg(count(lit(1)).as("n")).collect()(0).getLong(0)
     }
     assert(got === want && got > 0L)
+  }
+
+  test("bin-range count pushdown: full aggregate surface matches the general shuffle path") {
+    graft.Graft.ensure(spark)
+    import graft.functions.IntervalOverlaps
+    val a = ivs(400, 41, "a_key")
+    val b = ivs(60, 42, "b_key")
+    // Pin the shuffle regime in the plan (method = binrange): the count
+    // rule must now rewrite to IntervalBinCountJoinExec instead of
+    // falling back to pair materialization (r10 VERDICT #1).
+    def joinedBin() = a.join(b, a("contig") === b("contig") && IntervalOverlaps.of(
+      a("pos_start"), a("pos_end"), b("pos_start"), b("pos_end"), method = "binrange"))
+    // Both grouping directions, with pair count, same-side sum,
+    // cross-side sum, and min/max.
+    def q1() = joinedBin().groupBy(col("b_key")).agg(
+      count(lit(1)).as("n"), sum(b("pos_end") - b("pos_start")).as("sm"),
+      sum(a("pos_end") - a("pos_start") + 1).as("xm"),
+      min(b("pos_start")).as("lo"), max(b("pos_end")).as("hi"))
+    def q2() = joinedBin().groupBy(col("a_key")).agg(
+      count(lit(1)).as("n"), sum(b("pos_start")).as("xm"))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i)).toList)
+      .sortBy(_.toString).toSeq
+    for (qf <- Seq(() => q1(), () => q2())) {
+      assert(hasBinCountExec(qf()), "bin-range pushdown did not fire")
+      val got = rows(qf())
+      val want = withConf("spark.graft.rangejoin.countPushdown", "false") {
+        assert(!hasBinCountExec(qf()))
+        rows(qf())
+      }
+      assert(got === want && got.nonEmpty)
+    }
+    // DISTINCT (grouping-only): replicas dedup through the surviving
+    // aggregate.
+    val d = joinedBin().select(col("b_key")).distinct()
+    assert(hasBinCountExec(d))
+    val gotD = d.collect().map(_.getLong(0)).sorted.toSeq
+    val wantD = withConf("spark.graft.rangejoin.countPushdown", "false") {
+      joinedBin().select(col("b_key")).distinct().collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(gotD === wantD && gotD.nonEmpty)
+  }
+
+  test("bin-range count pushdown fires when the build side exceeds the broadcast budget") {
+    graft.Graft.ensure(spark)
+    val a = ivs(400, 43, "a_key")
+    val b = ivs(60, 44, "b_key")
+    // The canonical featureCounts query with a raw comparison predicate:
+    // under a tiny budget the AUTO decision goes binrange, and the count
+    // rule must keep the pair-free plan instead of reverting to the
+    // general rewrite exactly when data is biggest.
+    withConf("spark.graft.rangejoin.maxBroadcastBytes", "1") {
+      def q() = joined(a, b).groupBy(col("b_key")).agg(count(lit(1)).as("n"))
+      assert(hasBinCountExec(q()), "budget-forced binrange pushdown did not fire")
+      val got = q().collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = withConf("spark.graft.rangejoin.countPushdown", "false") {
+        assert(!hasBinCountExec(q()))
+        q().collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      }
+      assert(got === want && got.nonEmpty)
+    }
+  }
+
+  test("bin-range count pushdown: giant intervals spanning many bins count once") {
+    graft.Graft.ensure(spark)
+    import graft.SharedSpark.spark.implicits._
+    // One counted interval spanning dozens of bins against index rows in
+    // its first, interior, and last bins, plus index rows spanning the
+    // whole range — the first-intersection-bin arithmetic must count each
+    // pair exactly once. Tiny binWidth to force many replicas.
+    val a = Seq((1L, "1", 100, 9999), (2L, "1", 5000, 5000), (3L, "2", 1, 10))
+      .toDF("a_key", "contig", "pos_start", "pos_end")
+    val b = Seq((1L, "1", 1, 20000), (2L, "1", 150, 160), (3L, "1", 5000, 5001),
+      (4L, "1", 9999, 12000), (5L, "1", 99, 100), (6L, "1", 20, 99), (7L, "2", 10, 10))
+      .toDF("b_key", "contig", "pos_start", "pos_end")
+    withConf("spark.graft.rangejoin.binWidth", "7") {
+      withConf("spark.graft.rangejoin.method", "binrange") {
+        for (key <- Seq("b_key", "a_key")) {
+          def q() = joined(a, b).groupBy(col(key)).agg(count(lit(1)).as("n"))
+          assert(hasBinCountExec(q()))
+          val got = q().collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+          val want = withConf("spark.graft.rangejoin.countPushdown", "false") {
+            q().collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+          }
+          assert(got === want, s"bin-spanning counts diverged grouping by $key")
+        }
+      }
+    }
   }
 
   test("build-grouped DISTINCT emits one row per key, not one per stream partition") {
