@@ -730,9 +730,21 @@ case class IntervalForestJoinExec(
   // Bin-range mode and custom interval holders keep the interpreted path
   // (a holder only promises a callback API; the cursor needs the array
   // forest).
+  //
+  // LeftSemi/LeftAnti codegen too (r10 VERDICT #2): the stream-side probe
+  // is the 100 TB hot loop for existence filters just as for Inner, and
+  // they are the easy non-inner cases — no null-padded build row, output
+  // is the stream row alone. Semi emits on the FIRST cursor hit (no full
+  // match enumeration); anti emits when the cursor is empty, including
+  // the null-interval/null-key/absent-contig rows the interpreted path
+  // preserves. Residual-carrying semi/anti stay interpreted: the residual
+  // decides matched-ness per candidate pair inside the loop, which the
+  // cursor's early-exit shape doesn't express.
 
   override def supportCodegen: Boolean =
-    joinType == Inner && mode == BroadcastForestMode &&
+    (joinType == Inner ||
+      ((joinType == LeftSemi || joinType == LeftAnti) && residual.isEmpty)) &&
+      mode == BroadcastForestMode &&
       holderClass == classOf[IntervalForestFactory].getName
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
@@ -766,32 +778,70 @@ case class IntervalForestJoinExec(
     val matched = ctx.freshName("buildRow")
     val numOutput = metricTerm(ctx, "numOutputRows")
 
-    // Build-side output columns read from the matched row inside the loop.
-    ctx.INPUT_ROW = matched
-    ctx.currentVars = null
-    val buildVars = buildPlan.output.zipWithIndex.map { case (a, i) =>
-      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
-    }
-    val resultVars = if (buildLeft) buildVars ++ input else input ++ buildVars
+    val lookup =
+      s"""
+         |$evalInput
+         |${sStartEv.code}
+         |${sEndEv.code}
+         |${keyEv.code}
+         |graft.operators.IntervalForest $forest = null;
+         |if (!(${sStartEv.isNull}) && !(${sEndEv.isNull}) && !($keyNull)) {
+         |  $forest = graft.plans.IntervalForestJoinExec.lookup($mapTerm, ${keyEv.value});
+         |}
+       """.stripMargin
 
-    s"""
-       |$evalInput
-       |${sStartEv.code}
-       |${sEndEv.code}
-       |${keyEv.code}
-       |graft.operators.IntervalForest $forest = null;
-       |if (!(${sStartEv.isNull}) && !(${sEndEv.isNull}) && !($keyNull)) {
-       |  $forest = graft.plans.IntervalForestJoinExec.lookup($mapTerm, ${keyEv.value});
-       |}
-       |if ($forest != null) {
-       |  $cursorTerm.reset($forest, ${sStartEv.value}, ${sEndEv.value}, $minOverlap);
-       |  while ($cursorTerm.advance()) {
-       |    InternalRow $matched = (InternalRow) $cursorTerm.value();
-       |    $numOutput.add(1);
-       |    ${consume(ctx, resultVars)}
-       |  }
-       |}
-     """.stripMargin
+    joinType match {
+      case LeftSemi =>
+        // Existence test: the first cursor hit emits the stream row and
+        // stops — no match enumeration at all.
+        s"""
+           |$lookup
+           |if ($forest != null) {
+           |  $cursorTerm.reset($forest, ${sStartEv.value}, ${sEndEv.value}, $minOverlap);
+           |  if ($cursorTerm.advance()) {
+           |    $numOutput.add(1);
+           |    ${consume(ctx, input)}
+           |  }
+           |}
+         """.stripMargin
+      case LeftAnti =>
+        // Absence test: null interval/key and absent contig rows have no
+        // matches by construction ($forest stays null) and are emitted —
+        // same preservation as the interpreted path.
+        val found = ctx.freshName("found")
+        s"""
+           |$lookup
+           |boolean $found = false;
+           |if ($forest != null) {
+           |  $cursorTerm.reset($forest, ${sStartEv.value}, ${sEndEv.value}, $minOverlap);
+           |  $found = $cursorTerm.advance();
+           |}
+           |if (!$found) {
+           |  $numOutput.add(1);
+           |  ${consume(ctx, input)}
+           |}
+         """.stripMargin
+      case _ => // Inner
+        // Build-side output columns read from the matched row inside the
+        // loop.
+        ctx.INPUT_ROW = matched
+        ctx.currentVars = null
+        val buildVars = buildPlan.output.zipWithIndex.map { case (a, i) =>
+          BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+        }
+        val resultVars = if (buildLeft) buildVars ++ input else input ++ buildVars
+        s"""
+           |$lookup
+           |if ($forest != null) {
+           |  $cursorTerm.reset($forest, ${sStartEv.value}, ${sEndEv.value}, $minOverlap);
+           |  while ($cursorTerm.advance()) {
+           |    InternalRow $matched = (InternalRow) $cursorTerm.value();
+           |    $numOutput.add(1);
+           |    ${consume(ctx, resultVars)}
+           |  }
+           |}
+         """.stripMargin
+    }
   }
 }
 
