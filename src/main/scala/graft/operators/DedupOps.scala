@@ -459,9 +459,18 @@ object DedupOps {
     val nPairs = raw.count() // also materializes the persist barrier
     if (nPairs <= localThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      // Iterative two-pass find (walk to the root, then compress the whole
+      // path): an adversarial edge ordering — a descending chain — builds
+      // O(n) parent chains during the union phase without any find ever
+      // walking them, and the RESOLUTION pass then hits the full chain at
+      // once; a recursive find would overflow the stack near the 2^20-edge
+      // gate (r10 VERDICT #4).
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       // One collect, not toLocalIterator: the latter runs one Spark job
       // per partition (32 scheduling round-trips for a tiny edge list);

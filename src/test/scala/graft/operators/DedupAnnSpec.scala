@@ -306,6 +306,20 @@ class DedupAnnSpec extends SparkSpec {
     assert(truth.values.toSet.size > 1, "multiple clusters expected")
   }
 
+  test("driver union-find survives a million-edge descending chain (iterative find)") {
+    // r10 VERDICT #4: edges (n-i, n-i-1) processed in descending order
+    // build an O(n) parent chain during the union phase without any find
+    // ever walking it — each union touches only fresh nodes. The
+    // RESOLUTION pass then walks the full chain at once; the old
+    // recursive find overflowed the stack just under the 2^20-edge gate.
+    val n = 1000000L
+    val chain = spark.range(n).selectExpr(s"$n - id AS id_a", s"$n - id - 1 AS id_b")
+    val labels = DedupOps.clusters(chain) // 1e6 < 2^20: driver path
+    assert(labels.count() === n + 1)
+    assert(labels.select("cluster_id").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
   test("clusters survive the capped flood: one component, linear work") {
     val flood = spark.range(500).selectExpr(
       "id + 2000000 AS doc_id",
