@@ -112,18 +112,29 @@ object NearestJoinOps {
     * no tie-break rule to mirror in an oracle. `k = 1` is exactly
     * [[nearestJoin]].
     *
-    * Broadcast-only by design: a k-nearest probe needs random access to
-    * BOTH flank axes (start-sorted for right gaps, end-sorted for left
-    * gaps), which the broadcast [[IntervalForest]] answers in
-    * O(log n + output) per row while the left side never shuffles. That
-    * matches the operator's use case — ranking a row against a bounded
-    * annotation catalog, not against another 100 TB side. The stats gate
-    * enforces it up front with an actionable error instead of a driver
-    * OOM; a genuinely large right side should go through [[nearestJoin]]'s
-    * merge regime (k = 1) or an overlap join with maxGap. */
+    * Two regimes, like [[nearestJoin]]: the broadcast ranking probe while
+    * the right side's Catalyst estimate fits the budget, else the
+    * distributed [[mergeNearestKJoin]] expanding-window search (r10
+    * VERDICT #5 — k-nearest is no longer broadcast-only). The bedtools
+    * `-io/-id/-iu/-D` variants remain broadcast-only (both flank axes
+    * need direction-aware random access) and keep the stats gate. */
   def nearestKJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame =
     nearestKJoin(left, right, k,
       ignoreOverlaps = false, direction = "both", signed = false)
+
+  /** As the 3-arg [[nearestKJoin]] with the regime pinned explicitly —
+    * callers that force a regime (tests, the query suite) use this
+    * instead of mutating session conf. */
+  def nearestKJoin(left: DataFrame, right: DataFrame, k: Int, method: String): DataFrame = {
+    require(k >= 1, s"nearestKJoin needs k >= 1, got $k")
+    method match {
+      case "broadcast" => nearestKJoinUngated(left, right, k)
+      case "merge" => mergeNearestKJoin(left, right, k)
+      case "auto" => nearestKJoin(left, right, k)
+      case other => throw new IllegalArgumentException(
+        s"nearest k-join method must be auto|broadcast|merge, got '$other'")
+    }
+  }
 
   /** As [[nearestKJoin]] with the bedtools `closest -io/-iu/-id/-D ref`
     * surface:
@@ -146,12 +157,19 @@ object NearestJoinOps {
     val maxBytes = spark.conf
       .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
     val estimated = right.queryExecution.optimizedPlan.stats.sizeInBytes
-    require(estimated <= BigInt(maxBytes),
+    if (estimated <= BigInt(maxBytes))
+      return nearestKJoinUngated(left, right, k, ignoreOverlaps, direction, signed)
+    // Over budget: the base surface falls back to the distributed
+    // expanding-window merge regime; the direction/overlap/sign variants
+    // are broadcast-only and fail with guidance.
+    require(!ignoreOverlaps && direction == "both" && !signed,
       s"nearestKJoin right side is estimated at $estimated bytes, over " +
-      s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — it is collected " +
-      "and broadcast as an interval forest. Filter/project the catalog " +
-      "down, raise the conf, or use nearestJoin's merge regime for k = 1.")
-    nearestKJoinUngated(left, right, k, ignoreOverlaps, direction, signed)
+      s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes, and the " +
+      "-io/-id/-iu/-D variants are broadcast-only (direction-aware flank " +
+      "ranking needs the collected forest). Filter/project the catalog " +
+      "down, raise the conf, or use the base k-nearest surface, whose " +
+      "merge regime streams both sides.")
+    mergeNearestKJoin(left, right, k)
   }
 
   /** [[nearestKJoin]] without the broadcast-size stats gate — for
@@ -478,5 +496,114 @@ object NearestJoinOps {
       .select(left.columns.map(c => col("l." + c)) ++
         right.columns.map(c => col("r." + c)) :+
         col("l._nd").cast("int").as("distance"): _*)
+  }
+
+  /** K-nearest through the MERGE regime (both sides large, r10 VERDICT
+    * #5): no broadcast, no driver collect, base surface (overlaps
+    * counted, both directions, unsigned).
+    *
+    * Phase 1 sweeps d* per distinct left triple ([[nearestDistances]] —
+    * guarantees every window below holds >= 1 candidate), then an
+    * EXPANDING window search finds d_k, the k-th smallest DISTINCT
+    * distance: each round overlap-joins the still-unfinished triples
+    * (widened ± their window) against the right side through the
+    * engine's interval join — which picks broadcast-forest or the
+    * AQE-skew-splittable bin-range rewrite from stats, so the search
+    * itself scales — reduces the pairs to DISTINCT (triple, distance)
+    * rows immediately (tie sets collapse before any shuffle-heavy step),
+    * dense-ranks distances per triple, and finishes rows with >= k
+    * distinct distances (d_k = the k-th) or a window already covering
+    * the whole int span (d_k = the largest available — the contig holds
+    * fewer than k distinct distances, DENSE_RANK keeps everything).
+    * Unfinished rows retry with window × 16; geometric growth from
+    * >= 1024 covers the 32-bit coordinate span in <= 7 rounds — a hard
+    * bound, enforced. Per-round lineage is truncated with
+    * `localCheckpoint` (the [[DedupOps.clusters]] pattern).
+    *
+    * Phase 2 re-joins every left row (duplicates included — multiset
+    * semantics) expanded by its own d_k and keeps `distance <= d_k`:
+    * exactly the k smallest distinct distances with all ties. Candidate
+    * volume tracks output size — each window is tight by construction. */
+  private[graft] def mergeNearestKJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+    val spark = left.sparkSession
+    graft.Graft.ensure(spark)
+    if (k == 1) return mergeNearestJoin(left, right)
+    import org.apache.spark.sql.expressions.Window
+
+    // localCheckpoint materializes each round, but the LogicalRDD it
+    // leaves behind carries origin constraints that Union's constraint
+    // rewriting can trip over (stale exprIds after the projection) — wrap
+    // the checkpointed RDD in a fresh constraint-free frame.
+    def materialized(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      ColumnBridge.internalFrame(spark, ck.queryExecution.toRdd, ck.schema)
+    }
+
+    val rSlim = right.select(col("contig").as("_rc"),
+      col("pos_start").cast("int").as("_rs"), col("pos_end").cast("int").as("_re"))
+    def widened(df: DataFrame, radius: org.apache.spark.sql.Column): DataFrame = df
+      .withColumn("_xs", greatest(col("pos_start").cast("long") - radius,
+        lit(Int.MinValue.toLong)).cast("int"))
+      .withColumn("_xe", least(col("pos_end").cast("long") + radius,
+        lit(Int.MaxValue.toLong)).cast("int"))
+
+    // Round 0 window: at least d* (>= 1 candidate by construction) with
+    // headroom so most rows find k distinct distances immediately.
+    var pend = nearestDistances(left, right)
+      .select(col("contig"), col("pos_start"), col("pos_end"),
+        greatest(col("_nd").cast("long") * 4, lit(1024L)).as("_w"))
+      .transform(materialized)
+    val fullSpan = 1L << 32 // window covers any int-coordinate contig
+    val doneParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    while (round < 10 && !pend.isEmpty) {
+      val l = widened(pend, col("_w")).alias("l")
+      val cand = l.join(rSlim, col("l.contig") === col("_rc") &&
+          graft.functions.IntervalOverlaps.of(
+            col("l._xs"), col("l._xe"), col("_rs"), col("_re")))
+        .select(col("l.contig").as("contig"), col("l.pos_start").as("pos_start"),
+          col("l.pos_end").as("pos_end"), col("l._w").as("_w"),
+          greatest(col("_rs").cast("long") - col("l.pos_end"),
+            col("l.pos_start").cast("long") - col("_re"), lit(0L)).as("_d"))
+        .filter(col("_d") <= col("_w"))
+        .distinct()
+      val wspec = Window
+        .partitionBy(col("contig"), col("pos_start"), col("pos_end")).orderBy(col("_d"))
+      val stats = cand.withColumn("_rk", dense_rank().over(wspec))
+        .groupBy(col("contig"), col("pos_start"), col("pos_end"), col("_w"))
+        .agg(max(when(col("_rk") <= k, col("_d"))).as("_dk"),
+          max(col("_rk")).as("_ndist"))
+      val covered = col("_w") >= lit(fullSpan)
+      doneParts += stats.filter(col("_ndist") >= k || covered)
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          col("_dk").cast("int").as("_dk"))
+        .transform(materialized)
+      pend = stats.filter(col("_ndist") < k && !covered)
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          (col("_w") * 16).as("_w"))
+        .transform(materialized)
+      round += 1
+    }
+    if (!pend.isEmpty) sys.error(
+      "nearest_k merge window search did not converge — impossible: " +
+      "x16 growth from 1024 covers the int span within the round budget")
+    val dk =
+      if (doneParts.isEmpty)
+        pend.select(col("contig"), col("pos_start"), col("pos_end"),
+          lit(0).as("_dk")).filter(lit(false))
+      else doneParts.reduce(_ unionByName _)
+
+    val l2 = widened(left.join(dk, Seq("contig", "pos_start", "pos_end")),
+      col("_dk").cast("long")).alias("l")
+    val r2 = right.alias("r")
+    l2.join(r2, col("l.contig") === col("r.contig") &&
+        graft.functions.IntervalOverlaps.of(
+          col("l._xs"), col("l._xe"), col("r.pos_start"), col("r.pos_end")))
+      .withColumn("_dist", greatest(col("r.pos_start").cast("long") - col("l.pos_end"),
+        col("l.pos_start").cast("long") - col("r.pos_end"), lit(0L)))
+      .filter(col("_dist") <= col("l._dk").cast("long"))
+      .select(left.columns.map(c => col("l." + c)) ++
+        right.columns.map(c => col("r." + c)) :+
+        col("_dist").cast("int").as("distance"): _*)
   }
 }

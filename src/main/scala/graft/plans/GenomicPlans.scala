@@ -173,11 +173,14 @@ case class NearestJoinExec(override val output: Seq[Attribute], method: String,
     val l = ColumnBridge.internalFrame(spark, left.execute(), left.schema)
     val r = ColumnBridge.internalFrame(spark, right.execute(), right.schema)
     // Positional contract: the operator emits left ++ right ++ distance,
-    // exactly this node's declared output order. k > 1 is broadcast-only
-    // and was stats-gated in GenomicStrategy (the bridged frames here
-    // carry defaultSizeInBytes stats — re-gating would always reject).
+    // exactly this node's declared output order. The regime was resolved
+    // in GenomicStrategy from the LOGICAL children's stats (the bridged
+    // frames here carry defaultSizeInBytes stats — re-gating would always
+    // pick merge).
     val out =
-      if (k > 1) graft.operators.NearestJoinOps.nearestKJoinUngated(l, r, k)
+      if (k > 1 && method == "merge")
+        graft.operators.NearestJoinOps.mergeNearestKJoin(l, r, k)
+      else if (k > 1) graft.operators.NearestJoinOps.nearestKJoinUngated(l, r, k)
       else graft.operators.NearestJoinOps.nearestJoin(l, r, method)
     out.queryExecution.toRdd
   }
@@ -250,14 +253,9 @@ case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
       val maxBytes = session.conf
         .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
       val fits = r.stats.sizeInBytes <= BigInt(maxBytes)
-      // k-nearest is broadcast-only (both flank axes need random access);
-      // gate on the LOGICAL stats for the same reason as `auto` above.
-      if (k > 1 && !fits) throw new IllegalArgumentException(
-        s"nearest_k_join right side is estimated at ${r.stats.sizeInBytes} " +
-        s"bytes, over spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — " +
-        "it is collected and broadcast as an interval forest. " +
-        "Filter/project the catalog view down, raise the conf, or use " +
-        "nearest_join (k = 1), whose merge regime streams both sides.")
+      // k > 1 over budget resolves to the expanding-window merge regime
+      // (r10 VERDICT #5) — the TVF surface is the base k-nearest, which
+      // the merge regime covers fully.
       val resolved = if (method == "auto") {
         if (fits) "broadcast" else "merge"
       } else method

@@ -205,6 +205,17 @@ object IntervalQueries {
         .nearestKJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), 3)
         .select(col("a_key"), col("b_key"), col("distance"))
     },
+    // K-nearest through the distributed merge regime (r10 VERDICT #5):
+    // phase-1 endpoint sweep for d*, expanding-window search for the k-th
+    // distinct distance, phase-2 residual interval join — no broadcast of
+    // the right side anywhere. Same oracle SQL as interval_join_nearest_k:
+    // the regime must not change results.
+    "interval_join_nearest_k_merge" -> { (s, dir) =>
+      Graft.ensure(s)
+      graft.operators.NearestJoinOps
+        .nearestKJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), 3, "merge")
+        .select(col("a_key"), col("b_key"), col("distance"))
+    },
     // Directional/signed nearest (`bedtools closest -io -D ref`): the 2
     // nearest distinct distances per left row EXCLUDING overlaps, with
     // reference-genome-signed distance (upstream rights negative).
@@ -688,6 +699,15 @@ object IntervalQueries {
     // DENSE_RANK is exactly that semantics. Same left-row identity note
     // as interval_join_nearest.
     "interval_join_nearest_k" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (
+        |  SELECT a.a_key, b.b_key,
+        |    GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) AS distance,
+        |    DENSE_RANK() OVER (
+        |      PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end
+        |      ORDER BY GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0)) AS rk
+        |  FROM iva a JOIN ivb b ON a.contig = b.contig)
+        |WHERE rk <= 3""".stripMargin),
+    "interval_join_nearest_k_merge" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (
         |  SELECT a.a_key, b.b_key,
         |    GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) AS distance,

@@ -626,17 +626,39 @@ class IntervalJoinSpec extends SparkSpec {
     val nearest = spark.sql("SELECT a_key, b_key, distance FROM nearest_join('njk_l', 'njk_r')")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     assert(k1 === nearest)
-    // k-nearest is broadcast-only: an over-budget right side must fail at
-    // planning with an actionable message, gated on the LOGICAL children's
-    // stats (the exec's bridged frames carry defaultSizeInBytes and can't
-    // be gated there).
-    val err = intercept[Exception] {
-      withConf("spark.graft.rangejoin.maxBroadcastBytes", "1") {
-        spark.sql("SELECT * FROM nearest_k_join('njk_l', 'njk_r', 3)").collect()
-      }
+    // An over-budget right side resolves to the expanding-window MERGE
+    // regime (r10 VERDICT #5) with identical results — the TVF is no
+    // longer broadcast-only.
+    val overBudget = withConf("spark.graft.rangejoin.maxBroadcastBytes", "1") {
+      spark.sql("SELECT a_key, b_key, distance FROM nearest_k_join('njk_l', 'njk_r', 3)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     }
-    assert(err.getMessage.contains("maxBroadcastBytes"),
-      s"expected the broadcast-budget error, got: ${err.getMessage}")
+    assert(overBudget === viaSql)
+  }
+
+  test("merge k-nearest equals the broadcast ranking probe (incl. sparse contigs)") {
+    import graft.SharedSpark.spark.implicits._
+    // A contig with fewer than k distinct distances (DENSE_RANK keeps
+    // everything), overlap tie sets, duplicate left rows, and a contig
+    // with no rights at all — the expanding-window search must agree with
+    // the broadcast probe on every row.
+    val a = randomIntervals(300, 96, "a_key")
+      .unionByName(Seq((9001L, "zz", 10, 20), (9001L, "zz", 10, 20),
+        (9002L, "empty", 5, 9)).toDF("a_key", "contig", "pos_start", "pos_end"))
+    val b = randomIntervals(80, 97, "b_key")
+      .unionByName(Seq((8001L, "zz", 100, 110)).toDF("b_key", "contig", "pos_start", "pos_end"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a_key"), col("b_key"), col("distance"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    for (k <- Seq(2, 3, 5)) {
+      val bc = rows(graft.operators.NearestJoinOps.nearestKJoin(a, b, k, "broadcast"))
+      val mg = rows(graft.operators.NearestJoinOps.nearestKJoin(a, b, k, "merge"))
+      assert(mg === bc, s"merge k-nearest diverged at k=$k")
+      assert(bc.nonEmpty)
+      // The sparse contig emitted its single candidate (twice: dup left).
+      assert(bc.count(_._1 == 9001L) === 2)
+      assert(!bc.exists(_._1 == 9002L))
+    }
   }
 
   test("nearest_join TVF with the same view on both sides dedups exprIds") {
