@@ -95,6 +95,31 @@ object SourceQueries {
       }
       s.read.parquet(path).select(col("sample_id").cast("string")).distinct()
     },
+    // S6 + S7/S8: FASTQ text round trip through the splittable pure-JVM
+    // FastqInputFormat — 4-line records rendered with Illumina-1.8 read
+    // names, registered via DDL, parsed back to the typed fragment
+    // surface (record-boundary sync under byte splits is spec-tested with
+    // tiny split sizes; here the oracle pins the parse itself).
+    "ddl_fastq_scan" -> { (s, dir) =>
+      val path = fixture("fragments_fastq", dir) { p =>
+        Tables.fragments(s, dir).select(concat(
+            lit("@"), col("instrument_name"), lit(":"), col("run_id").cast("string"),
+            lit(":"), col("flowcell_id"), lit(":"), col("lane").cast("string"),
+            lit(":"), col("tile").cast("string"), lit(":"), col("pos_x").cast("string"),
+            lit(":"), col("pos_y").cast("string"),
+            lit(" 1:"), when(col("filter_passed"), "N").otherwise("Y"), lit(":0:ACGT"),
+            lit("\n"), col("seq"),
+            lit("\n+\n"), repeat(lit("I"), length(col("seq")))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(p + "/sample01.fastq")
+      }
+      s.sql("DROP TABLE IF EXISTS frags_ddl")
+      s.sql(s"""CREATE TABLE frags_ddl USING graft.sources.FastqSource
+               |OPTIONS (path '$path/sample01.fastq')""".stripMargin)
+      s.sql("""SELECT sample_id, instrument_name, run_id, flowcell_id,
+              |  flowcell_lane, tile, x_pos, y_pos, filter_passed,
+              |  control_number, index_sequence, sequence, baseq
+              |FROM frags_ddl WHERE flowcell_lane <= 4""".stripMargin)
+    },
     // S3/S4 + P5: ADAM/Glow-style parquet with renamed columns and a
     // chr-prefixed contig, normalized by the source.
     "ddl_variant_scan" -> { (s, dir) =>
@@ -140,6 +165,14 @@ object SourceQueries {
     "distinct_samples" ->
       s"""WITH ${OracleCtes.reads}
          |SELECT DISTINCT sample_id FROM reads""".stripMargin,
+    "ddl_fastq_scan" ->
+      s"""WITH ${OracleCtes.fragments}
+         |SELECT 'sample01' AS sample_id, instrument_name, run_id,
+         |  flowcell_id, lane AS flowcell_lane, tile,
+         |  pos_x AS x_pos, pos_y AS y_pos, filter_passed,
+         |  0 AS control_number, 'ACGT' AS index_sequence,
+         |  seq AS sequence, repeat('I', length(seq)) AS baseq
+         |FROM fragments WHERE lane <= 4""".stripMargin,
     "ddl_variant_scan" ->
       """SELECT p_partkey AS variant_id,
         |  CAST(p_partkey % 4 AS VARCHAR) AS contig,

@@ -151,6 +151,104 @@ class VariantSource extends RelationProvider {
   }
 }
 
+/** FASTQ table over 4-line FASTQ text (S6) through the splittable
+  * [[FastqInputFormat]] — the pure-JVM seam proving a record-synchronizing
+  * file reader plugs into the DDL surface end-to-end (the reference reads
+  * through hadoop-bam's FastqInputFormat,
+  * `datasources/FASTQ/SequenceFragmentRelation.scala:16-114`; schema =
+  * its SequencedFragment surface, `utils/Columns.scala:40-49`). Sample id
+  * comes from the file name (S7 semantics — `<sample>.fastq`; a
+  * `part-*` leaf uses its parent directory's name, matching
+  * [[SourceUtil.sampleIdFromFile]]). Illumina-1.8 read names
+  * (`instrument:run:flowcell:lane:tile:x:y comment`) populate the typed
+  * metadata columns; non-conforming names leave them null with the raw
+  * name in `instrument_name`. CASAVA filter flag: `N` = passed. */
+class FastqSource extends RelationProvider {
+
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("FastqSource requires a 'path' option"))
+    new GraftBaseRelation {
+      override val sqlContext: SQLContext = ctx
+      override protected def frame(): DataFrame = {
+        val spark = ctx.sparkSession
+        val raw = spark.sparkContext.newAPIHadoopFile(
+          path, classOf[FastqInputFormat],
+          classOf[org.apache.hadoop.io.LongWritable], classOf[org.apache.hadoop.io.Text])
+        val rows = raw.asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[
+            org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
+          .mapPartitionsWithInputSplit { (split, it) =>
+            val leafPath = split.asInstanceOf[
+              org.apache.hadoop.mapreduce.lib.input.FileSplit].getPath
+            val leaf = leafPath.getName
+            val fileName = if (leaf.startsWith("part-")) leafPath.getParent.getName else leaf
+            val sample = fileName.split('.')(0)
+            it.map { case (_, rec) => FastqSource.parseRecord(sample, rec.toString) }
+          }
+        spark.createDataFrame(rows, FastqSource.schema)
+      }
+    }
+  }
+}
+
+object FastqSource {
+  import org.apache.spark.sql.types._
+
+  val schema: StructType = StructType(Seq(
+    StructField("sample_id", StringType, nullable = false),
+    StructField("instrument_name", StringType, nullable = true),
+    StructField("run_id", IntegerType, nullable = true),
+    StructField("flowcell_id", StringType, nullable = true),
+    StructField("flowcell_lane", IntegerType, nullable = true),
+    StructField("tile", IntegerType, nullable = true),
+    StructField("x_pos", IntegerType, nullable = true),
+    StructField("y_pos", IntegerType, nullable = true),
+    StructField("filter_passed", BooleanType, nullable = true),
+    StructField("control_number", IntegerType, nullable = true),
+    StructField("index_sequence", StringType, nullable = true),
+    StructField("sequence", StringType, nullable = false),
+    StructField("baseq", StringType, nullable = false)))
+
+  private def intOrNull(a: Array[String], i: Int): Any =
+    if (a.length > i) try java.lang.Integer.valueOf(a(i).trim)
+    catch { case _: NumberFormatException => null }
+    else null
+
+  private def strOrNull(a: Array[String], i: Int): Any =
+    if (a.length > i && a(i).nonEmpty) a(i) else null
+
+  /** One 4-line record (`@name[ comment]\nseq\n+\nqual`) to a typed Row. */
+  private[sources] def parseRecord(sample: String, rec: String): Row = {
+    val lines = rec.split('\n')
+    val header = lines(0).drop(1)
+    val seq = lines(1)
+    val qual = lines(3)
+    val sp = header.indexOf(' ')
+    val name = if (sp >= 0) header.substring(0, sp) else header
+    val comment = if (sp >= 0) header.substring(sp + 1) else ""
+    val n = name.split(':')
+    val c = comment.split(':')
+    val illumina = n.length == 7
+    val filterPassed: Any = strOrNull(c, 1) match {
+      case "N" => java.lang.Boolean.TRUE
+      case "Y" => java.lang.Boolean.FALSE
+      case _ => null
+    }
+    Row(sample,
+      if (illumina) strOrNull(n, 0) else (if (name.nonEmpty) name else null),
+      if (illumina) intOrNull(n, 1) else null,
+      if (illumina) strOrNull(n, 2) else null,
+      if (illumina) intOrNull(n, 3) else null,
+      if (illumina) intOrNull(n, 4) else null,
+      if (illumina) intOrNull(n, 5) else null,
+      if (illumina) intOrNull(n, 6) else null,
+      filterPassed,
+      intOrNull(c, 2),
+      strOrNull(c, 3),
+      seq, qual)
+  }
+}
+
 /** BED table over tab-separated text (S5): skips `track`/`browser` header
   * lines, converts 0-based half-open to 1-based inclusive coordinates,
   * names the 12 optional columns (reference `BEDRelation.scala:10-59`). */

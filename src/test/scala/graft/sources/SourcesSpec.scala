@@ -63,6 +63,78 @@ class SourcesSpec extends SparkSpec {
     assert(disorder === 0L, "files must be position-sorted within contig")
   }
 
+  test("FASTQ source parses the committed fixture (S6): typed fields, edge headers") {
+    val fixture = getClass.getResource("/fastq/sample02.fastq").getPath
+    spark.sql("DROP TABLE IF EXISTS fastq_fixture")
+    spark.sql(s"""CREATE TABLE fastq_fixture USING graft.sources.FastqSource
+                 |OPTIONS (path '$fixture')""".stripMargin)
+    val rows = spark.table("fastq_fixture")
+      .orderBy(col("y_pos").asc_nulls_last, col("sequence")).collect()
+    assert(rows.length === 4)
+    // Illumina-1.8 header, quality line starting with '@'.
+    val r0 = rows.find(_.getAs[String]("sequence") == "ACGTACGTACGTACGTACGT").get
+    assert(r0.getAs[String]("sample_id") === "sample02")
+    assert(r0.getAs[String]("instrument_name") === "graftsim")
+    assert(r0.getAs[Int]("run_id") === 7)
+    assert(r0.getAs[String]("flowcell_id") === "fcA1")
+    assert(r0.getAs[Int]("flowcell_lane") === 2)
+    assert(r0.getAs[Int]("tile") === 1101)
+    assert(r0.getAs[Int]("x_pos") === 1543)
+    assert(r0.getAs[Int]("y_pos") === 9371)
+    assert(r0.getAs[Boolean]("filter_passed") === true)
+    assert(r0.getAs[Int]("control_number") === 0)
+    assert(r0.getAs[String]("index_sequence") === "ACGT")
+    assert(r0.getAs[String]("baseq") === "@IIIIIIIIIIIIIIIIIII")
+    // CASAVA 'Y' = filtered out.
+    val r1 = rows.find(_.getAs[String]("sequence") == "TTTTGGGGCCCCAAAATTTT").get
+    assert(r1.getAs[Boolean]("filter_passed") === false)
+    assert(r1.getAs[Int]("control_number") === 18)
+    // '+' line carrying the optional repeated name.
+    val r2 = rows.find(_.getAs[String]("sequence") == "GATTACAGATTACA").get
+    assert(r2.getAs[Int]("flowcell_lane") === 3)
+    // Legacy (non-Illumina) name: raw name kept, metadata null.
+    val r3 = rows.find(_.getAs[String]("sequence") == "ACACACACAC").get
+    assert(r3.getAs[String]("instrument_name") === "legacy_read_001")
+    assert(r3.isNullAt(r3.fieldIndex("run_id")))
+    assert(r3.isNullAt(r3.fieldIndex("filter_passed")))
+  }
+
+  test("FASTQ byte splits synchronize to record boundaries (no loss, no dups)") {
+    import graft.SharedSpark.spark.implicits._
+    // ~3000 records with quality lines often starting with '@' (the
+    // adversarial byte for header detection) written as ONE text file;
+    // reading with a tiny split.maxsize forces dozens of splits landing
+    // mid-record, every one of which must sync without losing or
+    // duplicating a record.
+    val dir = s"$base/fastq_split/torture.fastq"
+    val recs = (0 until 3000).map { i =>
+      val seq = "ACGT" * (1 + i % 9)
+      val qual = (if (i % 3 == 0) "@" else "I") + "I" * (seq.length - 1)
+      s"@graftsim:1:fc:1:${i % 97}:${i % 31}:$i 1:N:0:AC\n$seq\n+\n$qual"
+    }
+    recs.toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    def readAll(): Set[String] = {
+      spark.sql("DROP TABLE IF EXISTS fastq_torture")
+      spark.sql(s"""CREATE TABLE fastq_torture USING graft.sources.FastqSource
+                   |OPTIONS (path '$dir')""".stripMargin)
+      spark.table("fastq_torture").select(col("y_pos"), col("sequence"), col("baseq"))
+        .collect().map(_.toString).toSet
+    }
+    val whole = readAll()
+    assert(whole.size === 3000)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val old = Option(hconf.get(key))
+    hconf.set(key, "512")
+    try {
+      val split = readAll()
+      assert(split === whole, "byte-split read diverged from whole-file read")
+    } finally old match {
+      case Some(v) => hconf.set(key, v)
+      case None => hconf.unset(key)
+    }
+  }
+
   test("distinct samples over the hive layout reads no data columns (A6)") {
     val path = s"$base/partitioned_a6"
     val reads = Tables.reads(spark, sf0001)
