@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, Literal, NamedExpression, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, BindReferences, Cast, Coalesce, Divide, EvalMode, Expression, GenericInternalRow, If, IsNull, JoinedRow, Literal, Multiply, NamedExpression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -31,15 +31,26 @@ import scala.collection.mutable
   * it) rewrites the `Aggregate(Join)` to `Aggregate(IntervalCountJoinNode)`
   * with `COUNT(1)` re-expressed as `SUM(pair_count)` — the aggregate stays
   * (counts still merge across partitions and stream rows), only the pair
-  * stream between join and aggregate disappears. Three aggregate shapes:
-  *  - `COUNT(*)`/`COUNT(1)` → `SUM(pair_count)`;
+  * stream between join and aggregate disappears. The aggregate surface:
+  *  - `COUNT(*)`/`COUNT(1)` → `SUM(pair_count)` (global shape coalesced
+  *    to 0 — COUNT over an empty join is 0 while SUM is NULL);
   *  - `DISTINCT key` (grouping-only) — the node's emitted rows ARE the
   *    keys with >= 1 pair;
   *  - integral `SUM(e)`: same-side e (on the counted side) rewrites to
   *    `SUM(e * pair_count)` (exact, incl. Long wrap — multiplication ==
   *    repeated addition mod 2^64); cross-side e rides the rank machinery
   *    value-weighted as a per-row partial (`SUM(e)` → `SUM(pair_sum)`),
-  *    e.g. total read length per feature — featureCounts with weights.
+  *    e.g. total read length per feature — featureCounts with weights;
+  *  - same-side `MIN(e)`/`MAX(e)` pass through unchanged (multiplicity
+  *    blind);
+  *  - null-aware `COUNT(e)` (any type): same-side → `SUM(cnt where e
+  *    non-null)`; cross-side → the 0/1 non-null weight summed through
+  *    the rank machinery;
+  *  - integral `AVG(e)` on either side → exact pushed SUM / pushed
+  *    non-null COUNT, divided once in double (LEGACY — NULL on zero
+  *    divisor, Average's own semantics; agrees with the general path
+  *    bit-for-bit wherever that path is deterministic, i.e. running sums
+  *    below 2^53).
   *
   * Matching is deliberately narrow: Inner, no residual conjuncts, default
   * overlap semantics (`minOverlap <= 1`, `maxGap = 0` — modified
@@ -166,6 +177,38 @@ case class IntervalCountPushdownRule(session: SparkSession)
       case _ => None
     }
 
+  /** An unfiltered, non-distinct COUNT over a single column expression on
+    * `side` — COUNT(e) counts pairs with non-null e (a non-nullable e
+    * canonicalizes to COUNT(1) upstream of this rule, so reaching here
+    * means null awareness is genuinely required). Any data type: only a
+    * null test is done. Counted side: `SUM(cnt where e non-null)`; other
+    * side: the 0/1 weight rides the cross-sum rank machinery. */
+  private def countColOn(ae: AggregateExpression, side: LogicalPlan): Option[Expression] =
+    ae match {
+      case AggregateExpression(Count(Seq(e)), Complete, false, None, _)
+          if !e.isInstanceOf[Literal] && e.deterministic &&
+            e.references.nonEmpty && e.references.subsetOf(side.outputSet) =>
+        Some(e)
+      case _ => None
+    }
+
+  /** An unfiltered, non-distinct AVG over an integral expression on one
+    * side: rewritten to pushed-SUM / pushed-non-null-COUNT divided in
+    * double (LEGACY division — NULL on zero count, Average's own
+    * semantics). The exact long sums make this agree bit-for-bit with the
+    * general path wherever the general path is itself deterministic
+    * (Average accumulates integral inputs in double, exact until the
+    * running sum passes 2^53 — beyond that the general path is already
+    * partition-order-dependent). */
+  private def avgOn(ae: AggregateExpression, side: LogicalPlan): Option[Expression] =
+    ae match {
+      case AggregateExpression(Average(e, _), Complete, false, None, _)
+          if integral(e) && e.deterministic &&
+            e.references.nonEmpty && e.references.subsetOf(side.outputSet) =>
+        Some(e)
+      case _ => None
+    }
+
   /** An unfiltered, non-distinct MIN/MAX over the counted side: the
     * node's emitted rows are the matched rows, and min/max are
     * multiplicity-blind, so the aggregate passes through UNCHANGED —
@@ -227,7 +270,11 @@ case class IntervalCountPushdownRule(session: SparkSession)
             case Alias(ae: AggregateExpression, _) =>
               isPairCount(ae) || sumOnSide(ae, countSide).isDefined ||
                 sumOnOtherSide(ae, otherSide).isDefined ||
-                isMinMaxOnSide(ae, countSide)
+                isMinMaxOnSide(ae, countSide) ||
+                countColOn(ae, countSide).isDefined ||
+                countColOn(ae, otherSide).isDefined ||
+                avgOn(ae, countSide).isDefined ||
+                avgOn(ae, otherSide).isDefined
             case _ => false
           }
           // Either an aggregate column (COUNT/SUM shape) or pure
@@ -256,40 +303,98 @@ case class IntervalCountPushdownRule(session: SparkSession)
           val binWidth = conf("binWidth", "5000").toInt
           def widen(e: Expression): Expression =
             if (e.dataType == LongType) e
-            else org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
-          // One partial attr per DISTINCT cross-side sum expression
-          // (canonicalized, so sum(x) twice shares one partial).
-          val crossSums: Seq[(Expression, AttributeReference)] = aggExprs.flatMap {
+            else Cast(e, LongType)
+          // 0/1 non-null indicator: COUNT(e) / AVG's divisor over pairs is
+          // the SUM of this weight.
+          def nnWeight(e: Expression): Expression =
+            If(IsNull(e), Literal(0L), Literal(1L))
+          // One partial attr per DISTINCT cross-side long expression
+          // (canonicalized, so sum(x) twice shares one partial): plain
+          // sums ride widen(e); null-aware counts and AVG divisors ride
+          // the 0/1 weight; AVG needs both.
+          val crossExprs: Seq[Expression] = aggExprs.flatMap {
             case Alias(ae: AggregateExpression, _)
-                if !isPairCount(ae) && sumOnSide(ae, countSide).isEmpty =>
-              sumOnOtherSide(ae, otherSide)
-            case _ => None
-          }.groupBy(_.canonicalized).map { case (_, es) =>
-            (widen(es.head),
-              AttributeReference("pair_sum", LongType, nullable = es.head.nullable)())
-          }.toSeq
+                if !isPairCount(ae) && sumOnSide(ae, countSide).isEmpty &&
+                  !isMinMaxOnSide(ae, countSide) &&
+                  countColOn(ae, countSide).isEmpty && avgOn(ae, countSide).isEmpty =>
+              sumOnOtherSide(ae, otherSide).map(e => Seq(widen(e)))
+                .orElse(countColOn(ae, otherSide).map(e => Seq(nnWeight(e))))
+                .orElse(avgOn(ae, otherSide).map(e => Seq(widen(e), nnWeight(e))))
+                .getOrElse(Nil)
+            case _ => Nil
+          }
+          val crossSums: Seq[(Expression, AttributeReference)] =
+            crossExprs.groupBy(_.canonicalized).map { case (_, es) =>
+              (es.head,
+                AttributeReference("pair_sum", LongType, nullable = es.head.nullable)())
+            }.toSeq
           val node = IntervalCountJoinNode(jl, jr, keys, countLeft, buildLeft,
             enforceBudget, cnt, crossSums, binRange, binWidth)
+          def partialOf(e: Expression): AttributeReference =
+            crossSums.find(_._1.canonicalized == e.canonicalized).get._2
+          // Fresh AggregateExpression (fresh resultId): AVG splits one
+          // original aggregate into TWO — copying the original would
+          // duplicate its resultId across different functions.
+          def freshAgg(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
+              : AggregateExpression =
+            AggregateExpression(f, Complete, isDistinct = false, None, NamedExpression.newExprId)
+          // COUNT over an empty global aggregate is 0 while SUM is NULL;
+          // grouped counts never see an empty group (only cnt > 0 rows
+          // emit), so the coalesce is needed exactly when groupExprs is
+          // empty and the join has zero pairs.
+          def countShape(s: AggregateExpression): Expression =
+            if (groupExprs.isEmpty) Coalesce(Seq(s, Literal(0L))) else s
+          // AVG = exact pushed SUM / pushed non-null COUNT, divided in
+          // double with LEGACY semantics (NULL on zero divisor — Average's
+          // own x/0 behavior; an all-null group also yields NULL via the
+          // NULL numerator).
+          def avgShape(sumAgg: AggregateExpression, cntAgg: AggregateExpression): Expression =
+            Divide(Cast(sumAgg, org.apache.spark.sql.types.DoubleType),
+              Cast(cntAgg, org.apache.spark.sql.types.DoubleType), EvalMode.LEGACY)
+          def rebuild(al: Alias, e: Expression): NamedExpression =
+            Alias(e, al.name)(exprId = al.exprId,
+              qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
           val newAggExprs: Seq[NamedExpression] = aggExprs.map {
-            case al @ Alias(ae: AggregateExpression, name) if isPairCount(ae) =>
-              Alias(ae.copy(aggregateFunction = Sum(cnt)), name)(exprId = al.exprId,
-                qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
-            case al @ Alias(ae: AggregateExpression, name)
+            case al @ Alias(ae: AggregateExpression, _) if isPairCount(ae) =>
+              rebuild(al, countShape(ae.copy(aggregateFunction = Sum(cnt))))
+            case al @ Alias(ae: AggregateExpression, _)
                 if sumOnSide(ae, countSide).isDefined =>
               // SUM(e) over pairs == SUM(e * pair_count) over emitted rows;
               // cast e to long first so the multiply is long domain (the
               // general path's Sum also widens integral inputs to long).
               val e = sumOnSide(ae, countSide).get
-              Alias(ae.copy(aggregateFunction = Sum(
-                org.apache.spark.sql.catalyst.expressions.Multiply(widen(e), cnt))),
-                name)(exprId = al.exprId,
-                qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
-            case al @ Alias(ae: AggregateExpression, name)
+              rebuild(al, ae.copy(aggregateFunction = Sum(Multiply(widen(e), cnt))))
+            case al @ Alias(ae: AggregateExpression, _)
+                if isMinMaxOnSide(ae, countSide) =>
+              al
+            case al @ Alias(ae: AggregateExpression, _)
+                if countColOn(ae, countSide).isDefined =>
+              // COUNT(e) over pairs == SUM(cnt over emitted rows with
+              // non-null e).
+              val e = countColOn(ae, countSide).get
+              rebuild(al, countShape(
+                ae.copy(aggregateFunction = Sum(If(IsNull(e), Literal(0L), cnt)))))
+            case al @ Alias(ae: AggregateExpression, _)
+                if avgOn(ae, countSide).isDefined =>
+              val e = avgOn(ae, countSide).get
+              rebuild(al, avgShape(
+                freshAgg(Sum(Multiply(widen(e), cnt))),
+                freshAgg(Sum(If(IsNull(e), Literal(0L), cnt)))))
+            case al @ Alias(ae: AggregateExpression, _)
                 if sumOnOtherSide(ae, otherSide).isDefined =>
               val e = widen(sumOnOtherSide(ae, otherSide).get)
-              val partial = crossSums.find(_._1.canonicalized == e.canonicalized).get._2
-              Alias(ae.copy(aggregateFunction = Sum(partial)), name)(exprId = al.exprId,
-                qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
+              rebuild(al, ae.copy(aggregateFunction = Sum(partialOf(e))))
+            case al @ Alias(ae: AggregateExpression, _)
+                if countColOn(ae, otherSide).isDefined =>
+              val e = countColOn(ae, otherSide).get
+              rebuild(al, countShape(
+                ae.copy(aggregateFunction = Sum(partialOf(nnWeight(e))))))
+            case al @ Alias(ae: AggregateExpression, _)
+                if avgOn(ae, otherSide).isDefined =>
+              val e = avgOn(ae, otherSide).get
+              rebuild(al, avgShape(
+                freshAgg(Sum(partialOf(widen(e)))),
+                freshAgg(Sum(partialOf(nnWeight(e))))))
             case other => other
           }
           Aggregate(groupExprs, newAggExprs, node, aggHint)

@@ -71,20 +71,30 @@ object CountPushdownLaws extends Properties("CountPushdown") {
         else a.join(b, a("contig") === b("contig") &&
           a("pos_end") >= b("pos_start") && a("pos_start") <= b("pos_end"))
       // Group by the build side with a cross-side nullable sum, a
-      // same-side sum, and min/max; then by the stream side with the
-      // mirrored shapes.
+      // same-side sum, min/max, a null-aware COUNT(col) on each side, and
+      // AVG on each side (incl. the nullable cross measure); then by the
+      // stream side with the mirrored shapes. A third, GLOBAL aggregate
+      // exercises the empty-result edge: zero overlapping pairs must give
+      // COUNT = 0 (not NULL) and NULL sums/avgs, exactly like the general
+      // path.
       def q1 = joined.groupBy(col("b_key")).agg(
         count(lit(1)).as("n"), sum(a("measure")).as("xm"),
         sum(b("pos_end")).as("sm"), min(b("pos_start")).as("lo"),
-        max(b("pos_end")).as("hi"))
+        max(b("pos_end")).as("hi"), count(a("measure")).as("xc"),
+        count(b("bm")).as("sc"), avg(b("pos_end")).as("sa"),
+        avg(a("measure")).as("xa"))
       def q2 = joined.groupBy(col("a_key")).agg(
         count(lit(1)).as("n"), sum(b("bm")).as("xm"),
-        sum(a("pos_start")).as("sm"))
+        sum(a("pos_start")).as("sm"), count(b("bm")).as("xc"),
+        avg(a("pos_start")).as("sa"), avg(b("bm")).as("xa"))
+      def q3 = joined.agg(
+        count(lit(1)).as("n"), sum(a("measure")).as("xm"),
+        count(a("measure")).as("xc"), avg(b("pos_end")).as("sa"))
       def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
         df.collect().map(r => (0 until r.length).map(i =>
           if (r.isNullAt(i)) null else r.get(i))).map(_.toSeq)
           .sortBy(_.toString).toSeq
-      def run(push: Boolean): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+      def run(push: Boolean): (Seq[Seq[Any]], Seq[Seq[Any]], Seq[Seq[Any]]) = {
         val old = spark.conf.getOption("spark.graft.rangejoin.countPushdown")
         spark.conf.set("spark.graft.rangejoin.countPushdown", push.toString)
         try {
@@ -96,10 +106,11 @@ object CountPushdownLaws extends Properties("CountPushdown") {
           if (ls.nonEmpty && rs.nonEmpty) {
             val execName = if (binRange) "IntervalBinCountJoin" else "IntervalCountJoin"
             val fired = q1.queryExecution.executedPlan.toString.contains(execName) &&
-              q2.queryExecution.executedPlan.toString.contains(execName)
+              q2.queryExecution.executedPlan.toString.contains(execName) &&
+              q3.queryExecution.executedPlan.toString.contains(execName)
             assert(fired == push, s"pushdown fired=$fired with conf=$push (binRange=$binRange)")
           }
-          (rows(q1), rows(q2))
+          (rows(q1), rows(q2), rows(q3))
         } finally old match {
           case Some(v) => spark.conf.set("spark.graft.rangejoin.countPushdown", v)
           case None => spark.conf.unset("spark.graft.rangejoin.countPushdown")

@@ -82,12 +82,25 @@ class IntervalCountJoinSpec extends AnyFunSuite {
     // A FILTER / DISTINCT aggregate modifier blocks the rewrite.
     assert(!hasCountExec(joined(a, b).groupBy(col("b_key"))
       .agg(countDistinct(a("pos_start")).as("n"))))
-    // count(nullable expr) counts non-nulls, not pairs. (count of a
-    // NON-nullable column canonicalizes to count(1) upstream of the rule,
-    // so it correctly pushes down — only a genuinely nullable child pins
-    // the guard.)
+    // count(nullable expr) pushes down null-AWARE (r10 stretch #8): the
+    // 0/1 non-null weight rides the cross-sum rank machinery, so the
+    // result still counts non-nulls, not pairs.
+    def qc() = joined(a, b).groupBy(col("b_key"))
+      .agg(count(when(a("pos_start") > 500, a("a_key"))).as("n"))
+    assert(hasCountExec(qc()))
+    val gotC = qc().collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wantC = withConf("spark.graft.rangejoin.countPushdown", "false") {
+      assert(!hasCountExec(qc()))
+      qc().collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(gotC === wantC && gotC.nonEmpty)
+    // A count over an expression straddling BOTH sides cannot ride either
+    // side's machinery — stays general.
     assert(!hasCountExec(joined(a, b).groupBy(col("b_key"))
-      .agg(count(when(a("pos_start") > 500, a("a_key"))).as("n"))))
+      .agg(count(when(a("pos_start") > b("pos_start"), 1)).as("n"))))
+    // AVG over a non-integral (fp) expression stays general too.
+    assert(!hasCountExec(joined(a, b).groupBy(col("b_key"))
+      .agg(avg(a("pos_start").cast("double")).as("m"))))
     // Grouping attributes from both sides.
     assert(!hasCountExec(joined(a, b).groupBy(col("b_key"), col("a_key"))
       .agg(count(lit(1)).as("n"))))
