@@ -731,19 +731,23 @@ case class IntervalForestJoinExec(
   // (a holder only promises a callback API; the cursor needs the array
   // forest).
   //
-  // LeftSemi/LeftAnti codegen too (r10 VERDICT #2): the stream-side probe
-  // is the 100 TB hot loop for existence filters just as for Inner, and
-  // they are the easy non-inner cases — no null-padded build row, output
-  // is the stream row alone. Semi emits on the FIRST cursor hit (no full
-  // match enumeration); anti emits when the cursor is empty, including
-  // the null-interval/null-key/absent-contig rows the interpreted path
-  // preserves. Residual-carrying semi/anti stay interpreted: the residual
-  // decides matched-ness per candidate pair inside the loop, which the
-  // cursor's early-exit shape doesn't express.
+  // LeftSemi/LeftAnti/LeftOuter/RightOuter codegen too (r10 VERDICT #2):
+  // the stream-side probe is the 100 TB hot loop for existence filters and
+  // preserved-side joins just as for Inner. Semi emits on the FIRST
+  // cursor hit (no full match enumeration); anti emits when the cursor is
+  // empty, including the null-interval/null-key/absent-contig rows the
+  // interpreted path preserves; one-sided outer streams the preserved
+  // side and pads a null build row for match-less stream rows (Spark's
+  // own BroadcastHashJoin outer-codegen loop shape — build columns read
+  // through a `matched == null` guard). Residual-carrying non-inner joins
+  // stay interpreted: the residual decides matched-ness per candidate
+  // pair inside the loop. FullOuter keeps the interpreted path (its
+  // unmatched-build pad is a separate driver phase, not a probe shape).
 
   override def supportCodegen: Boolean =
     (joinType == Inner ||
-      ((joinType == LeftSemi || joinType == LeftAnti) && residual.isEmpty)) &&
+      ((joinType == LeftSemi || joinType == LeftAnti ||
+        joinType == LeftOuter || joinType == RightOuter) && residual.isEmpty)) &&
       mode == BroadcastForestMode &&
       holderClass == classOf[IntervalForestFactory].getName
 
@@ -819,6 +823,45 @@ case class IntervalForestJoinExec(
            |if (!$found) {
            |  $numOutput.add(1);
            |  ${consume(ctx, input)}
+           |}
+         """.stripMargin
+      case LeftOuter | RightOuter =>
+        // Preserved side streams (the stream child IS the preserved side —
+        // RangeJoinChoice pins the build side opposite it). Loop shape is
+        // BroadcastHashJoinExec's codegenOuter: iterate matches; a
+        // match-less row takes exactly one pass with `matched == null`,
+        // reading every build column through a null guard.
+        import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, JavaCode}
+        import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+        val matchedTerm = ctx.addMutableState("InternalRow", "outerMatched")
+        val buildVars = buildPlan.output.zipWithIndex.map { case (a, i) =>
+          val isNull = ctx.freshName("bIsNull")
+          val value = ctx.freshName("bValue")
+          val jt = CodeGenerator.javaType(a.dataType)
+          val rowVal = CodeGenerator.getValue(matchedTerm, a.dataType, i.toString)
+          val c =
+            code"""
+               |boolean $isNull = $matchedTerm == null || $matchedTerm.isNullAt($i);
+               |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($rowVal);
+             """.stripMargin
+          ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+        }
+        val resultVars = if (buildLeft) buildVars ++ input else input ++ buildVars
+        val found = ctx.freshName("found")
+        s"""
+           |$lookup
+           |if ($forest != null) {
+           |  $cursorTerm.reset($forest, ${sStartEv.value}, ${sEndEv.value}, $minOverlap);
+           |}
+           |boolean $found = false;
+           |while (true) {
+           |  $matchedTerm = ($forest != null && $cursorTerm.advance())
+           |    ? (InternalRow) $cursorTerm.value() : null;
+           |  if ($matchedTerm == null && $found) break;
+           |  $found = true;
+           |  $numOutput.add(1);
+           |  ${consume(ctx, resultVars)}
+           |  if ($matchedTerm == null) break;
            |}
          """.stripMargin
       case _ => // Inner

@@ -122,15 +122,17 @@ class IntervalJoinSpec extends SparkSpec {
       s"forest join not codegen'd:\n$text")
   }
 
-  test("semi/anti broadcast probes run inside whole-stage codegen, no fallback") {
+  test("semi/anti/outer broadcast probes run inside whole-stage codegen, no fallback") {
     // r10 VERDICT #2: the stream-side probe is the 100 TB hot loop for
-    // existence filters too. Semi/anti must sit inside a WholeStageCodegen
-    // span (and return identical rows under codegen.fallback=false); a
-    // residual-carrying anti must still answer correctly on the
-    // interpreted path.
+    // existence filters and preserved-side joins too. Each must sit inside
+    // a WholeStageCodegen span (and return identical rows under
+    // codegen.fallback=false); a residual-carrying anti must still answer
+    // correctly on the interpreted path. left_outer exercises the
+    // null-padded build row (match-less stream rows exist at these sizes);
+    // right_outer the mirrored stream side.
     val a = randomIntervals(400, 33, "a_key")
     val b = randomIntervals(60, 34, "b_key")
-    for (jt <- Seq("left_semi", "left_anti")) {
+    for (jt <- Seq("left_semi", "left_anti", "left_outer", "right_outer")) {
       def q() = a.join(b,
         a("contig") === b("contig") &&
         a("pos_end") >= b("pos_start") && a("pos_start") <= b("pos_end"), jt)
@@ -139,6 +141,14 @@ class IntervalJoinSpec extends SparkSpec {
         q().collect().map(_.toString).sorted.toSeq
       }
       assert(strict === base && base.nonEmpty)
+      // The generated probe must agree with the interpreted one (codegen
+      // off) — base vs strict alone would compare codegen with itself.
+      val interpreted = withConf("spark.sql.codegen.wholeStage", "false") {
+        q().collect().map(_.toString).sorted.toSeq
+      }
+      assert(interpreted === base, s"$jt codegen diverged from interpreted")
+      if (jt.endsWith("outer")) assert(base.exists(_.contains("null")),
+        s"$jt fixture produced no null-padded rows — pad path untested")
       val df = q()
       df.collect()
       val text = (physical(df) match {
