@@ -516,9 +516,11 @@ object NearestJoinOps {
     * the whole int span (d_k = the largest available — the contig holds
     * fewer than k distinct distances, DENSE_RANK keeps everything).
     * Unfinished rows retry with window × 16; geometric growth from
-    * >= 1024 covers the 32-bit coordinate span in <= 7 rounds — a hard
-    * bound, enforced. Per-round lineage is truncated with
-    * `localCheckpoint` (the [[DedupOps.clusters]] pattern).
+    * >= 64 covers the 32-bit coordinate span in <= 9 rounds — a hard
+    * bound, enforced. Per-round lineage is truncated with ONE
+    * `localCheckpoint` per round (the [[DedupOps.clusters]] pattern);
+    * done/pending splits and the loop's emptiness test are lazy filters
+    * over that checkpoint.
     *
     * Phase 2 re-joins every left row (duplicates included — multiset
     * semantics) expanded by its own d_k and keeps `distance <= d_k`:
@@ -548,10 +550,16 @@ object NearestJoinOps {
         lit(Int.MaxValue.toLong)).cast("int"))
 
     // Round 0 window: at least d* (>= 1 candidate by construction) with
-    // headroom so most rows find k distinct distances immediately.
+    // headroom so most rows find k distinct distances immediately. The
+    // floor stays SMALL: candidate volume per round is
+    // O(rows x features-within-window), so on a dense catalog (d* = 0,
+    // features every few bases) a generous floor multiplies the round-0
+    // join by orders of magnitude; sparse rows expand geometrically
+    // instead (x16 per round — a handful of cheap extra rounds over the
+    // shrinking unfinished set).
     var pend = nearestDistances(left, right)
       .select(col("contig"), col("pos_start"), col("pos_end"),
-        greatest(col("_nd").cast("long") * 4, lit(1024L)).as("_w"))
+        greatest(col("_nd").cast("long") * 4, lit(64L)).as("_w"))
       .transform(materialized)
     val fullSpan = 1L << 32 // window covers any int-coordinate contig
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -574,14 +582,17 @@ object NearestJoinOps {
         .agg(max(when(col("_rk") <= k, col("_d"))).as("_dk"),
           max(col("_rk")).as("_ndist"))
       val covered = col("_w") >= lit(fullSpan)
-      doneParts += stats.filter(col("_ndist") >= k || covered)
+      // ONE materialization per round: done/pend are lazy filters over
+      // the checkpointed stats RDD, so splitting them (and the loop's
+      // emptiness test) re-scans the tiny checkpoint instead of
+      // re-running the round's join — 3 jobs per round collapse to 1.
+      val statsM = materialized(stats)
+      doneParts += statsM.filter(col("_ndist") >= k || covered)
         .select(col("contig"), col("pos_start"), col("pos_end"),
           col("_dk").cast("int").as("_dk"))
-        .transform(materialized)
-      pend = stats.filter(col("_ndist") < k && !covered)
+      pend = statsM.filter(col("_ndist") < k && !covered)
         .select(col("contig"), col("pos_start"), col("pos_end"),
           (col("_w") * 16).as("_w"))
-        .transform(materialized)
       round += 1
     }
     if (!pend.isEmpty) sys.error(
