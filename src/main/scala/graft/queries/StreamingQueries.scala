@@ -79,6 +79,19 @@ object StreamingQueries {
       StreamingOps.annotateStream(reads, targets)
         .select(col("contig"), col("pos_start"), col("pos_end"), col("target_name"))
     },
+    // Stream-static COUNT annotate (featureCounts over a stream): the
+    // rank-identity kernel the batch pushdown uses, statelessly per
+    // micro-batch — the oracle is the exhaustive join + GROUP BY read.
+    "stream_interval_count" -> { (s, dir) =>
+      import s.implicits._
+      val reads = Tables.reads(s, dir)
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          timestamp_seconds(col("pos_start").cast("long") * 7 + lit(1700000000L)).as("ts"))
+        .as[StreamingOps.StreamRead]
+      val targets = Tables.targets(s, dir).filter(col("pos_start") % 10 === 3)
+      StreamingOps.countStream(reads, targets)
+        .select(col("contig"), col("pos_start"), col("pos_end"), col("n_overlaps"))
+    },
     // Stream-static NEAREST join (bedtools closest against a static
     // feature set): the same flatMap-over-broadcast-forest kernel the
     // streaming query runs, on a batch reads frame — the oracle is the
@@ -181,6 +194,18 @@ object StreamingQueries {
          |FROM reads r JOIN targets t ON r.contig = t.contig
          |  AND r.pos_end >= t.pos_start AND r.pos_start <= t.pos_end
          |WHERE t.pos_start % 10 = 3""".stripMargin,
+    // Correlated scalar count (DuckDB decorrelates it): a join + GROUP BY
+    // would merge duplicate read rows, but the kernel emits one row PER
+    // stream row.
+    "stream_interval_count" ->
+      s"""WITH ${OracleCtes.reads}, ${OracleCtes.targets},
+         |t AS (SELECT contig, pos_start, pos_end FROM targets WHERE pos_start % 10 = 3),
+         |c AS (SELECT r.contig, r.pos_start, r.pos_end,
+         |  (SELECT COUNT(*) FROM t WHERE t.contig = r.contig
+         |     AND r.pos_end >= t.pos_start AND r.pos_start <= t.pos_end) AS n_overlaps
+         |  FROM reads r)
+         |SELECT contig, pos_start, pos_end, CAST(n_overlaps AS BIGINT) AS n_overlaps
+         |FROM c WHERE n_overlaps > 0""".stripMargin,
     "stream_interval_nearest" ->
       s"""WITH ${OracleCtes.reads}, ${OracleCtes.targets},
          |r AS (SELECT contig, pos_start, pos_end FROM reads WHERE pos_start % 7 = 1),

@@ -316,6 +316,64 @@ object StreamingOps {
     }.toDF("contig", "pos_start", "pos_end", "ts", "target_name")
   }
 
+  /** Stream-static COUNT annotate: each stream read gets the NUMBER of
+    * overlapping static features — the streaming face of the batch
+    * aggregate pushdown ([[graft.plans.IntervalCountJoinExec]]). Counts
+    * come from the same rank identity
+    * `#overlaps = #(starts <= qe) − #(ends < qs)`: two binary searches
+    * per row against broadcast per-contig sorted start/end arrays —
+    * O(log n) no matter how many features overlap, no pair rows ever, no
+    * forest walk, no state, no watermark; the unbounded side never
+    * shuffles. Reads with zero overlaps (or on absent contigs) drop —
+    * inner `GROUP BY read` semantics, matching the batch pushdown's
+    * stream-grouped direction. Inverted (start > end) rows are dropped
+    * on both sides, the rank identity's well-formedness contract. */
+  def countStream(reads: Dataset[StreamRead], targets: DataFrame): DataFrame = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    val maxBytes = spark.conf
+      .get("spark.graft.rangejoin.maxBroadcastBytes", (256L << 20).toString).toLong
+    val estimated = targets.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(estimated <= BigInt(maxBytes),
+      s"countStream static side is estimated at $estimated bytes, over " +
+      s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes — it is collected " +
+      "to the driver as per-contig rank arrays. Filter/project the " +
+      "annotation table down, or raise the conf if the driver can hold it.")
+    val collected = targets
+      .select(col("contig").cast("string"), col("pos_start").cast("int"),
+        col("pos_end").cast("int"))
+      .as[(String, Int, Int)].collect()
+    val index: Map[String, (Array[Int], Array[Int])] =
+      collected.filter(r => r._2 <= r._3).groupBy(_._1).map { case (c, rows) =>
+        c -> (rows.map(_._2).sorted, rows.map(_._3).sorted)
+      }
+    val bc = spark.sparkContext.broadcast(index)
+    reads.flatMap { r =>
+      if (r.pos_start > r.pos_end) Iterator.empty
+      else bc.value.get(r.contig) match {
+        case None => Iterator.empty
+        case Some((starts, ends)) =>
+          val c = (rankLe(starts, r.pos_end) - rankLt(ends, r.pos_start)).toLong
+          if (c <= 0L) Iterator.empty
+          else Iterator.single((r.contig, r.pos_start, r.pos_end, r.ts, c))
+      }
+    }.toDF("contig", "pos_start", "pos_end", "ts", "n_overlaps")
+  }
+
+  /** #elements <= q in an ascending array. */
+  private def rankLe(a: Array[Int], q: Int): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) { val m = (lo + hi) >>> 1; if (a(m) <= q) lo = m + 1 else hi = m }
+    lo
+  }
+
+  /** #elements < q in an ascending array. */
+  private def rankLt(a: Array[Int], q: Int): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) { val m = (lo + hi) >>> 1; if (a(m) < q) lo = m + 1 else hi = m }
+    lo
+  }
+
   /** Stream-static NEAREST join: annotate a stream of reads with every
     * static feature at the minimum genomic distance (bedtools-closest
     * semantics — 0 on overlap, all ties emit, reads on contigs absent

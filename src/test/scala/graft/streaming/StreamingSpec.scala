@@ -206,6 +206,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static count annotate emits rank-identity overlap counts per read") {
+    import graft.SharedSpark.spark.implicits._
+    val targets = Seq(
+      ("1", 100, 200, "tA"), ("1", 150, 300, "tB"), ("1", 190, 195, "tN"),
+      ("2", 50, 60, "tC"), ("1", 900, 800, "tInv")) // inverted row dropped
+      .toDF("contig", "pos_start", "pos_end", "name")
+    val in = MemoryStream[StreamingOps.StreamRead]
+    val query = StreamingOps.countStream(in.toDS(), targets)
+      .writeStream.format("memory").queryName("counted").outputMode("append").start()
+    in.addData(
+      StreamingOps.StreamRead("1", 190, 210, ts(1)), // tA, tB, tN -> 3
+      StreamingOps.StreamRead("1", 400, 500, ts(2)), // zero -> dropped
+      StreamingOps.StreamRead("2", 55, 58, ts(3)),   // tC -> 1
+      StreamingOps.StreamRead("3", 55, 58, ts(4)))   // unknown contig -> dropped
+    query.processAllAvailable()
+    // Second batch: the broadcast rank arrays still serve later batches.
+    in.addData(StreamingOps.StreamRead("1", 100, 100, ts(5))) // point hit on tA -> 1
+    run(query) {
+      val rows = spark.table("counted")
+        .select("contig", "pos_start", "n_overlaps").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows === Set(("1", 190, 3L), ("2", 55, 1L), ("1", 100, 1L)))
+    }
+  }
+
   test("stream-static nearest join pairs each read with its closest static features") {
     import graft.SharedSpark.spark.implicits._
     val targets = Seq(
