@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions.expr
   * here); swapping in a real genome only changes this one function.
   * Mirrored verbatim in the DuckDB oracles (`PileupQueries`).
   */
-object MockReference {
+object MockReference extends ReferenceSource {
 
   /** Reference base at (`contigCol`, `posCol`) as a SQL expression over
     * those column names. */
-  def refBase(contigCol: String, posCol: String): Column =
+  override def refBase(contigCol: String, posCol: String): Column =
     expr(s"substr('ACGT', CAST((ascii($contigCol) + $posCol) % 4 AS INT) + 1, 1)")
 
   /** The same derivation as oracle SQL text (DuckDB dialect). */

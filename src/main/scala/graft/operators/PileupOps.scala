@@ -67,9 +67,12 @@ object PileupOps {
 
   /** Depth lookup: point-in-block interval join against coverage blocks
     * (plans as IntervalForestJoin; perPos is the small broadcast side).
-    * `ref` is the per-position reference base from [[MockReference]]
-    * (A4 — the FASTA stand-in), evaluated on the emitted rows only. */
-  private def withDepth(perPos: DataFrame, reads: DataFrame): DataFrame = {
+    * `ref` is the per-position reference base from the passed
+    * [[ReferenceSource]] (A4) — [[MockReference]] by default,
+    * [[FastaReference]] for a real indexed genome — evaluated on the
+    * emitted rows only. */
+  private def withDepth(perPos: DataFrame, reads: DataFrame,
+      ref: ReferenceSource): DataFrame = {
     val blocks = CoverageOps.blocks(reads)
     // `quals` passes through only when the aggregation built it — the
     // quals-free fast path (withQuals=false) never computes histograms.
@@ -78,7 +81,7 @@ object PileupOps {
     perPos.as("p").join(blocks.as("b"),
         expr("p.contig = b.contig AND p.pos >= b.pos_start AND p.pos <= b.pos_end"))
       .select(Seq(col("p.contig").as("contig"), col("p.pos").as("pos"),
-        MockReference.refBase("p.contig", "p.pos").as("ref"),
+        ref.refBase("p.contig", "p.pos").as("ref"),
         col("b.coverage").as("coverage"),
         (col("b.coverage").cast("long") - col("count_nonref")).as("count_ref"),
         col("count_nonref")) ++ tail: _*)
@@ -118,14 +121,15 @@ object PileupOps {
     * `quals` column — the right input for downstream consumers like
     * [[naiveVariantCalls]] that only read depth + alt counts. */
   def pileupMaps(reads: DataFrame, qualsBinSize: Option[Int] = None,
-      withQuals: Boolean = true): DataFrame =
-    pileupMapsBy(reads, Nil, qualsBinSize, withQuals)
+      withQuals: Boolean = true, ref: ReferenceSource = MockReference): DataFrame =
+    pileupMapsBy(reads, Nil, qualsBinSize, withQuals, ref)
 
   /** [[pileupMaps]] generalized over group keys — the map-schema sibling
     * of [[pileupBy]]: one scan, one alt exchange, one blocksBy depth
     * pass for an N-group corpus. */
   def pileupMapsBy(reads: DataFrame, keys: Seq[String],
-      qualsBinSize: Option[Int] = None, withQuals: Boolean = true): DataFrame = {
+      qualsBinSize: Option[Int] = None, withQuals: Boolean = true,
+      ref: ReferenceSource = MockReference): DataFrame = {
     graft.Graft.ensure(reads.sparkSession)
     val k = keys.map(col)
     // Counts aggregate in long and only narrow to the reference's Short
@@ -182,8 +186,8 @@ object PileupOps {
           map_from_entries(array_sort(collect_list(
             struct(col("base"), least(col("cnt"), shortMax).cast("smallint"))))).as("alts"))
     }
-    if (keys.isEmpty) withDepth(perPos, reads)
-    else withDepthBy(perPos, reads, keys)
+    if (keys.isEmpty) withDepth(perPos, reads, ref)
+    else withDepthBy(perPos, reads, keys, ref)
   }
 
   /** String-rendered pileup for a reads DataFrame carrying
@@ -203,8 +207,8 @@ object PileupOps {
     * omits the quals column AND its sorted-rendering cost — previously
     * the narrow schema was projected after the full computation. */
   def pileup(reads: DataFrame, qualsBinSize: Option[Int] = None,
-      withQuals: Boolean = true): DataFrame =
-    pileupBy(reads, Nil, qualsBinSize, withQuals)
+      withQuals: Boolean = true, ref: ReferenceSource = MockReference): DataFrame =
+    pileupBy(reads, Nil, qualsBinSize, withQuals, ref)
 
   /** Multi-group pileup in ONE pass — `keys` (e.g. `sample_id`) join the
     * aggregation and depth keys, so an N-sample corpus is scanned and
@@ -215,7 +219,8 @@ object PileupOps {
     * [[CoverageOps.blocksBy]] on the same keys, probed through the
     * forest join with the keys as extra equality columns. */
   def pileupBy(reads: DataFrame, keys: Seq[String],
-      qualsBinSize: Option[Int] = None, withQuals: Boolean = true): DataFrame = {
+      qualsBinSize: Option[Int] = None, withQuals: Boolean = true,
+      ref: ReferenceSource = MockReference): DataFrame = {
     val spark = reads.sparkSession
     graft.Graft.ensure(spark)
     val k = keys.map(col)
@@ -252,15 +257,15 @@ object PileupOps {
       .agg(level2Aggs.head, level2Aggs.tail: _*)
       .withColumn("alts", expr("altmap_to_str(alts_to_char(alts_map))"))
       .drop("alts_map")
-    if (keys.isEmpty) withDepth(perPos, reads)
-    else withDepthBy(perPos, reads, keys)
+    if (keys.isEmpty) withDepth(perPos, reads, ref)
+    else withDepthBy(perPos, reads, keys, ref)
   }
 
   /** [[withDepth]] generalized over group keys: depth per
     * `(keys, contig, pos)` from [[CoverageOps.blocksBy]], probed through
     * the forest join with the keys as extra equality columns. */
   private def withDepthBy(perPos: DataFrame, reads: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], ref: ReferenceSource): DataFrame = {
     val blocks = CoverageOps.blocksBy(reads, keys)
     val cond = (keys.map(kc => col(s"p.$kc") === col(s"b.$kc")) ++ Seq(
       col("p.contig") === col("b.contig"),
@@ -269,7 +274,7 @@ object PileupOps {
     perPos.as("p").join(blocks.as("b"), cond)
       .select(keys.map(kc => col(s"p.$kc").as(kc)) ++ Seq(
         col("p.contig").as("contig"), col("p.pos").as("pos"),
-        MockReference.refBase("p.contig", "p.pos").as("ref"),
+        ref.refBase("p.contig", "p.pos").as("ref"),
         col("b.coverage").as("coverage"),
         (col("b.coverage").cast("long") - col("count_nonref")).as("count_ref"),
         col("count_nonref"), col("alts")) ++

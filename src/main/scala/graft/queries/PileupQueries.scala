@@ -172,6 +172,61 @@ object PileupQueries {
         PileupOps.pileupMaps(Tables.readsMd(s, dir).filter(col("sample_id") === "s1"),
           withQuals = false),
         minDepth = 3, minAltPct = 8)
+    },
+    // A4 through a REAL indexed FASTA (r10 VERDICT residual gap #2): the
+    // ref base comes from a samtools-faidx random-access lookup over a
+    // generated genome file instead of the coordinate-function mock. The
+    // fixture's bases are periodic, so the DuckDB oracle mirrors the
+    // SAME genome arithmetically — the faidx byte math, line-terminator
+    // stripping, and executor-side caching are what the row compare
+    // actually pins.
+    "pileup_fasta_ref" -> { (s, dir) =>
+      Graft.ensure(s)
+      val fasta = fastaFixture(s, dir)
+      PileupOps.pileup(Tables.readsMd(s, dir).filter(col("sample_id") === "s1"),
+        withQuals = false, ref = new graft.operators.FastaReference(fasta))
+    })
+
+  /** Deterministic indexed FASTA fixture: per reads contig, bases
+    * `'ACGTTGCA'[(pos - 1 + ascii(contig)) % 8]` (periodic, so oracles
+    * mirror it arithmetically) sized past the contig's max read end,
+    * 60 bases/line, with the matching samtools `.fai` (name, length,
+    * first-base offset, bases/line, bytes/line). Written once per
+    * (fixture, dir) per JVM — query setup, not the measured operator. */
+  private val fastaWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def fastaFixture(s: SparkSession, dir: String): String =
+    fastaWritten.getOrElseUpdate(dir, {
+      val spans = Tables.readsMd(s, dir)
+        .groupBy(col("contig")).agg(max(col("pos_end")).as("m"))
+        .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+      val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_ref_${java.lang.Integer.toHexString(dir.hashCode)}.fasta").toString
+      val pattern = "ACGTTGCA"
+      val lineBases = 60
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+      val fai = new StringBuilder
+      var offset = 0L
+      for ((contig, maxEnd) <- spans) {
+        val header = s">$contig\n".getBytes("UTF-8")
+        out.write(header); offset += header.length
+        val len = maxEnd + 10
+        fai.append(s"$contig\t$len\t$offset\t$lineBases\t${lineBases + 1}\n")
+        val sb = new StringBuilder
+        var p = 1
+        while (p <= len) {
+          sb.append(pattern.charAt((p - 1 + contig.charAt(0).toInt) % 8))
+          if (p % lineBases == 0 || p == len) sb.append('\n')
+          p += 1
+        }
+        val bytes = sb.toString.getBytes("UTF-8")
+        out.write(bytes); offset += bytes.length
+      }
+      out.close()
+      java.nio.file.Files.write(java.nio.file.Paths.get(path + ".fai"),
+        fai.toString.getBytes("UTF-8"))
+      // The path may have been overwritten by an earlier JVM run.
+      graft.operators.FastaReference.clearCaches()
+      path
     })
 
   private val pileupOracle: String =
@@ -340,6 +395,14 @@ object PileupQueries {
     full.replace("p.count_nonref, p.alts, p.quals\n", "p.count_nonref, p.alts\n")
   }
 
+  /** The noquals oracle with the ref base swapped from the mock's
+    * coordinate function to the FASTA fixture's periodic genome — the
+    * SAME bases [[fastaFixture]] writes, derived arithmetically. */
+  private val pileupFastaOracle: String =
+    pileupNoQualsOracle.replace(
+      MockReference.refBaseSql("p.contig", "p.pos"),
+      "substr('ACGTTGCA', ((p.pos - 1 + ascii(p.contig)) % 8) + 1, 1)")
+
   /** The shared normalization rewrite as a recursive CTE body over a
     * `v0(variant_id, contig, pos, ref, alt)` relation: one step per
     * recursion; `rule` picks right-trim ('rt'), left-extend ('ex'), the
@@ -432,6 +495,7 @@ object PileupQueries {
     "pileup_alts" -> pileupOracle,
     "pileup_tvf" -> pileupOracle,
     "pileup_tvf_noquals" -> pileupNoQualsOracle,
+    "pileup_fasta_ref" -> pileupFastaOracle,
     "pileup_tvf_cov" -> CoverageQueries.coverageOracle,
     "pileup_binned" -> pileupBinnedOracle,
     "pileup_binned_tvf" -> pileupBinnedOracle,
