@@ -95,6 +95,25 @@ object SourceQueries {
       }
       s.read.parquet(path).select(col("sample_id").cast("string")).distinct()
     },
+    // S1/S10 through REAL binary BAM: the s1 sample written as sharded
+    // BGZF BAM by the pure-JVM sink, registered via DDL, and decoded back
+    // through the reader (4-bit seq, packed CIGAR, Phred quals, MD tag,
+    // CIGAR-derived pos_end). The oracle re-derives every column from the
+    // lineitem fixture — a bug in EITHER direction of the codec shows as
+    // a row mismatch (the codec itself is additionally pinned by golden
+    // bytes and a real htsjdk-produced file in BamFormatSpec).
+    "ddl_bam_scan" -> { (s, dir) =>
+      val path = fixture("reads_bam", dir) { p =>
+        graft.sources.SourceUtil.writeBam(
+          Tables.readsMd(s, dir).filter(col("sample_id") === "s1"), p + "/s1.bam")
+      }
+      s.sql("DROP TABLE IF EXISTS reads_bam_ddl")
+      s.sql(s"""CREATE TABLE reads_bam_ddl USING graft.sources.BamSource
+               |OPTIONS (path '$path/s1.bam')""".stripMargin)
+      s.sql("""SELECT sample_id, contig, pos_start, pos_end, mapq, flag,
+              |  cigar, seq, qual_str, md_tag
+              |FROM reads_bam_ddl WHERE mapq >= 20""".stripMargin)
+    },
     // S6 + S7/S8: FASTQ text round trip through the splittable pure-JVM
     // FastqInputFormat — 4-line records rendered with Illumina-1.8 read
     // names, registered via DDL, parsed back to the typed fragment
@@ -165,6 +184,34 @@ object SourceQueries {
     "distinct_samples" ->
       s"""WITH ${OracleCtes.reads}
          |SELECT DISTINCT sample_id FROM reads""".stripMargin,
+    // The readsMd derivation (Tables.readsMd) mirrored in DuckDB: md_tag,
+    // the mock-reference-cycled seq (with the alt base spliced in), and
+    // the constant-quality qual string.
+    "ddl_bam_scan" ->
+      s"""WITH ${OracleCtes.reads},
+         |md AS (SELECT *, pos_end - pos_start + 1 AS _len,
+         |  CASE WHEN cigar LIKE '%N%'
+         |       THEN (pos_end - pos_start + 1) // 3 ELSE 0 END AS _gap
+         |  FROM reads WHERE sample_id = 's1'),
+         |md2 AS (SELECT *, _len - _gap AS _mlen, alt_pos - pos_start AS _off,
+         |  repeat('ACGT', (_len - _gap) // 4 + 2) AS _cyc FROM md),
+         |md3 AS (SELECT *,
+         |  CASE WHEN _gap > 0
+         |       THEN substr(_cyc, (ascii(contig) + pos_start) % 4 + 1, _gap) ||
+         |            substr(_cyc, (ascii(contig) + pos_start + 2 * _gap) % 4 + 1, _mlen - _gap)
+         |       ELSE substr(_cyc, (ascii(contig) + pos_start) % 4 + 1, _mlen) END AS _seqref
+         |  FROM md2)
+         |SELECT sample_id, contig, pos_start, pos_end, mapq, flag, cigar,
+         |  CASE WHEN has_alt
+         |       THEN substr(_seqref, 1, _off) || alt_base || substr(_seqref, _off + 2)
+         |       ELSE _seqref END AS seq,
+         |  repeat(chr(base_qual + 33), _mlen) AS qual_str,
+         |  CASE WHEN has_alt
+         |       THEN CAST(_off AS VARCHAR) ||
+         |            substr('ACGT', (ascii(contig) + alt_pos) % 4 + 1, 1) ||
+         |            CAST(_mlen - _off - 1 AS VARCHAR)
+         |       ELSE CAST(_mlen AS VARCHAR) END AS md_tag
+         |FROM md3 WHERE mapq >= 20""".stripMargin,
     "ddl_fastq_scan" ->
       s"""WITH ${OracleCtes.fragments}
          |SELECT 'sample01' AS sample_id, instrument_name, run_id,

@@ -98,6 +98,61 @@ object SourceUtil {
     reads.repartitionByRange(col("sample_id"), col("contig"), col("pos_start"))
       .sortWithinPartitions(col("sample_id"), col("contig"), col("pos_start"))
       .write.partitionBy("sample_id").mode("overwrite").parquet(path)
+
+  /** BAM sink (S10): write an alignment frame as a directory of sharded
+    * `.bam` files — one fully-headed BAM per task, the hadoop-bam output
+    * shape, encoded by the pure-JVM [[BamFormat.BamWriter]]. The
+    * reference dictionary (distinct contigs + a max-end-derived length)
+    * comes from ONE cheap driver aggregation and ships with the tasks;
+    * everything else streams. Expects `(contig, pos_start, pos_end,
+    * mapq, flag, cigar)` plus optional `qname`/`seq`/`qual_str`/`md_tag`
+    * columns. */
+  def writeBam(reads: DataFrame, path: String): Unit = {
+    val spark = reads.sparkSession
+    val refs = reads.filter(col("contig").isNotNull)
+      .groupBy(col("contig")).agg(max(col("pos_end").cast("int")).as("m"))
+      .collect().sortBy(_.getString(0))
+    val refNames = refs.map(_.getString(0))
+    val refLens = refs.map(r => r.getInt(1) + 1000)
+    def optCol(n: String, default: org.apache.spark.sql.Column) =
+      if (reads.columns.contains(n)) col(n) else default
+    val prepared = reads.select(
+      col("contig").cast("string"), col("pos_start").cast("int"),
+      col("mapq").cast("int"), col("flag").cast("int"),
+      optCol("qname", lit("*")).cast("string"), col("cigar").cast("string"),
+      optCol("seq", lit("")).cast("string"),
+      optCol("qual_str", lit(null)).cast("string"),
+      optCol("md_tag", lit(null)).cast("string"))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dir.getFileSystem(conf)
+    if (fs0.exists(dir)) fs0.delete(dir, true)
+    fs0.mkdirs(dir)
+    prepared.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.bam")
+        val fs = p.getFileSystem(serConf.value)
+        val out = fs.create(p, true)
+        val w = new BamFormat.BamWriter(out, refNames, refLens)
+        it.foreach { r =>
+          val qualStr = if (r.isNullAt(7)) null else r.getString(7)
+          val quals =
+            if (qualStr == null) null
+            else qualStr.toCharArray.map(c => (c - 33).toByte)
+          w.write(
+            if (r.isNullAt(0)) null else r.getString(0),
+            r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4), r.getString(5),
+            r.getString(6), quals,
+            if (r.isNullAt(8)) null else r.getString(8))
+        }
+        w.close()
+        Iterator.single(1)
+      }
+    }.count(): Unit
+  }
 }
 
 /** Alignment (reads) table over parquet — the S1/S2 surface. Options:
@@ -149,6 +204,69 @@ class VariantSource extends RelationProvider {
       }
     }
   }
+}
+
+/** Alignment table over REAL binary BAM files (S1 + S10 sink below)
+  * through the pure-JVM [[BamFormat]] codec — BGZF inflated by the JDK's
+  * own gzip engine, records decoded per the public SAM/BAM spec v1.6
+  * (the reference reads through hadoop-bam + htsjdk,
+  * `datasources/BAM/AlignmentRelation.scala:74-176`; neither exists
+  * offline). Emits the engine's alignment surface: sample-id from the
+  * file name (S7), 1-based `pos_start`, `pos_end` from the
+  * reference-consumed CIGAR length, quals re-rendered as the Phred+33
+  * string, the MD tag extracted from the tag stream, and contig
+  * normalization (P5). One file = one task (BGZF virtual-offset
+  * splitting needs a .bai — the documented next seam); parallelism comes
+  * from the sharded many-files layout [[SourceUtil.writeBam]] produces. */
+class BamSource extends RelationProvider {
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("BamSource requires a 'path' option"))
+    new GraftBaseRelation {
+      override val sqlContext: SQLContext = ctx
+      override protected def frame(): DataFrame = {
+        val spark = ctx.sparkSession
+        val rows = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
+          val leaf = file.substring(file.lastIndexOf('/') + 1)
+          val fileName =
+            if (leaf.startsWith("part-"))
+              file.split('/').dropRight(1).lastOption.getOrElse(leaf)
+            else leaf
+          val sample = fileName.split('.')(0)
+          val reader = new BamFormat.BamReader(pds.open())
+          val names = reader.header.refNames
+          reader.iterator.map { r =>
+            val contig = if (r.refId >= 0 && r.refId < names.length) names(r.refId) else null
+            val posStart = r.pos0 + 1
+            val posEnd = posStart + math.max(r.refConsumed, 1) - 1
+            val qualStr =
+              if (r.quals.isEmpty || r.quals(0) == 0xff.toByte) null
+              else new String(r.quals.map(q => (q + 33).toChar))
+            Row(sample, r.qname, r.flag, contig, posStart, posEnd, r.mapq,
+              r.cigar, r.seq, qualStr, r.mdTag)
+          }
+        }
+        val df = spark.createDataFrame(rows, BamSource.schema)
+        df.withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+      }
+    }
+  }
+}
+
+object BamSource {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("sample_id", StringType, nullable = false),
+    StructField("qname", StringType, nullable = false),
+    StructField("flag", IntegerType, nullable = false),
+    StructField("contig", StringType, nullable = true),
+    StructField("pos_start", IntegerType, nullable = false),
+    StructField("pos_end", IntegerType, nullable = false),
+    StructField("mapq", IntegerType, nullable = false),
+    StructField("cigar", StringType, nullable = false),
+    StructField("seq", StringType, nullable = false),
+    StructField("qual_str", StringType, nullable = true),
+    StructField("md_tag", StringType, nullable = true)))
 }
 
 /** FASTQ table over 4-line FASTQ text (S6) through the splittable

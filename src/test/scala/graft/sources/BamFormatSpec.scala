@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.GZIPInputStream
+
+/** Pure-JVM BAM codec ([[BamFormat]]), validated three independent ways:
+  *  1. golden bytes — one record's encoding asserted byte-for-byte
+  *     against a buffer hand-assembled from the SAM/BAM spec v1.6 text
+  *     (so the WRITER follows the spec, not merely our own reader);
+  *  2. BGZF container shape — gzip magic/FEXTRA/BC subfield/BSIZE
+  *     arithmetic and the fixed 28-byte EOF member, with the JDK's own
+  *     GZIPInputStream as the decompressor;
+  *  3. a REAL htsjdk-produced 1000-Genomes slice from the reference
+  *     checkout (when present): record count and first-record fields
+  *     pinned against values extracted independently with Python's
+  *     struct/gzip modules. */
+class BamFormatSpec extends AnyFunSuite {
+
+  private def writeOne(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val w = new BamFormat.BamWriter(bos, Array("c1"), Array(100))
+    w.write("c1", 5, 30, 16, "r1", "4M", "ACGT", Array[Byte](10, 20, 30, 40), "4")
+    w.close()
+    bos.toByteArray
+  }
+
+  test("golden bytes: one record encodes exactly per the SAM/BAM spec") {
+    val bgzf = writeOne()
+    val inflated = {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bgzf))
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var r = in.read(buf)
+      while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+      out.toByteArray
+    }
+    // Hand-assembled expectation straight from the spec: magic, SAM text,
+    // one-reference dictionary, then the 50-byte alignment block.
+    val text = "@HD\tVN:1.6\tSO:unsorted\n@SQ\tSN:c1\tLN:100\n".getBytes("UTF-8")
+    val bb = ByteBuffer.allocate(4 + 4 + text.length + 4 + (4 + 3 + 4) + 4 + 50)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("BAM".getBytes); bb.put(1.toByte)
+    bb.putInt(text.length); bb.put(text)
+    bb.putInt(1) // n_ref
+    bb.putInt(3); bb.put("c1".getBytes); bb.put(0.toByte); bb.putInt(100)
+    bb.putInt(50) // block_size: 32 fixed + 3 name + 4 cigar + 2 seq + 4 qual + 5 MD
+    bb.putInt(0) // refID
+    bb.putInt(4) // pos (0-based)
+    bb.put(3.toByte) // l_read_name incl NUL
+    bb.put(30.toByte) // mapq
+    bb.putShort(4681.toShort) // reg2bin(4, 8): same 16kb window -> 4681 + 0
+    bb.putShort(1.toShort) // n_cigar_op
+    bb.putShort(16.toShort) // flag
+    bb.putInt(4) // l_seq
+    bb.putInt(-1); bb.putInt(-1); bb.putInt(0) // next_refID, next_pos, tlen
+    bb.put("r1".getBytes); bb.put(0.toByte)
+    bb.putInt((4 << 4) | 0) // 4M
+    bb.put(0x12.toByte); bb.put(0x48.toByte) // ACGT 4-bit: A=1 C=2 G=4 T=8
+    bb.put(Array[Byte](10, 20, 30, 40))
+    bb.put("MD".getBytes); bb.put('Z'.toByte); bb.put("4".getBytes); bb.put(0.toByte)
+    assert(inflated.toSeq === bb.array().toSeq)
+  }
+
+  test("BGZF container: gzip FEXTRA/BC/BSIZE arithmetic and the spec EOF member") {
+    val bgzf = writeOne()
+    // First member: gzip magic, deflate, FEXTRA flag, XLEN 6, BC subfield.
+    assert((bgzf(0) & 0xff) === 0x1f && (bgzf(1) & 0xff) === 0x8b)
+    assert(bgzf(2) === 8 && bgzf(3) === 4)
+    assert(bgzf(10) === 6 && bgzf(12) === 'B' && bgzf(13) === 'C' && bgzf(14) === 2)
+    val bsize = ((bgzf(16) & 0xff) | ((bgzf(17) & 0xff) << 8)) + 1
+    // BSIZE+1 = full member length; the remainder must be exactly EOF.
+    assert(bgzf.length === bsize + BamFormat.BgzfEof.length)
+    assert(bgzf.drop(bsize).toSeq === BamFormat.BgzfEof.toSeq)
+  }
+
+  test("codec round trip over edge shapes (spliced, odd seq, unmapped, no quals)") {
+    val bos = new ByteArrayOutputStream()
+    val w = new BamFormat.BamWriter(bos, Array("c1", "c2"), Array(5000, 9000))
+    w.write("c1", 10, 60, 0, "a", "3M2N4M", "ACGTACG", Array[Byte](1, 2, 3, 4, 5, 6, 7), "7")
+    w.write("c2", 999, 37, 1024, "b", "5M", "NACGT", null, "2A2")
+    w.write(null, 1, 0, 4, "unmapped", "*", "", null, null)
+    w.close()
+    val r = new BamFormat.BamReader(new ByteArrayInputStream(bos.toByteArray))
+    assert(r.header.refNames.toSeq === Seq("c1", "c2"))
+    assert(r.header.refLengths.toSeq === Seq(5000, 9000))
+    val recs = r.iterator.toArray
+    assert(recs.length === 3)
+    val a = recs(0)
+    assert(a.refId === 0 && a.pos0 === 9 && a.mapq === 60 && a.qname === "a")
+    assert(a.cigar === "3M2N4M" && a.refConsumed === 9) // 3 + 2 + 4
+    assert(a.seq === "ACGTACG" && a.quals.toSeq === Seq[Byte](1, 2, 3, 4, 5, 6, 7))
+    assert(a.mdTag === "7")
+    val b = recs(1)
+    assert(b.refId === 1 && b.flag === 1024 && b.seq === "NACGT")
+    assert(b.quals.forall(_ == 0xff.toByte)) // absent quals
+    assert(b.mdTag === "2A2")
+    val u = recs(2)
+    assert(u.refId === -1 && u.cigar === "*" && u.seq === "" && u.mdTag === null)
+  }
+
+  test("reads a real htsjdk-produced BAM (1000 Genomes slice, when present)") {
+    val path = "/root/reference/src/test/resources/NA12878.slice.md.bam"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "reference checkout not present — skipping real-file validation")
+    val r = new BamFormat.BamReader(new java.io.FileInputStream(path))
+    // Ground truth extracted independently with Python struct/gzip.
+    assert(r.header.refNames.length === 45)
+    assert(r.header.refNames(0) === "chrM" && r.header.refLengths(0) === 16571)
+    val recs = r.iterator.toArray
+    assert(recs.length === 3172)
+    val first = recs.head
+    assert(r.header.refNames(first.refId) === "chr1")
+    assert(first.pos0 + 1 === 34 && first.mapq === 2 && first.flag === 99)
+    assert(first.cigar === "76M" && first.seq.length === 76)
+    assert(first.qname === "61CC3AAXX100125:5:17:2608:3446")
+    assert(first.seq.startsWith("CCCTAACCCTAACCCTAA")) // telomeric repeat
+    assert(recs.count(_.mdTag != null) === 3090)
+    // Coordinate-sorted within each reference (SO:coordinate header).
+    assert(recs.groupBy(_.refId).values.forall(g =>
+      g.sliding(2).forall(p => p.length < 2 || p(0).pos0 <= p(1).pos0)))
+  }
+}
