@@ -101,6 +101,42 @@ class BamFormatSpec extends AnyFunSuite {
     assert(u.refId === -1 && u.cigar === "*" && u.seq === "" && u.mdTag === null)
   }
 
+  test("end-to-end: coverage + pileup over the real BAM through BamSource") {
+    val path = "/root/reference/src/test/resources/NA12878.slice.md.bam"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "reference checkout not present — skipping real-file validation")
+    val spark = graft.SharedSpark.spark
+    import org.apache.spark.sql.functions._
+    graft.Graft.ensure(spark)
+    spark.sql("DROP TABLE IF EXISTS real_bam")
+    spark.sql(s"""CREATE TABLE real_bam USING graft.sources.BamSource
+                 |OPTIONS (path '$path')""".stripMargin)
+    val reads = spark.table("real_bam")
+      .filter((col("flag").bitwiseAND(1796) === 0) && col("contig").isNotNull)
+    assert(reads.count() > 2000) // 2899 of 3172 pass the 1796 flag mask
+    // Coverage mass identity: total covered bases (sum of depth over all
+    // blocks) equals the per-read M/=/X CIGAR mass, computed
+    // independently with a SQL regex over the cigar strings.
+    val blocks = graft.operators.CoverageOps.blocks(reads)
+    val covered = blocks.agg(
+      sum(col("coverage").cast("long") *
+        (col("pos_end") - col("pos_start") + 1))).head.getLong(0)
+    val mass = reads.select(aggregate(
+        expr("regexp_extract_all(cigar, '(\\\\d+)[M=X]', 1)"),
+        lit(0L), (acc, x) => acc + x.cast("long")).as("m"))
+      .agg(sum(col("m"))).head.getLong(0)
+    assert(covered === mass,
+      s"coverage mass $covered != CIGAR M/=/X mass $mass")
+    // Pileup over the MD tags of a real aligner: runs end-to-end, emits
+    // plausible rows (every position within a covered block, depth >=
+    // the position's non-ref count).
+    val pileup = graft.operators.PileupOps.pileupMaps(
+      reads.filter(col("md_tag").isNotNull), withQuals = false)
+    val bad = pileup.filter(col("coverage") < col("count_nonref")).count()
+    assert(bad === 0L)
+    assert(pileup.count() > 100)
+  }
+
   test("reads a real htsjdk-produced BAM (1000 Genomes slice, when present)") {
     val path = "/root/reference/src/test/resources/NA12878.slice.md.bam"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
