@@ -520,7 +520,11 @@ object NearestJoinOps {
     * bound, enforced. Per-round lineage is truncated with ONE
     * `localCheckpoint` per round (the [[DedupOps.clusters]] pattern);
     * done/pending splits and the loop's emptiness test are lazy filters
-    * over that checkpoint.
+    * over that checkpoint. Checkpoint blocks are round-sized (one row
+    * per still-unfinished triple) and are reaped by the ContextCleaner
+    * once the result drops its references — the same lifecycle clusters
+    * uses; they cannot be unpersisted in-method because the returned
+    * plan still reads them.
     *
     * Phase 2 re-joins every left row (duplicates included — multiset
     * semantics) expanded by its own d_k and keeps `distance <= d_k`:

@@ -179,74 +179,7 @@ object BamFormat {
       require(blockSize >= 32, s"implausible BAM record size $blockSize")
       val b = new Array[Byte](blockSize)
       require(readFully(in, b), "truncated BAM record")
-      val refId = i32(b, 0)
-      val pos0 = i32(b, 4)
-      val lReadName = u8(b, 8)
-      val mapq = u8(b, 9)
-      // bin at 10..11 (ignored)
-      val nCigar = u16(b, 12)
-      val flag = u16(b, 14)
-      val lSeq = i32(b, 16)
-      val nextRefId = i32(b, 20)
-      val nextPos0 = i32(b, 24)
-      val tlen = i32(b, 28)
-      var o = 32
-      val qname = new String(b, o, lReadName - 1, StandardCharsets.UTF_8)
-      o += lReadName
-      val cigarSb = new StringBuilder
-      var refConsumed = 0
-      var i = 0
-      while (i < nCigar) {
-        val w = i32(b, o); o += 4
-        val opLen = w >>> 4
-        val op = CigarOps.charAt(w & 0xf)
-        cigarSb.append(opLen).append(op)
-        if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X')
-          refConsumed += opLen
-        i += 1
-      }
-      val seqSb = new StringBuilder(lSeq)
-      i = 0
-      while (i < lSeq) {
-        val byte = u8(b, o + (i >> 1))
-        val nib = if ((i & 1) == 0) byte >>> 4 else byte & 0xf
-        seqSb.append(SeqTable.charAt(nib))
-        i += 1
-      }
-      o += (lSeq + 1) / 2
-      val quals = java.util.Arrays.copyOfRange(b, o, o + lSeq)
-      o += lSeq
-      // Tags: extract MD:Z, length-skip everything else.
-      var md: String = null
-      while (o < blockSize) {
-        val t1 = b(o).toChar; val t2 = b(o + 1).toChar
-        val vt = b(o + 2).toChar
-        o += 3
-        vt match {
-          case 'A' | 'c' | 'C' => o += 1
-          case 's' | 'S' => o += 2
-          case 'i' | 'I' | 'f' => o += 4
-          case 'Z' | 'H' =>
-            val start = o
-            while (b(o) != 0) o += 1
-            if (t1 == 'M' && t2 == 'D' && vt == 'Z')
-              md = new String(b, start, o - start, StandardCharsets.UTF_8)
-            o += 1 // NUL
-          case 'B' =>
-            val sub = b(o).toChar
-            val count = i32(b, o + 1)
-            val size = sub match {
-              case 'c' | 'C' => 1
-              case 's' | 'S' => 2
-              case _ => 4
-            }
-            o += 5 + count * size
-          case other => sys.error(s"unknown BAM tag type '$other' for $t1$t2")
-        }
-      }
-      Some(BamRecord(refId, pos0, mapq, flag, qname,
-        if (nCigar == 0) "*" else cigarSb.toString, seqSb.toString, quals,
-        nextRefId, nextPos0, tlen, md, refConsumed))
+      Some(decodeRecord(b, 0, blockSize))
     }
 
     def iterator: Iterator[BamRecord] = new Iterator[BamRecord] {
@@ -258,6 +191,299 @@ object BamFormat {
     }
 
     override def close(): Unit = in.close()
+  }
+
+  // ------------------------------------------------------- splittable read
+  /** One inflated BGZF member with its file offset. */
+  private case class Block(fileOffset: Long, bytes: Array[Byte])
+
+  /** Member-at-a-time BGZF reader over a seekable byte source: parses
+    * each gzip header, takes the BC/BSIZE FEXTRA subfield, and inflates
+    * the raw-deflate payload with `java.util.zip.Inflater` — the pieces
+    * GZIPInputStream hides but split processing needs (per-block FILE
+    * offsets for record ownership). */
+  private final class BlockReader(in: org.apache.hadoop.fs.FSDataInputStream,
+      fileLen: Long, var offset: Long) {
+    def next(): Option[Block] = {
+      if (offset + 28 > fileLen) return None
+      val h = new Array[Byte](18)
+      in.readFully(offset, h)
+      require((h(0) & 0xff) == 0x1f && (h(1) & 0xff) == 0x8b && h(2) == 8,
+        s"not a BGZF member at offset $offset")
+      val xlen = u16(h, 10)
+      // BSIZE lives in the BC subfield; for our own files and htsjdk's it
+      // is the first (XLEN = 6). Walk the subfields for robustness.
+      var bsize = -1
+      if (xlen == 6 && h(12) == 'B' && h(13) == 'C') bsize = u16(h, 16)
+      else {
+        val all = new Array[Byte](xlen)
+        in.readFully(offset + 12, all)
+        var p = 0
+        while (p + 4 <= all.length && bsize < 0) {
+          val slen = u16(all, p + 2)
+          if (all(p) == 'B' && all(p + 1) == 'C') bsize = u16(all, p + 4)
+          p += 4 + slen
+        }
+      }
+      require(bsize >= 0, s"BGZF member without BSIZE at offset $offset")
+      val total = bsize + 1
+      val compLen = total - 12 - xlen - 8
+      val comp = new Array[Byte](compLen)
+      in.readFully(offset + 12 + xlen, comp)
+      val tail = new Array[Byte](8)
+      in.readFully(offset + total - 8, tail)
+      val isize = i32(tail, 4)
+      val out = new Array[Byte](isize)
+      if (isize > 0) {
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(comp)
+        var o = 0
+        while (o < isize && !inf.finished()) o += inf.inflate(out, o, isize - o)
+        inf.end()
+        require(o == isize, s"BGZF member at $offset inflated $o of $isize bytes")
+      }
+      val b = Block(offset, out)
+      offset += total
+      Some(b)
+    }
+  }
+
+  /** Scan forward from `from` for the next BGZF member header: the gzip
+    * magic/deflate/FEXTRA signature with a BC subfield whose BSIZE chains
+    * to another valid header (or file end) — the double validation makes
+    * a false positive inside compressed payload vanishingly unlikely. */
+  def findBgzfBlock(fileLen: Long, from: Long,
+      readAt: (Long, Array[Byte]) => Unit): Long = {
+    var p = from
+    val h = new Array[Byte](18)
+    while (p + 28 <= fileLen) {
+      readAt(p, h)
+      if ((h(0) & 0xff) == 0x1f && (h(1) & 0xff) == 0x8b && h(2) == 8 && h(3) == 4 &&
+          h(12) == 'B' && h(13) == 'C' && h(14) == 2 && h(15) == 0) {
+        val total = u16(h, 16) + 1
+        val nxt = p + total
+        if (nxt == fileLen) return p
+        if (nxt + 18 <= fileLen) {
+          val h2 = new Array[Byte](18)
+          readAt(nxt, h2)
+          if ((h2(0) & 0xff) == 0x1f && (h2(1) & 0xff) == 0x8b && h2(2) == 8)
+            return p
+        }
+      }
+      p += 1
+    }
+    fileLen
+  }
+
+  /** Plausibility test for a BAM record starting at `o` in `data`
+    * (hadoop-bam's split-guesser idea, re-derived from the spec): field
+    * ranges must be sane, the in-record lengths must fit block_size, and
+    * the NEXT record (if inside `data`) must chain plausibly. */
+  private def plausibleRecord(data: Array[Byte], o: Int, nRef: Int,
+      chain: Int): Boolean = {
+    if (o + 36 > data.length) return false
+    val blockSize = i32(data, o)
+    if (blockSize < 32 || blockSize > (1 << 24)) return false
+    val refId = i32(data, o + 4)
+    if (refId < -1 || refId >= nRef) return false
+    val pos0 = i32(data, o + 8)
+    if (pos0 < -1 || pos0 > (1 << 29)) return false
+    val lReadName = u8(data, o + 12)
+    if (lReadName < 1) return false
+    val nCigar = u16(data, o + 16)
+    val lSeq = i32(data, o + 20)
+    if (lSeq < 0 || lSeq > (1 << 24)) return false
+    val nextRef = i32(data, o + 24)
+    if (nextRef < -1 || nextRef >= nRef) return false
+    val minSize = 32 + lReadName + 4 * nCigar + (lSeq + 1) / 2 + lSeq
+    if (minSize > blockSize) return false
+    if (chain <= 0) return true
+    val nxt = o + 4 + blockSize
+    if (nxt >= data.length - 4) true // next record out of probe range: accept
+    else plausibleRecord(data, nxt, nRef, chain - 1)
+  }
+
+  /** Records of the byte-range split `[start, end)` of a BAM file —
+    * the 100 TB path: a task owns the records STARTING in BGZF blocks
+    * whose file offset falls in its range (the first split also owns the
+    * in-header region), so a file parallelizes without any index. The
+    * reader synchronizes in two layers: find the first BGZF member at or
+    * after `start` (double-validated header chain), then find the first
+    * plausible record start in its inflated bytes (field-sanity chain of
+    * 3 records — no record magic exists, the published split-guesser
+    * approach). Records may SPAN blocks; a record is read to completion
+    * from following blocks even past `end` (the next split skips it
+    * because its start block is before its range). */
+  def splitRecords(open: () => org.apache.hadoop.fs.FSDataInputStream,
+      fileLen: Long, start: Long, end: Long): Iterator[BamRecord] = {
+    // References (for record plausibility) parsed from offset 0 via the
+    // streaming reader — a few blocks, cheap per task.
+    val hdrReader = new BamReader(open())
+    val nRef = hdrReader.header.refNames.length
+    hdrReader.close()
+    val in = open()
+    def readAt(p: Long, b: Array[Byte]): Unit = in.readFully(p, b)
+    val firstBlock =
+      if (start == 0L) 0L else findBgzfBlock(fileLen, start, readAt)
+    if (firstBlock >= fileLen) { in.close(); return Iterator.empty }
+    val blocks = new BlockReader(in, fileLen, firstBlock)
+
+    // Inflated working window with block attribution: `segs` records the
+    // FILE offset of each appended member and its start index in `buf`;
+    // `base` is the inflated offset of buf(0), so the window can be
+    // COMPACTED as the cursor advances — per-task memory stays a few
+    // blocks regardless of split size.
+    val segs = mutable.ArrayBuffer.empty[(Long, Long)] // (blockOffset, startInflatedOff)
+    var buf = Array.emptyByteArray
+    var base = 0L
+    def append(): Boolean = blocks.next() match {
+      case Some(b) =>
+        segs += ((b.fileOffset, base + buf.length))
+        buf = buf ++ b.bytes
+        true
+      case None => false
+    }
+    def blockOf(inflatedOff: Long): Long = {
+      var i = segs.length - 1
+      while (i >= 0 && segs(i)._2 > inflatedOff) i -= 1
+      segs(i)._1
+    }
+    def compact(keepFrom: Long): Unit = {
+      val dropB = (keepFrom - base).toInt
+      if (dropB > (1 << 20)) {
+        buf = java.util.Arrays.copyOfRange(buf, dropB, buf.length)
+        base = keepFrom
+        // Keep the last segment at or before keepFrom (its block still
+        // attributes the first retained bytes).
+        while (segs.length > 1 && segs(1)._2 <= keepFrom) segs.remove(0)
+      }
+    }
+    if (!append()) { in.close(); return Iterator.empty }
+    val firstLen = buf.length
+    def at(off: Long): Int = (off - base).toInt
+    def ensure(n: Long): Boolean = {
+      while (base + buf.length < n && append()) ()
+      base + buf.length >= n
+    }
+
+    // Sync: the first split PARSES the header (deterministic); later
+    // splits probe the first owned block's bytes for a plausible record
+    // start.
+    var cursor = -1L
+    if (start == 0L) {
+      // magic(4), l_text, text, n_ref, then per-ref (l_name, name, l_ref)
+      // — the 51 KB header of a real file spans several blocks.
+      ensure(12)
+      val lText = i32(buf, 4)
+      ensure(8L + lText + 4)
+      var o = 8L + lText
+      val n = i32(buf, at(o)); o += 4
+      var i = 0
+      while (i < n) {
+        ensure(o + 4); val ln = i32(buf, at(o)); o += 4 + ln
+        ensure(o + 4); o += 4
+        i += 1
+      }
+      cursor = o
+    } else {
+      var probe = 0
+      while (cursor < 0 && probe < firstLen) {
+        // Enough lookahead for the 3-record plausibility chain.
+        ensure(probe + (1L << 16))
+        if (plausibleRecord(buf, probe, nRef, chain = 2)) cursor = probe
+        else probe += 1
+      }
+      if (cursor < 0) { in.close(); return Iterator.empty }
+    }
+
+    new Iterator[BamRecord] {
+      private var nextRec: BamRecord = _
+      private var done = false
+      advance()
+      private def advance(): Unit = {
+        nextRec = null
+        if (done) return
+        compact(cursor)
+        // Ownership: the record must START in a block with offset < end.
+        if (!ensure(cursor + 4) || blockOf(cursor) >= end) {
+          done = true; in.close(); return
+        }
+        val blockSize = i32(buf, at(cursor))
+        if (blockSize == 0 || !ensure(cursor + 4 + blockSize)) {
+          done = true; in.close(); return // EOF terminator / truncation
+        }
+        nextRec = decodeRecord(buf, at(cursor) + 4, blockSize)
+        cursor += 4 + blockSize
+      }
+      override def hasNext: Boolean = nextRec != null
+      override def next(): BamRecord = { val r = nextRec; advance(); r }
+    }
+  }
+
+  /** Decode one alignment block at `data[o, o + blockSize)`. */
+  private def decodeRecord(data: Array[Byte], o0: Int, blockSize: Int): BamRecord = {
+    val refId = i32(data, o0)
+    val pos0 = i32(data, o0 + 4)
+    val lReadName = u8(data, o0 + 8)
+    val mapq = u8(data, o0 + 9)
+    val nCigar = u16(data, o0 + 12)
+    val flag = u16(data, o0 + 14)
+    val lSeq = i32(data, o0 + 16)
+    val nextRefId = i32(data, o0 + 20)
+    val nextPos0 = i32(data, o0 + 24)
+    val tlen = i32(data, o0 + 28)
+    var o = o0 + 32
+    val qname = new String(data, o, lReadName - 1, StandardCharsets.UTF_8)
+    o += lReadName
+    val cigarSb = new StringBuilder
+    var refConsumed = 0
+    var i = 0
+    while (i < nCigar) {
+      val w = i32(data, o); o += 4
+      val opLen = w >>> 4
+      val op = CigarOps.charAt(w & 0xf)
+      cigarSb.append(opLen).append(op)
+      if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X')
+        refConsumed += opLen
+      i += 1
+    }
+    val seqSb = new StringBuilder(lSeq)
+    i = 0
+    while (i < lSeq) {
+      val byte = u8(data, o + (i >> 1))
+      seqSb.append(SeqTable.charAt(if ((i & 1) == 0) byte >>> 4 else byte & 0xf))
+      i += 1
+    }
+    o += (lSeq + 1) / 2
+    val quals = java.util.Arrays.copyOfRange(data, o, o + lSeq)
+    o += lSeq
+    var md: String = null
+    val limit = o0 + blockSize
+    while (o < limit) {
+      val t1 = data(o).toChar; val t2 = data(o + 1).toChar
+      val vt = data(o + 2).toChar
+      o += 3
+      vt match {
+        case 'A' | 'c' | 'C' => o += 1
+        case 's' | 'S' => o += 2
+        case 'i' | 'I' | 'f' => o += 4
+        case 'Z' | 'H' =>
+          val s = o
+          while (data(o) != 0) o += 1
+          if (t1 == 'M' && t2 == 'D' && vt == 'Z')
+            md = new String(data, s, o - s, StandardCharsets.UTF_8)
+          o += 1
+        case 'B' =>
+          val sub = data(o).toChar
+          val count = i32(data, o + 1)
+          val size = sub match { case 'c' | 'C' => 1; case 's' | 'S' => 2; case _ => 4 }
+          o += 5 + count * size
+        case other => sys.error(s"unknown BAM tag type '$other' for $t1$t2")
+      }
+    }
+    BamRecord(refId, pos0, mapq, flag, qname,
+      if (nCigar == 0) "*" else cigarSb.toString, seqSb.toString, quals,
+      nextRefId, nextPos0, tlen, md, refConsumed)
   }
 
   // ------------------------------------------------------------------ write

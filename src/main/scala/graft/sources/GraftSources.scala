@@ -215,46 +215,32 @@ class VariantSource extends RelationProvider {
   * file name (S7), 1-based `pos_start`, `pos_end` from the
   * reference-consumed CIGAR length, quals re-rendered as the Phred+33
   * string, the MD tag extracted from the tag stream, and contig
-  * normalization (P5). One file = one task (BGZF virtual-offset
-  * splitting needs a .bai — the documented next seam); parallelism comes
-  * from the sharded many-files layout [[SourceUtil.writeBam]] produces. */
+  * normalization (P5).
+  *
+  * SPLITTABLE without an index: each file is carved into `splitSize`
+  * byte ranges (option, default 64 MiB) and every task synchronizes
+  * itself — first to a BGZF member boundary (header-signature scan with
+  * BSIZE chain validation), then to a record boundary inside the
+  * inflated bytes (field-plausibility chain — records carry no magic),
+  * via [[BamFormat.splitRecords]]. A 100 TB BAM corpus parallelizes at
+  * byte-range granularity like any splittable format. */
 class BamSource extends RelationProvider {
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("BamSource requires a 'path' option"))
+    val splitSize = parameters.getOrElse("splitSize", (64L << 20).toString).toLong
     new GraftBaseRelation {
       override val sqlContext: SQLContext = ctx
-      override protected def frame(): DataFrame = {
-        val spark = ctx.sparkSession
-        val rows = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
-          val leaf = file.substring(file.lastIndexOf('/') + 1)
-          val fileName =
-            if (leaf.startsWith("part-"))
-              file.split('/').dropRight(1).lastOption.getOrElse(leaf)
-            else leaf
-          val sample = fileName.split('.')(0)
-          val reader = new BamFormat.BamReader(pds.open())
-          val names = reader.header.refNames
-          reader.iterator.map { r =>
-            val contig = if (r.refId >= 0 && r.refId < names.length) names(r.refId) else null
-            val posStart = r.pos0 + 1
-            val posEnd = posStart + math.max(r.refConsumed, 1) - 1
-            val qualStr =
-              if (r.quals.isEmpty || r.quals(0) == 0xff.toByte) null
-              else new String(r.quals.map(q => (q + 33).toChar))
-            Row(sample, r.qname, r.flag, contig, posStart, posEnd, r.mapq,
-              r.cigar, r.seq, qualStr, r.mdTag)
-          }
-        }
-        val df = spark.createDataFrame(rows, BamSource.schema)
-        df.withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
-      }
+      override protected def frame(): DataFrame =
+        BamSource.frameFor(ctx.sparkSession, path, splitSize)
     }
   }
 }
 
 object BamSource {
   import org.apache.spark.sql.types._
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
   val schema: StructType = StructType(Seq(
     StructField("sample_id", StringType, nullable = false),
     StructField("qname", StringType, nullable = false),
@@ -267,6 +253,55 @@ object BamSource {
     StructField("seq", StringType, nullable = false),
     StructField("qual_str", StringType, nullable = true),
     StructField("md_tag", StringType, nullable = true)))
+
+  private[sources] def frameFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, splitSize: Long): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+            !s.getPath.getName.startsWith("_"))
+      else Seq(st)
+    }
+    require(files.nonEmpty, s"BamSource: no files match '$path'")
+    val splits: Seq[(String, Long, Long, Long, String)] = files.flatMap { st =>
+      val file = st.getPath.toString
+      val len = st.getLen
+      val leaf = st.getPath.getName
+      val fileName =
+        if (leaf.startsWith("part-")) st.getPath.getParent.getName else leaf
+      val sample = fileName.split('.')(0)
+      (0L until len by splitSize).map(s =>
+        (file, len, s, math.min(s + splitSize, len), sample))
+    }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val rows = spark.sparkContext
+      .parallelize(splits, splits.length)
+      .flatMap { case (file, len, s, e, sample) =>
+        val hp = new HPath(file)
+        def open() = hp.getFileSystem(serConf.value).open(hp)
+        // Reference names for contig mapping (a few header blocks).
+        val hdr = new BamFormat.BamReader(open())
+        val names = hdr.header.refNames
+        hdr.close()
+        BamFormat.splitRecords(() => open(), len, s, e).map { r =>
+          val contig = if (r.refId >= 0 && r.refId < names.length) names(r.refId) else null
+          val posStart = r.pos0 + 1
+          val posEnd = posStart + math.max(r.refConsumed, 1) - 1
+          val qualStr =
+            if (r.quals.isEmpty || r.quals(0) == 0xff.toByte) null
+            else new String(r.quals.map(q => (q + 33).toChar))
+          Row(sample, r.qname, r.flag, contig, posStart, posEnd, r.mapq,
+            r.cigar, r.seq, qualStr, r.mdTag)
+        }
+      }
+    spark.createDataFrame(rows, schema)
+      .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+  }
 }
 
 /** FASTQ table over 4-line FASTQ text (S6) through the splittable

@@ -101,6 +101,42 @@ class BamFormatSpec extends AnyFunSuite {
     assert(u.refId === -1 && u.cigar === "*" && u.seq === "" && u.mdTag === null)
   }
 
+  test("byte-range splits of the real BAM reassemble exactly (no loss, no dups)") {
+    // The no-index split path (BamFormat.splitRecords): BGZF-boundary
+    // scan + record-plausibility sync. For a range of split sizes —
+    // including ones far smaller than a BGZF member, so most splits sync
+    // across member boundaries — the union of per-split records must
+    // equal the whole-file read EXACTLY, record for record.
+    val path = "/root/reference/src/test/resources/NA12878.slice.md.bam"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "reference checkout not present — skipping real-file validation")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val len = fs.getFileStatus(hp).getLen
+    def key(r: BamFormat.BamRecord) =
+      (r.qname, r.refId, r.pos0, r.flag, r.cigar, r.mdTag)
+    val whole = {
+      val rd = new BamFormat.BamReader(new java.io.FileInputStream(path))
+      val ks = rd.iterator.map(key).toVector
+      rd.close(); ks
+    }
+    assert(whole.length === 3172)
+    for (splitSize <- Seq(1L << 20, 177_131L, 64_001L, 13_007L)) {
+      val pieces = (0L until len by splitSize).flatMap { s =>
+        BamFormat.splitRecords(() => fs.open(hp), len, s, math.min(s + splitSize, len))
+          .map(key).toVector
+      }
+      assert(pieces.sorted === whole.sorted,
+        s"split size $splitSize: ${pieces.length} records vs ${whole.length}")
+    }
+    // The DDL surface at a split size that forces many splits per file.
+    val spark = graft.SharedSpark.spark
+    spark.sql("DROP TABLE IF EXISTS real_bam_split")
+    spark.sql(s"""CREATE TABLE real_bam_split USING graft.sources.BamSource
+                 |OPTIONS (path '$path', splitSize '65536')""".stripMargin)
+    assert(spark.table("real_bam_split").count() === 3172L)
+  }
+
   test("end-to-end: coverage + pileup over the real BAM through BamSource") {
     val path = "/root/reference/src/test/resources/NA12878.slice.md.bam"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
