@@ -114,6 +114,30 @@ object SourceQueries {
               |  cigar, seq, qual_str, md_tag
               |FROM reads_bam_ddl WHERE mapq >= 20""".stripMargin)
     },
+    // The SAM text twin: the same sample rendered as SAM lines (header
+    // line skipped, '*' placeholders, MD fished from the optional-field
+    // tail behind an NM tag), parsed back by codegen'd expressions with
+    // CIGAR-derived pos_end.
+    "ddl_sam_scan" -> { (s, dir) =>
+      val path = fixture("reads_sam", dir) { p =>
+        val lines = Tables.readsMd(s, dir).filter(col("sample_id") === "s1").select(
+          concat_ws("\t", lit("*"), col("flag").cast("string"), col("contig"),
+            col("pos_start").cast("string"), col("mapq").cast("string"), col("cigar"),
+            lit("*"), lit("0"), lit("0"), col("seq"), col("qual_str"),
+            lit("NM:i:1"), concat(lit("MD:Z:"), col("md_tag"))).as("value"))
+        val header = s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row("@HD\tVN:1.6\tSO:unsorted")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+        header.unionAll(lines).coalesce(1).write.mode("overwrite").text(p + "/s1.sam")
+      }
+      s.sql("DROP TABLE IF EXISTS reads_sam_ddl")
+      s.sql(s"""CREATE TABLE reads_sam_ddl USING graft.sources.SamSource
+               |OPTIONS (path '$path/s1.sam')""".stripMargin)
+      s.sql("""SELECT sample_id, contig, pos_start, pos_end, mapq, flag,
+              |  cigar, seq, qual_str, md_tag
+              |FROM reads_sam_ddl WHERE mapq >= 30""".stripMargin)
+    },
     // S6 + S7/S8: FASTQ text round trip through the splittable pure-JVM
     // FastqInputFormat — 4-line records rendered with Illumina-1.8 read
     // names, registered via DDL, parsed back to the typed fragment
@@ -212,6 +236,31 @@ object SourceQueries {
          |            CAST(_mlen - _off - 1 AS VARCHAR)
          |       ELSE CAST(_mlen AS VARCHAR) END AS md_tag
          |FROM md3 WHERE mapq >= 20""".stripMargin,
+    "ddl_sam_scan" ->
+      s"""WITH ${OracleCtes.reads},
+         |md AS (SELECT *, pos_end - pos_start + 1 AS _len,
+         |  CASE WHEN cigar LIKE '%N%'
+         |       THEN (pos_end - pos_start + 1) // 3 ELSE 0 END AS _gap
+         |  FROM reads WHERE sample_id = 's1'),
+         |md2 AS (SELECT *, _len - _gap AS _mlen, alt_pos - pos_start AS _off,
+         |  repeat('ACGT', (_len - _gap) // 4 + 2) AS _cyc FROM md),
+         |md3 AS (SELECT *,
+         |  CASE WHEN _gap > 0
+         |       THEN substr(_cyc, (ascii(contig) + pos_start) % 4 + 1, _gap) ||
+         |            substr(_cyc, (ascii(contig) + pos_start + 2 * _gap) % 4 + 1, _mlen - _gap)
+         |       ELSE substr(_cyc, (ascii(contig) + pos_start) % 4 + 1, _mlen) END AS _seqref
+         |  FROM md2)
+         |SELECT sample_id, contig, pos_start, pos_end, mapq, flag, cigar,
+         |  CASE WHEN has_alt
+         |       THEN substr(_seqref, 1, _off) || alt_base || substr(_seqref, _off + 2)
+         |       ELSE _seqref END AS seq,
+         |  repeat(chr(base_qual + 33), _mlen) AS qual_str,
+         |  CASE WHEN has_alt
+         |       THEN CAST(_off AS VARCHAR) ||
+         |            substr('ACGT', (ascii(contig) + alt_pos) % 4 + 1, 1) ||
+         |            CAST(_mlen - _off - 1 AS VARCHAR)
+         |       ELSE CAST(_mlen AS VARCHAR) END AS md_tag
+         |FROM md3 WHERE mapq >= 30""".stripMargin,
     "ddl_fastq_scan" ->
       s"""WITH ${OracleCtes.fragments}
          |SELECT 'sample01' AS sample_id, instrument_name, run_id,

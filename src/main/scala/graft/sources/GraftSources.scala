@@ -304,6 +304,53 @@ object BamSource {
   }
 }
 
+/** Alignment table over SAM text (the BAM twin; reference docs expose
+  * both surfaces) — one record per line, natively splittable through the
+  * text source, parsed entirely with codegen'd column expressions: the
+  * 11 mandatory tab fields, `pos_end` from the reference-consumed CIGAR
+  * ops (`aggregate` over `regexp_extract_all`), the MD tag fished out of
+  * the optional fields, `*` placeholders mapped to null/empty, contig
+  * normalization (P5), and sample-id-from-filename (S7). Same output
+  * schema as [[BamSource]], so every downstream operator (coverage,
+  * pileup, interval joins) runs on either container unchanged. */
+class SamSource extends RelationProvider {
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("SamSource requires a 'path' option"))
+    new GraftBaseRelation {
+      override val sqlContext: SQLContext = ctx
+      override protected def frame(): DataFrame = {
+        val raw = ctx.sparkSession.read.text(path)
+          .withColumn("sample_id", SourceUtil.sampleIdFromFile)
+          .filter(!col("value").startsWith("@") && length(col("value")) > 0)
+        val f = split(col("value"), "\t")
+        raw.select(
+            col("sample_id"),
+            f.getItem(0).as("qname"),
+            f.getItem(1).cast("int").as("flag"),
+            when(f.getItem(2) === "*", lit(null)).otherwise(f.getItem(2)).as("contig"),
+            f.getItem(3).cast("int").as("pos_start"),
+            f.getItem(4).cast("int").as("mapq"),
+            f.getItem(5).as("cigar"),
+            when(f.getItem(9) === "*", lit("")).otherwise(f.getItem(9)).as("seq"),
+            when(f.getItem(10) === "*", lit(null)).otherwise(f.getItem(10)).as("qual_str"),
+            // First MD:Z: optional field anywhere after the 11 mandatory
+            // columns (empty match -> null).
+            when(col("value").rlike("\tMD:Z:[^\t]+"),
+              regexp_extract(col("value"), "\tMD:Z:([^\t]+)", 1)).as("md_tag"))
+          .withColumn("pos_end",
+            col("pos_start") + greatest(aggregate(
+              expr("regexp_extract_all(cigar, '(\\\\d+)[MDN=X]', 1)"),
+              lit(0), (acc, x) => acc + x.cast("int")), lit(1)) - 1)
+          .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+          .select(col("sample_id"), col("qname"), col("flag"), col("contig"),
+            col("pos_start"), col("pos_end"), col("mapq"), col("cigar"),
+            col("seq"), col("qual_str"), col("md_tag"))
+      }
+    }
+  }
+}
+
 /** FASTQ table over 4-line FASTQ text (S6) through the splittable
   * [[FastqInputFormat]] — the pure-JVM seam proving a record-synchronizing
   * file reader plugs into the DDL surface end-to-end (the reference reads
