@@ -254,7 +254,11 @@ object SourceQueries {
          |  CASE WHEN has_alt
          |       THEN substr(_seqref, 1, _off) || alt_base || substr(_seqref, _off + 2)
          |       ELSE _seqref END AS seq,
-         |  repeat(chr(base_qual + 33), _mlen) AS qual_str,
+         |  -- SAM cannot distinguish a 1-base read of quality 9 (renders
+         |  -- as the literal '*') from absent quals; the parse maps both
+         |  -- to NULL, so the oracle must too.
+         |  CASE WHEN repeat(chr(base_qual + 33), _mlen) = '*'
+         |       THEN NULL ELSE repeat(chr(base_qual + 33), _mlen) END AS qual_str,
          |  CASE WHEN has_alt
          |       THEN CAST(_off AS VARCHAR) ||
          |            substr('ACGT', (ascii(contig) + alt_pos) % 4 + 1, 1) ||
