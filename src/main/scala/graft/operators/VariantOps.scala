@@ -74,6 +74,33 @@ object VariantOps {
         col("contig"), col("pos_start"), col("pos_end"), col("ref"), col("alt"))
   }
 
+  /** The per-variant left-align/parsimony rewrite shared by every
+    * normalization surface: returns the normalized (pos, ref, alt). */
+  private[graft] def normalizeOne(c: String, p0: Int, r0: String, a0: String):
+      (Int, String, String) = {
+    require(r0.nonEmpty && a0.nonEmpty,
+      s"variant at $c:$p0 has an empty allele (ref='$r0', alt='$a0')")
+    var pos = p0; var ref = r0; var alt = a0
+    // Phase 1: right-trim / left-extend.
+    var cont = true
+    while (cont) {
+      val rEq = ref != alt && ref.last == alt.last
+      if (rEq && ref.length > 1 && alt.length > 1) {
+        ref = ref.init; alt = alt.init
+      } else if (rEq && pos > 1) {
+        val b = mockBase(c, pos - 1)
+        ref = (s"$b$ref").init
+        alt = (s"$b$alt").init
+        pos -= 1
+      } else cont = false
+    }
+    // Phase 2: left-trim to parsimony.
+    while (ref.length > 1 && alt.length > 1 && ref.head == alt.head) {
+      ref = ref.tail; alt = alt.tail; pos += 1
+    }
+    (pos, ref, alt)
+  }
+
   /** Normalize `(variant_id, contig, pos_start, ref, alt)` rows; output
     * the same columns with normalized coordinates plus `pos_end`
     * (`pos_start + length(ref) - 1`, the interval convention the join
@@ -86,28 +113,49 @@ object VariantOps {
         col("pos_start").cast("int"), col("ref"), col("alt"))
       .as[(Long, String, Int, String, String)]
       .map { case (id, c, p0, r0, a0) =>
-        require(r0.nonEmpty && a0.nonEmpty,
-          s"variant $id has an empty allele (ref='$r0', alt='$a0')")
-        var pos = p0; var ref = r0; var alt = a0
-        // Phase 1: right-trim / left-extend.
-        var cont = true
-        while (cont) {
-          val rEq = ref != alt && ref.last == alt.last
-          if (rEq && ref.length > 1 && alt.length > 1) {
-            ref = ref.init; alt = alt.init
-          } else if (rEq && pos > 1) {
-            val b = mockBase(c, pos - 1)
-            ref = (s"$b$ref").init
-            alt = (s"$b$alt").init
-            pos -= 1
-          } else cont = false
-        }
-        // Phase 2: left-trim to parsimony.
-        while (ref.length > 1 && alt.length > 1 && ref.head == alt.head) {
-          ref = ref.tail; alt = alt.tail; pos += 1
-        }
+        val (pos, ref, alt) = normalizeOne(c, p0, r0, a0)
         (id, c, pos, pos + ref.length - 1, ref, alt)
       }
       .toDF("variant_id", "contig", "pos_start", "pos_end", "ref", "alt")
+  }
+
+  /** COLUMN-PRESERVING normalization — the reference's VCF-scan option
+    * surface (`VCFRelation.scala:30-39`: Glow's `normalize_variants`
+    * transform rewrites coordinates/alleles in place and keeps every
+    * other column). Replaces `pos_start`/`pos_end`/`ref`/`alt`; rows
+    * with a null/multi-allelic `alt` pass through unchanged (bcftools
+    * `norm` semantics: decompose first — see [[splitInPlace]]). One
+    * struct-returning UDF per row, no shuffle. */
+  def normalizeInPlace(variants: DataFrame): DataFrame = {
+    val norm = udf { (c: String, p0: Int, r0: String, a0: String) =>
+      val (pos, ref, alt) = normalizeOne(c, p0, r0, a0)
+      (pos, pos + ref.length - 1, ref, alt)
+    }
+    val applicable = col("contig").isNotNull && col("pos_start").isNotNull &&
+      col("alt").isNotNull && !col("alt").contains(",") &&
+      col("ref").isNotNull && length(col("ref")) > 0 && length(col("alt")) > 0
+    val passEnd =
+      if (variants.columns.contains("pos_end")) col("pos_end").cast("int")
+      else (col("pos_start") + length(col("ref")) - 1).cast("int")
+    variants
+      .withColumn("_n", when(applicable,
+        norm(col("contig"), col("pos_start").cast("int"), col("ref"), col("alt"))))
+      .withColumn("pos_start", coalesce(col("_n._1"), col("pos_start").cast("int")))
+      .withColumn("pos_end", coalesce(col("_n._2"), passEnd))
+      .withColumn("ref", coalesce(col("_n._3"), col("ref")))
+      .withColumn("alt", coalesce(col("_n._4"), col("alt")))
+      .drop("_n")
+  }
+
+  /** Column-preserving multi-allelic decomposition (`norm -m-`): one row
+    * per comma-separated alt allele, `allele_idx` appended (1-based, VCF
+    * GT index order); null-alt rows pass through with idx 1. Compose
+    * with [[normalizeInPlace]] for the scan option `split_and_normalize`. */
+  def splitInPlace(variants: DataFrame): DataFrame = {
+    val others = variants.columns.filter(_ != "alt").map(col).toIndexedSeq
+    variants
+      .select(others :+ posexplode_outer(split(col("alt"), ",")).as(Seq("_i", "alt")): _*)
+      .withColumn("allele_idx", (coalesce(col("_i"), lit(0)) + 1).cast("int"))
+      .drop("_i")
   }
 }

@@ -163,6 +163,85 @@ object SourceQueries {
               |  control_number, index_sequence, sequence, baseq
               |FROM frags_ddl WHERE flowcell_lane <= 4""".stripMargin)
     },
+    // S4 through REAL `.vcf` text: a part-derived variant table rendered
+    // as a fully-headed VCF (## meta, #CHROM line with two genotype
+    // sample columns, '.' placeholders for null id/alt/qual/filter),
+    // registered via DDL and parsed back — chr-prefix cleaning, POS →
+    // 1-based inclusive [pos_start, pos_end] from the REF length,
+    // multi-allelic ALT kept comma-joined, per-sample genotype columns
+    // named from the header line. The oracle re-derives every column
+    // from `part`, so a bug in EITHER direction of the text codec shows
+    // as a mismatch.
+    "ddl_vcf_scan" -> { (s, dir) =>
+      val path = fixture("variants_vcf", dir) { p =>
+        val v = Tables.part(s, dir).select(
+          concat(lit("chr"), (col("p_partkey") % 4).cast("string")).as("contig"),
+          (((col("p_partkey") * 7) % 5000) + 1).cast("int").as("pos_start"),
+          expr("CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE concat('rs', CAST(p_partkey AS STRING)) END").as("id"),
+          expr("substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1, 1 + CAST(p_partkey % 3 AS INT))").as("ref"),
+          expr("""CASE WHEN p_partkey % 11 = 0 THEN NULL
+                 |WHEN p_partkey % 3 = 1 THEN concat(
+                 |  substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1), ',',
+                 |  substr('GATC', CAST(p_partkey % 5 AS INT) % 4 + 1, 1))
+                 |ELSE substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1) END""".stripMargin).as("alt"),
+          expr("CASE WHEN p_partkey % 13 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(p_partkey % 100 AS DOUBLE) / 4 END").as("qual"),
+          expr("CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'PASS' WHEN 1 THEN 'q10' ELSE NULL END").as("filter"),
+          expr("concat('NS=', CAST(p_partkey % 3 AS STRING), ';DP=', CAST(p_partkey % 50 AS STRING))").as("info"),
+          expr("concat(CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN '0|0' WHEN 1 THEN '0|1' ELSE '1|1' END, ':', CAST(p_partkey % 60 AS STRING))").as("na1"),
+          expr("concat(CASE CAST(p_partkey % 2 AS INT) WHEN 0 THEN '0/0' ELSE '1/1' END, ':', CAST(p_partkey % 45 AS STRING))").as("na2"))
+          .withColumn("fmt", lit("GT:DP"))
+        graft.sources.VcfFormat.writeVcf(v, p, Seq("na1", "na2"), Some("fmt"))
+      }
+      s.sql("DROP TABLE IF EXISTS vcf_ddl")
+      s.sql(s"""CREATE TABLE vcf_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, pos_end, id, ref, alt, qual,
+              |  filter, info, format AS fmt, na1, na2
+              |FROM vcf_ddl WHERE contig = '1'""".stripMargin)
+    },
+    // S4 normalization interplay: the variant_normalize derivation
+    // round-tripped through `.vcf`, left-aligned AT SCAN TIME by the
+    // reference's `normalizationMode` option (VCFRelation.scala:30-37 —
+    // Glow's in-place normalize), identity carried in the ID column.
+    "vcf_normalize" -> { (s, dir) =>
+      val path = fixture("variants_vcf_norm", dir) { p =>
+        val v = Tables.part(s, dir).select(
+          (col("p_partkey") % 4).cast("string").as("contig"),
+          (((col("p_partkey") * 7) % 5000) + 2).cast("int").as("pos_start"),
+          concat(lit("rs"), col("p_partkey").cast("string")).as("id"),
+          expr("substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1, " +
+            "1 + CAST(p_partkey % 3 AS INT))").as("ref"),
+          expr("substr('TGCATGCA', CAST(p_partkey % 5 AS INT) % 4 + 1, " +
+            "1 + CAST(p_partkey % 2 AS INT))").as("alt"))
+        graft.sources.VcfFormat.writeVcf(v, p)
+      }
+      s.sql("DROP TABLE IF EXISTS vcfn_ddl")
+      s.sql(s"""CREATE TABLE vcfn_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path', normalizationMode 'normalize')""".stripMargin)
+      s.sql("""SELECT CAST(regexp_extract(id, 'rs(\\d+)', 1) AS BIGINT) AS variant_id,
+              |  contig, pos_start, pos_end, ref, alt
+              |FROM vcfn_ddl""".stripMargin)
+    },
+    // S4 `split_and_normalize`: multi-allelic ALT decomposed then
+    // left-aligned at scan time (`norm -m- && norm` as a scan option).
+    "vcf_split_normalize" -> { (s, dir) =>
+      val path = fixture("variants_vcf_split", dir) { p =>
+        val v = Tables.part(s, dir).select(
+          (col("p_partkey") % 4).cast("string").as("contig"),
+          (((col("p_partkey") * 7) % 5000) + 2).cast("int").as("pos_start"),
+          concat(lit("rs"), col("p_partkey").cast("string")).as("id"),
+          expr("substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1, " +
+            "1 + CAST(p_partkey % 3 AS INT))").as("ref"),
+          expr(PileupQueries.multiAltSql).as("alt"))
+        graft.sources.VcfFormat.writeVcf(v, p)
+      }
+      s.sql("DROP TABLE IF EXISTS vcfs_ddl")
+      s.sql(s"""CREATE TABLE vcfs_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path', normalizationMode 'split_and_normalize')""".stripMargin)
+      s.sql("""SELECT CAST(regexp_extract(id, 'rs(\\d+)', 1) AS BIGINT) AS variant_id,
+              |  allele_idx, contig, pos_start, pos_end, ref, alt
+              |FROM vcfs_ddl""".stripMargin)
+    },
     // S3/S4 + P5: ADAM/Glow-style parquet with renamed columns and a
     // chr-prefixed contig, normalized by the source.
     "ddl_variant_scan" -> { (s, dir) =>
@@ -273,6 +352,36 @@ object SourceQueries {
          |  0 AS control_number, 'ACGT' AS index_sequence,
          |  seq AS sequence, repeat('I', length(seq)) AS baseq
          |FROM fragments WHERE lane <= 4""".stripMargin,
+    "ddl_vcf_scan" ->
+      """SELECT CAST(p_partkey % 4 AS VARCHAR) AS contig,
+        |  CAST((p_partkey * 7) % 5000 + 1 AS INT) AS pos_start,
+        |  CAST((p_partkey * 7) % 5000 + 1 + p_partkey % 3 AS INT) AS pos_end,
+        |  CASE WHEN p_partkey % 7 = 0 THEN NULL
+        |       ELSE 'rs' || CAST(p_partkey AS VARCHAR) END AS id,
+        |  substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1,
+        |         1 + CAST(p_partkey % 3 AS INT)) AS ref,
+        |  CASE WHEN p_partkey % 11 = 0 THEN NULL
+        |       WHEN p_partkey % 3 = 1 THEN
+        |         substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1) || ',' ||
+        |         substr('GATC', CAST(p_partkey % 5 AS INT) % 4 + 1, 1)
+        |       ELSE substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1) END AS alt,
+        |  CASE WHEN p_partkey % 13 = 0 THEN NULL
+        |       ELSE CAST(p_partkey % 100 AS DOUBLE) / 4 END AS qual,
+        |  CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'PASS'
+        |       WHEN 1 THEN 'q10' ELSE NULL END AS filter,
+        |  'NS=' || CAST(p_partkey % 3 AS VARCHAR) ||
+        |    ';DP=' || CAST(p_partkey % 50 AS VARCHAR) AS info,
+        |  'GT:DP' AS fmt,
+        |  (CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN '0|0' WHEN 1 THEN '0|1'
+        |        ELSE '1|1' END) || ':' || CAST(p_partkey % 60 AS VARCHAR) AS na1,
+        |  (CASE CAST(p_partkey % 2 AS INT) WHEN 0 THEN '0/0' ELSE '1/1' END)
+        |    || ':' || CAST(p_partkey % 45 AS VARCHAR) AS na2
+        |FROM part WHERE p_partkey % 4 = 1""".stripMargin,
+    // The scan-time normalization modes replicate the existing
+    // variant_normalize/variant_split_normalize pipelines over the same
+    // part derivation, so their oracles apply verbatim.
+    "vcf_normalize" -> PileupQueries.oracle("variant_normalize"),
+    "vcf_split_normalize" -> PileupQueries.oracle("variant_split_normalize"),
     "ddl_variant_scan" ->
       """SELECT p_partkey AS variant_id,
         |  CAST(p_partkey % 4 AS VARCHAR) AS contig,

@@ -1,0 +1,183 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SQLContext}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.BaseRelation
+
+import java.nio.charset.StandardCharsets
+
+/** Variant table over REAL `.vcf` text (SURVEY §2.1 S4) — the last
+  * common genomics interchange format, read without any external codec.
+  * The reference scans VCF through Glow
+  * (`datasources/VCF/VCFRelation.scala:14-62`) and exposes the renamed
+  * surface `contig/pos_start/pos_end/ref/alt` with contig cleaning
+  * (`:38-45`) plus optional Glow normalization modes (`:30-37`); Glow is
+  * absent offline, but VCF is tab-separated text with a `##` meta header
+  * and one `#CHROM` column line — squarely what [[SamSource]] already
+  * does, so the parse is the same codegen-expression pipeline over
+  * `spark.read.text`.
+  *
+  * Surface (engine conventions — 1-based inclusive coordinates):
+  *   contig (cleaned), pos_start (= POS), pos_end (= POS + len(REF) − 1,
+  *   the interval-join convention), id, ref, alt (comma-joined exactly as
+  *   in the file — [[graft.operators.VariantOps.splitMultiallelic]]
+  *   decomposes), qual (double), filter, info, and — when the `#CHROM`
+  *   line declares genotype columns — `format` plus ONE STRING COLUMN PER
+  *   SAMPLE carrying the raw genotype field (named after the sample).
+  *   `.` placeholders map to null throughout.
+  *
+  * Options: `path` (required); `normalizationMode` = `normalize` |
+  * `split_and_normalize` (the reference's option names) applies the
+  * column-preserving vt/bcftools left-align rewrite
+  * ([[graft.operators.VariantOps.normalizeInPlace]]) at scan time.
+  *
+  * Scale: the text source is natively splittable (a VCF data line is a
+  * record, headers are a per-file prefix), every field parse is a
+  * codegen'd expression, and pruning/pushdown delegate to Catalyst
+  * through [[GraftBaseRelation]] — a 100 TB VCF corpus scans like any
+  * text dataset. Sample names are read once on the driver from the first
+  * file's `#CHROM` line (a bounded header prefix, not a data scan). */
+class VcfSource extends org.apache.spark.sql.sources.RelationProvider {
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("VcfSource requires a 'path' option"))
+    val mode = parameters.get("normalizationMode").map(_.toLowerCase)
+    require(mode.forall(m => m == "normalize" || m == "split_and_normalize"),
+      s"VcfSource: unknown normalizationMode '${mode.get}'")
+    new GraftBaseRelation {
+      override val sqlContext: SQLContext = ctx
+      override protected def frame(): DataFrame =
+        VcfFormat.frameFor(ctx.sparkSession, path, mode)
+    }
+  }
+}
+
+object VcfFormat {
+
+  /** Sample names from the first matched file's `#CHROM` header line
+    * (fields after FORMAT). Empty when the file carries no genotype
+    * columns (or no `#CHROM` line at all — tolerated, spec-minimal). */
+  private[sources] def headerSamples(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      else Seq(st)
+    }
+    require(files.nonEmpty, s"VcfSource: no files match '$path'")
+    val in = fs.open(files.head.getPath)
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+    try {
+      var line = rd.readLine()
+      while (line != null && line.startsWith("##")) line = rd.readLine()
+      if (line != null && line.startsWith("#CHROM")) {
+        val f = line.split("\t", -1)
+        if (f.length > 9) f.drop(9).toSeq else Nil
+      } else Nil
+    } finally rd.close()
+  }
+
+  private def dot(c: Column): Column = when(c === ".", lit(null)).otherwise(c)
+
+  private[sources] def frameFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, mode: Option[String]): DataFrame = {
+    val samples = headerSamples(spark, path)
+    val raw = spark.read.text(path)
+      .filter(!col("value").startsWith("#") && length(col("value")) > 0)
+    val f = split(col("value"), "\t")
+    val fixed = Seq(
+      dot(f.getItem(0)).as("contig"),
+      f.getItem(1).cast("int").as("pos_start"),
+      dot(f.getItem(2)).as("id"),
+      f.getItem(3).as("ref"),
+      dot(f.getItem(4)).as("alt"),
+      dot(f.getItem(5)).cast("double").as("qual"),
+      dot(f.getItem(6)).as("filter"),
+      dot(f.getItem(7)).as("info"))
+    val gts =
+      if (samples.isEmpty) Nil
+      else dot(f.getItem(8)).as("format") +:
+        samples.zipWithIndex.map { case (n, i) => dot(f.getItem(9 + i)).as(n) }
+    val parsed = raw.select(fixed ++ gts: _*)
+      .withColumn("pos_end",
+        (col("pos_start") + length(col("ref")) - 1).cast("int"))
+      .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+    val ordered = parsed.select(
+      (Seq("contig", "pos_start", "pos_end", "id", "ref", "alt", "qual",
+        "filter", "info").map(col) ++ gts.indices.map(i =>
+          col(if (i == 0) "format" else samples(i - 1)))): _*)
+    mode match {
+      case Some("normalize") =>
+        graft.operators.VariantOps.normalizeInPlace(ordered)
+      case Some("split_and_normalize") =>
+        graft.operators.VariantOps.normalizeInPlace(
+          graft.operators.VariantOps.splitInPlace(ordered))
+      case _ => ordered
+    }
+  }
+
+  /** VCF sink (the write half of the S4 round trip): renders a variant
+    * frame as sharded fully-headed `.vcf` files — one per task, each with
+    * the `##fileformat` meta lines and the `#CHROM` column line, so every
+    * shard is independently a valid VCF (the same output shape as
+    * [[SourceUtil.writeBam]]). Expected columns: `contig, pos_start, ref`
+    * plus optional `id/alt/qual/filter/info`; `sampleCols` names columns
+    * holding raw genotype strings, written under those sample names with
+    * `formatCol` (default the literal `GT`). Nulls render as `.` per
+    * spec. The rendering is ONE codegen concat per row — the executors
+    * stream lines, nothing collects. */
+  def writeVcf(df: DataFrame, path: String, sampleCols: Seq[String] = Nil,
+      formatCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    def opt(n: String): Column =
+      if (df.columns.contains(n)) coalesce(col(n).cast("string"), lit(".")) else lit(".")
+    val fixed = Seq(
+      coalesce(col("contig").cast("string"), lit(".")),
+      col("pos_start").cast("string"),
+      opt("id"), coalesce(col("ref").cast("string"), lit(".")), opt("alt"),
+      opt("qual"), opt("filter"), opt("info"))
+    val gts =
+      if (sampleCols.isEmpty) Nil
+      else formatCol.map(c => coalesce(col(c).cast("string"), lit("GT")))
+        .getOrElse(lit("GT")) +:
+        sampleCols.map(c => coalesce(col(c).cast("string"), lit(".")))
+    val lines = df.select(concat_ws("\t", fixed ++ gts: _*).as("line"))
+    val header = "##fileformat=VCFv4.3\n##source=graft\n" +
+      (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO") ++
+        (if (sampleCols.isEmpty) Nil else "FORMAT" +: sampleCols))
+        .mkString("\t") + "\n"
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dir.getFileSystem(conf)
+    if (fs0.exists(dir)) fs0.delete(dir, true)
+    fs0.mkdirs(dir)
+    val wrote = lines.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.vcf")
+        val out = p.getFileSystem(serConf.value).create(p, true)
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
+        w.write(header)
+        it.foreach { r => w.write(r.getString(0)); w.write('\n') }
+        w.close()
+        Iterator.single(1)
+      }
+    }.count()
+    // An all-empty frame must still leave a readable (header-only) VCF.
+    if (wrote == 0L) {
+      val out = fs0.create(new org.apache.hadoop.fs.Path(dir, "part-00000.vcf"), true)
+      out.write(header.getBytes(StandardCharsets.UTF_8))
+      out.close()
+    }
+  }
+}

@@ -135,6 +135,69 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("VCF source parses the VCF-4.1 spec example file (S4)") {
+    // The reference checkout carries the published VCF specification's
+    // example document as a test fixture; parse it when present.
+    val path = "/root/reference/src/test/resources/vcf/test.vcf"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "reference checkout not present — skipping real-file validation")
+    spark.sql("DROP TABLE IF EXISTS vcf_fixture")
+    spark.sql(s"""CREATE TABLE vcf_fixture USING graft.sources.VcfSource
+                 |OPTIONS (path '$path')""".stripMargin)
+    val df = spark.table("vcf_fixture")
+    // Genotype columns named from the #CHROM header line.
+    assert(df.columns.toSeq === Seq("contig", "pos_start", "pos_end", "id",
+      "ref", "alt", "qual", "filter", "info", "format", "NA00001", "NA00002", "NA00003"))
+    val rows = df.orderBy("pos_start").collect()
+    assert(rows.length === 5)
+    val bypos = rows.map(r => r.getAs[Int]("pos_start") -> r).toMap
+    // Multi-allelic ALT kept comma-joined; '.' -> null; microsat REF
+    // spans 3 bases (pos_end = POS + len(REF) - 1).
+    assert(bypos(1110696).getAs[String]("alt") === "G,T")
+    assert(bypos(1230237).getAs[String]("alt") === null) // ALT '.'
+    assert(bypos(17330).getAs[String]("id") === null)    // ID '.'
+    assert(bypos(17330).getAs[String]("filter") === "q10")
+    assert(bypos(14370).getAs[Double]("qual") === 29.0)
+    assert(bypos(14370).getAs[String]("NA00001") === "0|0:48:1:51,51")
+    assert(bypos(1234567).getAs[Int]("pos_end") === 1234567 + 2)
+    assert(rows.forall(_.getAs[String]("contig") == "20"))
+  }
+
+  test("writeVcf round trip: nulls as '.', genotype columns, empty frame") {
+    val dir = s"$base/vcf_rt"
+    val df = spark.range(4).selectExpr(
+      "'chr1' AS contig", "CAST(id * 10 + 5 AS INT) AS pos_start",
+      "CASE WHEN id = 0 THEN NULL ELSE concat('v', id) END AS id",
+      "'AC' AS ref",
+      "CASE WHEN id = 1 THEN NULL WHEN id = 2 THEN 'A,G' ELSE 'A' END AS alt",
+      "CASE WHEN id = 3 THEN NULL ELSE CAST(id AS DOUBLE) / 2 END AS qual",
+      "CAST(NULL AS STRING) AS filter", "'DP=7' AS info",
+      "concat('0|', id % 2) AS g1")
+    VcfFormat.writeVcf(df, dir, Seq("g1"))
+    spark.sql("DROP TABLE IF EXISTS vcf_rt")
+    spark.sql(s"""CREATE TABLE vcf_rt USING graft.sources.VcfSource
+                 |OPTIONS (path '$dir')""".stripMargin)
+    val back = spark.table("vcf_rt").orderBy("pos_start").collect()
+    assert(back.length === 4)
+    assert(back(0).getAs[String]("contig") === "1") // chr prefix cleaned
+    assert(back(0).getAs[String]("id") === null)
+    assert(back(1).getAs[String]("alt") === null)
+    assert(back(2).getAs[String]("alt") === "A,G")
+    assert(back(3).getAs[java.lang.Double]("qual") === null)
+    assert(back(2).getAs[Double]("qual") === 1.0)
+    assert(back.forall(_.getAs[String]("filter") == null))
+    assert(back.forall(r => r.getAs[Int]("pos_end") == r.getAs[Int]("pos_start") + 1))
+    assert(back.map(_.getAs[String]("g1")).toSeq === Seq("0|0", "0|1", "0|0", "0|1"))
+    // An empty frame still writes a readable, header-only VCF.
+    val emptyDir = s"$base/vcf_empty"
+    VcfFormat.writeVcf(df.filter("pos_start < 0"), emptyDir, Seq("g1"))
+    spark.sql("DROP TABLE IF EXISTS vcf_empty")
+    spark.sql(s"""CREATE TABLE vcf_empty USING graft.sources.VcfSource
+                 |OPTIONS (path '$emptyDir')""".stripMargin)
+    assert(spark.table("vcf_empty").count() === 0L)
+    assert(spark.table("vcf_empty").columns.contains("g1"))
+  }
+
   test("distinct samples over the hive layout reads no data columns (A6)") {
     val path = s"$base/partitioned_a6"
     val reads = Tables.reads(spark, sf0001)
