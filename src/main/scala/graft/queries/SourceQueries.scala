@@ -114,6 +114,26 @@ object SourceQueries {
               |  cigar, seq, qual_str, md_tag
               |FROM reads_bam_ddl WHERE mapq >= 20""".stripMargin)
     },
+    // Optional SAM tag columns through the binary round trip: typed
+    // NM:i / RG:Z tags written by the sink, extracted back from the tag
+    // stream by the scan (reference carries ~60 lazily-populated tag_*
+    // columns, `AlignmentRelation.scala:246-257`; NM and RG are the ones
+    // its tests actually query). The contig predicate also exercises the
+    // scan-level refId pushdown + sidecar index consult.
+    "ddl_bam_tags" -> { (s, dir) =>
+      val path = fixture("reads_bam_tags", dir) { p =>
+        graft.sources.SourceUtil.writeBam(
+          Tables.readsMd(s, dir).filter(col("sample_id") === "s2")
+            .withColumn("tag_NM", when(col("has_alt"), 1).otherwise(0).cast("int"))
+            .withColumn("tag_RG", concat(lit("rg_"), col("sample_id"))),
+          p + "/s2.bam")
+      }
+      s.sql("DROP TABLE IF EXISTS reads_bam_tags_ddl")
+      s.sql(s"""CREATE TABLE reads_bam_tags_ddl USING graft.sources.BamSource
+               |OPTIONS (path '$path/s2.bam')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, pos_end, mapq, tag_NM, tag_RG
+              |FROM reads_bam_tags_ddl WHERE contig = '2'""".stripMargin)
+    },
     // The SAM text twin: the same sample rendered as SAM lines (header
     // line skipped, '*' placeholders, MD fished from the optional-field
     // tail behind an NM tag), parsed back by codegen'd expressions with
@@ -315,6 +335,12 @@ object SourceQueries {
          |            CAST(_mlen - _off - 1 AS VARCHAR)
          |       ELSE CAST(_mlen AS VARCHAR) END AS md_tag
          |FROM md3 WHERE mapq >= 20""".stripMargin,
+    "ddl_bam_tags" ->
+      s"""WITH ${OracleCtes.reads}
+         |SELECT contig, pos_start, pos_end, mapq,
+         |  CASE WHEN has_alt THEN 1 ELSE 0 END AS tag_NM,
+         |  'rg_' || sample_id AS tag_RG
+         |FROM reads WHERE sample_id = 's2' AND contig = '2'""".stripMargin,
     "ddl_sam_scan" ->
       s"""WITH ${OracleCtes.reads},
          |md AS (SELECT *, pos_end - pos_start + 1 AS _len,

@@ -43,6 +43,13 @@ object BamFormat {
   final class BgzfOutputStream(out: OutputStream) extends OutputStream {
     private val buf = new Array[Byte](60 * 1024)
     private var n = 0
+    private var compressed = 0L
+
+    /** FILE offset of the member the NEXT buffered byte lands in (all
+      * prior members are already written out), and the byte's inflated
+      * offset within it — a BGZF "virtual offset", what the sidecar
+      * range index records per record start. */
+    def virtualOffset: (Long, Int) = (compressed, n)
 
     override def write(b: Int): Unit = {
       buf(n) = b.toByte; n += 1
@@ -84,6 +91,7 @@ object BamFormat {
       out.write(comp, 0, clen)
       writeInt32(out, crc.getValue.toInt)
       writeInt32(out, n)
+      compressed += total
       n = 0
     }
 
@@ -130,7 +138,34 @@ object BamFormat {
   case class BamRecord(refId: Int, pos0: Int, mapq: Int, flag: Int,
       qname: String, cigar: String, seq: String, quals: Array[Byte],
       nextRefId: Int, nextPos0: Int, tlen: Int, mdTag: String,
-      refConsumed: Int)
+      refConsumed: Int, tagNm: Integer = null, tagRg: String = null)
+
+  /** Which variable-length record parts to DECODE (projection pushdown —
+    * the reference extracts per requested column,
+    * `AlignmentRelation.scala:214-261`). Every part is length-prefixed,
+    * so an unwanted part is skipped in O(1) instead of materialized:
+    * a `count(*)` over 100 TB of BAM pays prefix reads only. */
+  case class DecodeSpec(name: Boolean = true, cigar: Boolean = true,
+      refConsumed: Boolean = true, seq: Boolean = true, quals: Boolean = true,
+      md: Boolean = true, nm: Boolean = true, rg: Boolean = true) {
+    def tags: Boolean = md || nm || rg
+  }
+  val FullDecode: DecodeSpec = DecodeSpec()
+
+  /** Predicates evaluated on the FIXED 32-byte record prefix (plus a
+    * cigar-words-only walk when `pos_end` is constrained) BEFORE any
+    * string materialization — the scan-level half of filter pushdown.
+    * `refIdOk` is indexed by `refId + 1` (slot 0 = unmapped/-1); null
+    * means unconstrained. Bounds are over the 1-based engine columns. */
+  case class RecordFilter(refIdOk: Array[Boolean] = null,
+      startMin: Int = Int.MinValue, startMax: Int = Int.MaxValue,
+      endMin: Int = Int.MinValue, endMax: Int = Int.MaxValue,
+      mapqMin: Int = Int.MinValue, mapqMax: Int = Int.MaxValue) {
+    def constrainsEnd: Boolean = endMin != Int.MinValue || endMax != Int.MaxValue
+    def constrainsPos: Boolean = constrainsEnd ||
+      startMin != Int.MinValue || startMax != Int.MaxValue
+    def constrainsRef: Boolean = refIdOk != null
+  }
 
   private val SeqTable = "=ACMGRSVTWYHKDBN"
   private val CigarOps = "MIDNSHP=X"
@@ -202,10 +237,16 @@ object BamFormat {
     * the raw-deflate payload with `java.util.zip.Inflater` — the pieces
     * GZIPInputStream hides but split processing needs (per-block FILE
     * offsets for record ownership). */
+  /** Process-wide count of BGZF members inflated by split/indexed reads —
+    * a lightweight observability hook; the index-skip spec asserts a
+    * selective range query inflates fewer blocks than a full scan. */
+  val blocksInflated = new java.util.concurrent.atomic.AtomicLong
+
   private final class BlockReader(in: org.apache.hadoop.fs.FSDataInputStream,
       fileLen: Long, var offset: Long) {
     def next(): Option[Block] = {
       if (offset + 28 > fileLen) return None
+      blocksInflated.incrementAndGet()
       val h = new Array[Byte](18)
       in.readFully(offset, h)
       require((h(0) & 0xff) == 0x1f && (h(1) & 0xff) == 0x8b && h(2) == 8,
@@ -315,12 +356,20 @@ object BamFormat {
     * from following blocks even past `end` (the next split skips it
     * because its start block is before its range). */
   def splitRecords(open: () => org.apache.hadoop.fs.FSDataInputStream,
-      fileLen: Long, start: Long, end: Long): Iterator[BamRecord] = {
-    // References (for record plausibility) parsed from offset 0 via the
-    // streaming reader — a few blocks, cheap per task.
-    val hdrReader = new BamReader(open())
-    val nRef = hdrReader.header.refNames.length
-    hdrReader.close()
+      fileLen: Long, start: Long, end: Long, spec: DecodeSpec = FullDecode,
+      filter: RecordFilter = null, nRefHint: Int = -1,
+      firstRecOff: Long = -1L): Iterator[BamRecord] = {
+    // References (for record plausibility) — passed in by callers that
+    // already parsed the header (the planner needs it for contig→refId
+    // predicate mapping anyway); parsed here only as a fallback.
+    val nRef =
+      if (nRefHint >= 0) nRefHint
+      else {
+        val hdrReader = new BamReader(open())
+        val n = hdrReader.header.refNames.length
+        hdrReader.close()
+        n
+      }
     val in = open()
     def readAt(p: Long, b: Array[Byte]): Unit = in.readFully(p, b)
     val firstBlock =
@@ -359,18 +408,23 @@ object BamFormat {
       }
     }
     if (!append()) { in.close(); return Iterator.empty }
-    val firstLen = buf.length
     def at(off: Long): Int = (off - base).toInt
     def ensure(n: Long): Boolean = {
       while (base + buf.length < n && append()) ()
       base + buf.length >= n
     }
 
-    // Sync: the first split PARSES the header (deterministic); later
-    // splits probe the first owned block's bytes for a plausible record
-    // start.
+    // Sync: an indexed read starts at the KNOWN first-record offset; the
+    // first split PARSES the header (deterministic); later splits probe
+    // the owned blocks' bytes for a plausible record start. The probe
+    // window spans blocks: a record larger than one BGZF member (routine
+    // in long-read data) can cover a split's whole first block, so the
+    // probe continues into subsequent owned blocks until a plausible
+    // start is found or the owned range is exhausted.
     var cursor = -1L
-    if (start == 0L) {
+    if (firstRecOff >= 0L) {
+      cursor = firstRecOff
+    } else if (start == 0L) {
       // magic(4), l_text, text, n_ref, then per-ref (l_name, name, l_ref)
       // — the 51 KB header of a real file spans several blocks.
       ensure(12)
@@ -386,15 +440,40 @@ object BamFormat {
       }
       cursor = o
     } else {
-      var probe = 0
-      while (cursor < 0 && probe < firstLen) {
-        // Enough lookahead for the 3-record plausibility chain.
-        ensure(probe + (1L << 16))
-        if (plausibleRecord(buf, probe, nRef, chain = 2)) cursor = probe
-        else probe += 1
+      var probe = 0L
+      var exhausted = false
+      while (cursor < 0 && !exhausted) {
+        if (!ensure(probe + 1) || blockOf(probe) >= end) exhausted = true
+        else {
+          // Enough lookahead for the 3-record plausibility chain.
+          ensure(probe + (1L << 16))
+          if (plausibleRecord(buf, at(probe), nRef, chain = 2)) cursor = probe
+          else probe += 1
+        }
       }
       if (cursor < 0) { in.close(); return Iterator.empty }
     }
+
+    val passes: (Array[Byte], Int) => Boolean =
+      if (filter == null) (_, _) => true
+      else (data, o0) => {
+        val refId = i32(data, o0)
+        val ok1 = (filter.refIdOk == null ||
+            (refId + 1 >= 0 && refId + 1 < filter.refIdOk.length && filter.refIdOk(refId + 1))) && {
+          val posStart = i32(data, o0 + 4) + 1
+          posStart >= filter.startMin && posStart <= filter.startMax && {
+            val mapq = u8(data, o0 + 9)
+            mapq >= filter.mapqMin && mapq <= filter.mapqMax
+          }
+        }
+        if (!ok1) false
+        else if (!filter.constrainsEnd) true
+        else {
+          val posStart = i32(data, o0 + 4) + 1
+          val posEnd = posStart + math.max(refConsumedOf(data, o0), 1) - 1
+          posEnd >= filter.endMin && posEnd <= filter.endMax
+        }
+      }
 
     new Iterator[BamRecord] {
       private var nextRec: BamRecord = _
@@ -402,26 +481,51 @@ object BamFormat {
       advance()
       private def advance(): Unit = {
         nextRec = null
-        if (done) return
-        compact(cursor)
-        // Ownership: the record must START in a block with offset < end.
-        if (!ensure(cursor + 4) || blockOf(cursor) >= end) {
-          done = true; in.close(); return
+        while (nextRec == null && !done) {
+          compact(cursor)
+          // Ownership: the record must START in a block with offset < end.
+          if (!ensure(cursor + 4) || blockOf(cursor) >= end) {
+            done = true; in.close()
+          } else {
+            val blockSize = i32(buf, at(cursor))
+            if (blockSize == 0 || !ensure(cursor + 4 + blockSize)) {
+              done = true; in.close() // EOF terminator / truncation
+            } else {
+              val o0 = at(cursor) + 4
+              if (passes(buf, o0)) nextRec = decodeRecord(buf, o0, blockSize, spec)
+              cursor += 4 + blockSize
+            }
+          }
         }
-        val blockSize = i32(buf, at(cursor))
-        if (blockSize == 0 || !ensure(cursor + 4 + blockSize)) {
-          done = true; in.close(); return // EOF terminator / truncation
-        }
-        nextRec = decodeRecord(buf, at(cursor) + 4, blockSize)
-        cursor += 4 + blockSize
       }
       override def hasNext: Boolean = nextRec != null
       override def next(): BamRecord = { val r = nextRec; advance(); r }
     }
   }
 
-  /** Decode one alignment block at `data[o, o + blockSize)`. */
-  private def decodeRecord(data: Array[Byte], o0: Int, blockSize: Int): BamRecord = {
+  /** Reference-consumed length from a cigar-words-only walk (no string
+    * build) — what `pos_end` predicates need before full decode. */
+  private def refConsumedOf(data: Array[Byte], o0: Int): Int = {
+    val lReadName = u8(data, o0 + 8)
+    val nCigar = u16(data, o0 + 12)
+    var o = o0 + 32 + lReadName
+    var rc = 0
+    var i = 0
+    while (i < nCigar) {
+      val w = i32(data, o); o += 4
+      val op = CigarOps.charAt(w & 0xf)
+      if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X')
+        rc += (w >>> 4)
+      i += 1
+    }
+    rc
+  }
+
+  /** Decode one alignment block at `data[o, o + blockSize)`, materializing
+    * only the parts `spec` asks for (unwanted length-prefixed parts are
+    * skipped in O(1)). */
+  private def decodeRecord(data: Array[Byte], o0: Int, blockSize: Int,
+      spec: DecodeSpec = FullDecode): BamRecord = {
     val refId = i32(data, o0)
     val pos0 = i32(data, o0 + 4)
     val lReadName = u8(data, o0 + 8)
@@ -433,57 +537,91 @@ object BamFormat {
     val nextPos0 = i32(data, o0 + 24)
     val tlen = i32(data, o0 + 28)
     var o = o0 + 32
-    val qname = new String(data, o, lReadName - 1, StandardCharsets.UTF_8)
+    val qname =
+      if (spec.name) new String(data, o, lReadName - 1, StandardCharsets.UTF_8) else null
     o += lReadName
-    val cigarSb = new StringBuilder
     var refConsumed = 0
-    var i = 0
-    while (i < nCigar) {
-      val w = i32(data, o); o += 4
-      val opLen = w >>> 4
-      val op = CigarOps.charAt(w & 0xf)
-      cigarSb.append(opLen).append(op)
-      if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X')
-        refConsumed += opLen
-      i += 1
+    var cigar: String = null
+    if (spec.cigar) {
+      val cigarSb = new StringBuilder
+      var i = 0
+      while (i < nCigar) {
+        val w = i32(data, o); o += 4
+        val opLen = w >>> 4
+        val op = CigarOps.charAt(w & 0xf)
+        cigarSb.append(opLen).append(op)
+        if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X')
+          refConsumed += opLen
+        i += 1
+      }
+      cigar = if (nCigar == 0) "*" else cigarSb.toString
+    } else {
+      if (spec.refConsumed) refConsumed = refConsumedOf(data, o0)
+      o += 4 * nCigar
     }
-    val seqSb = new StringBuilder(lSeq)
-    i = 0
-    while (i < lSeq) {
-      val byte = u8(data, o + (i >> 1))
-      seqSb.append(SeqTable.charAt(if ((i & 1) == 0) byte >>> 4 else byte & 0xf))
-      i += 1
+    var seq: String = null
+    if (spec.seq) {
+      val seqSb = new StringBuilder(lSeq)
+      var i = 0
+      while (i < lSeq) {
+        val byte = u8(data, o + (i >> 1))
+        seqSb.append(SeqTable.charAt(if ((i & 1) == 0) byte >>> 4 else byte & 0xf))
+        i += 1
+      }
+      seq = seqSb.toString
     }
     o += (lSeq + 1) / 2
-    val quals = java.util.Arrays.copyOfRange(data, o, o + lSeq)
+    val quals =
+      if (spec.quals) java.util.Arrays.copyOfRange(data, o, o + lSeq) else null
     o += lSeq
     var md: String = null
-    val limit = o0 + blockSize
-    while (o < limit) {
-      val t1 = data(o).toChar; val t2 = data(o + 1).toChar
-      val vt = data(o + 2).toChar
-      o += 3
-      vt match {
-        case 'A' | 'c' | 'C' => o += 1
-        case 's' | 'S' => o += 2
-        case 'i' | 'I' | 'f' => o += 4
-        case 'Z' | 'H' =>
-          val s = o
-          while (data(o) != 0) o += 1
-          if (t1 == 'M' && t2 == 'D' && vt == 'Z')
-            md = new String(data, s, o - s, StandardCharsets.UTF_8)
-          o += 1
-        case 'B' =>
-          val sub = data(o).toChar
-          val count = i32(data, o + 1)
-          val size = sub match { case 'c' | 'C' => 1; case 's' | 'S' => 2; case _ => 4 }
-          o += 5 + count * size
-        case other => sys.error(s"unknown BAM tag type '$other' for $t1$t2")
+    var nm: Integer = null
+    var rg: String = null
+    if (spec.tags) {
+      val limit = o0 + blockSize
+      while (o < limit) {
+        val t1 = data(o).toChar; val t2 = data(o + 1).toChar
+        val vt = data(o + 2).toChar
+        o += 3
+        vt match {
+          case 'A' => o += 1
+          case 'c' =>
+            if (spec.nm && t1 == 'N' && t2 == 'M') nm = data(o).toInt
+            o += 1
+          case 'C' =>
+            if (spec.nm && t1 == 'N' && t2 == 'M') nm = u8(data, o)
+            o += 1
+          case 's' =>
+            if (spec.nm && t1 == 'N' && t2 == 'M') nm = u16(data, o).toShort.toInt
+            o += 2
+          case 'S' =>
+            if (spec.nm && t1 == 'N' && t2 == 'M') nm = u16(data, o)
+            o += 2
+          case 'i' | 'I' =>
+            if (spec.nm && t1 == 'N' && t2 == 'M') nm = i32(data, o)
+            o += 4
+          case 'f' => o += 4
+          case 'Z' | 'H' =>
+            val s = o
+            while (data(o) != 0) o += 1
+            if (vt == 'Z') {
+              if (spec.md && t1 == 'M' && t2 == 'D')
+                md = new String(data, s, o - s, StandardCharsets.UTF_8)
+              else if (spec.rg && t1 == 'R' && t2 == 'G')
+                rg = new String(data, s, o - s, StandardCharsets.UTF_8)
+            }
+            o += 1
+          case 'B' =>
+            val sub = data(o).toChar
+            val count = i32(data, o + 1)
+            val size = sub match { case 'c' | 'C' => 1; case 's' | 'S' => 2; case _ => 4 }
+            o += 5 + count * size
+          case other => sys.error(s"unknown BAM tag type '$other' for $t1$t2")
+        }
       }
     }
-    BamRecord(refId, pos0, mapq, flag, qname,
-      if (nCigar == 0) "*" else cigarSb.toString, seqSb.toString, quals,
-      nextRefId, nextPos0, tlen, md, refConsumed)
+    BamRecord(refId, pos0, mapq, flag, qname, cigar, seq, quals,
+      nextRefId, nextPos0, tlen, md, refConsumed, nm, rg)
   }
 
   // ------------------------------------------------------------------ write
@@ -498,9 +636,29 @@ object BamFormat {
     else 0
   }
 
-  final class BamWriter(raw: OutputStream, refNames: Array[String], refLengths: Array[Int]) {
-    private val out = new DataOutputStream(new BgzfOutputStream(raw))
+  /** Per-BGZF-member record statistics for the sidecar range index. */
+  private final class BlockStat(val firstRecOff: Int) {
+    var minRef: Int = Int.MaxValue; var maxRef: Int = Int.MinValue
+    var minStart: Int = Int.MaxValue; var maxEnd: Int = Int.MinValue
+    var n: Long = 0L
+  }
+
+  /** Sidecar range-index file suffix (`<file>.bam` → `<file>.bam.gri`):
+    * one text line per BGZF member that has records STARTING in it —
+    * `blockOffset firstRecordInflatedOffset minRefId maxRefId
+    * minPosStart maxPosEnd nRecords`. The BAI analogue for this engine's
+    * own output: a reader with a `contig + position` predicate prunes
+    * whole members and starts decoding at a KNOWN record boundary (no
+    * plausibility probe), the way the reference turns interval
+    * predicates into BAI queries (`AlignmentRelation.scala:316-367`). */
+  val IndexSuffix = ".gri"
+
+  final class BamWriter(raw: OutputStream, refNames: Array[String],
+      refLengths: Array[Int], indexOut: OutputStream = null) {
+    private val bgzf = new BgzfOutputStream(raw)
+    private val out = new DataOutputStream(bgzf)
     private val refIndex: Map[String, Int] = refNames.zipWithIndex.toMap
+    private val blockStats = mutable.LinkedHashMap.empty[Long, BlockStat]
 
     // Header: magic, SAM text (minimal @HD/@SQ), reference dictionary.
     locally {
@@ -538,11 +696,19 @@ object BamFormat {
     }
 
     /** `pos1` is 1-based inclusive (engine convention); quals are raw
-      * Phred. A null/unknown contig writes refID -1 (unmapped slot). */
+      * Phred. A null/unknown contig writes refID -1 (unmapped slot);
+      * optional `nm`/`rg` write typed NM:i / RG:Z tags. */
     def write(contig: String, pos1: Int, mapq: Int, flag: Int, qname: String,
-        cigar: String, seq: String, quals: Array[Byte], mdTag: String): Unit = {
+        cigar: String, seq: String, quals: Array[Byte], mdTag: String,
+        nm: Integer = null, rg: String = null): Unit = {
       val refId = if (contig == null) -1 else refIndex.getOrElse(contig, -1)
       val name = (if (qname == null || qname.isEmpty) "*" else qname).getBytes("UTF-8")
+      // l_read_name is a single byte including the NUL (spec cap 254
+      // name bytes); a longer name would silently truncate the length
+      // byte mod 256 while blockSize kept the full length — corrupt.
+      require(name.length <= 254,
+        s"BAM read name exceeds the spec's 254-byte cap (${name.length}): " +
+          new String(name, 0, 40, StandardCharsets.UTF_8) + "…")
       val words = cigarWords(cigar)
       val s = if (seq == null) "" else seq
       val lSeq = s.length
@@ -552,8 +718,25 @@ object BamFormat {
       val md = if (mdTag == null) Array.emptyByteArray
         else s"MD".getBytes("UTF-8") ++ Array('Z'.toByte) ++
           mdTag.getBytes("UTF-8") ++ Array(0.toByte)
+      val nmTag = if (nm == null) Array.emptyByteArray
+        else Array('N'.toByte, 'M'.toByte, 'i'.toByte,
+          (nm.intValue & 0xff).toByte, ((nm.intValue >> 8) & 0xff).toByte,
+          ((nm.intValue >> 16) & 0xff).toByte, ((nm.intValue >> 24) & 0xff).toByte)
+      val rgTag = if (rg == null) Array.emptyByteArray
+        else s"RG".getBytes("UTF-8") ++ Array('Z'.toByte) ++
+          rg.getBytes("UTF-8") ++ Array(0.toByte)
+      // Range-index bookkeeping: the record's first byte lands in the
+      // member at the stream's current virtual offset.
+      locally {
+        val (blockOff, inflOff) = bgzf.virtualOffset
+        val st = blockStats.getOrElseUpdate(blockOff, new BlockStat(inflOff))
+        val posEnd = pos1 + math.max(1, refConsumed) - 1
+        st.minRef = math.min(st.minRef, refId); st.maxRef = math.max(st.maxRef, refId)
+        st.minStart = math.min(st.minStart, pos1); st.maxEnd = math.max(st.maxEnd, posEnd)
+        st.n += 1
+      }
       val blockSize = 32 + (name.length + 1) + words.length * 4 +
-        (lSeq + 1) / 2 + lSeq + md.length
+        (lSeq + 1) / 2 + lSeq + md.length + nmTag.length + rgTag.length
       le32(blockSize)
       le32(refId)
       le32(pos1 - 1)
@@ -578,8 +761,21 @@ object BamFormat {
       if (quals == null) out.write(Array.fill(lSeq)(0xff.toByte))
       else { require(quals.length == lSeq); out.write(quals) }
       out.write(md)
+      out.write(nmTag)
+      out.write(rgTag)
     }
 
-    def close(): Unit = out.close()
+    def close(): Unit = {
+      out.close()
+      if (indexOut != null) {
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(indexOut, StandardCharsets.UTF_8))
+        blockStats.foreach { case (off, st) =>
+          w.write(s"$off\t${st.firstRecOff}\t${st.minRef}\t${st.maxRef}\t" +
+            s"${st.minStart}\t${st.maxEnd}\t${st.n}\n")
+        }
+        w.close()
+      }
+    }
   }
 }

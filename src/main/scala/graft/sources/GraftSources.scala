@@ -109,8 +109,12 @@ object SourceUtil {
     * columns. */
   def writeBam(reads: DataFrame, path: String): Unit = {
     val spark = reads.sparkSession
+    // Null pos_end values (unmapped reads) must not sink the reference
+    // dictionary derivation; a contig whose every pos_end is null gets a
+    // nominal length.
     val refs = reads.filter(col("contig").isNotNull)
-      .groupBy(col("contig")).agg(max(col("pos_end").cast("int")).as("m"))
+      .groupBy(col("contig"))
+      .agg(max(coalesce(col("pos_end").cast("int"), lit(0))).as("m"))
       .collect().sortBy(_.getString(0))
     val refNames = refs.map(_.getString(0))
     val refLens = refs.map(r => r.getInt(1) + 1000)
@@ -122,7 +126,9 @@ object SourceUtil {
       optCol("qname", lit("*")).cast("string"), col("cigar").cast("string"),
       optCol("seq", lit("")).cast("string"),
       optCol("qual_str", lit(null)).cast("string"),
-      optCol("md_tag", lit(null)).cast("string"))
+      optCol("md_tag", lit(null)).cast("string"),
+      optCol("tag_NM", lit(null)).cast("int"),
+      optCol("tag_RG", lit(null)).cast("string"))
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
@@ -130,13 +136,18 @@ object SourceUtil {
     val fs0 = dir.getFileSystem(conf)
     if (fs0.exists(dir)) fs0.delete(dir, true)
     fs0.mkdirs(dir)
-    prepared.rdd.mapPartitionsWithIndex { (idx, it) =>
+    val wrote = prepared.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.bam")
         val fs = p.getFileSystem(serConf.value)
         val out = fs.create(p, true)
-        val w = new BamFormat.BamWriter(out, refNames, refLens)
+        // Sidecar range index alongside every shard (the BAI analogue
+        // BamSource consults for contig+position predicates).
+        val idxOut = fs.create(
+          new org.apache.hadoop.fs.Path(path,
+            f"part-$idx%05d.bam${BamFormat.IndexSuffix}"), true)
+        val w = new BamFormat.BamWriter(out, refNames, refLens, idxOut)
         it.foreach { r =>
           val qualStr = if (r.isNullAt(7)) null else r.getString(7)
           val quals =
@@ -146,12 +157,19 @@ object SourceUtil {
             if (r.isNullAt(0)) null else r.getString(0),
             r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4), r.getString(5),
             r.getString(6), quals,
-            if (r.isNullAt(8)) null else r.getString(8))
+            if (r.isNullAt(8)) null else r.getString(8),
+            if (r.isNullAt(9)) null else Integer.valueOf(r.getInt(9)),
+            if (r.isNullAt(10)) null else r.getString(10))
         }
         w.close()
         Iterator.single(1)
       }
-    }.count(): Unit
+    }.count()
+    // An all-empty frame must still leave a readable (header-only) BAM.
+    if (wrote == 0L) {
+      val out = fs0.create(new org.apache.hadoop.fs.Path(dir, "part-00000.bam"), true)
+      new BamFormat.BamWriter(out, refNames, refLens).close()
+    }
   }
 }
 
@@ -214,8 +232,21 @@ class VariantSource extends RelationProvider {
   * offline). Emits the engine's alignment surface: sample-id from the
   * file name (S7), 1-based `pos_start`, `pos_end` from the
   * reference-consumed CIGAR length, quals re-rendered as the Phred+33
-  * string, the MD tag extracted from the tag stream, and contig
+  * string, MD/NM/RG tags extracted from the tag stream, and contig
   * normalization (P5).
+  *
+  * PUSHDOWN runs at three levels (the reference extracts per requested
+  * column and turns interval predicates into BAI index queries,
+  * `AlignmentRelation.scala:214-261,316-367`):
+  *   - projection → [[BamFormat.DecodeSpec]]: unprojected length-prefixed
+  *     parts (name/cigar/seq/quals/tags) are SKIPPED, not decoded — a
+  *     `count(*)` pays prefix reads only;
+  *   - predicates on contig/pos_start/pos_end/mapq →
+  *     [[BamFormat.RecordFilter]], evaluated on the fixed prefix before
+  *     any materialization; sample_id predicates prune whole FILES;
+  *   - contig+position predicates + a `.gri` sidecar (written by
+  *     [[SourceUtil.writeBam]]) → whole-BGZF-member skip with KNOWN
+  *     record-boundary starts, the BAI analogue.
   *
   * SPLITTABLE without an index: each file is carved into `splitSize`
   * byte ranges (option, default 64 MiB) and every task synchronizes
@@ -229,17 +260,22 @@ class BamSource extends RelationProvider {
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("BamSource requires a 'path' option"))
     val splitSize = parameters.getOrElse("splitSize", (64L << 20).toString).toLong
-    new GraftBaseRelation {
+    new BaseRelation with PrunedFilteredScan {
       override val sqlContext: SQLContext = ctx
-      override protected def frame(): DataFrame =
-        BamSource.frameFor(ctx.sparkSession, path, splitSize)
+      override val schema: StructType = BamSource.schema
+      override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+        filters.filterNot(BamSource.handles)
+      override def buildScan(
+          requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] =
+        BamSource.scan(ctx.sparkSession, path, splitSize, requiredColumns, filters)
     }
   }
 }
 
 object BamSource {
   import org.apache.spark.sql.types._
-  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+  import org.apache.hadoop.fs.{Path => HPath}
+  import BamFormat.{DecodeSpec, RecordFilter}
 
   val schema: StructType = StructType(Seq(
     StructField("sample_id", StringType, nullable = false),
@@ -252,55 +288,258 @@ object BamSource {
     StructField("cigar", StringType, nullable = false),
     StructField("seq", StringType, nullable = false),
     StructField("qual_str", StringType, nullable = true),
-    StructField("md_tag", StringType, nullable = true)))
+    StructField("md_tag", StringType, nullable = true),
+    StructField("tag_NM", IntegerType, nullable = true),
+    StructField("tag_RG", StringType, nullable = true)))
 
-  private[sources] def frameFor(spark: org.apache.spark.sql.SparkSession,
-      path: String, splitSize: Long): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new HPath(path)
-    val fs = p.getFileSystem(conf)
+  private val intCols = Set("pos_start", "pos_end", "mapq")
+  private def asInt(v: Any): Option[Int] = v match {
+    case i: Int => Some(i)
+    case l: Long if l == l.toInt => Some(l.toInt)
+    case s: Short => Some(s.toInt)
+    case b: Byte => Some(b.toInt)
+    case _ => None
+  }
+
+  /** Filters this source evaluates EXACTLY inside the decode loop (or at
+    * file level for sample_id); everything else stays with Spark. */
+  private[sources] def handles(f: Filter): Boolean = f match {
+    case EqualTo(a, v: String) if a == "contig" || a == "sample_id" => v != null
+    case In(a, vs) if a == "contig" || a == "sample_id" =>
+      vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+    case IsNotNull("contig") => true
+    case EqualTo(a, v) if intCols(a) => asInt(v).isDefined
+    case GreaterThan(a, v) if intCols(a) => asInt(v).isDefined
+    case GreaterThanOrEqual(a, v) if intCols(a) => asInt(v).isDefined
+    case LessThan(a, v) if intCols(a) => asInt(v).isDefined
+    case LessThanOrEqual(a, v) if intCols(a) => asInt(v).isDefined
+    case _ => false
+  }
+
+  /** One planned task: a byte (or index-pruned block) range of one file.
+    * `firstRecOff` >= 0 marks a KNOWN record boundary (indexed path). */
+  private case class BamSplit(file: String, fileLen: Long, start: Long,
+      end: Long, firstRecOff: Long, sample: String, cleaned: Array[String])
+
+  private[sources] def listBamFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-    val files = matched.flatMap { st =>
+    matched.flatMap { st =>
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq
           .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
             !s.getPath.getName.startsWith("_"))
       else Seq(st)
+    }.filter(!_.getPath.getName.endsWith(BamFormat.IndexSuffix))
+  }
+
+  private def sampleOf(st: org.apache.hadoop.fs.FileStatus): String = {
+    val leaf = st.getPath.getName
+    val fileName =
+      if (leaf.startsWith("part-")) st.getPath.getParent.getName else leaf
+    fileName.split('.')(0)
+  }
+
+  /** Fold the handled filters into per-file predicates. Returns
+    * (sampleAllowed, contigAllowed or null, bounds...). */
+  private def foldFilters(filters: Array[Filter]): (
+      Option[Set[String]], Option[Set[String]], Boolean,
+      Int, Int, Int, Int, Int, Int) = {
+    var samples: Option[Set[String]] = None
+    var contigs: Option[Set[String]] = None
+    var contigNotNull = false
+    var sMin = Int.MinValue; var sMax = Int.MaxValue
+    var eMin = Int.MinValue; var eMax = Int.MaxValue
+    var qMin = Int.MinValue; var qMax = Int.MaxValue
+    def inter(cur: Option[Set[String]], add: Set[String]) =
+      Some(cur.fold(add)(_ intersect add))
+    filters.filter(handles).foreach {
+      case EqualTo("sample_id", v: String) => samples = inter(samples, Set(v))
+      case In("sample_id", vs) =>
+        samples = inter(samples, vs.map(_.asInstanceOf[String]).toSet)
+      case EqualTo("contig", v: String) => contigs = inter(contigs, Set(v))
+      case In("contig", vs) =>
+        contigs = inter(contigs, vs.map(_.asInstanceOf[String]).toSet)
+      case IsNotNull("contig") => contigNotNull = true
+      case f =>
+        val (a, lo, hi) = f match {
+          case EqualTo(a, v) => (a, asInt(v).get, asInt(v).get)
+          case GreaterThan(a, v) => (a, asInt(v).get + 1, Int.MaxValue)
+          case GreaterThanOrEqual(a, v) => (a, asInt(v).get, Int.MaxValue)
+          case LessThan(a, v) => (a, Int.MinValue, asInt(v).get - 1)
+          case LessThanOrEqual(a, v) => (a, Int.MinValue, asInt(v).get)
+          case other => sys.error(s"unexpected handled filter $other")
+        }
+        a match {
+          case "pos_start" => sMin = math.max(sMin, lo); sMax = math.min(sMax, hi)
+          case "pos_end" => eMin = math.max(eMin, lo); eMax = math.min(eMax, hi)
+          case "mapq" => qMin = math.max(qMin, lo); qMax = math.min(qMax, hi)
+        }
     }
-    require(files.nonEmpty, s"BamSource: no files match '$path'")
-    val splits: Seq[(String, Long, Long, Long, String)] = files.flatMap { st =>
+    (samples, contigs, contigNotNull, sMin, sMax, eMin, eMax, qMin, qMax)
+  }
+
+  private[sources] def scan(spark: org.apache.spark.sql.SparkSession,
+      path: String, splitSize: Long, requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val all = listBamFiles(fs, p)
+    require(all.nonEmpty, s"BamSource: no files match '$path'")
+    val (samples, contigs, contigNotNull, sMin, sMax, eMin, eMax, qMin, qMax) =
+      foldFilters(filters)
+    // File-level prune on sample_id (S7: sample comes from the name).
+    val files = all.filter(st => samples.forall(_.contains(sampleOf(st))))
+
+    val req = requiredColumns.toSet
+    val constrainsEnd = eMin != Int.MinValue || eMax != Int.MaxValue
+    val spec = DecodeSpec(
+      name = req("qname"), cigar = req("cigar"),
+      refConsumed = req("pos_end") || req("cigar") || constrainsEnd,
+      seq = req("seq"), quals = req("qual_str"), md = req("md_tag"),
+      nm = req("tag_NM"), rg = req("tag_RG"))
+    // Column codes resolved once; the per-record loop switches on ints.
+    val codes: Array[Int] = requiredColumns.map(c => schema.fieldIndex(c))
+
+    val splits: Seq[BamSplit] = files.flatMap { st =>
       val file = st.getPath.toString
       val len = st.getLen
-      val leaf = st.getPath.getName
-      val fileName =
-        if (leaf.startsWith("part-")) st.getPath.getParent.getName else leaf
-      val sample = fileName.split('.')(0)
-      (0L until len by splitSize).map(s =>
-        (file, len, s, math.min(s + splitSize, len), sample))
-    }
-    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-    val rows = spark.sparkContext
-      .parallelize(splits, splits.length)
-      .flatMap { case (file, len, s, e, sample) =>
-        val hp = new HPath(file)
-        def open() = hp.getFileSystem(serConf.value).open(hp)
-        // Reference names for contig mapping (a few header blocks).
-        val hdr = new BamFormat.BamReader(open())
-        val names = hdr.header.refNames
-        hdr.close()
-        BamFormat.splitRecords(() => open(), len, s, e).map { r =>
-          val contig = if (r.refId >= 0 && r.refId < names.length) names(r.refId) else null
-          val posStart = r.pos0 + 1
-          val posEnd = posStart + math.max(r.refConsumed, 1) - 1
-          val qualStr =
-            if (r.quals.isEmpty || r.quals(0) == 0xff.toByte) null
-            else new String(r.quals.map(q => (q + 33).toChar))
-          Row(sample, r.qname, r.flag, contig, posStart, posEnd, r.mapq,
-            r.cigar, r.seq, qualStr, r.mdTag)
+      val sample = sampleOf(st)
+      // One driver-side header parse per file: contig names feed both
+      // the predicate→refId mapping and the tasks (no per-task re-parse).
+      val hdr = new BamFormat.BamReader(fs.open(st.getPath))
+      val names = hdr.header.refNames
+      hdr.close()
+      val cleaned = names.map(graft.functions.RangeFunctions.cleanContig)
+      val refConstrained = contigs.isDefined || contigNotNull
+      // Short-circuit: requested contigs absent from this file entirely.
+      if (contigs.exists(cs => !cleaned.exists(cs.contains))) Nil
+      else {
+        val idx = new HPath(file + BamFormat.IndexSuffix)
+        val posConstrained = constrainsEnd || sMin != Int.MinValue || sMax != Int.MaxValue
+        val indexed =
+          if ((refConstrained || posConstrained) && fs.exists(idx))
+            indexRanges(fs, idx, len, contigs, contigNotNull, cleaned,
+              sMin, sMax, eMin, eMax, splitSize)
+          else None
+        indexed match {
+          case Some(ranges) =>
+            ranges.map { case (s, e, off) => BamSplit(file, len, s, e, off, sample, cleaned) }
+          case None =>
+            (0L until len by splitSize).map(s =>
+              BamSplit(file, len, s, math.min(s + splitSize, len), -1L, sample, cleaned))
         }
       }
-    spark.createDataFrame(rows, schema)
-      .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+    }
+    if (splits.isEmpty) return spark.sparkContext.emptyRDD[Row]
+
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    spark.sparkContext.parallelize(splits, splits.length).flatMap { sp =>
+      val hp = new HPath(sp.file)
+      def open() = hp.getFileSystem(serConf.value).open(hp)
+      val refIdOk: Array[Boolean] =
+        if (contigs.isEmpty && !contigNotNull) null
+        else {
+          val ok = new Array[Boolean](sp.cleaned.length + 1)
+          ok(0) = false // refId -1 (null contig) never matches eq/in/notnull
+          var i = 0
+          while (i < sp.cleaned.length) {
+            ok(i + 1) = contigs.forall(_.contains(sp.cleaned(i)))
+            i += 1
+          }
+          ok
+        }
+      val filter =
+        if (refIdOk == null && sMin == Int.MinValue && sMax == Int.MaxValue &&
+          eMin == Int.MinValue && eMax == Int.MaxValue &&
+          qMin == Int.MinValue && qMax == Int.MaxValue) null
+        else RecordFilter(refIdOk, sMin, sMax, eMin, eMax, qMin, qMax)
+      BamFormat.splitRecords(() => open(), sp.fileLen, sp.start, sp.end,
+          spec, filter, sp.cleaned.length, sp.firstRecOff).map { r =>
+        val vals = new Array[Any](codes.length)
+        var i = 0
+        while (i < codes.length) {
+          vals(i) = codes(i) match {
+            case 0 => sp.sample
+            case 1 => r.qname
+            case 2 => r.flag
+            case 3 => if (r.refId >= 0 && r.refId < sp.cleaned.length) sp.cleaned(r.refId) else null
+            case 4 => r.pos0 + 1
+            case 5 => r.pos0 + 1 + math.max(r.refConsumed, 1) - 1
+            case 6 => r.mapq
+            case 7 => r.cigar
+            case 8 => r.seq
+            case 9 =>
+              if (r.quals == null || r.quals.isEmpty || r.quals(0) == 0xff.toByte) null
+              else new String(r.quals.map(q => (q + 33).toChar))
+            case 10 => r.mdTag
+            case 11 => r.tagNm
+            case 12 => r.tagRg
+          }
+          i += 1
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }
+  }
+
+  /** Index-pruned block ranges for one file: keep members whose recorded
+    * (refId, position) statistics may satisfy the predicate, merge
+    * consecutive keeps, chunk runs at `splitSize`. Returns None when the
+    * index is unusable (empty file). Each range starts at a KNOWN record
+    * boundary from the index — no plausibility probe on this path. */
+  private def indexRanges(fs: org.apache.hadoop.fs.FileSystem, idx: HPath,
+      fileLen: Long, contigs: Option[Set[String]], contigNotNull: Boolean,
+      cleaned: Array[String], sMin: Int, sMax: Int, eMin: Int, eMax: Int,
+      splitSize: Long): Option[Seq[(Long, Long, Long)]] = {
+    val targetRefs: Option[Set[Int]] = contigs.map(cs =>
+      cleaned.indices.filter(i => cs.contains(cleaned(i))).toSet)
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(idx), java.nio.charset.StandardCharsets.UTF_8))
+    val entries = try {
+      Iterator.continually(rd.readLine()).takeWhile(_ != null).filter(_.nonEmpty).map { line =>
+        val f = line.split('\t')
+        (f(0).toLong, f(1).toLong, f(2).toInt, f(3).toInt, f(4).toInt, f(5).toInt)
+      }.toVector
+    } finally rd.close()
+    if (entries.isEmpty) return None
+    val startCap = math.min(sMax.toLong, eMax.toLong).toInt   // pos_start <= pos_end
+    val endFloor = math.max(sMin.toLong, eMin.toLong).toInt   // pos_end >= pos_start
+    def keep(e: (Long, Long, Int, Int, Int, Int)): Boolean = {
+      val (_, _, minRef, maxRef, minStart, maxEnd) = e
+      val refOk = targetRefs match {
+        case Some(ts) => ts.exists(t => t >= minRef && t <= maxRef)
+        case None => !contigNotNull || maxRef >= 0
+      }
+      if (!refOk) false
+      // Position statistics are conclusive only for single-contig members.
+      else if (minRef == maxRef) minStart <= startCap && maxEnd >= endFloor
+      else true
+    }
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var i = 0
+    while (i < entries.length) {
+      if (!keep(entries(i))) i += 1
+      else {
+        var last = i
+        while (last + 1 < entries.length && keep(entries(last + 1))) last += 1
+        // Chunk the keep-run [i..last] at splitSize boundaries.
+        var runStart = i
+        var j = i
+        while (j <= last) {
+          if (j == last || entries(j + 1)._1 - entries(runStart)._1 >= splitSize) {
+            val endOff =
+              if (j + 1 < entries.length) entries(j + 1)._1 else fileLen
+            ranges += ((entries(runStart)._1, endOff, entries(runStart)._2))
+            runStart = j + 1
+          }
+          j += 1
+        }
+        i = last + 1
+      }
+    }
+    Some(ranges.toSeq)
   }
 }
 
@@ -334,10 +573,15 @@ class SamSource extends RelationProvider {
             f.getItem(5).as("cigar"),
             when(f.getItem(9) === "*", lit("")).otherwise(f.getItem(9)).as("seq"),
             when(f.getItem(10) === "*", lit(null)).otherwise(f.getItem(10)).as("qual_str"),
-            // First MD:Z: optional field anywhere after the 11 mandatory
-            // columns (empty match -> null).
+            // Typed optional fields fished from anywhere after the 11
+            // mandatory columns (empty match -> null); same tag surface
+            // as BamSource (reference AlignmentRelation.scala:246-257).
             when(col("value").rlike("\tMD:Z:[^\t]+"),
-              regexp_extract(col("value"), "\tMD:Z:([^\t]+)", 1)).as("md_tag"))
+              regexp_extract(col("value"), "\tMD:Z:([^\t]+)", 1)).as("md_tag"),
+            when(col("value").rlike("\tNM:i:-?\\d+"),
+              regexp_extract(col("value"), "\tNM:i:(-?\\d+)", 1)).cast("int").as("tag_NM"),
+            when(col("value").rlike("\tRG:Z:[^\t]+"),
+              regexp_extract(col("value"), "\tRG:Z:([^\t]+)", 1)).as("tag_RG"))
           .withColumn("pos_end",
             col("pos_start") + greatest(aggregate(
               expr("regexp_extract_all(cigar, '(\\\\d+)[MDN=X]', 1)"),
@@ -345,7 +589,7 @@ class SamSource extends RelationProvider {
           .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
           .select(col("sample_id"), col("qname"), col("flag"), col("contig"),
             col("pos_start"), col("pos_end"), col("mapq"), col("cigar"),
-            col("seq"), col("qual_str"), col("md_tag"))
+            col("seq"), col("qual_str"), col("md_tag"), col("tag_NM"), col("tag_RG"))
       }
     }
   }

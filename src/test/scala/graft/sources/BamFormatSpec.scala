@@ -101,6 +101,110 @@ class BamFormatSpec extends AnyFunSuite {
     assert(u.refId === -1 && u.cigar === "*" && u.seq === "" && u.mdTag === null)
   }
 
+  test("selective decode skips unprojected parts; prefix filter pre-decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bam_sel")
+    val file = dir.resolve("t.bam").toString
+    val out = new java.io.FileOutputStream(file)
+    val w = new BamFormat.BamWriter(out, Array("c1", "c2"), Array(5000, 9000))
+    w.write("c1", 10, 60, 0, "a", "7M", "ACGTACG", Array[Byte](1, 2, 3, 4, 5, 6, 7), "7")
+    w.write("c2", 999, 37, 1024, "b", "5M", "NACGT", null, "2A2", 2, "rgX")
+    w.write("c2", 2000, 9, 0, "c", "4M", "TTTT", null, null, 0, "rgY")
+    w.close()
+    val hp = new org.apache.hadoop.fs.Path(file)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val len = fs.getFileStatus(hp).getLen
+    // Nothing variable materialized: a count(*)-shaped scan.
+    val bare = BamFormat.splitRecords(() => fs.open(hp), len, 0, len,
+      BamFormat.DecodeSpec(name = false, cigar = false, refConsumed = false,
+        seq = false, quals = false, md = false, nm = false, rg = false)).toArray
+    assert(bare.length === 3)
+    assert(bare.forall(r => r.qname == null && r.cigar == null && r.seq == null &&
+      r.quals == null && r.mdTag == null && r.tagNm == null && r.tagRg == null))
+    assert(bare.map(_.pos0 + 1).toSeq === Seq(10, 999, 2000)) // prefix intact
+    assert(bare.map(_.mapq).toSeq === Seq(60, 37, 9))
+    // refConsumed without the cigar string (pos_end-only projection).
+    val rcOnly = BamFormat.splitRecords(() => fs.open(hp), len, 0, len,
+      BamFormat.DecodeSpec(name = false, cigar = false, refConsumed = true,
+        seq = false, quals = false, md = false, nm = false, rg = false)).toArray
+    assert(rcOnly.map(_.refConsumed).toSeq === Seq(7, 5, 4))
+    assert(rcOnly.forall(_.cigar == null))
+    // NM/RG typed tags decode; absent tags stay null.
+    val full = BamFormat.splitRecords(() => fs.open(hp), len, 0, len).toArray
+    assert(full.map(_.tagNm).toSeq === Seq(null, 2, 0))
+    assert(full.map(_.tagRg).toSeq === Seq(null, "rgX", "rgY"))
+    assert(full(1).mdTag === "2A2")
+    // Prefix filter: refId + pos_start bounds + mapq floor, applied
+    // before decode — only matching records come back.
+    val filt = BamFormat.RecordFilter(
+      refIdOk = Array(false, false, true), // only refId 1 (c2)
+      startMin = 1, startMax = 1500, mapqMin = 20, mapqMax = Int.MaxValue)
+    val kept = BamFormat.splitRecords(() => fs.open(hp), len, 0, len,
+      BamFormat.FullDecode, filt).toArray
+    assert(kept.map(_.qname).toSeq === Seq("b"))
+    // pos_end constraint walks cigar words pre-decode.
+    val filt2 = BamFormat.RecordFilter(endMin = 17, endMax = Int.MaxValue)
+    val kept2 = BamFormat.splitRecords(() => fs.open(hp), len, 0, len,
+      BamFormat.FullDecode, filt2).toArray
+    assert(kept2.map(_.qname).toSet === Set("b", "c")) // ends 16, 1003, 2003
+  }
+
+  test("split probe survives records larger than one BGZF member (long reads)") {
+    // A >64 KiB-inflated record spans BGZF members; splits whose first
+    // owned member holds no record start must keep probing into later
+    // owned members instead of silently emitting nothing.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bam_long")
+    val file = dir.resolve("long.bam").toString
+    val out = new java.io.FileOutputStream(file)
+    val w = new BamFormat.BamWriter(out, Array("c1"), Array(2_000_000))
+    var seed = 42L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    def randSeq(n: Int): String = {
+      val sb = new StringBuilder(n)
+      (0 until n).foreach(_ => sb.append("ACGT".charAt(nextInt(4))))
+      sb.toString
+    }
+    def randQuals(n: Int): Array[Byte] =
+      Array.fill(n)(nextInt(41).toByte)
+    // One giant read (inflated record ~105 KiB, incompressible quals),
+    // then a tail of ordinary reads.
+    val bigLen = 70_000
+    w.write("c1", 100, 60, 0, "big", s"${bigLen}M", randSeq(bigLen), randQuals(bigLen), null)
+    (1 to 60).foreach { i =>
+      w.write("c1", 200_000 + i * 40, 30, 0, s"r$i", "30M", randSeq(30), randQuals(30), null)
+    }
+    w.close()
+    val hp = new org.apache.hadoop.fs.Path(file)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val len = fs.getFileStatus(hp).getLen
+    val whole = {
+      val rd = new BamFormat.BamReader(new java.io.FileInputStream(file))
+      val ks = rd.iterator.map(_.qname).toVector
+      rd.close(); ks
+    }
+    assert(whole.length === 61)
+    for (splitSize <- Seq(8_192L, 16_384L, 40_000L)) {
+      val pieces = (0L until len by splitSize).flatMap { s =>
+        BamFormat.splitRecords(() => fs.open(hp), len, s, math.min(s + splitSize, len))
+          .map(_.qname).toVector
+      }
+      assert(pieces.sorted === whole.sorted,
+        s"split size $splitSize: ${pieces.length} records vs ${whole.length}")
+    }
+  }
+
+  test("writer rejects read names beyond the spec's 254-byte cap") {
+    val w = new BamFormat.BamWriter(
+      new ByteArrayOutputStream(), Array("c1"), Array(100))
+    intercept[IllegalArgumentException] {
+      w.write("c1", 1, 0, 0, "q" * 255, "1M", "A", null, null)
+    }
+    w.write("c1", 1, 0, 0, "q" * 254, "1M", "A", null, null) // cap itself is fine
+    w.close()
+  }
+
   test("byte-range splits of the real BAM reassemble exactly (no loss, no dups)") {
     // The no-index split path (BamFormat.splitRecords): BGZF-boundary
     // scan + record-plausibility sync. For a range of split sizes —

@@ -135,6 +135,92 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("BAM scan pushes projection and predicates into the decode (P1/P2)") {
+    val path = s"$base/bam_pushdown"
+    val reads = Tables.readsMd(spark, sf0001).filter(col("sample_id") === "s1")
+    SourceUtil.writeBam(reads, s"$path/s1.bam")
+    spark.sql("DROP TABLE IF EXISTS bam_push")
+    spark.sql(s"""CREATE TABLE bam_push USING graft.sources.BamSource
+                 |OPTIONS (path '$path/s1.bam')""".stripMargin)
+    val t = spark.table("bam_push")
+    // Projection pruning reaches the relation: the scan node's output for
+    // a two-column query is exactly those columns.
+    def scanNodes(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+      }
+    val q2 = t.select("contig", "pos_start").filter(col("mapq") >= 30)
+    val scans = scanNodes(q2).map(_.toString).mkString
+    assert(scans.contains("PushedFilters"), scans)
+    assert(scans.contains("GreaterThanOrEqual(mapq,30)"), scans)
+    val scanOut = scanNodes(q2).head.output.map(_.name)
+    assert(scanOut.toSet.subsetOf(Set("contig", "pos_start", "mapq")), scanOut)
+    // A count(*) scans with an EMPTY projection — no variable-length
+    // record part is decoded (spec'd at the codec level in BamFormatSpec).
+    val cnt = t.count()
+    val cntScan = scanNodes(spark.table("bam_push").groupBy().count()).head.output
+    assert(cntScan.isEmpty, cntScan)
+    // Handled predicates are EXACT: scan-level filtering matches
+    // Spark-side re-filtering of the full frame.
+    val full = t.collect().length
+    assert(cnt === full.toLong)
+    val push = t.filter(col("contig") === "2" && col("pos_start") >= 100 &&
+      col("pos_end") <= 700 && col("mapq") >= 20).collect().length
+    val expect = reads.filter(col("contig") === "2" && col("pos_start") >= 100 &&
+      col("pos_end") <= 700 && col("mapq") >= 20).count()
+    assert(push.toLong === expect)
+    // Typed tag columns survive a projection that skips everything else.
+    val tags = t.filter(col("md_tag").isNotNull).select("md_tag").limit(5).collect()
+    assert(tags.nonEmpty)
+  }
+
+  test("sidecar range index skips BGZF members on selective queries (P4)") {
+    val path = s"$base/bam_indexed"
+    // Coordinate-sorted write: the layout the index exploits (the same
+    // precondition as BAI — samtools index requires sorted input).
+    val reads = Tables.readsMd(spark, sf0001).filter(col("sample_id") === "s1")
+      .orderBy("contig", "pos_start")
+    SourceUtil.writeBam(reads, s"$path/s1.bam")
+    val dir = new java.io.File(s"$path/s1.bam")
+    assert(dir.listFiles().exists(_.getName.endsWith(".bam.gri")),
+      "writeBam must emit the sidecar range index")
+    spark.sql("DROP TABLE IF EXISTS bam_idx")
+    spark.sql(s"""CREATE TABLE bam_idx USING graft.sources.BamSource
+                 |OPTIONS (path '$path/s1.bam', splitSize '16384')""".stripMargin)
+    val t = spark.table("bam_idx")
+    def inflatedDuring(body: => Long): (Long, Long) = {
+      val before = graft.sources.BamFormat.blocksInflated.get()
+      val rows = body
+      (rows, graft.sources.BamFormat.blocksInflated.get() - before)
+    }
+    val (nFull, blocksFull) = inflatedDuring(t.count())
+    val sel = col("contig") === "3" && col("pos_start") >= 400 && col("pos_start") <= 450
+    val (nSel, blocksSel) = inflatedDuring(t.filter(sel).count())
+    assert(nSel > 0, "selective query must match rows")
+    assert(nSel < nFull)
+    assert(blocksSel < blocksFull,
+      s"indexed selective scan inflated $blocksSel of $blocksFull members")
+    // And the indexed path returns exactly what a full-scan filter does.
+    val viaIndex = t.filter(sel).select("pos_start", "pos_end", "mapq", "cigar")
+      .collect().map(_.toString).sorted.toSeq
+    val viaFull = reads.filter(sel).select("pos_start", "pos_end", "mapq", "cigar")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex === viaFull)
+  }
+
+  test("writeBam tolerates null pos_end and empty frames (header-only shard)") {
+    val path = s"$base/bam_empty"
+    val reads = Tables.readsMd(spark, sf0001).filter(col("sample_id") === "s1")
+      .limit(5)
+      .withColumn("pos_end", lit(null).cast("int"))
+    SourceUtil.writeBam(reads, s"$path/nullend.bam") // must not NPE
+    SourceUtil.writeBam(reads.filter(lit(false)), s"$path/none.bam")
+    spark.sql("DROP TABLE IF EXISTS bam_none")
+    spark.sql(s"""CREATE TABLE bam_none USING graft.sources.BamSource
+                 |OPTIONS (path '$path/none.bam')""".stripMargin)
+    assert(spark.table("bam_none").count() === 0L)
+  }
+
   test("VCF source parses the VCF-4.1 spec example file (S4)") {
     // The reference checkout carries the published VCF specification's
     // example document as a test fixture; parse it when present.
