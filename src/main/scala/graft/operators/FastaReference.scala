@@ -40,10 +40,76 @@ trait ReferenceSource extends Serializable {
   * has edges; the mock does not). */
 class FastaReference(fastaPath: String) extends ReferenceSource {
   override def refBase(contigCol: String, posCol: String): Column = {
-    val path = fastaPath
-    val f = udf((contig: String, pos: Int) => FastaReference.base(path, contig, pos))
-    f(col(contigCol), col(posCol))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(FastaRefBase(fastaPath,
+      ColumnBridge.expression(col(contigCol)),
+      ColumnBridge.expression(col(posCol).cast("int"))))
   }
+}
+
+/** Executor-side probe kernel for [[FastaRefBase]]: memoizes the LAST
+  * (contig → cached bytes) resolution per thread — pileup feeds
+  * positions grouped by contig, so the common case is one ThreadLocal
+  * read plus an array index, no per-row string conversion. The object is
+  * shared across the executor's concurrent tasks (it rides the generated
+  * class's references array), hence per-thread memoization rather than
+  * plain fields. */
+final class FastaProbe(path: String) extends Serializable {
+  @transient private lazy val last =
+    new ThreadLocal[(org.apache.spark.unsafe.types.UTF8String, Array[Byte])]
+
+  def base(contig: org.apache.spark.unsafe.types.UTF8String,
+      pos: Int): org.apache.spark.unsafe.types.UTF8String = {
+    var memo = last.get()
+    if (memo == null || !memo._1.equals(contig)) {
+      // clone(): codegen hands UTF8Strings backed by reused row buffers.
+      memo = (contig.clone(), FastaReference.contigBytes(path, contig.toString))
+      last.set(memo)
+    }
+    val bytes = memo._2
+    if (pos < 1 || pos > bytes.length) null
+    else FastaReference.charTable(bytes(pos - 1) & 0x7f)
+  }
+}
+
+/** `fasta_ref_base(contig, pos)` over the executor-cached contig bytes —
+  * a native codegen expression (the [[graft.functions.CigarCoverageEvents]]
+  * pattern), replacing the per-row Scala UDF: the pileup-with-FASTA plan
+  * stays inside one whole-stage-codegen span with no UDF invocation
+  * boundary (PlanAuditSpec-style assert in FastaReferenceSpec). Null
+  * contig or an off-contig position yields null. */
+case class FastaRefBase(path: String,
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fasta_ref_base"
+
+  @transient private lazy val probe = new FastaProbe(path)
+
+  override protected def nullSafeEval(c: Any, p: Any): Any =
+    probe.base(c.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      p.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val probeRef = ctx.addReferenceObj("fastaProbe", probe,
+      classOf[FastaProbe].getName)
+    nullSafeCodeGen(ctx, ev, (c, p) => s"""
+      ${ev.value} = $probeRef.base($c, $p);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 object FastaReference {
@@ -108,6 +174,12 @@ object FastaReference {
     if (pos < 1 || pos > bytes.length) null
     else String.valueOf(bytes(pos - 1).toChar)
   }
+
+  /** Singleton one-character strings for [[FastaProbe]] — a lookup is
+    * zero-allocation per row. */
+  val charTable: Array[org.apache.spark.unsafe.types.UTF8String] =
+    Array.tabulate(128)(i =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(i.toChar.toString))
 
   /** Test/ops hook: drop cached state (e.g. after overwriting a fixture
     * in the same JVM). */

@@ -68,9 +68,43 @@ class FastaReferenceSpec extends AnyFunSuite {
     val df = Seq(("k", 1), ("k", 20), ("k", 21), ("zz", 3))
       .toDF("contig", "pos")
     val ref = new FastaReference(path)
-    val got = df.select(org.apache.spark.sql.functions.col("pos"),
-        ref.refBase("contig", "pos").as("ref"))
+    val q = df.select(org.apache.spark.sql.functions.col("pos"),
+      ref.refBase("contig", "pos").as("ref"))
+    val got = q
       .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
     assert(got === Set((1, "A"), (20, "T"), (21, null), (3, null)))
+    // The ref base is a native expression, not a Scala UDF. (Over this
+    // local relation the optimizer eval-folds the projection entirely —
+    // itself proof the interpreted path works; the codegen path is pinned
+    // by the pileup test below.)
+    val analyzed = q.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ScalaUDF"), analyzed)
+    assert(analyzed.contains("fasta_ref_base"), analyzed)
+  }
+
+  test("pileup over the FASTA reference plans UDF-free (flagship path)") {
+    val spark = graft.SharedSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fasta_spec_pileup").toString
+    val seq = "ACGTTGCA" * 16
+    val path = write(dir, "ref.fasta", s">1\n$seq\n", s"1\t128\t3\t200\t201\n")
+    FastaReference.clearCaches()
+    val reads = Seq(
+      ("s1", "1", 5, 12, 60, 0, "8M", "8", "ACGTACGT", "IIIIIIII"),
+      ("s1", "1", 9, 16, 60, 0, "8M", "3T4", "TGCATGCA", "IIIIIIII"))
+      .toDF("sample_id", "contig", "pos_start", "pos_end", "mapq", "flag",
+        "cigar", "md_tag", "seq", "qual_str")
+    val pile = PileupOps.pileup(reads, withQuals = false,
+      ref = new FastaReference(path))
+    val plan = pile.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      "pileup-with-FASTA must not invoke a Scala UDF:\n" + plan)
+    val rows = pile.collect()
+    assert(rows.nonEmpty)
+    // Every emitted ref base matches the fixture genome arithmetically.
+    rows.foreach { r =>
+      val pos = r.getAs[Int]("pos")
+      assert(r.getAs[String]("ref") === seq.charAt(pos - 1).toString)
+    }
   }
 }
