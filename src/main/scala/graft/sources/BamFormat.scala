@@ -316,6 +316,44 @@ object BamFormat {
     fileLen
   }
 
+  /** Sequential (fileOffset, inflatedBytes) members from `from` — the
+    * BGZF seam shared with BGZF-compressed TEXT sources (fastq.gz):
+    * any record-synchronizing reader can split a BGZF file at member
+    * granularity. */
+  private[sources] def bgzfMembers(in: org.apache.hadoop.fs.FSDataInputStream,
+      fileLen: Long, from: Long): Iterator[(Long, Array[Byte])] = {
+    val br = new BlockReader(in, fileLen, from)
+    Iterator.continually(br.next()).takeWhile(_.isDefined)
+      .map(b => (b.get.fileOffset, b.get.bytes))
+  }
+
+  /** Inflate the single member at `off`. */
+  private[sources] def inflateMemberAt(in: org.apache.hadoop.fs.FSDataInputStream,
+      fileLen: Long, off: Long): Array[Byte] =
+    new BlockReader(in, fileLen, off).next()
+      .getOrElse(sys.error(s"no BGZF member at $off")).bytes
+
+  /** File offset of the member immediately preceding the member at `at`
+    * (members carry no back-pointers, but are capped at 64 KiB, so the
+    * predecessor's header lies within the last 66 KB — scan there and
+    * walk the BSIZE chain forward). */
+  private[sources] def previousBgzfBlock(fileLen: Long, at: Long,
+      readAt: (Long, Array[Byte]) => Unit): Long = {
+    require(at > 0, "no member precedes offset 0")
+    val from = math.max(0L, at - 66000L)
+    var cand = if (from == 0L) 0L else findBgzfBlock(fileLen, from, readAt)
+    require(cand < at, s"no BGZF member found between $from and $at")
+    val h = new Array[Byte](18)
+    var prev = -1L
+    while (cand < at) {
+      prev = cand
+      readAt(cand, h)
+      cand += u16(h, 16) + 1
+    }
+    require(cand == at, s"BGZF member chain skips offset $at (landed at $cand)")
+    prev
+  }
+
   /** Plausibility test for a BAM record starting at `o` in `data`
     * (hadoop-bam's split-guesser idea, re-derived from the spec): field
     * ranges must be sane, the in-record lengths must fit block_size, and

@@ -135,6 +135,55 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("BGZF-compressed FASTQ splits at member granularity; plain gzip falls back") {
+    // Torture corpus: seq/qual lengths vary, quality lines start with
+    // '@'/'+' so record sync cannot cheat, and records span BGZF members.
+    val recs = (0 until 3000).map { i =>
+      val len = (i % 97) + 5
+      val seq = Iterator.continually("ACGT").flatten.take(len).mkString
+      val qual = ("@+" + "IJKLMNOP").charAt(i % 10).toString * len
+      s"@graftsim:1:fc:1:${i % 97}:${i % 31}:$i 1:N:0:AC\n$seq\n+\n$qual"
+    }
+    val text = recs.mkString("\n") + "\n"
+    val dir = Files.createTempDirectory("graft_fq_bgzf").toString
+    // BGZF variant (small members => many split points).
+    val bg = new java.io.FileOutputStream(s"$dir/sampleA.fastq.gz")
+    val bgz = new graft.sources.BamFormat.BgzfOutputStream(bg)
+    text.getBytes("UTF-8").grouped(4000).foreach { chunk =>
+      bgz.write(chunk, 0, chunk.length); bgz.flush() // flush => one member per chunk
+    }
+    bgz.close()
+    // Ordinary single-member gzip variant.
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/sampleB.fastq.gz"))
+    gz.write(text.getBytes("UTF-8")); gz.close()
+
+    def readAll(path: String): Set[String] = {
+      spark.sql("DROP TABLE IF EXISTS fq_gz")
+      spark.sql(s"""CREATE TABLE fq_gz USING graft.sources.FastqSource
+                   |OPTIONS (path '$path')""".stripMargin)
+      spark.table("fq_gz").select(col("y_pos"), col("sequence"), col("baseq"))
+        .collect().map(_.toString).toSet
+    }
+    val bgWhole = readAll(s"$dir/sampleA.fastq.gz")
+    assert(bgWhole.size === 3000)
+    assert(readAll(s"$dir/sampleB.fastq.gz") === bgWhole) // plain gzip path
+    // Force many small splits: BGZF must synchronize per member.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val old = Option(hconf.get(key))
+    hconf.set(key, "2048")
+    try {
+      assert(readAll(s"$dir/sampleA.fastq.gz") === bgWhole,
+        "BGZF split read diverged from whole-file read")
+      assert(readAll(s"$dir/sampleB.fastq.gz") === bgWhole,
+        "plain gzip must stay single-split under a small maxsize")
+    } finally old match {
+      case Some(v) => hconf.set(key, v)
+      case None => hconf.unset(key)
+    }
+  }
+
   test("BAM scan pushes projection and predicates into the decode (P1/P2)") {
     val path = s"$base/bam_pushdown"
     val reads = Tables.readsMd(spark, sf0001).filter(col("sample_id") === "s1")
