@@ -55,40 +55,75 @@ object BinRangeRewrite {
     IntegralDivide(Subtract(xl, Pmod(xl, Literal(w))), Literal(w))
   }
 
+  /** `x ± widen`, eliding the no-op when `widen` is 0 (the common case;
+    * Catalyst does not fold `x - 0`, and the leftover arithmetic would
+    * run per candidate pair inside the join's generated loop). */
+  private def widened(x: Expression, widen: Int, add: Boolean): Expression =
+    if (widen == 0) asLong(x)
+    else if (add) Add(asLong(x), Literal(widen.toLong))
+    else Subtract(asLong(x), Literal(widen.toLong))
+
   /** Explode `plan` to one row per overlapped bin of `[min(s,e)-widen,
     * max(s,e)+widen]`. Null intervals vanish (Sequence of a null bound is
-    * null; Explode of null emits nothing) — inner-join semantics. */
+    * null; Explode of null emits nothing) — inner-join semantics.
+    *
+    * Also returns a `dedupLo` attribute: the side's first-candidate bin
+    * `floorDiv(min(widened s, widened e))`, PRECOMPUTED once per input
+    * row and carried through the explode, so the join's exactly-once
+    * conjunct is a `Greatest` of two ready columns instead of a deep
+    * tree re-evaluated per candidate pair (the r11 generalization paid
+    * ~1.5× wall-clock on the flagship binrange join for exactly that).
+    * For `widen == 0` it equals the sequence lower bound and the column
+    * is shared; they differ only on widened inverted (start > end) rows,
+    * where the envelope floor `min(s,e) - widen` undershoots
+    * `min(s - widen, e + widen)`. */
   private def binned(plan: LogicalPlan, s: Expression, e: Expression,
-      widen: Int, binW: Long, attrName: String): (LogicalPlan, Attribute) = {
-    val lo = floorDiv(Subtract(Least(Seq(asLong(s), asLong(e))), Literal(widen.toLong)), binW)
-    val hi = floorDiv(Add(Greatest(Seq(asLong(s), asLong(e))), Literal(widen.toLong)), binW)
-    val binAttr = AttributeReference(attrName, LongType, nullable = false)()
+      widen: Int, binW: Long, suffix: String): (LogicalPlan, Attribute, Attribute) = {
+    val seqLoE = floorDiv(
+      widened(Least(Seq(asLong(s), asLong(e))), widen, add = false), binW)
+    val seqHiE = floorDiv(
+      widened(Greatest(Seq(asLong(s), asLong(e))), widen, add = true), binW)
+    val dedupLoE =
+      if (widen == 0) seqLoE
+      else floorDiv(Least(Seq(
+        widened(s, widen, add = false), widened(e, widen, add = true))), binW)
+    val seqLo = Alias(seqLoE, s"${BinAttr}_seqlo$suffix")()
+    val seqHi = Alias(seqHiE, s"${BinAttr}_seqhi$suffix")()
+    val dedupLo =
+      if (widen == 0) seqLo else Alias(dedupLoE, s"${BinAttr}_deduplo$suffix")()
+    val extras = if (widen == 0) Seq(seqLo, seqHi) else Seq(seqLo, seqHi, dedupLo)
+    val projected = Project(
+      plan.output.map(a => a: NamedExpression) ++ extras, plan)
+    val binAttr = AttributeReference(s"$BinAttr$suffix", LongType, nullable = false)()
     // timeZoneId must be set: a TimeZoneAwareExpression with None counts
     // as UNRESOLVED, and the optimizer's plan validator rejects a rule
     // output containing it (the value is irrelevant for a Long sequence).
-    val seq = new Sequence(lo, hi).withTimeZone(
+    val seq = new Sequence(seqLo.toAttribute, seqHi.toAttribute).withTimeZone(
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
-      outer = false, qualifier = None, generatorOutput = Seq(binAttr), child = plan)
-    (gen, binAttr)
+      outer = false, qualifier = None, generatorOutput = Seq(binAttr), child = projected)
+    (gen, binAttr, dedupLo.toAttribute)
   }
 
   /** The rewritten logical plan: binned(left) ⋈ binned(right) on
     * `(eqKeys, bin, widened overlap, minOverlap, first-bin dedup)`,
     * projected back to `left.output ++ right.output`, residual filter on
-    * top. */
+    * top. The exactly-once conjunct uses the per-side precomputed
+    * first-bin columns: floor division is monotonic, so
+    * `floorDiv(max(loL, loR)) == max(floorDiv(loL), floorDiv(loR))`. */
   def rewrite(left: LogicalPlan, right: LogicalPlan, keys: IntervalJoinKeys,
       buildLeft: Boolean, minOverlap: Int, maxGap: Int, binWidth: Int): LogicalPlan = {
     val binW = binWidth.toLong
     val (gl, gr) = if (buildLeft) (maxGap, 0) else (0, maxGap)
-    val (lb, binL) = binned(left, keys.leftStart, keys.leftEnd, gl, binW, s"${BinAttr}_l")
-    val (rb, binR) = binned(right, keys.rightStart, keys.rightEnd, gr, binW, s"${BinAttr}_r")
+    val (lb, binL, dedupL) = binned(left, keys.leftStart, keys.leftEnd, gl, binW, "_l")
+    val (rb, binR, dedupR) = binned(right, keys.rightStart, keys.rightEnd, gr, binW, "_r")
 
-    // Widened interval bounds (only the build side moves).
-    val ls = Subtract(asLong(keys.leftStart), Literal(gl.toLong))
-    val le = Add(asLong(keys.leftEnd), Literal(gl.toLong))
-    val rs = Subtract(asLong(keys.rightStart), Literal(gr.toLong))
-    val re = Add(asLong(keys.rightEnd), Literal(gr.toLong))
+    // Widened interval bounds (only the build side moves; zero gap elides
+    // the arithmetic entirely).
+    val ls = widened(keys.leftStart, gl, add = false)
+    val le = widened(keys.leftEnd, gl, add = true)
+    val rs = widened(keys.rightStart, gr, add = false)
+    val re = widened(keys.rightEnd, gr, add = true)
 
     val conjuncts = Seq.newBuilder[Expression]
     keys.leftEqs.zip(keys.rightEqs).foreach { case (a, b) => conjuncts += EqualTo(a, b) }
@@ -102,8 +137,7 @@ object BinRangeRewrite {
         Literal(minOverlap.toLong))
     }
     // Exactly-once: only the first bin of the pair's intersection emits.
-    conjuncts += EqualTo(
-      floorDiv(Greatest(Seq(Least(Seq(ls, le)), Least(Seq(rs, re)))), binW), binL)
+    conjuncts += EqualTo(Greatest(Seq(dedupL, dedupR)), binL)
 
     val join = Join(lb, rb, Inner, Some(conjuncts.result().reduce(And)), JoinHint.NONE)
     val projected = Project((left.output ++ right.output).map(a => a: NamedExpression), join)
