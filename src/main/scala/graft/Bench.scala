@@ -8,7 +8,20 @@ import java.nio.file.{Files, Paths}
   * "errors" instead of being silently folded into the timing. The same JSON
   * is also written to bench_out.json as a belt-and-braces copy. */
 object Bench {
+
+  /** `/proc/loadavg` 1-minute figure, or -1 when unreadable — recorded
+    * before and after the run so an artifact self-describes machine
+    * contention (r11: a concurrent build inflated three unchanged
+    * queries 3-6x and the phantom needed a manual re-measure to
+    * adjudicate). A 1-min load far above SPARK_GRAFT_CPUS at either
+    * endpoint marks the numbers suspect. */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(Paths.get("/proc/loadavg"))
+      .split(' ')(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadBefore = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -151,8 +164,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
+    val loadCheck =
+      s"""{"before":$loadBefore,"after":${loadAvg()},"cpus":$cpus}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"passes_detail":$det,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"passes_detail":$det,"errors":$errs,"load_check":$loadCheck,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
     // Last line of stdout, printed after Spark shutdown.

@@ -36,6 +36,17 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * under a gap would depend on a physical decision — no defensible
   * semantics to pin.
   *
+  * WELL-FORMEDNESS CONTRACT: intervals must satisfy `start <= end`
+  * (1-based inclusive). The raw comparison pair can coincidentally
+  * "match" an inverted row (e.g. a=[12,3] against b=[2,20] satisfies
+  * both inequalities), so results over malformed input differ between
+  * the general per-pair path and the aggregate-pushdown rank paths,
+  * which DROP inverted rows — and count them in the execs'
+  * `invertedDropped` SQL metric, so a contract breach is visible in the
+  * UI / SQLMetrics rather than silent. Filter or repair inverted rows
+  * upstream (`pos_start <= pos_end`, cf. the reads quality filter)
+  * before joining.
+  *
   * Evaluation (interpreted fallback) matters only when the engine is
   * disabled (`rangejoin.enabled=false`) and stock Spark runs the
   * condition inside a nested-loop join — already the slow path, so

@@ -419,7 +419,13 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "buildRows" -> SQLMetrics.createMetric(sparkContext, "build side rows"),
-    "pairCount" -> SQLMetrics.createMetric(sparkContext, "overlap pairs counted"))
+    "pairCount" -> SQLMetrics.createMetric(sparkContext, "overlap pairs counted"),
+    // The rank identity needs well-formed intervals (see the
+    // [[graft.functions.IntervalOverlaps]] contract); malformed rows are
+    // dropped, and this metric makes the divergence from the general
+    // path's per-pair evaluation VISIBLE instead of silent.
+    "invertedDropped" -> SQLMetrics.createMetric(sparkContext,
+      "malformed (start > end) rows dropped"))
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
@@ -444,6 +450,7 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
     val outAttrs = output
     val numOutputRows = longMetric("numOutputRows")
     val pairCountMetric = longMetric("pairCount")
+    val invertedDropped = longMetric("invertedDropped")
 
     // Build-side collect: same row shape as IntervalForestJoinExec's
     // forest build, with an Int ordinal as the forest value so the count
@@ -456,8 +463,10 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
         // Inverted (start > end) rows are dropped: the rank identity
         // assumes well-formed intervals, and a malformed build row would
         // silently skew counts instead of matching the general path's
-        // per-pair predicate evaluation.
+        // per-pair predicate evaluation. Counted in invertedDropped so
+        // the contract breach is visible.
         if (iv.isNullAt(0) || iv.isNullAt(1) || iv.getInt(0) > iv.getInt(1)) {
+          if (!iv.isNullAt(0) && !iv.isNullAt(1)) invertedDropped += 1
           Iterator.empty
         } else {
           val copy = row.copy()
@@ -657,8 +666,10 @@ case class IntervalCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
         // prefix sums.
         it.flatMap { srow =>
           val iv = ivProj(srow)
-          if (iv.isNullAt(0) || iv.isNullAt(1) || iv.getInt(0) > iv.getInt(1)) Iterator.empty
-          else {
+          if (iv.isNullAt(0) || iv.isNullAt(1) || iv.getInt(0) > iv.getInt(1)) {
+            if (!iv.isNullAt(0) && !iv.isNullAt(1)) invertedDropped += 1
+            Iterator.empty
+          } else {
             val key = keyProj(srow)
             if (nEqs > 0 && key.anyNull) Iterator.empty
             else idxMap.get(key) match {
@@ -750,7 +761,10 @@ case class IntervalBinCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "indexReplicas" -> SQLMetrics.createMetric(sparkContext, "index side bin replicas"),
-    "pairCount" -> SQLMetrics.createMetric(sparkContext, "overlap pairs counted"))
+    "pairCount" -> SQLMetrics.createMetric(sparkContext, "overlap pairs counted"),
+    // Same visibility contract as IntervalCountJoinExec's metric.
+    "invertedDropped" -> SQLMetrics.createMetric(sparkContext,
+      "malformed (start > end) rows dropped"))
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
@@ -793,6 +807,7 @@ case class IntervalBinCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
     val numOutputRows = longMetric("numOutputRows")
     val indexReplicas = longMetric("indexReplicas")
     val pairCountMetric = longMetric("pairCount")
+    val invertedDropped = longMetric("invertedDropped")
     val emptyVals = Array.emptyLongArray
 
     // Index side: (key, bin) -> (start, end, [sum values..., non-null
@@ -807,6 +822,7 @@ case class IntervalBinCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
         it.flatMap { row =>
           val iv = ivProj(row)
           if (iv.isNullAt(0) || iv.isNullAt(1) || iv.getInt(0) > iv.getInt(1)) {
+            if (!iv.isNullAt(0) && !iv.isNullAt(1)) invertedDropped += 1
             Iterator.empty
           } else {
             val key = keyProj(row)
@@ -837,6 +853,7 @@ case class IntervalBinCountJoinExec(keys: IntervalJoinKeys, countLeft: Boolean,
         it.flatMap { row =>
           val iv = ivProj(row)
           if (iv.isNullAt(0) || iv.isNullAt(1) || iv.getInt(0) > iv.getInt(1)) {
+            if (!iv.isNullAt(0) && !iv.isNullAt(1)) invertedDropped += 1
             Iterator.empty
           } else {
             val key = keyProj(row)

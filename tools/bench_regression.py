@@ -39,9 +39,32 @@ import re
 import sys
 
 
+def warn_contention(path, doc):
+    """Surface the artifact's load_check self-description (r11: machine
+    contention produced phantom 3-6x regressions on unchanged queries).
+    A 1-min loadavg already high BEFORE the run, or clearly above the
+    benchmark's own core count after it, marks the numbers suspect."""
+    lc = doc.get("load_check") or (doc.get("parsed") or {}).get("load_check")
+    if not isinstance(lc, dict):
+        return
+    cpus = float(lc.get("cpus", 0) or 0)
+    before, after = float(lc.get("before", -1)), float(lc.get("after", -1))
+    if cpus <= 0:
+        return
+    if before > 0.5 * cpus or after > 1.5 * cpus:
+        print(f"WARNING {path}: load_check before={before} after={after} "
+              f"cpus={int(cpus)} — artifact self-reports machine contention; "
+              f"treat regressions as suspect", file=sys.stderr)
+
+
 def load_queries(path):
-    with open(path) as f:
-        doc = json.load(f)
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"bench_regression: cannot read {path}: {e}", file=sys.stderr)
+        sys.exit(2)
+    warn_contention(path, doc)
     queries = doc.get("queries")
     if queries is None and isinstance(doc.get("parsed"), dict):
         queries = doc["parsed"].get("queries")
@@ -58,7 +81,10 @@ def load_queries(path):
                 except json.JSONDecodeError:
                     continue
     if not isinstance(queries, dict) or not queries:
-        sys.exit(f"bench_regression: no per-query timings in {path} (exit 2)") or sys.exit(2)
+        # Exit 2 = unusable input (documented contract) — distinct from
+        # exit 1 = regressions found, so CI callers can tell them apart.
+        print(f"bench_regression: no per-query timings in {path}", file=sys.stderr)
+        sys.exit(2)
     out = {}
     for name, v in queries.items():
         out[name] = min(v) if isinstance(v, list) else float(v)
