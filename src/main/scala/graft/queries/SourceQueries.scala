@@ -31,6 +31,34 @@ object SourceQueries {
     path
   }
 
+  /** faidx-indexed FASTA of the MOCK genome (the coordinate function the
+    * reads derivations splice their sequences from:
+    * `base(contig, pos) = 'ACGT'[(ascii(contig) + pos) mod 4]`) over the
+    * reads contigs '0'..'3' — the reference the CRAM round trip encodes
+    * and reconstructs against, so the oracle mirrors it arithmetically. */
+  private def mockFasta(baseDir: String): String = {
+    val dir = java.nio.file.Paths.get(baseDir)
+    java.nio.file.Files.createDirectories(dir)
+    val len = 1100
+    val fa = new StringBuilder
+    val fai = new StringBuilder
+    var offset = 0L
+    "0123".foreach { c =>
+      val hdr = s">$c\n"
+      fa.append(hdr)
+      offset += hdr.length
+      val line = new StringBuilder(len)
+      (1 to len).foreach(pos => line.append("ACGT".charAt((c.toInt + pos) % 4)))
+      fa.append(line).append('\n')
+      fai.append(s"$c\t$len\t$offset\t$len\t${len + 1}\n")
+      offset += len + 1
+    }
+    val fasta = dir.resolve("mockref.fa")
+    java.nio.file.Files.writeString(fasta, fa.toString)
+    java.nio.file.Files.writeString(dir.resolve("mockref.fa.fai"), fai.toString)
+    fasta.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // S1/S8 + P1/P2: alignment table through DDL with a selective filter
     // (pushed into the inner parquet scan).
@@ -113,6 +141,35 @@ object SourceQueries {
       s.sql("""SELECT sample_id, contig, pos_start, pos_end, mapq, flag,
               |  cigar, seq, qual_str, md_tag
               |FROM reads_bam_ddl WHERE mapq >= 20""".stripMargin)
+    },
+    // S2 through REAL binary CRAM 3.0: the s0 sample written as sharded
+    // reference-based .cram by the pure-JVM sink (X/indel/clip/skip
+    // features against a mock-genome FASTA, gzip blocks, NM:i/RG:Z in
+    // the tag dictionary), registered via DDL, and decoded back —
+    // container parse, block inflate, per-series streams, substitution-
+    // matrix sequence reconstruction, and MD SYNTHESIS from the
+    // reference walk (CRAM stores no MD; samtools regenerates it the
+    // same way). The oracle re-derives every column from lineitem — the
+    // md_tag rule differs from the BAM round trip exactly where CRAM
+    // semantics differ: an "alt" that EQUALS the reference base is not a
+    // substitution, so the synthesized MD is the plain match count.
+    // (The codec itself is additionally pinned against a real
+    // htsjdk-produced .cram in CramFormatSpec.)
+    "ddl_cram_scan" -> { (s, dir) =>
+      val path = fixture("reads_cram", dir) { p =>
+        val fasta = mockFasta(p)
+        graft.sources.SourceUtil.writeCram(
+          Tables.readsMd(s, dir).filter(col("sample_id") === "s0")
+            .withColumn("tag_NM", when(col("has_alt"), 1).otherwise(0).cast("int"))
+            .withColumn("tag_RG", concat(lit("rg_"), col("sample_id"))),
+          p + "/s0.cram", fasta)
+      }
+      s.sql("DROP TABLE IF EXISTS reads_cram_ddl")
+      s.sql(s"""CREATE TABLE reads_cram_ddl USING graft.sources.CramSource
+               |OPTIONS (path '$path/s0.cram', refPath '$path/mockref.fa')""".stripMargin)
+      s.sql("""SELECT sample_id, contig, pos_start, pos_end, mapq, flag,
+              |  cigar, seq, qual_str, md_tag, tag_NM, tag_RG
+              |FROM reads_cram_ddl WHERE mapq >= 20""".stripMargin)
     },
     // Optional SAM tag columns through the binary round trip: typed
     // NM:i / RG:Z tags written by the sink, extracted back from the tag
@@ -334,6 +391,36 @@ object SourceQueries {
          |            substr('ACGT', (ascii(contig) + alt_pos) % 4 + 1, 1) ||
          |            CAST(_mlen - _off - 1 AS VARCHAR)
          |       ELSE CAST(_mlen AS VARCHAR) END AS md_tag
+         |FROM md3 WHERE mapq >= 20""".stripMargin,
+    "ddl_cram_scan" ->
+      s"""WITH ${OracleCtes.reads},
+         |md AS (SELECT *, pos_end - pos_start + 1 AS _len,
+         |  CASE WHEN cigar LIKE '%N%'
+         |       THEN (pos_end - pos_start + 1) // 3 ELSE 0 END AS _gap
+         |  FROM reads WHERE sample_id = 's0'),
+         |md2 AS (SELECT *, _len - _gap AS _mlen, alt_pos - pos_start AS _off,
+         |  repeat('ACGT', (_len - _gap) // 4 + 2) AS _cyc FROM md),
+         |md3 AS (SELECT *,
+         |  substr('ACGT', (ascii(contig) + alt_pos) % 4 + 1, 1) AS _refb,
+         |  CASE WHEN _gap > 0
+         |       THEN substr(_cyc, (ascii(contig) + pos_start) % 4 + 1, _gap) ||
+         |            substr(_cyc, (ascii(contig) + pos_start + 2 * _gap) % 4 + 1, _mlen - _gap)
+         |       ELSE substr(_cyc, (ascii(contig) + pos_start) % 4 + 1, _mlen) END AS _seqref
+         |  FROM md2)
+         |SELECT sample_id, contig, pos_start, pos_end, mapq, flag, cigar,
+         |  CASE WHEN has_alt
+         |       THEN substr(_seqref, 1, _off) || alt_base || substr(_seqref, _off + 2)
+         |       ELSE _seqref END AS seq,
+         |  repeat(chr(base_qual + 33), _mlen) AS qual_str,
+         |  -- CRAM stores no MD; the scan SYNTHESIZES it from the
+         |  -- reference walk, so an "alt" equal to the reference base is
+         |  -- no substitution and the MD is the plain match count.
+         |  CASE WHEN has_alt AND alt_base <> _refb
+         |       THEN CAST(_off AS VARCHAR) || _refb ||
+         |            CAST(_mlen - _off - 1 AS VARCHAR)
+         |       ELSE CAST(_mlen AS VARCHAR) END AS md_tag,
+         |  CASE WHEN has_alt THEN 1 ELSE 0 END AS tag_NM,
+         |  'rg_' || sample_id AS tag_RG
          |FROM md3 WHERE mapq >= 20""".stripMargin,
     "ddl_bam_tags" ->
       s"""WITH ${OracleCtes.reads}

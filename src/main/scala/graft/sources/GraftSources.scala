@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
+import scala.collection.mutable
+
 /** Relational source surfaces (SURVEY §2.1) re-expressed over the offline
   * environment's file formats. The reference exposes BAM/CRAM/ADAM/BED
   * tables through `RelationProvider`s registered with
@@ -169,6 +171,69 @@ object SourceUtil {
     if (wrote == 0L) {
       val out = fs0.create(new org.apache.hadoop.fs.Path(dir, "part-00000.bam"), true)
       new BamFormat.BamWriter(out, refNames, refLens).close()
+    }
+  }
+
+  /** CRAM sink (S2's write half): sharded fully-headed `.cram` files via
+    * the pure-JVM [[CramFormat.CramWriter]] — sequences encoded
+    * REFERENCE-BASED against `fastaPath` (substitution/indel/clip/skip
+    * features; verbatim runs where the reference cannot express the
+    * bases). Same column contract as [[writeBam]] plus the optional
+    * `tag_NM`/`tag_RG` columns. The reference dictionary comes from one
+    * cheap driver aggregation; everything else streams per task. */
+  def writeCram(reads: DataFrame, path: String, fastaPath: String): Unit = {
+    val spark = reads.sparkSession
+    val refs = reads.filter(col("contig").isNotNull)
+      .groupBy(col("contig"))
+      .agg(max(coalesce(col("pos_end").cast("int"), lit(0))).as("m"))
+      .collect().sortBy(_.getString(0))
+    val refNames = refs.map(_.getString(0))
+    val refLens = refs.map(r => r.getInt(1) + 1000)
+    def optCol(n: String, default: org.apache.spark.sql.Column) =
+      if (reads.columns.contains(n)) col(n) else default
+    val prepared = reads.select(
+      col("contig").cast("string"), col("pos_start").cast("int"),
+      col("mapq").cast("int"), col("flag").cast("int"),
+      optCol("qname", lit("*")).cast("string"), col("cigar").cast("string"),
+      optCol("seq", lit("")).cast("string"),
+      optCol("qual_str", lit(null)).cast("string"),
+      optCol("tag_NM", lit(null)).cast("int"),
+      optCol("tag_RG", lit(null)).cast("string"))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dir.getFileSystem(conf)
+    if (fs0.exists(dir)) fs0.delete(dir, true)
+    fs0.mkdirs(dir)
+    val fp = fastaPath
+    val wrote = prepared.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.cram")
+        val out = p.getFileSystem(serConf.value).create(p, true)
+        val w = new CramFormat.CramWriter(out, refNames, refLens,
+          contig => CramFormat.upperContig(fp, contig))
+        it.foreach { r =>
+          val qualStr = if (r.isNullAt(7)) null else r.getString(7)
+          val quals =
+            if (qualStr == null) null
+            else qualStr.toCharArray.map(c => (c - 33).toByte)
+          w.write(
+            if (r.isNullAt(0)) null else r.getString(0),
+            r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4), r.getString(5),
+            r.getString(6), quals,
+            if (r.isNullAt(8)) null else Integer.valueOf(r.getInt(8)),
+            if (r.isNullAt(9)) null else r.getString(9))
+        }
+        w.close()
+        Iterator.single(1)
+      }
+    }.count()
+    if (wrote == 0L) {
+      val out = fs0.create(new org.apache.hadoop.fs.Path(dir, "part-00000.cram"), true)
+      new CramFormat.CramWriter(out, refNames, refLens,
+        contig => CramFormat.upperContig(fp, contig)).close()
     }
   }
 }
@@ -333,16 +398,45 @@ object BamSource {
     }.filter(!_.getPath.getName.endsWith(BamFormat.IndexSuffix))
   }
 
-  private def sampleOf(st: org.apache.hadoop.fs.FileStatus): String = {
+  private[sources] def sampleOf(st: org.apache.hadoop.fs.FileStatus): String = {
     val leaf = st.getPath.getName
     val fileName =
       if (leaf.startsWith("part-")) st.getPath.getParent.getName else leaf
     fileName.split('.')(0)
   }
 
+  /** One decoded record to a Row of exactly the required columns
+    * (`codes` = schema ordinals) — shared by the BAM and CRAM scans. */
+  private[sources] def buildRow(codes: Array[Int], sample: String,
+      cleaned: Array[String], r: BamFormat.BamRecord): Row = {
+    val vals = new Array[Any](codes.length)
+    var i = 0
+    while (i < codes.length) {
+      vals(i) = codes(i) match {
+        case 0 => sample
+        case 1 => r.qname
+        case 2 => r.flag
+        case 3 => if (r.refId >= 0 && r.refId < cleaned.length) cleaned(r.refId) else null
+        case 4 => r.pos0 + 1
+        case 5 => r.pos0 + 1 + math.max(r.refConsumed, 1) - 1
+        case 6 => r.mapq
+        case 7 => r.cigar
+        case 8 => r.seq
+        case 9 =>
+          if (r.quals == null || r.quals.isEmpty || r.quals(0) == 0xff.toByte) null
+          else new String(r.quals.map(q => (q + 33).toChar))
+        case 10 => r.mdTag
+        case 11 => r.tagNm
+        case 12 => r.tagRg
+      }
+      i += 1
+    }
+    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+  }
+
   /** Fold the handled filters into per-file predicates. Returns
     * (sampleAllowed, contigAllowed or null, bounds...). */
-  private def foldFilters(filters: Array[Filter]): (
+  private[sources] def foldFilters(filters: Array[Filter]): (
       Option[Set[String]], Option[Set[String]], Boolean,
       Int, Int, Int, Int, Int, Int) = {
     var samples: Option[Set[String]] = None
@@ -456,31 +550,8 @@ object BamSource {
           qMin == Int.MinValue && qMax == Int.MaxValue) null
         else RecordFilter(refIdOk, sMin, sMax, eMin, eMax, qMin, qMax)
       BamFormat.splitRecords(() => open(), sp.fileLen, sp.start, sp.end,
-          spec, filter, sp.cleaned.length, sp.firstRecOff).map { r =>
-        val vals = new Array[Any](codes.length)
-        var i = 0
-        while (i < codes.length) {
-          vals(i) = codes(i) match {
-            case 0 => sp.sample
-            case 1 => r.qname
-            case 2 => r.flag
-            case 3 => if (r.refId >= 0 && r.refId < sp.cleaned.length) sp.cleaned(r.refId) else null
-            case 4 => r.pos0 + 1
-            case 5 => r.pos0 + 1 + math.max(r.refConsumed, 1) - 1
-            case 6 => r.mapq
-            case 7 => r.cigar
-            case 8 => r.seq
-            case 9 =>
-              if (r.quals == null || r.quals.isEmpty || r.quals(0) == 0xff.toByte) null
-              else new String(r.quals.map(q => (q + 33).toChar))
-            case 10 => r.mdTag
-            case 11 => r.tagNm
-            case 12 => r.tagRg
-          }
-          i += 1
-        }
-        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
-      }
+          spec, filter, sp.cleaned.length, sp.firstRecOff)
+        .map(r => buildRow(codes, sp.sample, sp.cleaned, r))
     }
   }
 
@@ -540,6 +611,153 @@ object BamSource {
       }
     }
     Some(ranges.toSeq)
+  }
+}
+
+/** Alignment table over REAL binary CRAM 3.0 files (S2) through the
+  * pure-JVM [[CramFormat]] codec — gzip + rANS 4x8 block decompression,
+  * reference-based sequence reconstruction against `refPath` (a
+  * faidx-indexed FASTA served by [[graft.operators.FastaReference]]'s
+  * executor-wide cache), MD synthesized from the substitution/deletion
+  * walk, NM/RG from the tag dictionary (RG falling back to the RG
+  * series resolved through the header's @RG IDs). The reference engine
+  * reads CRAM through htsjdk (`datasources/BAM/CRAMDataSource.scala:
+  * 7-16`); this source emits the same alignment surface as
+  * [[BamSource]], so every downstream operator runs on either container
+  * unchanged.
+  *
+  * Scale: CONTAINERS are the split unit — the driver's planning scan
+  * reads container headers only (a few hundred bytes each, chained by
+  * the length field), groups consecutive containers into `splitSize`
+  * tasks, and PRUNES single-reference containers whose header
+  * coordinate envelope (refId, start, span) cannot satisfy a
+  * contig/position predicate — the in-format analogue of the BAM
+  * sidecar index. Remaining predicates are applied per record after
+  * decode, before Row construction; projection prunes at Row build
+  * (CRAM decodes series-wise, so unprojected series still stream —
+  * bounded per container). */
+class CramSource extends RelationProvider {
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("CramSource requires a 'path' option"))
+    val refPath = parameters.getOrElse("refPath",
+      sys.error("CramSource requires a 'refPath' option (faidx-indexed FASTA)"))
+    val splitSize = parameters.getOrElse("splitSize", (64L << 20).toString).toLong
+    new BaseRelation with PrunedFilteredScan {
+      override val sqlContext: SQLContext = ctx
+      override val schema: StructType = BamSource.schema
+      override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+        filters.filterNot(BamSource.handles)
+      override def buildScan(
+          requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] =
+        CramSource.scan(ctx.sparkSession, path, refPath, splitSize,
+          requiredColumns, filters)
+    }
+  }
+}
+
+object CramSource {
+  import org.apache.hadoop.fs.{Path => HPath}
+
+  private case class CramSplit(file: String, offsets: Seq[Long], sample: String,
+      refNames: Array[String], cleaned: Array[String], rgIds: Array[String])
+
+  private[sources] def scan(spark: org.apache.spark.sql.SparkSession,
+      path: String, refPath: String, splitSize: Long,
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val all = BamSource.listBamFiles(fs, p)
+    require(all.nonEmpty, s"CramSource: no files match '$path'")
+    val (samples, contigs, contigNotNull, sMin, sMax, eMin, eMax, qMin, qMax) =
+      BamSource.foldFilters(filters)
+    val files = all.filter(st => samples.forall(_.contains(BamSource.sampleOf(st))))
+    val codes: Array[Int] = requiredColumns.map(c => BamSource.schema.fieldIndex(c))
+
+    val splits: Seq[CramSplit] = files.flatMap { st =>
+      val file = st.getPath.toString
+      val len = st.getLen
+      val sample = BamSource.sampleOf(st)
+      def read(off: Long, n: Int): Array[Byte] = {
+        val in = fs.open(st.getPath)
+        try { val b = new Array[Byte](n); in.readFully(off, b); b }
+        finally in.close()
+      }
+      val (hdr, firstData) = CramFormat.readHeader(read, len)
+      val cleaned = hdr.refNames.map(graft.functions.RangeFunctions.cleanContig)
+      if (contigs.exists(cs => !cleaned.exists(cs.contains))) Nil
+      else {
+        val targetRefs: Option[Set[Int]] = contigs.map(cs =>
+          cleaned.indices.filter(i => cs.contains(cleaned(i))).toSet)
+        val startCap = math.min(sMax.toLong, eMax.toLong)
+        val endFloor = math.max(sMin.toLong, eMin.toLong)
+        val containers = CramFormat.containerIndex(read, len, firstData)
+          .filter { case (_, refId, start, span, nRec) =>
+            nRec > 0 && {
+              // Single-ref containers carry their coordinate envelope —
+              // prune like the BAM sidecar index. Multi-ref (-2) and
+              // unmapped (-1) containers always survive.
+              if (refId == -2) true // multi-ref: no envelope in the header
+              else if (refId == -1) contigs.isEmpty && !contigNotNull
+              else {
+                val refOk = targetRefs.forall(_.contains(refId))
+                val posOk = span <= 0 ||
+                  (start.toLong <= startCap && (start.toLong + span - 1) >= endFloor)
+                refOk && posOk
+              }
+            }
+          }.map(_._1)
+        // Consecutive containers chunk into ~splitSize byte groups.
+        val groups = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Long]]
+        containers.foreach { off =>
+          if (groups.isEmpty || off - groups.last.head > splitSize)
+            groups += mutable.ArrayBuffer(off)
+          else groups.last += off
+        }
+        groups.map(g => CramSplit(file, g.toSeq, sample, hdr.refNames, cleaned, hdr.rgIds))
+      }
+    }
+    if (splits.isEmpty) return spark.sparkContext.emptyRDD[Row]
+
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val refPathB = refPath
+    spark.sparkContext.parallelize(splits, splits.length).flatMap { sp =>
+      val hp = new HPath(sp.file)
+      val tfs = hp.getFileSystem(serConf.value)
+      def read(off: Long, n: Int): Array[Byte] = {
+        val in = tfs.open(hp)
+        try { val b = new Array[Byte](n); in.readFully(off, b); b }
+        finally in.close()
+      }
+      def refBytes(refId: Int): Array[Byte] =
+        if (refId < 0 || refId >= sp.refNames.length) Array.emptyByteArray
+        else CramFormat.upperContig(refPathB, sp.refNames(refId))
+      val hdr = CramFormat.CramHeader("", sp.refNames, Array.empty, sp.rgIds)
+      val refIdOk: Array[Boolean] =
+        if (contigs.isEmpty && !contigNotNull) null
+        else {
+          val ok = new Array[Boolean](sp.cleaned.length + 1)
+          var i = 0
+          while (i < sp.cleaned.length) {
+            ok(i + 1) = contigs.forall(_.contains(sp.cleaned(i)))
+            i += 1
+          }
+          ok
+        }
+      sp.offsets.iterator.flatMap { off =>
+        CramFormat.containerRecords(read, off, refBytes, hdr)
+      }.filter { r =>
+        (refIdOk == null ||
+          (r.refId + 1 >= 0 && r.refId + 1 < refIdOk.length && refIdOk(r.refId + 1))) && {
+          val posStart = r.pos0 + 1
+          val posEnd = posStart + math.max(r.refConsumed, 1) - 1
+          posStart >= sMin && posStart <= sMax &&
+            posEnd >= eMin && posEnd <= eMax &&
+            r.mapq >= qMin && r.mapq <= qMax
+        }
+      }.map(r => BamSource.buildRow(codes, sp.sample, sp.cleaned, r))
+    }
   }
 }
 

@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Pure-JVM CRAM 3.0 codec ([[CramFormat]]), validated two independent
+  * ways:
+  *  1. the REAL htsjdk-produced 1000-Genomes slice in the reference
+  *     checkout (when present), decoded field-by-field against its BAM
+  *     twin through the already-golden-pinned [[BamFormat.BamReader]] —
+  *     name/flag/pos/mapq/cigar/seq/quals across all 3172 records,
+  *     covering gzip + rANS order-0/order-1 blocks, reference-based
+  *     substitution/softclip reconstruction, and the tag dictionary;
+  *  2. a writer→reader round trip over adversarial shapes (mismatches,
+  *     indels, splices, clips, unmapped, absent quals, multi-contig,
+  *     off-reference bases) against a tiny FASTA. */
+class CramFormatSpec extends AnyFunSuite {
+
+  private val realCram = "/root/reference/src/test/resources/NA12878.slice.cram"
+  private val realBam = "/root/reference/src/test/resources/NA12878.slice.bam"
+  private val realFasta = "/root/reference/src/test/resources/NA12878.slice.fasta"
+
+  private def fsRead(path: String): (Long, Int) => Array[Byte] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    (off, n) => {
+      val in = fs.open(hp)
+      try { val b = new Array[Byte](n); in.readFully(off, b); b }
+      finally in.close()
+    }
+  }
+
+  test("decodes the real htsjdk CRAM identically to its BAM twin") {
+    assume(Files.exists(Paths.get(realCram)) && Files.exists(Paths.get(realBam)),
+      "reference checkout not present — skipping real-file validation")
+    val read = fsRead(realCram)
+    val fileLen = Files.size(Paths.get(realCram))
+    val (hdr, firstData) = CramFormat.readHeader(read, fileLen)
+    assert(hdr.refNames.length === 45 && hdr.refNames(0) === "chrM")
+    val containers = CramFormat.containerIndex(read, fileLen, firstData)
+    assert(containers.length === 1)
+    assert(containers.head._5 === 3172) // nRecords
+    def refBytes(refId: Int): Array[Byte] =
+      CramFormat.upperContig(realFasta, hdr.refNames(refId))
+    val crams = containers.iterator.flatMap { case (off, _, _, _, _) =>
+      CramFormat.containerRecords(read, off, refBytes, hdr)
+    }.toArray
+    val bams = {
+      val r = new BamFormat.BamReader(new java.io.FileInputStream(realBam))
+      val a = r.iterator.toArray; r.close(); a
+    }
+    assert(crams.length === bams.length)
+    var i = 0
+    while (i < crams.length) {
+      val c = crams(i); val b = bams(i)
+      assert(c.qname === b.qname, s"rec $i qname")
+      assert(c.flag === b.flag, s"rec $i (${b.qname}) flag")
+      assert(c.pos0 === b.pos0, s"rec $i (${b.qname}) pos")
+      assert(c.seq === b.seq, s"rec $i (${b.qname}) seq")
+      assert(c.quals.toSeq === b.quals.toSeq, s"rec $i (${b.qname}) quals")
+      if ((b.flag & 4) == 0) {
+        assert(c.mapq === b.mapq, s"rec $i (${b.qname}) mapq")
+        assert(c.cigar === b.cigar, s"rec $i (${b.qname}) cigar")
+        assert(c.refConsumed === b.refConsumed, s"rec $i refConsumed")
+        // Synthesized MD structural invariant: counts + substitution
+        // letters account for exactly the aligned (M) length.
+        val mMass = "(\\d+)M".r.findAllMatchIn(c.cigar).map(_.group(1).toInt).sum
+        assert(c.md_structural === mMass, s"rec $i MD mass vs cigar M mass")
+      }
+      // Read-group tag resolves through the header @RG ID dictionary
+      // (four lanes of the NA12878 run in this slice).
+      assert(Set("61CC3.5", "61CC3.6", "61CC3.7", "61DC0.8")(c.tagRg),
+        s"rec $i tagRg ${c.tagRg}")
+      i += 1
+    }
+  }
+
+  private implicit class MdOps(r: BamFormat.BamRecord) {
+    /** Sum of MD counts + substitution letters (deletion runs excluded). */
+    def md_structural: Int = {
+      var i = 0; var total = 0
+      val md = r.mdTag
+      while (i < md.length) {
+        if (md.charAt(i).isDigit) {
+          var n = 0
+          while (i < md.length && md.charAt(i).isDigit) { n = n * 10 + (md.charAt(i) - '0'); i += 1 }
+          total += n
+        } else if (md.charAt(i) == '^') {
+          i += 1
+          while (i < md.length && !md.charAt(i).isDigit) i += 1
+        } else { total += 1; i += 1 }
+      }
+      total
+    }
+  }
+
+  test("writer -> reader round trip over adversarial shapes") {
+    val dir = Files.createTempDirectory("graft_cram_rt")
+    // Tiny two-contig FASTA + fai.
+    val c1 = "ACGTTGCA" * 8 // 64 bases
+    val c2 = "TTTTCCCCGGGGAAAA" * 2 // 32 bases
+    Files.writeString(dir.resolve("ref.fa"), s">k1\n$c1\n>k2\n$c2\n")
+    Files.writeString(dir.resolve("ref.fa.fai"),
+      s"k1\t${c1.length}\t4\t${c1.length}\t${c1.length + 1}\n" +
+      s"k2\t${c2.length}\t${4 + c1.length + 1 + 4}\t${c2.length}\t${c2.length + 1}\n")
+    val fasta = dir.resolve("ref.fa").toString
+    graft.operators.FastaReference.clearCaches()
+
+    val cramPath = dir.resolve("t.cram").toString
+    val w = new CramFormat.CramWriter(new java.io.FileOutputStream(cramPath),
+      Array("k1", "k2"), Array(c1.length, c2.length),
+      contig => CramFormat.upperContig(fasta, contig), recordsPerSlice = 3)
+    def q(s: String): Array[Byte] = s.map(ch => (ch - 33).toByte).toArray
+    // perfect match
+    w.write("k1", 1, 60, 0, "r1", "8M", c1.substring(0, 8), q("IIIIIIII"), 1, "rgA")
+    // substitutions incl. to N
+    w.write("k1", 9, 50, 16, "r2", "8M", "TGNTTGCA", q("ABCDEFGH"), null, "rgB")
+    // insertion + deletion + splice + softclips
+    w.write("k1", 17, 40, 0, "r3", "2S3M2I3M4D2M6N2M1S", "GGACGAATTG" + "CAAC" + "T", q("JJJJJJJJJJJJJJJ"), 3, "rgA")
+    // unmapped with quals; unknown contig degrades to unmapped
+    w.write(null, 0, 0, 4, "r4", "*", "NNACGT", q("KKKKKK"), null, null)
+    w.write("zz", 5, 7, 0, "r5", "4M", "ACGT", null, null, "rgB")
+    // off-reference M run (position beyond contig end) -> verbatim 'b'
+    w.write("k2", 31, 30, 0, "r6", "4M", "AAGG", q("LLLL"), null, null)
+    // IUPAC base inside an M run -> verbatim 'b'
+    w.write("k2", 1, 20, 0, "r7", "4M", "TRTT", q("MMMM"), null, null)
+    w.close()
+
+    val read = fsRead(cramPath)
+    val fileLen = Files.size(Paths.get(cramPath))
+    val (hdr, firstData) = CramFormat.readHeader(read, fileLen)
+    assert(hdr.refNames.toSeq === Seq("k1", "k2"))
+    assert(hdr.rgIds.toSeq === Seq("rgA", "rgB"))
+    val containers = CramFormat.containerIndex(read, fileLen, firstData)
+    assert(containers.length === 3, "3 records per slice -> 3 containers")
+    def refBytes(refId: Int): Array[Byte] =
+      if (refId < 0) Array.emptyByteArray
+      else CramFormat.upperContig(fasta, hdr.refNames(refId))
+    val recs = containers.iterator.flatMap { case (off, _, _, _, _) =>
+      CramFormat.containerRecords(read, off, refBytes, hdr)
+    }.toArray
+    assert(recs.length === 7)
+    val byName = recs.map(r => r.qname -> r).toMap
+    val r1 = byName("r1")
+    assert(r1.pos0 + 1 === 1 && r1.cigar === "8M" && r1.seq === c1.substring(0, 8))
+    assert(r1.mdTag === "8" && r1.tagNm === 1 && r1.tagRg === "rgA")
+    assert(new String(r1.quals.map(b => (b + 33).toChar)) === "IIIIIIII")
+    val r2 = byName("r2")
+    assert(r2.seq === "TGNTTGCA" && r2.cigar === "8M")
+    // ref window ACGTTGCA: subs at read pos 1 (A->T), 2 (C->G), 3 (G->N).
+    assert(r2.mdTag === "0A0C0G5")
+    assert(r2.tagNm === null && r2.tagRg === "rgB")
+    val r3 = byName("r3")
+    assert(r3.cigar === "2S3M2I3M4D2M6N2M1S")
+    assert(r3.seq === "GGACGAATTG" + "CAAC" + "T")
+    assert(r3.tagNm === 3 && r3.tagRg === "rgA")
+    val r4 = byName("r4")
+    assert((r4.flag & 4) === 4 && r4.seq === "NNACGT" && r4.cigar === "*")
+    val r5 = byName("r5")
+    assert((r5.flag & 4) === 4, "unknown contig must degrade to unmapped")
+    assert(r5.seq === "ACGT")
+    assert(r5.quals(0) === 0xff.toByte, "absent quals round-trip as absent")
+    val r6 = byName("r6")
+    assert(r6.seq === "AAGG" && r6.cigar === "4M")
+    val r7 = byName("r7")
+    assert(r7.seq === "TRTT" && r7.cigar === "4M")
+  }
+}
