@@ -771,9 +771,15 @@ object CramFormat {
     out.toSeq
   }
 
+  /** Process-wide count of data containers decoded — the observability
+    * hook the container-pruning spec asserts against (the CRAM analogue
+    * of [[BamFormat.blocksInflated]]). */
+  val containersDecoded = new java.util.concurrent.atomic.AtomicLong
+
   /** All records of the data container at `offset`. */
   def containerRecords(read: (Long, Int) => Array[Byte], offset: Long,
       refBytes: Int => Array[Byte], header: CramHeader): Iterator[BamFormat.BamRecord] = {
+    containersDecoded.incrementAndGet()
     val hdrBytes = read(offset, 200)
     val ch = readContainerHeader(hdrBytes, 0)
     if (ch.nRecords == 0) return Iterator.empty
@@ -1183,10 +1189,22 @@ object CramFormat {
       if (sNM.b.size() > 0) extBlocks += ((nmKey, sNM.b.toByteArray))
       if (sRGZ.b.size() > 0) extBlocks += ((rgKey, sRGZ.b.toByteArray))
 
+      // Coordinate envelope: a slice whose records all map to ONE
+      // reference is written single-ref with its (start, span), so the
+      // reader's container pruning — the BAI analogue — applies to this
+      // sink's own output whenever the input arrives sorted. Mixed or
+      // unmapped slices stay multi-ref (no envelope, never pruned).
+      val refIds = buf.map(r =>
+        if ((r.flag & 4) != 0 || r.contig == null) -1 else refIndex.getOrElse(r.contig, -1))
+      val singleRef = refIds.nonEmpty && refIds.head >= 0 && refIds.forall(_ == refIds.head)
+      val (sliceRef, sliceStart, sliceSpan) =
+        if (singleRef && minPos != Int.MaxValue)
+          (refIds.head, minPos, math.max(1, maxEnd - minPos + 1))
+        else (-2, 0, 0)
       val sliceHdr = new ByteArrayOutputStream()
-      writeItf8(sliceHdr, -2) // multi-ref slice
-      writeItf8(sliceHdr, 0)
-      writeItf8(sliceHdr, 0)
+      writeItf8(sliceHdr, sliceRef)
+      writeItf8(sliceHdr, sliceStart)
+      writeItf8(sliceHdr, sliceSpan)
       writeItf8(sliceHdr, buf.length)
       writeLtf8(sliceHdr, 0L)
       writeItf8(sliceHdr, extBlocks.length + 1) // + core
@@ -1203,8 +1221,9 @@ object CramFormat {
       body.write(rawBlock(5, Array.emptyByteArray)) // empty CORE
       extBlocks.foreach { case (cid, data) => body.write(gzipBlock(4, cid, data)) }
 
-      writeContainer(refId = -2, start = 0, span = 0, nRec = buf.length,
-        bases = bases, landmarks = Array(landmark), body = body.toByteArray)
+      writeContainer(refId = sliceRef, start = sliceStart, span = sliceSpan,
+        nRec = buf.length, bases = bases, landmarks = Array(landmark),
+        body = body.toByteArray)
       buf.clear()
     }
 

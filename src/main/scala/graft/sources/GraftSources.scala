@@ -181,7 +181,8 @@ object SourceUtil {
     * bases). Same column contract as [[writeBam]] plus the optional
     * `tag_NM`/`tag_RG` columns. The reference dictionary comes from one
     * cheap driver aggregation; everything else streams per task. */
-  def writeCram(reads: DataFrame, path: String, fastaPath: String): Unit = {
+  def writeCram(reads: DataFrame, path: String, fastaPath: String,
+      recordsPerSlice: Int = 10000): Unit = {
     val spark = reads.sparkSession
     val refs = reads.filter(col("contig").isNotNull)
       .groupBy(col("contig"))
@@ -213,7 +214,7 @@ object SourceUtil {
         val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.cram")
         val out = p.getFileSystem(serConf.value).create(p, true)
         val w = new CramFormat.CramWriter(out, refNames, refLens,
-          contig => CramFormat.upperContig(fp, contig))
+          contig => CramFormat.upperContig(fp, contig), recordsPerSlice)
         it.foreach { r =>
           val qualStr = if (r.isNullAt(7)) null else r.getString(7)
           val quals =

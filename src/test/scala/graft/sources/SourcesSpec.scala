@@ -342,6 +342,30 @@ class SourcesSpec extends SparkSpec {
     }
     assert(leaves.head.output.map(_.name).toSet
       .subsetOf(Set("contig", "pos_start", "mapq")))
+    // Sorted input yields single-ref containers whose header coordinate
+    // envelopes PRUNE on selective contig+range queries (the sink's own
+    // output stays range-selective — the point of CRAM at scale).
+    SourceUtil.writeCram(reads.orderBy("contig", "pos_start").coalesce(1),
+      s"$path/s1sorted.cram", fasta, recordsPerSlice = 100)
+    spark.sql("DROP TABLE IF EXISTS cram_sorted")
+    spark.sql(s"""CREATE TABLE cram_sorted USING graft.sources.CramSource
+                 |OPTIONS (path '$path/s1sorted.cram', refPath '$fasta',
+                 |  splitSize '1')""".stripMargin)
+    def decodedDuring(body: => Long): (Long, Long) = {
+      val before = graft.sources.CramFormat.containersDecoded.get()
+      val rows = body
+      (rows, graft.sources.CramFormat.containersDecoded.get() - before)
+    }
+    val ts = spark.table("cram_sorted")
+    val (nAll, cAll) = decodedDuring(ts.count())
+    assert(nAll === reads.count())
+    val (nSel, cSel) = decodedDuring(
+      ts.filter(col("contig") === "3" && col("pos_start") >= 400 &&
+        col("pos_start") <= 450).count())
+    assert(nSel > 0 && nSel < nAll)
+    assert(cSel < cAll,
+      s"selective scan decoded $cSel of $cAll containers — pruning did not engage")
+
     // Empty frame still writes a readable header-only CRAM.
     SourceUtil.writeCram(reads.filter(lit(false)), s"$path/none.cram", fasta)
     spark.sql("DROP TABLE IF EXISTS cram_none")
