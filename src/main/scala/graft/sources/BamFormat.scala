@@ -382,6 +382,88 @@ object BamFormat {
     else plausibleRecord(data, nxt, nRef, chain - 1)
   }
 
+  /** Standard `.bai` index consumption (SAM spec §5.2) — how the engine
+    * turns `contig + position` predicates into block-precise reads of
+    * EXTERNALLY-produced BAM files (the reference does the same through
+    * htsjdk, `AlignmentRelation.scala:316-367`; files written by
+    * [[SourceUtil.writeBam]] carry the richer `.gri` sidecar instead).
+    * Chunks are (virtual offset) ranges `coffset << 16 | uoffset`; chunks
+    * of DIFFERENT bin levels can interleave over the same blocks, so
+    * callers must read the MERGED ranges or records would duplicate. */
+  object BaiIndex {
+    /** Per reference: bin → chunks as packed virtual offsets, plus the
+      * 16 kb linear index. */
+    final case class RefIndex(bins: Map[Int, Array[(Long, Long)]], linear: Array[Long])
+
+    def read(data: Array[Byte]): Array[RefIndex] = {
+      require(data.length >= 8 && data(0) == 'B' && data(1) == 'A' &&
+        data(2) == 'I' && data(3) == 1, "not a BAI index (bad magic)")
+      var o = 4
+      def le32(): Int = {
+        val v = i32(data, o); o += 4; v
+      }
+      def le64(): Long = {
+        val lo = i32(data, o).toLong & 0xFFFFFFFFL
+        val hi = i32(data, o + 4).toLong & 0xFFFFFFFFL
+        o += 8
+        (hi << 32) | lo
+      }
+      val nRef = le32()
+      Array.fill(nRef) {
+        val nBin = le32()
+        val bins = Map.newBuilder[Int, Array[(Long, Long)]]
+        var b = 0
+        while (b < nBin) {
+          val bin = le32()
+          val nChunk = le32()
+          val chunks = Array.fill(nChunk)((le64(), le64()))
+          // 37450 is the spec's metadata pseudo-bin, not record chunks.
+          if (bin != 37450) bins += bin -> chunks
+          b += 1
+        }
+        val nIntv = le32()
+        RefIndex(bins.result(), Array.fill(nIntv)(le64()))
+      }
+    }
+
+    /** Bins possibly holding records overlapping 0-based [beg, end)
+      * (the spec's reg2bins). */
+    def reg2bins(beg: Int, end0: Int): Seq[Int] = {
+      val end = end0 - 1
+      val out = Seq.newBuilder[Int]
+      out += 0
+      var k = 1 + (beg >> 26); while (k <= 1 + (end >> 26)) { out += k; k += 1 }
+      k = 9 + (beg >> 23); while (k <= 9 + (end >> 23)) { out += k; k += 1 }
+      k = 73 + (beg >> 20); while (k <= 73 + (end >> 20)) { out += k; k += 1 }
+      k = 585 + (beg >> 17); while (k <= 585 + (end >> 17)) { out += k; k += 1 }
+      k = 4681 + (beg >> 14); while (k <= 4681 + (end >> 14)) { out += k; k += 1 }
+      out.result()
+    }
+
+    /** MERGED virtual-offset ranges of records possibly overlapping the
+      * 1-based inclusive region [beg1, end1] on `refIdx` — linear-index
+      * floored, sorted, overlap-merged (ready to read exactly once). */
+    def chunksFor(ri: RefIndex, beg1: Int, end1: Int): Seq[(Long, Long)] = {
+      val beg0 = math.max(0, beg1 - 1)
+      val end0 = math.min(1 << 29, math.max(beg0 + 1, end1))
+      val linMin =
+        if (ri.linear.isEmpty) 0L
+        else ri.linear(math.min(beg0 >> 14, ri.linear.length - 1))
+      val raw = reg2bins(beg0, end0).flatMap(b => ri.bins.getOrElse(b, Array.empty[(Long, Long)]))
+        .filter(_._2 > linMin)
+        .map { case (b, e) => (math.max(b, linMin), e) }
+        .filter(c => c._1 < c._2)
+        .sortBy(_._1)
+      val merged = mutable.ArrayBuffer.empty[(Long, Long)]
+      raw.foreach { c =>
+        if (merged.nonEmpty && c._1 <= merged.last._2)
+          merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, c._2))
+        else merged += c
+      }
+      merged.toSeq
+    }
+  }
+
   /** Records of the byte-range split `[start, end)` of a BAM file —
     * the 100 TB path: a task owns the records STARTING in BGZF blocks
     * whose file offset falls in its range (the first split also owns the
@@ -396,7 +478,7 @@ object BamFormat {
   def splitRecords(open: () => org.apache.hadoop.fs.FSDataInputStream,
       fileLen: Long, start: Long, end: Long, spec: DecodeSpec = FullDecode,
       filter: RecordFilter = null, nRefHint: Int = -1,
-      firstRecOff: Long = -1L): Iterator[BamRecord] = {
+      firstRecOff: Long = -1L, endVirtual: Long = -1L): Iterator[BamRecord] = {
     // References (for record plausibility) — passed in by callers that
     // already parsed the header (the planner needs it for contig→refId
     // predicate mapping anyway); parsed here only as a fallback.
@@ -434,6 +516,13 @@ object BamFormat {
       var i = segs.length - 1
       while (i >= 0 && segs(i)._2 > inflatedOff) i -= 1
       segs(i)._1
+    }
+    // BGZF virtual offset of an inflated position: coffset << 16 | uoffset
+    // (the `.bai` chunk coordinate space).
+    def virtualOf(inflatedOff: Long): Long = {
+      var i = segs.length - 1
+      while (i >= 0 && segs(i)._2 > inflatedOff) i -= 1
+      (segs(i)._1 << 16) | (inflatedOff - segs(i)._2)
     }
     def compact(keepFrom: Long): Unit = {
       val dropB = (keepFrom - base).toInt
@@ -521,8 +610,12 @@ object BamFormat {
         nextRec = null
         while (nextRec == null && !done) {
           compact(cursor)
-          // Ownership: the record must START in a block with offset < end.
-          if (!ensure(cursor + 4) || blockOf(cursor) >= end) {
+          // Ownership: the record must START in a block with offset < end
+          // (byte-range splits), or strictly before the chunk's end
+          // virtual offset (.bai-planned reads).
+          if (!ensure(cursor + 4) ||
+            (if (endVirtual >= 0) virtualOf(cursor) >= endVirtual
+             else blockOf(cursor) >= end)) {
             done = true; in.close()
           } else {
             val blockSize = i32(buf, at(cursor))

@@ -383,9 +383,12 @@ object BamSource {
   }
 
   /** One planned task: a byte (or index-pruned block) range of one file.
-    * `firstRecOff` >= 0 marks a KNOWN record boundary (indexed path). */
+    * `firstRecOff` >= 0 marks a KNOWN record boundary (indexed path);
+    * `endVirtual` >= 0 bounds the read by a `.bai` chunk's end virtual
+    * offset instead of a whole-block boundary. */
   private case class BamSplit(file: String, fileLen: Long, start: Long,
-      end: Long, firstRecOff: Long, sample: String, cleaned: Array[String])
+      end: Long, firstRecOff: Long, sample: String, cleaned: Array[String],
+      endVirtual: Long = -1L)
 
   private[sources] def listBamFiles(fs: org.apache.hadoop.fs.FileSystem,
       p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -396,7 +399,10 @@ object BamSource {
           .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
             !s.getPath.getName.startsWith("_"))
       else Seq(st)
-    }.filter(!_.getPath.getName.endsWith(BamFormat.IndexSuffix))
+    }.filter { s =>
+      val n = s.getPath.getName
+      !n.endsWith(BamFormat.IndexSuffix) && !n.endsWith(".bai")
+    }
   }
 
   private[sources] def sampleOf(st: org.apache.hadoop.fs.FileStatus): String = {
@@ -512,6 +518,7 @@ object BamSource {
       if (contigs.exists(cs => !cleaned.exists(cs.contains))) Nil
       else {
         val idx = new HPath(file + BamFormat.IndexSuffix)
+        val bai = new HPath(file + ".bai")
         val posConstrained = constrainsEnd || sMin != Int.MinValue || sMax != Int.MaxValue
         val indexed =
           if ((refConstrained || posConstrained) && fs.exists(idx))
@@ -521,6 +528,41 @@ object BamSource {
         indexed match {
           case Some(ranges) =>
             ranges.map { case (s, e, off) => BamSplit(file, len, s, e, off, sample, cleaned) }
+          case None if contigs.isDefined && fs.exists(bai) =>
+            // Standard .bai (externally-produced coordinate-sorted BAM):
+            // turn the contig+range predicate into merged chunk reads,
+            // each starting at a KNOWN record boundary and ending at the
+            // chunk's end VIRTUAL offset (SAM spec §5.2; the reference's
+            // htsjdk interval-query path, AlignmentRelation.scala:316-367).
+            val startCap =
+              math.min(math.min(sMax.toLong, eMax.toLong), (1L << 29) - 1).toInt
+            val endFloor = math.max(math.max(sMin.toLong, eMin.toLong), 1L).toInt
+            val baiData = {
+              val in = fs.open(bai)
+              try {
+                val sz = fs.getFileStatus(bai).getLen.toInt
+                val b = new Array[Byte](sz); in.readFully(0, b); b
+              } finally in.close()
+            }
+            val refIdxs = BamFormat.BaiIndex.read(baiData)
+            val targets = cleaned.indices.filter(i => contigs.get.contains(cleaned(i)))
+            val chunks = targets.flatMap { r =>
+              if (r < refIdxs.length)
+                BamFormat.BaiIndex.chunksFor(refIdxs(r), endFloor, startCap)
+              else Nil
+            }.sortBy(_._1)
+            // Merge across refs too: bin levels interleave over shared
+            // boundary blocks, and a record must be read exactly once.
+            val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            chunks.foreach { c =>
+              if (merged.nonEmpty && c._1 <= merged.last._2)
+                merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, c._2))
+              else merged += c
+            }
+            merged.toSeq.map { case (vBeg, vEnd) =>
+              BamSplit(file, len, vBeg >>> 16, (vEnd >>> 16) + 1,
+                vBeg & 0xFFFF, sample, cleaned, endVirtual = vEnd)
+            }
           case None =>
             (0L until len by splitSize).map(s =>
               BamSplit(file, len, s, math.min(s + splitSize, len), -1L, sample, cleaned))
@@ -551,7 +593,7 @@ object BamSource {
           qMin == Int.MinValue && qMax == Int.MaxValue) null
         else RecordFilter(refIdOk, sMin, sMax, eMin, eMax, qMin, qMax)
       BamFormat.splitRecords(() => open(), sp.fileLen, sp.start, sp.end,
-          spec, filter, sp.cleaned.length, sp.firstRecOff)
+          spec, filter, sp.cleaned.length, sp.firstRecOff, sp.endVirtual)
         .map(r => buildRow(codes, sp.sample, sp.cleaned, r))
     }
   }

@@ -270,6 +270,44 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("bam_none").count() === 0L)
   }
 
+  test("standard .bai index turns interval predicates into chunk reads (P4)") {
+    val bam = "/root/reference/src/test/resources/NA12878.slice.bam"
+    assume(java.nio.file.Files.exists(Paths.get(bam + ".bai")),
+      "reference checkout not present — skipping real-file validation")
+    spark.sql("DROP TABLE IF EXISTS real_bam_bai")
+    spark.sql(s"""CREATE TABLE real_bam_bai USING graft.sources.BamSource
+                 |OPTIONS (path '$bam')""".stripMargin)
+    val t = spark.table("real_bam_bai")
+    def inflatedDuring(body: => Long): (Long, Long) = {
+      val before = graft.sources.BamFormat.blocksInflated.get()
+      val rows = body
+      (rows, graft.sources.BamFormat.blocksInflated.get() - before)
+    }
+    val (nFull, blocksFull) = inflatedDuring(t.count())
+    assert(nFull === 3172L)
+    val sel = col("contig") === "1" && col("pos_start") >= 20000 &&
+      col("pos_start") <= 21000
+    val (nSel, blocksSel) = inflatedDuring(t.filter(sel).count())
+    assert(nSel > 0 && nSel < nFull)
+    assert(blocksSel < blocksFull,
+      s".bai-planned selective scan inflated $blocksSel of $blocksFull members")
+    // Chunk-precise reads return exactly what a full scan + filter does
+    // (bin false positives are re-filtered record-level; merged chunks
+    // read every record exactly once).
+    val viaBai = t.filter(sel).select("qname", "flag", "pos_start")
+      .collect().map(_.toString).sorted.toSeq
+    spark.sql("DROP TABLE IF EXISTS real_bam_flat")
+    // A second table over a COPY without the .bai exercises the
+    // unindexed path on identical data.
+    val flatDir = java.nio.file.Files.createTempDirectory("graft_bai_flat")
+    java.nio.file.Files.copy(Paths.get(bam), flatDir.resolve("NA12878.bam"))
+    spark.sql(s"""CREATE TABLE real_bam_flat USING graft.sources.BamSource
+                 |OPTIONS (path '${flatDir.resolve("NA12878.bam")}')""".stripMargin)
+    val viaScan = spark.table("real_bam_flat").filter(sel)
+      .select("qname", "flag", "pos_start").collect().map(_.toString).sorted.toSeq
+    assert(viaBai === viaScan)
+  }
+
   test("CRAM source reads the real htsjdk file through DDL (S2)") {
     val cram = "/root/reference/src/test/resources/NA12878.slice.cram"
     val fasta = "/root/reference/src/test/resources/NA12878.slice.fasta"
