@@ -415,12 +415,13 @@ object CramFormat {
 
   /** Decode one slice's records against `refBytes` (per refId, UPPERCASE;
     * an empty array means no reference — only reads without match
-    * segments decode there). `rgIds` maps the RG series index to the SAM
-    * header @RG ID strings. */
-  // (headerText flows in only for error messages)
+    * segments decode there). `refShift` re-bases reference indexing for
+    * EMBEDDED references (the block covers [slice.start, slice.start +
+    * span), so index = refPos − shift — no genome-sized zero array).
+    * `rgIds` maps the RG series index to the SAM header @RG ID strings. */
   final class SliceDecoder(comp: CompHeader, slice: SliceHeader,
       external: Map[Int, Array[Byte]], coreLen: Int,
-      refBytes: Int => Array[Byte], rgIds: Array[String])
+      refBytes: Int => Array[Byte], rgIds: Array[String], refShift: Int = 0)
       extends Iterator[BamFormat.BamRecord] {
 
     require(coreLen == 0, "CRAM slices with a non-empty CORE bit stream " +
@@ -619,7 +620,8 @@ object CramFormat {
         def matchRun(n: Int): Unit = if (n > 0) {
           var i = 0
           while (i < n) {
-            seqSb.append(if (refPos + i < ref.length) ref(refPos + i).toChar else 'N')
+            val ri = refPos + i - refShift
+            seqSb.append(if (ri >= 0 && ri < ref.length) ref(ri).toChar else 'N')
             i += 1
           }
           addCig(n, 'M')
@@ -635,7 +637,8 @@ object CramFormat {
           fc match {
             case 'X' =>
               val code = dBS()
-              val rb = if (refPos < ref.length) ref(refPos).toChar else 'N'
+              val ri = refPos - refShift
+              val rb = if (ri >= 0 && ri < ref.length) ref(ri).toChar else 'N'
               seqSb.append(substitute(rb, code))
               addCig(1, 'M')
               mdSb.append(mdCnt).append(rb); mdCnt = 0
@@ -655,7 +658,8 @@ object CramFormat {
               mdSb.append(mdCnt).append('^'); mdCnt = 0
               var i = 0
               while (i < n) {
-                mdSb.append(if (refPos + i < ref.length) ref(refPos + i).toChar else 'N')
+                val ri = refPos + i - refShift
+                mdSb.append(if (ri >= 0 && ri < ref.length) ref(ri).toChar else 'N')
                 i += 1
               }
               addCig(n, 'D'); refPos += n
@@ -803,17 +807,16 @@ object CramFormat {
         else ext(b.contentId) = b.data
         i += 1
       }
-      val refFn: Int => Array[Byte] =
-        if (sh.embedRefId >= 0) {
-          val embedded = ext.getOrElse(sh.embedRefId,
-            sys.error("embedded reference block missing"))
-          // Embedded reference covers [slice.start, slice.start+span);
-          // present it as a full-contig array via offset shift.
-          val full = new Array[Byte](sh.start - 1 + embedded.length)
-          System.arraycopy(embedded, 0, full, sh.start - 1, embedded.length)
-          _ => full
-        } else refBytes
-      new SliceDecoder(comp, sh, ext.toMap, coreLen, refFn, header.rgIds)
+      // Embedded reference covers [slice.start, slice.start + span):
+      // index it via refShift instead of materializing a genome-sized
+      // shifted array.
+      if (sh.embedRefId >= 0) {
+        val embedded = ext.getOrElse(sh.embedRefId,
+          sys.error("embedded reference block missing"))
+        new SliceDecoder(comp, sh, ext.toMap, coreLen, _ => embedded,
+          header.rgIds, refShift = sh.start - 1)
+      } else
+        new SliceDecoder(comp, sh, ext.toMap, coreLen, refBytes, header.rgIds)
     }
   }
 
@@ -831,7 +834,11 @@ object CramFormat {
     * pinned by the real htsjdk file) — the S2 round-trip seam. */
   final class CramWriter(out: OutputStream, refNames: Array[String],
       refLengths: Array[Int], refBytes: String => Array[Byte],
-      recordsPerSlice: Int = 10000) {
+      recordsPerSlice: Int = 10000, embedReference: Boolean = false) {
+
+    /** Content id of the embedded-reference block (outside the series
+      * ids 1–28 and the 3-byte-packed tag keys). */
+    private val EmbedRefId = 300
 
     private val refIndex: Map[String, Int] = refNames.zipWithIndex.toMap
     private case class Rec(contig: String, pos1: Int, mapq: Int, flag: Int,
@@ -848,6 +855,11 @@ object CramFormat {
         cigar: String, seq: String, quals: Array[Byte], nm: Integer = null,
         rg: String = null): Unit = {
       if (rg != null && !rgIds.contains(rg)) rgIds(rg) = rgIds.size
+      // Embedded references require single-ref slices; flush at contig
+      // boundaries so sorted input never produces a multi-ref slice
+      // (which would need an external FASTA to decode).
+      if (embedReference && buf.nonEmpty && buf.last.contig != contig)
+        flushSlice()
       buf += Rec(contig, pos1, mapq, flag,
         if (qname == null || qname.isEmpty) "*" else qname,
         cigar, if (seq == null) "" else seq, quals, nm, rg)
@@ -1201,6 +1213,23 @@ object CramFormat {
         if (singleRef && minPos != Int.MaxValue)
           (refIds.head, minPos, math.max(1, maxEnd - minPos + 1))
         else (-2, 0, 0)
+      // Embedded reference: a single-ref slice can carry its own
+      // [start, start + span) reference bytes, making the file readable
+      // WITHOUT an external FASTA (spec's embedded-reference mode;
+      // padded with N where reads hang past the contig end — those
+      // bases were encoded verbatim, so the pad is never consulted).
+      if (embedReference && sliceRef >= 0) {
+        val contigBytes = refBytes(refNames(sliceRef))
+        val refSlice = new Array[Byte](sliceSpan)
+        var i = 0
+        while (i < sliceSpan) {
+          val src = sliceStart - 1 + i
+          refSlice(i) = if (src < contigBytes.length) contigBytes(src) else 'N'.toByte
+          i += 1
+        }
+        extBlocks += ((EmbedRefId, refSlice))
+      }
+      val embedId = if (embedReference && sliceRef >= 0) EmbedRefId else -1
       val sliceHdr = new ByteArrayOutputStream()
       writeItf8(sliceHdr, sliceRef)
       writeItf8(sliceHdr, sliceStart)
@@ -1210,7 +1239,7 @@ object CramFormat {
       writeItf8(sliceHdr, extBlocks.length + 1) // + core
       writeItf8(sliceHdr, extBlocks.length)
       extBlocks.foreach { case (cid, _) => writeItf8(sliceHdr, cid) }
-      writeItf8(sliceHdr, -1) // no embedded reference
+      writeItf8(sliceHdr, embedId)
       (0 until 16).foreach(_ => sliceHdr.write(0)) // MD5 (unset)
 
       val body = new ByteArrayOutputStream()

@@ -182,7 +182,7 @@ object SourceUtil {
     * `tag_NM`/`tag_RG` columns. The reference dictionary comes from one
     * cheap driver aggregation; everything else streams per task. */
   def writeCram(reads: DataFrame, path: String, fastaPath: String,
-      recordsPerSlice: Int = 10000): Unit = {
+      recordsPerSlice: Int = 10000, embedReference: Boolean = false): Unit = {
     val spark = reads.sparkSession
     val refs = reads.filter(col("contig").isNotNull)
       .groupBy(col("contig"))
@@ -214,7 +214,8 @@ object SourceUtil {
         val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.cram")
         val out = p.getFileSystem(serConf.value).create(p, true)
         val w = new CramFormat.CramWriter(out, refNames, refLens,
-          contig => CramFormat.upperContig(fp, contig), recordsPerSlice)
+          contig => CramFormat.upperContig(fp, contig), recordsPerSlice,
+          embedReference)
         it.foreach { r =>
           val qualStr = if (r.isNullAt(7)) null else r.getString(7)
           val quals =
@@ -683,8 +684,9 @@ class CramSource extends RelationProvider {
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("CramSource requires a 'path' option"))
-    val refPath = parameters.getOrElse("refPath",
-      sys.error("CramSource requires a 'refPath' option (faidx-indexed FASTA)"))
+    // Optional: slices carrying an EMBEDDED reference read without it;
+    // reference-based slices fail loudly at decode when it is absent.
+    val refPath = parameters.getOrElse("refPath", "")
     val splitSize = parameters.getOrElse("splitSize", (64L << 20).toString).toLong
     new BaseRelation with PrunedFilteredScan {
       override val sqlContext: SQLContext = ctx
@@ -775,6 +777,9 @@ object CramSource {
       }
       def refBytes(refId: Int): Array[Byte] =
         if (refId < 0 || refId >= sp.refNames.length) Array.emptyByteArray
+        else if (refPathB.isEmpty) sys.error(
+          "CramSource: this slice is reference-based but no 'refPath' was " +
+            "given (only embedded-reference slices read without one)")
         else CramFormat.upperContig(refPathB, sp.refNames(refId))
       val hdr = CramFormat.CramHeader("", sp.refNames, Array.empty, sp.rgIds)
       val refIdOk: Array[Boolean] =

@@ -404,6 +404,29 @@ class SourcesSpec extends SparkSpec {
     assert(cSel < cAll,
       s"selective scan decoded $cSel of $cAll containers — pruning did not engage")
 
+    // Embedded reference: sorted + embedReference writes slices carrying
+    // their own [start, span) reference bytes — readable WITHOUT refPath.
+    SourceUtil.writeCram(reads.orderBy("contig", "pos_start").coalesce(1),
+      s"$path/s1embed.cram", fasta, recordsPerSlice = 100, embedReference = true)
+    spark.sql("DROP TABLE IF EXISTS cram_embed")
+    spark.sql(s"""CREATE TABLE cram_embed USING graft.sources.CramSource
+                 |OPTIONS (path '$path/s1embed.cram')""".stripMargin)
+    val viaEmbed = spark.table("cram_embed")
+      .select("qname", "contig", "pos_start", "seq", "md_tag")
+      .collect().map(_.toString).sorted.toSeq
+    val viaRef = t.select("qname", "contig", "pos_start", "seq", "md_tag")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaEmbed === viaRef)
+    // Without refPath, a reference-based (non-embedded) file fails loudly.
+    spark.sql("DROP TABLE IF EXISTS cram_noref")
+    spark.sql(s"""CREATE TABLE cram_noref USING graft.sources.CramSource
+                 |OPTIONS (path '$path/s1.cram')""".stripMargin)
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.table("cram_noref").count()
+    }
+    assert(err.getMessage.contains("refPath") ||
+      Option(err.getCause).exists(_.getMessage.contains("refPath")))
+
     // Empty frame still writes a readable header-only CRAM.
     SourceUtil.writeCram(reads.filter(lit(false)), s"$path/none.cram", fasta)
     spark.sql("DROP TABLE IF EXISTS cram_none")
