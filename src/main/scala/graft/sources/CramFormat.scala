@@ -245,6 +245,97 @@ object CramFormat {
     }
   }
 
+  /** rANS 4x8 order-0 ENCODER (the write half; the reader handles both
+    * orders). Frequencies normalize to the spec's 12-bit total; symbols
+    * stream through 4 interleaved states processed in REVERSE with
+    * byte-wise renormalization — exactly the inverse of [[Rans.decode]],
+    * and decodable by htsjdk/samtools. */
+  private[sources] def ransEncode0(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    require(n > 0, "rANS of an empty payload")
+    val raw = new Array[Long](256)
+    var i = 0
+    while (i < n) { raw(data(i) & 0xff) += 1; i += 1 }
+    // Normalize to 4096 with every present symbol >= 1; pay rounding
+    // drift on the most frequent symbol.
+    val freq = new Array[Int](256)
+    var total = 0
+    var maxSym = 0
+    i = 0
+    while (i < 256) {
+      if (raw(i) > 0) {
+        freq(i) = math.max(1L, raw(i) * 4096 / n).toInt
+        total += freq(i)
+        if (raw(i) > raw(maxSym)) maxSym = i
+      }
+      i += 1
+    }
+    freq(maxSym) += 4096 - total
+    require(freq(maxSym) > 0, "rANS frequency normalization collapsed")
+    val cum = new Array[Int](257)
+    i = 0
+    while (i < 256) { cum(i + 1) = cum(i) + freq(i); i += 1 }
+
+    // Frequency table, RLE over ascending present symbols (the decoder's
+    // exact inverse: a run byte follows whenever sym == last + 1).
+    val table = new ByteArrayOutputStream()
+    val present = (0 until 256).filter(freq(_) > 0)
+    var pi = 0
+    while (pi < present.length) {
+      val sym = present(pi)
+      table.write(sym)
+      writeItf8(table, freq(sym))
+      var run = 0
+      while (pi + run + 1 < present.length && present(pi + run + 1) == sym + run + 1) run += 1
+      if (run > 0) {
+        // The run byte counts symbols AFTER the explicit sym+1: the
+        // decoder reads f(sym+1) plus `rle` more consecutive freqs.
+        table.write(sym + 1)
+        table.write(run - 1)
+        var k = 1
+        while (k <= run) { writeItf8(table, freq(sym + k)); k += 1 }
+        pi += run
+      }
+      pi += 1
+    }
+    table.write(0)
+
+    // Backward encode: symbols in reverse, state j = index & 3; emitted
+    // bytes collect backward, states flush last (so the decoder reads
+    // R0..R3 first, then the stream forward).
+    val L = 1L << 23
+    val states = Array.fill(4)(L)
+    val out = new Array[Byte](n + 1024)
+    var op = out.length
+    i = n - 1
+    while (i >= 0) {
+      val s = data(i) & 0xff
+      val f = freq(s)
+      val j = i & 3
+      var st = states(j)
+      val bound = ((L >> 12) << 8) * f
+      while (st >= bound) { op -= 1; out(op) = (st & 0xff).toByte; st >>= 8 }
+      states(j) = ((st / f) << 12) + (st % f) + cum(s)
+      i -= 1
+    }
+    val body = new ByteArrayOutputStream()
+    body.write(0) // order
+    val tableBytes = table.toByteArray
+    val streamLen = out.length - op
+    val csize = tableBytes.length + 16 + streamLen
+    def le32(v: Int): Unit = {
+      body.write(v & 0xff); body.write((v >> 8) & 0xff)
+      body.write((v >> 16) & 0xff); body.write((v >> 24) & 0xff)
+    }
+    le32(csize)
+    le32(n)
+    body.write(tableBytes)
+    var j = 0
+    while (j < 4) { le32(states(j).toInt); j += 1 }
+    body.write(out, op, streamLen)
+    body.toByteArray
+  }
+
   // -------------------------------------------------------------- blocks
   case class Block(method: Int, contentType: Int, contentId: Int, data: Array[Byte])
 
@@ -900,13 +991,20 @@ object CramFormat {
       b.toByteArray
     }
 
+    /** External block compressed with whichever of gzip / rANS order-0
+      * is smaller for this payload (the htsjdk-style per-block choice;
+      * both are in every CRAM reader's mandatory set). */
     private def gzipBlock(ctype: Int, cid: Int, data: Array[Byte]): Array[Byte] = {
       val gz = new ByteArrayOutputStream()
       val g = new GZIPOutputStream(gz)
       g.write(data); g.close()
-      val comp = gz.toByteArray
+      val gzBytes = gz.toByteArray
+      val rsBytes = if (data.isEmpty) null else ransEncode0(data)
+      val (method, comp) =
+        if (rsBytes != null && rsBytes.length < gzBytes.length) (4, rsBytes)
+        else (1, gzBytes)
       val b = new ByteArrayOutputStream()
-      b.write(1); b.write(ctype)
+      b.write(method); b.write(ctype)
       writeItf8(b, cid)
       writeItf8(b, comp.length)
       writeItf8(b, data.length)

@@ -95,6 +95,27 @@ class CramFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("rANS order-0 encode is the exact inverse of decode") {
+    var seed = 7L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val cases: Seq[Array[Byte]] = Seq(
+      Array[Byte](42),                                   // single byte
+      Array.fill(1000)(7.toByte),                        // one symbol
+      Array.tabulate(256)(_.toByte),                     // full alphabet once
+      Array.tabulate(4099)(i => (i % 3).toByte),         // tiny alphabet, n % 4 != 0
+      Array.fill(10000)(next(256).toByte),               // incompressible
+      Array.fill(50000)("ACGTACGTTT".charAt(next(10)).toByte), // skewed DNA-ish
+      Array.tabulate(513)(i => (if (i < 512) 0 else 255).toByte)) // rare tail symbol
+    cases.zipWithIndex.foreach { case (data, i) =>
+      val enc = CramFormat.ransEncode0(data)
+      val dec = CramFormat.Rans.decode(enc)
+      assert(dec.toSeq === data.toSeq, s"case $i (n=${data.length})")
+    }
+  }
+
   test("writer -> reader round trip over adversarial shapes") {
     val dir = Files.createTempDirectory("graft_cram_rt")
     // Tiny two-contig FASTA + fai.
