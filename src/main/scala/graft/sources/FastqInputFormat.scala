@@ -211,6 +211,110 @@ class FastqRecordReader extends RecordReader[LongWritable, Text] {
   }
 }
 
+/** Splittable LINE input format with the same compression matrix as
+  * [[FastqInputFormat]]: plain text splits byte-wise (LineRecordReader
+  * ownership convention), BGZF-compressed files split at member
+  * granularity (a line belongs to the split containing its first byte's
+  * member; the first line of a non-initial split is discarded exactly
+  * when the previous member ends mid-line), ordinary gzip decompresses
+  * as one split. The seam that keeps bgzipped `.vcf.gz` / `.sam.gz` —
+  * the ecosystem's standard layout — parallel at 100 TB. */
+class BgzfTextInputFormat extends FileInputFormat[LongWritable, Text] {
+  override def isSplitable(ctx: JobContext, file: Path): Boolean = {
+    val codec = new CompressionCodecFactory(ctx.getConfiguration).getCodec(file)
+    codec == null || FastqInputFormat.isBgzf(ctx.getConfiguration, file)
+  }
+  override def createRecordReader(split: InputSplit,
+      ctx: TaskAttemptContext): RecordReader[LongWritable, Text] =
+    new BgzfTextRecordReader
+}
+
+/** One LINE per `nextKeyValue`; key = ownership offset (byte offset for
+  * plain text, member file offset under BGZF). */
+class BgzfTextRecordReader extends RecordReader[LongWritable, Text] {
+  private var start = 0L
+  private var end = 0L
+  private var pos = 0L
+  private var in: LineReader = _
+  private var stream: FSDataInputStream = _
+  private var decompressed: java.io.InputStream = _
+  private var bgzf: BgzfLineSource = _
+  private var strictEnd = false
+  private val key = new LongWritable
+  private val value = new Text
+  private var pending: Option[(Long, Text)] = None
+
+  private def readRaw(): Option[(Long, Text)] =
+    if (bgzf != null) bgzf.readLine()
+    else {
+      val t = new Text
+      val off = pos
+      val n = in.readLine(t)
+      if (n == 0) None else { pos += n; Some((off, t)) }
+    }
+
+  override def initialize(genericSplit: InputSplit, ctx: TaskAttemptContext): Unit = {
+    val split = genericSplit.asInstanceOf[FileSplit]
+    start = split.getStart
+    end = start + split.getLength
+    val file = split.getPath
+    val conf = ctx.getConfiguration
+    val fs = file.getFileSystem(conf)
+    stream = fs.open(file)
+    val codec = new CompressionCodecFactory(conf).getCodec(file)
+    if (codec == null) {
+      if (start != 0) stream.seek(start)
+      in = new LineReader(stream, conf)
+      pos = start
+      if (start != 0) readRaw() // the line at `start` is the previous reader's
+    } else if (FastqInputFormat.isBgzf(conf, file)) {
+      strictEnd = true
+      val fileLen = fs.getFileStatus(file).getLen
+      def readAt(p: Long, b: Array[Byte]): Unit = stream.readFully(p, b)
+      val firstMember =
+        if (start == 0) 0L else BamFormat.findBgzfBlock(fileLen, start, readAt)
+      bgzf = new BgzfLineSource(stream, fileLen,
+        math.min(firstMember, fileLen))
+      if (firstMember != 0 && firstMember < fileLen) {
+        var prev = BamFormat.previousBgzfBlock(fileLen, firstMember, readAt)
+        var bytes = BamFormat.inflateMemberAt(stream, fileLen, prev)
+        while (bytes.isEmpty && prev > 0) {
+          prev = BamFormat.previousBgzfBlock(fileLen, prev, readAt)
+          bytes = BamFormat.inflateMemberAt(stream, fileLen, prev)
+        }
+        if (bytes.nonEmpty && bytes(bytes.length - 1) != '\n') readRaw()
+      }
+    } else {
+      decompressed = codec.createInputStream(stream)
+      in = new LineReader(decompressed, conf)
+      pos = 0L
+      end = Long.MaxValue
+    }
+    pending = readRaw()
+  }
+
+  override def nextKeyValue(): Boolean = pending match {
+    case Some((off, t)) if (if (strictEnd) off < end else off <= end) =>
+      key.set(off)
+      value.set(t)
+      pending = readRaw()
+      true
+    case _ => false
+  }
+
+  override def getCurrentKey: LongWritable = key
+  override def getCurrentValue: Text = value
+  override def getProgress: Float =
+    if (end == start || end == Long.MaxValue) 1.0f
+    else if (bgzf != null)
+      math.min(1.0f, (bgzf.position - start).toFloat / (end - start).toFloat)
+    else math.min(1.0f, (pos - start).toFloat / (end - start).toFloat)
+  override def close(): Unit = {
+    if (decompressed != null) decompressed.close()
+    if (stream != null) stream.close()
+  }
+}
+
 /** Line reader over BGZF members with per-line member attribution: each
   * returned line carries the FILE offset of the member its first byte
   * lives in (the ownership unit for splitting). Lines may span members;

@@ -73,11 +73,58 @@ object SourceUtil {
     * part file the name comes from the parent directory instead (the
     * reference reads single `<sample>.bam` files,
     * `AlignmentRelation.scala:196-206`). */
-  def sampleIdFromFile: org.apache.spark.sql.Column = {
-    val segs = split(input_file_name(), "/")
+  def sampleIdFromFile: org.apache.spark.sql.Column =
+    sampleIdFromPath(input_file_name())
+
+  /** S7 rule over an explicit path column (for frames built from RDDs,
+    * where `input_file_name()` is empty). */
+  def sampleIdFromPath(pathCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val segs = split(pathCol, "/")
     val leaf = element_at(segs, -1)
     val name = when(leaf.startsWith("part-"), element_at(segs, -2)).otherwise(leaf)
     regexp_extract(name, "^([^.]+)", 1)
+  }
+
+  /** Lines of `path` as a `value` DataFrame (plus the source file path
+    * as `_file` when `withFile`). Uncompressed inputs go through the
+    * native text source (vectorized, size-tuned); paths containing any
+    * `.gz` file route through [[BgzfTextInputFormat]], which keeps
+    * BGZF-compressed text (bgzipped `.vcf.gz`/`.sam.gz` — the ecosystem
+    * standard) SPLITTABLE at member granularity and decompresses plain
+    * gzip as one split. */
+  private[sources] def textFrame(spark: org.apache.spark.sql.SparkSession,
+      path: String, withFile: Boolean = false): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val anyGz = matched.exists { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".gz"))
+      else st.getPath.getName.endsWith(".gz")
+    }
+    if (!anyGz) {
+      val t = spark.read.text(path)
+      if (withFile) t.withColumn("_file", input_file_name()) else t
+    } else {
+      val raw = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[BgzfTextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable], classOf[org.apache.hadoop.io.Text])
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType) ::
+        (if (withFile) List(org.apache.spark.sql.types.StructField(
+          "_file", org.apache.spark.sql.types.StringType)) else Nil))
+      val rows = raw.asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[
+          org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
+        .mapPartitionsWithInputSplit { (split, it) =>
+          val file = split.asInstanceOf[
+            org.apache.hadoop.mapreduce.lib.input.FileSplit].getPath.toString
+          it.map { case (_, t) =>
+            if (withFile) Row(t.toString, file) else Row(t.toString)
+          }
+        }
+      spark.createDataFrame(rows, schema)
+    }
   }
 
   /** Write an alignment table in the scan-optimized layout the engine's
@@ -825,8 +872,9 @@ class SamSource extends RelationProvider {
     new GraftBaseRelation {
       override val sqlContext: SQLContext = ctx
       override protected def frame(): DataFrame = {
-        val raw = ctx.sparkSession.read.text(path)
-          .withColumn("sample_id", SourceUtil.sampleIdFromFile)
+        val raw = SourceUtil.textFrame(ctx.sparkSession, path, withFile = true)
+          .withColumn("sample_id", SourceUtil.sampleIdFromPath(col("_file")))
+          .drop("_file")
           .filter(!col("value").startsWith("@") && length(col("value")) > 0)
         val f = split(col("value"), "\t")
         raw.select(
@@ -974,7 +1022,7 @@ class BedSource extends RelationProvider {
       override protected def frame(): DataFrame = {
         // Read as raw lines: a csv reader would fix its column count from
         // the first line, which may be a tab-less `track` header.
-        val raw = ctx.sparkSession.read.text(path)
+        val raw = SourceUtil.textFrame(ctx.sparkSession, path)
         val dataLines = raw.filter(
           !col("value").startsWith("track") && !col("value").startsWith("browser"))
         val parts = split(col("value"), "\t")

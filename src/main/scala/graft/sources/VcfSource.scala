@@ -71,7 +71,13 @@ object VcfFormat {
       else Seq(st)
     }
     require(files.nonEmpty, s"VcfSource: no files match '$path'")
-    val in = fs.open(files.head.getPath)
+    val first = files.head.getPath
+    val raw: java.io.InputStream = fs.open(first)
+    // bgzipped .vcf.gz is standard; the JDK gzip engine consumes BGZF
+    // members natively, and the header sits at the file head.
+    val in =
+      if (first.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+      else raw
     val rd = new java.io.BufferedReader(
       new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
     try {
@@ -89,7 +95,7 @@ object VcfFormat {
   private[sources] def frameFor(spark: org.apache.spark.sql.SparkSession,
       path: String, mode: Option[String]): DataFrame = {
     val samples = headerSamples(spark, path)
-    val raw = spark.read.text(path)
+    val raw = SourceUtil.textFrame(spark, path)
       .filter(!col("value").startsWith("#") && length(col("value")) > 0)
     val f = split(col("value"), "\t")
     val fixed = Seq(

@@ -498,6 +498,59 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("vcf_empty").columns.contains("g1"))
   }
 
+  test("BGZF-compressed VCF and SAM text split at member granularity") {
+    val dir = s"$base/bgzf_text"
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    def bgzip(text: String, out: String, chunk: Int): Unit = {
+      val bg = new graft.sources.BamFormat.BgzfOutputStream(
+        new java.io.FileOutputStream(out))
+      text.getBytes("UTF-8").grouped(chunk).foreach { c =>
+        bg.write(c, 0, c.length); bg.flush() // one member per chunk
+      }
+      bg.close()
+    }
+    // VCF: 4000 data lines + header, members of ~1.5 KB.
+    val vcfText = new StringBuilder(
+      "##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    (1 to 4000).foreach(i => vcfText.append(
+      s"chr${i % 4}\t${i * 3 + 1}\trs$i\tAC\tA\t${i % 60}\tPASS\tDP=${i % 90}\n"))
+    bgzip(vcfText.toString, s"$dir/v.vcf.gz", 1500)
+    // SAM: 3000 records, same member sizing.
+    val samText = new StringBuilder("@HD\tVN:1.6\tSO:unsorted\n")
+    (1 to 3000).foreach(i => samText.append(
+      s"r$i\t0\tchr${i % 4}\t${i % 997 + 1}\t${i % 60}\t4M\t*\t0\t0\tACGT\tIIII\tNM:i:${i % 3}\n"))
+    bgzip(samText.toString, s"$dir/sampleZ.sam.gz", 1500)
+
+    def readVcf(): Set[String] = {
+      spark.sql("DROP TABLE IF EXISTS vcf_bgzf")
+      spark.sql(s"""CREATE TABLE vcf_bgzf USING graft.sources.VcfSource
+                   |OPTIONS (path '$dir/v.vcf.gz')""".stripMargin)
+      spark.table("vcf_bgzf").collect().map(_.toString).toSet
+    }
+    def readSam(): Set[String] = {
+      spark.sql("DROP TABLE IF EXISTS sam_bgzf")
+      spark.sql(s"""CREATE TABLE sam_bgzf USING graft.sources.SamSource
+                   |OPTIONS (path '$dir/sampleZ.sam.gz')""".stripMargin)
+      spark.table("sam_bgzf").collect().map(_.toString).toSet
+    }
+    val vWhole = readVcf()
+    val sWhole = readSam()
+    assert(vWhole.size === 4000)
+    assert(sWhole.size === 3000)
+    assert(sWhole.exists(_.contains("sampleZ")), "S7 sample id must survive the RDD path")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val old = Option(hconf.get(key))
+    hconf.set(key, "1024")
+    try {
+      assert(readVcf() === vWhole, "BGZF VCF split read diverged")
+      assert(readSam() === sWhole, "BGZF SAM split read diverged")
+    } finally old match {
+      case Some(v) => hconf.set(key, v)
+      case None => hconf.unset(key)
+    }
+  }
+
   test("distinct samples over the hive layout reads no data columns (A6)") {
     val path = s"$base/partitioned_a6"
     val reads = Tables.reads(spark, sf0001)
