@@ -59,6 +59,30 @@ object SourceQueries {
     fasta.toString
   }
 
+  /** Shared `.vcf` rendition of the part-derived variant table (null
+    * id/alt/qual/filter coverage, multi-allelic ALT, two genotype
+    * columns) — read by ddl_vcf_scan and vcf_info_stats. */
+  private def vcfFixture(s: SparkSession, dir: String): String =
+    fixture("variants_vcf", dir) { p =>
+      val v = Tables.part(s, dir).select(
+        concat(lit("chr"), (col("p_partkey") % 4).cast("string")).as("contig"),
+        (((col("p_partkey") * 7) % 5000) + 1).cast("int").as("pos_start"),
+        expr("CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE concat('rs', CAST(p_partkey AS STRING)) END").as("id"),
+        expr("substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1, 1 + CAST(p_partkey % 3 AS INT))").as("ref"),
+        expr("""CASE WHEN p_partkey % 11 = 0 THEN NULL
+               |WHEN p_partkey % 3 = 1 THEN concat(
+               |  substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1), ',',
+               |  substr('GATC', CAST(p_partkey % 5 AS INT) % 4 + 1, 1))
+               |ELSE substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1) END""".stripMargin).as("alt"),
+        expr("CASE WHEN p_partkey % 13 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(p_partkey % 100 AS DOUBLE) / 4 END").as("qual"),
+        expr("CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'PASS' WHEN 1 THEN 'q10' ELSE NULL END").as("filter"),
+        expr("concat('NS=', CAST(p_partkey % 3 AS STRING), ';DP=', CAST(p_partkey % 50 AS STRING))").as("info"),
+        expr("concat(CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN '0|0' WHEN 1 THEN '0|1' ELSE '1|1' END, ':', CAST(p_partkey % 60 AS STRING))").as("na1"),
+        expr("concat(CASE CAST(p_partkey % 2 AS INT) WHEN 0 THEN '0/0' ELSE '1/1' END, ':', CAST(p_partkey % 45 AS STRING))").as("na2"))
+        .withColumn("fmt", lit("GT:DP"))
+      graft.sources.VcfFormat.writeVcf(v, p, Seq("na1", "na2"), Some("fmt"))
+    }
+
   val queries: Map[String, Q] = Map(
     // S1/S8 + P1/P2: alignment table through DDL with a selective filter
     // (pushed into the inner parquet scan).
@@ -250,31 +274,46 @@ object SourceQueries {
     // from `part`, so a bug in EITHER direction of the text codec shows
     // as a mismatch.
     "ddl_vcf_scan" -> { (s, dir) =>
-      val path = fixture("variants_vcf", dir) { p =>
-        val v = Tables.part(s, dir).select(
-          concat(lit("chr"), (col("p_partkey") % 4).cast("string")).as("contig"),
-          (((col("p_partkey") * 7) % 5000) + 1).cast("int").as("pos_start"),
-          expr("CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE concat('rs', CAST(p_partkey AS STRING)) END").as("id"),
-          expr("substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1, 1 + CAST(p_partkey % 3 AS INT))").as("ref"),
-          expr("""CASE WHEN p_partkey % 11 = 0 THEN NULL
-                 |WHEN p_partkey % 3 = 1 THEN concat(
-                 |  substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1), ',',
-                 |  substr('GATC', CAST(p_partkey % 5 AS INT) % 4 + 1, 1))
-                 |ELSE substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1) END""".stripMargin).as("alt"),
-          expr("CASE WHEN p_partkey % 13 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(p_partkey % 100 AS DOUBLE) / 4 END").as("qual"),
-          expr("CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'PASS' WHEN 1 THEN 'q10' ELSE NULL END").as("filter"),
-          expr("concat('NS=', CAST(p_partkey % 3 AS STRING), ';DP=', CAST(p_partkey % 50 AS STRING))").as("info"),
-          expr("concat(CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN '0|0' WHEN 1 THEN '0|1' ELSE '1|1' END, ':', CAST(p_partkey % 60 AS STRING))").as("na1"),
-          expr("concat(CASE CAST(p_partkey % 2 AS INT) WHEN 0 THEN '0/0' ELSE '1/1' END, ':', CAST(p_partkey % 45 AS STRING))").as("na2"))
-          .withColumn("fmt", lit("GT:DP"))
-        graft.sources.VcfFormat.writeVcf(v, p, Seq("na1", "na2"), Some("fmt"))
-      }
+      val path = vcfFixture(s, dir)
       s.sql("DROP TABLE IF EXISTS vcf_ddl")
       s.sql(s"""CREATE TABLE vcf_ddl USING graft.sources.VcfSource
                |OPTIONS (path '$path')""".stripMargin)
       s.sql("""SELECT contig, pos_start, pos_end, id, ref, alt, qual,
               |  filter, info, format AS fmt, na1, na2
               |FROM vcf_ddl WHERE contig = '1'""".stripMargin)
+    },
+    // INFO-field analytics over the VCF surface with stock codegen
+    // functions (str_to_map over the ';'/'=' grammar) — the first thing
+    // every VCF pipeline does with INFO, no UDF involved.
+    "vcf_info_stats" -> { (s, dir) =>
+      val path = vcfFixture(s, dir)
+      s.sql("DROP TABLE IF EXISTS vcf_info_ddl")
+      s.sql(s"""CREATE TABLE vcf_info_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT contig,
+              |  COUNT(*) AS n,
+              |  SUM(CAST(str_to_map(info, ';', '=')['DP'] AS INT)) AS dp_sum,
+              |  SUM(CASE WHEN filter = 'PASS' THEN 1 ELSE 0 END) AS n_pass,
+              |  COUNT(alt) AS n_alt
+              |FROM vcf_info_ddl GROUP BY contig""".stripMargin)
+    },
+    // INFO-field analytics over the VCF surface with stock codegen
+    // functions (str_to_map over the ';'/'=' grammar) — the first thing
+    // every VCF pipeline does with INFO, no UDF involved.
+    // INFO-field analytics over the VCF surface with stock codegen
+    // functions (str_to_map over the ';'/'=' grammar) — the first thing
+    // every VCF pipeline does with INFO, no UDF involved.
+    "vcf_info_stats" -> { (s, dir) =>
+      val path = vcfFixture(s, dir)
+      s.sql("DROP TABLE IF EXISTS vcf_info_ddl")
+      s.sql(s"""CREATE TABLE vcf_info_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT contig,
+              |  COUNT(*) AS n,
+              |  SUM(CAST(str_to_map(info, ';', '=')['DP'] AS INT)) AS dp_sum,
+              |  SUM(CASE WHEN filter = 'PASS' THEN 1 ELSE 0 END) AS n_pass,
+              |  COUNT(alt) AS n_alt
+              |FROM vcf_info_ddl GROUP BY contig""".stripMargin)
     },
     // S4 normalization interplay: the variant_normalize derivation
     // round-tripped through `.vcf`, left-aligned AT SCAN TIME by the
@@ -490,6 +529,13 @@ object SourceQueries {
         |  (CASE CAST(p_partkey % 2 AS INT) WHEN 0 THEN '0/0' ELSE '1/1' END)
         |    || ':' || CAST(p_partkey % 45 AS VARCHAR) AS na2
         |FROM part WHERE p_partkey % 4 = 1""".stripMargin,
+    "vcf_info_stats" ->
+      """SELECT CAST(p_partkey % 4 AS VARCHAR) AS contig,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(p_partkey % 50) AS BIGINT) AS dp_sum,
+        |  CAST(SUM(CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  COUNT(CASE WHEN p_partkey % 11 = 0 THEN NULL ELSE 1 END) AS n_alt
+        |FROM part GROUP BY 1""".stripMargin,
     // The scan-time normalization modes replicate the existing
     // variant_normalize/variant_split_normalize pipelines over the same
     // part derivation, so their oracles apply verbatim.
