@@ -215,6 +215,33 @@ object SourceQueries {
       s.sql("""SELECT contig, pos_start, pos_end, mapq, tag_NM, tag_RG
               |FROM reads_bam_tags_ddl WHERE contig = '2'""".stripMargin)
     },
+    // The FULL optional-field surface: arbitrary typed tags written into
+    // the BAM tag stream from a `tags` map column (string, int, and
+    // B-array types) and read back as `TAG -> "TYPE:value"` — the
+    // engine's answer to the reference's ~60 lazily-populated typed
+    // tag_* columns (`AlignmentRelation.scala:246-257`): one prunable
+    // map column subsumes them all (`element_at(tags, 'XS')`), and the
+    // typed MD written by the sink must come back through the SAME map
+    // (map-vs-typed consistency).
+    "ddl_bam_tagmap" -> { (s, dir) =>
+      val path = fixture("reads_bam_tagmap", dir) { p =>
+        graft.sources.SourceUtil.writeBam(
+          Tables.readsMd(s, dir).filter(col("sample_id") === "s3")
+            .withColumn("tags", map(
+              lit("XS"), concat(lit("i:"), (col("mapq") * 3).cast("string")),
+              lit("BC"), concat(lit("Z:bc_"), col("contig")),
+              lit("ZB"), concat(lit("B:c,"), (col("flag") % 5).cast("string"),
+                lit(","), (col("mapq") % 7).cast("string")))),
+          p + "/s3.bam")
+      }
+      s.sql("DROP TABLE IF EXISTS reads_bam_tagmap_ddl")
+      s.sql(s"""CREATE TABLE reads_bam_tagmap_ddl USING graft.sources.BamSource
+               |OPTIONS (path '$path/s3.bam')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, pos_end, mapq,
+              |  element_at(tags, 'XS') AS t_xs, element_at(tags, 'BC') AS t_bc,
+              |  element_at(tags, 'ZB') AS t_zb, element_at(tags, 'MD') AS t_md
+              |FROM reads_bam_tagmap_ddl WHERE mapq >= 20""".stripMargin)
+    },
     // The SAM text twin: the same sample rendered as SAM lines (header
     // line skipped, '*' placeholders, MD fished from the optional-field
     // tail behind an NM tag), parsed back by codegen'd expressions with
@@ -282,24 +309,6 @@ object SourceQueries {
               |  filter, info, format AS fmt, na1, na2
               |FROM vcf_ddl WHERE contig = '1'""".stripMargin)
     },
-    // INFO-field analytics over the VCF surface with stock codegen
-    // functions (str_to_map over the ';'/'=' grammar) — the first thing
-    // every VCF pipeline does with INFO, no UDF involved.
-    "vcf_info_stats" -> { (s, dir) =>
-      val path = vcfFixture(s, dir)
-      s.sql("DROP TABLE IF EXISTS vcf_info_ddl")
-      s.sql(s"""CREATE TABLE vcf_info_ddl USING graft.sources.VcfSource
-               |OPTIONS (path '$path')""".stripMargin)
-      s.sql("""SELECT contig,
-              |  COUNT(*) AS n,
-              |  SUM(CAST(str_to_map(info, ';', '=')['DP'] AS INT)) AS dp_sum,
-              |  SUM(CASE WHEN filter = 'PASS' THEN 1 ELSE 0 END) AS n_pass,
-              |  COUNT(alt) AS n_alt
-              |FROM vcf_info_ddl GROUP BY contig""".stripMargin)
-    },
-    // INFO-field analytics over the VCF surface with stock codegen
-    // functions (str_to_map over the ';'/'=' grammar) — the first thing
-    // every VCF pipeline does with INFO, no UDF involved.
     // INFO-field analytics over the VCF surface with stock codegen
     // functions (str_to_map over the ';'/'=' grammar) — the first thing
     // every VCF pipeline does with INFO, no UDF involved.
@@ -467,6 +476,24 @@ object SourceQueries {
          |  CASE WHEN has_alt THEN 1 ELSE 0 END AS tag_NM,
          |  'rg_' || sample_id AS tag_RG
          |FROM reads WHERE sample_id = 's2' AND contig = '2'""".stripMargin,
+    "ddl_bam_tagmap" ->
+      s"""WITH ${OracleCtes.reads},
+         |md AS (SELECT *, pos_end - pos_start + 1 AS _len,
+         |  CASE WHEN cigar LIKE '%N%'
+         |       THEN (pos_end - pos_start + 1) // 3 ELSE 0 END AS _gap
+         |  FROM reads WHERE sample_id = 's3'),
+         |md2 AS (SELECT *, _len - _gap AS _mlen, alt_pos - pos_start AS _off FROM md)
+         |SELECT contig, pos_start, pos_end, mapq,
+         |  'i:' || CAST(mapq * 3 AS VARCHAR) AS t_xs,
+         |  'Z:bc_' || contig AS t_bc,
+         |  'B:c,' || CAST(flag % 5 AS VARCHAR) || ',' ||
+         |    CAST(mapq % 7 AS VARCHAR) AS t_zb,
+         |  'Z:' || CASE WHEN has_alt
+         |       THEN CAST(_off AS VARCHAR) ||
+         |            substr('ACGT', (ascii(contig) + alt_pos) % 4 + 1, 1) ||
+         |            CAST(_mlen - _off - 1 AS VARCHAR)
+         |       ELSE CAST(_mlen AS VARCHAR) END AS t_md
+         |FROM md2 WHERE mapq >= 20""".stripMargin,
     "ddl_sam_scan" ->
       s"""WITH ${OracleCtes.reads},
          |md AS (SELECT *, pos_end - pos_start + 1 AS _len,

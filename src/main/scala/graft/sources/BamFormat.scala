@@ -138,7 +138,8 @@ object BamFormat {
   case class BamRecord(refId: Int, pos0: Int, mapq: Int, flag: Int,
       qname: String, cigar: String, seq: String, quals: Array[Byte],
       nextRefId: Int, nextPos0: Int, tlen: Int, mdTag: String,
-      refConsumed: Int, tagNm: Integer = null, tagRg: String = null)
+      refConsumed: Int, tagNm: Integer = null, tagRg: String = null,
+      tagMap: scala.collection.Map[String, String] = null)
 
   /** Which variable-length record parts to DECODE (projection pushdown —
     * the reference extracts per requested column,
@@ -147,8 +148,9 @@ object BamFormat {
     * a `count(*)` over 100 TB of BAM pays prefix reads only. */
   case class DecodeSpec(name: Boolean = true, cigar: Boolean = true,
       refConsumed: Boolean = true, seq: Boolean = true, quals: Boolean = true,
-      md: Boolean = true, nm: Boolean = true, rg: Boolean = true) {
-    def tags: Boolean = md || nm || rg
+      md: Boolean = true, nm: Boolean = true, rg: Boolean = true,
+      tagMap: Boolean = false) {
+    def tags: Boolean = md || nm || rg || tagMap
   }
   val FullDecode: DecodeSpec = DecodeSpec()
 
@@ -169,6 +171,98 @@ object BamFormat {
 
   private val SeqTable = "=ACMGRSVTWYHKDBN"
   private val CigarOps = "MIDNSHP=X"
+
+  /** Canonical SAM-text rendering `TYPE:value` of a tag's raw value
+    * bytes (the layout inside a BAM record's tag stream: fixed-width
+    * little-endian numerics, NUL-stripped Z/H text, `B` = subtype byte +
+    * int32 count + packed elements). All integer widths render as `i:`
+    * like SAM text does; `I` (uint32) widens to long. Shared by the BAM
+    * record decoder and the CRAM tag-series decoder so both alignment
+    * sources emit the identical `tags` map surface. */
+  def renderTag(tt: Char, raw: Array[Byte]): String = tt match {
+    case 'A' => "A:" + raw(0).toChar
+    case 'c' => "i:" + raw(0).toInt
+    case 'C' => "i:" + (raw(0) & 0xff)
+    case 's' => "i:" + ((raw(0) & 0xff) | (raw(1) << 8)).toShort.toInt
+    case 'S' => "i:" + ((raw(0) & 0xff) | ((raw(1) & 0xff) << 8))
+    case 'i' => "i:" + i32(raw, 0)
+    case 'I' => "i:" + (i32(raw, 0) & 0xFFFFFFFFL)
+    case 'f' => "f:" + java.lang.Float.intBitsToFloat(i32(raw, 0))
+    case 'Z' => "Z:" + new String(raw, StandardCharsets.UTF_8)
+    // H-type value bytes ARE hex ASCII text in the tag stream (SAM spec
+    // §4.2.4) — carry the text through, like Z.
+    case 'H' => "H:" + new String(raw, StandardCharsets.US_ASCII)
+    case 'B' =>
+      val sub = raw(0).toChar
+      val count = i32(raw, 1)
+      val size = sub match { case 'c' | 'C' => 1; case 's' | 'S' => 2; case _ => 4 }
+      val sb = new StringBuilder("B:").append(sub)
+      var i = 0
+      while (i < count) {
+        val o = 5 + i * size
+        val v: String = sub match {
+          case 'c' => raw(o).toInt.toString
+          case 'C' => (raw(o) & 0xff).toString
+          case 's' => ((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort.toInt.toString
+          case 'S' => ((raw(o) & 0xff) | ((raw(o + 1) & 0xff) << 8)).toString
+          case 'i' => i32(raw, o).toString
+          case 'I' => (i32(raw, o) & 0xFFFFFFFFL).toString
+          case 'f' => java.lang.Float.intBitsToFloat(i32(raw, o)).toString
+          case other => sys.error(s"unknown BAM B-array subtype '$other'")
+        }
+        sb.append(',').append(v)
+        i += 1
+      }
+      sb.toString
+    case other => sys.error(s"unknown BAM tag type '$other'")
+  }
+
+  /** Inverse of [[renderTag]]: encode one canonical `TYPE:value` string
+    * back to tag-stream bytes — `TAG` (2 bytes) + type byte + value.
+    * Integers always re-encode at full `i` width (lossless for every
+    * narrower input width). */
+  def encodeTag(key: String, tv: String): Array[Byte] = {
+    require(key.length == 2, s"SAM tag key must be 2 chars: '$key'")
+    require(tv.length >= 2 && tv.charAt(1) == ':',
+      s"tag value must be in canonical 'TYPE:value' form: '$tv'")
+    val tt = tv.charAt(0)
+    val v = tv.substring(2)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(key.charAt(0)); out.write(key.charAt(1))
+    def le32(x: Int): Unit = {
+      out.write(x & 0xff); out.write((x >> 8) & 0xff)
+      out.write((x >> 16) & 0xff); out.write((x >> 24) & 0xff)
+    }
+    tt match {
+      case 'A' => out.write('A'); out.write(v.charAt(0))
+      case 'i' =>
+        val l = v.toLong // uint32 renders past Int.MaxValue
+        out.write('i'); le32(l.toInt)
+      case 'f' =>
+        out.write('f'); le32(java.lang.Float.floatToIntBits(v.toFloat))
+      case 'Z' | 'H' =>
+        out.write(tt)
+        val b = v.getBytes(StandardCharsets.UTF_8)
+        out.write(b, 0, b.length); out.write(0)
+      case 'B' =>
+        val parts = v.split(',')
+        val sub = parts(0).charAt(0)
+        out.write('B'); out.write(sub)
+        le32(parts.length - 1)
+        parts.iterator.drop(1).foreach { e =>
+          sub match {
+            case 'c' | 'C' => out.write(e.toInt & 0xff)
+            case 's' | 'S' =>
+              val x = e.toInt; out.write(x & 0xff); out.write((x >> 8) & 0xff)
+            case 'i' | 'I' => le32(e.toLong.toInt)
+            case 'f' => le32(java.lang.Float.floatToIntBits(e.toFloat))
+            case other => sys.error(s"unknown B-array subtype '$other'")
+          }
+        }
+      case other => sys.error(s"unknown tag type '$other' in '$tv'")
+    }
+    out.toByteArray
+  }
 
   // ------------------------------------------------------------------- read
   /** Streaming record reader over a BGZF BAM stream (the JDK gzip engine
@@ -708,12 +802,15 @@ object BamFormat {
     var md: String = null
     var nm: Integer = null
     var rg: String = null
+    val tmap: mutable.LinkedHashMap[String, String] =
+      if (spec.tagMap) mutable.LinkedHashMap.empty else null
     if (spec.tags) {
       val limit = o0 + blockSize
       while (o < limit) {
         val t1 = data(o).toChar; val t2 = data(o + 1).toChar
         val vt = data(o + 2).toChar
         o += 3
+        val vs = o // value start, for the generic-map slice
         vt match {
           case 'A' => o += 1
           case 'c' =>
@@ -749,10 +846,17 @@ object BamFormat {
             o += 5 + count * size
           case other => sys.error(s"unknown BAM tag type '$other' for $t1$t2")
         }
+        if (tmap != null) {
+          // Z/H rendered from the NUL-stripped slice; everything else
+          // from the exact value bytes the skip logic just measured.
+          val end = if (vt == 'Z' || vt == 'H') o - 1 else o
+          tmap(s"$t1$t2") =
+            renderTag(vt, java.util.Arrays.copyOfRange(data, vs, end))
+        }
       }
     }
     BamRecord(refId, pos0, mapq, flag, qname, cigar, seq, quals,
-      nextRefId, nextPos0, tlen, md, refConsumed, nm, rg)
+      nextRefId, nextPos0, tlen, md, refConsumed, nm, rg, tmap)
   }
 
   // ------------------------------------------------------------------ write
@@ -828,10 +932,14 @@ object BamFormat {
 
     /** `pos1` is 1-based inclusive (engine convention); quals are raw
       * Phred. A null/unknown contig writes refID -1 (unmapped slot);
-      * optional `nm`/`rg` write typed NM:i / RG:Z tags. */
+      * optional `nm`/`rg` write typed NM:i / RG:Z tags. `extraTags` are
+      * arbitrary additional tags in [[BamFormat.renderTag]]'s canonical
+      * `TYPE:value` form (keys must not repeat MD/NM/RG when those are
+      * also passed typed — the spec forbids duplicate tags). */
     def write(contig: String, pos1: Int, mapq: Int, flag: Int, qname: String,
         cigar: String, seq: String, quals: Array[Byte], mdTag: String,
-        nm: Integer = null, rg: String = null): Unit = {
+        nm: Integer = null, rg: String = null,
+        extraTags: Seq[(String, String)] = Nil): Unit = {
       val refId = if (contig == null) -1 else refIndex.getOrElse(contig, -1)
       val name = (if (qname == null || qname.isEmpty) "*" else qname).getBytes("UTF-8")
       // l_read_name is a single byte including the NUL (spec cap 254
@@ -856,6 +964,13 @@ object BamFormat {
       val rgTag = if (rg == null) Array.emptyByteArray
         else s"RG".getBytes("UTF-8") ++ Array('Z'.toByte) ++
           rg.getBytes("UTF-8") ++ Array(0.toByte)
+      val extra: Array[Byte] =
+        if (extraTags.isEmpty) Array.emptyByteArray
+        else {
+          val b = new java.io.ByteArrayOutputStream()
+          extraTags.foreach { case (k, tv) => b.write(encodeTag(k, tv)) }
+          b.toByteArray
+        }
       // Range-index bookkeeping: the record's first byte lands in the
       // member at the stream's current virtual offset.
       locally {
@@ -867,7 +982,8 @@ object BamFormat {
         st.n += 1
       }
       val blockSize = 32 + (name.length + 1) + words.length * 4 +
-        (lSeq + 1) / 2 + lSeq + md.length + nmTag.length + rgTag.length
+        (lSeq + 1) / 2 + lSeq + md.length + nmTag.length + rgTag.length +
+        extra.length
       le32(blockSize)
       le32(refId)
       le32(pos1 - 1)
@@ -894,6 +1010,7 @@ object BamFormat {
       out.write(md)
       out.write(nmTag)
       out.write(rgTag)
+      out.write(extra)
     }
 
     def close(): Unit = {

@@ -512,7 +512,8 @@ object CramFormat {
     * `rgIds` maps the RG series index to the SAM header @RG ID strings. */
   final class SliceDecoder(comp: CompHeader, slice: SliceHeader,
       external: Map[Int, Array[Byte]], coreLen: Int,
-      refBytes: Int => Array[Byte], rgIds: Array[String], refShift: Int = 0)
+      refBytes: Int => Array[Byte], rgIds: Array[String], refShift: Int = 0,
+      wantTagMap: Boolean = false)
       extends Iterator[BamFormat.BamRecord] {
 
     require(coreLen == 0, "CRAM slices with a non-empty CORE bit stream " +
@@ -662,6 +663,8 @@ object CramFormat {
       var nm: Integer = null
       var rgTag: String = null
       var storedMd: String = null
+      val tmap: mutable.LinkedHashMap[String, String] =
+        if (wantTagMap) mutable.LinkedHashMap.empty else null
       val line = comp.td(tl)
       var ti = 0
       while (ti < line.length) {
@@ -670,6 +673,7 @@ object CramFormat {
         val raw = dTags.getOrElse(key, sys.error(
           s"tag ${t1.toChar}${t2.toChar}:${tt.toChar} missing an encoding"))()
         val name = s"${t1.toChar}${t2.toChar}"
+        if (tmap != null) tmap(name) = BamFormat.renderTag(tt.toChar, raw)
         if (name == "NM") nm = tt.toChar match {
           case 'c' => Integer.valueOf(raw(0).toInt)
           case 'C' => Integer.valueOf(raw(0) & 0xff)
@@ -799,7 +803,7 @@ object CramFormat {
           q
         } else Array.fill(rl)(0xff.toByte) // absent — BAM convention
       BamFormat.BamRecord(refId, pos - 1, mapq, bf, qname, cigar, seq, quals,
-        nextRefId, nextPos0, tlen, md, refConsumed, nm, rgTag)
+        nextRefId, nextPos0, tlen, md, refConsumed, nm, rgTag, tmap)
     }
   }
 
@@ -873,7 +877,8 @@ object CramFormat {
 
   /** All records of the data container at `offset`. */
   def containerRecords(read: (Long, Int) => Array[Byte], offset: Long,
-      refBytes: Int => Array[Byte], header: CramHeader): Iterator[BamFormat.BamRecord] = {
+      refBytes: Int => Array[Byte], header: CramHeader,
+      wantTagMap: Boolean = false): Iterator[BamFormat.BamRecord] = {
     containersDecoded.incrementAndGet()
     val hdrBytes = read(offset, 200)
     val ch = readContainerHeader(hdrBytes, 0)
@@ -905,9 +910,10 @@ object CramFormat {
         val embedded = ext.getOrElse(sh.embedRefId,
           sys.error("embedded reference block missing"))
         new SliceDecoder(comp, sh, ext.toMap, coreLen, _ => embedded,
-          header.rgIds, refShift = sh.start - 1)
+          header.rgIds, refShift = sh.start - 1, wantTagMap = wantTagMap)
       } else
-        new SliceDecoder(comp, sh, ext.toMap, coreLen, refBytes, header.rgIds)
+        new SliceDecoder(comp, sh, ext.toMap, coreLen, refBytes, header.rgIds,
+          wantTagMap = wantTagMap)
     }
   }
 

@@ -177,7 +177,11 @@ object SourceUtil {
       optCol("qual_str", lit(null)).cast("string"),
       optCol("md_tag", lit(null)).cast("string"),
       optCol("tag_NM", lit(null)).cast("int"),
-      optCol("tag_RG", lit(null)).cast("string"))
+      optCol("tag_RG", lit(null)).cast("string"),
+      // Arbitrary additional tags: `TAG -> "TYPE:value"` in
+      // BamFormat.renderTag's canonical form (the read path's `tags`
+      // column round-trips through here).
+      optCol("tags", lit(null).cast("map<string,string>")))
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
@@ -202,13 +206,23 @@ object SourceUtil {
           val quals =
             if (qualStr == null) null
             else qualStr.toCharArray.map(c => (c - 33).toByte)
+          // A frame read back from BamSource carries MD/NM/RG both typed
+          // AND in the map — write each tag once (typed wins).
+          val extra: Seq[(String, String)] =
+            if (r.isNullAt(11)) Nil
+            else r.getMap[String, String](11).toSeq
+              .filterNot { case (k, _) =>
+                (k == "MD" && !r.isNullAt(8)) || (k == "NM" && !r.isNullAt(9)) ||
+                  (k == "RG" && !r.isNullAt(10))
+              }.sortBy(_._1)
           w.write(
             if (r.isNullAt(0)) null else r.getString(0),
             r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4), r.getString(5),
             r.getString(6), quals,
             if (r.isNullAt(8)) null else r.getString(8),
             if (r.isNullAt(9)) null else Integer.valueOf(r.getInt(9)),
-            if (r.isNullAt(10)) null else r.getString(10))
+            if (r.isNullAt(10)) null else r.getString(10),
+            extraTags = extra)
         }
         w.close()
         Iterator.single(1)
@@ -404,7 +418,14 @@ object BamSource {
     StructField("qual_str", StringType, nullable = true),
     StructField("md_tag", StringType, nullable = true),
     StructField("tag_NM", IntegerType, nullable = true),
-    StructField("tag_RG", StringType, nullable = true)))
+    StructField("tag_RG", StringType, nullable = true),
+    // The FULL optional-field surface: every tag of the record as
+    // `TAG -> "TYPE:value"` in BamFormat.renderTag's canonical form.
+    // Subsumes the reference's ~60 lazily-populated typed tag_* columns
+    // (AlignmentRelation.scala:246-257) — `element_at(tags,'AS')` etc. —
+    // and stays free unless projected (the decode spec skips the tag
+    // stream's value bytes otherwise).
+    StructField("tags", MapType(StringType, StringType), nullable = true)))
 
   private val intCols = Set("pos_start", "pos_end", "mapq")
   private def asInt(v: Any): Option[Int] = v match {
@@ -483,6 +504,7 @@ object BamSource {
         case 10 => r.mdTag
         case 11 => r.tagNm
         case 12 => r.tagRg
+        case 13 => r.tagMap
       }
       i += 1
     }
@@ -547,7 +569,7 @@ object BamSource {
       name = req("qname"), cigar = req("cigar"),
       refConsumed = req("pos_end") || req("cigar") || constrainsEnd,
       seq = req("seq"), quals = req("qual_str"), md = req("md_tag"),
-      nm = req("tag_NM"), rg = req("tag_RG"))
+      nm = req("tag_NM"), rg = req("tag_RG"), tagMap = req("tags"))
     // Column codes resolved once; the per-record loop switches on ints.
     val codes: Array[Int] = requiredColumns.map(c => schema.fieldIndex(c))
 
@@ -841,7 +863,8 @@ object CramSource {
           ok
         }
       sp.offsets.iterator.flatMap { off =>
-        CramFormat.containerRecords(read, off, refBytes, hdr)
+        CramFormat.containerRecords(read, off, refBytes, hdr,
+          wantTagMap = codes.contains(13))
       }.filter { r =>
         (refIdOk == null ||
           (r.refId + 1 >= 0 && r.refId + 1 < refIdOk.length && refIdOk(r.refId + 1))) && {
@@ -895,7 +918,17 @@ class SamSource extends RelationProvider {
             when(col("value").rlike("\tNM:i:-?\\d+"),
               regexp_extract(col("value"), "\tNM:i:(-?\\d+)", 1)).cast("int").as("tag_NM"),
             when(col("value").rlike("\tRG:Z:[^\t]+"),
-              regexp_extract(col("value"), "\tRG:Z:([^\t]+)", 1)).as("tag_RG"))
+              regexp_extract(col("value"), "\tRG:Z:([^\t]+)", 1)).as("tag_RG"),
+            // The FULL optional-field surface as `TAG -> "TYPE:value"` —
+            // SAM text already carries the canonical form (int tags are
+            // written `i` at any width), so the map matches BamSource's
+            // byte-decoded one entry for entry.
+            map_from_entries(transform(
+              filter(slice(f, 12, 1 << 20),
+                x => x.rlike("^[A-Za-z][A-Za-z0-9]:[AcCsSiIfZHB]:")),
+              x => struct(x.substr(lit(1), lit(2)),
+                x.substr(lit(4), lit(1 << 20)))))
+              .as("tags"))
           .withColumn("pos_end",
             col("pos_start") + greatest(aggregate(
               expr("regexp_extract_all(cigar, '(\\\\d+)[MDN=X]', 1)"),
@@ -903,7 +936,8 @@ class SamSource extends RelationProvider {
           .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
           .select(col("sample_id"), col("qname"), col("flag"), col("contig"),
             col("pos_start"), col("pos_end"), col("mapq"), col("cigar"),
-            col("seq"), col("qual_str"), col("md_tag"), col("tag_NM"), col("tag_RG"))
+            col("seq"), col("qual_str"), col("md_tag"), col("tag_NM"),
+            col("tag_RG"), col("tags"))
       }
     }
   }

@@ -148,6 +148,55 @@ class BamFormatSpec extends AnyFunSuite {
     assert(kept2.map(_.qname).toSet === Set("b", "c")) // ends 16, 1003, 2003
   }
 
+  test("full tag map: every tag type round-trips in canonical TYPE:value form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bam_tagmap")
+    val file = dir.resolve("t.bam").toString
+    val out = new java.io.FileOutputStream(file)
+    val w = new BamFormat.BamWriter(out, Array("c1"), Array(5000))
+    // One record carrying every writable tag type; ints at both ends of
+    // the signed range (the writer always re-encodes at full 'i' width).
+    w.write("c1", 10, 60, 0, "a", "4M", "ACGT", null, "4", 3, "rg0",
+      extraTags = Seq(
+        "XA" -> "A:x",
+        "XI" -> "i:-2147483648",
+        "XJ" -> "i:2147483647",
+        "XF" -> "f:1.5",
+        "XZ" -> "Z:hello world",
+        "XH" -> "H:1AFF00",
+        "XB" -> "B:c,-1,0,5",
+        "XS" -> "B:s,-300,300",
+        "XU" -> "B:I,4294967295",
+        "XG" -> "B:f,0.25,-2.0"))
+    // A second record with no extras: its map holds only MD/NM/RG.
+    w.write("c1", 20, 40, 0, "b", "4M", "ACGT", null, "4")
+    w.close()
+    val hp = new org.apache.hadoop.fs.Path(file)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val len = fs.getFileStatus(hp).getLen
+    val recs = BamFormat.splitRecords(() => fs.open(hp), len, 0, len,
+      BamFormat.FullDecode.copy(tagMap = true)).toArray
+    assert(recs.length === 2)
+    val m = recs(0).tagMap
+    assert(m("MD") === "Z:4" && m("NM") === "i:3" && m("RG") === "Z:rg0")
+    assert(m("XA") === "A:x")
+    assert(m("XI") === "i:-2147483648" && m("XJ") === "i:2147483647")
+    assert(m("XF") === "f:1.5")
+    assert(m("XZ") === "Z:hello world")
+    assert(m("XH") === "H:1AFF00")
+    // B arrays re-render with the subtype they were written at ('I'
+    // stays unsigned through the long widening).
+    assert(m("XB") === "B:c,-1,0,5")
+    assert(m("XS") === "B:s,-300,300")
+    assert(m("XU") === "B:I,4294967295")
+    assert(m("XG") === "B:f,0.25,-2.0")
+    assert(recs(1).tagMap.keySet === Set("MD"))
+    // Typed extraction is unaffected by the map decode.
+    assert(recs(0).tagNm === 3 && recs(0).tagRg === "rg0")
+    // Map NOT requested -> null (the prunable default).
+    val bare = BamFormat.splitRecords(() => fs.open(hp), len, 0, len).toArray
+    assert(bare.forall(_.tagMap == null))
+  }
+
   test("split probe survives records larger than one BGZF member (long reads)") {
     // A >64 KiB-inflated record spans BGZF members; splits whose first
     // owned member holds no record start must keep probing into later

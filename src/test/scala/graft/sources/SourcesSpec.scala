@@ -435,6 +435,79 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("cram_none").count() === 0L)
   }
 
+  test("tags map column is one surface across BAM, SAM, and CRAM") {
+    val path = s"$base/tagmap"
+    // BAM: arbitrary map tags written + read back, coexisting with typed.
+    val reads = Tables.readsMd(spark, sf0001)
+      .filter(col("sample_id") === "s1").limit(50)
+      .withColumn("tag_NM", lit(2))
+      .withColumn("tags", map(
+        lit("XS"), concat(lit("i:"), (col("mapq") * 3).cast("string")),
+        lit("BC"), concat(lit("Z:bc_"), col("contig"))))
+    SourceUtil.writeBam(reads, s"$path/s1.bam")
+    spark.sql("DROP TABLE IF EXISTS tagmap_bam")
+    spark.sql(s"""CREATE TABLE tagmap_bam USING graft.sources.BamSource
+                 |OPTIONS (path '$path/s1.bam')""".stripMargin)
+    val bam = spark.table("tagmap_bam")
+      .select(col("mapq"), col("contig"), col("tag_NM"),
+        element_at(col("tags"), "XS").as("xs"),
+        element_at(col("tags"), "BC").as("bc"),
+        element_at(col("tags"), "NM").as("nm_via_map"))
+      .collect()
+    assert(bam.length === 50)
+    bam.foreach { r =>
+      assert(r.getString(3) === s"i:${r.getInt(0) * 3}")
+      assert(r.getString(4) === s"Z:bc_${r.getString(1)}")
+      // The typed NM written by the sink comes back through the map too.
+      assert(r.getString(5) === s"i:${r.getInt(2)}")
+    }
+    // SAM text: optional fields land in the same map, same canonical form.
+    val samLines = Seq(
+      "@HD\tVN:1.6",
+      "r1\t0\tc1\t10\t60\t4M\t*\t0\t0\tACGT\tIIII\tNM:i:2\tXS:i:42\tBC:Z:abc\tXF:f:1.5",
+      "r2\t0\tc1\t20\t40\t4M\t*\t0\t0\tACGT\tIIII")
+    java.nio.file.Files.createDirectories(Paths.get(s"$path/sam"))
+    java.nio.file.Files.writeString(Paths.get(s"$path/sam/x.sam"),
+      samLines.mkString("\n") + "\n")
+    spark.sql("DROP TABLE IF EXISTS tagmap_sam")
+    spark.sql(s"""CREATE TABLE tagmap_sam USING graft.sources.SamSource
+                 |OPTIONS (path '$path/sam/x.sam')""".stripMargin)
+    val sam = spark.table("tagmap_sam").orderBy("qname")
+      .select(col("qname"), col("tags")).collect()
+    assert(sam(0).getMap[String, String](1).toMap ===
+      Map("NM" -> "i:2", "XS" -> "i:42", "BC" -> "Z:abc", "XF" -> "f:1.5"))
+    assert(sam(1).getMap[String, String](1).toMap === Map.empty[String, String])
+    // CRAM: the tag dictionary's NM/RG surface through the same map.
+    val fastaDir = java.nio.file.Files.createDirectories(Paths.get(s"$path/ref"))
+    val len = 1100
+    val fa = new StringBuilder; val fai = new StringBuilder
+    var off = 0L
+    "0123".foreach { c =>
+      fa.append(s">$c\n"); off += 3
+      (1 to len).foreach(p => fa.append("ACGT".charAt((c.toInt + p) % 4)))
+      fa.append('\n')
+      fai.append(s"$c\t$len\t$off\t$len\t${len + 1}\n")
+      off += len + 1
+    }
+    java.nio.file.Files.writeString(fastaDir.resolve("mock.fa"), fa.toString)
+    java.nio.file.Files.writeString(fastaDir.resolve("mock.fa.fai"), fai.toString)
+    SourceUtil.writeCram(
+      reads.drop("tags").withColumn("tag_RG", lit("rgZ")),
+      s"$path/s1.cram", s"$path/ref/mock.fa")
+    spark.sql("DROP TABLE IF EXISTS tagmap_cram")
+    spark.sql(s"""CREATE TABLE tagmap_cram USING graft.sources.CramSource
+                 |OPTIONS (path '$path/s1.cram', refPath '$path/ref/mock.fa')""".stripMargin)
+    val cram = spark.table("tagmap_cram")
+      .select(col("tag_NM"), col("tag_RG"),
+        element_at(col("tags"), "NM").as("nm2"),
+        element_at(col("tags"), "RG").as("rg2")).collect()
+    assert(cram.length === 50)
+    cram.foreach { r =>
+      assert(r.getString(2) === s"i:${r.getInt(0)}")
+      assert(r.getString(3) === s"Z:${r.getString(1)}")
+    }
+  }
+
   test("VCF source parses the VCF-4.1 spec example file (S4)") {
     // The reference checkout carries the published VCF specification's
     // example document as a test fixture; parse it when present.
