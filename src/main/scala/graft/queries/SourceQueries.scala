@@ -324,6 +324,29 @@ object SourceQueries {
               |  COUNT(alt) AS n_alt
               |FROM vcf_info_ddl GROUP BY contig""".stripMargin)
     },
+    // Genotype-matrix analytics over the VCF surface: the per-sample
+    // genotype columns UNPIVOTed to (sample, GT:DP) long form with
+    // stack(), then split on the FORMAT grammar — per-sample het /
+    // hom-alt / allele counts and DP mass, all stock codegen functions
+    // (the Glow reference explodes its genotypes array the same way;
+    // this is featureCounts' sibling for variant data).
+    "vcf_genotype_stats" -> { (s, dir) =>
+      val path = vcfFixture(s, dir)
+      s.sql("DROP TABLE IF EXISTS vcf_gt_ddl")
+      s.sql(s"""CREATE TABLE vcf_gt_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT sample, COUNT(*) AS n,
+              |  SUM(CASE WHEN split(gv, ':')[0]
+              |             IN ('0/1','1/0','0|1','1|0') THEN 1 ELSE 0 END) AS n_het,
+              |  SUM(CASE WHEN split(gv, ':')[0] IN ('1/1','1|1') THEN 1 ELSE 0 END) AS n_homalt,
+              |  SUM(CASE WHEN split(gv, ':')[0] IN ('0/1','1/0','0|1','1|0') THEN 1
+              |           WHEN split(gv, ':')[0] IN ('1/1','1|1') THEN 2
+              |           ELSE 0 END) AS allele_count,
+              |  SUM(CAST(split(gv, ':')[1] AS INT)) AS dp_sum
+              |FROM (SELECT stack(2, 'na1', na1, 'na2', na2) AS (sample, gv)
+              |      FROM vcf_gt_ddl)
+              |GROUP BY sample""".stripMargin)
+    },
     // S4 normalization interplay: the variant_normalize derivation
     // round-tripped through `.vcf`, left-aligned AT SCAN TIME by the
     // reference's `normalizationMode` option (VCFRelation.scala:30-37 —
@@ -566,6 +589,28 @@ object SourceQueries {
     // The scan-time normalization modes replicate the existing
     // variant_normalize/variant_split_normalize pipelines over the same
     // part derivation, so their oracles apply verbatim.
+    "vcf_genotype_stats" ->
+      """WITH gt AS (
+        |  SELECT 'na1' AS sample,
+        |    CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN '0|0'
+        |         WHEN 1 THEN '0|1' ELSE '1|1' END AS g,
+        |    CAST(p_partkey % 60 AS INT) AS dp
+        |  FROM part
+        |  UNION ALL
+        |  SELECT 'na2',
+        |    CASE CAST(p_partkey % 2 AS INT) WHEN 0 THEN '0/0' ELSE '1/1' END,
+        |    CAST(p_partkey % 45 AS INT)
+        |  FROM part)
+        |SELECT sample, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN g IN ('0/1','1/0','0|1','1|0')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+        |  CAST(SUM(CASE WHEN g IN ('1/1','1|1')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_homalt,
+        |  CAST(SUM(CASE WHEN g IN ('0/1','1/0','0|1','1|0') THEN 1
+        |           WHEN g IN ('1/1','1|1') THEN 2
+        |           ELSE 0 END) AS BIGINT) AS allele_count,
+        |  CAST(SUM(dp) AS BIGINT) AS dp_sum
+        |FROM gt GROUP BY sample""".stripMargin,
     "vcf_normalize" -> PileupQueries.oracle("variant_normalize"),
     "vcf_split_normalize" -> PileupQueries.oracle("variant_split_normalize"),
     "ddl_variant_scan" ->
