@@ -929,9 +929,55 @@ object CramFormat {
     * falls back to a verbatim `b` run). NM:i/RG:Z ride the tag
     * dictionary. Readable by this file's own reader (whose semantics are
     * pinned by the real htsjdk file) — the S2 round-trip seam. */
+  /** Sidecar container-index suffix (`<file>.cram` → `<file>.cram.gci`):
+    * one text line per container — `offset refId start span nRecords` —
+    * so planning a scan reads ONE small file per shard instead of
+    * seeking to every container header in turn (at 100 TB the header
+    * walk is millions of driver-side opens; the sidecar is the CRAM
+    * twin of the BAM `.gri`, and `.crai` is consumed for externally-
+    * produced files the same way `.bai` is for BAM). */
+  val IndexSuffix = ".gci"
+
+  /** Parse a standard `.crai` (gzipped text: seqId, start, span,
+    * containerOffset, sliceOffset, sliceSize per line — SAM spec §5.3)
+    * into the container-index shape. Slices are grouped per container:
+    * same-seq slices merge into one coordinate envelope, mixed-seq
+    * containers degrade to multi-ref (-2, never pruned). nRecords is
+    * not recorded in `.crai`; 1 marks the container non-empty. */
+  def craiContainers(raw: Array[Byte]): Seq[(Long, Int, Int, Int, Int)] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw)),
+      StandardCharsets.UTF_8))
+    val byContainer = mutable.LinkedHashMap.empty[Long, (Int, Int, Int)]
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        if (line.nonEmpty) {
+          val f = line.split('\t')
+          val (seqId, start, span, off) =
+            (f(0).toInt, f(1).toInt, f(2).toInt, f(3).toLong)
+          byContainer.get(off) match {
+            case None => byContainer(off) = (seqId, start, span)
+            case Some((r0, s0, sp0)) =>
+              if (r0 != seqId) byContainer(off) = (-2, 0, 0)
+              else {
+                val lo = math.min(s0, start)
+                val hi = math.max(s0 + sp0, start + span)
+                byContainer(off) = (r0, lo, hi - lo)
+              }
+          }
+        }
+        line = in.readLine()
+      }
+    } finally in.close()
+    byContainer.iterator.map { case (off, (r, s, sp)) => (off, r, s, sp, 1) }
+      .toSeq.sortBy(_._1) // coordinate order need not be offset order
+  }
+
   final class CramWriter(out: OutputStream, refNames: Array[String],
       refLengths: Array[Int], refBytes: String => Array[Byte],
-      recordsPerSlice: Int = 10000, embedReference: Boolean = false) {
+      recordsPerSlice: Int = 10000, embedReference: Boolean = false,
+      indexOut: OutputStream = null) {
 
     /** Content id of the embedded-reference block (outside the series
       * ids 1–28 and the 3-byte-packed tag keys). */
@@ -947,6 +993,12 @@ object CramFormat {
     // File definition written lazily with the header container on the
     // first flush (the @RG lines need the observed read groups).
     private var headerWritten = false
+
+    // Running file offset + per-container envelope entries for the
+    // sidecar index (only when indexOut is given).
+    private var filePos: Long = 0L
+    private val containerEntries =
+      mutable.ArrayBuffer.empty[(Long, Int, Int, Int, Int)]
 
     def write(contig: String, pos1: Int, mapq: Int, flag: Int, qname: String,
         cigar: String, seq: String, quals: Array[Byte], nm: Integer = null,
@@ -971,6 +1023,7 @@ object CramFormat {
       val idb = "graft".getBytes(StandardCharsets.US_ASCII)
       System.arraycopy(idb, 0, id, 0, idb.length)
       out.write(id)
+      filePos += Magic.length + 2 + id.length
       val text = new StringBuilder("@HD\tVN:1.6\tSO:unsorted\n")
       refNames.zip(refLengths).foreach { case (n, l) =>
         text.append(s"@SQ\tSN:$n\tLN:$l\n")
@@ -1030,6 +1083,7 @@ object CramFormat {
 
     private def writeContainer(refId: Int, start: Int, span: Int, nRec: Int,
         bases: Long, landmarks: Array[Int], body: Array[Byte]): Unit = {
+      containerEntries += ((filePos, refId, start, span, nRec))
       val h = new ByteArrayOutputStream()
       // length placeholder appended at assembly below
       writeItf8(h, refId); writeItf8(h, start); writeItf8(h, span)
@@ -1055,6 +1109,7 @@ object CramFormat {
       out.write(cv & 0xff); out.write((cv >> 8) & 0xff)
       out.write((cv >> 16) & 0xff); out.write((cv >> 24) & 0xff)
       out.write(body)
+      filePos += 4 + hdr.length + 4 + body.length
     }
 
     private def countBlocks(body: Array[Byte]): Int = {
@@ -1365,6 +1420,14 @@ object CramFormat {
       writeHeaderOnce() // an empty frame still gets a valid header
       out.write(EofContainer)
       out.close()
+      if (indexOut != null) {
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(indexOut, StandardCharsets.UTF_8))
+        containerEntries.foreach { case (off, r, s, sp, n) =>
+          w.write(s"$off\t$r\t$s\t$sp\t$n\n")
+        }
+        w.close()
+      }
     }
   }
 

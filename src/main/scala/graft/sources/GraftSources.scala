@@ -273,10 +273,15 @@ object SourceUtil {
       if (it.isEmpty) Iterator.empty
       else {
         val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.cram")
-        val out = p.getFileSystem(serConf.value).create(p, true)
+        val fsT = p.getFileSystem(serConf.value)
+        val out = fsT.create(p, true)
+        // Sidecar container index alongside every shard (one planning
+        // read per file instead of a per-container header walk).
+        val idxOut = fsT.create(new org.apache.hadoop.fs.Path(path,
+          f"part-$idx%05d.cram${CramFormat.IndexSuffix}"), true)
         val w = new CramFormat.CramWriter(out, refNames, refLens,
           contig => CramFormat.upperContig(fp, contig), recordsPerSlice,
-          embedReference)
+          embedReference, indexOut = idxOut)
         it.foreach { r =>
           val qualStr = if (r.isNullAt(7)) null else r.getString(7)
           val quals =
@@ -470,7 +475,8 @@ object BamSource {
       else Seq(st)
     }.filter { s =>
       val n = s.getPath.getName
-      !n.endsWith(BamFormat.IndexSuffix) && !n.endsWith(".bai")
+      !n.endsWith(BamFormat.IndexSuffix) && !n.endsWith(".bai") &&
+        !n.endsWith(CramFormat.IndexSuffix) && !n.endsWith(".crai")
     }
   }
 
@@ -806,7 +812,31 @@ object CramSource {
           cleaned.indices.filter(i => cs.contains(cleaned(i))).toSet)
         val startCap = math.min(sMax.toLong, eMax.toLong)
         val endFloor = math.max(sMin.toLong, eMin.toLong)
-        val containers = CramFormat.containerIndex(read, len, firstData)
+        // Container envelopes from ONE index read per file when an index
+        // exists (the sink's .gci sidecar, or a standard .crai for
+        // externally-produced files) — the per-container header walk is
+        // the no-index fallback only: at 100 TB it is millions of
+        // driver-side seeks, the index is one small sequential read.
+        val gci = new HPath(file + CramFormat.IndexSuffix)
+        val crai = new HPath(file + ".crai")
+        val entries: Seq[(Long, Int, Int, Int, Int)] =
+          if (fs.exists(gci)) {
+            val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+              fs.open(gci), java.nio.charset.StandardCharsets.UTF_8))
+            try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+              .filter(_.nonEmpty).map { l =>
+                val f = l.split('\t')
+                (f(0).toLong, f(1).toInt, f(2).toInt, f(3).toInt, f(4).toInt)
+              }.toVector
+            finally rd.close()
+          } else if (fs.exists(crai)) {
+            val sz = fs.getFileStatus(crai).getLen.toInt
+            val b = new Array[Byte](sz)
+            val in = fs.open(crai)
+            try in.readFully(0, b) finally in.close()
+            CramFormat.craiContainers(b)
+          } else CramFormat.containerIndex(read, len, firstData)
+        val containers = entries
           .filter { case (_, refId, start, span, nRec) =>
             nRec > 0 && {
               // Single-ref containers carry their coordinate envelope —

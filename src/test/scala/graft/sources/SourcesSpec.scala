@@ -435,6 +435,73 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("cram_none").count() === 0L)
   }
 
+  test("CRAM planning consumes the .gci sidecar and standard .crai indexes") {
+    val path = s"$base/cram_idx"
+    val fastaDir = java.nio.file.Files.createDirectories(Paths.get(s"$path/ref"))
+    val len = 1100
+    val fa = new StringBuilder; val fai = new StringBuilder
+    var off = 0L
+    "0123".foreach { c =>
+      fa.append(s">$c\n"); off += 3
+      (1 to len).foreach(p => fa.append("ACGT".charAt((c.toInt + p) % 4)))
+      fa.append('\n')
+      fai.append(s"$c\t$len\t$off\t$len\t${len + 1}\n")
+      off += len + 1
+    }
+    java.nio.file.Files.writeString(fastaDir.resolve("mock.fa"), fa.toString)
+    java.nio.file.Files.writeString(fastaDir.resolve("mock.fa.fai"), fai.toString)
+    val fasta = s"$path/ref/mock.fa"
+    val reads = Tables.readsMd(spark, sf0001).filter(col("sample_id") === "s1")
+    SourceUtil.writeCram(reads.orderBy("contig", "pos_start").coalesce(1),
+      s"$path/s1.cram", fasta, recordsPerSlice = 100)
+    val shard = new java.io.File(s"$path/s1.cram").listFiles()
+      .filter(_.getName.endsWith(".cram")).head
+    val gci = new java.io.File(shard.getPath + CramFormat.IndexSuffix)
+    assert(gci.exists, "writeCram must emit the .gci container index")
+    // Sidecar-planned scan: identical rows, and container pruning still
+    // engages on selective predicates (envelopes come from the index).
+    spark.sql("DROP TABLE IF EXISTS cram_gci")
+    spark.sql(s"""CREATE TABLE cram_gci USING graft.sources.CramSource
+                 |OPTIONS (path '$path/s1.cram', refPath '$fasta',
+                 |  splitSize '1')""".stripMargin)
+    def decodedDuring(body: => Long): (Long, Long) = {
+      val before = CramFormat.containersDecoded.get()
+      val rows = body
+      (rows, CramFormat.containersDecoded.get() - before)
+    }
+    val t = spark.table("cram_gci")
+    val (nAll, cAll) = decodedDuring(t.count())
+    assert(nAll === reads.count())
+    val (nSel, cSel) = decodedDuring(
+      t.filter(col("contig") === "3" && col("pos_start").between(400, 450)).count())
+    assert(nSel > 0 && cSel < cAll,
+      s"index-planned selective scan decoded $cSel of $cAll containers")
+    // Standard .crai route: derive one from the sidecar (seqId, start,
+    // span, containerOffset, sliceOffset, sliceSize — gzipped text),
+    // DROP the sidecar, and re-plan: same rows, pruning intact.
+    val entries = scala.io.Source.fromFile(gci).getLines().filter(_.nonEmpty)
+      .map(_.split('\t')).filter(f => f(4).toInt > 0).toSeq
+    val craiOut = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(shard.getPath + ".crai"))
+    entries.foreach { f =>
+      craiOut.write(s"${f(1)}\t${f(2)}\t${f(3)}\t${f(0)}\t0\t0\n"
+        .getBytes("UTF-8"))
+    }
+    craiOut.close()
+    assert(gci.delete())
+    spark.sql("DROP TABLE IF EXISTS cram_crai")
+    spark.sql(s"""CREATE TABLE cram_crai USING graft.sources.CramSource
+                 |OPTIONS (path '$path/s1.cram', refPath '$fasta',
+                 |  splitSize '1')""".stripMargin)
+    val t2 = spark.table("cram_crai")
+    val (nAll2, cAll2) = decodedDuring(t2.count())
+    assert(nAll2 === nAll)
+    val (nSel2, cSel2) = decodedDuring(
+      t2.filter(col("contig") === "3" && col("pos_start").between(400, 450)).count())
+    assert(nSel2 === nSel && cSel2 < cAll2,
+      s".crai-planned selective scan decoded $cSel2 of $cAll2 containers")
+  }
+
   test("tags map column is one surface across BAM, SAM, and CRAM") {
     val path = s"$base/tagmap"
     // BAM: arbitrary map tags written + read back, coexisting with typed.
