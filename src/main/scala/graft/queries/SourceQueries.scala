@@ -242,6 +242,35 @@ object SourceQueries {
               |  element_at(tags, 'ZB') AS t_zb, element_at(tags, 'MD') AS t_md
               |FROM reads_bam_tagmap_ddl WHERE mapq >= 20""".stripMargin)
     },
+    // S10 through SQL: CTAS renders a query result as sharded BGZF BAM
+    // (`CREATE TABLE ... USING BamSource ... AS SELECT`), INSERT INTO
+    // appends shards under a fresh job tag — the reference's
+    // CTAS/IAS-over-BAM surface (`outputformats/BAMOutputFormat.scala:9`,
+    // fileformats docs). The fixture lambda keeps the pair idempotent
+    // per JVM; the read back unions both writes.
+    "ddl_bam_ctas" -> { (s, dir) =>
+      val path = fixture("reads_bam_ctas", dir) { p =>
+        Tables.readsMd(s, dir).createOrReplaceTempView("reads_md_src")
+        s.sql("DROP TABLE IF EXISTS reads_ctas_tmp")
+        s.sql(s"""CREATE TABLE reads_ctas_tmp USING graft.sources.BamSource
+                 |OPTIONS (path '$p/ctas.bam')
+                 |AS SELECT 'ctas' AS sample_id, '*' AS qname, flag, contig,
+                 |  pos_start, pos_end, mapq, cigar, seq, qual_str, md_tag,
+                 |  CAST(NULL AS INT) AS tag_NM, CAST(NULL AS STRING) AS tag_RG,
+                 |  CAST(NULL AS MAP<STRING,STRING>) AS tags
+                 |FROM reads_md_src WHERE sample_id = 's1'""".stripMargin)
+        s.sql("""INSERT INTO reads_ctas_tmp
+                |SELECT 'ctas', '*', flag, contig, pos_start, pos_end, mapq,
+                |  cigar, seq, qual_str, md_tag, CAST(NULL AS INT),
+                |  CAST(NULL AS STRING), CAST(NULL AS MAP<STRING,STRING>)
+                |FROM reads_md_src WHERE sample_id = 's0'""".stripMargin): Unit
+      }
+      s.sql("DROP TABLE IF EXISTS reads_ctas_ddl")
+      s.sql(s"""CREATE TABLE reads_ctas_ddl USING graft.sources.BamSource
+               |OPTIONS (path '$path/ctas.bam')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, pos_end, mapq, flag
+              |FROM reads_ctas_ddl WHERE mapq >= 20""".stripMargin)
+    },
     // The SAM text twin: the same sample rendered as SAM lines (header
     // line skipped, '*' placeholders, MD fished from the optional-field
     // tail behind an NM tag), parsed back by codegen'd expressions with
@@ -499,6 +528,10 @@ object SourceQueries {
          |  CASE WHEN has_alt THEN 1 ELSE 0 END AS tag_NM,
          |  'rg_' || sample_id AS tag_RG
          |FROM reads WHERE sample_id = 's2' AND contig = '2'""".stripMargin,
+    "ddl_bam_ctas" ->
+      s"""WITH ${OracleCtes.reads}
+         |SELECT contig, pos_start, pos_end, mapq, flag
+         |FROM reads WHERE sample_id IN ('s0', 's1') AND mapq >= 20""".stripMargin,
     "ddl_bam_tagmap" ->
       s"""WITH ${OracleCtes.reads},
          |md AS (SELECT *, pos_end - pos_start + 1 AS _len,

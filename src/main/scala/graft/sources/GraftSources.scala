@@ -3,7 +3,7 @@ package graft.sources
 import graft.functions.RangeFunctions
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -156,7 +156,7 @@ object SourceUtil {
     * everything else streams. Expects `(contig, pos_start, pos_end,
     * mapq, flag, cigar)` plus optional `qname`/`seq`/`qual_str`/`md_tag`
     * columns. */
-  def writeBam(reads: DataFrame, path: String): Unit = {
+  def writeBam(reads: DataFrame, path: String, overwrite: Boolean = true): Unit = {
     val spark = reads.sparkSession
     // Null pos_end values (unmapped reads) must not sink the reference
     // dictionary derivation; a contig whose every pos_end is null gets a
@@ -187,19 +187,23 @@ object SourceUtil {
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs0 = dir.getFileSystem(conf)
-    if (fs0.exists(dir)) fs0.delete(dir, true)
+    if (overwrite && fs0.exists(dir)) fs0.delete(dir, true)
     fs0.mkdirs(dir)
+    // Append mode (INSERT INTO): new shards must not collide with
+    // existing ones — suffix a per-job token like Spark's own writers.
+    val jobTag =
+      if (overwrite) "" else "-" + java.util.UUID.randomUUID.toString.take(8)
     val wrote = prepared.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
       else {
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.bam")
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag.bam")
         val fs = p.getFileSystem(serConf.value)
         val out = fs.create(p, true)
         // Sidecar range index alongside every shard (the BAI analogue
         // BamSource consults for contig+position predicates).
         val idxOut = fs.create(
           new org.apache.hadoop.fs.Path(path,
-            f"part-$idx%05d.bam${BamFormat.IndexSuffix}"), true)
+            f"part-$idx%05d$jobTag.bam${BamFormat.IndexSuffix}"), true)
         val w = new BamFormat.BamWriter(out, refNames, refLens, idxOut)
         it.foreach { r =>
           val qualStr = if (r.isNullAt(7)) null else r.getString(7)
@@ -228,8 +232,10 @@ object SourceUtil {
         Iterator.single(1)
       }
     }.count()
-    // An all-empty frame must still leave a readable (header-only) BAM.
-    if (wrote == 0L) {
+    // An all-empty frame must still leave a readable (header-only) BAM —
+    // unless appending into a directory that already has shards.
+    if (wrote == 0L &&
+        !fs0.listStatus(dir).exists(_.getPath.getName.endsWith(".bam"))) {
       val out = fs0.create(new org.apache.hadoop.fs.Path(dir, "part-00000.bam"), true)
       new BamFormat.BamWriter(out, refNames, refLens).close()
     }
@@ -388,12 +394,12 @@ class VariantSource extends RelationProvider {
   * inflated bytes (field-plausibility chain — records carry no magic),
   * via [[BamFormat.splitRecords]]. A 100 TB BAM corpus parallelizes at
   * byte-range granularity like any splittable format. */
-class BamSource extends RelationProvider {
+class BamSource extends RelationProvider with CreatableRelationProvider {
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("BamSource requires a 'path' option"))
     val splitSize = parameters.getOrElse("splitSize", (64L << 20).toString).toLong
-    new BaseRelation with PrunedFilteredScan {
+    new BaseRelation with PrunedFilteredScan with InsertableRelation {
       override val sqlContext: SQLContext = ctx
       override val schema: StructType = BamSource.schema
       override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
@@ -401,7 +407,35 @@ class BamSource extends RelationProvider {
       override def buildScan(
           requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] =
         BamSource.scan(ctx.sparkSession, path, splitSize, requiredColumns, filters)
+      // S10 `INSERT INTO` over a BAM table (reference
+      // `outputformats/BAMOutputFormat.scala:9` + the fileformats docs'
+      // IAS examples): append writes new shards under a fresh job tag.
+      override def insert(data: org.apache.spark.sql.DataFrame,
+          overwrite: Boolean): Unit =
+        SourceUtil.writeBam(data, path, overwrite)
     }
+  }
+
+  /** S10 CTAS: `CREATE TABLE t USING graft.sources.BamSource
+    * OPTIONS (path ...) AS SELECT ...` renders the query result as
+    * sharded BGZF BAM (+ the `.gri` sidecar) and returns the readable
+    * relation over it. */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("BamSource requires a 'path' option"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    // ErrorIfExists is Spark's CATALOG guarantee (the table name is
+    // fresh); stale bytes at the path are overwritten like any file
+    // source's CTAS would.
+    mode match {
+      case SaveMode.Ignore if exists => ()
+      case m =>
+        SourceUtil.writeBam(data, path, overwrite = m != SaveMode.Append)
+    }
+    createRelation(ctx, parameters)
   }
 }
 

@@ -37,18 +37,45 @@ import java.nio.charset.StandardCharsets
   * through [[GraftBaseRelation]] — a 100 TB VCF corpus scans like any
   * text dataset. Sample names are read once on the driver from the first
   * file's `#CHROM` line (a bounded header prefix, not a data scan). */
-class VcfSource extends org.apache.spark.sql.sources.RelationProvider {
+class VcfSource extends org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("VcfSource requires a 'path' option"))
     val mode = parameters.get("normalizationMode").map(_.toLowerCase)
     require(mode.forall(m => m == "normalize" || m == "split_and_normalize"),
       s"VcfSource: unknown normalizationMode '${mode.get}'")
-    new GraftBaseRelation {
+    new GraftBaseRelation with org.apache.spark.sql.sources.InsertableRelation {
       override val sqlContext: SQLContext = ctx
       override protected def frame(): DataFrame =
         VcfFormat.frameFor(ctx.sparkSession, path, mode)
+      // `INSERT INTO` over a VCF table: append writes new shards.
+      override def insert(data: DataFrame, overwrite: Boolean): Unit =
+        VcfFormat.writeInferred(data, path, overwrite)
     }
+  }
+
+  /** CTAS: `CREATE TABLE t USING graft.sources.VcfSource
+    * OPTIONS (path ...) AS SELECT ...` renders the query result as
+    * sharded `.vcf` text. Any column beyond the core VCF surface is
+    * written as a genotype sample column (with `format` as FORMAT when
+    * present) — the inverse of the reader's `#CHROM`-driven schema. */
+  override def createRelation(ctx: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val path = parameters.getOrElse("path", sys.error("VcfSource requires a 'path' option"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    // ErrorIfExists is Spark's CATALOG guarantee (the table name is
+    // fresh); stale bytes at the path are overwritten like any file
+    // source's CTAS would.
+    mode match {
+      case SaveMode.Ignore if exists => ()
+      case m => VcfFormat.writeInferred(data, path, m != SaveMode.Append)
+    }
+    createRelation(ctx, parameters)
   }
 }
 
@@ -139,8 +166,21 @@ object VcfFormat {
     * `formatCol` (default the literal `GT`). Nulls render as `.` per
     * spec. The rendering is ONE codegen concat per row — the executors
     * stream lines, nothing collects. */
+  /** [[writeVcf]] with the genotype columns INFERRED from the frame:
+    * every column outside the core VCF surface is a sample column, and
+    * `format` (when present) is the FORMAT column — the inverse of the
+    * reader's `#CHROM`-driven dynamic schema. Used by CTAS/INSERT. */
+  def writeInferred(df: DataFrame, path: String,
+      overwrite: Boolean = true): Unit = {
+    val core = Set("contig", "pos_start", "pos_end", "id", "ref", "alt",
+      "qual", "filter", "info", "format")
+    val sampleCols = df.columns.filterNot(core).toSeq
+    val formatCol = if (df.columns.contains("format")) Some("format") else None
+    writeVcf(df, path, sampleCols, formatCol, overwrite)
+  }
+
   def writeVcf(df: DataFrame, path: String, sampleCols: Seq[String] = Nil,
-      formatCol: Option[String] = None): Unit = {
+      formatCol: Option[String] = None, overwrite: Boolean = true): Unit = {
     val spark = df.sparkSession
     def opt(n: String): Column =
       if (df.columns.contains(n)) coalesce(col(n).cast("string"), lit(".")) else lit(".")
@@ -164,12 +204,19 @@ object VcfFormat {
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs0 = dir.getFileSystem(conf)
-    if (fs0.exists(dir)) fs0.delete(dir, true)
+    if (overwrite && fs0.exists(dir)) fs0.delete(dir, true)
     fs0.mkdirs(dir)
+    // Append mode (INSERT INTO): fresh shard names per job. NOTE: every
+    // shard carries its own full header, so appended shards may declare
+    // different sample columns than existing ones; the reader derives
+    // the schema from the FIRST file's header — keep appends
+    // schema-consistent (the same contract as parquet appends).
+    val jobTag =
+      if (overwrite) "" else "-" + java.util.UUID.randomUUID.toString.take(8)
     val wrote = lines.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
       else {
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.vcf")
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag.vcf")
         val out = p.getFileSystem(serConf.value).create(p, true)
         val w = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
@@ -179,8 +226,10 @@ object VcfFormat {
         Iterator.single(1)
       }
     }.count()
-    // An all-empty frame must still leave a readable (header-only) VCF.
-    if (wrote == 0L) {
+    // An all-empty frame must still leave a readable (header-only) VCF —
+    // unless appending into a directory that already has shards.
+    if (wrote == 0L &&
+        !fs0.listStatus(dir).exists(_.getPath.getName.endsWith(".vcf"))) {
       val out = fs0.create(new org.apache.hadoop.fs.Path(dir, "part-00000.vcf"), true)
       out.write(header.getBytes(StandardCharsets.UTF_8))
       out.close()

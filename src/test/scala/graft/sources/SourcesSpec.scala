@@ -575,6 +575,37 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("CTAS and INSERT INTO over a VCF table (SQL write surface)") {
+    val p = s"$base/vcf_ctas"
+    Tables.part(spark, sf0001).limit(100).select(
+      (col("p_partkey") % 4).cast("string").as("contig"),
+      (((col("p_partkey") * 7) % 5000) + 1).cast("int").as("pos_start"),
+      lit("AC").as("ref"), lit("T").as("alt"),
+      lit("0/1").as("na1")).createOrReplaceTempView("vcf_ctas_src")
+    spark.sql("DROP TABLE IF EXISTS vcf_ctas")
+    spark.sql(s"""CREATE TABLE vcf_ctas USING graft.sources.VcfSource
+                 |OPTIONS (path '$p/v.vcf')
+                 |AS SELECT contig, pos_start, ref, alt, na1
+                 |FROM vcf_ctas_src""".stripMargin)
+    val t = spark.table("vcf_ctas")
+    assert(t.count() === 100)
+    // The non-core column came back as an inferred genotype sample
+    // column, with GT as the default FORMAT.
+    assert(t.columns.contains("na1"))
+    assert(t.select("na1").distinct().collect().map(_.getString(0)).toSeq === Seq("0/1"))
+    assert(t.select("pos_end").first().getInt(0) ===
+      t.select("pos_start").first().getInt(0) + 1) // len(ref)=2, inclusive
+    // INSERT INTO appends shards; the read schema (11 cols) drives the
+    // insert's column list.
+    spark.sql("""INSERT INTO vcf_ctas
+                |SELECT contig, pos_start, pos_start + 1, CAST(NULL AS STRING),
+                |  ref, alt, CAST(NULL AS DOUBLE), CAST(NULL AS STRING),
+                |  CAST(NULL AS STRING), 'GT', '1/1'
+                |FROM vcf_ctas_src""".stripMargin)
+    assert(spark.table("vcf_ctas").count() === 200)
+    assert(spark.table("vcf_ctas").filter(col("na1") === "1/1").count() === 100)
+  }
+
   test("VCF source parses the VCF-4.1 spec example file (S4)") {
     // The reference checkout carries the published VCF specification's
     // example document as a test fixture; parse it when present.
