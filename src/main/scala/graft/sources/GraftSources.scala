@@ -903,10 +903,14 @@ object CramSource {
     spark.sparkContext.parallelize(splits, splits.length).flatMap { sp =>
       val hp = new HPath(sp.file)
       val tfs = hp.getFileSystem(serConf.value)
+      // ONE stream per task, positioned reads per container (the
+      // planning path reads the index instead; an open per container
+      // here would be two RPC round-trips per megabyte at scale).
+      val in = tfs.open(hp)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => in.close()))
       def read(off: Long, n: Int): Array[Byte] = {
-        val in = tfs.open(hp)
-        try { val b = new Array[Byte](n); in.readFully(off, b); b }
-        finally in.close()
+        val b = new Array[Byte](n); in.readFully(off, b); b
       }
       def refBytes(refId: Int): Array[Byte] =
         if (refId < 0 || refId >= sp.refNames.length) Array.emptyByteArray
