@@ -62,6 +62,31 @@ object TextOps {
       .otherwise("en")
   }
 
+  /** PII detector/redactor patterns — written in the dialect-neutral
+    * regex subset (char classes, bounded repeats, `\b`, non-capturing
+    * groups) valid in both Java regex (Spark codegen) and RE2 (the
+    * DuckDB oracle). Real pipelines extend the set; the mechanism —
+    * count + in-place redaction as pure scan-local codegen expressions,
+    * zero shuffles — is the point. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-\\d{4}\\b"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Per-document PII scrub: detection counts per category plus the
+    * redacted text (`[EMAIL]`/`[PHONE]`/`[IP]` placeholders). Entirely
+    * scan-local — at 100 TB this is a map-only pass that pipelines into
+    * whatever sink follows. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_email"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phone"),
+      regexp_count(col(textCol), lit(Ipv4Re)).as("n_ip"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), lit(EmailRe), lit("[EMAIL]")),
+          lit(PhoneRe), lit("[PHONE]")),
+        lit(Ipv4Re), lit("[IP]")).as("redacted"))
+
   /** Document fingerprint: md5 of whitespace-normalized text (md5 so the
     * oracle can reproduce it; in-engine callers can use xxhash64 for
     * speed). */

@@ -95,6 +95,28 @@ object TextQueries {
         .select(col("doc_id"), col("source"))
     },
     // Gopher-style repeated-2-gram stats per document.
+    // PII scrub — the redaction pass every training-data pipeline runs
+    // before anything else. The synthetic corpus carries no PII, so the
+    // fixture injects deterministic e-mail/phone/IP strings keyed on
+    // doc_id; the operator counts and redacts them with scan-local
+    // codegen regexes (patterns in the Java∩RE2 dialect so the DuckDB
+    // oracle runs the IDENTICAL expressions).
+    "text_pii_scrub" -> { (s, dir) =>
+      val txt = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" mail u"), col("doc_id").cast("string"), lit("@ex.com")))
+          .otherwise(""),
+        when(col("doc_id") % 4 === 1,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" or 555-0000")))
+          .otherwise(""),
+        when(col("doc_id") % 5 === 2,
+          concat(lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+          .otherwise(""))
+      TextOps.piiScrub(
+        Tables.documents(s, dir).select(col("doc_id"), txt.as("text")))
+    },
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionStats(Tables.documents(s, dir))
     },
@@ -388,6 +410,32 @@ object TextQueries {
          |  MIN(s.quality_score) AS min_q, MAX(s.quality_score) AS max_q
          |FROM stats s JOIN documents d USING (doc_id)
          |GROUP BY d.lang, d.source""".stripMargin,
+    "text_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b555-\\d{4}\\b"
+      val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      s"""WITH d AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 1
+         |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              || ' or 555-0000'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 2
+         |         THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+         |         ELSE '' END AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '$email')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(txt, '$phone')) AS INT) AS n_phone,
+         |  CAST(len(regexp_extract_all(txt, '$ip')) AS INT) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g'),
+         |    '$ip', '[IP]', 'g') AS redacted
+         |FROM d""".stripMargin
+    },
     "text_quality_quantile" ->
       """WITH t AS (
         |  SELECT doc_id, source,

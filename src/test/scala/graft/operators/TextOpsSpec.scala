@@ -301,6 +301,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("piiScrub: counts per category, redaction leaves no residual match") {
+    val d = docs(
+      1L -> "write a@b.io or admin@site.example.com, call 555-1234, host 10.0.0.1",
+      2L -> "no pii here, 555-12 is not a phone and 1.2.3 is not an ip",
+      3L -> "double 555-0000 555-9999 and 192.168.0.255")
+    val got = TextOps.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(got(1L)._1 === 2 && got(1L)._2 === 1 && got(1L)._3 === 1)
+    assert(got(2L) === ((0, 0, 0, got(2L)._4)))
+    assert(got(3L)._2 === 2 && got(3L)._3 === 1)
+    // Redacted text carries placeholders and no residual matches.
+    assert(got(1L)._4 === "write [EMAIL] or [EMAIL], call [PHONE], host [IP]")
+    got.values.foreach { case (_, _, _, red) =>
+      Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.Ipv4Re).foreach { re =>
+        assert(!re.r.findFirstIn(red).isDefined, s"residual match in '$red'")
+      }
+    }
+  }
+
   test("tokenizeEncode: whitespace-only docs drop out; n_oov counts every miss") {
     val d = docs(1L -> "   ", 2L -> "q w e r")
     val got = TextOps.tokenizeEncode(d, vocabSize = 2).collect()
