@@ -62,7 +62,7 @@ object SourceQueries {
   /** Shared `.vcf` rendition of the part-derived variant table (null
     * id/alt/qual/filter coverage, multi-allelic ALT, two genotype
     * columns) — read by ddl_vcf_scan and vcf_info_stats. */
-  private def vcfFixture(s: SparkSession, dir: String): String =
+  private[queries] def vcfFixture(s: SparkSession, dir: String): String =
     fixture("variants_vcf", dir) { p =>
       val v = Tables.part(s, dir).select(
         concat(lit("chr"), (col("p_partkey") % 4).cast("string")).as("contig"),

@@ -97,6 +97,25 @@ object StreamingQueries {
     // streaming query runs, on a batch reads frame — the oracle is the
     // exhaustive min-distance window. Left thinned 7x: the oracle CTE is
     // an all-pairs-per-contig join.
+    // Streaming VCF ingest kernel: variants parsed from real `.vcf` text
+    // (the file-stream form, StreamingOps.vcfStream, is spec-tested with
+    // availableNow; here the batch twin pins the parse+annotate result)
+    // annotated against a static target set through the broadcast-forest
+    // flatMap — variants land as files, the pipeline tails them.
+    "stream_vcf_annotate" -> { (s, dir) =>
+      import s.implicits._
+      val path = SourceQueries.vcfFixture(s, dir)
+      s.sql("DROP TABLE IF EXISTS vcf_stream_ddl")
+      s.sql(s"""CREATE TABLE vcf_stream_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path')""".stripMargin)
+      val variants = s.table("vcf_stream_ddl")
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          timestamp_seconds(col("pos_start").cast("long") * 7 + lit(1700000000L)).as("ts"))
+        .as[StreamingOps.StreamRead]
+      val targets = Tables.targets(s, dir).filter(col("pos_start") % 10 === 3)
+      StreamingOps.annotateStream(variants, targets)
+        .select(col("contig"), col("pos_start"), col("pos_end"), col("target_name"))
+    },
     "stream_interval_nearest" -> { (s, dir) =>
       import s.implicits._
       val reads = Tables.reads(s, dir)
@@ -193,6 +212,16 @@ object StreamingQueries {
          |SELECT r.contig, r.pos_start, r.pos_end, t.name AS target_name
          |FROM reads r JOIN targets t ON r.contig = t.contig
          |  AND r.pos_end >= t.pos_start AND r.pos_start <= t.pos_end
+         |WHERE t.pos_start % 10 = 3""".stripMargin,
+    "stream_vcf_annotate" ->
+      s"""WITH v AS (
+         |  SELECT CAST(p_partkey % 4 AS VARCHAR) AS contig,
+         |    CAST((p_partkey * 7) % 5000 + 1 AS INT) AS pos_start,
+         |    CAST((p_partkey * 7) % 5000 + 1 + p_partkey % 3 AS INT) AS pos_end
+         |  FROM part), ${OracleCtes.targets}
+         |SELECT v.contig, v.pos_start, v.pos_end, t.name AS target_name
+         |FROM v JOIN targets t ON v.contig = t.contig
+         |  AND v.pos_end >= t.pos_start AND v.pos_start <= t.pos_end
          |WHERE t.pos_start % 10 = 3""".stripMargin,
     // Correlated scalar count (DuckDB decorrelates it): a join + GROUP BY
     // would merge duplicate read rows, but the kernel emits one row PER

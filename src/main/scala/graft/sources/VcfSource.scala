@@ -84,7 +84,7 @@ object VcfFormat {
   /** Sample names from the first matched file's `#CHROM` header line
     * (fields after FORMAT). Empty when the file carries no genotype
     * columns (or no `#CHROM` line at all — tolerated, spec-minimal). */
-  private[sources] def headerSamples(
+  private[graft] def headerSamples(
       spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
@@ -119,11 +119,13 @@ object VcfFormat {
 
   private def dot(c: Column): Column = when(c === ".", lit(null)).otherwise(c)
 
-  private[sources] def frameFor(spark: org.apache.spark.sql.SparkSession,
-      path: String, mode: Option[String]): DataFrame = {
-    val samples = headerSamples(spark, path)
-    val raw = SourceUtil.textFrame(spark, path)
-      .filter(!col("value").startsWith("#") && length(col("value")) > 0)
+  /** The VCF line parse as pure column expressions over a `value` text
+    * column — shared verbatim by the batch relation and the file-stream
+    * ingest ([[graft.streaming.StreamingOps.vcfStream]]): both surfaces
+    * parse identically because they ARE the same expressions. */
+  private[graft] def parse(raw: DataFrame, samples: Seq[String]): DataFrame = {
+    val data =
+      raw.filter(!col("value").startsWith("#") && length(col("value")) > 0)
     val f = split(col("value"), "\t")
     val fixed = Seq(
       dot(f.getItem(0)).as("contig"),
@@ -138,14 +140,20 @@ object VcfFormat {
       if (samples.isEmpty) Nil
       else dot(f.getItem(8)).as("format") +:
         samples.zipWithIndex.map { case (n, i) => dot(f.getItem(9 + i)).as(n) }
-    val parsed = raw.select(fixed ++ gts: _*)
+    data.select(fixed ++ gts: _*)
       .withColumn("pos_end",
         (col("pos_start") + length(col("ref")) - 1).cast("int"))
       .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
-    val ordered = parsed.select(
-      (Seq("contig", "pos_start", "pos_end", "id", "ref", "alt", "qual",
-        "filter", "info").map(col) ++ gts.indices.map(i =>
-          col(if (i == 0) "format" else samples(i - 1)))): _*)
+      .select(
+        (Seq("contig", "pos_start", "pos_end", "id", "ref", "alt", "qual",
+          "filter", "info").map(col) ++ gts.indices.map(i =>
+            col(if (i == 0) "format" else samples(i - 1)))): _*)
+  }
+
+  private[sources] def frameFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, mode: Option[String]): DataFrame = {
+    val ordered = parse(SourceUtil.textFrame(spark, path),
+      headerSamples(spark, path))
     mode match {
       case Some("normalize") =>
         graft.operators.VariantOps.normalizeInPlace(ordered)

@@ -288,6 +288,21 @@ object StreamingOps {
     * strategy uses ([[graft.plans.IntervalJoinStrategy]]): collecting an
     * unbounded annotation table would OOM the driver, so an oversized one
     * fails loudly here instead (r3 verdict finding #1). */
+  /** File-stream VCF ingest: watch a directory (or glob) for `.vcf`
+    * shards and parse arriving files with the EXACT expressions the
+    * batch [[graft.sources.VcfSource]] relation uses — the sequencing-
+    * output-directory pattern (variants land as files, the pipeline
+    * tails them). Genotype sample columns come from the first existing
+    * file's `#CHROM` line (one driver header read at stream start;
+    * later files must declare the same samples, the parquet-append
+    * contract). Compose with [[annotateStream]]/[[countStream]] for
+    * stream-static annotation. */
+  def vcfStream(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    graft.sources.VcfFormat.parse(
+      spark.readStream.text(path),
+      graft.sources.VcfFormat.headerSamples(spark, path))
+
   def annotateStream(reads: Dataset[StreamRead], targets: DataFrame): DataFrame = {
     val spark = reads.sparkSession
     import spark.implicits._

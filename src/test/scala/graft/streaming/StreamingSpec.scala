@@ -419,6 +419,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.length === out.distinct.length, "exactly-once violated")
   }
 
+  test("vcfStream tails a directory of .vcf files identically to the batch parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcf_stream").toString
+    // Two shards landing as files, with genotype columns.
+    val hdr = "##fileformat=VCFv4.3\n" +
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tna1\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "a.vcf"),
+      hdr + "chr1\t100\trs1\tAC\tT\t9.5\tPASS\tDP=7\tGT\t0/1\n" +
+        "chr2\t200\t.\tG\tA,C\t.\t.\tDP=9\tGT\t1/1\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "b.vcf"),
+      hdr + "chrM\t5\trs9\tTTT\t.\t1.0\tq10\tDP=1\tGT\t./.\n")
+    val stream = StreamingOps.vcfStream(spark, dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("vcfstream")
+      .outputMode("append").start()
+    run(q) {
+      val got = spark.table("vcfstream").collect().map(_.toString).sorted.toSeq
+      val batch = spark.read.format("graft.sources.VcfSource")
+        .option("path", dir).load().collect().map(_.toString).sorted.toSeq
+      assert(got === batch)
+      assert(got.size === 3)
+      // chr cleaning + REF-length pos_end + genotype column all applied.
+      assert(got.exists(_.startsWith("[1,100,101,rs1,AC,T,9.5,PASS,DP=7,GT,0/1")))
+      assert(got.exists(_.contains("[MT,5,7,rs9,TTT,")))
+    }
+  }
+
   test("stateful contig progress accumulates across batches") {
     import graft.SharedSpark.spark.implicits._
     val in = MemoryStream[StreamingOps.StreamRead]
