@@ -986,9 +986,36 @@ object CramFormat {
     private val refIndex: Map[String, Int] = refNames.zipWithIndex.toMap
     private case class Rec(contig: String, pos1: Int, mapq: Int, flag: Int,
         qname: String, cigar: String, seq: String, quals: Array[Byte],
-        nm: Integer, rg: String)
+        nm: Integer, rg: String, extra: Seq[(String, String)])
     private val buf = mutable.ArrayBuffer.empty[Rec]
     private val rgIds = mutable.LinkedHashMap.empty[String, Int]
+
+    private def le4(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def tagKey(k: String, tt: Char): Int =
+      (k.charAt(0) << 16) | (k.charAt(1) << 8) | tt
+    /** One tag in the slice's series form: (3-byte key, type, value
+      * bytes). Canonical `TYPE:value` input, the same contract as
+      * [[BamFormat.encodeTag]]; integers always at full `i` width. */
+    private def tagFromCanonical(k: String, tv: String): (Int, Char, Array[Byte]) = {
+      require(k.length == 2 && tv.length >= 2 && tv.charAt(1) == ':',
+        s"tag must be 2-char key + 'TYPE:value': '$k' -> '$tv'")
+      val tt = tv.charAt(0)
+      val v = tv.substring(2)
+      tt match {
+        case 'i' => (tagKey(k, 'i'), 'i', le4(v.toLong.toInt))
+        case 'f' => (tagKey(k, 'f'), 'f', le4(java.lang.Float.floatToIntBits(v.toFloat)))
+        case 'A' => (tagKey(k, 'A'), 'A', Array(v.charAt(0).toByte))
+        case 'Z' | 'H' =>
+          require(!v.contains('\t'),
+            s"CRAM $tt-tag values must not contain the tab stop byte: '$v'")
+          (tagKey(k, tt), tt, v.getBytes(StandardCharsets.UTF_8))
+        case 'B' => sys.error(
+          "CramWriter does not carry B-array tags (write through the BAM sink)")
+        case other => sys.error(s"unknown tag type '$other' in '$tv'")
+      }
+    }
 
     // File definition written lazily with the header container on the
     // first flush (the @RG lines need the observed read groups).
@@ -1000,9 +1027,13 @@ object CramFormat {
     private val containerEntries =
       mutable.ArrayBuffer.empty[(Long, Int, Int, Int, Int)]
 
+    /** `extraTags` are arbitrary additional tags in canonical
+      * `TYPE:value` form (the [[BamFormat.renderTag]] dialect); A/i/f/Z/H
+      * types ride per-tag external series, B arrays are not supported by
+      * this sink. */
     def write(contig: String, pos1: Int, mapq: Int, flag: Int, qname: String,
         cigar: String, seq: String, quals: Array[Byte], nm: Integer = null,
-        rg: String = null): Unit = {
+        rg: String = null, extraTags: Seq[(String, String)] = Nil): Unit = {
       if (rg != null && !rgIds.contains(rg)) rgIds(rg) = rgIds.size
       // Embedded references require single-ref slices; flush at contig
       // boundaries so sorted input never produces a multi-ref slice
@@ -1011,7 +1042,7 @@ object CramFormat {
         flushSlice()
       buf += Rec(contig, pos1, mapq, flag,
         if (qname == null || qname.isEmpty) "*" else qname,
-        cigar, if (seq == null) "" else seq, quals, nm, rg)
+        cigar, if (seq == null) "" else seq, quals, nm, rg, extraTags)
       if (buf.length >= recordsPerSlice) flushSlice()
     }
 
@@ -1141,7 +1172,13 @@ object CramFormat {
       val sSC = new ByteStream; val sHC = new IntStream; val sPD = new IntStream
       val sBA = new ByteStream; val sMQ = new IntStream; val sQS = new ByteStream
       val sBB = new ByteStream; val sBBlen = new IntStream
-      val sNM = new ByteStream; val sRGZ = new ByteStream
+      // Dynamic tag machinery: distinct per-record tag LINES index the
+      // tag dictionary; each distinct tag rides its own external series
+      // keyed by the 3-byte (tag, type) id — NM:i/RG:Z from the typed
+      // arguments and arbitrary extras from the canonical map share it.
+      val tdLines = mutable.LinkedHashMap[String, Int]("" -> 0)
+      val tagStreams = mutable.LinkedHashMap.empty[Int, ByteStream]
+      val tagTypes = mutable.LinkedHashMap.empty[Int, Char]
       var minPos = Int.MaxValue
       var maxEnd = 0
       var bases = 0L
@@ -1160,15 +1197,26 @@ object CramFormat {
         sRG += (if (r.rg == null) -1 else rgIds(r.rg))
         sRN.b.write(r.qname.getBytes(StandardCharsets.UTF_8)); sRN += 0
         sMF += 0; sNS += -1; sNP += 0; sTS += 0
-        val tl = (if (r.nm != null) 1 else 0) | (if (r.rg != null) 2 else 0)
-        sTL += tl
-        if (r.nm != null) {
-          val v = r.nm.intValue
-          sNM += (v & 0xff); sNM += ((v >> 8) & 0xff)
-          sNM += ((v >> 16) & 0xff); sNM += ((v >> 24) & 0xff)
-        }
-        if (r.rg != null) {
-          sRGZ.b.write(r.rg.getBytes(StandardCharsets.UTF_8)); sRGZ += 9 // tab stop
+        val recTags = mutable.ArrayBuffer.empty[(Int, Char, Array[Byte])]
+        if (r.nm != null) recTags += ((tagKey("NM", 'i'), 'i', le4(r.nm.intValue)))
+        if (r.rg != null)
+          recTags += ((tagKey("RG", 'Z'), 'Z', r.rg.getBytes(StandardCharsets.UTF_8)))
+        r.extra.foreach { case (k, tv) => recTags += tagFromCanonical(k, tv) }
+        val lineStr = recTags.map { case (key, _, _) =>
+          new String(Array(((key >> 16) & 0xff).toChar,
+            ((key >> 8) & 0xff).toChar, (key & 0xff).toChar))
+        }.mkString
+        sTL += tdLines.getOrElseUpdate(lineStr, tdLines.size)
+        recTags.foreach { case (key, tt, bytes) =>
+          tagTypes.get(key) match {
+            case Some(t0) => require(t0 == tt,
+              s"tag ${((key >> 16) & 0xff).toChar}${((key >> 8) & 0xff).toChar} " +
+                s"written with two types ('$t0' and '$tt') in one slice")
+            case None => tagTypes(key) = tt
+          }
+          val st = tagStreams.getOrElseUpdate(key, new ByteStream)
+          st.b.write(bytes)
+          if (tt == 'Z' || tt == 'H') st += 9 // tab stop
         }
         bases += r.seq.length
         if (!unmapped) {
@@ -1267,7 +1315,10 @@ object CramFormat {
         m.write("AP".getBytes); m.write(0)
         m.write("SM".getBytes); (0 until 5).foreach(_ => m.write(0x1b))
         m.write("TD".getBytes)
-        val td = "\u0000NMi\u0000RGZ\u0000NMiRGZ\u0000".getBytes(StandardCharsets.US_ASCII)
+        // One NUL-terminated line per distinct tag combination observed
+        // in this slice (line 0 is always the empty combination).
+        val td = tdLines.toSeq.sortBy(_._2).map(_._1 + "\u0000").mkString
+          .getBytes(StandardCharsets.US_ASCII)
         writeItf8(m, td.length); m.write(td)
         val mb = m.toByteArray
         writeItf8(comp, mb.length); comp.write(mb)
@@ -1278,8 +1329,6 @@ object CramFormat {
         "TL" -> 13, "FN" -> 14, "FC" -> 15, "FP" -> 16, "BS" -> 17,
         "IN" -> 18, "DL" -> 19, "BA" -> 20, "MQ" -> 21, "QS" -> 22,
         "SC" -> 23, "RS" -> 24, "HC" -> 25, "PD" -> 26, "BBL" -> 27, "BB" -> 28)
-      val nmKey = ('N' << 16) | ('M' << 8) | 'i'
-      val rgKey = ('R' << 16) | ('G' << 8) | 'Z'
       locally { // data series map
         val m = new ByteArrayOutputStream()
         val external = Seq("BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS",
@@ -1320,26 +1369,32 @@ object CramFormat {
         val mb = fixed.toByteArray
         writeItf8(comp, mb.length); comp.write(mb)
       }
-      locally { // tag encoding map
+      locally { // tag encoding map — one entry per distinct tag this slice
         val m = new ByteArrayOutputStream()
-        writeItf8(m, 2)
-        // NM:i -> BYTE_ARRAY_LEN const 4 + EXTERNAL(nmKey)
-        writeItf8(m, nmKey)
-        writeItf8(m, 4)
-        val p = new ByteArrayOutputStream()
-        writeItf8(p, 3) // HUFFMAN
-        val hp = new ByteArrayOutputStream()
-        writeItf8(hp, 1); writeItf8(hp, 4); writeItf8(hp, 1); writeItf8(hp, 0)
-        writeItf8(p, hp.size()); p.write(hp.toByteArray)
-        writeItf8(p, 1) // EXTERNAL
-        val ep = new ByteArrayOutputStream(); writeItf8(ep, nmKey)
-        writeItf8(p, ep.size()); p.write(ep.toByteArray)
-        writeItf8(m, p.size()); m.write(p.toByteArray)
-        // RG:Z -> BYTE_ARRAY_STOP (tab)
-        writeItf8(m, rgKey)
-        writeItf8(m, 5)
-        val p2 = new ByteArrayOutputStream(); p2.write(9); writeItf8(p2, rgKey)
-        writeItf8(m, p2.size()); m.write(p2.toByteArray)
+        writeItf8(m, tagTypes.size)
+        tagTypes.foreach { case (key, tt) =>
+          writeItf8(m, key)
+          tt match {
+            case 'i' | 'f' | 'A' =>
+              // fixed width -> BYTE_ARRAY_LEN const + EXTERNAL(key)
+              val width = if (tt == 'A') 1 else 4
+              writeItf8(m, 4)
+              val p = new ByteArrayOutputStream()
+              writeItf8(p, 3) // HUFFMAN (constant form)
+              val hp = new ByteArrayOutputStream()
+              writeItf8(hp, 1); writeItf8(hp, width); writeItf8(hp, 1); writeItf8(hp, 0)
+              writeItf8(p, hp.size()); p.write(hp.toByteArray)
+              writeItf8(p, 1) // EXTERNAL
+              val ep = new ByteArrayOutputStream(); writeItf8(ep, key)
+              writeItf8(p, ep.size()); p.write(ep.toByteArray)
+              writeItf8(m, p.size()); m.write(p.toByteArray)
+            case _ =>
+              // text -> BYTE_ARRAY_STOP (tab)
+              writeItf8(m, 5)
+              val p = new ByteArrayOutputStream(); p.write(9); writeItf8(p, key)
+              writeItf8(m, p.size()); m.write(p.toByteArray)
+          }
+        }
         val mb = m.toByteArray
         writeItf8(comp, mb.length); comp.write(mb)
       }
@@ -1357,8 +1412,9 @@ object CramFormat {
       add("IN", sIN.b); add("DL", sDL.b); add("BA", sBA.b); add("MQ", sMQ.b)
       add("QS", sQS.b); add("SC", sSC.b); add("RS", sRS.b); add("HC", sHC.b)
       add("PD", sPD.b); add("BBL", sBBlen.b); add("BB", sBB.b)
-      if (sNM.b.size() > 0) extBlocks += ((nmKey, sNM.b.toByteArray))
-      if (sRGZ.b.size() > 0) extBlocks += ((rgKey, sRGZ.b.toByteArray))
+      tagStreams.foreach { case (key, st) =>
+        if (st.b.size() > 0) extBlocks += ((key, st.b.toByteArray))
+      }
 
       // Coordinate envelope: a slice whose records all map to ONE
       // reference is written single-ref with its (start, span), so the

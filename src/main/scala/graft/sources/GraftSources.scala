@@ -266,7 +266,12 @@ object SourceUtil {
       optCol("seq", lit("")).cast("string"),
       optCol("qual_str", lit(null)).cast("string"),
       optCol("tag_NM", lit(null)).cast("int"),
-      optCol("tag_RG", lit(null)).cast("string"))
+      optCol("tag_RG", lit(null)).cast("string"),
+      // Arbitrary additional tags in canonical 'TYPE:value' form, same
+      // contract as writeBam (A/i/f/Z/H through the tag dictionary; a
+      // stored MD:Z here overrides the reader's reference-walk synthesis,
+      // which is spec-legal).
+      optCol("tags", lit(null).cast("map<string,string>")))
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
@@ -293,12 +298,20 @@ object SourceUtil {
           val quals =
             if (qualStr == null) null
             else qualStr.toCharArray.map(c => (c - 33).toByte)
+          // Typed NM/RG win over their map twins (each tag written once).
+          val extra: Seq[(String, String)] =
+            if (r.isNullAt(10)) Nil
+            else r.getMap[String, String](10).toSeq
+              .filterNot { case (k, _) =>
+                (k == "NM" && !r.isNullAt(8)) || (k == "RG" && !r.isNullAt(9))
+              }.sortBy(_._1)
           w.write(
             if (r.isNullAt(0)) null else r.getString(0),
             r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4), r.getString(5),
             r.getString(6), quals,
             if (r.isNullAt(8)) null else Integer.valueOf(r.getInt(8)),
-            if (r.isNullAt(9)) null else r.getString(9))
+            if (r.isNullAt(9)) null else r.getString(9),
+            extraTags = extra)
         }
         w.close()
         Iterator.single(1)

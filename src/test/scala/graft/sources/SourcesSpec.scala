@@ -559,7 +559,7 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.writeString(fastaDir.resolve("mock.fa"), fa.toString)
     java.nio.file.Files.writeString(fastaDir.resolve("mock.fa.fai"), fai.toString)
     SourceUtil.writeCram(
-      reads.drop("tags").withColumn("tag_RG", lit("rgZ")),
+      reads.withColumn("tag_RG", lit("rgZ")),
       s"$path/s1.cram", s"$path/ref/mock.fa")
     spark.sql("DROP TABLE IF EXISTS tagmap_cram")
     spark.sql(s"""CREATE TABLE tagmap_cram USING graft.sources.CramSource
@@ -567,11 +567,17 @@ class SourcesSpec extends SparkSpec {
     val cram = spark.table("tagmap_cram")
       .select(col("tag_NM"), col("tag_RG"),
         element_at(col("tags"), "NM").as("nm2"),
-        element_at(col("tags"), "RG").as("rg2")).collect()
+        element_at(col("tags"), "RG").as("rg2"),
+        col("mapq"), col("contig"),
+        element_at(col("tags"), "XS").as("xs"),
+        element_at(col("tags"), "BC").as("bc")).collect()
     assert(cram.length === 50)
     cram.foreach { r =>
       assert(r.getString(2) === s"i:${r.getInt(0)}")
       assert(r.getString(3) === s"Z:${r.getString(1)}")
+      // The arbitrary map tags ride the dynamic tag dictionary too.
+      assert(r.getString(6) === s"i:${r.getInt(4) * 3}")
+      assert(r.getString(7) === s"Z:bc_${r.getString(5)}")
     }
   }
 
