@@ -241,6 +241,84 @@ object SourceUtil {
     }
   }
 
+  /** SAM text sink: renders an alignment frame as sharded fully-headed
+    * `.sam` files — the human-readable twin of [[writeBam]], one codegen
+    * `concat_ws` per row (executors stream lines, nothing collects).
+    * Optional columns render as spec placeholders (`*`), typed
+    * MD/NM/RG tags and the `tags` map (already in `TYPE:value` text
+    * form) append as optional fields. The `@SQ` dictionary comes from
+    * the same one cheap driver aggregation as the binary sinks. */
+  def writeSam(reads: DataFrame, path: String, overwrite: Boolean = true): Unit = {
+    val spark = reads.sparkSession
+    val refs = reads.filter(col("contig").isNotNull)
+      .groupBy(col("contig"))
+      .agg(max(coalesce(col("pos_end").cast("int"), lit(0))).as("m"))
+      .collect().sortBy(_.getString(0))
+    val header = "@HD\tVN:1.6\tSO:unsorted\n" + refs.map(r =>
+      s"@SQ\tSN:${r.getString(0)}\tLN:${r.getInt(1) + 1000}\n").mkString
+    def optCol(n: String, default: org.apache.spark.sql.Column) =
+      if (reads.columns.contains(n)) col(n) else default
+    val mandatory = Seq(
+      coalesce(optCol("qname", lit("*")).cast("string"), lit("*")),
+      coalesce(col("flag").cast("string"), lit("0")),
+      coalesce(col("contig").cast("string"), lit("*")),
+      coalesce(col("pos_start").cast("string"), lit("0")),
+      coalesce(col("mapq").cast("string"), lit("0")),
+      coalesce(col("cigar").cast("string"), lit("*")),
+      lit("*"), lit("0"), lit("0"), // RNEXT/PNEXT/TLEN (not carried)
+      coalesce(when(optCol("seq", lit("")) === "", "*")
+        .otherwise(optCol("seq", lit("*"))), lit("*")),
+      coalesce(optCol("qual_str", lit(null)).cast("string"), lit("*")))
+    val mdC = optCol("md_tag", lit(null).cast("string")).cast("string")
+    val nmC = optCol("tag_NM", lit(null).cast("int"))
+    val rgC = optCol("tag_RG", lit(null).cast("string")).cast("string")
+    val tagsC = optCol("tags", lit(null).cast("map<string,string>"))
+    val optional = Seq(
+      when(mdC.isNotNull, concat(lit("MD:Z:"), mdC)),
+      when(nmC.isNotNull, concat(lit("NM:i:"), nmC.cast("string"))),
+      when(rgC.isNotNull, concat(lit("RG:Z:"), rgC)),
+      when(tagsC.isNotNull,
+        array_join(transform(
+          // Typed MD/NM/RG win over their map twins (one tag each).
+          map_entries(map_filter(tagsC, (k, _) =>
+            !(k === "MD" && mdC.isNotNull) &&
+              !(k === "NM" && nmC.isNotNull) &&
+              !(k === "RG" && rgC.isNotNull))),
+          e => concat(e.getField("key"), lit(":"), e.getField("value"))), "\t")))
+    val lines = reads.select(concat_ws("\t",
+      (mandatory ++ optional.map(c => coalesce(c, lit(null)))): _*).as("line"))
+      // concat_ws skips nulls, so absent optional fields leave no stray tabs.
+      .select(regexp_replace(col("line"), "\t+$", "").as("line"))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dir.getFileSystem(conf)
+    if (overwrite && fs0.exists(dir)) fs0.delete(dir, true)
+    fs0.mkdirs(dir)
+    val jobTag =
+      if (overwrite) "" else "-" + java.util.UUID.randomUUID.toString.take(8)
+    val wrote = lines.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag.sam")
+        val out = p.getFileSystem(serConf.value).create(p, true)
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+        w.write(header)
+        it.foreach { r => w.write(r.getString(0)); w.write('\n') }
+        w.close()
+        Iterator.single(1)
+      }
+    }.count()
+    if (wrote == 0L &&
+        !fs0.listStatus(dir).exists(_.getPath.getName.endsWith(".sam"))) {
+      val out = fs0.create(new org.apache.hadoop.fs.Path(dir, "part-00000.sam"), true)
+      out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+  }
+
   /** CRAM sink (S2's write half): sharded fully-headed `.cram` files via
     * the pure-JVM [[CramFormat.CramWriter]] — sequences encoded
     * REFERENCE-BASED against `fastaPath` (substitution/indel/clip/skip
@@ -969,11 +1047,29 @@ object CramSource {
   * normalization (P5), and sample-id-from-filename (S7). Same output
   * schema as [[BamSource]], so every downstream operator (coverage,
   * pileup, interval joins) runs on either container unchanged. */
-class SamSource extends RelationProvider {
+class SamSource extends RelationProvider with CreatableRelationProvider {
+  /** CTAS over SAM text, the human-readable S10 twin. */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("SamSource requires a 'path' option"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    mode match {
+      case SaveMode.Ignore if exists => ()
+      case m => SourceUtil.writeSam(data, path, overwrite = m != SaveMode.Append)
+    }
+    createRelation(ctx, parameters)
+  }
+
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("SamSource requires a 'path' option"))
-    new GraftBaseRelation {
+    new GraftBaseRelation with InsertableRelation {
+      override def insert(data: org.apache.spark.sql.DataFrame,
+          overwrite: Boolean): Unit =
+        SourceUtil.writeSam(data, path, overwrite)
       override val sqlContext: SQLContext = ctx
       override protected def frame(): DataFrame = {
         val raw = SourceUtil.textFrame(ctx.sparkSession, path, withFile = true)

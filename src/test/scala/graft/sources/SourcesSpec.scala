@@ -581,6 +581,44 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("writeSam round trip: placeholders, tag fields, INSERT INTO appends") {
+    val path = s"$base/sam_rt"
+    val reads = Tables.readsMd(spark, sf0001)
+      .filter(col("sample_id") === "s2").limit(80)
+      .withColumn("tag_NM", lit(1))
+      .withColumn("tags", map(
+        lit("XS"), concat(lit("i:"), (col("mapq") * 2).cast("string"))))
+    SourceUtil.writeSam(reads, s"$path/s2.sam")
+    spark.sql("DROP TABLE IF EXISTS sam_rt_tbl")
+    spark.sql(s"""CREATE TABLE sam_rt_tbl USING graft.sources.SamSource
+                 |OPTIONS (path '$path/s2.sam')""".stripMargin)
+    val t = spark.table("sam_rt_tbl")
+    assert(t.count() === 80)
+    // Typed fields and the map agree after the text round trip.
+    val rows = t.select(col("mapq"), col("tag_NM"),
+      element_at(col("tags"), "XS").as("xs"),
+      element_at(col("tags"), "NM").as("nm2"),
+      col("md_tag"), element_at(col("tags"), "MD").as("md2")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) === 1)
+      assert(r.getString(2) === s"i:${r.getInt(0) * 2}")
+      assert(r.getString(3) === "i:1")
+      assert(r.getString(5) === s"Z:${r.getString(4)}")
+    }
+    // Mandatory-field parity with the original derivation.
+    val back = t.select("contig", "pos_start", "pos_end", "mapq", "flag", "cigar", "seq")
+      .collect().map(_.toString).sorted.toSeq
+    val orig = reads.select("contig", "pos_start", "pos_end", "mapq", "flag", "cigar", "seq")
+      .collect().map(_.toString).sorted.toSeq
+    assert(back === orig)
+    // INSERT INTO appends new shards (14-column relation schema).
+    spark.sql("""INSERT INTO sam_rt_tbl
+                |SELECT sample_id, qname, flag, contig, pos_start, pos_end,
+                |  mapq, cigar, seq, qual_str, md_tag, tag_NM, tag_RG, tags
+                |FROM sam_rt_tbl""".stripMargin)
+    assert(spark.table("sam_rt_tbl").count() === 160)
+  }
+
   test("CTAS and INSERT INTO over a VCF table (SQL write surface)") {
     val p = s"$base/vcf_ctas"
     Tables.part(spark, sf0001).limit(100).select(
