@@ -889,11 +889,23 @@ object BamFormat {
   val IndexSuffix = ".gri"
 
   final class BamWriter(raw: OutputStream, refNames: Array[String],
-      refLengths: Array[Int], indexOut: OutputStream = null) {
+      refLengths: Array[Int], indexOut: OutputStream = null,
+      baiOut: OutputStream = null) {
     private val bgzf = new BgzfOutputStream(raw)
     private val out = new DataOutputStream(bgzf)
     private val refIndex: Map[String, Int] = refNames.zipWithIndex.toMap
     private val blockStats = mutable.LinkedHashMap.empty[Long, BlockStat]
+
+    // Standard BAI accumulation (when baiOut is given): per reference,
+    // bin -> merged virtual-offset chunks + the 16 kb linear index —
+    // the SAM-spec §5.2 index external tools (samtools/htsjdk/IGV) and
+    // BamSource's own .bai query path consume.
+    private val baiBins: Array[mutable.LinkedHashMap[Int, mutable.ArrayBuffer[Array[Long]]]] =
+      if (baiOut == null) null
+      else Array.fill(refNames.length)(mutable.LinkedHashMap.empty)
+    private val baiLinear: Array[mutable.ArrayBuffer[Long]] =
+      if (baiOut == null) null
+      else Array.fill(refNames.length)(mutable.ArrayBuffer.empty)
 
     // Header: magic, SAM text (minimal @HD/@SQ), reference dictionary.
     locally {
@@ -973,13 +985,14 @@ object BamFormat {
         }
       // Range-index bookkeeping: the record's first byte lands in the
       // member at the stream's current virtual offset.
-      locally {
+      val vStart = {
         val (blockOff, inflOff) = bgzf.virtualOffset
         val st = blockStats.getOrElseUpdate(blockOff, new BlockStat(inflOff))
         val posEnd = pos1 + math.max(1, refConsumed) - 1
         st.minRef = math.min(st.minRef, refId); st.maxRef = math.max(st.maxRef, refId)
         st.minStart = math.min(st.minStart, pos1); st.maxEnd = math.max(st.maxEnd, posEnd)
         st.n += 1
+        (blockOff << 16) | inflOff.toLong
       }
       val blockSize = 32 + (name.length + 1) + words.length * 4 +
         (lSeq + 1) / 2 + lSeq + md.length + nmTag.length + rgTag.length +
@@ -1011,6 +1024,29 @@ object BamFormat {
       out.write(nmTag)
       out.write(rgTag)
       out.write(extra)
+      if (baiBins != null && refId >= 0) {
+        val vEnd = {
+          val (blockOff, inflOff) = bgzf.virtualOffset
+          (blockOff << 16) | inflOff.toLong
+        }
+        val beg0 = pos1 - 1
+        val end0 = beg0 + math.max(1, refConsumed)
+        val bin = if (refId < 0) 4680 else reg2bin(beg0, end0)
+        val chunks = baiBins(refId).getOrElseUpdate(bin, mutable.ArrayBuffer.empty)
+        // Adjacent/overlapping chunks merge (coordinate-sorted input
+        // yields one run per bin; unsorted input stays correct, just
+        // less compact).
+        if (chunks.nonEmpty && vStart <= chunks.last(1)) chunks.last(1) = vEnd
+        else chunks += Array(vStart, vEnd)
+        val lin = baiLinear(refId)
+        var w = beg0 >> 14
+        val wEnd = (end0 - 1) >> 14
+        while (lin.length <= wEnd) lin += 0L
+        while (w <= wEnd) {
+          if (lin(w) == 0L || vStart < lin(w)) lin(w) = vStart
+          w += 1
+        }
+      }
     }
 
     def close(): Unit = {
@@ -1023,6 +1059,28 @@ object BamFormat {
             s"${st.minStart}\t${st.maxEnd}\t${st.n}\n")
         }
         w.close()
+      }
+      if (baiOut != null) {
+        val b = new java.io.BufferedOutputStream(baiOut)
+        def le32(v: Int): Unit = {
+          b.write(v & 0xff); b.write((v >> 8) & 0xff)
+          b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+        }
+        def le64(v: Long): Unit = { le32(v.toInt); le32((v >>> 32).toInt) }
+        b.write('B'); b.write('A'); b.write('I'); b.write(1)
+        le32(refNames.length)
+        var r = 0
+        while (r < refNames.length) {
+          le32(baiBins(r).size)
+          baiBins(r).foreach { case (bin, chunks) =>
+            le32(bin); le32(chunks.length)
+            chunks.foreach { c => le64(c(0)); le64(c(1)) }
+          }
+          le32(baiLinear(r).length)
+          baiLinear(r).foreach(le64)
+          r += 1
+        }
+        b.close()
       }
     }
   }

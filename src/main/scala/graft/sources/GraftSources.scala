@@ -200,11 +200,16 @@ object SourceUtil {
         val fs = p.getFileSystem(serConf.value)
         val out = fs.create(p, true)
         // Sidecar range index alongside every shard (the BAI analogue
-        // BamSource consults for contig+position predicates).
+        // BamSource consults for contig+position predicates) PLUS a
+        // standard .bai, so samtools/htsjdk/IGV can region-query this
+        // sink's output directly.
         val idxOut = fs.create(
           new org.apache.hadoop.fs.Path(path,
             f"part-$idx%05d$jobTag.bam${BamFormat.IndexSuffix}"), true)
-        val w = new BamFormat.BamWriter(out, refNames, refLens, idxOut)
+        val baiOut = fs.create(
+          new org.apache.hadoop.fs.Path(path,
+            f"part-$idx%05d$jobTag.bam.bai"), true)
+        val w = new BamFormat.BamWriter(out, refNames, refLens, idxOut, baiOut)
         it.foreach { r =>
           val qualStr = if (r.isNullAt(7)) null else r.getString(7)
           val quals =

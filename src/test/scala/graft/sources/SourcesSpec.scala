@@ -308,6 +308,45 @@ class SourcesSpec extends SparkSpec {
     assert(viaBai === viaScan)
   }
 
+  test("writeBam emits a standard .bai; region queries use it when .gri is absent") {
+    val path = s"$base/bam_bai_rt"
+    val reads = Tables.readsMd(spark, sf0001).filter(col("sample_id") === "s0")
+      .orderBy("contig", "pos_start").coalesce(1)
+    SourceUtil.writeBam(reads, s"$path/s0.bam")
+    val dir = new java.io.File(s"$path/s0.bam")
+    assert(dir.listFiles().exists(_.getName.endsWith(".bam.bai")),
+      "writeBam must emit a standard .bai next to every shard")
+    // The engine's own .gri wins when present — drop it to force the
+    // standard-.bai route (the external-file path, now fed by our own
+    // writer: full interop loop).
+    dir.listFiles().filter(_.getName.endsWith(BamFormat.IndexSuffix))
+      .foreach(f => assert(f.delete()))
+    spark.sql("DROP TABLE IF EXISTS bam_bai_rt")
+    spark.sql(s"""CREATE TABLE bam_bai_rt USING graft.sources.BamSource
+                 |OPTIONS (path '$path/s0.bam', splitSize '16384')""".stripMargin)
+    val t = spark.table("bam_bai_rt")
+    val sel = col("contig") === "2" && col("pos_start").between(200, 260)
+    def inflatedDuring(body: => Long): (Long, Long) = {
+      val before = BamFormat.blocksInflated.get()
+      val rows = body
+      (rows, BamFormat.blocksInflated.get() - before)
+    }
+    val (nAll, bAll) = inflatedDuring(t.count())
+    assert(nAll === reads.count())
+    val (nSel, bSel) = inflatedDuring(t.filter(sel).count())
+    assert(nSel ===
+      Tables.readsMd(spark, sf0001).filter(col("sample_id") === "s0").filter(sel).count())
+    assert(nSel > 0 && nSel < nAll)
+    assert(bSel < bAll,
+      s"region query inflated $bSel of $bAll blocks — the .bai did not prune")
+    // The written index parses back through the reader's BaiIndex.
+    val baiFile = dir.listFiles().find(_.getName.endsWith(".bam.bai")).get
+    val idx = BamFormat.BaiIndex.read(java.nio.file.Files.readAllBytes(baiFile.toPath))
+    assert(idx.length === 4 && idx.exists(_.bins.nonEmpty))
+    idx.foreach(_.bins.values.foreach(cs =>
+      cs.foreach { case (s, e) => assert(s < e, "degenerate BAI chunk") }))
+  }
+
   test("CRAM source reads the real htsjdk file through DDL (S2)") {
     val cram = "/root/reference/src/test/resources/NA12878.slice.cram"
     val fasta = "/root/reference/src/test/resources/NA12878.slice.fasta"
