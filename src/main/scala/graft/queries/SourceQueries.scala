@@ -252,6 +252,11 @@ object SourceQueries {
       val path = fixture("reads_bam_ctas", dir) { p =>
         Tables.readsMd(s, dir).createOrReplaceTempView("reads_md_src")
         s.sql("DROP TABLE IF EXISTS reads_ctas_tmp")
+        // Spark's own CTAS guard rejects a non-empty location (stale
+        // bytes from a previous JVM run) before the provider is called.
+        val loc = new org.apache.hadoop.fs.Path(s"$p/ctas.bam")
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true): Unit
         s.sql(s"""CREATE TABLE reads_ctas_tmp USING graft.sources.BamSource
                  |OPTIONS (path '$p/ctas.bam')
                  |AS SELECT 'ctas' AS sample_id, '*' AS qname, flag, contig,
