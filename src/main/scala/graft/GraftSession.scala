@@ -330,6 +330,42 @@ class GraftSession(val spark: SparkSession) {
   def writeTrainingShards(docs: DataFrame, path: String, nShards: Int): Unit =
     TextOps.writeTrainingShards(docs, path, nShards)
 
+  /** Per-document PII scrub: e-mail/phone/IPv4 detection counts plus
+    * the redacted text — scan-local codegen regexes, map-only. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame =
+    TextOps.piiScrub(docs, textCol)
+
+  // ---- format sinks (sharded, fully-headed, scale-parallel writes)
+
+  /** BAM sink: sharded BGZF `.bam` + `.gri` sidecar + standard `.bai`. */
+  def writeBam(reads: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    sources.SourceUtil.writeBam(reads, path, overwrite)
+
+  /** CRAM 3.0 sink (reference-based against a faidx FASTA) + `.gci`. */
+  def writeCram(reads: DataFrame, path: String, fastaPath: String,
+      recordsPerSlice: Int = 10000, embedReference: Boolean = false): Unit =
+    sources.SourceUtil.writeCram(reads, path, fastaPath, recordsPerSlice,
+      embedReference)
+
+  /** SAM text sink (typed MD/NM/RG + the tags map as optional fields). */
+  def writeSam(reads: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    sources.SourceUtil.writeSam(reads, path, overwrite)
+
+  /** VCF text sink; genotype sample columns inferred from the frame. */
+  def writeVcf(variants: DataFrame, path: String,
+      overwrite: Boolean = true): Unit =
+    sources.VcfFormat.writeInferred(variants, path, overwrite)
+
+  /** Scan-optimized parquet alignment layout (hive sample partitions +
+    * position-sorted row groups). */
+  def writeAligned(reads: DataFrame, path: String): Unit =
+    sources.SourceUtil.writeAligned(reads, path)
+
+  /** File-stream VCF ingest: tail a directory of `.vcf` shards with the
+    * batch parser's exact expressions. */
+  def vcfStream(path: String): DataFrame =
+    streaming.StreamingOps.vcfStream(spark, path)
+
   def sql(text: String): DataFrame = spark.sql(text)
 
   /** Release ALL persistent RDD blocks in the context — the
