@@ -1084,14 +1084,23 @@ class SamSource extends RelationProvider with CreatableRelationProvider {
         val f = split(col("value"), "\t")
         raw.select(
             col("sample_id"),
-            f.getItem(0).as("qname"),
-            f.getItem(1).cast("int").as("flag"),
-            when(f.getItem(2) === "*", lit(null)).otherwise(f.getItem(2)).as("contig"),
-            f.getItem(3).cast("int").as("pos_start"),
-            f.getItem(4).cast("int").as("mapq"),
-            f.getItem(5).as("cigar"),
-            when(f.getItem(9) === "*", lit("")).otherwise(f.getItem(9)).as("seq"),
-            when(f.getItem(10) === "*", lit(null)).otherwise(f.getItem(10)).as("qual_str"),
+            // get() (null out of bounds), NOT getItem: a pushed-down
+            // predicate like `mapq >= 30` lands in the same Filter as
+            // the header guard, and the non-WSCG FilterExec's
+            // subexpression elimination evaluates the shared
+            // split-access EAGERLY — getItem would throw INVALID_ARRAY_
+            // INDEX on a short `@HD` header line before the guard runs.
+            get(f, lit(0)).as("qname"),
+            get(f, lit(1)).cast("int").as("flag"),
+            when(get(f, lit(2)) === "*", lit(null))
+              .otherwise(get(f, lit(2))).as("contig"),
+            get(f, lit(3)).cast("int").as("pos_start"),
+            get(f, lit(4)).cast("int").as("mapq"),
+            get(f, lit(5)).as("cigar"),
+            when(get(f, lit(9)) === "*", lit(""))
+              .otherwise(get(f, lit(9))).as("seq"),
+            when(get(f, lit(10)) === "*", lit(null))
+              .otherwise(get(f, lit(10))).as("qual_str"),
             // Typed optional fields fished from anywhere after the 11
             // mandatory columns (empty match -> null); same tag surface
             // as BamSource (reference AlignmentRelation.scala:246-257).

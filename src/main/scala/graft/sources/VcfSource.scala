@@ -127,19 +127,24 @@ object VcfFormat {
     val data =
       raw.filter(!col("value").startsWith("#") && length(col("value")) > 0)
     val f = split(col("value"), "\t")
+    // get() (null out of bounds), NOT getItem: pushed-down predicates
+    // share a Filter with the '#' header guard, and the non-WSCG
+    // FilterExec's subexpression elimination evaluates the shared
+    // split-access EAGERLY — getItem would throw on a short `##` meta
+    // line before the guard runs (same hazard as SamSource).
     val fixed = Seq(
-      dot(f.getItem(0)).as("contig"),
-      f.getItem(1).cast("int").as("pos_start"),
-      dot(f.getItem(2)).as("id"),
-      f.getItem(3).as("ref"),
-      dot(f.getItem(4)).as("alt"),
-      dot(f.getItem(5)).cast("double").as("qual"),
-      dot(f.getItem(6)).as("filter"),
-      dot(f.getItem(7)).as("info"))
+      dot(get(f, lit(0))).as("contig"),
+      get(f, lit(1)).cast("int").as("pos_start"),
+      dot(get(f, lit(2))).as("id"),
+      get(f, lit(3)).as("ref"),
+      dot(get(f, lit(4))).as("alt"),
+      dot(get(f, lit(5))).cast("double").as("qual"),
+      dot(get(f, lit(6))).as("filter"),
+      dot(get(f, lit(7))).as("info"))
     val gts =
       if (samples.isEmpty) Nil
-      else dot(f.getItem(8)).as("format") +:
-        samples.zipWithIndex.map { case (n, i) => dot(f.getItem(9 + i)).as(n) }
+      else dot(get(f, lit(8))).as("format") +:
+        samples.zipWithIndex.map { case (n, i) => dot(get(f, lit(9 + i))).as(n) }
     data.select(fixed ++ gts: _*)
       .withColumn("pos_end",
         (col("pos_start") + length(col("ref")) - 1).cast("int"))
