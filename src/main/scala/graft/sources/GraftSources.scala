@@ -253,7 +253,8 @@ object SourceUtil {
     * MD/NM/RG tags and the `tags` map (already in `TYPE:value` text
     * form) append as optional fields. The `@SQ` dictionary comes from
     * the same one cheap driver aggregation as the binary sinks. */
-  def writeSam(reads: DataFrame, path: String, overwrite: Boolean = true): Unit = {
+  def writeSam(reads: DataFrame, path: String, overwrite: Boolean = true,
+      bgzf: Boolean = false): Unit = {
     val spark = reads.sparkSession
     val refs = reads.filter(col("contig").isNotNull)
       .groupBy(col("contig"))
@@ -303,11 +304,13 @@ object SourceUtil {
     fs0.mkdirs(dir)
     val jobTag =
       if (overwrite) "" else "-" + java.util.UUID.randomUUID.toString.take(8)
+    val ext = if (bgzf) ".sam.gz" else ".sam"
     val wrote = lines.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
       else {
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag.sam")
-        val out = p.getFileSystem(serConf.value).create(p, true)
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag$ext")
+        val raw: java.io.OutputStream = p.getFileSystem(serConf.value).create(p, true)
+        val out = if (bgzf) new BamFormat.BgzfOutputStream(raw) else raw
         val w = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
         w.write(header)
@@ -317,8 +320,11 @@ object SourceUtil {
       }
     }.count()
     if (wrote == 0L &&
-        !fs0.listStatus(dir).exists(_.getPath.getName.endsWith(".sam"))) {
-      val out = fs0.create(new org.apache.hadoop.fs.Path(dir, "part-00000.sam"), true)
+        !fs0.listStatus(dir).exists(s => s.getPath.getName.endsWith(".sam") ||
+          s.getPath.getName.endsWith(".sam.gz"))) {
+      val raw: java.io.OutputStream =
+        fs0.create(new org.apache.hadoop.fs.Path(dir, s"part-00000$ext"), true)
+      val out = if (bgzf) new BamFormat.BgzfOutputStream(raw) else raw
       out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
     }

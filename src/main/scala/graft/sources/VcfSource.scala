@@ -192,8 +192,12 @@ object VcfFormat {
     writeVcf(df, path, sampleCols, formatCol, overwrite)
   }
 
+  /** `bgzf = true` writes `.vcf.gz` shards as BGZF members (the
+    * bgzip/tabix container); the reader splits them at member
+    * granularity through the same seam as BAM. */
   def writeVcf(df: DataFrame, path: String, sampleCols: Seq[String] = Nil,
-      formatCol: Option[String] = None, overwrite: Boolean = true): Unit = {
+      formatCol: Option[String] = None, overwrite: Boolean = true,
+      bgzf: Boolean = false): Unit = {
     val spark = df.sparkSession
     def opt(n: String): Column =
       if (df.columns.contains(n)) coalesce(col(n).cast("string"), lit(".")) else lit(".")
@@ -226,11 +230,13 @@ object VcfFormat {
     // schema-consistent (the same contract as parquet appends).
     val jobTag =
       if (overwrite) "" else "-" + java.util.UUID.randomUUID.toString.take(8)
+    val ext = if (bgzf) ".vcf.gz" else ".vcf"
     val wrote = lines.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
       else {
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag.vcf")
-        val out = p.getFileSystem(serConf.value).create(p, true)
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag$ext")
+        val raw: java.io.OutputStream = p.getFileSystem(serConf.value).create(p, true)
+        val out = if (bgzf) new BamFormat.BgzfOutputStream(raw) else raw
         val w = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
         w.write(header)
@@ -242,8 +248,11 @@ object VcfFormat {
     // An all-empty frame must still leave a readable (header-only) VCF —
     // unless appending into a directory that already has shards.
     if (wrote == 0L &&
-        !fs0.listStatus(dir).exists(_.getPath.getName.endsWith(".vcf"))) {
-      val out = fs0.create(new org.apache.hadoop.fs.Path(dir, "part-00000.vcf"), true)
+        !fs0.listStatus(dir).exists(s => s.getPath.getName.endsWith(".vcf") ||
+          s.getPath.getName.endsWith(".vcf.gz"))) {
+      val raw: java.io.OutputStream =
+        fs0.create(new org.apache.hadoop.fs.Path(dir, s"part-00000$ext"), true)
+      val out = if (bgzf) new BamFormat.BgzfOutputStream(raw) else raw
       out.write(header.getBytes(StandardCharsets.UTF_8))
       out.close()
     }

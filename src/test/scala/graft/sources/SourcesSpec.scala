@@ -803,6 +803,31 @@ class SourcesSpec extends SparkSpec {
       case Some(v) => hconf.set(key, v)
       case None => hconf.unset(key)
     }
+
+    // The sinks' own bgzf=true output round-trips identically to plain
+    // text (bgzip-container .vcf.gz / .sam.gz shards).
+    val variants = Tables.part(spark, sf0001).limit(200).select(
+      (col("p_partkey") % 4).cast("string").as("contig"),
+      (((col("p_partkey") * 7) % 5000) + 1).cast("int").as("pos_start"),
+      lit("AC").as("ref"), lit("T").as("alt"))
+    VcfFormat.writeVcf(variants, s"$dir/sink_plain.vcf")
+    VcfFormat.writeVcf(variants, s"$dir/sink_bgzf.vcf", bgzf = true)
+    def tableSet(provider: String, p: String, name: String): Set[String] = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"CREATE TABLE $name USING $provider OPTIONS (path '$p')")
+      spark.table(name).drop("sample_id").collect().map(_.toString).toSet
+    }
+    assert(
+      tableSet("graft.sources.VcfSource", s"$dir/sink_bgzf.vcf", "vcf_sink_bgzf") ===
+        tableSet("graft.sources.VcfSource", s"$dir/sink_plain.vcf", "vcf_sink_plain"))
+    assert(new java.io.File(s"$dir/sink_bgzf.vcf").listFiles()
+      .exists(_.getName.endsWith(".vcf.gz")))
+    val reads = Tables.readsMd(spark, sf0001).filter(col("sample_id") === "s1").limit(200)
+    SourceUtil.writeSam(reads, s"$dir/sam_plain.sam")
+    SourceUtil.writeSam(reads, s"$dir/sam_bgzf.sam", bgzf = true)
+    assert(
+      tableSet("graft.sources.SamSource", s"$dir/sam_bgzf.sam", "sam_sink_bgzf") ===
+        tableSet("graft.sources.SamSource", s"$dir/sam_plain.sam", "sam_sink_plain"))
   }
 
   test("distinct samples over the hive layout reads no data columns (A6)") {
