@@ -358,6 +358,25 @@ object SourceQueries {
               |  COUNT(alt) AS n_alt
               |FROM vcf_info_ddl GROUP BY contig""".stripMargin)
     },
+    // Region query over LINE-ALIGNED bgzf VCF shards: the contig+range
+    // predicate prunes whole BGZF members through the hidden `.gvi`
+    // envelope sidecar (the VCF twin of the BAM `.gri` — spec-measured
+    // on inflated-member counts in SourcesSpec), then Catalyst
+    // re-applies the filters on the parsed rows.
+    "vcf_region_query" -> { (s, dir) =>
+      val path = fixture("variants_vcf_region", dir) { p =>
+        val v = Tables.ivA(s, dir).select(col("contig"), col("pos_start"),
+            lit("ACGT").as("ref"), lit("T").as("alt"))
+          .orderBy("contig", "pos_start")
+        graft.sources.VcfFormat.writeVcf(v, p, bgzf = true)
+      }
+      s.sql("DROP TABLE IF EXISTS vcf_region_ddl")
+      s.sql(s"""CREATE TABLE vcf_region_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, pos_end, ref, alt
+              |FROM vcf_region_ddl
+              |WHERE contig = '5' AND pos_start BETWEEN 1 AND 1200""".stripMargin)
+    },
     // Genotype-matrix analytics over the VCF surface: the per-sample
     // genotype columns UNPIVOTed to (sample, GT:DP) long form with
     // stack(), then split on the FORMAT grammar — per-sample het /
@@ -627,6 +646,11 @@ object SourceQueries {
     // The scan-time normalization modes replicate the existing
     // variant_normalize/variant_split_normalize pipelines over the same
     // part derivation, so their oracles apply verbatim.
+    "vcf_region_query" ->
+      s"""WITH ${OracleCtes.ivA}
+         |SELECT contig, pos_start, CAST(pos_start + 3 AS INT) AS pos_end,
+         |  'ACGT' AS ref, 'T' AS alt
+         |FROM iva WHERE contig = '5' AND pos_start BETWEEN 1 AND 1200""".stripMargin,
     "vcf_genotype_stats" ->
       """WITH gt AS (
         |  SELECT 'na1' AS sample,

@@ -53,8 +53,14 @@ abstract class GraftBaseRelation extends BaseRelation with PrunedFilteredScan {
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filter(f => filterToColumn(f).isEmpty)
 
+  /** Hook for sources that can PRUNE their input from the pushed
+    * predicates (skip files/blocks) before the frame is even built —
+    * results must be a superset of the predicate's rows (the filters
+    * are re-applied below and by Spark). Default: no pruning. */
+  protected def frame(filters: Array[Filter]): DataFrame = frame()
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val base = frame()
+    val base = frame(filters)
     val filtered = filters.flatMap(filterToColumn).foldLeft(base)(_.filter(_))
     val projected =
       if (requiredColumns.isEmpty) filtered.select(lit(1).as("one"))

@@ -49,6 +49,11 @@ class VcfSource extends org.apache.spark.sql.sources.RelationProvider
       override val sqlContext: SQLContext = ctx
       override protected def frame(): DataFrame =
         VcfFormat.frameFor(ctx.sparkSession, path, mode)
+      // Region predicates prune line-aligned BGZF members through the
+      // `.gvi` sidecars (when every matched file has one).
+      override protected def frame(
+          filters: Array[org.apache.spark.sql.sources.Filter]): DataFrame =
+        VcfFormat.frameFor(ctx.sparkSession, path, mode, filters)
       // `INSERT INTO` over a VCF table: append writes new shards.
       override def insert(data: DataFrame, overwrite: Boolean): Unit =
         VcfFormat.writeInferred(data, path, overwrite)
@@ -80,6 +85,123 @@ class VcfSource extends org.apache.spark.sql.sources.RelationProvider
 }
 
 object VcfFormat {
+
+  /** Sidecar member-envelope suffix (`x.vcf.gz` → hidden sibling
+    * `.x.vcf.gz.gvi`): one line per LINE-ALIGNED BGZF member — `offset
+    * minStart maxEnd nLines contigs` (cleaned, comma-joined, `*` = too
+    * many to enumerate). Dot-prefixed so text readers never see it. */
+  val IndexSuffix = ".gvi"
+
+  private def gviPath(file: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(file.getParent, "." + file.getName + IndexSuffix)
+
+  /** Contig/position constraints foldable from pushed predicates (the
+    * shapes the member envelopes can answer). */
+  private def foldRegion(filters: Array[org.apache.spark.sql.sources.Filter])
+      : (Option[Set[String]], Int, Int, Int, Int) = {
+    import org.apache.spark.sql.sources._
+    var contigs: Option[Set[String]] = None
+    var sMin = Int.MinValue; var sMax = Int.MaxValue
+    var eMin = Int.MinValue; var eMax = Int.MaxValue
+    def asInt(v: Any): Option[Int] = v match {
+      case i: Int => Some(i)
+      case l: Long if l == l.toInt => Some(l.toInt)
+      case s: Short => Some(s.toInt)
+      case _ => None
+    }
+    filters.foreach {
+      case EqualTo("contig", v: String) =>
+        contigs = Some(contigs.fold(Set(v))(_ intersect Set(v)))
+      case In("contig", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val s = vs.map(_.asInstanceOf[String]).toSet
+        contigs = Some(contigs.fold(s)(_ intersect s))
+      case EqualTo(a, v) if a == "pos_start" || a == "pos_end" =>
+        asInt(v).foreach { x =>
+          if (a == "pos_start") { sMin = math.max(sMin, x); sMax = math.min(sMax, x) }
+          else { eMin = math.max(eMin, x); eMax = math.min(eMax, x) }
+        }
+      case GreaterThan(a, v) if a == "pos_start" || a == "pos_end" =>
+        asInt(v).foreach(x => if (a == "pos_start") sMin = math.max(sMin, x + 1)
+          else eMin = math.max(eMin, x + 1))
+      case GreaterThanOrEqual(a, v) if a == "pos_start" || a == "pos_end" =>
+        asInt(v).foreach(x => if (a == "pos_start") sMin = math.max(sMin, x)
+          else eMin = math.max(eMin, x))
+      case LessThan(a, v) if a == "pos_start" || a == "pos_end" =>
+        asInt(v).foreach(x => if (a == "pos_start") sMax = math.min(sMax, x - 1)
+          else eMax = math.min(eMax, x - 1))
+      case LessThanOrEqual(a, v) if a == "pos_start" || a == "pos_end" =>
+        asInt(v).foreach(x => if (a == "pos_start") sMax = math.min(sMax, x)
+          else eMax = math.min(eMax, x))
+      case _ => ()
+    }
+    (contigs, sMin, sMax, eMin, eMax)
+  }
+
+  /** Region-pruned raw `value` frame: when EVERY matched file carries a
+    * `.gvi` sidecar and the predicates constrain contig/position, plan
+    * one task per run of kept members and inflate ONLY those (each
+    * member is line-aligned, so members parse independently). Returns
+    * None when pruning does not apply — the caller falls back to the
+    * ordinary splittable text scan. Always a SUPERSET of the
+    * predicate's rows; the engine re-applies the filters. */
+  private def prunedRaw(spark: org.apache.spark.sql.SparkSession, path: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Option[DataFrame] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val (contigs, sMin, sMax, eMin, eMax) = foldRegion(filters)
+    val constrained = contigs.isDefined || sMin != Int.MinValue ||
+      sMax != Int.MaxValue || eMin != Int.MinValue || eMax != Int.MaxValue
+    if (!constrained) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      else Seq(st)
+    }.filterNot(_.getPath.getName.endsWith(IndexSuffix))
+    if (files.isEmpty) return None
+    if (!files.forall(st => fs.exists(gviPath(st.getPath)))) return None
+    // pos_start <= pos_end bounds both axes of the envelope.
+    val startCap = math.min(sMax.toLong, eMax.toLong)
+    val endFloor = math.max(sMin.toLong, eMin.toLong)
+    val tasks: Seq[(String, Long, Seq[Long])] = files.flatMap { st =>
+      val file = st.getPath.toString
+      val len = st.getLen
+      val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(gviPath(st.getPath)), StandardCharsets.UTF_8))
+      val kept = try {
+        Iterator.continually(rd.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).flatMap { l =>
+            val f = l.split('\t')
+            val (off, minS, maxE, cs) = (f(0).toLong, f(1).toInt, f(2).toInt, f(4))
+            val contigOk = contigs.isEmpty || cs == "*" ||
+              cs.split(',').exists(contigs.get.contains)
+            val posOk = minS <= startCap && maxE >= endFloor
+            if (contigOk && posOk) Some(off) else None
+          }.toVector
+      } finally rd.close()
+      // Chunk runs of kept members into bounded tasks.
+      kept.grouped(256).map(g => (file, len, g.toSeq)).toSeq
+    }
+    if (tasks.isEmpty)
+      return Some(spark.createDataset(Seq.empty[String])(
+        org.apache.spark.sql.Encoders.STRING).toDF("value"))
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val rdd = spark.sparkContext.parallelize(tasks, tasks.length)
+      .flatMap { case (file, len, offs) =>
+        val hp = new HPath(file)
+        val in = hp.getFileSystem(serConf.value).open(hp)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        offs.iterator.flatMap { off =>
+          new String(BamFormat.inflateMemberAt(in, len, off), StandardCharsets.UTF_8)
+            .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+        }
+      }
+    Some(spark.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING).toDF("value"))
+  }
 
   /** Sample names from the first matched file's `#CHROM` header line
     * (fields after FORMAT). Empty when the file carries no genotype
@@ -156,9 +278,16 @@ object VcfFormat {
   }
 
   private[sources] def frameFor(spark: org.apache.spark.sql.SparkSession,
-      path: String, mode: Option[String]): DataFrame = {
-    val ordered = parse(SourceUtil.textFrame(spark, path),
-      headerSamples(spark, path))
+      path: String, mode: Option[String],
+      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty): DataFrame = {
+    // Member pruning only applies on file coordinates — normalization
+    // modes MOVE pos_start (left-align), so envelopes on raw positions
+    // could wrongly drop a row that normalizes into the queried range.
+    val raw =
+      if (mode.isDefined || filters.isEmpty) SourceUtil.textFrame(spark, path)
+      else prunedRaw(spark, path, filters)
+        .getOrElse(SourceUtil.textFrame(spark, path))
+    val ordered = parse(raw, headerSamples(spark, path))
     mode match {
       case Some("normalize") =>
         graft.operators.VariantOps.normalizeInPlace(ordered)
@@ -233,15 +362,69 @@ object VcfFormat {
     val ext = if (bgzf) ".vcf.gz" else ".vcf"
     val wrote = lines.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
-      else {
+      else if (!bgzf) {
         val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag$ext")
         val raw: java.io.OutputStream = p.getFileSystem(serConf.value).create(p, true)
-        val out = if (bgzf) new BamFormat.BgzfOutputStream(raw) else raw
         val w = new java.io.BufferedWriter(
-          new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
+          new java.io.OutputStreamWriter(raw, StandardCharsets.UTF_8))
         w.write(header)
         it.foreach { r => w.write(r.getString(0)); w.write('\n') }
         w.close()
+        Iterator.single(1)
+      } else {
+        // BGZF shards are LINE-ALIGNED: a member never splits a data
+        // line, so each member is independently parseable and a region
+        // query can inflate exactly the members its predicate keeps.
+        // The `.gvi` sidecar records one coordinate envelope per member
+        // (cleaned contigs, min pos_start, max pos_end) — the VCF twin
+        // of the BAM `.gri`.
+        val fsT = new org.apache.hadoop.fs.Path(path).getFileSystem(serConf.value)
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag$ext")
+        val bg = new BamFormat.BgzfOutputStream(fsT.create(p, true))
+        // DOT-prefixed so every text reader (Spark's and this file's
+        // own listings) treats the sidecar as hidden.
+        val gvi = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          fsT.create(new org.apache.hadoop.fs.Path(path,
+            f".part-$idx%05d$jobTag$ext${VcfFormat.IndexSuffix}"), true),
+          StandardCharsets.UTF_8))
+        val memberCap = 56 * 1024 // < the 60 KiB auto-flush: we flush first
+        var memberOff = 0L
+        var minS = Int.MaxValue; var maxE = Int.MinValue
+        var nLines = 0L
+        val contigs = scala.collection.mutable.LinkedHashSet.empty[String]
+        def endMember(): Unit = {
+          bg.flush()
+          if (nLines > 0) {
+            val cs = if (contigs.size > 8) "*" else contigs.mkString(",")
+            gvi.write(s"$memberOff\t$minS\t$maxE\t$nLines\t$cs\n")
+          }
+          memberOff = bg.virtualOffset._1
+          minS = Int.MaxValue; maxE = Int.MinValue; nLines = 0L
+          contigs.clear()
+        }
+        bg.write(header.getBytes(StandardCharsets.UTF_8))
+        endMember() // header-only member, carries no data lines
+        it.foreach { r =>
+          val line = r.getString(0)
+          val bytes = (line + "\n").getBytes(StandardCharsets.UTF_8)
+          require(bytes.length < memberCap,
+            s"VCF line exceeds one BGZF member (${bytes.length} bytes)")
+          if (bg.virtualOffset._2 + bytes.length >= memberCap) endMember()
+          bg.write(bytes)
+          // Envelope stats from the rendered fields (CHROM, POS, REF).
+          val t1 = line.indexOf('\t')
+          val t2 = line.indexOf('\t', t1 + 1)
+          val t3 = line.indexOf('\t', t2 + 1)
+          val t4 = line.indexOf('\t', t3 + 1)
+          contigs += graft.functions.RangeFunctions.cleanContig(line.substring(0, t1))
+          val pos = line.substring(t1 + 1, t2).toInt
+          minS = math.min(minS, pos)
+          maxE = math.max(maxE, pos + (t4 - t3 - 1) - 1) // len(REF)
+          nLines += 1
+        }
+        endMember()
+        gvi.close()
+        bg.close()
         Iterator.single(1)
       }
     }.count()

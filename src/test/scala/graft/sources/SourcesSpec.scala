@@ -830,6 +830,52 @@ class SourcesSpec extends SparkSpec {
         tableSet("graft.sources.SamSource", s"$dir/sam_plain.sam", "sam_sink_plain"))
   }
 
+  test("VCF region queries inflate only the .gvi-kept BGZF members") {
+    val p = s"$base/vcf_region"
+    val v = Tables.ivA(spark, sf0001).select(col("contig"),
+        col("pos_start"), lit("ACGT").as("ref"), lit("T").as("alt"))
+      .orderBy("contig", "pos_start").coalesce(1)
+    VcfFormat.writeVcf(v, s"$p/v.vcf", bgzf = true)
+    val dir = new java.io.File(s"$p/v.vcf")
+    assert(dir.listFiles().exists(_.getName.endsWith(VcfFormat.IndexSuffix)),
+      "bgzf writeVcf must emit the hidden .gvi sidecar")
+    spark.sql("DROP TABLE IF EXISTS vcf_region")
+    spark.sql(s"""CREATE TABLE vcf_region USING graft.sources.VcfSource
+                 |OPTIONS (path '$p/v.vcf')""".stripMargin)
+    val t = spark.table("vcf_region")
+    def inflatedDuring(body: => Long): (Long, Long) = {
+      val before = BamFormat.blocksInflated.get()
+      val rows = body
+      (rows, BamFormat.blocksInflated.get() - before)
+    }
+    val nAll = t.count() // unpredicated: the ordinary splittable scan
+    assert(nAll === v.count())
+    val sel = col("contig") === "3" &&
+      col("pos_start").between(200, 400)
+    val (nSel, bSel) = inflatedDuring(t.filter(sel).count())
+    assert(nSel === v.filter(sel).count() && nSel > 0)
+    // Count the file's total members for the comparison.
+    val shard = dir.listFiles().find(_.getName.endsWith(".vcf.gz")).get
+    val gviLines = scala.io.Source.fromFile(
+      dir.listFiles().find(_.getName.endsWith(VcfFormat.IndexSuffix)).get)
+      .getLines().count(_.nonEmpty)
+    assert(gviLines > 2, s"fixture too small to prove pruning ($gviLines members)")
+    assert(bSel < gviLines,
+      s"selective region query inflated $bSel of $gviLines members — no pruning")
+    // pos_end predicates prune through the same envelope.
+    val (nSel2, bSel2) = inflatedDuring(
+      t.filter(col("contig") === "3" && col("pos_end") <= 300).count())
+    assert(nSel2 === v.filter(col("contig") === "3" &&
+      col("pos_start") + 3 <= 300).count())
+    assert(bSel2 < gviLines)
+    // Normalization modes bypass pruning (positions move): same rows.
+    spark.sql("DROP TABLE IF EXISTS vcf_region_norm")
+    spark.sql(s"""CREATE TABLE vcf_region_norm USING graft.sources.VcfSource
+                 |OPTIONS (path '$p/v.vcf', normalizationMode 'normalize')""".stripMargin)
+    assert(spark.table("vcf_region_norm").filter(sel).count() ===
+      spark.table("vcf_region_norm").filter(sel).collect().length.toLong)
+  }
+
   test("distinct samples over the hive layout reads no data columns (A6)") {
     val path = s"$base/partitioned_a6"
     val reads = Tables.reads(spark, sf0001)
