@@ -252,6 +252,107 @@ object SourceUtil {
     }
   }
 
+  /** Shared sharded-text sink for the SAM/VCF line formats: one
+    * fully-headed file per task, plain or BGZF. `rows` carries the
+    * rendered `line` plus — for envelope-indexed bgzf output — cleaned
+    * `contig`, `pos_start`, `pos_end` stat columns. BGZF members are
+    * LINE-ALIGNED (a member never splits a line) and each shard gets a
+    * hidden `.gvi` sidecar with one coordinate envelope per member, so
+    * region queries inflate only matching members. */
+  private[sources] def writeShardedText(rows: DataFrame, path: String,
+      ext: String, header: String, overwrite: Boolean, bgzf: Boolean): Unit = {
+    val spark = rows.sparkSession
+    val withStats = bgzf && rows.columns.length >= 4
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dir.getFileSystem(conf)
+    if (overwrite && fs0.exists(dir)) fs0.delete(dir, true)
+    fs0.mkdirs(dir)
+    val jobTag =
+      if (overwrite) "" else "-" + java.util.UUID.randomUUID.toString.take(8)
+    val fullExt = if (bgzf) ext + ".gz" else ext
+    val wrote = rows.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.isEmpty) Iterator.empty
+      else if (!bgzf) {
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag$fullExt")
+        val raw: java.io.OutputStream = p.getFileSystem(serConf.value).create(p, true)
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          raw, java.nio.charset.StandardCharsets.UTF_8))
+        w.write(header)
+        it.foreach { r => w.write(r.getString(0)); w.write('\n') }
+        w.close()
+        Iterator.single(1)
+      } else {
+        val fsT = new org.apache.hadoop.fs.Path(path).getFileSystem(serConf.value)
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag$fullExt")
+        val bg = new BamFormat.BgzfOutputStream(fsT.create(p, true))
+        val gvi = if (!withStats) null
+          else new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fsT.create(new org.apache.hadoop.fs.Path(path,
+              f".part-$idx%05d$jobTag$fullExt${VcfFormat.IndexSuffix}"), true),
+            java.nio.charset.StandardCharsets.UTF_8))
+        val memberCap = 56 * 1024 // < the stream's 60 KiB auto-flush
+        var memberOff = 0L
+        var minS = Int.MaxValue; var maxE = Int.MinValue
+        var nLines = 0L
+        val contigs = scala.collection.mutable.LinkedHashSet.empty[String]
+        def endMember(): Unit = {
+          bg.flush()
+          if (gvi != null && nLines > 0) {
+            val cs = if (contigs.size > 8) "*" else contigs.mkString(",")
+            gvi.write(s"$memberOff\t$minS\t$maxE\t$nLines\t$cs\n")
+          }
+          memberOff = bg.virtualOffset._1
+          minS = Int.MaxValue; maxE = Int.MinValue; nLines = 0L
+          contigs.clear()
+        }
+        bg.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        endMember() // header-only member, carries no data lines
+        it.foreach { r =>
+          val bytes = (r.getString(0) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          require(bytes.length < memberCap,
+            s"$ext line exceeds one BGZF member (${bytes.length} bytes)")
+          if (bg.virtualOffset._2 + bytes.length >= memberCap) endMember()
+          bg.write(bytes)
+          if (withStats) {
+            if (!r.isNullAt(1)) contigs += r.getString(1)
+            if (!r.isNullAt(2)) minS = math.min(minS, r.getInt(2))
+            if (!r.isNullAt(3)) maxE = math.max(maxE, r.getInt(3))
+            nLines += 1
+          }
+        }
+        endMember()
+        if (gvi != null) gvi.close()
+        bg.close()
+        Iterator.single(1)
+      }
+    }.count()
+    if (wrote == 0L && !fs0.listStatus(dir).exists(s =>
+        s.getPath.getName.endsWith(ext) || s.getPath.getName.endsWith(ext + ".gz"))) {
+      val raw: java.io.OutputStream =
+        fs0.create(new org.apache.hadoop.fs.Path(dir, s"part-00000$fullExt"), true)
+      val out = if (bgzf) new BamFormat.BgzfOutputStream(raw) else raw
+      out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+  }
+
+  /** Region-pruned raw text frame over `.gvi`-indexed bgzf shards: fold
+    * pushed contig/pos_start/pos_end predicates, keep only members whose
+    * envelope may match, inflate exactly those (members are
+    * line-aligned). None when pruning does not apply (no constraining
+    * predicate, or any matched file lacks a sidecar) — callers fall
+    * back to the ordinary splittable scan. Always a SUPERSET of the
+    * predicate's rows. `withFile` adds the `_file` column (for S7
+    * sample-from-filename sources). */
+  private[sources] def prunedTextFrame(spark: org.apache.spark.sql.SparkSession,
+      path: String, filters: Array[Filter],
+      withFile: Boolean): Option[DataFrame] =
+    VcfFormat.prunedRawImpl(spark, path, filters, withFile)
+
   /** SAM text sink: renders an alignment frame as sharded fully-headed
     * `.sam` files — the human-readable twin of [[writeBam]], one codegen
     * `concat_ws` per row (executors stream lines, nothing collects).
@@ -297,43 +398,17 @@ object SourceUtil {
               !(k === "NM" && nmC.isNotNull) &&
               !(k === "RG" && rgC.isNotNull))),
           e => concat(e.getField("key"), lit(":"), e.getField("value"))), "\t")))
-    val lines = reads.select(concat_ws("\t",
-      (mandatory ++ optional.map(c => coalesce(c, lit(null)))): _*).as("line"))
-      // concat_ws skips nulls, so absent optional fields leave no stray tabs.
-      .select(regexp_replace(col("line"), "\t+$", "").as("line"))
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs0 = dir.getFileSystem(conf)
-    if (overwrite && fs0.exists(dir)) fs0.delete(dir, true)
-    fs0.mkdirs(dir)
-    val jobTag =
-      if (overwrite) "" else "-" + java.util.UUID.randomUUID.toString.take(8)
-    val ext = if (bgzf) ".sam.gz" else ".sam"
-    val wrote = lines.rdd.mapPartitionsWithIndex { (idx, it) =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag$ext")
-        val raw: java.io.OutputStream = p.getFileSystem(serConf.value).create(p, true)
-        val out = if (bgzf) new BamFormat.BgzfOutputStream(raw) else raw
-        val w = new java.io.BufferedWriter(
-          new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
-        w.write(header)
-        it.foreach { r => w.write(r.getString(0)); w.write('\n') }
-        w.close()
-        Iterator.single(1)
-      }
-    }.count()
-    if (wrote == 0L &&
-        !fs0.listStatus(dir).exists(s => s.getPath.getName.endsWith(".sam") ||
-          s.getPath.getName.endsWith(".sam.gz"))) {
-      val raw: java.io.OutputStream =
-        fs0.create(new org.apache.hadoop.fs.Path(dir, s"part-00000$ext"), true)
-      val out = if (bgzf) new BamFormat.BgzfOutputStream(raw) else raw
-      out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
-    }
+    val lineCol = regexp_replace(concat_ws("\t",
+      (mandatory ++ optional.map(c => coalesce(c, lit(null)))): _*),
+      // concat_ws skips nulls, so only a trailing empty optional field
+      // can leave stray tabs.
+      "\t+$", "").as("line")
+    val rows =
+      if (!bgzf) reads.select(lineCol)
+      else reads.select(lineCol, cleanContigUdf(col("contig")).as("contig"),
+        col("pos_start").cast("int"),
+        coalesce(optCol("pos_end", col("pos_start")), col("pos_start")).cast("int"))
+    writeShardedText(rows, path, ".sam", header, overwrite, bgzf)
   }
 
   /** CRAM sink (S2's write half): sharded fully-headed `.cram` files via
@@ -1088,8 +1163,15 @@ class SamSource extends RelationProvider with CreatableRelationProvider {
           overwrite: Boolean): Unit =
         SourceUtil.writeSam(data, path, overwrite)
       override val sqlContext: SQLContext = ctx
-      override protected def frame(): DataFrame = {
-        val raw = SourceUtil.textFrame(ctx.sparkSession, path, withFile = true)
+      override protected def frame(): DataFrame =
+        build(SourceUtil.textFrame(ctx.sparkSession, path, withFile = true))
+      // Region predicates prune line-aligned BGZF members through the
+      // hidden `.gvi` sidecars bgzf writeSam emits (same seam as VCF).
+      override protected def frame(filters: Array[Filter]): DataFrame =
+        SourceUtil.prunedTextFrame(ctx.sparkSession, path, filters, withFile = true)
+          .map(build).getOrElse(frame())
+      private def build(rawWithFile: DataFrame): DataFrame = {
+        val raw = rawWithFile
           .withColumn("sample_id", SourceUtil.sampleIdFromPath(col("_file")))
           .drop("_file")
           .filter(!col("value").startsWith("@") && length(col("value")) > 0)

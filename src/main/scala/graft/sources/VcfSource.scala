@@ -144,8 +144,9 @@ object VcfFormat {
     * None when pruning does not apply — the caller falls back to the
     * ordinary splittable text scan. Always a SUPERSET of the
     * predicate's rows; the engine re-applies the filters. */
-  private def prunedRaw(spark: org.apache.spark.sql.SparkSession, path: String,
-      filters: Array[org.apache.spark.sql.sources.Filter]): Option[DataFrame] = {
+  private[sources] def prunedRawImpl(spark: org.apache.spark.sql.SparkSession,
+      path: String, filters: Array[org.apache.spark.sql.sources.Filter],
+      withFile: Boolean = false): Option[DataFrame] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val (contigs, sMin, sMax, eMin, eMax) = foldRegion(filters)
     val constrained = contigs.isDefined || sMin != Int.MinValue ||
@@ -185,9 +186,13 @@ object VcfFormat {
       // Chunk runs of kept members into bounded tasks.
       kept.grouped(256).map(g => (file, len, g.toSeq)).toSeq
     }
+    val cols = if (withFile) Seq("value", "_file") else Seq("value")
     if (tasks.isEmpty)
-      return Some(spark.createDataset(Seq.empty[String])(
-        org.apache.spark.sql.Encoders.STRING).toDF("value"))
+      return Some(spark.createDataset(Seq.empty[(String, String)])(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING))
+        .toDF("value", "_file").select(cols.map(col): _*))
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     val rdd = spark.sparkContext.parallelize(tasks, tasks.length)
       .flatMap { case (file, len, offs) =>
@@ -198,9 +203,13 @@ object VcfFormat {
         offs.iterator.flatMap { off =>
           new String(BamFormat.inflateMemberAt(in, len, off), StandardCharsets.UTF_8)
             .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+            .map(l => (l, file))
         }
       }
-    Some(spark.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING).toDF("value"))
+    Some(spark.createDataset(rdd)(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING))
+      .toDF("value", "_file").select(cols.map(col): _*))
   }
 
   /** Sample names from the first matched file's `#CHROM` header line
@@ -285,7 +294,7 @@ object VcfFormat {
     // could wrongly drop a row that normalizes into the queried range.
     val raw =
       if (mode.isDefined || filters.isEmpty) SourceUtil.textFrame(spark, path)
-      else prunedRaw(spark, path, filters)
+      else prunedRawImpl(spark, path, filters)
         .getOrElse(SourceUtil.textFrame(spark, path))
     val ordered = parse(raw, headerSamples(spark, path))
     mode match {
@@ -340,104 +349,24 @@ object VcfFormat {
       else formatCol.map(c => coalesce(col(c).cast("string"), lit("GT")))
         .getOrElse(lit("GT")) +:
         sampleCols.map(c => coalesce(col(c).cast("string"), lit(".")))
-    val lines = df.select(concat_ws("\t", fixed ++ gts: _*).as("line"))
+    val lineCol = concat_ws("\t", fixed ++ gts: _*).as("line")
     val header = "##fileformat=VCFv4.3\n##source=graft\n" +
       (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO") ++
         (if (sampleCols.isEmpty) Nil else "FORMAT" +: sampleCols))
         .mkString("\t") + "\n"
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs0 = dir.getFileSystem(conf)
-    if (overwrite && fs0.exists(dir)) fs0.delete(dir, true)
-    fs0.mkdirs(dir)
-    // Append mode (INSERT INTO): fresh shard names per job. NOTE: every
-    // shard carries its own full header, so appended shards may declare
-    // different sample columns than existing ones; the reader derives
-    // the schema from the FIRST file's header — keep appends
-    // schema-consistent (the same contract as parquet appends).
-    val jobTag =
-      if (overwrite) "" else "-" + java.util.UUID.randomUUID.toString.take(8)
-    val ext = if (bgzf) ".vcf.gz" else ".vcf"
-    val wrote = lines.rdd.mapPartitionsWithIndex { (idx, it) =>
-      if (it.isEmpty) Iterator.empty
-      else if (!bgzf) {
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag$ext")
-        val raw: java.io.OutputStream = p.getFileSystem(serConf.value).create(p, true)
-        val w = new java.io.BufferedWriter(
-          new java.io.OutputStreamWriter(raw, StandardCharsets.UTF_8))
-        w.write(header)
-        it.foreach { r => w.write(r.getString(0)); w.write('\n') }
-        w.close()
-        Iterator.single(1)
-      } else {
-        // BGZF shards are LINE-ALIGNED: a member never splits a data
-        // line, so each member is independently parseable and a region
-        // query can inflate exactly the members its predicate keeps.
-        // The `.gvi` sidecar records one coordinate envelope per member
-        // (cleaned contigs, min pos_start, max pos_end) — the VCF twin
-        // of the BAM `.gri`.
-        val fsT = new org.apache.hadoop.fs.Path(path).getFileSystem(serConf.value)
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d$jobTag$ext")
-        val bg = new BamFormat.BgzfOutputStream(fsT.create(p, true))
-        // DOT-prefixed so every text reader (Spark's and this file's
-        // own listings) treats the sidecar as hidden.
-        val gvi = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-          fsT.create(new org.apache.hadoop.fs.Path(path,
-            f".part-$idx%05d$jobTag$ext${VcfFormat.IndexSuffix}"), true),
-          StandardCharsets.UTF_8))
-        val memberCap = 56 * 1024 // < the 60 KiB auto-flush: we flush first
-        var memberOff = 0L
-        var minS = Int.MaxValue; var maxE = Int.MinValue
-        var nLines = 0L
-        val contigs = scala.collection.mutable.LinkedHashSet.empty[String]
-        def endMember(): Unit = {
-          bg.flush()
-          if (nLines > 0) {
-            val cs = if (contigs.size > 8) "*" else contigs.mkString(",")
-            gvi.write(s"$memberOff\t$minS\t$maxE\t$nLines\t$cs\n")
-          }
-          memberOff = bg.virtualOffset._1
-          minS = Int.MaxValue; maxE = Int.MinValue; nLines = 0L
-          contigs.clear()
-        }
-        bg.write(header.getBytes(StandardCharsets.UTF_8))
-        endMember() // header-only member, carries no data lines
-        it.foreach { r =>
-          val line = r.getString(0)
-          val bytes = (line + "\n").getBytes(StandardCharsets.UTF_8)
-          require(bytes.length < memberCap,
-            s"VCF line exceeds one BGZF member (${bytes.length} bytes)")
-          if (bg.virtualOffset._2 + bytes.length >= memberCap) endMember()
-          bg.write(bytes)
-          // Envelope stats from the rendered fields (CHROM, POS, REF).
-          val t1 = line.indexOf('\t')
-          val t2 = line.indexOf('\t', t1 + 1)
-          val t3 = line.indexOf('\t', t2 + 1)
-          val t4 = line.indexOf('\t', t3 + 1)
-          contigs += graft.functions.RangeFunctions.cleanContig(line.substring(0, t1))
-          val pos = line.substring(t1 + 1, t2).toInt
-          minS = math.min(minS, pos)
-          maxE = math.max(maxE, pos + (t4 - t3 - 1) - 1) // len(REF)
-          nLines += 1
-        }
-        endMember()
-        gvi.close()
-        bg.close()
-        Iterator.single(1)
-      }
-    }.count()
-    // An all-empty frame must still leave a readable (header-only) VCF —
-    // unless appending into a directory that already has shards.
-    if (wrote == 0L &&
-        !fs0.listStatus(dir).exists(s => s.getPath.getName.endsWith(".vcf") ||
-          s.getPath.getName.endsWith(".vcf.gz"))) {
-      val raw: java.io.OutputStream =
-        fs0.create(new org.apache.hadoop.fs.Path(dir, s"part-00000$ext"), true)
-      val out = if (bgzf) new BamFormat.BgzfOutputStream(raw) else raw
-      out.write(header.getBytes(StandardCharsets.UTF_8))
-      out.close()
-    }
+    // Envelope columns (bgzf only): cleaned contig, POS, POS+len(REF)-1.
+    val rows =
+      if (!bgzf) df.select(lineCol)
+      else df.select(lineCol,
+        SourceUtil.cleanContigUdf(col("contig").cast("string")).as("contig"),
+        col("pos_start").cast("int"),
+        (col("pos_start") +
+          length(coalesce(col("ref").cast("string"), lit("."))) - 1)
+          .cast("int").as("pos_end"))
+    // NOTE on appends: every shard carries its own full header, so
+    // appended shards may declare different sample columns than existing
+    // ones; the reader derives the schema from the FIRST file's header —
+    // keep appends schema-consistent (the parquet-append contract).
+    SourceUtil.writeShardedText(rows, path, ".vcf", header, overwrite, bgzf)
   }
 }

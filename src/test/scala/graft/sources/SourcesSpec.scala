@@ -656,6 +656,28 @@ class SourcesSpec extends SparkSpec {
                 |  mapq, cigar, seq, qual_str, md_tag, tag_NM, tag_RG, tags
                 |FROM sam_rt_tbl""".stripMargin)
     assert(spark.table("sam_rt_tbl").count() === 160)
+    // bgzf SAM shards carry the .gvi envelope sidecar; region queries
+    // inflate only the kept members (same seam as VCF).
+    val sorted = Tables.readsMd(spark, sf0001)
+      .orderBy("contig", "pos_start").coalesce(1)
+    SourceUtil.writeSam(sorted, s"$path/region.sam", bgzf = true)
+    spark.sql("DROP TABLE IF EXISTS sam_region_tbl")
+    spark.sql(s"""CREATE TABLE sam_region_tbl USING graft.sources.SamSource
+                 |OPTIONS (path '$path/region.sam')""".stripMargin)
+    val tr = spark.table("sam_region_tbl")
+    assert(tr.count() === sorted.count())
+    val gviLines = scala.io.Source.fromFile(
+      new java.io.File(s"$path/region.sam").listFiles()
+        .find(_.getName.endsWith(VcfFormat.IndexSuffix)).get)
+      .getLines().count(_.nonEmpty)
+    assert(gviLines > 2, s"fixture too small to prove pruning ($gviLines members)")
+    val rsel = col("contig") === "3" && col("pos_start").between(100, 200)
+    val before = BamFormat.blocksInflated.get()
+    val nSel = tr.filter(rsel).count()
+    val bSel = BamFormat.blocksInflated.get() - before
+    assert(nSel === sorted.filter(rsel).count() && nSel > 0)
+    assert(bSel < gviLines,
+      s"SAM region query inflated $bSel of $gviLines members — no pruning")
   }
 
   test("CTAS and INSERT INTO over a VCF table (SQL write surface)") {
