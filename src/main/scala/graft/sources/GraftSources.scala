@@ -349,9 +349,9 @@ object SourceUtil {
     * predicate's rows. `withFile` adds the `_file` column (for S7
     * sample-from-filename sources). */
   private[sources] def prunedTextFrame(spark: org.apache.spark.sql.SparkSession,
-      path: String, filters: Array[Filter],
-      withFile: Boolean): Option[DataFrame] =
-    VcfFormat.prunedRawImpl(spark, path, filters, withFile)
+      path: String, filters: Array[Filter], withFile: Boolean,
+      samples: Option[Set[String]] = None): Option[DataFrame] =
+    VcfFormat.prunedRawImpl(spark, path, filters, withFile, samples)
 
   /** SAM text sink: renders an alignment frame as sharded fully-headed
     * `.sam` files — the human-readable twin of [[writeBam]], one codegen
@@ -1166,10 +1166,44 @@ class SamSource extends RelationProvider with CreatableRelationProvider {
       override protected def frame(): DataFrame =
         build(SourceUtil.textFrame(ctx.sparkSession, path, withFile = true))
       // Region predicates prune line-aligned BGZF members through the
-      // hidden `.gvi` sidecars bgzf writeSam emits (same seam as VCF).
-      override protected def frame(filters: Array[Filter]): DataFrame =
-        SourceUtil.prunedTextFrame(ctx.sparkSession, path, filters, withFile = true)
-          .map(build).getOrElse(frame())
+      // hidden `.gvi` sidecars bgzf writeSam emits (same seam as VCF),
+      // and sample_id predicates prune whole FILES (S7: the sample is
+      // the file-name prefix) — with or without member indexes.
+      override protected def frame(filters: Array[Filter]): DataFrame = {
+        var samples: Option[Set[String]] = None
+        filters.foreach {
+          case EqualTo("sample_id", v: String) =>
+            samples = Some(samples.fold(Set(v))(_ intersect Set(v)))
+          case In("sample_id", vs)
+              if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+            val x = vs.map(_.asInstanceOf[String]).toSet
+            samples = Some(samples.fold(x)(_ intersect x))
+          case _ => ()
+        }
+        SourceUtil.prunedTextFrame(ctx.sparkSession, path, filters,
+            withFile = true, samples)
+          .map(build).getOrElse {
+            samples match {
+              case Some(ss) =>
+                val p = new org.apache.hadoop.fs.Path(path)
+                val fs = p.getFileSystem(
+                  ctx.sparkSession.sparkContext.hadoopConfiguration)
+                val kept = BamSource.listBamFiles(fs, p)
+                  .filter(st => ss.contains(BamSource.sampleOf(st)))
+                if (kept.isEmpty)
+                  build(ctx.sparkSession.createDataset(
+                    Seq.empty[(String, String)])(
+                    org.apache.spark.sql.Encoders.tuple(
+                      org.apache.spark.sql.Encoders.STRING,
+                      org.apache.spark.sql.Encoders.STRING))
+                    .toDF("value", "_file"))
+                else kept.map(st => SourceUtil.textFrame(ctx.sparkSession,
+                    st.getPath.toString, withFile = true))
+                  .reduce(_ unionAll _) match { case raw => build(raw) }
+              case None => frame()
+            }
+          }
+      }
       private def build(rawWithFile: DataFrame): DataFrame = {
         val raw = rawWithFile
           .withColumn("sample_id", SourceUtil.sampleIdFromPath(col("_file")))

@@ -146,12 +146,13 @@ object VcfFormat {
     * predicate's rows; the engine re-applies the filters. */
   private[sources] def prunedRawImpl(spark: org.apache.spark.sql.SparkSession,
       path: String, filters: Array[org.apache.spark.sql.sources.Filter],
-      withFile: Boolean = false): Option[DataFrame] = {
+      withFile: Boolean = false,
+      samples: Option[Set[String]] = None): Option[DataFrame] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val (contigs, sMin, sMax, eMin, eMax) = foldRegion(filters)
     val constrained = contigs.isDefined || sMin != Int.MinValue ||
       sMax != Int.MaxValue || eMin != Int.MinValue || eMax != Int.MaxValue
-    if (!constrained) return None
+    if (!constrained && samples.isEmpty) return None
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
@@ -163,11 +164,14 @@ object VcfFormat {
       else Seq(st)
     }.filterNot(_.getPath.getName.endsWith(IndexSuffix))
     if (files.isEmpty) return None
-    if (!files.forall(st => fs.exists(gviPath(st.getPath)))) return None
+    // S7 file-level sample pruning composes: a sample predicate keeps
+    // only matching files before the member envelopes are consulted.
+    val sampled = files.filter(st => samples.forall(_.contains(BamSource.sampleOf(st))))
+    if (!sampled.forall(st => fs.exists(gviPath(st.getPath)))) return None
     // pos_start <= pos_end bounds both axes of the envelope.
     val startCap = math.min(sMax.toLong, eMax.toLong)
     val endFloor = math.max(sMin.toLong, eMin.toLong)
-    val tasks: Seq[(String, Long, Seq[Long])] = files.flatMap { st =>
+    val tasks: Seq[(String, Long, Seq[Long])] = sampled.flatMap { st =>
       val file = st.getPath.toString
       val len = st.getLen
       val rd = new java.io.BufferedReader(new java.io.InputStreamReader(

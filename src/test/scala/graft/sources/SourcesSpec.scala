@@ -852,6 +852,34 @@ class SourcesSpec extends SparkSpec {
         tableSet("graft.sources.SamSource", s"$dir/sam_plain.sam", "sam_sink_plain"))
   }
 
+  test("SAM sample predicate prunes whole files (S7 at the text layer)") {
+    val p = s"$base/sam_bysample"
+    val reads = Tables.readsMd(spark, sf0001).limit(400)
+    SourceUtil.writeSam(reads, s"$p/sA.sam", bgzf = true)
+    SourceUtil.writeSam(reads.limit(100), s"$p/sB.sam", bgzf = true)
+    spark.sql("DROP TABLE IF EXISTS sam_bysample")
+    spark.sql(s"""CREATE TABLE sam_bysample USING graft.sources.SamSource
+                 |OPTIONS (path '$p/*.sam')""".stripMargin)
+    val t = spark.table("sam_bysample")
+    assert(t.count() === 500)
+    def inflatedDuring(body: => Long): (Long, Long) = {
+      val before = BamFormat.blocksInflated.get()
+      val rows = body
+      (rows, BamFormat.blocksInflated.get() - before)
+    }
+    // Sample predicate alone: only sA's file is touched (member route).
+    val (nA, bA) = inflatedDuring(t.filter(col("sample_id") === "sA").count())
+    assert(nA === 400)
+    val (nAll, bAll) = inflatedDuring(
+      t.filter(col("sample_id").isin("sA", "sB")).count())
+    assert(nAll === 500)
+    assert(bA < bAll, s"sample-pruned scan inflated $bA of $bAll members")
+    // Absent sample: zero rows, nothing read.
+    val (nNone, bNone) = inflatedDuring(
+      t.filter(col("sample_id") === "nope").count())
+    assert(nNone === 0L && bNone === 0L)
+  }
+
   test("VCF region queries inflate only the .gvi-kept BGZF members") {
     val p = s"$base/vcf_region"
     val v = Tables.ivA(spark, sf0001).select(col("contig"),
