@@ -1281,10 +1281,38 @@ class FastqSource extends RelationProvider {
     val path = parameters.getOrElse("path", sys.error("FastqSource requires a 'path' option"))
     new GraftBaseRelation {
       override val sqlContext: SQLContext = ctx
-      override protected def frame(): DataFrame = {
+      override protected def frame(): DataFrame = frameOver(path)
+      // S7 file pruning: a sample_id predicate keeps only the files
+      // whose name-derived sample matches (zero bytes for absent ones).
+      override protected def frame(filters: Array[Filter]): DataFrame = {
+        var samples: Option[Set[String]] = None
+        filters.foreach {
+          case EqualTo("sample_id", v: String) =>
+            samples = Some(samples.fold(Set(v))(_ intersect Set(v)))
+          case In("sample_id", vs)
+              if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+            val x = vs.map(_.asInstanceOf[String]).toSet
+            samples = Some(samples.fold(x)(_ intersect x))
+          case _ => ()
+        }
+        samples match {
+          case None => frame()
+          case Some(ss) =>
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(
+              ctx.sparkSession.sparkContext.hadoopConfiguration)
+            val kept = BamSource.listBamFiles(fs, p)
+              .filter(st => ss.contains(BamSource.sampleOf(st)))
+            if (kept.isEmpty)
+              ctx.sparkSession.createDataFrame(
+                ctx.sparkSession.sparkContext.emptyRDD[Row], FastqSource.schema)
+            else frameOver(kept.map(_.getPath.toString).mkString(","))
+        }
+      }
+      private def frameOver(paths: String): DataFrame = {
         val spark = ctx.sparkSession
         val raw = spark.sparkContext.newAPIHadoopFile(
-          path, classOf[FastqInputFormat],
+          paths, classOf[FastqInputFormat],
           classOf[org.apache.hadoop.io.LongWritable], classOf[org.apache.hadoop.io.Text])
         val rows = raw.asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[
             org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]

@@ -852,6 +852,29 @@ class SourcesSpec extends SparkSpec {
         tableSet("graft.sources.SamSource", s"$dir/sam_plain.sam", "sam_sink_plain"))
   }
 
+  test("FASTQ sample predicate prunes whole files (S7)") {
+    val p = s"$base/fastq_bysample"
+    java.nio.file.Files.createDirectories(Paths.get(p))
+    def fq(sample: String, n: Int): Unit =
+      java.nio.file.Files.writeString(Paths.get(s"$p/$sample.fastq"),
+        (1 to n).map(i =>
+          s"@inst:1:fc:1:$i:$i:$i 1:N:0:ACGT\nACGT\n+\nIIII\n").mkString)
+    fq("sX", 30); fq("sY", 20)
+    spark.sql("DROP TABLE IF EXISTS fq_bysample")
+    spark.sql(s"""CREATE TABLE fq_bysample USING graft.sources.FastqSource
+                 |OPTIONS (path '$p/*.fastq')""".stripMargin)
+    val t = spark.table("fq_bysample")
+    assert(t.count() === 50)
+    assert(t.filter(col("sample_id") === "sX").count() === 30)
+    assert(t.filter(col("sample_id").isin("sX", "sY")).count() === 50)
+    assert(t.filter(col("sample_id") === "absent").count() === 0)
+    // File pruning is plan-visible: the sX scan's tasks read one file.
+    val planned = t.filter(col("sample_id") === "sX")
+      .queryExecution.executedPlan
+    assert(planned.execute().getNumPartitions <= 1,
+      "single-sample query must plan over only that sample's file splits")
+  }
+
   test("SAM sample predicate prunes whole files (S7 at the text layer)") {
     val p = s"$base/sam_bysample"
     val reads = Tables.readsMd(spark, sf0001).limit(400)
