@@ -366,6 +366,10 @@ class GraftSession(val spark: SparkSession) {
   def vcfStream(path: String): DataFrame =
     streaming.StreamingOps.vcfStream(spark, path)
 
+  /** File-stream SAM ingest (the alignment twin of [[vcfStream]]). */
+  def samStream(path: String): DataFrame =
+    streaming.StreamingOps.samStream(spark, path)
+
   def sql(text: String): DataFrame = spark.sql(text)
 
   /** Release ALL persistent RDD blocks in the context — the

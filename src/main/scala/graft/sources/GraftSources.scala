@@ -1204,7 +1204,18 @@ class SamSource extends RelationProvider with CreatableRelationProvider {
             }
           }
       }
-      private def build(rawWithFile: DataFrame): DataFrame = {
+      private def build(rawWithFile: DataFrame): DataFrame =
+        SamFormat.parse(rawWithFile)
+    }
+  }
+}
+
+/** The SAM line parse as pure column expressions — shared verbatim by
+  * the batch [[SamSource]] relation and the file-stream ingest
+  * ([[graft.streaming.StreamingOps.samStream]]), so the two surfaces
+  * cannot drift. */
+object SamFormat {
+  private[graft] def parse(rawWithFile: DataFrame): DataFrame = {
         val raw = rawWithFile
           .withColumn("sample_id", SourceUtil.sampleIdFromPath(col("_file")))
           .drop("_file")
@@ -1257,8 +1268,6 @@ class SamSource extends RelationProvider with CreatableRelationProvider {
             col("pos_start"), col("pos_end"), col("mapq"), col("cigar"),
             col("seq"), col("qual_str"), col("md_tag"), col("tag_NM"),
             col("tag_RG"), col("tags"))
-      }
-    }
   }
 }
 

@@ -303,6 +303,17 @@ object StreamingOps {
       spark.readStream.text(path),
       graft.sources.VcfFormat.headerSamples(spark, path))
 
+  /** File-stream SAM ingest — the alignment twin of [[vcfStream]]:
+    * tail a directory of `.sam` shards (an aligner's output directory)
+    * with the batch [[graft.sources.SamSource]] relation's exact parse
+    * expressions; sample ids derive from arriving file names (S7).
+    * Compose with [[annotateStream]]/[[countStream]]/[[coverageStream]]
+    * downstream. */
+  def samStream(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    graft.sources.SamFormat.parse(
+      spark.readStream.text(path).withColumn("_file", input_file_name()))
+
   def annotateStream(reads: Dataset[StreamRead], targets: DataFrame): DataFrame = {
     val spark = reads.sparkSession
     import spark.implicits._

@@ -447,6 +447,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("samStream tails a directory of .sam files identically to the batch parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sam_stream").toString
+    val hdr = "@HD\tVN:1.6\tSO:unsorted\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "sA.sam"),
+      hdr + "r1\t0\tchr1\t100\t60\t4M\t*\t0\t0\tACGT\tIIII\tNM:i:2\tXS:i:42\n" +
+        "r2\t1024\tchr2\t200\t40\t2M1N2M\t*\t0\t0\tACGT\tIIII\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "sB.sam"),
+      hdr + "r3\t0\t*\t0\t0\t*\t*\t0\t0\t*\t*\n")
+    val stream = StreamingOps.samStream(spark, dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("samstream")
+      .outputMode("append").start()
+    run(q) {
+      val got = spark.table("samstream").collect().map(_.toString).sorted.toSeq
+      val batch = spark.read.format("graft.sources.SamSource")
+        .option("path", dir).load().collect().map(_.toString).sorted.toSeq
+      assert(got === batch)
+      assert(got.size === 3)
+      // S7 sample ids from arriving file names; CIGAR-derived pos_end.
+      assert(got.exists(s => s.startsWith("[sA,r2") && s.contains(",200,204,")))
+      assert(got.exists(_.startsWith("[sB,r3")))
+    }
+  }
+
   test("stateful contig progress accumulates across batches") {
     import graft.SharedSpark.spark.implicits._
     val in = MemoryStream[StreamingOps.StreamRead]
