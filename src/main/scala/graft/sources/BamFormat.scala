@@ -219,8 +219,11 @@ object BamFormat {
 
   /** Inverse of [[renderTag]]: encode one canonical `TYPE:value` string
     * back to tag-stream bytes — `TAG` (2 bytes) + type byte + value.
-    * Integers always re-encode at full `i` width (lossless for every
-    * narrower input width). */
+    * Integers re-encode at full `i` width (lossless for every narrower
+    * input width); values past Int.MaxValue — [[renderTag]] renders
+    * uint32 `I` tags as `i:` text like SAM does — re-encode as `I`
+    * (uint32), and anything outside the int32 ∪ uint32 domain fails
+    * loudly rather than truncating. */
   def encodeTag(key: String, tv: String): Array[Byte] = {
     require(key.length == 2, s"SAM tag key must be 2 chars: '$key'")
     require(tv.length >= 2 && tv.charAt(1) == ':',
@@ -237,7 +240,9 @@ object BamFormat {
       case 'A' => out.write('A'); out.write(v.charAt(0))
       case 'i' =>
         val l = v.toLong // uint32 renders past Int.MaxValue
-        out.write('i'); le32(l.toInt)
+        if (l >= Int.MinValue && l <= Int.MaxValue) { out.write('i'); le32(l.toInt) }
+        else if (l > Int.MaxValue && l <= 0xFFFFFFFFL) { out.write('I'); le32(l.toInt) }
+        else sys.error(s"integer tag $key out of int32/uint32 range: $l")
       case 'f' =>
         out.write('f'); le32(java.lang.Float.floatToIntBits(v.toFloat))
       case 'Z' | 'H' =>

@@ -350,8 +350,9 @@ object SourceUtil {
     * sample-from-filename sources). */
   private[sources] def prunedTextFrame(spark: org.apache.spark.sql.SparkSession,
       path: String, filters: Array[Filter], withFile: Boolean,
-      samples: Option[Set[String]] = None): Option[DataFrame] =
-    VcfFormat.prunedRawImpl(spark, path, filters, withFile, samples)
+      samples: Option[Set[String]] = None,
+      commentPrefix: Char = '@'): Option[DataFrame] =
+    VcfFormat.prunedRawImpl(spark, path, filters, withFile, samples, commentPrefix)
 
   /** SAM text sink: renders an alignment frame as sharded fully-headed
     * `.sam` files — the human-readable twin of [[writeBam]], one codegen
@@ -463,17 +464,29 @@ object SourceUtil {
         val w = new CramFormat.CramWriter(out, refNames, refLens,
           contig => CramFormat.upperContig(fp, contig), recordsPerSlice,
           embedReference, indexOut = idxOut)
+        val droppedB = scala.collection.mutable.HashSet.empty[String]
         it.foreach { r =>
           val qualStr = if (r.isNullAt(7)) null else r.getString(7)
           val quals =
             if (qualStr == null) null
             else qualStr.toCharArray.map(c => (c - 33).toByte)
           // Typed NM/RG win over their map twins (each tag written once).
+          // B-array tags (aligner score arrays etc. — common in real
+          // BAMs) are NOT expressible through this writer's tag
+          // dictionary; dropping them with a warning beats a task-level
+          // crash mid-job (tagFromCanonical fails loudly on 'B').
           val extra: Seq[(String, String)] =
             if (r.isNullAt(10)) Nil
             else r.getMap[String, String](10).toSeq
-              .filterNot { case (k, _) =>
-                (k == "NM" && !r.isNullAt(8)) || (k == "RG" && !r.isNullAt(9))
+              .filterNot { case (k, tv) =>
+                (k == "NM" && !r.isNullAt(8)) || (k == "RG" && !r.isNullAt(9)) || {
+                  val isB = tv.length >= 2 && tv.charAt(0) == 'B'
+                  if (isB && droppedB.add(k)) org.slf4j.LoggerFactory
+                    .getLogger("graft.sources.SourceUtil")
+                    .warn(s"writeCram: dropping B-array tag '$k' " +
+                      "(unsupported by the CRAM tag dictionary writer)")
+                  isB
+                }
               }.sortBy(_._1)
           w.write(
             if (r.isNullAt(0)) null else r.getString(0),

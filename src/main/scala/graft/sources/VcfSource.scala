@@ -147,7 +147,8 @@ object VcfFormat {
   private[sources] def prunedRawImpl(spark: org.apache.spark.sql.SparkSession,
       path: String, filters: Array[org.apache.spark.sql.sources.Filter],
       withFile: Boolean = false,
-      samples: Option[Set[String]] = None): Option[DataFrame] = {
+      samples: Option[Set[String]] = None,
+      commentPrefix: Char = '#'): Option[DataFrame] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val (contigs, sMin, sMax, eMin, eMax) = foldRegion(filters)
     val constrained = contigs.isDefined || sMin != Int.MinValue ||
@@ -204,9 +205,13 @@ object VcfFormat {
         val in = hp.getFileSystem(serConf.value).open(hp)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => in.close()))
+        // The header prefix is PER FORMAT: '#' for VCF, '@' for SAM. A
+        // SAM QNAME may legally begin with '#' (spec charset [!-?A-~]),
+        // so filtering on the wrong prefix would silently drop records
+        // only when member pruning engages.
         offs.iterator.flatMap { off =>
           new String(BamFormat.inflateMemberAt(in, len, off), StandardCharsets.UTF_8)
-            .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+            .linesIterator.filter(l => l.nonEmpty && l.charAt(0) != commentPrefix)
             .map(l => (l, file))
         }
       }

@@ -347,4 +347,24 @@ class BamFormatSpec extends AnyFunSuite {
     assert(recs.groupBy(_.refId).values.forall(g =>
       g.sliding(2).forall(p => p.length < 2 || p(0).pos0 <= p(1).pos0)))
   }
+
+  test("encodeTag: uint32 values re-encode as 'I' and round-trip; overflow fails loudly") {
+    def roundTrip(tv: String): String = {
+      val bytes = BamFormat.encodeTag("XU", tv)
+      assert(bytes(0) === 'X'.toByte && bytes(1) === 'U'.toByte)
+      BamFormat.renderTag(bytes(2).toChar, bytes.drop(3))
+    }
+    // int32 domain stays 'i'.
+    assert(BamFormat.encodeTag("XU", "i:2147483647")(2) === 'i'.toByte)
+    assert(roundTrip("i:2147483647") === "i:2147483647")
+    assert(roundTrip("i:-2147483648") === "i:-2147483648")
+    // uint32 domain (renderTag's 'i:' text for an 'I' tag) re-encodes as
+    // 'I' and survives a write→read round trip instead of going negative.
+    assert(BamFormat.encodeTag("XU", "i:4294967295")(2) === 'I'.toByte)
+    assert(roundTrip("i:4294967295") === "i:4294967295")
+    assert(roundTrip("i:2147483648") === "i:2147483648")
+    // Outside int32 ∪ uint32: loud failure, never a silent truncation.
+    intercept[RuntimeException](BamFormat.encodeTag("XU", "i:4294967296"))
+    intercept[RuntimeException](BamFormat.encodeTag("XU", "i:-2147483649"))
+  }
 }

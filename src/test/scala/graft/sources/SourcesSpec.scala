@@ -852,6 +852,62 @@ class SourcesSpec extends SparkSpec {
         tableSet("graft.sources.SamSource", s"$dir/sam_plain.sam", "sam_sink_plain"))
   }
 
+  test("SAM member pruning keeps records whose QNAME begins with '#'") {
+    // SAM QNAMEs may legally start with '#' (spec charset [!-?A-~]); the
+    // pruned member reader must filter on SAM's '@' header prefix, not
+    // VCF's '#' — a wrong prefix loses these rows ONLY when .gvi member
+    // pruning engages, silently diverging from the unpruned scan.
+    val p = s"$base/sam_hash_qname"
+    val reads = Tables.readsMd(spark, sf0001).limit(300)
+      .withColumn("qname", concat(lit("#q"), col("pos_start").cast("string"),
+        lit("_"), col("mapq").cast("string")))
+    SourceUtil.writeSam(reads, s"$p/sH.sam", bgzf = true)
+    spark.sql("DROP TABLE IF EXISTS sam_hash_qname")
+    spark.sql(s"""CREATE TABLE sam_hash_qname USING graft.sources.SamSource
+                 |OPTIONS (path '$p/*.sam')""".stripMargin)
+    val t = spark.table("sam_hash_qname")
+    val whole = t.count()
+    assert(whole === 300)
+    // Sample predicate routes through the pruned member reader.
+    val pruned = t.filter(col("sample_id") === "sH")
+    assert(pruned.count() === whole,
+      "member-pruned scan dropped '#'-prefixed QNAMEs")
+    assert(pruned.filter(col("qname").startsWith("#q")).count() === whole)
+  }
+
+  test("writeCram drops B-array tags with a warning instead of crashing") {
+    val path = s"$base/cram_btag"
+    val fastaDir = java.nio.file.Files.createDirectories(Paths.get(s"$path/ref"))
+    val len = 1100
+    val fa = new StringBuilder; val fai = new StringBuilder
+    var off = 0L
+    "0123".foreach { c =>
+      fa.append(s">$c\n"); off += 3
+      (1 to len).foreach(pp => fa.append("ACGT".charAt((c.toInt + pp) % 4)))
+      fa.append('\n')
+      fai.append(s"$c\t$len\t$off\t$len\t${len + 1}\n")
+      off += len + 1
+    }
+    java.nio.file.Files.writeString(fastaDir.resolve("mock.fa"), fa.toString)
+    java.nio.file.Files.writeString(fastaDir.resolve("mock.fa.fai"), fai.toString)
+    val fasta = s"$path/ref/mock.fa"
+    // Real BAMs commonly carry B-array tags (aligner score arrays); the
+    // CRAM tag-dictionary writer cannot express them — they must drop,
+    // not sys.error at task level mid-job.
+    val reads = Tables.readsMd(spark, sf0001).limit(50)
+      .withColumn("tags", map(
+        lit("ZB"), lit("B:i,1,2,3"), lit("ZS"), lit("Z:keepme")))
+    SourceUtil.writeCram(reads, s"$path/s1.cram", fasta)
+    spark.sql("DROP TABLE IF EXISTS cram_btag")
+    spark.sql(s"""CREATE TABLE cram_btag USING graft.sources.CramSource
+                 |OPTIONS (path '$path/s1.cram', refPath '$fasta')""".stripMargin)
+    val t = spark.table("cram_btag")
+    assert(t.count() === 50)
+    val tags = t.select(col("tags")).collect().map(_.getMap[String, String](0))
+    assert(tags.forall(m => m.get("ZS").contains("Z:keepme")))
+    assert(tags.forall(m => !m.contains("ZB")), "B tag must be dropped, not mangled")
+  }
+
   test("FASTQ sample predicate prunes whole files (S7)") {
     val p = s"$base/fastq_bysample"
     java.nio.file.Files.createDirectories(Paths.get(p))
