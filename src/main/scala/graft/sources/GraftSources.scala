@@ -59,13 +59,19 @@ abstract class GraftBaseRelation extends BaseRelation with PrunedFilteredScan {
     * are re-applied below and by Spark). Default: no pruning. */
   protected def frame(filters: Array[Filter]): DataFrame = frame()
 
+  /** The inner frame's execution already produces `InternalRow`s —
+    * hand them to Spark as-is instead of paying `.rdd`'s
+    * InternalRow→Row deserialization PLUS DataSourceStrategy's
+    * Row→InternalRow re-encode on every record of the scan. */
+  override def needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val base = frame(filters)
     val filtered = filters.flatMap(filterToColumn).foldLeft(base)(_.filter(_))
     val projected =
       if (requiredColumns.isEmpty) filtered.select(lit(1).as("one"))
       else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
-    projected.rdd
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 
@@ -598,6 +604,9 @@ class BamSource extends RelationProvider with CreatableRelationProvider {
     new BaseRelation with PrunedFilteredScan with InsertableRelation {
       override val sqlContext: SQLContext = ctx
       override val schema: StructType = BamSource.schema
+      // The scan emits catalyst InternalRows directly (no Row→encoder
+      // bridge on the per-record path).
+      override def needConversion: Boolean = false
       override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
         filters.filterNot(BamSource.handles)
       override def buildScan(
@@ -717,34 +726,65 @@ object BamSource {
     fileName.split('.')(0)
   }
 
-  /** One decoded record to a Row of exactly the required columns
-    * (`codes` = schema ordinals) — shared by the BAM and CRAM scans. */
-  private[sources] def buildRow(codes: Array[Int], sample: String,
-      cleaned: Array[String], r: BamFormat.BamRecord): Row = {
+  /** One decoded record straight to an `InternalRow` of exactly the
+    * required columns (`codes` = schema ordinals) — shared by the BAM and
+    * CRAM scans. Emitting catalyst-native values (UTF8String /
+    * ArrayBasedMapData) under `needConversion = false` removes the
+    * per-row `Row`→`InternalRow` encoder bridge that would otherwise run
+    * on EVERY record of a 100 TB scan (the reference codegens the same
+    * seam, `SequilaDataSourceStrategy.scala:247-260` toCatalystRDD).
+    * `sampleU`/`cleanedU` are the per-split constant strings, converted
+    * once per task, not per record. */
+  private[sources] def buildInternalRow(codes: Array[Int],
+      sampleU: org.apache.spark.unsafe.types.UTF8String,
+      cleanedU: Array[org.apache.spark.unsafe.types.UTF8String],
+      r: BamFormat.BamRecord): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
     val vals = new Array[Any](codes.length)
     var i = 0
     while (i < codes.length) {
       vals(i) = codes(i) match {
-        case 0 => sample
-        case 1 => r.qname
+        case 0 => sampleU
+        case 1 => UTF8String.fromString(r.qname)
         case 2 => r.flag
-        case 3 => if (r.refId >= 0 && r.refId < cleaned.length) cleaned(r.refId) else null
+        case 3 => if (r.refId >= 0 && r.refId < cleanedU.length) cleanedU(r.refId) else null
         case 4 => r.pos0 + 1
         case 5 => r.pos0 + 1 + math.max(r.refConsumed, 1) - 1
         case 6 => r.mapq
-        case 7 => r.cigar
-        case 8 => r.seq
+        case 7 => UTF8String.fromString(r.cigar)
+        case 8 => UTF8String.fromString(r.seq)
         case 9 =>
           if (r.quals == null || r.quals.isEmpty || r.quals(0) == 0xff.toByte) null
-          else new String(r.quals.map(q => (q + 33).toChar))
-        case 10 => r.mdTag
-        case 11 => r.tagNm
-        case 12 => r.tagRg
-        case 13 => r.tagMap
+          else {
+            // Phred+33 is pure ASCII: build the bytes directly.
+            val b = new Array[Byte](r.quals.length)
+            var j = 0
+            while (j < b.length) { b(j) = (r.quals(j) + 33).toByte; j += 1 }
+            UTF8String.fromBytes(b)
+          }
+        case 10 => if (r.mdTag == null) null else UTF8String.fromString(r.mdTag)
+        case 11 => if (r.tagNm == null) null else r.tagNm.intValue()
+        case 12 => if (r.tagRg == null) null else UTF8String.fromString(r.tagRg)
+        case 13 =>
+          if (r.tagMap == null) null
+          else {
+            val n = r.tagMap.size
+            val ks = new Array[Any](n)
+            val vs = new Array[Any](n)
+            var j = 0
+            r.tagMap.foreach { case (k, v) =>
+              ks(j) = UTF8String.fromString(k)
+              vs(j) = UTF8String.fromString(v)
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+          }
       }
       i += 1
     }
-    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 
   /** Fold the handled filters into per-file predicates. Returns
@@ -898,10 +938,14 @@ object BamSource {
           eMin == Int.MinValue && eMax == Int.MaxValue &&
           qMin == Int.MinValue && qMax == Int.MaxValue) null
         else RecordFilter(refIdOk, sMin, sMax, eMin, eMax, qMin, qMax)
+      val sampleU = org.apache.spark.unsafe.types.UTF8String.fromString(sp.sample)
+      val cleanedU = sp.cleaned.map(org.apache.spark.unsafe.types.UTF8String.fromString)
       BamFormat.splitRecords(() => open(), sp.fileLen, sp.start, sp.end,
           spec, filter, sp.cleaned.length, sp.firstRecOff, sp.endVirtual)
-        .map(r => buildRow(codes, sp.sample, sp.cleaned, r))
-    }
+        .map(r => buildInternalRow(codes, sampleU, cleanedU, r))
+    // needConversion=false contract: the relation hands Spark
+    // InternalRows typed as Row (DataSourceStrategy casts them back).
+    }.asInstanceOf[RDD[Row]]
   }
 
   /** Index-pruned block ranges for one file: keep members whose recorded
@@ -996,6 +1040,8 @@ class CramSource extends RelationProvider {
     new BaseRelation with PrunedFilteredScan {
       override val sqlContext: SQLContext = ctx
       override val schema: StructType = BamSource.schema
+      // Same InternalRow contract as BamSource.
+      override def needConversion: Boolean = false
       override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
         filters.filterNot(BamSource.handles)
       override def buildScan(
@@ -1115,6 +1161,8 @@ object CramSource {
             "given (only embedded-reference slices read without one)")
         else CramFormat.upperContig(refPathB, sp.refNames(refId))
       val hdr = CramFormat.CramHeader("", sp.refNames, Array.empty, sp.rgIds)
+      val sampleU = org.apache.spark.unsafe.types.UTF8String.fromString(sp.sample)
+      val cleanedU = sp.cleaned.map(org.apache.spark.unsafe.types.UTF8String.fromString)
       val refIdOk: Array[Boolean] =
         if (contigs.isEmpty && !contigNotNull) null
         else {
@@ -1138,8 +1186,8 @@ object CramSource {
             posEnd >= eMin && posEnd <= eMax &&
             r.mapq >= qMin && r.mapq <= qMax
         }
-      }.map(r => BamSource.buildRow(codes, sp.sample, sp.cleaned, r))
-    }
+      }.map(r => BamSource.buildInternalRow(codes, sampleU, cleanedU, r))
+    }.asInstanceOf[RDD[Row]]
   }
 }
 

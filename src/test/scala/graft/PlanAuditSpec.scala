@@ -41,6 +41,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("has_alt"), s"unused columns not pruned:\n$plan")
   }
 
+  /** Every DSv1 relation in the engine hands Spark InternalRows directly
+    * (`needConversion = false`): the per-record Row→encoder bridge in
+    * DataSourceStrategy.toCatalystRDD is the one conversion a 100 TB
+    * scan cannot afford, and `.rdd`-backed relations would pay it TWICE
+    * (InternalRow→Row deserialize, then Row→InternalRow re-encode). */
+  test("engine relations emit InternalRow (no conversion bridge)") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // One DDL table per relation family: binary BAM, binary CRAM,
+    // SAM/VCF/BED/FASTQ text, parquet-backed alignment.
+    val tableQueries = Seq("ddl_bam_scan", "ddl_cram_scan", "ddl_sam_scan",
+      "ddl_vcf_scan", "ddl_bed_scan", "ddl_fastq_scan", "ddl_alignment_scan")
+    tableQueries.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val rels = df.queryExecution.analyzed.collect {
+        case lr: LogicalRelation => lr.relation
+      }
+      assert(rels.nonEmpty, s"$name plans no LogicalRelation")
+      rels.foreach { rel =>
+        assert(!rel.needConversion,
+          s"$name relation ${rel.getClass.getName} still requests row conversion")
+      }
+    }
+    // And the binary scan's raw RDD really carries InternalRows.
+    val bam = SparkEntry.queries("ddl_bam_scan")(spark, sf0001)
+    val lr = bam.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation
+    }.head.asInstanceOf[org.apache.spark.sql.sources.PrunedFilteredScan]
+    val first = lr.buildScan(Array("contig", "pos_start", "tags"), Array.empty)
+      .asInstanceOf[org.apache.spark.rdd.RDD[Any]].first()
+    assert(first.isInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      s"BAM scan emitted ${first.getClass.getName}")
+  }
+
   test("coverage/pileup TVFs plan the lazy pipeline execs") {
     Seq("coverage_tvf" -> "Coverage", "pileup_tvf" -> "Pileup").foreach {
       case (name, node) =>
