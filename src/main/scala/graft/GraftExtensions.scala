@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPreCBORule(plans.BinRangeLogicalRule(_))
     ext.injectResolutionRule(plans.NearestJoinDedupRule(_))
     ext.injectOptimizerRule(plans.NearestJoinPruneRule(_))
+    ext.injectOptimizerRule(plans.TagKeyPruneRule(_))
     ext.injectPlannerStrategy(IntervalJoinStrategy(_))
     ext.injectPlannerStrategy(plans.GenomicStrategy(_))
     functions.GraftFunctions.registrations.foreach(ext.injectFunction)

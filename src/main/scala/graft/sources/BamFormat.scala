@@ -149,10 +149,23 @@ object BamFormat {
   case class DecodeSpec(name: Boolean = true, cigar: Boolean = true,
       refConsumed: Boolean = true, seq: Boolean = true, quals: Boolean = true,
       md: Boolean = true, nm: Boolean = true, rg: Boolean = true,
-      tagMap: Boolean = false) {
+      tagMap: Boolean = false, tagKeys: Array[String] = null) {
     def tags: Boolean = md || nm || rg || tagMap
+    /** Requested tag keys as `(c1<<8)|c2` codes for the decode loop's
+      * per-tag membership probe (null = materialize every tag). Keys are
+      * few (a handful of literal lookups), so a linear scan over an int
+      * array beats any hash structure. */
+    @transient lazy val tagKeyCodes: Array[Int] =
+      if (tagKeys == null) null
+      else tagKeys.map(k => (k.charAt(0) << 8) | k.charAt(1))
   }
   val FullDecode: DecodeSpec = DecodeSpec()
+
+  /** Tag values actually RENDERED into the `tags` map (test
+    * observability for per-key pruning — the value-skip arithmetic runs
+    * regardless, rendering is the cost pruning avoids). LongAdder: the
+    * count rides the hot decode loop across all task threads. */
+  val tagsRendered = new java.util.concurrent.atomic.LongAdder()
 
   /** Predicates evaluated on the FIXED 32-byte record prefix (plus a
     * cigar-words-only walk when `pos_end` is constrained) BEFORE any
@@ -852,11 +865,27 @@ object BamFormat {
           case other => sys.error(s"unknown BAM tag type '$other' for $t1$t2")
         }
         if (tmap != null) {
-          // Z/H rendered from the NUL-stripped slice; everything else
-          // from the exact value bytes the skip logic just measured.
-          val end = if (vt == 'Z' || vt == 'H') o - 1 else o
-          tmap(s"$t1$t2") =
-            renderTag(vt, java.util.Arrays.copyOfRange(data, vs, end))
+          // Per-key pruning: when the plan proved only literal-key
+          // lookups touch the map, every other tag's value bytes are
+          // skipped by the arithmetic above and never rendered.
+          val keyCodes = spec.tagKeyCodes
+          val wanted = keyCodes == null || {
+            val code = (t1 << 8) | t2
+            var ki = 0
+            var hit = false
+            while (!hit && ki < keyCodes.length) {
+              hit = keyCodes(ki) == code; ki += 1
+            }
+            hit
+          }
+          if (wanted) {
+            // Z/H rendered from the NUL-stripped slice; everything else
+            // from the exact value bytes the skip logic just measured.
+            val end = if (vt == 'Z' || vt == 'H') o - 1 else o
+            tagsRendered.increment()
+            tmap(s"$t1$t2") =
+              renderTag(vt, java.util.Arrays.copyOfRange(data, vs, end))
+          }
         }
       }
     }

@@ -601,24 +601,7 @@ class BamSource extends RelationProvider with CreatableRelationProvider {
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("BamSource requires a 'path' option"))
     val splitSize = parameters.getOrElse("splitSize", (64L << 20).toString).toLong
-    new BaseRelation with PrunedFilteredScan with InsertableRelation {
-      override val sqlContext: SQLContext = ctx
-      override val schema: StructType = BamSource.schema
-      // The scan emits catalyst InternalRows directly (no Row→encoder
-      // bridge on the per-record path).
-      override def needConversion: Boolean = false
-      override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
-        filters.filterNot(BamSource.handles)
-      override def buildScan(
-          requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] =
-        BamSource.scan(ctx.sparkSession, path, splitSize, requiredColumns, filters)
-      // S10 `INSERT INTO` over a BAM table (reference
-      // `outputformats/BAMOutputFormat.scala:9` + the fileformats docs'
-      // IAS examples): append writes new shards under a fresh job tag.
-      override def insert(data: org.apache.spark.sql.DataFrame,
-          overwrite: Boolean): Unit =
-        SourceUtil.writeBam(data, path, overwrite)
-    }
+    BamRelation(ctx, path, splitSize)
   }
 
   /** S10 CTAS: `CREATE TABLE t USING graft.sources.BamSource
@@ -642,6 +625,34 @@ class BamSource extends RelationProvider with CreatableRelationProvider {
     }
     createRelation(ctx, parameters)
   }
+}
+
+/** The BAM table relation (named, so the per-key tag-pruning optimizer
+  * rule can swap in a keyed copy). `tagKeys = Some(keys)` restricts the
+  * `tags` map column to exactly those keys — set ONLY by
+  * [[graft.plans.TagKeyPruneRule]] when it has proven every use of the
+  * column in the plan is an `element_at(tags, <literal>)` lookup, so the
+  * decode loop can skip rendering every other tag. */
+private[graft] case class BamRelation(ctx: SQLContext, path: String,
+    splitSize: Long, tagKeys: Option[Seq[String]] = None)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+  override def sqlContext: SQLContext = ctx
+  override val schema: StructType = BamSource.schema
+  // The scan emits catalyst InternalRows directly (no Row→encoder
+  // bridge on the per-record path).
+  override def needConversion: Boolean = false
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot(BamSource.handles)
+  override def buildScan(
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] =
+    BamSource.scan(ctx.sparkSession, path, splitSize, requiredColumns,
+      filters, tagKeys)
+  // S10 `INSERT INTO` over a BAM table (reference
+  // `outputformats/BAMOutputFormat.scala:9` + the fileformats docs'
+  // IAS examples): append writes new shards under a fresh job tag.
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit =
+    SourceUtil.writeBam(data, path, overwrite)
 }
 
 object BamSource {
@@ -828,7 +839,8 @@ object BamSource {
 
   private[sources] def scan(spark: org.apache.spark.sql.SparkSession,
       path: String, splitSize: Long, requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
+      filters: Array[Filter],
+      tagKeys: Option[Seq[String]] = None): RDD[Row] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
@@ -845,7 +857,8 @@ object BamSource {
       name = req("qname"), cigar = req("cigar"),
       refConsumed = req("pos_end") || req("cigar") || constrainsEnd,
       seq = req("seq"), quals = req("qual_str"), md = req("md_tag"),
-      nm = req("tag_NM"), rg = req("tag_RG"), tagMap = req("tags"))
+      nm = req("tag_NM"), rg = req("tag_RG"), tagMap = req("tags"),
+      tagKeys = if (req("tags")) tagKeys.map(_.toArray).orNull else null)
     // Column codes resolved once; the per-record loop switches on ints.
     val codes: Array[Int] = requiredColumns.map(c => schema.fieldIndex(c))
 

@@ -908,6 +908,55 @@ class SourcesSpec extends SparkSpec {
     assert(tags.forall(m => !m.contains("ZB")), "B tag must be dropped, not mangled")
   }
 
+  test("literal-key tag lookups prune the BAM tag decode to those keys") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val p = s"$base/bam_tagkeys"
+    SourceUtil.writeBam(
+      Tables.readsMd(spark, sf0001).limit(400)
+        .withColumn("tags", map(
+          lit("XS"), concat(lit("i:"), (col("mapq") * 3).cast("string")),
+          lit("BC"), concat(lit("Z:bc_"), col("contig")),
+          lit("ZZ"), concat(lit("Z:zz_"), col("pos_start").cast("string")))),
+      s"$p/sK.bam")
+    spark.sql("DROP TABLE IF EXISTS bam_tagkeys")
+    spark.sql(s"""CREATE TABLE bam_tagkeys USING graft.sources.BamSource
+                 |OPTIONS (path '$p/sK.bam')""".stripMargin)
+    def keyedRelation(df: org.apache.spark.sql.DataFrame): Option[Seq[String]] =
+      df.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(rel: BamRelation, _, _, _, _) => rel.tagKeys
+      }.head
+    def rendered(body: => Long): (Long, Long) = {
+      val before = BamFormat.tagsRendered.sum()
+      val rows = body
+      (rows, BamFormat.tagsRendered.sum() - before)
+    }
+    val t = spark.table("bam_tagkeys")
+    // Literal lookups only -> the rule keys the relation; the decode
+    // renders exactly the named tags (XS here), skipping BC/ZZ/MD/NM.
+    val lookup = t.select(
+      col("pos_start"), expr("element_at(tags, 'XS')").as("xs"))
+    assert(keyedRelation(lookup) === Some(Seq("XS")))
+    val (nK, renderedK) = rendered(lookup.filter(col("xs").isNotNull).count())
+    assert(nK === 400)
+    assert(renderedK === 400, s"expected 1 rendered tag/record, got $renderedK")
+    // Values identical to the unpruned decode.
+    val fullMap = t.select(col("pos_start"), expr("tags['XS']").as("xs2"),
+      col("tags"))
+    assert(keyedRelation(fullMap) === None,
+      "bare `tags` projection must disqualify pruning")
+    val (_, renderedFull) = rendered(fullMap.collect().length.toLong)
+    assert(renderedFull > 3 * 400, s"full decode rendered only $renderedFull")
+    val a = lookup.collect().map(r => r.getInt(0) -> r.getString(1)).toSeq.sorted
+    val b = fullMap.select(col("pos_start"), col("xs2")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toSeq.sorted
+    assert(a === b)
+    // map_keys (a whole-map use) also disqualifies.
+    assert(keyedRelation(t.select(map_keys(col("tags")))) === None)
+    // Two distinct literal keys accumulate (sorted).
+    assert(keyedRelation(t.select(expr("element_at(tags, 'ZZ')"),
+      expr("tags['BC']"))) === Some(Seq("BC", "ZZ")))
+  }
+
   test("FASTQ sample predicate prunes whole files (S7)") {
     val p = s"$base/fastq_bysample"
     java.nio.file.Files.createDirectories(Paths.get(p))
