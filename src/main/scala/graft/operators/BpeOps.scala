@@ -95,9 +95,18 @@ object BpeOps {
     // executor-local; a production 30k-merge run on a real cluster
     // would set a reliable checkpoint dir and use checkpoint() at the
     // same cadence.
+    //
+    // LAZY checkpoints (eager = false) fold each round into ONE Spark
+    // job: the round's pair-count collect materializes the previous
+    // round's rewrite as a side effect, instead of a dedicated
+    // checkpoint-count job followed by the collect (2 jobs/round → 1 —
+    // halved driver round-trips on a 30k-merge run; job-counted in
+    // BpeSpec). The previous table is unpersisted only AFTER the next
+    // one materializes, so nothing ever recomputes up the chain.
     var words: Dataset[(Array[String], Long)] = wordFrequencies(docs)
       .as[(String, Long)].map { case (w, f) => (toSymbols(w), f) }
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
+    var prev: Dataset[(Array[String], Long)] = null
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
@@ -117,6 +126,10 @@ object BpeOps {
         .orderBy(col("freq").desc, col("left").asc, col("right").asc)
         .limit(window)
         .as[(String, String, Long)].collect()
+
+      // `words` is materialized now; the table it was rewritten FROM
+      // can finally go.
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
 
       if (candidates.isEmpty) exhausted = true
       else {
@@ -145,17 +158,18 @@ object BpeOps {
         }
         merges ++= rules
         val bc = spark.sparkContext.broadcast(rules.map(t => (t._2, t._3, t._4)).toArray)
-        val prev = words
+        prev = words
         words = prev.map { case (sym, f) =>
           var s = sym
           val rs = bc.value
           var i = 0
           while (i < rs.length) { s = applyMerge(s, rs(i)._1, rs(i)._2, rs(i)._3); i += 1 }
           (s, f)
-        }.localCheckpoint(eager = true)
-        prev.unpersist(blocking = false)
+        }.localCheckpoint(eager = false)
       }
     }
+    if (prev != null) prev.unpersist(blocking = false)
+    words.unpersist(blocking = false)
     spark.createDataFrame(merges.toSeq)
       .toDF("rank", "left", "right", "merged", "pair_freq")
   }

@@ -66,6 +66,48 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  /** The lazy-checkpoint fold: each training round must cost ONE pass
+    * over the words table (the pair-count collect materializes the
+    * previous rewrite as a side effect). Under AQE that pass surfaces as
+    * 2 listener jobs — the shuffle-stage materialization and the final
+    * top-K stage of the SAME query; an eager checkpoint would add a
+    * third, dedicated count job per round (measured: 14 vs 9 jobs on a
+    * 4-round run). Counted via a job-group-scoped listener so concurrent
+    * suites can't pollute the tally. */
+  test("training runs one words-table pass per round") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val group = "bpe-job-count"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        if (e.properties != null &&
+          group == e.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "bpe job-count spec")
+      // batch=1 on the saturating fixture: selection rounds R = merge
+      // count, plus one exhaustion-detecting round if the corpus dries
+      // before numMerges.
+      val merges = BpeOps.trainBpe(fixture, numMerges = 8, batch = 1, minFreq = 2)
+        .collect()
+      spark.sparkContext.clearJobGroup()
+      assert(merges.length === 8)
+      // Listener bus is async; wait for the count to settle.
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      // 8 rounds × 2 AQE stage-jobs + slack; the eager-checkpoint
+      // regime's extra per-round job would push this past 24.
+      assert(jobs.get() <= 18,
+        s"expected ≤2 jobs/round (8 rounds), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("trainer stops early when the corpus saturates below minFreq") {
     val tiny = docsOf("ab ab")
     // "ab" freq 2: pairs (a,b)=2, (b,</w>)=2 merge down quickly; after
