@@ -400,6 +400,43 @@ object SourceQueries {
               |      FROM vcf_gt_ddl)
               |GROUP BY sample""".stripMargin)
     },
+    // Header-driven TYPED INFO columns (the Glow surface the reference
+    // reaches through VCFRelation.scala:25-49): `##INFO=<ID,Number,Type>`
+    // declarations become typed `info_<ID>` columns — Integer/Float
+    // scalars, Flag booleans, Number=A arrays — all derived from the raw
+    // `info` string with stock codegen functions at scan time.
+    "vcf_info_typed" -> { (s, dir) =>
+      val path = fixture("variants_vcf_typed", dir) { p =>
+        val v = Tables.part(s, dir).select(
+          concat(lit("chr"), (col("p_partkey") % 4).cast("string")).as("contig"),
+          (((col("p_partkey") * 7) % 5000) + 1).cast("int").as("pos_start"),
+          lit("AC").as("ref"),
+          expr("CASE WHEN p_partkey % 3 = 1 THEN 'T,G' ELSE 'T' END").as("alt"),
+          expr("""concat('NS=', CAST(p_partkey % 3 AS STRING),
+                 |  ';DP=', CAST(p_partkey % 50 AS STRING),
+                 |  CASE WHEN p_partkey % 6 = 0 THEN ';DB' ELSE '' END,
+                 |  ';AF=0.', CAST(p_partkey % 9 AS STRING),
+                 |  CASE WHEN p_partkey % 3 = 1
+                 |       THEN concat(',0.1', CAST(p_partkey % 4 AS STRING))
+                 |       ELSE '' END,
+                 |  ';SRC=src_', CAST(p_partkey % 4 AS STRING))""".stripMargin)
+            .as("info"))
+        graft.sources.VcfFormat.writeVcf(v, p, metaLines = Seq(
+          """##INFO=<ID=NS,Number=1,Type=Integer,Description="Number of samples">""",
+          """##INFO=<ID=DP,Number=1,Type=Integer,Description="Total depth">""",
+          """##INFO=<ID=AF,Number=A,Type=Float,Description="Allele frequency">""",
+          """##INFO=<ID=DB,Number=0,Type=Flag,Description="dbSNP membership">""",
+          """##INFO=<ID=SRC,Number=1,Type=String,Description="Call source">"""))
+      }
+      s.sql("DROP TABLE IF EXISTS vcf_typed_ddl")
+      s.sql(s"""CREATE TABLE vcf_typed_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, info_NS AS ns, info_DP AS dp,
+              |  info_DB AS db, info_SRC AS src,
+              |  get(info_AF, 0) AS af1, get(info_AF, 1) AS af2,
+              |  size(info_AF) AS af_n
+              |FROM vcf_typed_ddl WHERE info_DP >= 10""".stripMargin)
+    },
     // S4 normalization interplay: the variant_normalize derivation
     // round-tripped through `.vcf`, left-aligned AT SCAN TIME by the
     // reference's `normalizationMode` option (VCFRelation.scala:30-37 —
@@ -673,6 +710,19 @@ object SourceQueries {
         |           ELSE 0 END) AS BIGINT) AS allele_count,
         |  CAST(SUM(dp) AS BIGINT) AS dp_sum
         |FROM gt GROUP BY sample""".stripMargin,
+    "vcf_info_typed" ->
+      """SELECT CAST(p_partkey % 4 AS VARCHAR) AS contig,
+        |  CAST((p_partkey * 7) % 5000 + 1 AS INT) AS pos_start,
+        |  CAST(p_partkey % 3 AS INT) AS ns,
+        |  CAST(p_partkey % 50 AS INT) AS dp,
+        |  (p_partkey % 6 = 0) AS db,
+        |  'src_' || CAST(p_partkey % 4 AS VARCHAR) AS src,
+        |  CAST('0.' || CAST(p_partkey % 9 AS VARCHAR) AS DOUBLE) AS af1,
+        |  CASE WHEN p_partkey % 3 = 1
+        |       THEN CAST('0.1' || CAST(p_partkey % 4 AS VARCHAR) AS DOUBLE)
+        |       ELSE NULL END AS af2,
+        |  CAST(CASE WHEN p_partkey % 3 = 1 THEN 2 ELSE 1 END AS INT) AS af_n
+        |FROM part WHERE p_partkey % 50 >= 10""".stripMargin,
     "vcf_normalize" -> PileupQueries.oracle("variant_normalize"),
     "vcf_split_normalize" -> PileupQueries.oracle("variant_split_normalize"),
     "ddl_variant_scan" ->

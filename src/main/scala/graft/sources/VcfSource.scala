@@ -221,11 +221,68 @@ object VcfFormat {
       .toDF("value", "_file").select(cols.map(col): _*))
   }
 
-  /** Sample names from the first matched file's `#CHROM` header line
-    * (fields after FORMAT). Empty when the file carries no genotype
-    * columns (or no `#CHROM` line at all — tolerated, spec-minimal). */
-  private[graft] def headerSamples(
-      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+  /** One `##INFO=<ID=...,Number=...,Type=...>` declaration. `number` is
+    * kept verbatim (`0`/`1`/`A`/`R`/`G`/`.`); `vtype` is the VCF Type. */
+  case class VcfInfoField(id: String, number: String, vtype: String)
+
+  /** Driver-side header metadata for a VCF path: the `#CHROM` genotype
+    * sample names plus the declared INFO fields. */
+  case class VcfHeaderMeta(samples: Seq[String], infos: Seq[VcfInfoField])
+
+  /** File-header reads performed (test observability for the
+    * per-(path, files-fingerprint) memoization). */
+  private[graft] val headerReads = new java.util.concurrent.atomic.LongAdder()
+
+  // path -> (files fingerprint, parsed meta). The fingerprint covers
+  // every matched file's (name, mtime, length), so appends/overwrites
+  // invalidate; planning a query re-reads ZERO headers on a hit — the
+  // pre-memoization behavior re-read the header on every planning pass.
+  private val headerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, VcfHeaderMeta)]()
+
+  private val InfoDecl =
+    """##INFO=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*>""".r
+
+  private def readOneHeader(fs: org.apache.hadoop.fs.FileSystem,
+      file: org.apache.hadoop.fs.Path): VcfHeaderMeta = {
+    headerReads.increment()
+    val raw: java.io.InputStream = fs.open(file)
+    // bgzipped .vcf.gz is standard; the JDK gzip engine consumes BGZF
+    // members natively, and the header sits at the file head.
+    val in =
+      if (file.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+      else raw
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+    try {
+      val infos = Seq.newBuilder[VcfInfoField]
+      var samples: Seq[String] = Nil
+      var line = rd.readLine()
+      while (line != null && line.startsWith("##")) {
+        line match {
+          case InfoDecl(id, num, tpe) => infos += VcfInfoField(id, num, tpe)
+          case _ => ()
+        }
+        line = rd.readLine()
+      }
+      if (line != null && line.startsWith("#CHROM")) {
+        val f = line.split("\t", -1)
+        if (f.length > 9) samples = f.drop(9).toSeq
+      }
+      VcfHeaderMeta(samples, infos.result())
+    } finally rd.close()
+  }
+
+  /** Header metadata for every file matched by `path` — memoized per
+    * (path, files-fingerprint), one BOUNDED header-prefix read per file
+    * on a miss, zero reads on a hit. Files declaring DIFFERENT `#CHROM`
+    * sample columns fail loudly with the file names (the reader derives
+    * ONE schema for the whole directory; silently adopting file 1's
+    * would drop the others' genotype columns). Conflicting
+    * re-declarations of the same INFO ID fail the same way; disjoint
+    * declarations union. */
+  private[graft] def headerMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): VcfHeaderMeta = {
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
@@ -238,32 +295,75 @@ object VcfFormat {
       else Seq(st)
     }
     require(files.nonEmpty, s"VcfSource: no files match '$path'")
-    val first = files.head.getPath
-    val raw: java.io.InputStream = fs.open(first)
-    // bgzipped .vcf.gz is standard; the JDK gzip engine consumes BGZF
-    // members natively, and the header sits at the file head.
-    val in =
-      if (first.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
-      else raw
-    val rd = new java.io.BufferedReader(
-      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
-    try {
-      var line = rd.readLine()
-      while (line != null && line.startsWith("##")) line = rd.readLine()
-      if (line != null && line.startsWith("#CHROM")) {
-        val f = line.split("\t", -1)
-        if (f.length > 9) f.drop(9).toSeq else Nil
-      } else Nil
-    } finally rd.close()
+    val fp = files.map(st =>
+      s"${st.getPath}:${st.getModificationTime}:${st.getLen}").mkString("|")
+    val hit = headerCache.get(path)
+    if (hit != null && hit._1 == fp) return hit._2
+
+    val perFile = files.map(st => st.getPath -> readOneHeader(fs, st.getPath))
+    val bySamples = perFile.groupBy(_._2.samples)
+    require(bySamples.size <= 1, {
+      val desc = bySamples.map { case (ss, fsOf) =>
+        s"[${ss.mkString(",")}] in ${fsOf.map(_._1.getName).mkString(", ")}"
+      }.mkString("; ")
+      s"VcfSource: conflicting #CHROM sample columns across files at '$path': $desc"
+    })
+    val infoById = scala.collection.mutable.LinkedHashMap.empty[String, (VcfInfoField, String)]
+    perFile.foreach { case (f, m) =>
+      m.infos.foreach { i =>
+        infoById.get(i.id) match {
+          case Some((prev, prevFile)) =>
+            require(prev == i, s"VcfSource: conflicting ##INFO declarations " +
+              s"for '${i.id}' at '$path': $prev in $prevFile vs $i in ${f.getName}")
+          case None => infoById(i.id) = (i, f.getName)
+        }
+      }
+    }
+    val meta = VcfHeaderMeta(perFile.head._2.samples, infoById.values.map(_._1).toSeq)
+    headerCache.put(path, (fp, meta))
+    meta
   }
 
+  /** Sample names from the `#CHROM` header (fields after FORMAT). Empty
+    * when the files carry no genotype columns. */
+  private[graft] def headerSamples(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+    headerMeta(spark, path).samples
+
   private def dot(c: Column): Column = when(c === ".", lit(null)).otherwise(c)
+
+  /** Typed `info_<ID>` column for one declared INFO field, derived from
+    * the raw `info` string with stock codegen functions (str_to_map over
+    * the ';'/'=' grammar — the same parse the reference reaches through
+    * Glow's VCF schema, `VCFRelation.scala:25-49`). Number=0 (Flag) →
+    * boolean presence; Number=1 → scalar of the declared type; any other
+    * Number (A/R/G/./n) → array of the declared type (`.` placeholders
+    * and absent keys are null throughout). */
+  private def infoColumn(f: VcfInfoField): Column = {
+    val kv = str_to_map(coalesce(col("info"), lit("")), lit(";"), lit("="))
+    def cast(c: Column): Column = f.vtype match {
+      case "Integer" => c.cast("int")
+      case "Float" => c.cast("double")
+      case _ => c // String / Character stay text
+    }
+    val rawV = dot(element_at(kv, lit(f.id)))
+    val typed = f.number match {
+      case "0" => map_contains_key(kv, lit(f.id))
+      case "1" => cast(rawV)
+      case _ => transform(split(rawV, ","), x => cast(dot(x)))
+    }
+    typed.as(s"info_${f.id}")
+  }
 
   /** The VCF line parse as pure column expressions over a `value` text
     * column — shared verbatim by the batch relation and the file-stream
     * ingest ([[graft.streaming.StreamingOps.vcfStream]]): both surfaces
     * parse identically because they ARE the same expressions. */
-  private[graft] def parse(raw: DataFrame, samples: Seq[String]): DataFrame = {
+  private[graft] def parse(raw: DataFrame, samples: Seq[String]): DataFrame =
+    parse(raw, VcfHeaderMeta(samples, Nil))
+
+  private[graft] def parse(raw: DataFrame, meta: VcfHeaderMeta): DataFrame = {
+    val samples = meta.samples
     val data =
       raw.filter(!col("value").startsWith("#") && length(col("value")) > 0)
     val f = split(col("value"), "\t")
@@ -291,7 +391,9 @@ object VcfFormat {
       .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
       .select(
         (Seq("contig", "pos_start", "pos_end", "id", "ref", "alt", "qual",
-          "filter", "info").map(col) ++ gts.indices.map(i =>
+          "filter", "info").map(col) ++
+          meta.infos.map(infoColumn) ++
+          gts.indices.map(i =>
             col(if (i == 0) "format" else samples(i - 1)))): _*)
   }
 
@@ -305,13 +407,21 @@ object VcfFormat {
       if (mode.isDefined || filters.isEmpty) SourceUtil.textFrame(spark, path)
       else prunedRawImpl(spark, path, filters)
         .getOrElse(SourceUtil.textFrame(spark, path))
-    val ordered = parse(raw, headerSamples(spark, path))
+    val meta = headerMeta(spark, path)
+    val ordered = parse(raw, meta)
     mode match {
       case Some("normalize") =>
         graft.operators.VariantOps.normalizeInPlace(ordered)
       case Some("split_and_normalize") =>
-        graft.operators.VariantOps.normalizeInPlace(
-          graft.operators.VariantOps.splitInPlace(ordered))
+        val split = graft.operators.VariantOps.splitInPlace(ordered)
+        // Number=A arrays align with the decomposed alleles: after the
+        // split each row keeps exactly ITS allele's element (Glow's
+        // split semantics; `get` is 0-based and null-safe out of range).
+        val aligned = meta.infos.filter(_.number == "A").foldLeft(split) {
+          (df, i) => df.withColumn(s"info_${i.id}",
+            get(col(s"info_${i.id}"), col("allele_idx") - 1))
+        }
+        graft.operators.VariantOps.normalizeInPlace(aligned)
       case _ => ordered
     }
   }
@@ -334,7 +444,12 @@ object VcfFormat {
       overwrite: Boolean = true): Unit = {
     val core = Set("contig", "pos_start", "pos_end", "id", "ref", "alt",
       "qual", "filter", "info", "format")
-    val sampleCols = df.columns.filterNot(core).toSeq
+    // Typed `info_<ID>` projections of the raw `info` column (and the
+    // split mode's allele_idx) are derived surface, not genotype data —
+    // the `info` column already round-trips their content.
+    val sampleCols = df.columns
+      .filterNot(c => core(c) || c.startsWith("info_") || c == "allele_idx")
+      .toSeq
     val formatCol = if (df.columns.contains("format")) Some("format") else None
     writeVcf(df, path, sampleCols, formatCol, overwrite)
   }
@@ -344,7 +459,7 @@ object VcfFormat {
     * granularity through the same seam as BAM. */
   def writeVcf(df: DataFrame, path: String, sampleCols: Seq[String] = Nil,
       formatCol: Option[String] = None, overwrite: Boolean = true,
-      bgzf: Boolean = false): Unit = {
+      bgzf: Boolean = false, metaLines: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     def opt(n: String): Column =
       if (df.columns.contains(n)) coalesce(col(n).cast("string"), lit(".")) else lit(".")
@@ -360,6 +475,7 @@ object VcfFormat {
         sampleCols.map(c => coalesce(col(c).cast("string"), lit(".")))
     val lineCol = concat_ws("\t", fixed ++ gts: _*).as("line")
     val header = "##fileformat=VCFv4.3\n##source=graft\n" +
+      metaLines.map(_ + "\n").mkString +
       (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO") ++
         (if (sampleCols.isEmpty) Nil else "FORMAT" +: sampleCols))
         .mkString("\t") + "\n"

@@ -292,16 +292,16 @@ object StreamingOps {
     * shards and parse arriving files with the EXACT expressions the
     * batch [[graft.sources.VcfSource]] relation uses — the sequencing-
     * output-directory pattern (variants land as files, the pipeline
-    * tails them). Genotype sample columns come from the first existing
-    * file's `#CHROM` line (one driver header read at stream start;
-    * later files must declare the same samples, the parquet-append
-    * contract). Compose with [[annotateStream]]/[[countStream]] for
-    * stream-static annotation. */
+    * tails them). Genotype sample columns AND typed `info_<ID>` columns
+    * come from the existing files' headers (memoized driver header reads
+    * at stream start; later files must declare the same samples, the
+    * parquet-append contract). Compose with
+    * [[annotateStream]]/[[countStream]] for stream-static annotation. */
   def vcfStream(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     graft.sources.VcfFormat.parse(
       spark.readStream.text(path),
-      graft.sources.VcfFormat.headerSamples(spark, path))
+      graft.sources.VcfFormat.headerMeta(spark, path))
 
   /** File-stream SAM ingest — the alignment twin of [[vcfStream]]:
     * tail a directory of `.sam` shards (an aligner's output directory)

@@ -721,11 +721,25 @@ class SourcesSpec extends SparkSpec {
     spark.sql(s"""CREATE TABLE vcf_fixture USING graft.sources.VcfSource
                  |OPTIONS (path '$path')""".stripMargin)
     val df = spark.table("vcf_fixture")
-    // Genotype columns named from the #CHROM header line.
+    // Genotype columns named from the #CHROM header line; typed info_*
+    // columns from the ##INFO declarations (the spec example declares
+    // NS/DP/AF/AA/DB/H2).
     assert(df.columns.toSeq === Seq("contig", "pos_start", "pos_end", "id",
-      "ref", "alt", "qual", "filter", "info", "format", "NA00001", "NA00002", "NA00003"))
+      "ref", "alt", "qual", "filter", "info", "info_NS", "info_DP", "info_AF",
+      "info_AA", "info_DB", "info_H2", "format", "NA00001", "NA00002", "NA00003"))
     val rows = df.orderBy("pos_start").collect()
     assert(rows.length === 5)
+    // Spec-example INFO values through the typed surface: DP Integer,
+    // AF Number=A Float arrays, DB Flag at POS 14370 and 1110696.
+    assert(rows.map(_.getAs[Int]("info_DP")).toSeq === Seq(14, 11, 10, 13, 9))
+    assert(rows.map(_.getAs[Boolean]("info_DB")).toSeq ===
+      Seq(true, false, true, false, false))
+    val af = rows.map { r =>
+      val i = r.fieldIndex("info_AF")
+      if (r.isNullAt(i)) Nil else r.getSeq[Double](i).toList
+    }
+    assert(af(0) === Seq(0.5) && af(2) === Seq(0.333, 0.667))
+    assert(af(3) === Nil, "absent AF key must be a null array")
     val bypos = rows.map(r => r.getAs[Int]("pos_start") -> r).toMap
     // Multi-allelic ALT kept comma-joined; '.' -> null; microsat REF
     // spans 3 bases (pos_end = POS + len(REF) - 1).
@@ -955,6 +969,95 @@ class SourcesSpec extends SparkSpec {
     // Two distinct literal keys accumulate (sorted).
     assert(keyedRelation(t.select(expr("element_at(tags, 'ZZ')"),
       expr("tags['BC']"))) === Some(Seq("BC", "ZZ")))
+  }
+
+  test("VCF header metadata: typed INFO columns from a real-world-style header") {
+    val dir = s"$base/vcf_typed"
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    // 1000-Genomes-flavored header: extra attributes, quoted Descriptions
+    // WITH commas, declarations interleaved with other meta lines.
+    java.nio.file.Files.writeString(Paths.get(s"$dir/a.vcf"),
+      """##fileformat=VCFv4.2
+        |##FILTER=<ID=PASS,Description="All filters passed">
+        |##INFO=<ID=DP,Number=1,Type=Integer,Description="Total read depth, summed">
+        |##INFO=<ID=AF,Number=A,Type=Float,Description="Allele frequency, per ALT">
+        |##INFO=<ID=DB,Number=0,Type=Flag,Description="dbSNP membership">
+        |##INFO=<ID=CSQ,Number=.,Type=String,Description="Consequence annotations">
+        |##contig=<ID=chr7,length=159345973>
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr7	100	rs1	AC	T	50	PASS	DP=12;AF=0.5;DB;CSQ=missense,intron
+        |chr7	200	rs2	A	T,G	60	PASS	DP=7;AF=0.25,0.125
+        |chr7	300	rs3	G	C	.	PASS	DP=.
+        |""".stripMargin)
+    spark.sql("DROP TABLE IF EXISTS vcf_typed_hdr")
+    spark.sql(s"""CREATE TABLE vcf_typed_hdr USING graft.sources.VcfSource
+                 |OPTIONS (path '$dir/a.vcf')""".stripMargin)
+    val t = spark.table("vcf_typed_hdr")
+    val sch = t.schema
+    assert(sch("info_DP").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(sch("info_AF").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    assert(sch("info_DB").dataType === org.apache.spark.sql.types.BooleanType)
+    assert(sch("info_CSQ").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val rows = t.orderBy("pos_start")
+      .select("pos_start", "info_DP", "info_AF", "info_DB", "info_CSQ")
+      .collect()
+    assert(rows(0).getInt(1) === 12 && rows(0).getBoolean(3))
+    assert(rows(0).getSeq[Double](2) === Seq(0.5))
+    assert(rows(0).getSeq[String](4) === Seq("missense", "intron"))
+    assert(rows(1).getSeq[Double](2) === Seq(0.25, 0.125) && !rows(1).getBoolean(3))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2), "'.' and absent keys are null")
+
+    // split_and_normalize aligns Number=A arrays with the split alleles.
+    spark.sql("DROP TABLE IF EXISTS vcf_typed_split")
+    spark.sql(s"""CREATE TABLE vcf_typed_split USING graft.sources.VcfSource
+                 |OPTIONS (path '$dir/a.vcf',
+                 |  normalizationMode 'split_and_normalize')""".stripMargin)
+    val split = spark.table("vcf_typed_split")
+      .filter(col("pos_start") === 200).orderBy("allele_idx")
+      .select("alt", "allele_idx", "info_AF").collect()
+    assert(split.map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq ===
+      Seq(("T", 1, 0.25), ("G", 2, 0.125)))
+  }
+
+  test("VCF header metadata is memoized; conflicting sample headers fail loudly") {
+    val dir = s"$base/vcf_hdr_cache"
+    java.nio.file.Files.createDirectories(Paths.get(s"$dir/ok"))
+    def vcf(p: String, samples: Seq[String]): Unit =
+      java.nio.file.Files.writeString(Paths.get(p),
+        "##fileformat=VCFv4.2\n" +
+          (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO") ++
+            (if (samples.isEmpty) Nil else "FORMAT" +: samples)).mkString("\t") +
+          "\nchr1\t100\t.\tA\tT\t50\tPASS\tDP=3" +
+          (if (samples.isEmpty) "" else "\tGT" + samples.map(_ => "\t0|1").mkString) + "\n")
+    vcf(s"$dir/ok/s1.vcf", Seq("na1", "na2"))
+    vcf(s"$dir/ok/s2.vcf", Seq("na1", "na2"))
+    spark.sql("DROP TABLE IF EXISTS vcf_hdr_cache")
+    spark.sql(s"""CREATE TABLE vcf_hdr_cache USING graft.sources.VcfSource
+                 |OPTIONS (path '$dir/ok')""".stripMargin)
+    def reads(body: => Unit): Long = {
+      val before = VcfFormat.headerReads.sum()
+      body
+      VcfFormat.headerReads.sum() - before
+    }
+    // First planning pass: one bounded header read per file. After that:
+    // zero, across repeated planning passes of different queries.
+    val first = reads(spark.table("vcf_hdr_cache").count())
+    assert(first <= 2, s"expected at most one header read per file, got $first")
+    val rest = reads {
+      spark.table("vcf_hdr_cache").filter(col("contig") === "1").count()
+      spark.table("vcf_hdr_cache").select("pos_start", "na1").collect()
+      spark.sql("SELECT count(*) FROM vcf_hdr_cache WHERE pos_start > 0").collect()
+    }
+    assert(rest === 0, s"memoized planning must re-read no headers, got $rest")
+    // Appending a file with DIFFERENT sample columns: the fingerprint
+    // invalidates the cache and the conflict fails loudly BY FILE NAME.
+    vcf(s"$dir/ok/s3.vcf", Seq("nb9"))
+    val e = intercept[IllegalArgumentException] {
+      spark.table("vcf_hdr_cache").count()
+    }
+    assert(e.getMessage.contains("s3.vcf") && e.getMessage.contains("conflicting"))
   }
 
   test("FASTQ sample predicate prunes whole files (S7)") {
