@@ -172,7 +172,11 @@ object VcfFormat {
     // pos_start <= pos_end bounds both axes of the envelope.
     val startCap = math.min(sMax.toLong, eMax.toLong)
     val endFloor = math.max(sMin.toLong, eMin.toLong)
-    val tasks: Seq[(String, Long, Seq[Long])] = sampled.flatMap { st =>
+    // Each kept member is (offset, lead): lead = inflated offset of the
+    // first line STARTING in the member. Engine-written sidecars are
+    // line-aligned 5-field entries (lead 0); [[GraftIndexer]] emits a 6th
+    // field for externally-produced bgzip whose members cut lines.
+    val tasks: Seq[(String, Long, Seq[(Long, Int)])] = sampled.flatMap { st =>
       val file = st.getPath.toString
       val len = st.getLen
       val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -182,10 +186,11 @@ object VcfFormat {
           .filter(_.nonEmpty).flatMap { l =>
             val f = l.split('\t')
             val (off, minS, maxE, cs) = (f(0).toLong, f(1).toInt, f(2).toInt, f(4))
+            val lead = if (f.length > 5) f(5).toInt else 0
             val contigOk = contigs.isEmpty || cs == "*" ||
               cs.split(',').exists(contigs.get.contains)
             val posOk = minS <= startCap && maxE >= endFloor
-            if (contigOk && posOk) Some(off) else None
+            if (contigOk && posOk && lead >= 0) Some((off, lead)) else None
           }.toVector
       } finally rd.close()
       // Chunk runs of kept members into bounded tasks.
@@ -209,8 +214,28 @@ object VcfFormat {
         // SAM QNAME may legally begin with '#' (spec charset [!-?A-~]),
         // so filtering on the wrong prefix would silently drop records
         // only when member pruning engages.
-        offs.iterator.flatMap { off =>
-          new String(BamFormat.inflateMemberAt(in, len, off), StandardCharsets.UTF_8)
+        offs.iterator.flatMap { case (off, lead) =>
+          // A member owns the lines STARTING in it, from `lead` on. When
+          // the final line spans the member boundary (bgzip-CLI layout,
+          // indexed by GraftIndexer), keep inflating the member chain
+          // until its newline lands — adjacent kept members then skip
+          // those continuation bytes through their own lead, so every
+          // line is read exactly once.
+          val members = BamFormat.bgzfMembers(in, len, off)
+          val first = members.next()._2
+          val buf = new java.io.ByteArrayOutputStream(first.length - lead + 64)
+          buf.write(first, lead, first.length - lead)
+          var last: Byte = if (first.length > lead) first(first.length - 1) else '\n'
+          while (last != '\n' && members.hasNext) {
+            val nxt = members.next()._2
+            if (nxt.nonEmpty) {
+              var nl = 0
+              while (nl < nxt.length && nxt(nl) != '\n') nl += 1
+              if (nl == nxt.length) { buf.write(nxt, 0, nxt.length); last = nxt(nxt.length - 1) }
+              else { buf.write(nxt, 0, nl + 1); last = '\n' }
+            }
+          }
+          new String(buf.toByteArray, StandardCharsets.UTF_8)
             .linesIterator.filter(l => l.nonEmpty && l.charAt(0) != commentPrefix)
             .map(l => (l, file))
         }

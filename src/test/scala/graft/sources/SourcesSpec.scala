@@ -1060,6 +1060,78 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("s3.vcf") && e.getMessage.contains("conflicting"))
   }
 
+  test("GraftIndexer builds .gvi for foreign bgzip files; pruning fires on them") {
+    val dir = s"$base/foreign_bgzf"
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    // bgzip-CLI layout: members cut at arbitrary byte counts, MID-LINE —
+    // the engine did not write these and no sidecar exists.
+    def bgzip(text: String, out: String, chunk: Int): Unit = {
+      val bg = new BamFormat.BgzfOutputStream(new java.io.FileOutputStream(out))
+      text.getBytes("UTF-8").grouped(chunk).foreach { c =>
+        bg.write(c, 0, c.length); bg.flush()
+      }
+      bg.close()
+    }
+    val vcfText = new StringBuilder(
+      "##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    (1 to 4000).foreach(i => vcfText.append(
+      s"chr${i % 4}\t${i * 3 + 1}\trs$i\tAC\tA\t${i % 60}\tPASS\tDP=${i % 90}\n"))
+    bgzip(vcfText.toString, s"$dir/f.vcf.gz", 1409) // prime: cuts drift across lines
+    val samText = new StringBuilder("@HD\tVN:1.6\tSO:unsorted\n")
+    (1 to 3000).foreach(i => samText.append(
+      s"r$i\t0\tchr${i % 4}\t${i * 2 + 1}\t${i % 60}\t4M\t*\t0\t0\tACGT\tIIII\n"))
+    bgzip(samText.toString, s"$dir/sampleF.sam.gz", 1409)
+
+    assert(graft.sources.GraftIndexer.indexFiles(spark, s"$dir/f.vcf.gz", "vcf") === 1L)
+    assert(graft.sources.GraftIndexer.indexFiles(spark, s"$dir/sampleF.sam.gz", "sam") === 1L)
+    // Idempotent: existing sidecars are not rebuilt unless asked.
+    assert(graft.sources.GraftIndexer.indexFiles(spark, s"$dir/f.vcf.gz", "vcf") === 0L)
+
+    spark.sql("DROP TABLE IF EXISTS vcf_foreign")
+    spark.sql(s"""CREATE TABLE vcf_foreign USING graft.sources.VcfSource
+                 |OPTIONS (path '$dir/f.vcf.gz')""".stripMargin)
+    val t = spark.table("vcf_foreign")
+    assert(t.count() === 4000, "indexed scan must still see every record")
+    def inflatedDuring(body: => Array[org.apache.spark.sql.Row]): (Long, Long) = {
+      val before = BamFormat.blocksInflated.get()
+      val rows = body
+      (rows.length.toLong, BamFormat.blocksInflated.get() - before)
+    }
+    val sel = col("contig") === "2" && col("pos_start").between(6000, 7000)
+    val (nAll, bAll) = inflatedDuring(t.filter(col("pos_start") >= 0).collect())
+    val (nSel, bSel) = inflatedDuring(t.filter(sel).collect())
+    assert(nAll === 4000)
+    // Ground truth: contig chr2 rows are i%4==2 with pos 3i+1 in [6000,7000].
+    val expect = (1 to 4000).count(i => i % 4 == 2 && {
+      val p = i * 3 + 1; p >= 6000 && p <= 7000
+    })
+    assert(nSel === expect && expect > 0)
+    assert(bSel < bAll / 2,
+      s"region query inflated $bSel of $bAll members — pruning did not fire")
+    // Values survive mid-line member cuts (continuation reads): compare
+    // the pruned rows against the same predicate WITHOUT the sidecar.
+    val viaPrune = t.filter(sel).collect().map(_.toString).toSet
+    java.nio.file.Files.delete(Paths.get(s"$dir/.f.vcf.gz.gvi"))
+    spark.sql("REFRESH TABLE vcf_foreign")
+    val noIndex = spark.table("vcf_foreign").filter(sel).collect().map(_.toString).toSet
+    assert(viaPrune === noIndex)
+
+    // SAM twin: the '@' comment prefix and CIGAR-derived envelope.
+    spark.sql("DROP TABLE IF EXISTS sam_foreign")
+    spark.sql(s"""CREATE TABLE sam_foreign USING graft.sources.SamSource
+                 |OPTIONS (path '$dir/sampleF.sam.gz')""".stripMargin)
+    val ts = spark.table("sam_foreign")
+    assert(ts.count() === 3000)
+    val selS = col("contig") === "1" && col("pos_start").between(2000, 2400)
+    val (nS, bS) = inflatedDuring(ts.filter(selS).collect())
+    val expectS = (1 to 3000).count(i => i % 4 == 1 && {
+      val p = i * 2 + 1; p >= 2000 && p <= 2400
+    })
+    assert(nS === expectS && expectS > 0)
+    val (_, bSAll) = inflatedDuring(ts.filter(col("pos_start") >= 0).collect())
+    assert(bS < bSAll / 2, s"SAM pruning did not fire ($bS of $bSAll)")
+  }
+
   test("FASTQ sample predicate prunes whole files (S7)") {
     val p = s"$base/fastq_bysample"
     java.nio.file.Files.createDirectories(Paths.get(p))
