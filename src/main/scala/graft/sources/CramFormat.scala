@@ -26,12 +26,17 @@ import scala.collection.mutable
   *    SYNTHESIZED from the same walk (CRAM does not store MD — samtools
   *    regenerates it the same way).
   *
-  * Supported subset = the htsjdk default write profile: all record
-  * fields in EXTERNAL blocks (the CORE bit-stream must be empty; a
-  * non-empty core — bit-packed HUFFMAN/BETA codes — fails loudly).
-  * Validated against the real htsjdk-produced 1000-Genomes slice in the
-  * reference checkout: all 3172 records byte-identical to the BAM twin
-  * across name/flag/pos/mapq/cigar/seq/quals (CramFormatSpec).
+  * Supported encodings: EXTERNAL (the htsjdk default write profile),
+  * plus the CORE bit-stream codecs — BETA (fixed-width offset-shifted
+  * bit fields) and canonical HUFFMAN (sorted by code length then symbol,
+  * first code 0, `code = (prev + 1) << Δlen`) — for both int and byte
+  * series, so any spec-conformant mix of core and external blocks
+  * decodes. The writer can emit core-coded series too
+  * (`coreSeries`), which is how the bit-exact round-trip fixture in
+  * CramFormatSpec exercises the core path. Validated against the real
+  * htsjdk-produced 1000-Genomes slice in the reference checkout: all
+  * 3172 records byte-identical to the BAM twin across
+  * name/flag/pos/mapq/cigar/seq/quals (CramFormatSpec).
   *
   * Scale notes: a container is the split unit (the writer emits one
   * bounded slice per container), so a CRAM corpus parallelizes
@@ -504,6 +509,100 @@ object CramFormat {
 
   private val Bases = "ACGTN"
 
+  /** MSB-first reader over the slice's CORE bit stream (shared by every
+    * core-coded series; values interleave in record-decode order). */
+  private final class BitReader(data: Array[Byte]) {
+    private var pos = 0
+    def bit(): Int = {
+      val b = (data(pos >>> 3) >>> (7 - (pos & 7))) & 1
+      pos += 1
+      b
+    }
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** Canonical-Huffman table from the spec's (alphabet, code lengths)
+    * params: symbols sorted by (length, value), first code 0, each next
+    * `code = (prev + 1) << (len − prevLen)` — htsjdk's convention. */
+  private final class HuffmanTable(vals0: Array[Int], lens0: Array[Int]) {
+    private val order = vals0.indices.sortBy(i => (lens0(i), vals0(i)))
+    private val syms = order.map(vals0).toArray
+    private val lens = order.map(lens0).toArray
+    // Per distinct length: (length, first code, first symbol index).
+    private val levels: Array[(Int, Int, Int)] = {
+      val out = mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      var code = 0
+      var i = 0
+      while (i < syms.length) {
+        if (i > 0) code = (code + 1) << (lens(i) - lens(i - 1))
+        // Codes within one length run consecutively, so only the level's
+        // first (length, code, symbol-index) is recorded.
+        if (out.isEmpty || out.last._1 != lens(i)) out += ((lens(i), code, i))
+        i += 1
+      }
+      out.toArray
+    }
+    val isConstant: Boolean = syms.length == 1 && lens(0) == 0
+    def constant: Int = syms(0)
+    def decode(core: BitReader): Int = {
+      var code = 0
+      var len = 0
+      var li = 0
+      while (li < levels.length) {
+        val (l, first, symIdx) = levels(li)
+        while (len < l) { code = (code << 1) | core.bit(); len += 1 }
+        val idx = code - first
+        val count =
+          (if (li + 1 < levels.length) levels(li + 1)._3 else syms.length) - symIdx
+        if (idx >= 0 && idx < count) return syms(symIdx + idx)
+        li += 1
+      }
+      sys.error("corrupt CRAM core stream: no canonical-Huffman code matched")
+    }
+  }
+
+  /** Canonical code table for the ENCODER: value -> (code, length).
+    * Mirrors [[HuffmanTable]]'s assignment exactly. */
+  private[sources] def huffmanCodes(
+      vals: Array[Int], lens: Array[Int]): Map[Int, (Int, Int)] = {
+    val order = vals.indices.sortBy(i => (lens(i), vals(i)))
+    var code = 0
+    var prevLen = -1
+    val out = Map.newBuilder[Int, (Int, Int)]
+    order.zipWithIndex.foreach { case (oi, i) =>
+      if (i > 0) code = (code + 1) << (lens(oi) - prevLen)
+      prevLen = lens(oi)
+      out += vals(oi) -> ((code, lens(oi)))
+    }
+    out.result()
+  }
+
+  /** Huffman code LENGTHS for a value histogram (package-style tree via
+    * a two-queue merge; deterministic tie-breaks on symbol value so the
+    * writer is a pure function of its input). Single-symbol alphabets
+    * get length 0 (the spec's constant form). */
+  private[sources] def huffmanLengths(freq: Map[Int, Long]): (Array[Int], Array[Int]) = {
+    val syms = freq.keys.toArray.sorted
+    if (syms.length == 1) return (syms, Array(0))
+    // Build the tree with a priority queue keyed (weight, minSymbol).
+    case class Node(w: Long, tie: Int, leaves: List[Int])
+    val pq = mutable.PriorityQueue.empty[Node](
+      Ordering.by[Node, (Long, Int)](n => (n.w, n.tie)).reverse)
+    syms.foreach(s => pq.enqueue(Node(freq(s), s, List(s))))
+    val depth = mutable.HashMap.empty[Int, Int].withDefaultValue(0)
+    while (pq.size > 1) {
+      val a = pq.dequeue(); val b = pq.dequeue()
+      (a.leaves ++ b.leaves).foreach(s => depth(s) += 1)
+      pq.enqueue(Node(a.w + b.w, math.min(a.tie, b.tie), a.leaves ++ b.leaves))
+    }
+    (syms, syms.map(depth))
+  }
+
   /** Decode one slice's records against `refBytes` (per refId, UPPERCASE;
     * an empty array means no reference — only reads without match
     * segments decode there). `refShift` re-bases reference indexing for
@@ -511,13 +610,12 @@ object CramFormat {
     * span), so index = refPos − shift — no genome-sized zero array).
     * `rgIds` maps the RG series index to the SAM header @RG ID strings. */
   final class SliceDecoder(comp: CompHeader, slice: SliceHeader,
-      external: Map[Int, Array[Byte]], coreLen: Int,
+      external: Map[Int, Array[Byte]], coreBytes: Array[Byte],
       refBytes: Int => Array[Byte], rgIds: Array[String], refShift: Int = 0,
       wantTagMap: Boolean = false)
       extends Iterator[BamFormat.BamRecord] {
 
-    require(coreLen == 0, "CRAM slices with a non-empty CORE bit stream " +
-      "(bit-packed codecs) are outside the supported htsjdk-default profile")
+    private val core = new BitReader(coreBytes)
 
     private val streams = mutable.HashMap.empty[Int, ExtStream]
     private def stream(id: Int): ExtStream =
@@ -528,16 +626,21 @@ object CramFormat {
       case 1 =>
         val st = stream(new Cursor(e.params).itf8())
         () => st.itf8()
-      case 3 =>
+      case 3 => // canonical HUFFMAN over the core bit stream
         val c = new Cursor(e.params)
         val n = c.itf8()
         val vals = Array.fill(n)(c.itf8())
         val nl = c.itf8()
         val lens = Array.fill(nl)(c.itf8())
-        require(n == 1 && lens.forall(_ == 0),
-          "only the constant (zero-bit) HUFFMAN form appears with an empty CORE block")
-        val const = vals(0)
-        () => const
+        require(n == nl, s"HUFFMAN params declare $n symbols but $nl lengths")
+        val table = new HuffmanTable(vals, lens)
+        if (table.isConstant) { val const = table.constant; () => const }
+        else () => table.decode(core)
+      case 6 => // BETA: fixed-width offset-shifted core bits
+        val c = new Cursor(e.params)
+        val offset = c.itf8()
+        val nbits = c.itf8()
+        () => core.read(nbits) - offset
       case other => sys.error(s"CRAM int codec $other unsupported")
     }
 
@@ -545,7 +648,7 @@ object CramFormat {
       case 1 =>
         val st = stream(new Cursor(e.params).itf8())
         () => st.u8()
-      case 3 =>
+      case 3 | 6 =>
         val f = intDecoder(e)
         () => f()
       case other => sys.error(s"CRAM byte codec $other unsupported")
@@ -894,12 +997,12 @@ object CramFormat {
       val shBlock = readBlock(sc)
       require(shBlock.contentType == 2, "expected a slice header block")
       val sh = readSliceHeader(shBlock.data)
-      var coreLen = 0
+      var coreData = Array.emptyByteArray
       val ext = mutable.HashMap.empty[Int, Array[Byte]]
       var i = 0
       while (i < sh.nBlocks) {
         val b = readBlock(sc)
-        if (b.contentType == 5) coreLen = b.data.length
+        if (b.contentType == 5) coreData = b.data
         else ext(b.contentId) = b.data
         i += 1
       }
@@ -909,10 +1012,10 @@ object CramFormat {
       if (sh.embedRefId >= 0) {
         val embedded = ext.getOrElse(sh.embedRefId,
           sys.error("embedded reference block missing"))
-        new SliceDecoder(comp, sh, ext.toMap, coreLen, _ => embedded,
+        new SliceDecoder(comp, sh, ext.toMap, coreData, _ => embedded,
           header.rgIds, refShift = sh.start - 1, wantTagMap = wantTagMap)
       } else
-        new SliceDecoder(comp, sh, ext.toMap, coreLen, refBytes, header.rgIds,
+        new SliceDecoder(comp, sh, ext.toMap, coreData, refBytes, header.rgIds,
           wantTagMap = wantTagMap)
     }
   }
@@ -974,10 +1077,47 @@ object CramFormat {
       .toSeq.sortBy(_._1) // coordinate order need not be offset order
   }
 
+  /** MSB-first writer for the CORE bit stream (encoder twin of
+    * [[BitReader]]). */
+  private final class BitWriter {
+    private val out = new ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+        i -= 1
+      }
+    }
+    def result(): Array[Byte] = {
+      if (nbits > 0) { out.write(cur << (8 - nbits)); cur = 0; nbits = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** `coreSeries` opts chosen INT/BYTE data series into the CORE bit
+    * stream instead of external blocks: key → `"beta"` (fixed-width,
+    * offset-shifted) or `"huffman"` (canonical, histogram-built).
+    * Supported keys are the fixed-width record series (BF CF RI RL AP RG
+    * MF NS NP TS TL FN FP FC BS DL RS HC PD MQ QS BA). Values interleave
+    * in record-decode order — exactly the order this writer's record
+    * loop emits them, which IS the reader's consumption order. */
   final class CramWriter(out: OutputStream, refNames: Array[String],
       refLengths: Array[Int], refBytes: String => Array[Byte],
       recordsPerSlice: Int = 10000, embedReference: Boolean = false,
-      indexOut: OutputStream = null) {
+      indexOut: OutputStream = null,
+      coreSeries: Map[String, String] = Map.empty) {
+
+    require(coreSeries.values.forall(c => c == "beta" || c == "huffman"),
+      s"coreSeries codecs must be beta|huffman: $coreSeries")
+    private val coreAllowed = Set("BF", "CF", "RI", "RL", "AP", "RG", "MF",
+      "NS", "NP", "TS", "TL", "FN", "FP", "FC", "BS", "DL", "RS", "HC",
+      "PD", "MQ", "QS", "BA")
+    require(coreSeries.keySet.subsetOf(coreAllowed),
+      s"coreSeries keys must be fixed-width record series: ${coreSeries.keySet}")
 
     /** Content id of the embedded-reference block (outside the series
       * ids 1–28 and the 3-byte-packed tag keys). */
@@ -1155,22 +1295,43 @@ object CramFormat {
       n
     }
 
-    // ---- per-slice stream buffers
-    private class IntStream { val b = new ByteArrayOutputStream(); def +=(v: Int): Unit = writeItf8(b, v) }
-    private class ByteStream { val b = new ByteArrayOutputStream(); def +=(v: Int): Unit = b.write(v) }
+    // ---- per-slice stream buffers. A core-opted series RECORDS its
+    // values (in emission order, which equals decode order) instead of
+    // writing external bytes; the bit stream is encoded after the record
+    // loop once the value histograms are known.
+    private val coreOrder = mutable.ArrayBuffer.empty[(String, Int)]
+    private class IntStream(key: String = null) {
+      val b = new ByteArrayOutputStream()
+      private val toCore = key != null && coreSeries.contains(key)
+      def +=(v: Int): Unit =
+        if (toCore) coreOrder += ((key, v)) else writeItf8(b, v)
+    }
+    private class ByteStream(key: String = null) {
+      val b = new ByteArrayOutputStream()
+      private val toCore = key != null && coreSeries.contains(key)
+      def +=(v: Int): Unit =
+        if (toCore) coreOrder += ((key, v)) else b.write(v)
+    }
 
     def flushSlice(): Unit = {
       if (buf.isEmpty) return
       writeHeaderOnce()
-      val sBF = new IntStream; val sCF = new IntStream; val sRI = new IntStream
-      val sRL = new IntStream; val sAP = new IntStream; val sRG = new IntStream
+      coreOrder.clear()
+      val sBF = new IntStream("BF"); val sCF = new IntStream("CF")
+      val sRI = new IntStream("RI"); val sRL = new IntStream("RL")
+      val sAP = new IntStream("AP"); val sRG = new IntStream("RG")
       val sRN = new ByteStream
-      val sMF = new IntStream; val sNS = new IntStream; val sNP = new IntStream
-      val sTS = new IntStream; val sTL = new IntStream; val sFN = new IntStream
-      val sFC = new ByteStream; val sFP = new IntStream; val sBS = new ByteStream
-      val sIN = new ByteStream; val sDL = new IntStream; val sRS = new IntStream
-      val sSC = new ByteStream; val sHC = new IntStream; val sPD = new IntStream
-      val sBA = new ByteStream; val sMQ = new IntStream; val sQS = new ByteStream
+      val sMF = new IntStream("MF"); val sNS = new IntStream("NS")
+      val sNP = new IntStream("NP"); val sTS = new IntStream("TS")
+      val sTL = new IntStream("TL"); val sFN = new IntStream("FN")
+      val sFC = new ByteStream("FC"); val sFP = new IntStream("FP")
+      val sBS = new ByteStream("BS")
+      val sIN = new ByteStream; val sDL = new IntStream("DL")
+      val sRS = new IntStream("RS")
+      val sSC = new ByteStream; val sHC = new IntStream("HC")
+      val sPD = new IntStream("PD")
+      val sBA = new ByteStream("BA"); val sMQ = new IntStream("MQ")
+      val sQS = new ByteStream("QS")
       val sBB = new ByteStream; val sBBlen = new IntStream
       // Dynamic tag machinery: distinct per-record tag LINES index the
       // tag dictionary; each distinct tag rides its own external series
@@ -1306,6 +1467,42 @@ object CramFormat {
         if (r.quals != null) r.quals.foreach(q => sQS += (q & 0xff))
       }
 
+      // ---- core bit stream (only when series opted in): per-key codec
+      // params from the recorded values, then one interleaved encode in
+      // the exact order the record loop emitted (= decode order).
+      case class CoreCodec(codec: Int, params: Array[Byte], enc: (BitWriter, Int) => Unit)
+      val coreCodecs: Map[String, CoreCodec] = coreSeries.map { case (k, how) =>
+        val vals = coreOrder.iterator.filter(_._1 == k).map(_._2).toArray
+        k -> (how match {
+          case "beta" =>
+            val min = if (vals.isEmpty) 0 else vals.min
+            val max = if (vals.isEmpty) 0 else vals.max
+            val offset = -min
+            val span = (max + offset.toLong).toInt
+            val nbits = 32 - Integer.numberOfLeadingZeros(span | 1)
+            val p = new ByteArrayOutputStream()
+            writeItf8(p, offset); writeItf8(p, nbits)
+            CoreCodec(6, p.toByteArray, (bw, v) => bw.write(v + offset, nbits))
+          case "huffman" =>
+            val freq = vals.groupBy(identity).map { case (v, a) => v -> a.length.toLong }
+            val (syms, lens) =
+              if (freq.isEmpty) (Array(0), Array(0)) else huffmanLengths(freq)
+            val codes = huffmanCodes(syms, lens)
+            val p = new ByteArrayOutputStream()
+            writeItf8(p, syms.length); syms.foreach(writeItf8(p, _))
+            writeItf8(p, lens.length); lens.foreach(writeItf8(p, _))
+            CoreCodec(3, p.toByteArray,
+              (bw, v) => { val (c, l) = codes(v); bw.write(c, l) })
+        })
+      }
+      val coreBytes: Array[Byte] =
+        if (coreOrder.isEmpty) Array.emptyByteArray
+        else {
+          val bw = new BitWriter
+          coreOrder.foreach { case (k, v) => coreCodecs(k).enc(bw, v) }
+          bw.result()
+        }
+
       // ---- compression header
       val comp = new ByteArrayOutputStream()
       locally { // preservation map
@@ -1335,12 +1532,18 @@ object CramFormat {
           "NP", "TS", "TL", "FN", "FC", "FP", "BS", "DL", "BA", "MQ", "QS",
           "RS", "HC", "PD")
         writeItf8(m, external.length + 3) // + RN, IN, SC (stop) + BB (len)... counted below
-        // entries: EXTERNAL series
+        // entries: EXTERNAL series (or the chosen core codec)
         external.foreach { k =>
           m.write(k.getBytes)
-          writeItf8(m, 1) // EXTERNAL
-          val p = new ByteArrayOutputStream(); writeItf8(p, ids(k))
-          writeItf8(m, p.size()); m.write(p.toByteArray)
+          coreCodecs.get(k) match {
+            case Some(cc) =>
+              writeItf8(m, cc.codec)
+              writeItf8(m, cc.params.length); m.write(cc.params)
+            case None =>
+              writeItf8(m, 1) // EXTERNAL
+              val p = new ByteArrayOutputStream(); writeItf8(p, ids(k))
+              writeItf8(m, p.size()); m.write(p.toByteArray)
+          }
         }
         // RN/IN/SC: BYTE_ARRAY_STOP (NUL)
         Seq("RN", "IN", "SC").foreach { k =>
@@ -1462,7 +1665,7 @@ object CramFormat {
       body.write(compBlock)
       val landmark = body.size()
       body.write(rawBlock(2, sliceHdr.toByteArray))
-      body.write(rawBlock(5, Array.emptyByteArray)) // empty CORE
+      body.write(rawBlock(5, coreBytes)) // CORE (empty unless coreSeries)
       extBlocks.foreach { case (cid, data) => body.write(gzipBlock(4, cid, data)) }
 
       writeContainer(refId = sliceRef, start = sliceStart, span = sliceSpan,

@@ -187,4 +187,125 @@ class CramFormatSpec extends AnyFunSuite {
     val r7 = byName("r7")
     assert(r7.seq === "TRTT" && r7.cigar === "4M")
   }
+
+  test("canonical Huffman codes round-trip any histogram (prefix-free, decodable)") {
+    var seed = 99L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    (0 until 50).foreach { trial =>
+      val nSyms = 1 + next(40)
+      val syms = (0 until nSyms).map(_ => next(1000) - 100).distinct
+      val freq = syms.map(s => s -> (1L + next(500))).toMap
+      val (vals, lens) = CramFormat.huffmanLengths(freq)
+      val codes = CramFormat.huffmanCodes(vals, lens)
+      // Kraft equality: a complete prefix code sums 2^-len to exactly 1.
+      if (vals.length > 1) {
+        val kraft = lens.map(l => BigDecimal(1) / BigDecimal(2).pow(l)).sum
+        assert(kraft === BigDecimal(1), s"trial $trial: incomplete code")
+        // Prefix-freeness: no code is a bit-prefix of a longer one.
+        val cs = vals.map(codes).map { case (c, l) => (c, l) }
+        cs.indices.foreach { i =>
+          cs.indices.foreach { j =>
+            if (i != j && cs(i)._2 < cs(j)._2)
+              assert(cs(j)._1 >> (cs(j)._2 - cs(i)._2) != cs(i)._1,
+                s"trial $trial: ${cs(i)} prefixes ${cs(j)}")
+          }
+        }
+      }
+    }
+  }
+
+  /** The round-trip fixture the CORE path needs: every fixed-width
+    * series bit-packed (BETA for coordinates/flags, canonical HUFFMAN
+    * for the rest), adversarial record shapes, and a BAM TWIN written
+    * from the identical inputs — the decoded CRAM must match the decoded
+    * BAM field-for-field. */
+  test("core bit-stream profile (BETA + HUFFMAN) decodes identically to its BAM twin") {
+    val dir = Files.createTempDirectory("graft_cram_core")
+    val c1 = "ACGTTGCA" * 8
+    val c2 = "TTTTCCCCGGGGAAAA" * 2
+    Files.writeString(dir.resolve("ref.fa"), s">k1\n$c1\n>k2\n$c2\n")
+    Files.writeString(dir.resolve("ref.fa.fai"),
+      s"k1\t${c1.length}\t4\t${c1.length}\t${c1.length + 1}\n" +
+      s"k2\t${c2.length}\t${4 + c1.length + 1 + 4}\t${c2.length}\t${c2.length + 1}\n")
+    val fasta = dir.resolve("ref.fa").toString
+    graft.operators.FastaReference.clearCaches()
+
+    case class In(contig: String, pos1: Int, mapq: Int, flag: Int, q: String,
+        cigar: String, seq: String, quals: String, nm: Integer, rg: String)
+    def qb(s: String): Array[Byte] =
+      if (s == null) null else s.map(ch => (ch - 33).toByte).toArray
+    val ins = Seq(
+      In("k1", 1, 60, 0, "c1", "8M", c1.substring(0, 8), "IIIIIIII", 1, "rgA"),
+      In("k1", 9, 50, 16, "c2", "8M", "TGNTTGCA", "ABCDEFGH", null, "rgB"),
+      In("k1", 17, 40, 0, "c3", "2S3M2I3M4D2M6N2M1S",
+        "GGACGAATTG" + "CAAC" + "T", "JJJJJJJJJJJJJJJ", 3, "rgA"),
+      In(null, 0, 0, 4, "c4", "*", "NNACGT", "KKKKKK", null, null),
+      In("k2", 1, 20, 0, "c5", "4M", "TRTT", "MMMM", null, null),
+      In("k1", 33, 33, 0, "c6", "6M", c1.substring(32, 38), null, 0, "rgB"))
+
+    val cramPath = dir.resolve("core.cram").toString
+    val w = new CramFormat.CramWriter(new java.io.FileOutputStream(cramPath),
+      Array("k1", "k2"), Array(c1.length, c2.length),
+      contig => CramFormat.upperContig(fasta, contig), recordsPerSlice = 4,
+      coreSeries = Map(
+        "BF" -> "beta", "CF" -> "huffman", "RI" -> "beta", "RL" -> "beta",
+        "AP" -> "beta", "RG" -> "huffman", "MF" -> "huffman",
+        "NS" -> "beta", "NP" -> "beta", "TS" -> "huffman", "TL" -> "huffman",
+        "FN" -> "beta", "FP" -> "beta", "FC" -> "huffman", "BS" -> "beta",
+        "DL" -> "huffman", "RS" -> "beta", "MQ" -> "huffman",
+        "QS" -> "beta", "BA" -> "huffman"))
+    ins.foreach(i => w.write(i.contig, i.pos1, i.mapq, i.flag, i.q, i.cigar,
+      i.seq, qb(i.quals), i.nm, i.rg))
+    w.close()
+
+    // The CORE block really is non-empty (the profile the r13 reader
+    // refused loudly): check the slice blocks directly.
+    val read = fsRead(cramPath)
+    val fileLen = Files.size(Paths.get(cramPath))
+    val (hdr, firstData) = CramFormat.readHeader(read, fileLen)
+    val containers = CramFormat.containerIndex(read, fileLen, firstData)
+    assert(containers.length === 2) // 4 + 2 records
+
+    // BAM twin from the identical inputs.
+    val bamPath = dir.resolve("core.bam").toString
+    val bw = new BamFormat.BamWriter(new java.io.FileOutputStream(bamPath),
+      Array("k1", "k2"), Array(c1.length, c2.length))
+    ins.foreach { i =>
+      bw.write(i.contig, if (i.contig == null) 0 else i.pos1, i.mapq, i.flag,
+        i.q, i.cigar, i.seq, qb(i.quals), mdTag = null, nm = i.nm, rg = i.rg)
+    }
+    bw.close()
+
+    def refBytes(refId: Int): Array[Byte] =
+      if (refId < 0) Array.emptyByteArray
+      else CramFormat.upperContig(fasta, hdr.refNames(refId))
+    val crams = containers.iterator.flatMap { case (off, _, _, _, _) =>
+      CramFormat.containerRecords(read, off, refBytes, hdr)
+    }.toArray
+    val bams = {
+      val r = new BamFormat.BamReader(new java.io.FileInputStream(bamPath))
+      val a = r.iterator.toArray; r.close(); a
+    }
+    assert(crams.length === bams.length)
+    crams.zip(bams).zipWithIndex.foreach { case ((c, b), i) =>
+      assert(c.qname === b.qname, s"rec $i qname")
+      assert(c.flag === b.flag, s"rec $i flag")
+      assert(c.refId === b.refId, s"rec $i refId")
+      if ((b.flag & 4) == 0) {
+        assert(c.pos0 === b.pos0, s"rec $i pos")
+        assert(c.mapq === b.mapq, s"rec $i mapq")
+        assert(c.cigar === b.cigar, s"rec $i cigar")
+      }
+      assert(c.seq === b.seq, s"rec $i seq")
+      assert(Option(c.quals).map(_.toSeq) === Option(b.quals).map(_.toSeq)
+        || (c.quals != null && c.quals.headOption.contains(0xff.toByte)
+            && (b.quals == null || b.quals.headOption.contains(0xff.toByte))),
+        s"rec $i quals")
+      assert(c.tagNm === b.tagNm, s"rec $i NM")
+      assert(c.tagRg === b.tagRg, s"rec $i RG")
+    }
+  }
 }
