@@ -437,6 +437,62 @@ object SourceQueries {
               |  size(info_AF) AS af_n
               |FROM vcf_typed_ddl WHERE info_DP >= 10""".stripMargin)
     },
+    // Header-driven TYPED genotypes (the other half of the Glow surface,
+    // `VCFRelation.scala:25-49`): `genotypes 'typed'` appends one
+    // array<struct<sample_id, calls, phased, <##FORMAT fields>>> column.
+    // Field positions follow each ROW's FORMAT value — the fixture
+    // alternates TWO field orders (GT:DP:GQ vs GT:GQ:DP:HQ) so a
+    // position-hardcoded parse would mismatch; `.` fields and
+    // FORMAT-absent fields are null; `|`/`/` drive phased; calls carry
+    // allele ints. The projection explodes the array back to long form.
+    "vcf_genotypes_typed" -> { (s, dir) =>
+      val path = fixture("variants_vcf_gt_typed", dir) { p =>
+        val v = Tables.part(s, dir).select(
+          concat(lit("chr"), (col("p_partkey") % 4).cast("string")).as("contig"),
+          (((col("p_partkey") * 7) % 5000) + 1).cast("int").as("pos_start"),
+          lit("A").as("ref"), lit("T").as("alt"),
+          expr("CASE WHEN p_partkey % 2 = 0 THEN 'GT:DP:GQ' ELSE 'GT:GQ:DP:HQ' END")
+            .as("fmt"),
+          expr("""concat(
+                 |  CASE CAST(p_partkey % 3 AS INT)
+                 |       WHEN 0 THEN '0|0' WHEN 1 THEN '0|1' ELSE '1|1' END,
+                 |  CASE WHEN p_partkey % 2 = 0
+                 |       THEN concat(':', CAST(p_partkey % 60 AS STRING),
+                 |                   ':', CAST(p_partkey % 99 AS STRING))
+                 |       ELSE concat(':', CAST(p_partkey % 99 AS STRING),
+                 |                   ':', CAST(p_partkey % 60 AS STRING),
+                 |                   ':', CAST(p_partkey % 50 AS STRING),
+                 |                   ',', CAST(p_partkey % 40 AS STRING)) END)""".stripMargin)
+            .as("na1"),
+          expr("""concat(
+                 |  CASE WHEN p_partkey % 2 = 0 THEN '0/0' ELSE '1/1' END,
+                 |  CASE WHEN p_partkey % 2 = 0
+                 |       THEN concat(':', CAST(p_partkey % 45 AS STRING), ':',
+                 |                   CASE WHEN p_partkey % 5 = 0 THEN '.'
+                 |                        ELSE CAST(p_partkey % 77 AS STRING) END)
+                 |       ELSE concat(':',
+                 |                   CASE WHEN p_partkey % 5 = 0 THEN '.'
+                 |                        ELSE CAST(p_partkey % 77 AS STRING) END,
+                 |                   ':', CAST(p_partkey % 45 AS STRING), ':.') END)"""
+            .stripMargin).as("na2"))
+        graft.sources.VcfFormat.writeVcf(v, p, Seq("na1", "na2"), Some("fmt"),
+          metaLines = Seq(
+            """##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">""",
+            """##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth">""",
+            """##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">""",
+            """##FORMAT=<ID=HQ,Number=2,Type=Integer,Description="Haplotype qualities">"""))
+      }
+      s.sql("DROP TABLE IF EXISTS vcf_gtt_ddl")
+      s.sql(s"""CREATE TABLE vcf_gtt_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path', genotypes 'typed')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, g.sample_id,
+              |  get(g.calls, 0) AS a1, get(g.calls, 1) AS a2, g.phased,
+              |  g.DP AS dp, g.GQ AS gq,
+              |  get(g.HQ, 0) AS hq1, get(g.HQ, 1) AS hq2
+              |FROM vcf_gtt_ddl
+              |LATERAL VIEW explode(genotypes) AS g
+              |WHERE pos_start <= 2500""".stripMargin)
+    },
     // S4 normalization interplay: the variant_normalize derivation
     // round-tripped through `.vcf`, left-aligned AT SCAN TIME by the
     // reference's `normalizationMode` option (VCFRelation.scala:30-37 —
@@ -723,6 +779,26 @@ object SourceQueries {
         |       ELSE NULL END AS af2,
         |  CAST(CASE WHEN p_partkey % 3 = 1 THEN 2 ELSE 1 END AS INT) AS af_n
         |FROM part WHERE p_partkey % 50 >= 10""".stripMargin,
+    "vcf_genotypes_typed" ->
+      """WITH v AS (
+        |  SELECT p_partkey AS p, CAST(p_partkey % 4 AS VARCHAR) AS contig,
+        |    CAST((p_partkey * 7) % 5000 + 1 AS INT) AS pos_start
+        |  FROM part WHERE (p_partkey * 7) % 5000 + 1 <= 2500)
+        |SELECT contig, pos_start, 'na1' AS sample_id,
+        |  CAST(CASE WHEN p % 3 = 2 THEN 1 ELSE 0 END AS INT) AS a1,
+        |  CAST(CASE WHEN p % 3 = 0 THEN 0 ELSE 1 END AS INT) AS a2,
+        |  TRUE AS phased,
+        |  CAST(p % 60 AS INT) AS dp, CAST(p % 99 AS INT) AS gq,
+        |  CASE WHEN p % 2 = 1 THEN CAST(p % 50 AS INT) END AS hq1,
+        |  CASE WHEN p % 2 = 1 THEN CAST(p % 40 AS INT) END AS hq2
+        |FROM v
+        |UNION ALL
+        |SELECT contig, pos_start, 'na2',
+        |  CAST(p % 2 AS INT), CAST(p % 2 AS INT), FALSE,
+        |  CAST(p % 45 AS INT),
+        |  CASE WHEN p % 5 = 0 THEN NULL ELSE CAST(p % 77 AS INT) END,
+        |  NULL, NULL
+        |FROM v""".stripMargin,
     "vcf_normalize" -> PileupQueries.oracle("variant_normalize"),
     "vcf_split_normalize" -> PileupQueries.oracle("variant_split_normalize"),
     "ddl_variant_scan" ->

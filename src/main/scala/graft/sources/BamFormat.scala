@@ -510,7 +510,15 @@ object BamFormat {
     def read(data: Array[Byte]): Array[RefIndex] = {
       require(data.length >= 8 && data(0) == 'B' && data(1) == 'A' &&
         data(2) == 'I' && data(3) == 1, "not a BAI index (bad magic)")
-      var o = 4
+      readRefBlock(data, 8, i32(data, 4))._1
+    }
+
+    /** The `n_ref` reference-index records starting at `start` — the
+      * byte layout `.bai` and `.tbi` share (bins → chunks + linear
+      * index). Returns the parsed refs and the end offset. */
+    private[sources] def readRefBlock(data: Array[Byte], start: Int,
+        nRef: Int): (Array[RefIndex], Int) = {
+      var o = start
       def le32(): Int = {
         val v = i32(data, o); o += 4; v
       }
@@ -520,8 +528,7 @@ object BamFormat {
         o += 8
         (hi << 32) | lo
       }
-      val nRef = le32()
-      Array.fill(nRef) {
+      val refs = Array.fill(nRef) {
         val nBin = le32()
         val bins = Map.newBuilder[Int, Array[(Long, Long)]]
         var b = 0
@@ -536,6 +543,7 @@ object BamFormat {
         val nIntv = le32()
         RefIndex(bins.result(), Array.fill(nIntv)(le64()))
       }
+      (refs, o)
     }
 
     /** Bins possibly holding records overlapping 0-based [beg, end)
@@ -573,6 +581,33 @@ object BamFormat {
         else merged += c
       }
       merged.toSeq
+    }
+  }
+
+  /** Standard tabix `.tbi` index consumption (samtools tabix spec —
+    * the text twin of `.bai`): the same bin/chunk/linear layout over
+    * BGZF virtual offsets, prefixed by a header naming the reference
+    * sequences and the indexed columns. Lets `contig + position`
+    * predicates prune EXTERNALLY-produced bgzip VCF/SAM/BED/GFF text the
+    * engine did not write (engine-written shards carry the richer `.gvi`;
+    * [[GraftIndexer]] covers unindexed foreign files). The `.tbi` file is
+    * itself BGZF-compressed — callers hand in the inflated bytes. */
+  object TbiIndex {
+    final case class Tbi(names: Array[String], refs: Array[BaiIndex.RefIndex])
+
+    def read(data: Array[Byte]): Tbi = {
+      require(data.length >= 36 && data(0) == 'T' && data(1) == 'B' &&
+        data(2) == 'I' && data(3) == 1, "not a TBI index (bad magic)")
+      val nRef = i32(data, 4)
+      // format, col_seq, col_beg, col_end, meta, skip: query planning
+      // needs none of them — chunk reads return whole lines and the text
+      // parse re-derives every column.
+      val lNm = i32(data, 32)
+      val names = new String(data, 36, lNm, java.nio.charset.StandardCharsets.US_ASCII)
+        .split('\u0000').filter(_.nonEmpty)
+      require(names.length == nRef,
+        s"TBI declares $nRef references but names ${names.length}")
+      Tbi(names, BaiIndex.readRefBlock(data, 36 + lNm, nRef)._1)
     }
   }
 

@@ -68,6 +68,163 @@ object GraftIndexer {
     new org.apache.hadoop.fs.Path(file.getParent,
       "." + file.getName + VcfFormat.IndexSuffix)
 
+  /** Build STANDARD tabix `.tbi` indexes for every bgzip file matched by
+    * `path` that lacks one — the inverse of the engine's `.tbi`
+    * consumption: samtools/htslib/IGV can then region-query
+    * engine-written (or any) `.vcf.gz` directly, the role `tabix -p vcf`
+    * plays for the reference ecosystem. One distributed task per file,
+    * one streaming member pass per task; returns files indexed.
+    *
+    * Bins follow the spec exactly (reg2bin over 0-based half-open record
+    * spans, linear index at 16 kb); chunks merge when adjacent. Input
+    * should be coordinate-sorted per file for external-tool compatibility
+    * (htslib binary-searches the linear index); the ENGINE's own reader
+    * ([[VcfFormat.prunedRawImpl]]) stays correct on unsorted files
+    * because it merges chunk ranges and re-applies every predicate. */
+  def tabixFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      format: String, overwrite: Boolean = false): Long = {
+    require(format == "vcf" || format == "sam",
+      s"GraftIndexer: unknown format '$format' (want vcf|sam)")
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      else Seq(st)
+    }.filter(_.getPath.getName.endsWith(".gz"))
+      .filter(st => overwrite ||
+        !fs.exists(new HPath(st.getPath.toString + ".tbi")))
+    if (files.isEmpty) return 0L
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val fmt = format
+    val work = files.map(st => (st.getPath.toString, st.getLen))
+    spark.sparkContext.parallelize(work, work.length).map { case (file, len) =>
+      val hp = new HPath(file)
+      val tfs = hp.getFileSystem(serConf.value)
+      val in = tfs.open(hp)
+      val out = tfs.create(new HPath(file + ".tbi"), true)
+      try tabixOne(in, len, fmt, out) finally in.close()
+      1L
+    }.sum().toLong
+  }
+
+  /** Per-reference tabix accumulation state. */
+  private final class TbiRef {
+    val bins = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    val linear = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def chunk(bin: Int, vbeg: Long, vend: Long): Unit = {
+      val cs = bins.getOrElseUpdate(bin,
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long)])
+      if (cs.nonEmpty && cs.last._2 == vbeg)
+        cs(cs.length - 1) = (cs.last._1, vend)
+      else cs += ((vbeg, vend))
+    }
+    def window(beg0: Int, end0: Int, vbeg: Long): Unit = {
+      val hi = math.max(beg0, end0 - 1) >> 14
+      while (linear.length <= hi) linear += 0L
+      var w = beg0 >> 14
+      while (w <= hi) {
+        if (linear(w) == 0L || vbeg < linear(w)) linear(w) = vbeg
+        w += 1
+      }
+    }
+  }
+
+  private def tabixOne(in: org.apache.hadoop.fs.FSDataInputStream, len: Long,
+      format: String, rawOut: java.io.OutputStream): Unit = {
+    val comment = if (format == "vcf") '#' else '@'
+    val (cIdx, pIdx) = if (format == "vcf") (0, 1) else (2, 3)
+    val refs = scala.collection.mutable.LinkedHashMap.empty[String, TbiRef]
+
+    def record(line: String, vbeg: Long, vend: Long): Unit = {
+      if (line.isEmpty || line.charAt(0) == comment) return
+      val f = line.split('\t')
+      if (f.length <= pIdx) return
+      val contig = f(cIdx)
+      val pos = try f(pIdx).toInt catch { case _: NumberFormatException => -1 }
+      if (contig == "*" || contig == "." || pos <= 0) return
+      val endLen =
+        if (format == "vcf") { if (f.length > 3) f(3).length else 1 }
+        else if (f.length > 5) math.max(refConsumed(f(5)), 1)
+        else 1
+      val beg0 = pos - 1
+      val end0 = beg0 + endLen
+      val ref = refs.getOrElseUpdate(contig, new TbiRef)
+      ref.chunk(BamFormat.reg2bin(beg0, end0), vbeg, vend)
+      ref.window(beg0, end0, vbeg)
+    }
+
+    // Stream the member chain once, tracking each line's start/end
+    // VIRTUAL offsets ((memberFileOffset << 16) | inflatedOffset).
+    val members = BamFormat.bgzfMembers(in, len, 0L)
+    val carry = new java.lang.StringBuilder()
+    var carryBeg = 0L
+    members.foreach { case (off, bytes) =>
+      val s = new String(bytes, StandardCharsets.UTF_8)
+      var i = 0
+      if (carry.length() > 0) {
+        val nl = s.indexOf('\n')
+        if (nl < 0) { carry.append(s); i = s.length }
+        else {
+          carry.append(s, 0, nl)
+          record(carry.toString, carryBeg, (off << 16) | (nl + 1).toLong)
+          carry.setLength(0)
+          i = nl + 1
+        }
+      }
+      while (i < s.length) {
+        val nl = s.indexOf('\n', i)
+        if (nl < 0) {
+          carry.append(s, i, s.length); carryBeg = (off << 16) | i.toLong
+          i = s.length
+        } else {
+          record(s.substring(i, nl), (off << 16) | i.toLong,
+            (off << 16) | (nl + 1).toLong)
+          i = nl + 1
+        }
+      }
+    }
+    if (carry.length() > 0)
+      record(carry.toString, carryBeg, len << 16) // EOF without newline
+
+    // Render (the .tbi container is itself BGZF).
+    val out = new java.io.DataOutputStream(
+      new BamFormat.BgzfOutputStream(rawOut))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def le64(v: Long): Unit = { le32(v.toInt); le32((v >>> 32).toInt) }
+    out.write('T'); out.write('B'); out.write('I'); out.write(1)
+    le32(refs.size)
+    le32(if (format == "vcf") 2 else 1) // preset
+    le32(if (format == "vcf") 1 else 3) // col_seq (1-based)
+    le32(if (format == "vcf") 2 else 4) // col_beg
+    le32(0) // col_end (derived: REF length / CIGAR)
+    le32(comment.toInt)
+    le32(0) // skip
+    val nameBytes = refs.keys.map(n =>
+      n.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte).toArray
+    le32(nameBytes.map(_.length).sum)
+    nameBytes.foreach(out.write)
+    refs.values.foreach { r =>
+      le32(r.bins.size)
+      r.bins.foreach { case (bin, chunks) =>
+        le32(bin); le32(chunks.length)
+        chunks.foreach { case (b, e) => le64(b); le64(e) }
+      }
+      le32(r.linear.length)
+      r.linear.foreach(le64)
+    }
+    out.flush()
+    out.close()
+  }
+
   /** CIGAR reference-consumed length (M/D/N/=/X op sum); 0 for '*'. */
   private def refConsumed(cigar: String): Int = {
     var total = 0; var n = 0; var i = 0

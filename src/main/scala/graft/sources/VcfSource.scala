@@ -45,15 +45,22 @@ class VcfSource extends org.apache.spark.sql.sources.RelationProvider
     val mode = parameters.get("normalizationMode").map(_.toLowerCase)
     require(mode.forall(m => m == "normalize" || m == "split_and_normalize"),
       s"VcfSource: unknown normalizationMode '${mode.get}'")
+    // `genotypes 'typed'` appends the Glow-shaped typed genotypes column
+    // (header-driven, see [[VcfFormat.genotypesColumn]]); default off so
+    // the raw-string surface keeps its schema.
+    val gmode = parameters.get("genotypes").map(_.toLowerCase)
+    require(gmode.forall(_ == "typed"),
+      s"VcfSource: unknown genotypes mode '${gmode.get}' (expected 'typed')")
+    val typedGt = gmode.isDefined
     new GraftBaseRelation with org.apache.spark.sql.sources.InsertableRelation {
       override val sqlContext: SQLContext = ctx
       override protected def frame(): DataFrame =
-        VcfFormat.frameFor(ctx.sparkSession, path, mode)
+        VcfFormat.frameFor(ctx.sparkSession, path, mode, typedGenotypes = typedGt)
       // Region predicates prune line-aligned BGZF members through the
       // `.gvi` sidecars (when every matched file has one).
       override protected def frame(
           filters: Array[org.apache.spark.sql.sources.Filter]): DataFrame =
-        VcfFormat.frameFor(ctx.sparkSession, path, mode, filters)
+        VcfFormat.frameFor(ctx.sparkSession, path, mode, filters, typedGenotypes = typedGt)
       // `INSERT INTO` over a VCF table: append writes new shards.
       override def insert(data: DataFrame, overwrite: Boolean): Unit =
         VcfFormat.writeInferred(data, path, overwrite)
@@ -137,10 +144,11 @@ object VcfFormat {
     (contigs, sMin, sMax, eMin, eMax)
   }
 
-  /** Region-pruned raw `value` frame: when EVERY matched file carries a
-    * `.gvi` sidecar and the predicates constrain contig/position, plan
-    * one task per run of kept members and inflate ONLY those (each
-    * member is line-aligned, so members parse independently). Returns
+  /** Region-pruned raw `value` frame: when EVERY matched file carries an
+    * index — the engine's `.gvi` member-envelope sidecar OR a standard
+    * tabix `.tbi` (externally-produced bgzip) — and the predicates
+    * constrain contig/position, plan one task per run of kept
+    * members/chunk ranges and inflate ONLY those. Returns
     * None when pruning does not apply — the caller falls back to the
     * ordinary splittable text scan. Always a SUPERSET of the
     * predicate's rows; the engine re-applies the filters. */
@@ -168,15 +176,17 @@ object VcfFormat {
     // S7 file-level sample pruning composes: a sample predicate keeps
     // only matching files before the member envelopes are consulted.
     val sampled = files.filter(st => samples.forall(_.contains(BamSource.sampleOf(st))))
-    if (!sampled.forall(st => fs.exists(gviPath(st.getPath)))) return None
     // pos_start <= pos_end bounds both axes of the envelope.
     val startCap = math.min(sMax.toLong, eMax.toLong)
     val endFloor = math.max(sMin.toLong, eMin.toLong)
+    // A task is (file, len, gvi members, tbi virtual-offset ranges) —
+    // exactly one of the two seqs is populated, per the file's index.
+    type Task = (String, Long, Seq[(Long, Int)], Seq[(Long, Long)])
     // Each kept member is (offset, lead): lead = inflated offset of the
     // first line STARTING in the member. Engine-written sidecars are
     // line-aligned 5-field entries (lead 0); [[GraftIndexer]] emits a 6th
     // field for externally-produced bgzip whose members cut lines.
-    val tasks: Seq[(String, Long, Seq[(Long, Int)])] = sampled.flatMap { st =>
+    def gviTasks(st: org.apache.hadoop.fs.FileStatus): Seq[Task] = {
       val file = st.getPath.toString
       val len = st.getLen
       val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -194,8 +204,58 @@ object VcfFormat {
           }.toVector
       } finally rd.close()
       // Chunk runs of kept members into bounded tasks.
-      kept.grouped(256).map(g => (file, len, g.toSeq)).toSeq
+      kept.grouped(256).map(g => (file, len, g.toSeq, Nil)).toSeq
     }
+    // Standard tabix `.tbi` (externally-produced bgzip the engine did
+    // not index): spec bins → merged BGZF virtual-offset ranges, the
+    // text twin of the BAM `.bai` path. Contig names in the index are
+    // raw — cleaned here to match the engine's predicate space.
+    def tbiTasks(st: org.apache.hadoop.fs.FileStatus): Option[Seq[Task]] = {
+      import org.apache.hadoop.fs.{Path => HPath}
+      val tbi = new HPath(st.getPath.toString + ".tbi")
+      if (!fs.exists(tbi)) return None
+      // The .tbi is itself BGZF and small (KBs of bins per GB of data) —
+      // inflate it whole on the driver.
+      val data = {
+        val in = fs.open(tbi)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          BamFormat.bgzfMembers(in, fs.getFileStatus(tbi).getLen, 0L)
+            .foreach { case (_, b) => buf.write(b) }
+          buf.toByteArray
+        } finally in.close()
+      }
+      val idx = BamFormat.TbiIndex.read(data)
+      val beg1 =
+        if (endFloor == Int.MinValue.toLong) 1
+        else math.min(math.max(1L, endFloor), (1L << 29) - 1).toInt
+      val end1 = math.max(beg1.toLong, math.min(startCap, (1L << 29) - 1)).toInt
+      val refIdxs = idx.names.indices.filter(i => contigs.forall(
+        _.contains(graft.functions.RangeFunctions.cleanContig(idx.names(i)))))
+      // Merge ranges ACROSS refs: bins of adjacent references can share
+      // boundary blocks, and a block range read twice would duplicate
+      // rows (filters are re-applied, but duplicates would survive).
+      val raw = refIdxs.flatMap(r =>
+        BamFormat.BaiIndex.chunksFor(idx.refs(r), beg1, end1)).sortBy(_._1)
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      raw.foreach { c =>
+        if (merged.nonEmpty && c._1 <= merged.last._2)
+          merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, c._2))
+        else merged += c
+      }
+      tbiPrunedFiles.increment()
+      Some(merged.grouped(64).map(g =>
+        (st.getPath.toString, st.getLen, Nil: Seq[(Long, Int)], g.toSeq)).toSeq)
+    }
+    val perFile: Seq[Option[Seq[Task]]] = sampled.map { st =>
+      if (fs.exists(gviPath(st.getPath))) Some(gviTasks(st))
+      else if (st.getPath.getName.endsWith(".gz")) tbiTasks(st)
+      else None
+    }
+    // A file with neither index defeats pruning for the whole path —
+    // fall back to the ordinary splittable scan.
+    if (perFile.exists(_.isEmpty)) return None
+    val tasks: Seq[Task] = perFile.flatMap(_.get)
     val cols = if (withFile) Seq("value", "_file") else Seq("value")
     if (tasks.isEmpty)
       return Some(spark.createDataset(Seq.empty[(String, String)])(
@@ -205,7 +265,7 @@ object VcfFormat {
         .toDF("value", "_file").select(cols.map(col): _*))
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     val rdd = spark.sparkContext.parallelize(tasks, tasks.length)
-      .flatMap { case (file, len, offs) =>
+      .flatMap { case (file, len, offs, ranges) =>
         val hp = new HPath(file)
         val in = hp.getFileSystem(serConf.value).open(hp)
         Option(org.apache.spark.TaskContext.get()).foreach(
@@ -214,7 +274,31 @@ object VcfFormat {
         // SAM QNAME may legally begin with '#' (spec charset [!-?A-~]),
         // so filtering on the wrong prefix would silently drop records
         // only when member pruning engages.
-        offs.iterator.flatMap { case (off, lead) =>
+        //
+        // Tabix-planned task: each merged (beg, end) virtual-offset range
+        // starts AT a record start and ends just past one (the index
+        // contract), so inflating exactly those bytes yields whole lines.
+        val fromRanges = ranges.iterator.flatMap { case (vbeg, vend) =>
+          val cBeg = vbeg >>> 16; val uBeg = (vbeg & 0xFFFFL).toInt
+          val cEnd = vend >>> 16; val uEnd = (vend & 0xFFFFL).toInt
+          val buf = new java.io.ByteArrayOutputStream(64 * 1024)
+          val members = BamFormat.bgzfMembers(in, len, cBeg)
+          var done = false
+          while (!done && members.hasNext) {
+            val (mo, bytes) = members.next()
+            if (mo > cEnd || (mo == cEnd && uEnd == 0)) done = true
+            else {
+              val from = if (mo == cBeg) uBeg else 0
+              val to = if (mo == cEnd) math.min(uEnd, bytes.length) else bytes.length
+              if (to > from) buf.write(bytes, from, to - from)
+              if (mo >= cEnd) done = true
+            }
+          }
+          new String(buf.toByteArray, StandardCharsets.UTF_8)
+            .linesIterator.filter(l => l.nonEmpty && l.charAt(0) != commentPrefix)
+            .map(l => (l, file))
+        }
+        fromRanges ++ offs.iterator.flatMap { case (off, lead) =>
           // A member owns the lines STARTING in it, from `lead` on. When
           // the final line spans the member boundary (bgzip-CLI layout,
           // indexed by GraftIndexer), keep inflating the member chain
@@ -246,17 +330,23 @@ object VcfFormat {
       .toDF("value", "_file").select(cols.map(col): _*))
   }
 
-  /** One `##INFO=<ID=...,Number=...,Type=...>` declaration. `number` is
-    * kept verbatim (`0`/`1`/`A`/`R`/`G`/`.`); `vtype` is the VCF Type. */
+  /** One `##INFO=<ID=...,Number=...,Type=...>` (or `##FORMAT=`)
+    * declaration. `number` is kept verbatim (`0`/`1`/`A`/`R`/`G`/`.`);
+    * `vtype` is the VCF Type. */
   case class VcfInfoField(id: String, number: String, vtype: String)
 
   /** Driver-side header metadata for a VCF path: the `#CHROM` genotype
-    * sample names plus the declared INFO fields. */
-  case class VcfHeaderMeta(samples: Seq[String], infos: Seq[VcfInfoField])
+    * sample names plus the declared INFO and FORMAT fields. */
+  case class VcfHeaderMeta(samples: Seq[String], infos: Seq[VcfInfoField],
+      formats: Seq[VcfInfoField] = Nil)
 
   /** File-header reads performed (test observability for the
     * per-(path, files-fingerprint) memoization). */
   private[graft] val headerReads = new java.util.concurrent.atomic.LongAdder()
+
+  /** Files whose region pruning was planned through a standard tabix
+    * `.tbi` index (test observability). */
+  private[graft] val tbiPrunedFiles = new java.util.concurrent.atomic.LongAdder()
 
   // path -> (files fingerprint, parsed meta). The fingerprint covers
   // every matched file's (name, mtime, length), so appends/overwrites
@@ -267,6 +357,8 @@ object VcfFormat {
 
   private val InfoDecl =
     """##INFO=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*>""".r
+  private val FormatDecl =
+    """##FORMAT=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*>""".r
 
   private def readOneHeader(fs: org.apache.hadoop.fs.FileSystem,
       file: org.apache.hadoop.fs.Path): VcfHeaderMeta = {
@@ -281,11 +373,13 @@ object VcfFormat {
       new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
     try {
       val infos = Seq.newBuilder[VcfInfoField]
+      val formats = Seq.newBuilder[VcfInfoField]
       var samples: Seq[String] = Nil
       var line = rd.readLine()
       while (line != null && line.startsWith("##")) {
         line match {
           case InfoDecl(id, num, tpe) => infos += VcfInfoField(id, num, tpe)
+          case FormatDecl(id, num, tpe) => formats += VcfInfoField(id, num, tpe)
           case _ => ()
         }
         line = rd.readLine()
@@ -294,7 +388,7 @@ object VcfFormat {
         val f = line.split("\t", -1)
         if (f.length > 9) samples = f.drop(9).toSeq
       }
-      VcfHeaderMeta(samples, infos.result())
+      VcfHeaderMeta(samples, infos.result(), formats.result())
     } finally rd.close()
   }
 
@@ -333,18 +427,22 @@ object VcfFormat {
       }.mkString("; ")
       s"VcfSource: conflicting #CHROM sample columns across files at '$path': $desc"
     })
-    val infoById = scala.collection.mutable.LinkedHashMap.empty[String, (VcfInfoField, String)]
-    perFile.foreach { case (f, m) =>
-      m.infos.foreach { i =>
-        infoById.get(i.id) match {
-          case Some((prev, prevFile)) =>
-            require(prev == i, s"VcfSource: conflicting ##INFO declarations " +
-              s"for '${i.id}' at '$path': $prev in $prevFile vs $i in ${f.getName}")
-          case None => infoById(i.id) = (i, f.getName)
+    def mergeDecls(kind: String, of: VcfHeaderMeta => Seq[VcfInfoField]): Seq[VcfInfoField] = {
+      val byId = scala.collection.mutable.LinkedHashMap.empty[String, (VcfInfoField, String)]
+      perFile.foreach { case (f, m) =>
+        of(m).foreach { i =>
+          byId.get(i.id) match {
+            case Some((prev, prevFile)) =>
+              require(prev == i, s"VcfSource: conflicting ##$kind declarations " +
+                s"for '${i.id}' at '$path': $prev in $prevFile vs $i in ${f.getName}")
+            case None => byId(i.id) = (i, f.getName)
+          }
         }
       }
+      byId.values.map(_._1).toSeq
     }
-    val meta = VcfHeaderMeta(perFile.head._2.samples, infoById.values.map(_._1).toSeq)
+    val meta = VcfHeaderMeta(perFile.head._2.samples,
+      mergeDecls("INFO", _.infos), mergeDecls("FORMAT", _.formats))
     headerCache.put(path, (fp, meta))
     meta
   }
@@ -378,6 +476,48 @@ object VcfFormat {
       case _ => transform(split(rawV, ","), x => cast(dot(x)))
     }
     typed.as(s"info_${f.id}")
+  }
+
+  /** Glow-shaped typed `genotypes` column (the surface the reference
+    * inherits through `VCFRelation.scala:25-49`): one
+    * `array<struct<sample_id, calls, phased, <FORMAT fields>>>` built
+    * from the raw per-sample strings with stock codegen functions. Field
+    * positions follow each ROW's `FORMAT` value (`array_position` over
+    * the split keys — the spec allows per-record field order/subsets), so
+    * a field absent from a row's FORMAT is null. `GT` becomes
+    * `calls: array<int>` (missing alleles → −1, Glow/htsjdk convention)
+    * plus `phased: boolean`; every other declared `##FORMAT` field types
+    * as `##INFO` does — Number=1 scalars, otherwise arrays. All `get()`
+    * accesses are 0-based null-safe, so per-row FORMAT subsets and `.`
+    * placeholders never throw under ANSI. */
+  private def genotypesColumn(meta: VcfHeaderMeta): Column = {
+    val fkeys = split(col("format"), ":")
+    // 1-based array_position (0 = absent) folded to a 0-based get index
+    // (-1 = absent → null), per row.
+    def fieldRaw(sampleCol: Column, id: String): Column =
+      dot(get(split(sampleCol, ":"),
+        (array_position(fkeys, lit(id)) - 1).cast("int")))
+    def cast(f: VcfInfoField)(c: Column): Column = f.vtype match {
+      case "Integer" => c.cast("int")
+      case "Float" => c.cast("double")
+      case _ => c
+    }
+    val structs = meta.samples.map { s =>
+      val gt = fieldRaw(col(s), "GT")
+      val calls = transform(split(gt, "[/|]"),
+        x => when(x === "" || x === ".", lit(-1)).otherwise(x.cast("int")))
+      val declared = meta.formats.filter(_.id != "GT").map { f =>
+        val raw = fieldRaw(col(s), f.id)
+        val typed = f.number match {
+          case "1" => cast(f)(raw)
+          case _ => transform(split(raw, ","), x => cast(f)(dot(x)))
+        }
+        typed.as(f.id)
+      }
+      struct((lit(s).as("sample_id") +: calls.as("calls") +:
+        gt.contains("|").as("phased") +: declared): _*)
+    }
+    array(structs: _*).as("genotypes")
   }
 
   /** The VCF line parse as pure column expressions over a `value` text
@@ -424,7 +564,8 @@ object VcfFormat {
 
   private[sources] def frameFor(spark: org.apache.spark.sql.SparkSession,
       path: String, mode: Option[String],
-      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty): DataFrame = {
+      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+      typedGenotypes: Boolean = false): DataFrame = {
     // Member pruning only applies on file coordinates — normalization
     // modes MOVE pos_start (left-align), so envelopes on raw positions
     // could wrongly drop a row that normalizes into the queried range.
@@ -433,7 +574,14 @@ object VcfFormat {
       else prunedRawImpl(spark, path, filters)
         .getOrElse(SourceUtil.textFrame(spark, path))
     val meta = headerMeta(spark, path)
-    val ordered = parse(raw, meta)
+    val parsed = parse(raw, meta)
+    val ordered =
+      if (!typedGenotypes) parsed
+      else {
+        require(meta.samples.nonEmpty,
+          s"VcfSource: genotypes 'typed' requires #CHROM sample columns at '$path'")
+        parsed.withColumn("genotypes", genotypesColumn(meta))
+      }
     mode match {
       case Some("normalize") =>
         graft.operators.VariantOps.normalizeInPlace(ordered)
@@ -473,7 +621,8 @@ object VcfFormat {
     // split mode's allele_idx) are derived surface, not genotype data —
     // the `info` column already round-trips their content.
     val sampleCols = df.columns
-      .filterNot(c => core(c) || c.startsWith("info_") || c == "allele_idx")
+      .filterNot(c => core(c) || c.startsWith("info_") || c == "allele_idx" ||
+        c == "genotypes")
       .toSeq
     val formatCol = if (df.columns.contains("format")) Some("format") else None
     writeVcf(df, path, sampleCols, formatCol, overwrite)

@@ -1021,6 +1021,77 @@ class SourcesSpec extends SparkSpec {
       Seq(("T", 1, 0.25), ("G", 2, 0.125)))
   }
 
+  test("VCF typed genotypes: header-driven struct column follows per-row FORMAT") {
+    val dir = s"$base/vcf_gt_typed"
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    // Per-row FORMAT variation (spec-legal): row 2 reorders the fields,
+    // row 3 declares a subset, row 4 has a haploid call and a missing
+    // diploid call — a position-hardcoded parse fails on all three.
+    java.nio.file.Files.writeString(Paths.get(s"$dir/a.vcf"),
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+        |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth">
+        |##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">
+        |##FORMAT=<ID=HQ,Number=2,Type=Integer,Description="Haplotype qualities">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	na1	na2
+        |chr7	100	rs1	A	T	50	PASS	DP=12	GT:DP:GQ:HQ	0|1:12:99:10,20	1/1:7:88:.
+        |chr7	200	rs2	A	G	60	PASS	DP=7	GT:GQ:DP	0|0:97:34	0/1:.:21
+        |chr7	300	rs3	G	C	70	PASS	DP=3	GT	1|1	0/0
+        |chr7	400	rs4	G	C	80	PASS	DP=2	GT:DP	1:15	./.:9
+        |""".stripMargin)
+    spark.sql("DROP TABLE IF EXISTS vcf_gt_typed")
+    spark.sql(s"""CREATE TABLE vcf_gt_typed USING graft.sources.VcfSource
+                 |OPTIONS (path '$dir/a.vcf', genotypes 'typed')""".stripMargin)
+    val t = spark.table("vcf_gt_typed")
+    // The raw surface is intact alongside the typed column.
+    assert(t.columns.toSeq.takeRight(4) === Seq("format", "na1", "na2", "genotypes"))
+    val g = t.select(col("pos_start"), explode(col("genotypes")).as("g"))
+      .select(col("pos_start"), col("g.sample_id"), col("g.calls"),
+        col("g.phased"), col("g.DP"), col("g.GQ"), col("g.HQ"))
+      .orderBy("pos_start", "sample_id").collect()
+    def row(pos: Int, s: String) = g.find(r => r.getInt(0) == pos &&
+      r.getString(1) == s).get
+    val r1a = row(100, "na1")
+    assert(r1a.getSeq[Int](2) === Seq(0, 1) && r1a.getBoolean(3))
+    assert(r1a.getInt(4) === 12 && r1a.getInt(5) === 99 &&
+      r1a.getSeq[Int](6) === Seq(10, 20))
+    val r1b = row(100, "na2")
+    assert(r1b.getSeq[Int](2) === Seq(1, 1) && !r1b.getBoolean(3) &&
+      r1b.isNullAt(6), "'.' HQ is a null array")
+    // Reordered FORMAT: GQ/DP land by name, HQ (absent) is null.
+    val r2a = row(200, "na1")
+    assert(r2a.getInt(4) === 34 && r2a.getInt(5) === 97 && r2a.isNullAt(6))
+    assert(row(200, "na2").isNullAt(5), "'.' GQ is null")
+    // GT-only FORMAT: every declared field null, calls still typed.
+    val r3 = row(300, "na1")
+    assert(r3.getSeq[Int](2) === Seq(1, 1) && r3.isNullAt(4) && r3.isNullAt(5))
+    // Haploid and missing calls (htsjdk/Glow convention: '.' → -1).
+    assert(row(400, "na1").getSeq[Int](2) === Seq(1))
+    assert(row(400, "na2").getSeq[Int](2) === Seq(-1, -1))
+    assert(row(400, "na2").getInt(4) === 9)
+
+    // Conflicting ##FORMAT re-declarations across files fail loudly.
+    val cdir = s"$base/vcf_gt_typed_conflict"
+    java.nio.file.Files.createDirectories(Paths.get(cdir))
+    def one(name: String, dpType: String): Unit =
+      java.nio.file.Files.writeString(Paths.get(s"$cdir/$name"),
+        s"""##fileformat=VCFv4.2
+           |##FORMAT=<ID=DP,Number=1,Type=$dpType,Description="d">
+           |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	na1
+           |chr1	100	.	A	T	50	PASS	DP=3	DP	5
+           |""".stripMargin)
+    one("a.vcf", "Integer"); one("b.vcf", "Float")
+    spark.sql("DROP TABLE IF EXISTS vcf_gt_conflict")
+    // Schema derivation reads the headers, so the conflict fires at
+    // CREATE TABLE time — before any query runs.
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE TABLE vcf_gt_conflict USING graft.sources.VcfSource
+                   |OPTIONS (path '$cdir', genotypes 'typed')""".stripMargin)
+      spark.table("vcf_gt_conflict").count()
+    }
+    assert(e.getMessage.contains("FORMAT") && e.getMessage.contains("DP"))
+  }
+
   test("VCF header metadata is memoized; conflicting sample headers fail loudly") {
     val dir = s"$base/vcf_hdr_cache"
     java.nio.file.Files.createDirectories(Paths.get(s"$dir/ok"))
@@ -1058,6 +1129,79 @@ class SourcesSpec extends SparkSpec {
       spark.table("vcf_hdr_cache").count()
     }
     assert(e.getMessage.contains("s3.vcf") && e.getMessage.contains("conflicting"))
+  }
+
+  test("GraftIndexer writes standard .tbi; region pruning consumes tabix indexes") {
+    val dir = s"$base/tabix_tbi"
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    def bgzip(text: String, out: String, chunk: Int): Unit = {
+      val bg = new BamFormat.BgzfOutputStream(new java.io.FileOutputStream(out))
+      text.getBytes("UTF-8").grouped(chunk).foreach { c =>
+        bg.write(c, 0, c.length); bg.flush()
+      }
+      bg.close()
+    }
+    // Coordinate-sorted (the tabix contract), members cut mid-line.
+    val vcfText = new StringBuilder(
+      "##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    for (c <- 0 to 3; i <- 1 to 1000) vcfText.append(
+      s"chr$c\t${i * 5 + 1}\trs${c}_$i\tACG\tA\t50\tPASS\tDP=${i % 90}\n")
+    bgzip(vcfText.toString, s"$dir/f.vcf.gz", 1409)
+
+    assert(graft.sources.GraftIndexer.tabixFiles(spark, s"$dir/f.vcf.gz", "vcf") === 1L)
+    // Idempotent unless overwrite; the index parses back with raw names.
+    assert(graft.sources.GraftIndexer.tabixFiles(spark, s"$dir/f.vcf.gz", "vcf") === 0L)
+    val tbiBytes = {
+      val fis = new java.io.FileInputStream(s"$dir/f.vcf.gz.tbi")
+      val gz = new java.util.zip.GZIPInputStream(fis)
+      val all = gz.readAllBytes(); gz.close(); all
+    }
+    val idx = BamFormat.TbiIndex.read(tbiBytes)
+    assert(idx.names.toSeq === Seq("chr0", "chr1", "chr2", "chr3"))
+    assert(idx.refs.forall(r => r.bins.nonEmpty && r.linear.nonEmpty))
+
+    spark.sql("DROP TABLE IF EXISTS vcf_tabix")
+    spark.sql(s"""CREATE TABLE vcf_tabix USING graft.sources.VcfSource
+                 |OPTIONS (path '$dir/f.vcf.gz')""".stripMargin)
+    val t = spark.table("vcf_tabix")
+    assert(t.count() === 4000)
+    def inflatedDuring(body: => Array[org.apache.spark.sql.Row]): (Long, Long, Long) = {
+      val before = BamFormat.blocksInflated.get()
+      val beforeTbi = VcfFormat.tbiPrunedFiles.sum()
+      val rows = body
+      (rows.length.toLong, BamFormat.blocksInflated.get() - before,
+        VcfFormat.tbiPrunedFiles.sum() - beforeTbi)
+    }
+    val sel = col("contig") === "2" && col("pos_start").between(2000, 2600)
+    val (nAll, bAll, _) = inflatedDuring(t.filter(col("pos_start") >= 0).collect())
+    val (nSel, bSel, viaTbi) = inflatedDuring(t.filter(sel).collect())
+    assert(nAll === 4000)
+    assert(nSel === (400 to 519).size, s"expected 120 rows, got $nSel")
+    assert(viaTbi >= 1, "planning did not go through the .tbi index")
+    assert(bSel < bAll / 2,
+      s"tabix region query inflated $bSel of $bAll members — pruning did not fire")
+    // Chunk reads return exactly the same rows as the unindexed scan.
+    val viaPrune = t.filter(sel).collect().map(_.toString).toSet
+    java.nio.file.Files.delete(Paths.get(s"$dir/f.vcf.gz.tbi"))
+    spark.sql("REFRESH TABLE vcf_tabix")
+    val noIndex = spark.table("vcf_tabix").filter(sel).collect().map(_.toString).toSet
+    assert(viaPrune === noIndex && viaPrune.size === 120)
+
+    // SAM preset twin ('@' comments, CIGAR-consumed end, cols 3/4).
+    val samText = new StringBuilder("@HD\tVN:1.6\tSO:coordinate\n")
+    for (c <- 0 to 3; i <- 1 to 800) samText.append(
+      s"r${c}_$i\t0\tchr$c\t${i * 2 + 1}\t60\t4M\t*\t0\t0\tACGT\tIIII\n")
+    bgzip(samText.toString, s"$dir/sampleT.sam.gz", 1409)
+    assert(graft.sources.GraftIndexer.tabixFiles(spark, s"$dir/sampleT.sam.gz", "sam") === 1L)
+    spark.sql("DROP TABLE IF EXISTS sam_tabix")
+    spark.sql(s"""CREATE TABLE sam_tabix USING graft.sources.SamSource
+                 |OPTIONS (path '$dir/sampleT.sam.gz')""".stripMargin)
+    val ts = spark.table("sam_tabix")
+    val selS = col("contig") === "1" && col("pos_start").between(401, 801)
+    val (nS, bS, viaTbiS) = inflatedDuring(ts.filter(selS).collect())
+    assert(nS === (200 to 400).size && viaTbiS >= 1)
+    val (_, bSAll, _) = inflatedDuring(ts.filter(col("pos_start") >= 0).collect())
+    assert(bS < bSAll / 2, s"SAM tabix pruning did not fire ($bS of $bSAll)")
   }
 
   test("GraftIndexer builds .gvi for foreign bgzip files; pruning fires on them") {
