@@ -611,6 +611,124 @@ object BamFormat {
     }
   }
 
+  /** Standard CSI v1 index consumption (hts-specs CSIv1) — the
+    * generalized successor of `.bai`/`.tbi` that bcftools/samtools emit
+    * by default for large genomes: parameterized `(min_shift, depth)`
+    * binning over BGZF virtual offsets with 64-bit coordinate reach, a
+    * per-bin `loffset` in place of the 16 kb linear index. The index file
+    * is itself BGZF-compressed — callers hand in inflated bytes. `names`
+    * come from the tabix-header aux payload when the CSI indexes text;
+    * empty for BAM (reference order comes from the BAM header). */
+  object CsiIndex {
+    /** `loffsets(ref)(bin)` = the bin's spec `loffset` (virtual offset of
+      * its first overlapping record on a coordinate-sorted file; 0 = no
+      * floor — voffset 0 is always inside the header, so a real record
+      * can never sit there). */
+    final case class Csi(minShift: Int, depth: Int, names: Array[String],
+        refs: Array[BaiIndex.RefIndex], loffsets: Array[Map[Int, Long]])
+
+    def read(data: Array[Byte]): Csi = {
+      require(data.length >= 16 && data(0) == 'C' && data(1) == 'S' &&
+        data(2) == 'I' && data(3) == 1, "not a CSI index (bad magic)")
+      val minShift = i32(data, 4)
+      val depth = i32(data, 8)
+      val lAux = i32(data, 12)
+      // Tabix-flavored aux: format/col_seq/col_beg/col_end/meta/skip
+      // (24 bytes) + l_nm + NUL-terminated names; empty for BAM.
+      val names =
+        if (lAux >= 28) {
+          val lNm = i32(data, 16 + 24)
+          new String(data, 16 + 28, lNm, java.nio.charset.StandardCharsets.US_ASCII)
+            .split('\u0000').filter(_.nonEmpty)
+        } else Array.empty[String]
+      var o = 16 + lAux
+      val nRef = i32(data, o); o += 4
+      // The per-ref layout differs from BAI by the loffset word after
+      // each bin id; metadata pseudo-bins (> maxBin) are skipped.
+      val maxBin = (((1L << (3 * (depth + 1))) - 1) / 7).toInt
+      def le64(): Long = {
+        val lo = i32(data, o).toLong & 0xFFFFFFFFL
+        val hi = i32(data, o + 4).toLong & 0xFFFFFFFFL
+        o += 8
+        (hi << 32) | lo
+      }
+      val loffs = Array.newBuilder[Map[Int, Long]]
+      val refs = Array.fill(nRef) {
+        val nBin = i32(data, o); o += 4
+        val bins = Map.newBuilder[Int, Array[(Long, Long)]]
+        val lo = Map.newBuilder[Int, Long]
+        var b = 0
+        while (b < nBin) {
+          val bin = i32(data, o); o += 4
+          val loffset = le64()
+          val nChunk = i32(data, o); o += 4
+          val chunks = Array.fill(nChunk)((le64(), le64()))
+          if (bin <= maxBin) {
+            bins += bin -> chunks
+            if (loffset > 0L) lo += bin -> loffset
+          }
+          b += 1
+        }
+        loffs += lo.result()
+        BaiIndex.RefIndex(bins.result(), Array.emptyLongArray)
+      }
+      Csi(minShift, depth, names, refs, loffs.result())
+    }
+
+    /** Generalized reg2bins for a `(min_shift, depth)` scheme (htslib's
+      * algorithm; `(14, 5)` reproduces the BAI/TBI bin numbering). */
+    def reg2bins(beg: Long, end0: Long, minShift: Int, depth: Int): Seq[Int] = {
+      val end = end0 - 1
+      val out = Seq.newBuilder[Int]
+      var l = 0; var t = 0L; var s = minShift + depth * 3
+      while (l <= depth) {
+        var i = t + (beg >> s); val e = t + (end >> s)
+        while (i <= e) { out += i.toInt; i += 1 }
+        s -= 3; t += 1L << (l * 3); l += 1
+      }
+      out.result()
+    }
+
+    /** MERGED virtual-offset ranges possibly overlapping the 1-based
+      * inclusive [beg1, end1] — the CSI twin of [[BaiIndex.chunksFor]].
+      * `loff` (bin → loffset) replaces BAI's linear index: every record
+      * overlapping the query overlaps each window CONTAINING `beg`, so on
+      * a coordinate-sorted file the tightest existing root→leaf path
+      * loffset floors all chunk starts (htslib's walk). Writers flag
+      * unsorted input by omitting loffsets, which disables the floor —
+      * correctness never depends on it. */
+    def chunksFor(ri: BaiIndex.RefIndex, beg1: Long, end1: Long,
+        minShift: Int, depth: Int,
+        loff: Map[Int, Long] = Map.empty): Seq[(Long, Long)] = {
+      val maxPos = 1L << (minShift + depth * 3)
+      val beg0 = math.max(0L, beg1 - 1)
+      val end0 = math.min(maxPos, math.max(beg0 + 1, end1))
+      // Root→leaf path bins of beg0, tightest (deepest) floor wins.
+      var linMin = 0L
+      if (loff.nonEmpty) {
+        var l = 0; var t = 0L
+        while (l <= depth) {
+          val bin = (t + (beg0 >> (minShift + (depth - l) * 3))).toInt
+          loff.get(bin).foreach(v => linMin = math.max(linMin, v))
+          t += 1L << (l * 3); l += 1
+        }
+      }
+      val raw = reg2bins(beg0, end0, minShift, depth)
+        .flatMap(b => ri.bins.getOrElse(b, Array.empty[(Long, Long)]))
+        .filter(_._2 > linMin)
+        .map { case (b, e) => (math.max(b, linMin), e) }
+        .filter(c => c._1 < c._2)
+        .sortBy(_._1)
+      val merged = mutable.ArrayBuffer.empty[(Long, Long)]
+      raw.foreach { c =>
+        if (merged.nonEmpty && c._1 <= merged.last._2)
+          merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, c._2))
+        else merged += c
+      }
+      merged.toSeq
+    }
+  }
+
   /** Records of the byte-range split `[start, end)` of a BAM file —
     * the 100 TB path: a task owns the records STARTING in BGZF blocks
     * whose file offset falls in its range (the first split also owns the

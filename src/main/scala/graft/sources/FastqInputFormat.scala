@@ -224,6 +224,19 @@ class BgzfTextInputFormat extends FileInputFormat[LongWritable, Text] {
     val codec = new CompressionCodecFactory(ctx.getConfiguration).getCodec(file)
     codec == null || FastqInputFormat.isBgzf(ctx.getConfiguration, file)
   }
+  /** Standard index sidecars (`.tbi`/`.csi`/...) carry PUBLIC non-dot
+    * names and would otherwise enumerate as data files of a directory
+    * scan — an index is BGZF, so it would even "inflate" into garbage
+    * lines instead of failing loudly. */
+  override def listStatus(job: JobContext)
+      : java.util.List[org.apache.hadoop.fs.FileStatus] = {
+    val all = super.listStatus(job)
+    val out = new java.util.ArrayList[org.apache.hadoop.fs.FileStatus](all.size())
+    all.forEach { st =>
+      if (!SourceUtil.isIndexSidecar(st.getPath.getName)) out.add(st)
+    }
+    out
+  }
   override def createRecordReader(split: InputSplit,
       ctx: TaskAttemptContext): RecordReader[LongWritable, Text] =
     new BgzfTextRecordReader

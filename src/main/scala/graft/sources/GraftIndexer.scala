@@ -82,7 +82,18 @@ object GraftIndexer {
     * ([[VcfFormat.prunedRawImpl]]) stays correct on unsorted files
     * because it merges chunk ranges and re-applies every predicate. */
   def tabixFiles(spark: org.apache.spark.sql.SparkSession, path: String,
-      format: String, overwrite: Boolean = false): Long = {
+      format: String, overwrite: Boolean = false): Long =
+    standardIndexFiles(spark, path, format, overwrite, csi = false)
+
+  /** [[tabixFiles]]'s CSI twin: writes standard `.csi` v1 indexes
+    * (min_shift 14, depth 5 — numerically identical bins, the layout
+    * bcftools emits by default) for bgzip text files lacking one. */
+  def csiFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      format: String, overwrite: Boolean = false): Long =
+    standardIndexFiles(spark, path, format, overwrite, csi = true)
+
+  private def standardIndexFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, format: String, overwrite: Boolean, csi: Boolean): Long = {
     require(format == "vcf" || format == "sam",
       s"GraftIndexer: unknown format '$format' (want vcf|sam)")
     import org.apache.hadoop.fs.{Path => HPath}
@@ -90,6 +101,7 @@ object GraftIndexer {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val suffix = if (csi) ".csi" else ".tbi"
     val files = matched.flatMap { st =>
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
@@ -97,17 +109,18 @@ object GraftIndexer {
       else Seq(st)
     }.filter(_.getPath.getName.endsWith(".gz"))
       .filter(st => overwrite ||
-        !fs.exists(new HPath(st.getPath.toString + ".tbi")))
+        !fs.exists(new HPath(st.getPath.toString + suffix)))
     if (files.isEmpty) return 0L
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     val fmt = format
+    val asCsi = csi
     val work = files.map(st => (st.getPath.toString, st.getLen))
     spark.sparkContext.parallelize(work, work.length).map { case (file, len) =>
       val hp = new HPath(file)
       val tfs = hp.getFileSystem(serConf.value)
       val in = tfs.open(hp)
-      val out = tfs.create(new HPath(file + ".tbi"), true)
-      try tabixOne(in, len, fmt, out) finally in.close()
+      val out = tfs.create(new HPath(file + suffix), true)
+      try tabixOne(in, len, fmt, out, asCsi) finally in.close()
       1L
     }.sum().toLong
   }
@@ -136,10 +149,18 @@ object GraftIndexer {
   }
 
   private def tabixOne(in: org.apache.hadoop.fs.FSDataInputStream, len: Long,
-      format: String, rawOut: java.io.OutputStream): Unit = {
+      format: String, rawOut: java.io.OutputStream,
+      csi: Boolean = false): Unit = {
     val comment = if (format == "vcf") '#' else '@'
     val (cIdx, pIdx) = if (format == "vcf") (0, 1) else (2, 3)
     val refs = scala.collection.mutable.LinkedHashMap.empty[String, TbiRef]
+    // Coordinate-sortedness check (the index contract): the linear
+    // index / loffset FLOORS are only valid on sorted input — records
+    // before the floor get skipped by readers. Unsorted input still
+    // gets a correct bins-only index (floors zeroed below).
+    var sorted = true
+    var lastContig: String = null
+    var lastPos = -1
 
     def record(line: String, vbeg: Long, vend: Long): Unit = {
       if (line.isEmpty || line.charAt(0) == comment) return
@@ -148,6 +169,11 @@ object GraftIndexer {
       val contig = f(cIdx)
       val pos = try f(pIdx).toInt catch { case _: NumberFormatException => -1 }
       if (contig == "*" || contig == "." || pos <= 0) return
+      if (contig != lastContig) {
+        if (refs.contains(contig)) sorted = false // reference reappears
+        lastContig = contig; lastPos = pos
+      } else if (pos < lastPos) sorted = false
+      else lastPos = pos
       val endLen =
         if (format == "vcf") { if (f.length > 3) f(3).length else 1 }
         else if (f.length > 5) math.max(refConsumed(f(5)), 1)
@@ -192,7 +218,7 @@ object GraftIndexer {
     if (carry.length() > 0)
       record(carry.toString, carryBeg, len << 16) // EOF without newline
 
-    // Render (the .tbi container is itself BGZF).
+    // Render (both index containers are themselves BGZF).
     val out = new java.io.DataOutputStream(
       new BamFormat.BgzfOutputStream(rawOut))
     def le32(v: Int): Unit = {
@@ -200,26 +226,67 @@ object GraftIndexer {
       out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
     def le64(v: Long): Unit = { le32(v.toInt); le32((v >>> 32).toInt) }
-    out.write('T'); out.write('B'); out.write('I'); out.write(1)
-    le32(refs.size)
-    le32(if (format == "vcf") 2 else 1) // preset
-    le32(if (format == "vcf") 1 else 3) // col_seq (1-based)
-    le32(if (format == "vcf") 2 else 4) // col_beg
-    le32(0) // col_end (derived: REF length / CIGAR)
-    le32(comment.toInt)
-    le32(0) // skip
     val nameBytes = refs.keys.map(n =>
       n.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte).toArray
-    le32(nameBytes.map(_.length).sum)
-    nameBytes.foreach(out.write)
-    refs.values.foreach { r =>
-      le32(r.bins.size)
-      r.bins.foreach { case (bin, chunks) =>
-        le32(bin); le32(chunks.length)
-        chunks.foreach { case (b, e) => le64(b); le64(e) }
+    // The tabix header block — .tbi writes it at the top, .csi carries
+    // the identical bytes as its aux payload.
+    def tabixHeader(): Unit = {
+      le32(if (format == "vcf") 2 else 1) // preset
+      le32(if (format == "vcf") 1 else 3) // col_seq (1-based)
+      le32(if (format == "vcf") 2 else 4) // col_beg
+      le32(0) // col_end (derived: REF length / CIGAR)
+      le32(comment.toInt)
+      le32(0) // skip
+      le32(nameBytes.map(_.length).sum)
+      nameBytes.foreach(out.write)
+    }
+    if (!csi) {
+      out.write('T'); out.write('B'); out.write('I'); out.write(1)
+      le32(refs.size)
+      tabixHeader()
+      refs.values.foreach { r =>
+        le32(r.bins.size)
+        r.bins.foreach { case (bin, chunks) =>
+          le32(bin); le32(chunks.length)
+          chunks.foreach { case (b, e) => le64(b); le64(e) }
+        }
+        le32(r.linear.length)
+        r.linear.foreach(l => le64(if (sorted) l else 0L))
       }
-      le32(r.linear.length)
-      r.linear.foreach(le64)
+    } else {
+      // CSI v1 at the BAI-equivalent scheme; no linear index — each
+      // bin's `loffset` replaces it. loffset must cover records of
+      // OTHER (parent) bins overlapping the bin's window, so it derives
+      // from the per-16kb-window minima (the linear accumulation), NOT
+      // from the bin's own chunks: min over the bin's leaf windows.
+      val levelStarts = Array(0, 1, 9, 73, 585, 4681)
+      def loffsetOf(r: TbiRef, bin: Int): Long = {
+        val l = levelStarts.lastIndexWhere(_ <= bin)
+        val shift = 3 * (5 - l)
+        val first = (bin - levelStarts(l)) << shift
+        val end = math.min(first + (1L << shift), r.linear.length.toLong).toInt
+        var m = 0L
+        var w = first
+        while (w < end) {
+          val v = r.linear(w)
+          if (v > 0 && (m == 0L || v < m)) m = v
+          w += 1
+        }
+        m
+      }
+      out.write('C'); out.write('S'); out.write('I'); out.write(1)
+      le32(14); le32(5) // min_shift, depth
+      le32(28 + nameBytes.map(_.length).sum) // l_aux
+      tabixHeader()
+      le32(refs.size)
+      refs.values.foreach { r =>
+        le32(r.bins.size)
+        r.bins.foreach { case (bin, chunks) =>
+          le32(bin); le64(if (sorted) loffsetOf(r, bin) else 0L)
+          le32(chunks.length)
+          chunks.foreach { case (b, e) => le64(b); le64(e) }
+        }
+      }
     }
     out.flush()
     out.close()

@@ -80,6 +80,24 @@ object SourceUtil {
   val cleanContigUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((c: String) => RangeFunctions.cleanContig(c))
 
+  /** [[RangeFunctions.cleanContig]] as PURE codegen column expressions
+    * (the same composition the SQL `clean_contig` builder plans) — scan
+    * paths use this instead of [[cleanContigUdf]] so contig cleaning
+    * never breaks the whole-stage-codegen span of a text-format scan. */
+  def cleanContigCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val stripped =
+      when(c.startsWith("chr"), c.substr(lit(4), lit(Int.MaxValue))).otherwise(c)
+    when(stripped === "M", "MT").otherwise(stripped)
+  }
+
+  /** Standard index sidecars that sit next to data files under PUBLIC
+    * (non-dot) names — every directory enumeration must skip them or a
+    * scan would read an index as data. (Engine sidecars `.gri`/`.gvi`/
+    * `.gci` are dot-prefixed and fall to the hidden-file filters.) */
+  private[sources] def isIndexSidecar(n: String): Boolean =
+    n.endsWith(".tbi") || n.endsWith(".csi") ||
+      n.endsWith(".bai") || n.endsWith(".crai")
+
   /** S7: sample id = file-name prefix before the first '.'. Parquet
     * datasets are directories of `part-*` files, so when the leaf is a
     * part file the name comes from the parent directory instead (the
@@ -412,7 +430,7 @@ object SourceUtil {
       "\t+$", "").as("line")
     val rows =
       if (!bgzf) reads.select(lineCol)
-      else reads.select(lineCol, cleanContigUdf(col("contig")).as("contig"),
+      else reads.select(lineCol, cleanContigCol(col("contig")).as("contig"),
         col("pos_start").cast("int"),
         coalesce(optCol("pos_end", col("pos_start")), col("pos_start")).cast("int"))
     writeShardedText(rows, path, ".sam", header, overwrite, bgzf)
@@ -530,7 +548,7 @@ class AlignmentSource extends RelationProvider {
           if (fromFile) raw.withColumn("sample_id", SourceUtil.sampleIdFromFile)
           else raw
         if (withSample.columns.contains("contig"))
-          withSample.withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+          withSample.withColumn("contig", SourceUtil.cleanContigCol(col("contig")))
         else withSample
       }
     }
@@ -558,7 +576,7 @@ class VariantSource extends RelationProvider {
           if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
         }
         if (renamed.columns.contains("contig"))
-          renamed.withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+          renamed.withColumn("contig", SourceUtil.cleanContigCol(col("contig")))
         else renamed
       }
     }
@@ -725,8 +743,8 @@ object BamSource {
       else Seq(st)
     }.filter { s =>
       val n = s.getPath.getName
-      !n.endsWith(BamFormat.IndexSuffix) && !n.endsWith(".bai") &&
-        !n.endsWith(CramFormat.IndexSuffix) && !n.endsWith(".crai")
+      !n.endsWith(BamFormat.IndexSuffix) &&
+        !n.endsWith(CramFormat.IndexSuffix) && !SourceUtil.isIndexSidecar(n)
     }
   }
 
@@ -887,29 +905,57 @@ object BamSource {
         indexed match {
           case Some(ranges) =>
             ranges.map { case (s, e, off) => BamSplit(file, len, s, e, off, sample, cleaned) }
-          case None if contigs.isDefined && fs.exists(bai) =>
-            // Standard .bai (externally-produced coordinate-sorted BAM):
-            // turn the contig+range predicate into merged chunk reads,
-            // each starting at a KNOWN record boundary and ending at the
-            // chunk's end VIRTUAL offset (SAM spec §5.2; the reference's
-            // htsjdk interval-query path, AlignmentRelation.scala:316-367).
-            val startCap =
-              math.min(math.min(sMax.toLong, eMax.toLong), (1L << 29) - 1).toInt
-            val endFloor = math.max(math.max(sMin.toLong, eMin.toLong), 1L).toInt
-            val baiData = {
-              val in = fs.open(bai)
-              try {
-                val sz = fs.getFileStatus(bai).getLen.toInt
-                val b = new Array[Byte](sz); in.readFully(0, b); b
-              } finally in.close()
-            }
-            val refIdxs = BamFormat.BaiIndex.read(baiData)
+          case None if contigs.isDefined &&
+              (fs.exists(bai) || fs.exists(new HPath(file + ".csi"))) =>
+            // Standard .bai — or its CSI successor (`samtools index -c`,
+            // 64-bit reach) — on an externally-produced coordinate-sorted
+            // BAM: turn the contig+range predicate into merged chunk
+            // reads, each starting at a KNOWN record boundary and ending
+            // at the chunk's end VIRTUAL offset (SAM spec §5.2; the
+            // reference's htsjdk interval-query path,
+            // AlignmentRelation.scala:316-367). Either way refs map by
+            // BAM-header order (a BAM CSI carries no aux names).
             val targets = cleaned.indices.filter(i => contigs.get.contains(cleaned(i)))
-            val chunks = targets.flatMap { r =>
-              if (r < refIdxs.length)
-                BamFormat.BaiIndex.chunksFor(refIdxs(r), endFloor, startCap)
-              else Nil
-            }.sortBy(_._1)
+            val chunks = (if (fs.exists(bai)) {
+              val startCap =
+                math.min(math.min(sMax.toLong, eMax.toLong), (1L << 29) - 1).toInt
+              val endFloor = math.max(math.max(sMin.toLong, eMin.toLong), 1L).toInt
+              val baiData = {
+                val in = fs.open(bai)
+                try {
+                  val sz = fs.getFileStatus(bai).getLen.toInt
+                  val b = new Array[Byte](sz); in.readFully(0, b); b
+                } finally in.close()
+              }
+              val refIdxs = BamFormat.BaiIndex.read(baiData)
+              targets.flatMap { r =>
+                if (r < refIdxs.length)
+                  BamFormat.BaiIndex.chunksFor(refIdxs(r), endFloor, startCap)
+                else Nil
+              }
+            } else {
+              // .csi is BGZF-wrapped; inflate whole (KBs per GB of data).
+              val csiPath = new HPath(file + ".csi")
+              val csiData = {
+                val in = fs.open(csiPath)
+                try {
+                  val buf = new java.io.ByteArrayOutputStream()
+                  BamFormat.bgzfMembers(in, fs.getFileStatus(csiPath).getLen, 0L)
+                    .foreach { case (_, b) => buf.write(b) }
+                  buf.toByteArray
+                } finally in.close()
+              }
+              val idx = BamFormat.CsiIndex.read(csiData)
+              val maxPos = 1L << (idx.minShift + idx.depth * 3)
+              val startCap = math.min(math.min(sMax.toLong, eMax.toLong), maxPos - 1)
+              val endFloor = math.max(math.max(sMin.toLong, eMin.toLong), 1L)
+              targets.flatMap { r =>
+                if (r < idx.refs.length)
+                  BamFormat.CsiIndex.chunksFor(idx.refs(r), endFloor, startCap,
+                    idx.minShift, idx.depth, idx.loffsets(r))
+                else Nil
+              }
+            }).sortBy(_._1)
             // Merge across refs too: bin levels interleave over shared
             // boundary blocks, and a record must be read exactly once.
             val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -1337,7 +1383,7 @@ object SamFormat {
             col("pos_start") + greatest(aggregate(
               expr("regexp_extract_all(cigar, '(\\\\d+)[MDN=X]', 1)"),
               lit(0), (acc, x) => acc + x.cast("int")), lit(1)) - 1)
-          .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+          .withColumn("contig", SourceUtil.cleanContigCol(col("contig")))
           .select(col("sample_id"), col("qname"), col("flag"), col("contig"),
             col("pos_start"), col("pos_end"), col("mapq"), col("cigar"),
             col("seq"), col("qual_str"), col("md_tag"), col("tag_NM"),
@@ -1496,7 +1542,7 @@ class BedSource extends RelationProvider {
           when(size(parts) > i, parts.getItem(i)).as(n)
         }
         dataLines.select(namedCols: _*)
-          .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+          .withColumn("contig", SourceUtil.cleanContigCol(col("contig")))
           // BED is 0-based half-open; engine convention is 1-based inclusive.
           .withColumn("pos_start", col("pos_start").cast("int") + 1)
           .withColumn("pos_end", col("pos_end").cast("int"))

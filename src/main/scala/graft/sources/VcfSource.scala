@@ -171,7 +171,8 @@ object VcfFormat {
         fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
           !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
       else Seq(st)
-    }.filterNot(_.getPath.getName.endsWith(IndexSuffix))
+    }.filterNot(st => st.getPath.getName.endsWith(IndexSuffix) ||
+      SourceUtil.isIndexSidecar(st.getPath.getName))
     if (files.isEmpty) return None
     // S7 file-level sample pruning composes: a sample predicate keeps
     // only matching files before the member envelopes are consulted.
@@ -206,37 +207,56 @@ object VcfFormat {
       // Chunk runs of kept members into bounded tasks.
       kept.grouped(256).map(g => (file, len, g.toSeq, Nil)).toSeq
     }
-    // Standard tabix `.tbi` (externally-produced bgzip the engine did
-    // not index): spec bins → merged BGZF virtual-offset ranges, the
-    // text twin of the BAM `.bai` path. Contig names in the index are
-    // raw — cleaned here to match the engine's predicate space.
+    // Standard tabix `.tbi` or CSI `.csi` (externally-produced bgzip the
+    // engine did not index): spec bins → merged BGZF virtual-offset
+    // ranges, the text twin of the BAM `.bai` path. Contig names in the
+    // index are raw — cleaned here to match the engine's predicate space.
     def tbiTasks(st: org.apache.hadoop.fs.FileStatus): Option[Seq[Task]] = {
       import org.apache.hadoop.fs.{Path => HPath}
       val tbi = new HPath(st.getPath.toString + ".tbi")
-      if (!fs.exists(tbi)) return None
-      // The .tbi is itself BGZF and small (KBs of bins per GB of data) —
-      // inflate it whole on the driver.
+      val csi = new HPath(st.getPath.toString + ".csi")
+      val (idxPath, isCsi) =
+        if (fs.exists(tbi)) (tbi, false)
+        else if (fs.exists(csi)) (csi, true)
+        else return None
+      // Both index containers are themselves BGZF and small (KBs of bins
+      // per GB of data) — inflate whole on the driver.
       val data = {
-        val in = fs.open(tbi)
+        val in = fs.open(idxPath)
         try {
           val buf = new java.io.ByteArrayOutputStream()
-          BamFormat.bgzfMembers(in, fs.getFileStatus(tbi).getLen, 0L)
+          BamFormat.bgzfMembers(in, fs.getFileStatus(idxPath).getLen, 0L)
             .foreach { case (_, b) => buf.write(b) }
           buf.toByteArray
         } finally in.close()
       }
-      val idx = BamFormat.TbiIndex.read(data)
-      val beg1 =
-        if (endFloor == Int.MinValue.toLong) 1
-        else math.min(math.max(1L, endFloor), (1L << 29) - 1).toInt
-      val end1 = math.max(beg1.toLong, math.min(startCap, (1L << 29) - 1)).toInt
-      val refIdxs = idx.names.indices.filter(i => contigs.forall(
-        _.contains(graft.functions.RangeFunctions.cleanContig(idx.names(i)))))
+      val (names, chunksOf) =
+        if (!isCsi) {
+          val idx = BamFormat.TbiIndex.read(data)
+          val beg1 =
+            if (endFloor == Int.MinValue.toLong) 1L
+            else math.min(math.max(1L, endFloor), (1L << 29) - 1)
+          val end1 = math.max(beg1, math.min(startCap, (1L << 29) - 1))
+          (idx.names, (r: Int) => BamFormat.BaiIndex.chunksFor(
+            idx.refs(r), beg1.toInt, end1.toInt))
+        } else {
+          val idx = BamFormat.CsiIndex.read(data)
+          require(idx.names.nonEmpty,
+            s"CSI index at '$idxPath' carries no tabix aux (BAM-flavored?)")
+          val maxPos = 1L << (idx.minShift + idx.depth * 3)
+          val beg1 =
+            if (endFloor == Int.MinValue.toLong) 1L
+            else math.min(math.max(1L, endFloor), maxPos - 1)
+          val end1 = math.max(beg1, math.min(startCap, maxPos - 1))
+          (idx.names, (r: Int) => BamFormat.CsiIndex.chunksFor(
+            idx.refs(r), beg1, end1, idx.minShift, idx.depth, idx.loffsets(r)))
+        }
+      val refIdxs = names.indices.filter(i => contigs.forall(
+        _.contains(graft.functions.RangeFunctions.cleanContig(names(i)))))
       // Merge ranges ACROSS refs: bins of adjacent references can share
       // boundary blocks, and a block range read twice would duplicate
       // rows (filters are re-applied, but duplicates would survive).
-      val raw = refIdxs.flatMap(r =>
-        BamFormat.BaiIndex.chunksFor(idx.refs(r), beg1, end1)).sortBy(_._1)
+      val raw = refIdxs.flatMap(chunksOf).sortBy(_._1)
       val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       raw.foreach { c =>
         if (merged.nonEmpty && c._1 <= merged.last._2)
@@ -412,7 +432,7 @@ object VcfFormat {
         fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
           !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
       else Seq(st)
-    }
+    }.filterNot(st => SourceUtil.isIndexSidecar(st.getPath.getName))
     require(files.nonEmpty, s"VcfSource: no files match '$path'")
     val fp = files.map(st =>
       s"${st.getPath}:${st.getModificationTime}:${st.getLen}").mkString("|")
@@ -490,7 +510,7 @@ object VcfFormat {
     * as `##INFO` does — Number=1 scalars, otherwise arrays. All `get()`
     * accesses are 0-based null-safe, so per-row FORMAT subsets and `.`
     * placeholders never throw under ANSI. */
-  private def genotypesColumn(meta: VcfHeaderMeta): Column = {
+  private[graft] def genotypesColumn(meta: VcfHeaderMeta): Column = {
     val fkeys = split(col("format"), ":")
     // 1-based array_position (0 = absent) folded to a 0-based get index
     // (-1 = absent → null), per row.
@@ -553,7 +573,7 @@ object VcfFormat {
     data.select(fixed ++ gts: _*)
       .withColumn("pos_end",
         (col("pos_start") + length(col("ref")) - 1).cast("int"))
-      .withColumn("contig", SourceUtil.cleanContigUdf(col("contig")))
+      .withColumn("contig", SourceUtil.cleanContigCol(col("contig")))
       .select(
         (Seq("contig", "pos_start", "pos_end", "id", "ref", "alt", "qual",
           "filter", "info").map(col) ++
@@ -657,7 +677,7 @@ object VcfFormat {
     val rows =
       if (!bgzf) df.select(lineCol)
       else df.select(lineCol,
-        SourceUtil.cleanContigUdf(col("contig").cast("string")).as("contig"),
+        SourceUtil.cleanContigCol(col("contig").cast("string")).as("contig"),
         col("pos_start").cast("int"),
         (col("pos_start") +
           length(coalesce(col("ref").cast("string"), lit("."))) - 1)

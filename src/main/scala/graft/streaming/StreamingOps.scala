@@ -298,10 +298,20 @@ object StreamingOps {
     * parquet-append contract). Compose with
     * [[annotateStream]]/[[countStream]] for stream-static annotation. */
   def vcfStream(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    graft.sources.VcfFormat.parse(
-      spark.readStream.text(path),
-      graft.sources.VcfFormat.headerMeta(spark, path))
+      path: String, typedGenotypes: Boolean = false): DataFrame = {
+    val meta = graft.sources.VcfFormat.headerMeta(spark, path)
+    val parsed = graft.sources.VcfFormat.parse(spark.readStream.text(path), meta)
+    if (!typedGenotypes) parsed
+    else {
+      require(meta.samples.nonEmpty,
+        s"vcfStream: typedGenotypes requires #CHROM sample columns at '$path'")
+      // The same header-driven struct column the batch relation's
+      // `genotypes 'typed'` option builds — micro-batches parse with the
+      // batch expressions, so the two surfaces cannot drift.
+      parsed.withColumn("genotypes",
+        graft.sources.VcfFormat.genotypesColumn(meta))
+    }
+  }
 
   /** File-stream SAM ingest — the alignment twin of [[vcfStream]]:
     * tail a directory of `.sam` shards (an aligner's output directory)

@@ -41,6 +41,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("has_alt"), s"unused columns not pruned:\n$plan")
   }
 
+  /** Contig cleaning is composed from native expressions
+    * (`SourceUtil.cleanContigCol`): a ScalaUDF here would sit inside
+    * EVERY text-format scan and break its whole-stage-codegen span. */
+  test("text-format scans plan no ScalaUDF (contig cleaning is codegen)") {
+    Seq("ddl_vcf_scan", "ddl_sam_scan", "ddl_bed_scan",
+      "vcf_genotypes_typed", "vcf_info_typed").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("UDF"), s"$name plans a UDF:\n$plan")
+    }
+  }
+
   /** Every DSv1 relation in the engine hands Spark InternalRows directly
     * (`needConversion = false`): the per-record Row→encoder bridge in
     * DataSourceStrategy.toCatalystRDD is the one conversion a 100 TB

@@ -1180,6 +1180,12 @@ class SourcesSpec extends SparkSpec {
     assert(viaTbi >= 1, "planning did not go through the .tbi index")
     assert(bSel < bAll / 2,
       s"tabix region query inflated $bSel of $bAll members — pruning did not fire")
+    // Directory-path scans skip the sidecar — a .tbi is BGZF and would
+    // otherwise "inflate" into garbage rows.
+    spark.sql("DROP TABLE IF EXISTS vcf_tabix_dir")
+    spark.sql(s"""CREATE TABLE vcf_tabix_dir USING graft.sources.VcfSource
+                 |OPTIONS (path '$dir')""".stripMargin)
+    assert(spark.table("vcf_tabix_dir").count() === 4000)
     // Chunk reads return exactly the same rows as the unindexed scan.
     val viaPrune = t.filter(sel).collect().map(_.toString).toSet
     java.nio.file.Files.delete(Paths.get(s"$dir/f.vcf.gz.tbi"))
@@ -1202,6 +1208,103 @@ class SourcesSpec extends SparkSpec {
     assert(nS === (200 to 400).size && viaTbiS >= 1)
     val (_, bSAll, _) = inflatedDuring(ts.filter(col("pos_start") >= 0).collect())
     assert(bS < bSAll / 2, s"SAM tabix pruning did not fire ($bS of $bSAll)")
+  }
+
+  test("CSI v1 indexes prune text (.csi via GraftIndexer) and BAM (transcoded .bai)") {
+    // --- text leg: csiFiles writes a .csi that the VCF reader consumes.
+    val dir = s"$base/csi_idx"
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    def bgzip(text: String, out: String, chunk: Int): Unit = {
+      val bg = new BamFormat.BgzfOutputStream(new java.io.FileOutputStream(out))
+      text.getBytes("UTF-8").grouped(chunk).foreach { c =>
+        bg.write(c, 0, c.length); bg.flush()
+      }
+      bg.close()
+    }
+    val vcfText = new StringBuilder(
+      "##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    for (c <- 0 to 3; i <- 1 to 1000) vcfText.append(
+      s"chr$c\t${i * 5 + 1}\trs${c}_$i\tACG\tA\t50\tPASS\tDP=${i % 90}\n")
+    bgzip(vcfText.toString, s"$dir/f.vcf.gz", 1409)
+    assert(graft.sources.GraftIndexer.csiFiles(spark, s"$dir/f.vcf.gz", "vcf") === 1L)
+    val csiBytes = {
+      val gz = new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(s"$dir/f.vcf.gz.csi"))
+      val all = gz.readAllBytes(); gz.close(); all
+    }
+    val parsed = BamFormat.CsiIndex.read(csiBytes)
+    assert(parsed.minShift === 14 && parsed.depth === 5)
+    assert(parsed.names.toSeq === Seq("chr0", "chr1", "chr2", "chr3"))
+    spark.sql("DROP TABLE IF EXISTS vcf_csi")
+    spark.sql(s"""CREATE TABLE vcf_csi USING graft.sources.VcfSource
+                 |OPTIONS (path '$dir/f.vcf.gz')""".stripMargin)
+    val t = spark.table("vcf_csi")
+    val sel = col("contig") === "2" && col("pos_start").between(2000, 2600)
+    def inflatedDuring(body: => Array[org.apache.spark.sql.Row]): (Long, Long) = {
+      val before = BamFormat.blocksInflated.get()
+      val rows = body
+      (rows.length.toLong, BamFormat.blocksInflated.get() - before)
+    }
+    val (nAll, bAll) = inflatedDuring(t.filter(col("pos_start") >= 0).collect())
+    val (nSel, bSel) = inflatedDuring(t.filter(sel).collect())
+    assert(nAll === 4000 && nSel === 120)
+    assert(bSel < bAll / 2,
+      s"CSI region query inflated $bSel of $bAll members — pruning did not fire")
+
+    // --- BAM leg: a .csi transcoded from the engine's own .bai plans
+    // the same chunk reads through the CSI fallback.
+    val bpath = s"$base/csi_idx/bam"
+    // ~20x the base reads so the shard spans MANY BGZF blocks (a 1-block
+    // file cannot demonstrate block-level pruning).
+    val one = Tables.readsMd(spark, sf0001).filter(col("sample_id") === "s0")
+    val reads = (1 to 20).map(_ => one).reduce(_ unionAll _)
+      .orderBy("contig", "pos_start").coalesce(1)
+    SourceUtil.writeBam(reads, s"$bpath/s0.bam")
+    val bdir = new java.io.File(s"$bpath/s0.bam")
+    val baiFile = bdir.listFiles().find(_.getName.endsWith(".bam.bai")).get
+    val bai = BamFormat.BaiIndex.read(
+      java.nio.file.Files.readAllBytes(baiFile.toPath))
+    // Transcode BAI → CSI(14,5): same bins, loffset = lowest chunk start,
+    // no linear index, empty aux (BAM flavor), BGZF-wrapped.
+    val csiOut = new java.io.DataOutputStream(new BamFormat.BgzfOutputStream(
+      new java.io.FileOutputStream(baiFile.getPath.stripSuffix(".bai") + ".csi")))
+    def le32(v: Int): Unit = {
+      csiOut.write(v & 0xff); csiOut.write((v >> 8) & 0xff)
+      csiOut.write((v >> 16) & 0xff); csiOut.write((v >> 24) & 0xff)
+    }
+    def le64(v: Long): Unit = { le32(v.toInt); le32((v >>> 32).toInt) }
+    csiOut.write('C'); csiOut.write('S'); csiOut.write('I'); csiOut.write(1)
+    le32(14); le32(5); le32(0)
+    le32(bai.length)
+    bai.foreach { r =>
+      le32(r.bins.size)
+      r.bins.foreach { case (bin, chunks) =>
+        le32(bin); le64(chunks.map(_._1).min); le32(chunks.length)
+        chunks.foreach { case (b, e) => le64(b); le64(e) }
+      }
+    }
+    csiOut.flush(); csiOut.close()
+    // Remove the richer indexes so planning can ONLY go through the .csi.
+    bdir.listFiles().filter(f => f.getName.endsWith(BamFormat.IndexSuffix) ||
+      f.getName.endsWith(".bai")).foreach(f => assert(f.delete()))
+    spark.sql("DROP TABLE IF EXISTS bam_csi")
+    spark.sql(s"""CREATE TABLE bam_csi USING graft.sources.BamSource
+                 |OPTIONS (path '$bpath/s0.bam', splitSize '16384')""".stripMargin)
+    val tb = spark.table("bam_csi")
+    val selB = col("contig") === "2" && col("pos_start").between(200, 260)
+    def inflatedCount(body: => Long): (Long, Long) = {
+      val before = BamFormat.blocksInflated.get()
+      val rows = body
+      (rows, BamFormat.blocksInflated.get() - before)
+    }
+    val (nAllB, bAllB) = inflatedCount(tb.count())
+    assert(nAllB === reads.count())
+    val (nSelB, bSelB) = inflatedCount(tb.filter(selB).count())
+    assert(nSelB === 20L * Tables.readsMd(spark, sf0001)
+      .filter(col("sample_id") === "s0").filter(selB).count())
+    assert(nSelB > 0 && nSelB < nAllB)
+    assert(bSelB < bAllB,
+      s"BAM region query inflated $bSelB of $bAllB blocks — .csi did not prune")
   }
 
   test("GraftIndexer builds .gvi for foreign bgzip files; pruning fires on them") {

@@ -445,6 +445,20 @@ class StreamingSpec extends SparkSpec {
       assert(got.exists(_.startsWith("[1,100,101,rs1,AC,T,9.5,PASS,DP=7,GT,0/1")))
       assert(got.exists(_.contains("[MT,5,7,rs9,TTT,")))
     }
+    // typedGenotypes: the stream grows the same header-driven struct
+    // column as the batch `genotypes 'typed'` option.
+    val typed = StreamingOps.vcfStream(spark, dir, typedGenotypes = true)
+      .selectExpr("pos_start", "inline(genotypes)")
+    val q2 = typed.writeStream.format("memory").queryName("vcfstream_typed")
+      .outputMode("append").start()
+    run(q2) {
+      val rows = spark.table("vcfstream_typed").collect()
+      assert(rows.length === 3)
+      val r100 = rows.find(_.getInt(0) == 100).get
+      assert(r100.getString(1) === "na1" &&
+        r100.getSeq[Int](2) === Seq(0, 1) && !r100.getBoolean(3))
+      assert(rows.find(_.getInt(0) == 5).get.getSeq[Int](2) === Seq(-1, -1))
+    }
   }
 
   test("samStream tails a directory of .sam files identically to the batch parse") {
