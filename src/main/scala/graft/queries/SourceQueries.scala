@@ -377,6 +377,27 @@ object SourceQueries {
               |FROM vcf_region_ddl
               |WHERE contig = '5' AND pos_start BETWEEN 1 AND 1200""".stripMargin)
     },
+    // Region query planned through a STANDARD tabix `.tbi` (not the
+    // engine's `.gvi` — the fixture deletes those and indexes with
+    // GraftIndexer.tabixFiles): spec bins → merged virtual-offset chunk
+    // reads, the path third-party bgzip corpora take.
+    "vcf_tabix_region" -> { (s, dir) =>
+      val path = fixture("variants_vcf_tabix", dir) { p =>
+        val v = Tables.ivA(s, dir).select(col("contig"), col("pos_start"),
+            lit("ACGT").as("ref"), lit("G").as("alt"))
+          .orderBy("contig", "pos_start").coalesce(1)
+        graft.sources.VcfFormat.writeVcf(v, p, bgzf = true)
+        val d = new java.io.File(p)
+        d.listFiles().filter(_.getName.endsWith(".gvi")).foreach(_.delete())
+        graft.sources.GraftIndexer.tabixFiles(s, p, "vcf")
+      }
+      s.sql("DROP TABLE IF EXISTS vcf_tabix_ddl")
+      s.sql(s"""CREATE TABLE vcf_tabix_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, pos_end, ref, alt
+              |FROM vcf_tabix_ddl
+              |WHERE contig = '3' AND pos_start BETWEEN 500 AND 2000""".stripMargin)
+    },
     // Genotype-matrix analytics over the VCF surface: the per-sample
     // genotype columns UNPIVOTed to (sample, GT:DP) long form with
     // stack(), then split on the FORMAT grammar — per-sample het /
@@ -779,6 +800,11 @@ object SourceQueries {
         |       ELSE NULL END AS af2,
         |  CAST(CASE WHEN p_partkey % 3 = 1 THEN 2 ELSE 1 END AS INT) AS af_n
         |FROM part WHERE p_partkey % 50 >= 10""".stripMargin,
+    "vcf_tabix_region" ->
+      s"""WITH ${OracleCtes.ivA}
+         |SELECT contig, pos_start, CAST(pos_start + 3 AS INT) AS pos_end,
+         |  'ACGT' AS ref, 'G' AS alt
+         |FROM iva WHERE contig = '3' AND pos_start BETWEEN 500 AND 2000""".stripMargin,
     "vcf_genotypes_typed" ->
       """WITH v AS (
         |  SELECT p_partkey AS p, CAST(p_partkey % 4 AS VARCHAR) AS contig,
