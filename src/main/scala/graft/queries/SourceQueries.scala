@@ -83,6 +83,36 @@ object SourceQueries {
       graft.sources.VcfFormat.writeVcf(v, p, Seq("na1", "na2"), Some("fmt"))
     }
 
+  /** Shared mixed-grammar GFF/GTF rendition of the part-derived gene
+    * table: even keys render GTF attribute pairs (`gene_id "gN";
+    * transcript_id "tN.1"`), odd keys GFF3 (`ID=...;gene_id=gN;...`) —
+    * one file, both grammars, per-line dispatch. */
+  private[queries] def gffFixture(s: SparkSession, dir: String): String =
+    fixture("genes_gff", dir) { p =>
+      val lines = Tables.part(s, dir).select(concat_ws("\t",
+        concat(lit("chr"), (col("p_partkey") % 4).cast("string")),
+        lit("graft"), lit("gene"),
+        (((col("p_partkey") * 13) % 1000) + 1).cast("string"),
+        (((col("p_partkey") * 13) % 1000) + 51).cast("string"),
+        expr("CASE WHEN p_partkey % 7 = 0 THEN '.' " +
+          "ELSE CAST(CAST(p_partkey % 100 AS DOUBLE) / 10 AS STRING) END"),
+        expr("CASE WHEN p_partkey % 2 = 0 THEN '+' ELSE '-' END"),
+        lit("."),
+        expr("""CASE WHEN p_partkey % 2 = 0
+               |  THEN concat('gene_id "g', CAST(p_partkey AS STRING),
+               |              '"; transcript_id "t', CAST(p_partkey AS STRING), '.1"')
+               |  ELSE concat('ID=gene:', CAST(p_partkey AS STRING),
+               |              ';gene_id=g', CAST(p_partkey AS STRING),
+               |              ';transcript_id=t', CAST(p_partkey AS STRING), '.1')
+               |END""".stripMargin)).as("value"))
+      val header = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("##gff-version 3")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+      header.unionAll(lines).coalesce(1).write.mode("overwrite").text(p)
+    }
+
   val queries: Map[String, Q] = Map(
     // S1/S8 + P1/P2: alignment table through DDL with a selective filter
     // (pushed into the inner parquet scan).
@@ -376,6 +406,37 @@ object SourceQueries {
       s.sql("""SELECT contig, pos_start, pos_end, ref, alt
               |FROM vcf_region_ddl
               |WHERE contig = '5' AND pos_start BETWEEN 1 AND 1200""".stripMargin)
+    },
+    // GFF/GTF annotation scan (beyond the reference surface — the
+    // format featureCounts-style workflows join against). ONE fixture
+    // file mixes BOTH attribute grammars line by line (GTF quoted pairs
+    // on even keys, GFF3 key=value on odd keys): the typed
+    // gene_id/transcript_id columns must dispatch per row.
+    "ddl_gff_scan" -> { (s, dir) =>
+      val path = gffFixture(s, dir)
+      s.sql("DROP TABLE IF EXISTS gff_ddl")
+      s.sql(s"""CREATE TABLE gff_ddl USING graft.sources.GffSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, pos_end, feature, score, strand,
+              |  gene_id, transcript_id
+              |FROM gff_ddl WHERE pos_start <= 800""".stripMargin)
+    },
+    // featureCounts against the GFF gene table: reads per gene_id via
+    // the engine's interval join (the flagship pipeline, fed straight
+    // from the annotation file a user actually has).
+    "gff_feature_counts" -> { (s, dir) =>
+      graft.Graft.ensure(s)
+      val path = gffFixture(s, dir)
+      s.sql("DROP TABLE IF EXISTS gff_fc")
+      s.sql(s"""CREATE TABLE gff_fc USING graft.sources.GffSource
+               |OPTIONS (path '$path')""".stripMargin)
+      val genes = s.table("gff_fc")
+        .select(col("contig").as("g_contig"), col("pos_start").as("g_start"),
+          col("pos_end").as("g_end"), col("gene_id"))
+      val reads = Tables.ivA(s, dir)
+      reads.join(genes, reads("contig") === col("g_contig") &&
+          reads("pos_start") <= col("g_end") && reads("pos_end") >= col("g_start"))
+        .groupBy(col("gene_id")).agg(count(lit(1)).as("n_reads"))
     },
     // Region query planned through a STANDARD tabix `.tbi` (not the
     // engine's `.gvi` — the fixture deletes those and indexes with
@@ -800,6 +861,30 @@ object SourceQueries {
         |       ELSE NULL END AS af2,
         |  CAST(CASE WHEN p_partkey % 3 = 1 THEN 2 ELSE 1 END AS INT) AS af_n
         |FROM part WHERE p_partkey % 50 >= 10""".stripMargin,
+    "ddl_gff_scan" ->
+      """SELECT CAST(p_partkey % 4 AS VARCHAR) AS contig,
+        |  CAST((p_partkey * 13) % 1000 + 1 AS INT) AS pos_start,
+        |  CAST((p_partkey * 13) % 1000 + 51 AS INT) AS pos_end,
+        |  'gene' AS feature,
+        |  CASE WHEN p_partkey % 7 = 0 THEN NULL
+        |       ELSE CAST(p_partkey % 100 AS DOUBLE) / 10 END AS score,
+        |  CASE WHEN p_partkey % 2 = 0 THEN '+' ELSE '-' END AS strand,
+        |  'g' || CAST(p_partkey AS VARCHAR) AS gene_id,
+        |  't' || CAST(p_partkey AS VARCHAR) || '.1' AS transcript_id
+        |FROM part WHERE (p_partkey * 13) % 1000 + 1 <= 800""".stripMargin,
+    "gff_feature_counts" ->
+      s"""WITH ${OracleCtes.ivA},
+         |genes AS (
+         |  SELECT CAST(p_partkey % 4 AS VARCHAR) AS g_contig,
+         |    CAST((p_partkey * 13) % 1000 + 1 AS INT) AS g_start,
+         |    CAST((p_partkey * 13) % 1000 + 51 AS INT) AS g_end,
+         |    'g' || CAST(p_partkey AS VARCHAR) AS gene_id
+         |  FROM part)
+         |SELECT gene_id, COUNT(*) AS n_reads
+         |FROM iva a JOIN genes g
+         |  ON a.contig = g.g_contig
+         | AND a.pos_start <= g.g_end AND a.pos_end >= g.g_start
+         |GROUP BY gene_id""".stripMargin,
     "vcf_tabix_region" ->
       s"""WITH ${OracleCtes.ivA}
          |SELECT contig, pos_start, CAST(pos_start + 3 AS INT) AS pos_end,

@@ -34,8 +34,8 @@ object GraftIndexer {
     * is not BGZF (plain gzip is unsplittable — no envelope can help). */
   def indexFiles(spark: org.apache.spark.sql.SparkSession, path: String,
       format: String, overwrite: Boolean = false): Long = {
-    require(format == "vcf" || format == "sam",
-      s"GraftIndexer: unknown format '$format' (want vcf|sam)")
+    require(format == "vcf" || format == "sam" || format == "gff",
+      s"GraftIndexer: unknown format '$format' (want vcf|sam|gff)")
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
@@ -94,8 +94,8 @@ object GraftIndexer {
 
   private def standardIndexFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, format: String, overwrite: Boolean, csi: Boolean): Long = {
-    require(format == "vcf" || format == "sam",
-      s"GraftIndexer: unknown format '$format' (want vcf|sam)")
+    require(format == "vcf" || format == "sam" || format == "gff",
+      s"GraftIndexer: unknown format '$format' (want vcf|sam|gff)")
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
@@ -151,8 +151,8 @@ object GraftIndexer {
   private def tabixOne(in: org.apache.hadoop.fs.FSDataInputStream, len: Long,
       format: String, rawOut: java.io.OutputStream,
       csi: Boolean = false): Unit = {
-    val comment = if (format == "vcf") '#' else '@'
-    val (cIdx, pIdx) = if (format == "vcf") (0, 1) else (2, 3)
+    val comment = if (format == "sam") '@' else '#'
+    val (cIdx, pIdx) = if (format == "sam") (2, 3) else (0, 1 + (if (format == "gff") 2 else 0))
     val refs = scala.collection.mutable.LinkedHashMap.empty[String, TbiRef]
     // Coordinate-sortedness check (the index contract): the linear
     // index / loffset FLOORS are only valid on sorted input — records
@@ -176,6 +176,13 @@ object GraftIndexer {
       else lastPos = pos
       val endLen =
         if (format == "vcf") { if (f.length > 3) f(3).length else 1 }
+        else if (format == "gff") {
+          // GFF end is an explicit 1-based inclusive column.
+          val e = if (f.length > 4)
+            (try f(4).toInt catch { case _: NumberFormatException => pos })
+          else pos
+          math.max(e - pos + 1, 1)
+        }
         else if (f.length > 5) math.max(refConsumed(f(5)), 1)
         else 1
       val beg0 = pos - 1
@@ -231,10 +238,10 @@ object GraftIndexer {
     // The tabix header block — .tbi writes it at the top, .csi carries
     // the identical bytes as its aux payload.
     def tabixHeader(): Unit = {
-      le32(if (format == "vcf") 2 else 1) // preset
-      le32(if (format == "vcf") 1 else 3) // col_seq (1-based)
-      le32(if (format == "vcf") 2 else 4) // col_beg
-      le32(0) // col_end (derived: REF length / CIGAR)
+      le32(format match { case "vcf" => 2; case "sam" => 1; case _ => 0 }) // preset
+      le32(if (format == "sam") 3 else 1) // col_seq (1-based)
+      le32(format match { case "vcf" => 2; case "sam" => 4; case _ => 4 }) // col_beg
+      le32(if (format == "gff") 5 else 0) // col_end (0 = derived)
       le32(comment.toInt)
       le32(0) // skip
       le32(nameBytes.map(_.length).sum)
@@ -318,8 +325,8 @@ object GraftIndexer {
 
   private def indexOne(in: org.apache.hadoop.fs.FSDataInputStream, len: Long,
       format: String, out: java.io.BufferedWriter): Unit = {
-    val comment = if (format == "vcf") '#' else '@'
-    val (cIdx, pIdx) = if (format == "vcf") (0, 1) else (2, 3)
+    val comment = if (format == "sam") '@' else '#'
+    val (cIdx, pIdx) = if (format == "sam") (2, 3) else (0, 1 + (if (format == "gff") 2 else 0))
     val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Env)]
 
     def record(line: String, env: Env): Unit = {
@@ -333,6 +340,12 @@ object GraftIndexer {
           env.contigs += RangeFunctions.cleanContig(contig)
           val endLen =
             if (format == "vcf") { if (f.length > 3) f(3).length else 1 }
+            else if (format == "gff") {
+              val e = if (f.length > 4)
+                (try f(4).toInt catch { case _: NumberFormatException => pos })
+              else pos
+              math.max(e - pos + 1, 1)
+            }
             else if (f.length > 5) math.max(refConsumed(f(5)), 1)
             else 1
           env.minS = math.min(env.minS, pos)

@@ -1550,3 +1550,70 @@ class BedSource extends RelationProvider {
     }
   }
 }
+
+/** GFF3/GTF annotation table (beyond the reference surface — the
+  * annotation format every featureCounts-style workflow joins against).
+  * Both dialects are 9-column tab text with 1-based INCLUSIVE
+  * coordinates (no shift, unlike BED) and `#` comments; they differ only
+  * in column 9's attribute grammar — GTF `key "value"; ...` vs GFF3
+  * `key=value;...` — so the typed `gene_id`/`transcript_id` columns are
+  * a dual-grammar coalesce (the GTF quoted form first, then the GFF3
+  * map), all stock codegen expressions. The raw `attributes` column
+  * stays for `str_to_map` access to any other key. `.`/empty fields are
+  * null throughout; `score` types as double, `strand`/`frame` as text.
+  *
+  * Region pruning: bgzip shards prune through `.gvi`/`.tbi`/`.csi`
+  * exactly like VCF ([[VcfFormat.prunedRawImpl]] is line-grammar
+  * agnostic — both put contig/start in pushable columns);
+  * [[GraftIndexer]] understands `format = "gff"` for building both
+  * sidecar kinds on foreign files. */
+class GffSource extends RelationProvider {
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("GffSource requires a 'path' option"))
+    new GraftBaseRelation {
+      override val sqlContext: SQLContext = ctx
+      override protected def frame(): DataFrame =
+        GffSource.parse(SourceUtil.textFrame(ctx.sparkSession, path))
+      override protected def frame(filters: Array[Filter]): DataFrame =
+        GffSource.parse(
+          VcfFormat.prunedRawImpl(ctx.sparkSession, path, filters)
+            .getOrElse(SourceUtil.textFrame(ctx.sparkSession, path)))
+    }
+  }
+}
+
+object GffSource {
+  import org.apache.spark.sql.Column
+  /** The shared GFF/GTF line parse as pure column expressions over a
+    * `value` text column. */
+  private[sources] def parse(raw: DataFrame): DataFrame = {
+    val data =
+      raw.filter(!col("value").startsWith("#") && length(col("value")) > 0)
+    val f = split(col("value"), "\t")
+    def dot(c: Column): Column =
+      when(c === "." || c === "", lit(null)).otherwise(c)
+    val attrs = dot(get(f, lit(8)))
+    // GTF quoted attribute (`key "value"`): empty regex match = absent.
+    def gtfAttr(key: String): Column = {
+      val v = regexp_extract(attrs, key + " \"([^\"]*)\"", 1)
+      when(v === "", lit(null)).otherwise(v)
+    }
+    // GFF3 attribute (`key=value`), tolerant of `; `-spaced pairs.
+    val gffMap = str_to_map(coalesce(attrs, lit("")), lit(";\\s*"), lit("="))
+    def attr(key: String): Column =
+      coalesce(gtfAttr(key), dot(element_at(gffMap, lit(key)))).as(key)
+    data.select(
+      SourceUtil.cleanContigCol(dot(get(f, lit(0)))).as("contig"),
+      dot(get(f, lit(1))).as("source"),
+      dot(get(f, lit(2))).as("feature"),
+      get(f, lit(3)).cast("int").as("pos_start"),
+      get(f, lit(4)).cast("int").as("pos_end"),
+      dot(get(f, lit(5))).cast("double").as("score"),
+      dot(get(f, lit(6))).as("strand"),
+      dot(get(f, lit(7))).as("frame"),
+      attrs.as("attributes"),
+      attr("gene_id"),
+      attr("transcript_id"))
+  }
+}

@@ -135,6 +135,13 @@ class PlanAuditSpec extends SparkSpec {
     val cnt = SparkEntry.queries("interval_join_count")(spark, sf0001)
       .queryExecution.executedPlan
     assert(cnt.toString.contains("IntervalCountJoin"), "count pushdown must fire")
+    // featureCounts fed straight from the GFF annotation source takes
+    // one of the interval-join regimes too (count pushdown when the
+    // shape allows, forest join otherwise) — never a generic join.
+    val gff = SparkEntry.queries("gff_feature_counts")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(gff.contains("IntervalCountJoin") || gff.contains("IntervalForestJoin"),
+      s"gff_feature_counts must plan an interval join:\n$gff")
   }
 
   /** The pipeline composites' scale claims, enforced as plan shapes. */

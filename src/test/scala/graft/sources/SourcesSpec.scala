@@ -1131,6 +1131,70 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("s3.vcf") && e.getMessage.contains("conflicting"))
   }
 
+  test("GFF/GTF source: dual attribute grammars, typed columns, tabix pruning") {
+    val dir = s"$base/gff_src"
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    java.nio.file.Files.writeString(Paths.get(s"$dir/a.gff"),
+      "##gff-version 3\n" +
+        "chr1\thavana\tgene\t100\t200\t4.5\t+\t.\t" +
+        "gene_id \"g1\"; transcript_id \"t1.1\"\n" +           // GTF grammar
+        "chr1\thavana\texon\t120\t180\t.\t-\t0\t" +
+        "ID=exon:1;gene_id=g2;transcript_id=t2.1\n" +           // GFF3 grammar
+        "chrM\t.\tgene\t5\t10\t.\t.\t.\tID=only\n")
+    spark.sql("DROP TABLE IF EXISTS gff_src")
+    spark.sql(s"""CREATE TABLE gff_src USING graft.sources.GffSource
+                 |OPTIONS (path '$dir/a.gff')""".stripMargin)
+    val rows = spark.table("gff_src").orderBy("pos_start").collect()
+    assert(rows.length === 3)
+    val r5 = rows(0); val r100 = rows(1); val r120 = rows(2)
+    // 1-based inclusive, UNSHIFTED (GFF is not BED); contigs cleaned.
+    assert(r100.getAs[String]("contig") === "1" &&
+      r100.getAs[Int]("pos_start") === 100 && r100.getAs[Int]("pos_end") === 200)
+    assert(r5.getAs[String]("contig") === "MT")
+    // GTF quoted attributes.
+    assert(r100.getAs[String]("gene_id") === "g1" &&
+      r100.getAs[String]("transcript_id") === "t1.1" &&
+      r100.getAs[Double]("score") === 4.5 && r100.getAs[String]("strand") === "+")
+    // GFF3 key=value attributes on the NEXT line of the same file.
+    assert(r120.getAs[String]("gene_id") === "g2" &&
+      r120.getAs[String]("transcript_id") === "t2.1" &&
+      r120.isNullAt(r120.fieldIndex("score")) &&
+      r120.getAs[String]("frame") === "0")
+    // '.' fields are null; absent attribute keys are null.
+    assert(r5.isNullAt(r5.fieldIndex("strand")) &&
+      r5.isNullAt(r5.fieldIndex("source")) &&
+      r5.isNullAt(r5.fieldIndex("gene_id")))
+    assert(r5.getAs[String]("attributes") === "ID=only")
+
+    // bgzip + standard tabix (GraftIndexer's gff preset: cols 1/4/5) —
+    // region predicates prune BGZF members through the .tbi.
+    val bg = new BamFormat.BgzfOutputStream(
+      new java.io.FileOutputStream(s"$dir/big.gff.gz"))
+    val txt = new StringBuilder("##gff-version 3\n")
+    for (c <- 0 to 3; i <- 1 to 1000) txt.append(
+      s"chr$c\tsrc\tgene\t${i * 5 + 1}\t${i * 5 + 40}\t.\t+\t.\tgene_id=g${c}_$i\n")
+    txt.toString.getBytes("UTF-8").grouped(1409).foreach { ch =>
+      bg.write(ch, 0, ch.length); bg.flush()
+    }
+    bg.close()
+    assert(graft.sources.GraftIndexer.tabixFiles(spark, s"$dir/big.gff.gz", "gff") === 1L)
+    spark.sql("DROP TABLE IF EXISTS gff_big")
+    spark.sql(s"""CREATE TABLE gff_big USING graft.sources.GffSource
+                 |OPTIONS (path '$dir/big.gff.gz')""".stripMargin)
+    val t = spark.table("gff_big")
+    def inflated(body: => Long): (Long, Long) = {
+      val before = BamFormat.blocksInflated.get()
+      val n = body
+      (n, BamFormat.blocksInflated.get() - before)
+    }
+    val (nAll, bAll) = inflated(t.count())
+    assert(nAll === 4000)
+    val sel = col("contig") === "2" && col("pos_start").between(2000, 2600)
+    val (nSel, bSel) = inflated(t.filter(sel).count())
+    assert(nSel === 120, s"got $nSel")
+    assert(bSel < bAll / 2, s"GFF tabix pruning did not fire ($bSel of $bAll)")
+  }
+
   test("GraftIndexer writes standard .tbi; region pruning consumes tabix indexes") {
     val dir = s"$base/tabix_tbi"
     java.nio.file.Files.createDirectories(Paths.get(dir))
