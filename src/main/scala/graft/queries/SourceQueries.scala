@@ -407,6 +407,43 @@ object SourceQueries {
               |FROM vcf_region_ddl
               |WHERE contig = '5' AND pos_start BETWEEN 1 AND 1200""".stripMargin)
     },
+    // BINARY BCF scan (bcftools' native container) through the pure-JVM
+    // BCF 2.2 codec: same part derivation as ddl_vcf_scan, written as
+    // typed binary records (dictionary-encoded keys, packed GT, missing
+    // sentinels) and decoded back through the SHARED VcfFormat parse.
+    "ddl_bcf_scan" -> { (s, dir) =>
+      val path = fixture("variants_bcf", dir) { p =>
+        val v = Tables.part(s, dir).select(
+          concat(lit("chr"), (col("p_partkey") % 4).cast("string")).as("contig"),
+          (((col("p_partkey") * 7) % 5000) + 1).cast("int").as("pos_start"),
+          expr("CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE concat('rs', CAST(p_partkey AS STRING)) END").as("id"),
+          expr("substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1, 1 + CAST(p_partkey % 3 AS INT))").as("ref"),
+          expr("""CASE WHEN p_partkey % 11 = 0 THEN NULL
+                 |WHEN p_partkey % 3 = 1 THEN concat(
+                 |  substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1), ',',
+                 |  substr('GATC', CAST(p_partkey % 5 AS INT) % 4 + 1, 1))
+                 |ELSE substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1) END""".stripMargin).as("alt"),
+          expr("CASE WHEN p_partkey % 13 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(p_partkey % 100 AS DOUBLE) / 4 END").as("qual"),
+          expr("CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'PASS' WHEN 1 THEN 'q10' ELSE NULL END").as("filter"),
+          expr("concat('NS=', CAST(p_partkey % 3 AS STRING), ';DP=', CAST(p_partkey % 50 AS STRING))").as("info"),
+          expr("concat(CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN '0|0' WHEN 1 THEN '0|1' ELSE '1|1' END, ':', CAST(p_partkey % 60 AS STRING))").as("na1"),
+          expr("concat(CASE CAST(p_partkey % 2 AS INT) WHEN 0 THEN '0/0' ELSE '1/1' END, ':', CAST(p_partkey % 45 AS STRING))").as("na2"))
+          .withColumn("fmt", lit("GT:DP"))
+        graft.sources.BcfFormat.writeBcf(v, p, Seq("na1", "na2"), Some("fmt"),
+          metaLines = Seq(
+            """##FILTER=<ID=q10,Description="q">""",
+            """##INFO=<ID=NS,Number=1,Type=Integer,Description="n">""",
+            """##INFO=<ID=DP,Number=1,Type=Integer,Description="d">""",
+            """##FORMAT=<ID=GT,Number=1,Type=String,Description="g">""",
+            """##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">"""))
+      }
+      s.sql("DROP TABLE IF EXISTS bcf_ddl")
+      s.sql(s"""CREATE TABLE bcf_ddl USING graft.sources.BcfSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, pos_end, id, ref, alt, qual,
+              |  filter, info, format AS fmt, na1, na2
+              |FROM bcf_ddl WHERE contig = '2'""".stripMargin)
+    },
     // GFF/GTF annotation scan (beyond the reference surface — the
     // format featureCounts-style workflows join against). ONE fixture
     // file mixes BOTH attribute grammars line by line (GTF quoted pairs
@@ -861,6 +898,31 @@ object SourceQueries {
         |       ELSE NULL END AS af2,
         |  CAST(CASE WHEN p_partkey % 3 = 1 THEN 2 ELSE 1 END AS INT) AS af_n
         |FROM part WHERE p_partkey % 50 >= 10""".stripMargin,
+    "ddl_bcf_scan" ->
+      """SELECT CAST(p_partkey % 4 AS VARCHAR) AS contig,
+        |  CAST((p_partkey * 7) % 5000 + 1 AS INT) AS pos_start,
+        |  CAST((p_partkey * 7) % 5000 + 1 + p_partkey % 3 AS INT) AS pos_end,
+        |  CASE WHEN p_partkey % 7 = 0 THEN NULL
+        |       ELSE 'rs' || CAST(p_partkey AS VARCHAR) END AS id,
+        |  substr('ACGTACGT', CAST(p_partkey % 4 AS INT) + 1,
+        |         1 + CAST(p_partkey % 3 AS INT)) AS ref,
+        |  CASE WHEN p_partkey % 11 = 0 THEN NULL
+        |       WHEN p_partkey % 3 = 1 THEN
+        |         substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1) || ',' ||
+        |         substr('GATC', CAST(p_partkey % 5 AS INT) % 4 + 1, 1)
+        |       ELSE substr('TGCA', CAST(p_partkey % 4 AS INT) + 1, 1) END AS alt,
+        |  CASE WHEN p_partkey % 13 = 0 THEN NULL
+        |       ELSE CAST(p_partkey % 100 AS DOUBLE) / 4 END AS qual,
+        |  CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'PASS'
+        |       WHEN 1 THEN 'q10' ELSE NULL END AS filter,
+        |  'NS=' || CAST(p_partkey % 3 AS VARCHAR) ||
+        |    ';DP=' || CAST(p_partkey % 50 AS VARCHAR) AS info,
+        |  'GT:DP' AS fmt,
+        |  (CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN '0|0' WHEN 1 THEN '0|1'
+        |        ELSE '1|1' END) || ':' || CAST(p_partkey % 60 AS VARCHAR) AS na1,
+        |  (CASE CAST(p_partkey % 2 AS INT) WHEN 0 THEN '0/0' ELSE '1/1' END)
+        |    || ':' || CAST(p_partkey % 45 AS VARCHAR) AS na2
+        |FROM part WHERE p_partkey % 4 = 2""".stripMargin,
     "ddl_gff_scan" ->
       """SELECT CAST(p_partkey % 4 AS VARCHAR) AS contig,
         |  CAST((p_partkey * 13) % 1000 + 1 AS INT) AS pos_start,

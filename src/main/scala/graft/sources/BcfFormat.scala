@@ -1,0 +1,747 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+/** Pure-JVM BCF 2.2 container I/O (the BINARY twin of `.vcf` — what
+  * `bcftools` emits natively; SURVEY S4's ecosystem completion, the same
+  * role the CRAM codec plays for S2). The reference reads variants only
+  * as text through Glow (`datasources/VCF/VCFRelation.scala:25-49`);
+  * everything here follows the PUBLIC VCFv4.3 specification §6 (BCF):
+  *
+  *  - the container is BGZF (read through the JDK gzip engine, which
+  *    consumes concatenated members natively; written with
+  *    [[BamFormat.BgzfOutputStream]]);
+  *  - after `BCF\2\x02` magic comes the ordinary TEXT VCF header
+  *    (length-prefixed, NUL-terminated) — IDs of ##FILTER/##INFO/##FORMAT
+  *    lines form the string dictionary (explicit `IDX=` wins, else order
+  *    of appearance, `PASS` implicitly first), ##contig lines the contig
+  *    dictionary;
+  *  - records are two length-prefixed blocks (shared + per-sample) of
+  *    TYPED values: descriptor byte = `len<<4 | type` (15 = overflow
+  *    length as a following typed int), types int8/16/32, float, char;
+  *    sentinel bit patterns encode missing values and end-of-vector;
+  *    GT packs `(allele+1)<<1 | phased` per call.
+  *
+  * The READER renders each record back to an exact VCF data line (raw
+  * contig names, 1-based POS) and hands it to [[VcfFormat.parse]] — the
+  * binary and text sources share one expression pipeline, so they cannot
+  * drift; the typed `info_<ID>` / `genotypes` surfaces come for free.
+  * Validated the BAM way: golden bytes hand-assembled from the spec
+  * text, write→read round trips, and frame equality against the text
+  * twin through the independent [[VcfSource]] path. */
+object BcfFormat {
+
+  // ------------------------------------------------------------- constants
+  private val TMissing = 0
+  private val TInt8 = 1
+  private val TInt16 = 2
+  private val TInt32 = 3
+  private val TFloat = 5
+  private val TChar = 7
+
+  private val MissingI8 = 0x80.toByte.toInt // -128
+  private val EovI8 = 0x81.toByte.toInt // -127
+  private val MissingI16 = 0x8000.toShort.toInt
+  private val EovI16 = 0x8001.toShort.toInt
+  private val MissingI32 = 0x80000000
+  private val EovI32 = 0x80000001
+  private val MissingF32 = 0x7F800001
+  private val EovF32 = 0x7F800002
+
+  // ---------------------------------------------------- little-endian read
+  private final class ByteReader(in: InputStream) {
+    private val one = new Array[Byte](4)
+    /** -1 on clean EOF at a record boundary. */
+    def u8OrEof(): Int = in.read()
+    def u8(): Int = {
+      val v = in.read()
+      if (v < 0) sys.error("BCF: truncated stream")
+      v
+    }
+    def readFully(b: Array[Byte], len: Int): Unit = {
+      var o = 0
+      while (o < len) {
+        val r = in.read(b, o, len - o)
+        if (r < 0) sys.error("BCF: truncated stream")
+        o += r
+      }
+    }
+    def i16(): Int = { readFully(one, 2); ((one(0) & 0xff) | ((one(1) & 0xff) << 8)).toShort.toInt }
+    def i32(): Int = {
+      readFully(one, 4)
+      (one(0) & 0xff) | ((one(1) & 0xff) << 8) | ((one(2) & 0xff) << 16) | ((one(3) & 0xff) << 24)
+    }
+    def f32bits(): Int = i32()
+  }
+
+  // ------------------------------------------------------------ dictionary
+  /** String + contig dictionaries from the embedded header text.
+    * `IDX=` attributes win; otherwise order of first appearance. `PASS`
+    * holds index 0 unless the header redeclares it elsewhere. */
+  private[sources] def dictionaries(text: String): (Array[String], Array[String]) = {
+    val Decl = """##(FILTER|INFO|FORMAT)=<(.*)>""".r
+    val Contig = """##contig=<(.*)>""".r
+    val IdAttr = """(?:^|,)ID=([^,>]+)""".r
+    val IdxAttr = """(?:^|,)IDX=(\d+)""".r
+    val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val contigs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var explicit = false
+    text.linesIterator.foreach {
+      case Decl(_, attrs) =>
+        IdAttr.findFirstMatchIn(attrs).foreach { m =>
+          val id = m.group(1)
+          IdxAttr.findFirstMatchIn(attrs) match {
+            case Some(x) => explicit = true; strings.getOrElseUpdate(id, x.group(1).toInt)
+            case None => if (!strings.contains(id)) strings(id) = -1 // placeholder
+          }
+        }
+      case Contig(attrs) =>
+        IdAttr.findFirstMatchIn(attrs).foreach { m =>
+          val id = m.group(1)
+          IdxAttr.findFirstMatchIn(attrs) match {
+            case Some(x) => contigs.getOrElseUpdate(id, x.group(1).toInt)
+            case None => if (!contigs.contains(id)) contigs(id) = contigs.size
+          }
+        }
+      case _ => ()
+    }
+    // Implicit numbering: PASS first, then appearance order.
+    if (!strings.contains("PASS")) strings("PASS") = if (explicit) strings.size else -1
+    val ordered: Seq[(String, Int)] =
+      if (explicit) strings.toSeq
+      else {
+        val names = "PASS" +: strings.keys.filter(_ != "PASS").toSeq
+        names.zipWithIndex
+      }
+    def toArray(m: Seq[(String, Int)]): Array[String] = {
+      val n = if (m.isEmpty) 0 else m.map(_._2).max + 1
+      val a = new Array[String](n)
+      m.foreach { case (s, i) => if (i >= 0 && i < n) a(i) = s }
+      a
+    }
+    (toArray(ordered), toArray(contigs.toSeq))
+  }
+
+  /** The embedded header text of a `.bcf` stream (closes `raw`). */
+  def headerText(raw: InputStream): String = {
+    val r = new ByteReader(new BufferedInputStream(new GZIPInputStream(raw)))
+    try readMagicAndHeader(r)._1
+    finally raw.close()
+  }
+
+  private def readMagicAndHeader(r: ByteReader): (String, Array[String], Array[String]) = {
+    val m = new Array[Byte](5)
+    r.readFully(m, 5)
+    require(m(0) == 'B' && m(1) == 'C' && m(2) == 'F' && m(3) == 2,
+      "not a BCF stream (bad magic)")
+    require(m(4) == 1 || m(4) == 2, s"unsupported BCF minor version ${m(4)}")
+    val lText = r.i32()
+    val tb = new Array[Byte](lText)
+    r.readFully(tb, lText)
+    var end = lText
+    while (end > 0 && tb(end - 1) == 0) end -= 1 // NUL terminator(s)
+    val text = new String(tb, 0, end, StandardCharsets.UTF_8)
+    val (strings, contigs) = dictionaries(text)
+    (text, strings, contigs)
+  }
+
+  // --------------------------------------------------------------- reading
+  /** Streams a `.bcf` file as rendered VCF data lines. One pass, one
+    * record buffered at a time. */
+  final class BcfReader(raw: InputStream, flagKeys: Set[String] = Set.empty) {
+    private val r = new ByteReader(new BufferedInputStream(new GZIPInputStream(raw)))
+    val (headerText, strings, contigs) = readMagicAndHeader(r)
+
+    private def typeDesc(): (Int, Int) = {
+      val b = r.u8()
+      val t = b & 0x0F
+      var n = b >>> 4
+      if (n == 15) n = typedInt()
+      (t, n)
+    }
+
+    private def typedInt(): Int = {
+      val (t, n) = typeDesc()
+      require(n == 1, s"BCF: typed int with length $n")
+      t match {
+        case TInt8 => (r.u8().toByte).toInt
+        case TInt16 => r.i16()
+        case TInt32 => r.i32()
+        case x => sys.error(s"BCF: non-int type $x where int expected")
+      }
+    }
+
+    private def readString(n: Int): String = {
+      val b = new Array[Byte](n)
+      r.readFully(b, n)
+      var end = n
+      while (end > 0 && b(end - 1) == 0) end -= 1
+      new String(b, 0, end, StandardCharsets.UTF_8)
+    }
+
+    /** One vector of `n` values of `t`, rendered per VCF text rules.
+      * Returns null for a MISSING-typed (t=0) or all-missing vector. */
+    private def renderVector(t: Int, n: Int, gt: Boolean): String = {
+      if (t == TMissing || n == 0) return null
+      if (t == TChar) {
+        val s = readString(n)
+        return if (s.isEmpty || s == ".") null else s
+      }
+      val sb = new StringBuilder
+      var any = false
+      var stop = false
+      var i = 0
+      while (i < n) {
+        val (v, eov, miss) = t match {
+          case TInt8 => val x = r.u8().toByte.toInt; (x.toLong, x == EovI8, x == MissingI8)
+          case TInt16 => val x = r.i16(); (x.toLong, x == EovI16, x == MissingI16)
+          case TInt32 => val x = r.i32(); (x.toLong, x == EovI32, x == MissingI32)
+          case TFloat =>
+            val bits = r.f32bits()
+            (bits.toLong, bits == EovF32, bits == MissingF32)
+          case x => sys.error(s"BCF: unknown vector type $x")
+        }
+        if (!stop) {
+          if (eov) stop = true
+          else if (gt) {
+            // (allele+1)<<1 | phased; 0 or MISSING = '.'
+            val sep = if (sb.nonEmpty) { if ((v & 1) == 1) "|" else "/" } else ""
+            val a = (v >> 1) - 1
+            sb.append(sep).append(if (miss || v == 0 || a < 0) "." else a.toString)
+            any = true
+          } else {
+            if (sb.nonEmpty) sb.append(',')
+            if (miss) sb.append('.')
+            else {
+              any = true
+              if (t == TFloat) sb.append(renderFloat(java.lang.Float.intBitsToFloat(v.toInt)))
+              else sb.append(v)
+            }
+          }
+        }
+        i += 1
+      }
+      if (!any && !gt) null else sb.toString
+    }
+
+    /** The next record as a raw VCF data line, or null at EOF. */
+    def nextLine(): String = {
+      val first = r.u8OrEof()
+      if (first < 0) return null
+      val rest = new Array[Byte](3)
+      r.readFully(rest, 3)
+      val lShared = (first & 0xff) | ((rest(0) & 0xff) << 8) |
+        ((rest(1) & 0xff) << 16) | ((rest(2) & 0xff) << 24)
+      val lIndiv = r.i32()
+      require(lShared >= 24, s"BCF: shared block of $lShared bytes")
+      val chromIdx = r.i32()
+      val pos0 = r.i32()
+      r.i32() // rlen — pos_end derives from REF length downstream (spec parity)
+      val qualBits = r.f32bits()
+      val nAlleleInfo = r.i32()
+      val nFmtSample = r.i32()
+      val nAllele = nAlleleInfo >>> 16
+      val nInfo = nAlleleInfo & 0xFFFF
+      val nFmt = nFmtSample >>> 24
+      val nSample = nFmtSample & 0xFFFFFF
+      val sb = new StringBuilder(128)
+      sb.append(if (chromIdx >= 0 && chromIdx < contigs.length) contigs(chromIdx) else ".")
+        .append('\t').append(pos0 + 1).append('\t')
+      // ID
+      val (idT, idN) = typeDesc()
+      val id = if (idT == TChar) readString(idN) else { renderVector(idT, idN, gt = false); "" }
+      sb.append(if (id.isEmpty) "." else id).append('\t')
+      // alleles
+      val alleles = Array.fill(nAllele) {
+        val (t, n) = typeDesc()
+        require(t == TChar || n == 0, s"BCF: allele of type $t")
+        readString(n)
+      }
+      sb.append(if (nAllele > 0) alleles(0) else ".").append('\t')
+      sb.append(if (nAllele > 1) alleles.drop(1).mkString(",") else ".").append('\t')
+      // QUAL
+      if (qualBits == MissingF32) sb.append('.')
+      else sb.append(renderFloat(java.lang.Float.intBitsToFloat(qualBits)))
+      sb.append('\t')
+      // FILTER
+      val (fT, fN) = typeDesc()
+      if (fN == 0) sb.append('.')
+      else {
+        var i = 0
+        while (i < fN) {
+          val idx = fT match {
+            case TInt8 => r.u8().toByte.toInt
+            case TInt16 => r.i16()
+            case TInt32 => r.i32()
+            case x => sys.error(s"BCF: FILTER of type $x")
+          }
+          if (i > 0) sb.append(';')
+          sb.append(strings(idx))
+          i += 1
+        }
+      }
+      sb.append('\t')
+      // INFO
+      if (nInfo == 0) sb.append('.')
+      else {
+        var i = 0
+        while (i < nInfo) {
+          val key = strings(typedInt())
+          val (t, n) = typeDesc()
+          val v = renderVector(t, n, gt = false)
+          if (i > 0) sb.append(';')
+          sb.append(key)
+          // A Flag renders as the bare key — written as a MISSING-typed
+          // value by this engine, as int 1 by htslib (flagKeys covers it).
+          if (t != TMissing && !flagKeys.contains(key))
+            sb.append('=').append(if (v == null) "." else v)
+          i += 1
+        }
+      }
+      // genotypes
+      if (nFmt > 0 && nSample > 0) {
+        // Interleaved per field: typed int key, then the value block.
+        val keys = new Array[String](nFmt)
+        val rendered = Array.ofDim[String](nFmt, nSample)
+        var f = 0
+        while (f < nFmt) {
+          keys(f) = strings(typedInt())
+          val (t, perSample) = typeDesc()
+          val gt = keys(f) == "GT"
+          var s = 0
+          while (s < nSample) {
+            val v = renderVector(t, perSample, gt)
+            rendered(f)(s) = if (v == null) "." else v
+            s += 1
+          }
+          f += 1
+        }
+        sb.append('\t').append(keys.mkString(":"))
+        var s = 0
+        while (s < nSample) {
+          sb.append('\t')
+          var f = 0
+          while (f < nFmt) {
+            if (f > 0) sb.append(':')
+            sb.append(rendered(f)(s))
+            f += 1
+          }
+          s += 1
+        }
+      }
+      sb.toString
+    }
+
+  }
+
+  /** Shortest text that round-trips the float — integers drop the
+    * trailing `.0` (VCF text convention, keeps `DP=14` not `DP=14.0`). */
+  private def renderFloat(f: Float): String = {
+    if (f == f.toLong.toFloat && math.abs(f) < 1e15f) f.toLong.toString
+    else f.toString
+  }
+
+  // --------------------------------------------------------------- writing
+  /** Typed-value encoder over a byte buffer. */
+  private final class Enc(out: ByteArrayOutputStream) {
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def i16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def i32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def desc(t: Int, n: Int): Unit =
+      if (n < 15) u8((n << 4) | t)
+      else { u8((15 << 4) | t); typedInt(n) }
+    def typedInt(v: Int): Unit =
+      if (v >= -120 && v <= 127) { u8((1 << 4) | TInt8); u8(v) }
+      else if (v >= -32760 && v <= 32767) { u8((1 << 4) | TInt16); i16(v) }
+      else { u8((1 << 4) | TInt32); i32(v) }
+    /** One int vector at the smallest width that holds every value. */
+    def intVector(vs: Array[Int], missing: Array[Boolean]): Unit = {
+      var lo = 0; var hi = 0
+      var i = 0
+      while (i < vs.length) {
+        if (!missing(i)) { lo = math.min(lo, vs(i)); hi = math.max(hi, vs(i)) }
+        i += 1
+      }
+      val t = if (lo >= -120 && hi <= 127) TInt8
+        else if (lo >= -32760 && hi <= 32767) TInt16 else TInt32
+      desc(t, vs.length)
+      i = 0
+      while (i < vs.length) {
+        val miss = missing(i)
+        t match {
+          case TInt8 => u8(if (miss) MissingI8 else vs(i))
+          case TInt16 => i16(if (miss) MissingI16 else vs(i))
+          case TInt32 => i32(if (miss) MissingI32 else vs(i))
+        }
+        i += 1
+      }
+    }
+    def floatVector(vs: Array[Float], missing: Array[Boolean]): Unit = {
+      desc(TFloat, vs.length)
+      var i = 0
+      while (i < vs.length) {
+        i32(if (missing(i)) MissingF32 else java.lang.Float.floatToRawIntBits(vs(i)))
+        i += 1
+      }
+    }
+    def chars(s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      desc(TChar, b.length)
+      out.write(b, 0, b.length)
+    }
+    def missingValue(): Unit = u8(TMissing) // type 0, length 0
+  }
+
+  /** Declared field types the writer encodes by (from `##INFO`/`##FORMAT`
+    * metaLines — undeclared keys fail loudly; the spec requires the
+    * dictionary to cover every key in the body). */
+  private def declaredTypes(metaLines: Seq[String])
+      : (Map[String, (String, String)], Map[String, (String, String)]) = {
+    val Info = """##INFO=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*>""".r
+    val Fmt = """##FORMAT=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*>""".r
+    val infos = Map.newBuilder[String, (String, String)]
+    val fmts = Map.newBuilder[String, (String, String)]
+    metaLines.foreach {
+      case Info(id, num, tpe) => infos += id -> (num, tpe)
+      case Fmt(id, num, tpe) => fmts += id -> (num, tpe)
+      case _ => ()
+    }
+    (infos.result(), fmts.result())
+  }
+
+  /** Render a variant frame as sharded `.bcf` (one fully-headed shard
+    * per task, the writeVcf/writeBam output shape). Expected columns:
+    * the [[VcfFormat.writeVcf]] surface — `contig, pos_start, ref` plus
+    * optional `id/alt/qual/filter/info`, `sampleCols` raw genotype
+    * strings with `formatCol`. Every INFO/FORMAT key used by the data
+    * must be declared in `metaLines` (loud error otherwise — BCF bodies
+    * are dictionary-encoded). Contig dictionary: built per shard in
+    * first-appearance order (records buffer in memory until the shard's
+    * header is known — keep shards task-sized, the usual sink layout). */
+  def writeBcf(df: org.apache.spark.sql.DataFrame, path: String,
+      sampleCols: Seq[String] = Nil, formatCol: Option[String] = None,
+      metaLines: Seq[String] = Nil, overwrite: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    def opt(n: String): org.apache.spark.sql.Column =
+      if (df.columns.contains(n)) coalesce(col(n).cast("string"), lit(".")) else lit(".")
+    val cols = Seq(
+      coalesce(col("contig").cast("string"), lit(".")).as("_c"),
+      col("pos_start").cast("int").as("_p"),
+      opt("id").as("_id"), coalesce(col("ref").cast("string"), lit(".")).as("_ref"),
+      opt("alt").as("_alt"), opt("qual").as("_q"), opt("filter").as("_f"),
+      opt("info").as("_i")) ++
+      (if (sampleCols.isEmpty) Nil
+       else (formatCol.map(c => coalesce(col(c).cast("string"), lit("GT")))
+         .getOrElse(lit("GT")).as("_fmt") +:
+         sampleCols.zipWithIndex.map { case (c, i) =>
+           coalesce(col(c).cast("string"), lit(".")).as(s"_s$i")
+         }))
+    val rows = df.select(cols: _*)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val metas = metaLines
+    val samples = sampleCols
+    val outPath = path
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(outPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (overwrite && fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
+    val jobTag = java.util.UUID.randomUUID.toString.take(8)
+    val nSample = samples.length
+    rows.queryExecution.toRdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val tfs = new HPath(outPath).getFileSystem(hconf.value)
+        val file = new HPath(outPath, f"part-$idx%05d-$jobTag.bcf")
+        val os = tfs.create(file, true)
+        writeShard(it.map { ir =>
+          val s = Array.tabulate(8 + (if (nSample == 0) 0 else 1 + nSample)) { i =>
+            if (ir.isNullAt(i)) "." else {
+              if (i == 1) ir.getInt(1).toString else ir.getUTF8String(i).toString
+            }
+          }
+          s
+        }, os, metas, samples)
+        Iterator.single(1)
+      }
+    }.count()
+    ()
+  }
+
+  /** One shard: buffer encoded records while growing the contig
+    * dictionary, then emit header + records through BGZF. */
+  private def writeShard(records: Iterator[Array[String]], rawOut: OutputStream,
+      metaLines: Seq[String], sampleNames: Seq[String]): Unit = {
+    val (infoTypes, fmtTypes) = declaredTypes(metaLines)
+    // String dictionary: PASS first, then metaLines' declaration order.
+    val dict = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    dict("PASS") = 0
+    val Id = """##(?:FILTER|INFO|FORMAT)=<ID=([^,>]+).*>""".r
+    metaLines.foreach {
+      case Id(id) => if (!dict.contains(id)) dict(id) = dict.size
+      case _ => ()
+    }
+    def dictIdx(key: String, what: String): Int =
+      dict.getOrElse(key, sys.error(
+        s"writeBcf: $what '$key' is not declared in metaLines — BCF bodies " +
+        "are dictionary-encoded; add the ##INFO/##FORMAT/##FILTER line"))
+    val contigs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val body = new ByteArrayOutputStream(1 << 20)
+
+    records.foreach { f =>
+      val enc = new Enc(body)
+      val shared = new ByteArrayOutputStream(256)
+      val se = new Enc(shared)
+      val indiv = new ByteArrayOutputStream(64)
+      val ie = new Enc(indiv)
+      val contig = f(0)
+      val cIdx = contigs.getOrElseUpdate(contig, contigs.size)
+      se.i32(cIdx)
+      se.i32(f(1).toInt - 1) // 0-based POS
+      val ref = f(3)
+      val altStr = f(4)
+      val alts = if (altStr == ".") Array.empty[String] else altStr.split(',')
+      se.i32(ref.length) // rlen
+      se.i32(if (f(5) == ".") MissingF32
+        else java.lang.Float.floatToRawIntBits(f(5).toFloat))
+      val info = f(7)
+      val infoPairs: Array[(String, String)] =
+        if (info == ".") Array.empty
+        else info.split(';').map { kv =>
+          val eq = kv.indexOf('=')
+          if (eq < 0) (kv, null) else (kv.substring(0, eq), kv.substring(eq + 1))
+        }
+      se.i32(((1 + alts.length) << 16) | infoPairs.length)
+      val hasGt = f.length > 8
+      val fmtKeys: Array[String] =
+        if (!hasGt) Array.empty else f(8).split(':')
+      se.i32((fmtKeys.length << 24) | sampleNames.length)
+      // ID, alleles, FILTER, INFO
+      if (f(2) == ".") se.missingValue() else se.chars(f(2))
+      se.chars(ref)
+      alts.foreach(se.chars)
+      if (f(6) == ".") se.desc(TInt8, 0)
+      else {
+        val names = f(6).split(';')
+        se.intVector(names.map(n => dictIdx(n, "FILTER")),
+          Array.fill(names.length)(false))
+      }
+      infoPairs.foreach { case (k, v) =>
+        se.typedInt(dictIdx(k, "INFO key"))
+        val (num, tpe) = infoTypes.getOrElse(k,
+          sys.error(s"writeBcf: INFO '$k' lacks a ##INFO declaration"))
+        if (v == null || num == "0") se.missingValue() // Flag
+        else tpe match {
+          case "Integer" =>
+            val parts = v.split(',')
+            se.intVector(parts.map(p => if (p == ".") 0 else p.toInt),
+              parts.map(_ == "."))
+          case "Float" =>
+            val parts = v.split(',')
+            se.floatVector(parts.map(p => if (p == ".") 0f else p.toFloat),
+              parts.map(_ == "."))
+          case _ => se.chars(v)
+        }
+      }
+      // genotype block
+      if (hasGt) {
+        val perSample = sampleNames.indices.map(i =>
+          f(9 + i).split(':')).toArray
+        fmtKeys.zipWithIndex.foreach { case (key, fi) =>
+          ie.typedInt(dictIdx(key, "FORMAT key"))
+          def fieldOf(s: Int): String = {
+            val a = perSample(s)
+            if (fi < a.length) a(fi) else "."
+          }
+          if (key == "GT") {
+            // Uniform ploidy per record (the writer's supported shape).
+            val calls = sampleNames.indices.map { s =>
+              val g = fieldOf(s)
+              val phased = g.contains('|')
+              g.split("[/|]").map(a =>
+                if (a == "." || a.isEmpty) 0 else ((a.toInt + 1) << 1)) match {
+                case arr =>
+                  // phase bit on every call but the first
+                  arr.zipWithIndex.map { case (v, i) =>
+                    if (i > 0 && phased && v != 0) v | 1 else v
+                  }
+              }
+            }
+            val ploidy = calls.map(_.length).max
+            ie.desc(TInt8, ploidy)
+            calls.foreach { c =>
+              c.foreach(v => ie.u8(v))
+              (c.length until ploidy).foreach(_ => ie.u8(EovI8))
+            }
+          } else {
+            val (num, tpe) = fmtTypes.getOrElse(key,
+              sys.error(s"writeBcf: FORMAT '$key' lacks a ##FORMAT declaration"))
+            val parts = sampleNames.indices.map(s => fieldOf(s).split(','))
+            val width = parts.map(_.length).max
+            tpe match {
+              case "Integer" =>
+                // Pad ragged vectors with EOV (encoded as int32 path for
+                // simplicity when values are wide? No: intVector picks
+                // width from values; EOV must match that width). Render
+                // per-sample missing as MISSING, absent tail as EOV.
+                val t = {
+                  var lo = 0; var hi = 0
+                  parts.foreach(_.foreach(p => if (p != ".") {
+                    val x = p.toInt; lo = math.min(lo, x); hi = math.max(hi, x)
+                  }))
+                  if (lo >= -120 && hi <= 127) TInt8
+                  else if (lo >= -32760 && hi <= 32767) TInt16 else TInt32
+                }
+                ie.desc(t, width)
+                parts.foreach { a =>
+                  var i = 0
+                  while (i < width) {
+                    val v: Int =
+                      if (i >= a.length) (t match {
+                        case TInt8 => EovI8; case TInt16 => EovI16; case _ => EovI32
+                      })
+                      else if (a(i) == ".") (t match {
+                        case TInt8 => MissingI8; case TInt16 => MissingI16
+                        case _ => MissingI32
+                      })
+                      else a(i).toInt
+                    t match {
+                      case TInt8 => ie.u8(v); case TInt16 => ie.i16(v)
+                      case _ => ie.i32(v)
+                    }
+                    i += 1
+                  }
+                }
+              case "Float" =>
+                ie.desc(TFloat, width)
+                parts.foreach { a =>
+                  var i = 0
+                  while (i < width) {
+                    val bits =
+                      if (i >= a.length) EovF32
+                      else if (a(i) == ".") MissingF32
+                      else java.lang.Float.floatToRawIntBits(a(i).toFloat)
+                    ie.i32(bits)
+                    i += 1
+                  }
+                }
+              case _ =>
+                // char vectors: fixed width = longest string, NUL-padded.
+                val strs = sampleNames.indices.map(s => fieldOf(s))
+                val w = math.max(1, strs.map(_.getBytes(StandardCharsets.UTF_8).length).max)
+                ie.desc(TChar, w)
+                strs.foreach { s0 =>
+                  val b = s0.getBytes(StandardCharsets.UTF_8)
+                  indiv.write(b, 0, b.length)
+                  (b.length until w).foreach(_ => indiv.write(0))
+                }
+            }
+          }
+        }
+      }
+      val sb = shared.toByteArray
+      val ib = indiv.toByteArray
+      enc.i32(sb.length)
+      enc.i32(ib.length)
+      body.write(sb, 0, sb.length)
+      body.write(ib, 0, ib.length)
+    }
+
+    // Header text (the shard's own dictionary order matches the body).
+    val headerText = new StringBuilder("##fileformat=VCFv4.3\n")
+    metaLines.foreach(l => headerText.append(l).append('\n'))
+    if (!metaLines.exists(_.startsWith("##FILTER=<ID=PASS")))
+      headerText.append("##FILTER=<ID=PASS,Description=\"All filters passed\">\n")
+    contigs.keys.foreach(c =>
+      headerText.append(s"##contig=<ID=$c>\n"))
+    headerText.append(
+      (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO") ++
+        (if (sampleNames.isEmpty) Nil else "FORMAT" +: sampleNames))
+        .mkString("\t")).append('\n')
+    val out = new BamFormat.BgzfOutputStream(rawOut)
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write('B'); out.write('C'); out.write('F'); out.write(2); out.write(2)
+    val tb = (headerText.toString + " ").getBytes(StandardCharsets.UTF_8)
+    le32(tb.length)
+    out.write(tb, 0, tb.length)
+    val bodyBytes = body.toByteArray
+    out.write(bodyBytes, 0, bodyBytes.length)
+    out.close()
+  }
+}
+
+/** Variant table over BINARY `.bcf` (the bcftools-native container) —
+  * the [[VcfSource]] twin: the decoder streams records back to exact
+  * VCF data lines and the SAME [[VcfFormat.parse]] expression pipeline
+  * derives the surface, so the text and binary sources cannot drift.
+  * Header metadata (samples, typed `##INFO`, `##FORMAT`) comes through
+  * [[VcfFormat.headerMeta]] — memoized, multi-file-conflict-checked —
+  * reading the length-prefixed header text embedded in each `.bcf`.
+  * Options: `path`; `genotypes 'typed'` for the Glow-shaped struct
+  * column. Parallelism: one task per file (records span BGZF members
+  * with no sync marker — the sharded-sink layout is the unit of
+  * parallelism, as for BAM before its index). */
+class BcfSource extends org.apache.spark.sql.sources.RelationProvider {
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("BcfSource requires a 'path' option"))
+    val gmode = parameters.get("genotypes").map(_.toLowerCase)
+    require(gmode.forall(_ == "typed"),
+      s"BcfSource: unknown genotypes mode '${gmode.get}' (expected 'typed')")
+    val typedGt = gmode.isDefined
+    new GraftBaseRelation {
+      override val sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override protected def frame(): org.apache.spark.sql.DataFrame =
+        BcfSource.frameFor(ctx.sparkSession, path, typedGt)
+    }
+  }
+}
+
+object BcfSource {
+  private[sources] def frameFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, typedGenotypes: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val meta = VcfFormat.headerMeta(spark, path)
+    val flagKeys = meta.infos.filter(_.number == "0").map(_.id).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      else Seq(st)
+    }.filterNot(st => SourceUtil.isIndexSidecar(st.getPath.getName))
+      .map(_.getPath.toString)
+    require(files.nonEmpty, s"BcfSource: no files match '$path'")
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val rdd = spark.sparkContext.parallelize(files, files.length).flatMap { file =>
+      val hp = new HPath(file)
+      val in = hp.getFileSystem(serConf.value).open(hp)
+      val rd = new BcfFormat.BcfReader(in, flagKeys)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => in.close()))
+      Iterator.continually(rd.nextLine()).takeWhile(_ != null)
+    }
+    val raw = spark.createDataset(rdd)(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val parsed = VcfFormat.parse(raw, meta)
+    if (!typedGenotypes) parsed
+    else {
+      require(meta.samples.nonEmpty,
+        s"BcfSource: genotypes 'typed' requires samples in the header at '$path'")
+      parsed.withColumn("genotypes", VcfFormat.genotypesColumn(meta))
+    }
+  }
+}

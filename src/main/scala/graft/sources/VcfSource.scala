@@ -380,36 +380,52 @@ object VcfFormat {
   private val FormatDecl =
     """##FORMAT=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*>""".r
 
+  /** [[VcfHeaderMeta]] from header LINES (the `##`/`#CHROM` prefix of a
+    * text VCF — or the embedded header text of a binary BCF, which is
+    * the same grammar). */
+  private[sources] def parseHeaderLines(lines: Iterator[String]): VcfHeaderMeta = {
+    val infos = Seq.newBuilder[VcfInfoField]
+    val formats = Seq.newBuilder[VcfInfoField]
+    var samples: Seq[String] = Nil
+    var done = false
+    while (!done && lines.hasNext) {
+      val line = lines.next()
+      if (line.startsWith("##")) line match {
+        case InfoDecl(id, num, tpe) => infos += VcfInfoField(id, num, tpe)
+        case FormatDecl(id, num, tpe) => formats += VcfInfoField(id, num, tpe)
+        case _ => ()
+      } else {
+        if (line.startsWith("#CHROM")) {
+          val f = line.split("\t", -1)
+          if (f.length > 9) samples = f.drop(9).toSeq
+        }
+        done = true // first non-## line ends the header
+      }
+    }
+    VcfHeaderMeta(samples, infos.result(), formats.result())
+  }
+
   private def readOneHeader(fs: org.apache.hadoop.fs.FileSystem,
       file: org.apache.hadoop.fs.Path): VcfHeaderMeta = {
     headerReads.increment()
     val raw: java.io.InputStream = fs.open(file)
     // bgzipped .vcf.gz is standard; the JDK gzip engine consumes BGZF
-    // members natively, and the header sits at the file head.
-    val in =
-      if (file.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
-      else raw
-    val rd = new java.io.BufferedReader(
-      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
-    try {
-      val infos = Seq.newBuilder[VcfInfoField]
-      val formats = Seq.newBuilder[VcfInfoField]
-      var samples: Seq[String] = Nil
-      var line = rd.readLine()
-      while (line != null && line.startsWith("##")) {
-        line match {
-          case InfoDecl(id, num, tpe) => infos += VcfInfoField(id, num, tpe)
-          case FormatDecl(id, num, tpe) => formats += VcfInfoField(id, num, tpe)
-          case _ => ()
-        }
-        line = rd.readLine()
+    // members natively, and the header sits at the file head. A binary
+    // .bcf embeds the same header text after its magic.
+    val rd: java.io.BufferedReader =
+      if (file.getName.endsWith(".bcf"))
+        new java.io.BufferedReader(new java.io.StringReader(
+          BcfFormat.headerText(raw)))
+      else {
+        val in =
+          if (file.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+          else raw
+        new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
       }
-      if (line != null && line.startsWith("#CHROM")) {
-        val f = line.split("\t", -1)
-        if (f.length > 9) samples = f.drop(9).toSeq
-      }
-      VcfHeaderMeta(samples, infos.result(), formats.result())
-    } finally rd.close()
+    try parseHeaderLines(
+      Iterator.continually(rd.readLine()).takeWhile(_ != null))
+    finally rd.close()
   }
 
   /** Header metadata for every file matched by `path` — memoized per

@@ -1131,6 +1131,68 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("s3.vcf") && e.getMessage.contains("conflicting"))
   }
 
+  test("BCF binary source: writeBcf round trip equals the text twin") {
+    val dir = s"$base/bcf_rt"
+    // Full-surface frame: multi-allelic ALT, null id/alt/qual/filter,
+    // Flag + Float + String INFO, two samples with MIXED PLOIDY (na2
+    // haploid on odd ids — exercises GT end-of-vector padding) and
+    // missing DP values.
+    val df = spark.range(1, 401).selectExpr(
+      "concat('chr', CAST(id % 4 AS STRING)) AS contig",
+      "CAST((id * 7) % 5000 + 1 AS INT) AS pos_start",
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('rs', id) END AS id",
+      "substr('ACGTACGT', CAST(id % 4 AS INT) + 1, 1 + CAST(id % 3 AS INT)) AS ref",
+      "CASE WHEN id % 11 = 0 THEN NULL WHEN id % 3 = 1 THEN 'T,G' ELSE 'T' END AS alt",
+      "CASE WHEN id % 13 = 0 THEN NULL ELSE CAST(id % 100 AS DOUBLE) / 4 END AS qual",
+      "CASE WHEN id % 5 = 0 THEN 'PASS' WHEN id % 5 = 1 THEN 'q10' ELSE NULL END AS filter",
+      "concat('NS=', id % 3, ';DP=', id % 50," +
+        " CASE WHEN id % 6 = 0 THEN ';DB' ELSE '' END," +
+        " ';AF=0.5;SRC=src_', id % 4) AS info",
+      "'GT:DP' AS fmt",
+      "concat(CASE WHEN id % 3 = 0 THEN '0|0' WHEN id % 3 = 1 THEN '0|1'" +
+        " ELSE '1|1' END, ':', id % 60) AS na1",
+      "concat(CASE WHEN id % 2 = 0 THEN '0/0' ELSE '1' END, ':'," +
+        " CASE WHEN id % 9 = 0 THEN '.' ELSE CAST(id % 45 AS STRING) END) AS na2")
+    val metas = Seq(
+      """##FILTER=<ID=q10,Description="q">""",
+      """##INFO=<ID=NS,Number=1,Type=Integer,Description="n">""",
+      """##INFO=<ID=DP,Number=1,Type=Integer,Description="d">""",
+      """##INFO=<ID=DB,Number=0,Type=Flag,Description="m">""",
+      """##INFO=<ID=AF,Number=A,Type=Float,Description="f">""",
+      """##INFO=<ID=SRC,Number=1,Type=String,Description="s">""",
+      """##FORMAT=<ID=GT,Number=1,Type=String,Description="g">""",
+      """##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">""")
+    BcfFormat.writeBcf(df, s"$dir/v_bcf", Seq("na1", "na2"), Some("fmt"), metas)
+    VcfFormat.writeVcf(df, s"$dir/v_vcf", Seq("na1", "na2"), Some("fmt"),
+      metaLines = metas)
+    spark.sql("DROP TABLE IF EXISTS bcf_rt")
+    spark.sql(s"""CREATE TABLE bcf_rt USING graft.sources.BcfSource
+                 |OPTIONS (path '$dir/v_bcf')""".stripMargin)
+    spark.sql("DROP TABLE IF EXISTS bcf_rt_twin")
+    spark.sql(s"""CREATE TABLE bcf_rt_twin USING graft.sources.VcfSource
+                 |OPTIONS (path '$dir/v_vcf')""".stripMargin)
+    val viaBcf = spark.table("bcf_rt")
+    val viaVcf = spark.table("bcf_rt_twin")
+    assert(viaBcf.columns.toSeq === viaVcf.columns.toSeq,
+      "binary and text twins must expose one schema (typed info_ included)")
+    val a = viaBcf.collect().map(_.toString).sorted.toSeq
+    val b = viaVcf.collect().map(_.toString).sorted.toSeq
+    assert(a.size === 400 && a === b,
+      s"BCF scan diverges from the text twin; first diff: ${
+        a.zip(b).find(p => p._1 != p._2)}")
+    // The typed genotype surface rides the shared parse too.
+    spark.sql("DROP TABLE IF EXISTS bcf_rt_gt")
+    spark.sql(s"""CREATE TABLE bcf_rt_gt USING graft.sources.BcfSource
+                 |OPTIONS (path '$dir/v_bcf', genotypes 'typed')""".stripMargin)
+    val g = spark.table("bcf_rt_gt")
+      .selectExpr("pos_start", "inline(genotypes)")
+      .where("sample_id = 'na2'").collect()
+    assert(g.length === 400)
+    val haploid = g.filter(_.getSeq[Int](2).length == 1)
+    assert(haploid.length === 200, "odd ids are haploid '1' calls")
+    assert(haploid.forall(_.getSeq[Int](2) === Seq(1)))
+  }
+
   test("GFF/GTF source: dual attribute grammars, typed columns, tabix pruning") {
     val dir = s"$base/gff_src"
     java.nio.file.Files.createDirectories(Paths.get(dir))
