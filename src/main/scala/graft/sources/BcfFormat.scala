@@ -51,7 +51,7 @@ object BcfFormat {
   private val EovF32 = 0x7F800002
 
   // ---------------------------------------------------- little-endian read
-  private final class ByteReader(in: InputStream) {
+  private[sources] final class ByteReader(in: InputStream) {
     private val one = new Array[Byte](4)
     /** -1 on clean EOF at a record boundary. */
     def u8OrEof(): Int = in.read()
@@ -74,6 +74,61 @@ object BcfFormat {
       (one(0) & 0xff) | ((one(1) & 0xff) << 8) | ((one(2) & 0xff) << 16) | ((one(3) & 0xff) << 24)
     }
     def f32bits(): Int = i32()
+    private lazy val scratch = new Array[Byte](8192)
+    def skip(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val r = in.read(scratch, 0, math.min(left, scratch.length.toLong).toInt)
+        if (r < 0) sys.error("BCF: truncated stream while skipping")
+        left -= r
+      }
+    }
+  }
+
+  /** InputStream over the INFLATED bytes of a BGZF member chain starting
+    * at file offset `from`, exposing the packed virtual offset
+    * (`memberFileOffset << 16 | inflatedOffset`) of the next unread
+    * byte — the seam index building and `.csi` chunk reads share. The
+    * reported offset is canonical: at a member boundary it advances to
+    * the NEXT member before reporting, so record-start offsets never
+    * point at a block end. */
+  private[sources] final class PositionedBgzfStream(
+      in: org.apache.hadoop.fs.FSDataInputStream, fileLen: Long,
+      from: Long = 0L) extends InputStream {
+    private val members = BamFormat.bgzfMembers(in, fileLen, from)
+    private var cur: Array[Byte] = Array.emptyByteArray
+    private var curOff: Long = from
+    private var pos = 0
+    private var exhausted = false
+
+    private def ensure(): Boolean = {
+      while (pos >= cur.length) {
+        if (exhausted || !members.hasNext) { exhausted = true; return false }
+        val (o, b) = members.next()
+        curOff = o; cur = b; pos = 0
+      }
+      true
+    }
+    /** Packed voffset of the next byte, WITHOUT prefetching: at a member
+      * boundary this reports `(curOff << 16) | memberLength`, which
+      * compares correctly against any later offset — and because the
+      * index WRITER records chunk ends through this same function, a
+      * chunk ending exactly at a boundary stops the reader before the
+      * next member is inflated. Long.MaxValue once exhausted. */
+    def virtualPacked: Long =
+      if (exhausted && pos >= cur.length) Long.MaxValue
+      else (curOff << 16) | pos
+    override def read(): Int =
+      if (!ensure()) -1 else { val v = cur(pos) & 0xff; pos += 1; v }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (len == 0) 0
+      else if (!ensure()) -1
+      else {
+        val take = math.min(len, cur.length - pos)
+        System.arraycopy(cur, pos, b, off, take)
+        pos += take
+        take
+      }
   }
 
   // ------------------------------------------------------------ dictionary
@@ -131,7 +186,7 @@ object BcfFormat {
     finally raw.close()
   }
 
-  private def readMagicAndHeader(r: ByteReader): (String, Array[String], Array[String]) = {
+  private[sources] def readMagicAndHeader(r: ByteReader): (String, Array[String], Array[String]) = {
     val m = new Array[Byte](5)
     r.readFully(m, 5)
     require(m(0) == 'B' && m(1) == 'C' && m(2) == 'F' && m(3) == 2,
@@ -151,8 +206,18 @@ object BcfFormat {
   /** Streams a `.bcf` file as rendered VCF data lines. One pass, one
     * record buffered at a time. */
   final class BcfReader(raw: InputStream, flagKeys: Set[String] = Set.empty) {
-    private val r = new ByteReader(new BufferedInputStream(new GZIPInputStream(raw)))
-    val (headerText, strings, contigs) = readMagicAndHeader(r)
+    private val r0 = new ByteReader(new BufferedInputStream(new GZIPInputStream(raw)))
+    val (headerText, strings, contigs) = readMagicAndHeader(r0)
+    private val cursor = new BcfLineCursor(r0, strings, contigs, flagKeys)
+    /** The next record as a raw VCF data line, or null at EOF. */
+    def nextLine(): String = cursor.nextLine()
+  }
+
+  /** Decodes RECORDS from an already-inflated byte stream positioned at
+    * a record boundary — the seam `.csi` chunk reads enter through (the
+    * dictionaries come from the file header, read separately). */
+  private[sources] final class BcfLineCursor(r: ByteReader,
+      strings: Array[String], contigs: Array[String], flagKeys: Set[String]) {
 
     private def typeDesc(): (Int, Int) = {
       val b = r.u8()
@@ -671,7 +736,7 @@ object BcfFormat {
       out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
     out.write('B'); out.write('C'); out.write('F'); out.write(2); out.write(2)
-    val tb = (headerText.toString + " ").getBytes(StandardCharsets.UTF_8)
+    val tb = headerText.toString.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
     le32(tb.length)
     out.write(tb, 0, tb.length)
     val bodyBytes = body.toByteArray
@@ -703,13 +768,25 @@ class BcfSource extends org.apache.spark.sql.sources.RelationProvider {
       override val sqlContext: org.apache.spark.sql.SQLContext = ctx
       override protected def frame(): org.apache.spark.sql.DataFrame =
         BcfSource.frameFor(ctx.sparkSession, path, typedGt)
+      // Region predicates prune containers through standard `.csi`
+      // indexes (bcftools' own, or [[BcfIndex.indexFiles]] output).
+      override protected def frame(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.DataFrame =
+        BcfSource.frameFor(ctx.sparkSession, path, typedGt, filters)
     }
   }
 }
 
 object BcfSource {
+  /** Files whose region pruning was planned through a `.csi` (test
+    * observability). */
+  private[graft] val csiPrunedFiles = new java.util.concurrent.atomic.LongAdder()
+
   private[sources] def frameFor(spark: org.apache.spark.sql.SparkSession,
-      path: String, typedGenotypes: Boolean): org.apache.spark.sql.DataFrame = {
+      path: String, typedGenotypes: Boolean,
+      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
     val meta = VcfFormat.headerMeta(spark, path)
     val flagKeys = meta.infos.filter(_.number == "0").map(_.id).toSet
@@ -723,16 +800,108 @@ object BcfSource {
           !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
       else Seq(st)
     }.filterNot(st => SourceUtil.isIndexSidecar(st.getPath.getName))
-      .map(_.getPath.toString)
     require(files.nonEmpty, s"BcfSource: no files match '$path'")
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-    val rdd = spark.sparkContext.parallelize(files, files.length).flatMap { file =>
-      val hp = new HPath(file)
-      val in = hp.getFileSystem(serConf.value).open(hp)
-      val rd = new BcfFormat.BcfReader(in, flagKeys)
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => in.close()))
-      Iterator.continually(rd.nextLine()).takeWhile(_ != null)
+
+    // `.csi`-planned chunk reads when the predicates constrain
+    // contig/position and EVERY file carries an index; the chunk list is
+    // a SUPERSET of the predicate's records (the engine re-applies
+    // filters), merged across references so no block is read twice.
+    val (contigSet, sMin, sMax, eMin, eMax) = VcfFormat.foldRegion(filters)
+    val constrained = contigSet.isDefined || sMin != Int.MinValue ||
+      sMax != Int.MaxValue || eMin != Int.MinValue || eMax != Int.MaxValue
+    val pruned: Option[Seq[(String, Long, Seq[(Long, Long)])]] =
+      if (!constrained ||
+        !files.forall(st => fs.exists(new HPath(st.getPath.toString + ".csi"))))
+        None
+      else Some(files.flatMap { st =>
+        val file = st.getPath.toString
+        val csiData = {
+          val in = fs.open(new HPath(file + ".csi"))
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            BamFormat.bgzfMembers(in,
+              fs.getFileStatus(new HPath(file + ".csi")).getLen, 0L)
+              .foreach { case (_, b) => buf.write(b) }
+            buf.toByteArray
+          } finally in.close()
+        }
+        val idx = BamFormat.CsiIndex.read(csiData)
+        // CSI ref order IS the header contig-dictionary order.
+        val contigNames = BcfFormat.dictionaries(BcfFormat.headerText(
+          fs.open(st.getPath)))._2
+        val maxPos = 1L << (idx.minShift + idx.depth * 3)
+        val startCap = math.min(math.min(sMax.toLong, eMax.toLong), maxPos - 1)
+        val endFloor = math.max(math.max(sMin.toLong, eMin.toLong), 1L)
+        val refIdxs = contigNames.indices.filter(i => contigSet.forall(
+          _.contains(graft.functions.RangeFunctions.cleanContig(contigNames(i)))))
+        val raw = refIdxs.flatMap { r =>
+          if (r < idx.refs.length)
+            BamFormat.CsiIndex.chunksFor(idx.refs(r), endFloor, startCap,
+              idx.minShift, idx.depth, idx.loffsets(r))
+          else Nil
+        }.sortBy(_._1)
+        val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        raw.foreach { c =>
+          if (merged.nonEmpty && c._1 <= merged.last._2)
+            merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, c._2))
+          else merged += c
+        }
+        csiPrunedFiles.increment()
+        merged.grouped(64).map(g => (file, st.getLen, g.toSeq)).toSeq
+      })
+
+    val rdd = pruned match {
+      case Some(tasks) if tasks.isEmpty =>
+        spark.sparkContext.emptyRDD[String]
+      case Some(tasks) =>
+        spark.sparkContext.parallelize(tasks, tasks.length)
+          .flatMap { case (file, len, ranges) =>
+            val hp = new HPath(file)
+            val tfs = hp.getFileSystem(serConf.value)
+            // Dictionaries from the file's own header (bounded read).
+            val (_, strings, contigs) = {
+              val hin = tfs.open(hp)
+              try {
+                val br = new BcfFormat.ByteReader(new java.io.BufferedInputStream(
+                  new java.util.zip.GZIPInputStream(hin)))
+                BcfFormat.readMagicAndHeader(br)
+              } finally hin.close()
+            }
+            ranges.iterator.flatMap { case (vbeg, vend) =>
+              val in = tfs.open(hp)
+              Option(org.apache.spark.TaskContext.get()).foreach(
+                _.addTaskCompletionListener[Unit](_ =>
+                  try in.close() catch { case _: Exception => () }))
+              val ps = new BcfFormat.PositionedBgzfStream(in, len, vbeg >>> 16)
+              val br = new BcfFormat.ByteReader(ps)
+              br.skip(vbeg & 0xFFFFL) // chunk start is a record boundary
+              val cursor = new BcfFormat.BcfLineCursor(br, strings, contigs, flagKeys)
+              new Iterator[String] {
+                private var nextL: String = advance()
+                private def advance(): String =
+                  if (ps.virtualPacked >= vend) { in.close(); null }
+                  else {
+                    val l = cursor.nextLine()
+                    if (l == null) in.close()
+                    l
+                  }
+                def hasNext: Boolean = nextL != null
+                def next(): String = { val v = nextL; nextL = advance(); v }
+              }
+            }
+          }
+      case None =>
+        spark.sparkContext.parallelize(
+            files.map(_.getPath.toString), files.length)
+          .flatMap { file =>
+            val hp = new HPath(file)
+            val in = hp.getFileSystem(serConf.value).open(hp)
+            val rd = new BcfFormat.BcfReader(in, flagKeys)
+            Option(org.apache.spark.TaskContext.get()).foreach(
+              _.addTaskCompletionListener[Unit](_ => in.close()))
+            Iterator.continually(rd.nextLine()).takeWhile(_ != null)
+          }
     }
     val raw = spark.createDataset(rdd)(
       org.apache.spark.sql.Encoders.STRING).toDF("value")
@@ -743,5 +912,138 @@ object BcfSource {
         s"BcfSource: genotypes 'typed' requires samples in the header at '$path'")
       parsed.withColumn("genotypes", VcfFormat.genotypesColumn(meta))
     }
+  }
+}
+
+/** `.csi` indexing and index-driven region pruning for `.bcf` files —
+  * the binary twin of [[GraftIndexer]]'s text presets and the BAM
+  * `.bai`/`.csi` path: `bcftools index` output is consumed directly, and
+  * [[BcfIndex.indexFiles]] builds the same `.csi` for unindexed files
+  * (one streaming member pass per file, distributed one task per file).
+  * CSI ref order IS the header contig-dictionary order (`CHROM` is the
+  * dict index), and a BCF `.csi` carries no aux payload. */
+object BcfIndex {
+
+  /** Build `.csi` for every `.bcf` matched by `path` that lacks one.
+    * Returns files indexed. Floors (per-bin loffset) are zeroed when the
+    * file is not coordinate-sorted — bins-only correct, never wrong. */
+  def indexFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      overwrite: Boolean = false): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      else Seq(st)
+    }.filter(_.getPath.getName.endsWith(".bcf"))
+      .filter(st => overwrite ||
+        !fs.exists(new HPath(st.getPath.toString + ".csi")))
+    if (files.isEmpty) return 0L
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val work = files.map(st => (st.getPath.toString, st.getLen))
+    spark.sparkContext.parallelize(work, work.length).map { case (file, len) =>
+      val hp = new HPath(file)
+      val tfs = hp.getFileSystem(serConf.value)
+      val in = tfs.open(hp)
+      val out = tfs.create(new HPath(file + ".csi"), true)
+      try indexOne(in, len, out) finally in.close()
+      1L
+    }.sum().toLong
+  }
+
+  private def indexOne(in: org.apache.hadoop.fs.FSDataInputStream, len: Long,
+      rawOut: OutputStream): Unit = {
+    val ps = new BcfFormat.PositionedBgzfStream(in, len, 0L)
+    val br = new BcfFormat.ByteReader(ps)
+    val m = new Array[Byte](5)
+    br.readFully(m, 5)
+    require(m(0) == 'B' && m(1) == 'C' && m(2) == 'F' && m(3) == 2,
+      "not a BCF stream (bad magic)")
+    val lText = br.i32()
+    val tb = new Array[Byte](lText)
+    br.readFully(tb, lText)
+    var end = lText
+    while (end > 0 && tb(end - 1) == 0) end -= 1
+    val (_, contigs) = BcfFormat.dictionaries(
+      new String(tb, 0, end, StandardCharsets.UTF_8))
+    val refs = Array.fill(math.max(contigs.length, 1))(new GraftIndexer.TbiRef)
+    var sorted = true
+    var lastChrom = -1
+    var lastPos = -1
+    val seen = scala.collection.mutable.BitSet.empty
+    var done = false
+    while (!done) {
+      val vbeg = ps.virtualPacked
+      val first = br.u8OrEof()
+      if (first < 0) done = true
+      else {
+        val rest = new Array[Byte](3)
+        br.readFully(rest, 3)
+        val lShared = (first & 0xff) | ((rest(0) & 0xff) << 8) |
+          ((rest(1) & 0xff) << 16) | ((rest(2) & 0xff) << 24)
+        val lIndiv = br.i32()
+        val chromIdx = br.i32()
+        val pos0 = br.i32()
+        val rlen = br.i32()
+        br.skip((lShared - 12).toLong + lIndiv)
+        val vend = ps.virtualPacked
+        if (chromIdx != lastChrom) {
+          if (seen(chromIdx)) sorted = false
+          seen += chromIdx
+          lastChrom = chromIdx; lastPos = pos0
+        } else if (pos0 < lastPos) sorted = false
+        else lastPos = pos0
+        if (chromIdx >= 0 && chromIdx < refs.length) {
+          val end0 = pos0 + math.max(rlen, 1)
+          refs(chromIdx).chunk(BamFormat.reg2bin(pos0, end0), vbeg,
+            if (vend == Long.MaxValue) (len << 16) else vend)
+          refs(chromIdx).window(pos0, end0, vbeg)
+        }
+      }
+    }
+    // Render CSI v1 (BCF flavor: empty aux — dictionaries live in the
+    // data file's own header).
+    val out = new java.io.DataOutputStream(new BamFormat.BgzfOutputStream(rawOut))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def le64(v: Long): Unit = { le32(v.toInt); le32((v >>> 32).toInt) }
+    val levelStarts = Array(0, 1, 9, 73, 585, 4681)
+    def loffsetOf(r: GraftIndexer.TbiRef, bin: Int): Long = {
+      val l = levelStarts.lastIndexWhere(_ <= bin)
+      val shift = 3 * (5 - l)
+      val firstW = (bin - levelStarts(l)) << shift
+      val endW = math.min(firstW + (1L << shift), r.linear.length.toLong).toInt
+      var mn = 0L
+      var w = firstW
+      while (w < endW) {
+        val v = r.linear(w)
+        if (v > 0 && (mn == 0L || v < mn)) mn = v
+        w += 1
+      }
+      mn
+    }
+    out.write('C'); out.write('S'); out.write('I'); out.write(1)
+    le32(14); le32(5)
+    le32(0) // l_aux: empty for BCF
+    le32(contigs.length)
+    var ri = 0
+    while (ri < contigs.length) {
+      val r = refs(ri)
+      le32(r.bins.size)
+      r.bins.foreach { case (bin, chunks) =>
+        le32(bin); le64(if (sorted) loffsetOf(r, bin) else 0L)
+        le32(chunks.length)
+        chunks.foreach { case (b, e) => le64(b); le64(e) }
+      }
+      ri += 1
+    }
+    out.flush()
+    out.close()
   }
 }

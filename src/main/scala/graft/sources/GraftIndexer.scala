@@ -126,7 +126,7 @@ object GraftIndexer {
   }
 
   /** Per-reference tabix accumulation state. */
-  private final class TbiRef {
+  private[sources] final class TbiRef {
     val bins = scala.collection.mutable.LinkedHashMap
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
     val linear = scala.collection.mutable.ArrayBuffer.empty[Long]

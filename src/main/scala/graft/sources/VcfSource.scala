@@ -104,7 +104,7 @@ object VcfFormat {
 
   /** Contig/position constraints foldable from pushed predicates (the
     * shapes the member envelopes can answer). */
-  private def foldRegion(filters: Array[org.apache.spark.sql.sources.Filter])
+  private[sources] def foldRegion(filters: Array[org.apache.spark.sql.sources.Filter])
       : (Option[Set[String]], Int, Int, Int, Int) = {
     import org.apache.spark.sql.sources._
     var contigs: Option[Set[String]] = None

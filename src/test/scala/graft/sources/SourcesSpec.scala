@@ -1193,6 +1193,51 @@ class SourcesSpec extends SparkSpec {
     assert(haploid.forall(_.getSeq[Int](2) === Seq(1)))
   }
 
+  test("BCF .csi region pruning: BcfIndex-built index plans chunk reads") {
+    val dir = s"$base/bcf_csi"
+    // Coordinate-sorted shard (the index contract), one contig block per
+    // reference, sized to span many BGZF members.
+    // Positions spread over ~150 kb per contig so the 16 kb index
+    // windows (bin resolution) subdivide each contig's record block.
+    val df = spark.range(0, 12000).selectExpr(
+      "concat('chr', CAST(CAST(id / 3000 AS INT) AS STRING)) AS contig",
+      "CAST((id % 3000) * 150 + 1 AS INT) AS pos_start",
+      "concat('rs', id) AS id", "'ACG' AS ref", "'A' AS alt",
+      "concat('DP=', id % 90) AS info")
+      .orderBy("contig", "pos_start").coalesce(1)
+    BcfFormat.writeBcf(df, s"$dir/v_bcf", metaLines = Seq(
+      """##INFO=<ID=DP,Number=1,Type=Integer,Description="d">"""))
+    assert(BcfIndex.indexFiles(spark, s"$dir/v_bcf") === 1L)
+    assert(BcfIndex.indexFiles(spark, s"$dir/v_bcf") === 0L) // idempotent
+    spark.sql("DROP TABLE IF EXISTS bcf_csi")
+    spark.sql(s"""CREATE TABLE bcf_csi USING graft.sources.BcfSource
+                 |OPTIONS (path '$dir/v_bcf')""".stripMargin)
+    val t = spark.table("bcf_csi")
+    def measured(body: => Array[org.apache.spark.sql.Row]): (Long, Long, Long) = {
+      val b0 = BamFormat.blocksInflated.get()
+      val c0 = graft.sources.BcfSource.csiPrunedFiles.sum()
+      val rows = body
+      (rows.length.toLong, BamFormat.blocksInflated.get() - b0,
+        graft.sources.BcfSource.csiPrunedFiles.sum() - c0)
+    }
+    val (nAll, bAll, _) = measured(t.filter(col("pos_start") >= 0).collect())
+    assert(nAll === 12000)
+    val sel = col("contig") === "2" && col("pos_start").between(30000, 40000)
+    val (nSel, bSel, viaCsi) = measured(t.filter(sel).collect())
+    assert(nSel === (200 to 266).size, s"got $nSel")
+    assert(viaCsi >= 1, "planning did not go through the .csi")
+    assert(bSel < bAll / 2,
+      s"BCF region query inflated $bSel of $bAll members — pruning did not fire")
+    // Chunk reads return exactly the unindexed scan's rows.
+    val viaPrune = t.filter(sel).collect().map(_.toString).toSet
+    java.nio.file.Files.walk(Paths.get(s"$dir/v_bcf")).forEach { f =>
+      if (f.toString.endsWith(".csi")) java.nio.file.Files.delete(f)
+    }
+    spark.sql("REFRESH TABLE bcf_csi")
+    val noIndex = spark.table("bcf_csi").filter(sel).collect().map(_.toString).toSet
+    assert(viaPrune === noIndex && viaPrune.size === 67)
+  }
+
   test("GFF/GTF source: dual attribute grammars, typed columns, tabix pruning") {
     val dir = s"$base/gff_src"
     java.nio.file.Files.createDirectories(Paths.get(dir))
