@@ -756,7 +756,10 @@ object BcfFormat {
   * column. Parallelism: one task per file (records span BGZF members
   * with no sync marker — the sharded-sink layout is the unit of
   * parallelism, as for BAM before its index). */
-class BcfSource extends org.apache.spark.sql.sources.RelationProvider {
+class BcfSource extends org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "bcf"
+
   override def createRelation(ctx: org.apache.spark.sql.SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("BcfSource requires a 'path' option"))

@@ -535,7 +535,10 @@ object SourceUtil {
 /** Alignment (reads) table over parquet — the S1/S2 surface. Options:
   * `path` (required), `sampleIdFromFilename` (default false; S7),
   * `refPath` (accepted for CRAM-signature parity, unused — S2). */
-class AlignmentSource extends RelationProvider {
+class AlignmentSource extends RelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "alignment"
+
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("AlignmentSource requires a 'path' option"))
@@ -560,7 +563,10 @@ class AlignmentSource extends RelationProvider {
   * `start`→`pos_start`, `end`→`pos_end`, `referenceAllele`→`ref`,
   * `alternateAlleles`→`alt` — reference `VCFRelation.scala:38-42`,
   * `ADAMRelation.scala:10-33`), contig-cleaned. */
-class VariantSource extends RelationProvider {
+class VariantSource extends RelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "variant"
+
   private val renames = Seq(
     "contigName" -> "contig", "start" -> "pos_start", "end" -> "pos_end",
     "referenceAllele" -> "ref", "alternateAlleles" -> "alt")
@@ -614,7 +620,10 @@ class VariantSource extends RelationProvider {
   * inflated bytes (field-plausibility chain — records carry no magic),
   * via [[BamFormat.splitRecords]]. A 100 TB BAM corpus parallelizes at
   * byte-range granularity like any splittable format. */
-class BamSource extends RelationProvider with CreatableRelationProvider {
+class BamSource extends RelationProvider with CreatableRelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "bam"
+
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("BamSource requires a 'path' option"))
@@ -1088,7 +1097,10 @@ object BamSource {
   * decode, before Row construction; projection prunes at Row build
   * (CRAM decodes series-wise, so unprojected series still stream —
   * bounded per container). */
-class CramSource extends RelationProvider {
+class CramSource extends RelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "cram"
+
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("CramSource requires a 'path' option"))
@@ -1259,7 +1271,10 @@ object CramSource {
   * normalization (P5), and sample-id-from-filename (S7). Same output
   * schema as [[BamSource]], so every downstream operator (coverage,
   * pileup, interval joins) runs on either container unchanged. */
-class SamSource extends RelationProvider with CreatableRelationProvider {
+class SamSource extends RelationProvider with CreatableRelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "sam"
+
   /** CTAS over SAM text, the human-readable S10 twin. */
   override def createRelation(ctx: SQLContext, mode: SaveMode,
       parameters: Map[String, String],
@@ -1403,7 +1418,10 @@ object SamFormat {
   * (`instrument:run:flowcell:lane:tile:x:y comment`) populate the typed
   * metadata columns; non-conforming names leave them null with the raw
   * name in `instrument_name`. CASAVA filter flag: `N` = passed. */
-class FastqSource extends RelationProvider {
+class FastqSource extends RelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "fastq"
+
 
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
@@ -1520,7 +1538,10 @@ object FastqSource {
 /** BED table over tab-separated text (S5): skips `track`/`browser` header
   * lines, converts 0-based half-open to 1-based inclusive coordinates,
   * names the 12 optional columns (reference `BEDRelation.scala:10-59`). */
-class BedSource extends RelationProvider {
+class BedSource extends RelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "bed"
+
   private val names = Seq("contig", "pos_start", "pos_end", "name", "score", "strand",
     "thick_start", "thick_end", "item_rgb", "block_count", "block_sizes", "block_starts")
 
@@ -1567,7 +1588,10 @@ class BedSource extends RelationProvider {
   * agnostic — both put contig/start in pushable columns);
   * [[GraftIndexer]] understands `format = "gff"` for building both
   * sidecar kinds on foreign files. */
-class GffSource extends RelationProvider {
+class GffSource extends RelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "gff"
+
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("GffSource requires a 'path' option"))

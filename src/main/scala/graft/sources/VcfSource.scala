@@ -38,7 +38,10 @@ import java.nio.charset.StandardCharsets
   * text dataset. Sample names are read once on the driver from the first
   * file's `#CHROM` line (a bounded header prefix, not a data scan). */
 class VcfSource extends org.apache.spark.sql.sources.RelationProvider
-    with org.apache.spark.sql.sources.CreatableRelationProvider {
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "vcf"
+
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("VcfSource requires a 'path' option"))

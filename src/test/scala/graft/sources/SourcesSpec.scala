@@ -1131,6 +1131,25 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("s3.vcf") && e.getMessage.contains("conflicting"))
   }
 
+  test("short format names resolve through DataSourceRegister") {
+    // `USING bam|vcf|bcf|...` / spark.read.format("vcf") — the idiomatic
+    // Spark spelling next to the full class names (ServiceLoader
+    // registration; vanilla Spark claims none of these names).
+    val dir = s"$base/short_names"
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    java.nio.file.Files.writeString(Paths.get(s"$dir/a.vcf"),
+      "##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n" +
+        "chr1\t100\trs1\tAC\tT\t50\tPASS\tDP=3\n")
+    assert(spark.read.format("vcf").option("path", s"$dir/a.vcf").load()
+      .select("contig", "pos_start", "pos_end").collect()
+      .map(_.toString).toSeq === Seq("[1,100,101]"))
+    spark.sql("DROP TABLE IF EXISTS short_bed")
+    java.nio.file.Files.writeString(Paths.get(s"$dir/t.bed"), "chr2\t10\t20\tx\n")
+    spark.sql(s"CREATE TABLE short_bed USING bed OPTIONS (path '$dir/t.bed')")
+    assert(spark.table("short_bed").select("contig", "pos_start", "pos_end")
+      .collect().map(_.toString).toSeq === Seq("[2,11,20]"))
+  }
+
   test("BCF binary source: writeBcf round trip equals the text twin") {
     val dir = s"$base/bcf_rt"
     // Full-surface frame: multi-allelic ALT, null id/alt/qual/filter,
