@@ -46,8 +46,13 @@ case class TagKeyPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
     val keys = mutable.Map.empty[ExprId, mutable.SortedSet[String]]
     val full = mutable.Set.empty[ExprId]
 
+    // Only well-formed 2-char tag names qualify: SAM tags are exactly two
+    // characters, and DecodeSpec.tagKeyCodes packs charAt(0)/charAt(1) —
+    // a shorter/longer literal must fall back to the full-map decode
+    // (which returns null for it) instead of keying the relation.
     def litKey(e: Expression): Option[String] = e match {
-      case Literal(k: UTF8String, StringType) if k != null => Some(k.toString)
+      case Literal(k: UTF8String, StringType) if k != null && k.numChars() == 2 =>
+        Some(k.toString)
       case _ => None
     }
     def visit(e: Expression): Unit = e match {

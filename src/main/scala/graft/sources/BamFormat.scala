@@ -494,6 +494,22 @@ object BamFormat {
     else plausibleRecord(data, nxt, nRef, chain - 1)
   }
 
+
+  /** Sort + overlap-merge virtual-offset ranges — shared by EVERY index
+    * consumer (chunks of different bin levels and different references
+    * can interleave over the same blocks; a range read twice would
+    * duplicate records, and re-applied filters would NOT dedupe them). */
+  private[sources] def mergeRanges(raw: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = raw.sortBy(_._1)
+    val merged = mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { c =>
+      if (merged.nonEmpty && c._1 <= merged.last._2)
+        merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, c._2))
+      else merged += c
+    }
+    merged.toSeq
+  }
+
   /** Standard `.bai` index consumption (SAM spec §5.2) — how the engine
     * turns `contig + position` predicates into block-precise reads of
     * EXTERNALLY-produced BAM files (the reference does the same through
@@ -569,18 +585,11 @@ object BamFormat {
       val linMin =
         if (ri.linear.isEmpty) 0L
         else ri.linear(math.min(beg0 >> 14, ri.linear.length - 1))
-      val raw = reg2bins(beg0, end0).flatMap(b => ri.bins.getOrElse(b, Array.empty[(Long, Long)]))
+      mergeRanges(reg2bins(beg0, end0)
+        .flatMap(b => ri.bins.getOrElse(b, Array.empty[(Long, Long)]))
         .filter(_._2 > linMin)
         .map { case (b, e) => (math.max(b, linMin), e) }
-        .filter(c => c._1 < c._2)
-        .sortBy(_._1)
-      val merged = mutable.ArrayBuffer.empty[(Long, Long)]
-      raw.foreach { c =>
-        if (merged.nonEmpty && c._1 <= merged.last._2)
-          merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, c._2))
-        else merged += c
-      }
-      merged.toSeq
+        .filter(c => c._1 < c._2))
     }
   }
 
@@ -713,19 +722,11 @@ object BamFormat {
           t += 1L << (l * 3); l += 1
         }
       }
-      val raw = reg2bins(beg0, end0, minShift, depth)
+      mergeRanges(reg2bins(beg0, end0, minShift, depth)
         .flatMap(b => ri.bins.getOrElse(b, Array.empty[(Long, Long)]))
         .filter(_._2 > linMin)
         .map { case (b, e) => (math.max(b, linMin), e) }
-        .filter(c => c._1 < c._2)
-        .sortBy(_._1)
-      val merged = mutable.ArrayBuffer.empty[(Long, Long)]
-      raw.foreach { c =>
-        if (merged.nonEmpty && c._1 <= merged.last._2)
-          merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, c._2))
-        else merged += c
-      }
-      merged.toSeq
+        .filter(c => c._1 < c._2))
     }
   }
 

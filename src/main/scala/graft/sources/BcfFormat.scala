@@ -179,6 +179,23 @@ object BcfFormat {
     (toArray(ordered), toArray(contigs.toSeq))
   }
 
+  // file -> (mtime:len fingerprint, contig dictionary): planning a
+  // region query consults every file's dictionary; without this each
+  // planning pass would re-open and re-inflate 100k headers.
+  private val contigDictCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[String])]()
+
+  private[sources] def contigDict(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Array[String] = {
+    val key = st.getPath.toString
+    val fp = s"${st.getModificationTime}:${st.getLen}"
+    val hit = contigDictCache.get(key)
+    if (hit != null && hit._1 == fp) return hit._2
+    val d = dictionaries(headerText(fs.open(st.getPath)))._2
+    contigDictCache.put(key, (fp, d))
+    d
+  }
+
   /** The embedded header text of a `.bcf` stream (closes `raw`). */
   def headerText(raw: InputStream): String = {
     val r = new ByteReader(new BufferedInputStream(new GZIPInputStream(raw)))
@@ -626,24 +643,47 @@ object BcfFormat {
             if (fi < a.length) a(fi) else "."
           }
           if (key == "GT") {
-            // Uniform ploidy per record (the writer's supported shape).
+            // Per-SEPARATOR phasing (spec-legal mixed phasing like
+            // '0/1|2'): each call after the first takes the phase bit of
+            // ITS OWN separator; phased missing calls ('.|.') encode as
+            // the bare phase bit (allele+1 = 0).
             val calls = sampleNames.indices.map { s =>
               val g = fieldOf(s)
-              val phased = g.contains('|')
-              g.split("[/|]").map(a =>
-                if (a == "." || a.isEmpty) 0 else ((a.toInt + 1) << 1)) match {
-                case arr =>
-                  // phase bit on every call but the first
-                  arr.zipWithIndex.map { case (v, i) =>
-                    if (i > 0 && phased && v != 0) v | 1 else v
-                  }
+              val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+              var i = 0
+              var tok = new StringBuilder
+              var phase = false
+              def emit(): Unit = {
+                val t = tok.toString
+                val v = if (t == "." || t.isEmpty) 0 else ((t.toInt + 1) << 1)
+                out += (if (out.nonEmpty && phase) v | 1 else v)
+                tok = new StringBuilder
               }
+              while (i < g.length) {
+                val c = g.charAt(i)
+                if (c == '/' || c == '|') { emit(); phase = c == '|' }
+                else tok.append(c)
+                i += 1
+              }
+              emit()
+              out.toArray
             }
             val ploidy = calls.map(_.length).max
-            ie.desc(TInt8, ploidy)
+            // Width-select like intVector: allele indexes >= 63 overflow
+            // the int8 packing into the sentinel range.
+            val maxV = calls.iterator.flatten.foldLeft(0)(math.max)
+            val t = if (maxV <= 127) TInt8
+              else if (maxV <= 32767) TInt16 else TInt32
+            ie.desc(t, ploidy)
             calls.foreach { c =>
-              c.foreach(v => ie.u8(v))
-              (c.length until ploidy).foreach(_ => ie.u8(EovI8))
+              def put(v: Int): Unit = t match {
+                case TInt8 => ie.u8(v); case TInt16 => ie.i16(v)
+                case _ => ie.i32(v)
+              }
+              c.foreach(put)
+              (c.length until ploidy).foreach(_ => put(t match {
+                case TInt8 => EovI8; case TInt16 => EovI16; case _ => EovI32
+              }))
             }
           } else {
             val (num, tpe) = fmtTypes.getOrElse(key,
@@ -830,9 +870,9 @@ object BcfSource {
           } finally in.close()
         }
         val idx = BamFormat.CsiIndex.read(csiData)
-        // CSI ref order IS the header contig-dictionary order.
-        val contigNames = BcfFormat.dictionaries(BcfFormat.headerText(
-          fs.open(st.getPath)))._2
+        // CSI ref order IS the header contig-dictionary order (memoized
+        // per file fingerprint — zero header reads on a planning hit).
+        val contigNames = BcfFormat.contigDict(fs, st)
         val maxPos = 1L << (idx.minShift + idx.depth * 3)
         val startCap = math.min(math.min(sMax.toLong, eMax.toLong), maxPos - 1)
         val endFloor = math.max(math.max(sMin.toLong, eMin.toLong), 1L)
@@ -844,12 +884,7 @@ object BcfSource {
               idx.minShift, idx.depth, idx.loffsets(r))
           else Nil
         }.sortBy(_._1)
-        val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        raw.foreach { c =>
-          if (merged.nonEmpty && c._1 <= merged.last._2)
-            merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, c._2))
-          else merged += c
-        }
+        val merged = BamFormat.mergeRanges(raw)
         csiPrunedFiles.increment()
         merged.grouped(64).map(g => (file, st.getLen, g.toSeq)).toSeq
       })
@@ -1016,21 +1051,6 @@ object BcfIndex {
       out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
     def le64(v: Long): Unit = { le32(v.toInt); le32((v >>> 32).toInt) }
-    val levelStarts = Array(0, 1, 9, 73, 585, 4681)
-    def loffsetOf(r: GraftIndexer.TbiRef, bin: Int): Long = {
-      val l = levelStarts.lastIndexWhere(_ <= bin)
-      val shift = 3 * (5 - l)
-      val firstW = (bin - levelStarts(l)) << shift
-      val endW = math.min(firstW + (1L << shift), r.linear.length.toLong).toInt
-      var mn = 0L
-      var w = firstW
-      while (w < endW) {
-        val v = r.linear(w)
-        if (v > 0 && (mn == 0L || v < mn)) mn = v
-        w += 1
-      }
-      mn
-    }
     out.write('C'); out.write('S'); out.write('I'); out.write(1)
     le32(14); le32(5)
     le32(0) // l_aux: empty for BCF
@@ -1040,7 +1060,7 @@ object BcfIndex {
       val r = refs(ri)
       le32(r.bins.size)
       r.bins.foreach { case (bin, chunks) =>
-        le32(bin); le64(if (sorted) loffsetOf(r, bin) else 0L)
+        le32(bin); le64(if (sorted) GraftIndexer.loffsetOf(r, bin) else 0L)
         le32(chunks.length)
         chunks.foreach { case (b, e) => le64(b); le64(e) }
       }

@@ -125,6 +125,27 @@ object GraftIndexer {
     }.sum().toLong
   }
 
+  /** A bin's CSI `loffset` derived from the per-16kb-window minima (the
+    * linear accumulation): it must cover records of OTHER (parent) bins
+    * overlapping the bin's window, so it is the min over the bin's leaf
+    * windows, NOT the bin's own chunk start. Shared by the text and BCF
+    * `.csi` writers — the two must emit identical floors. */
+  private[sources] val levelStarts = Array(0, 1, 9, 73, 585, 4681)
+  private[sources] def loffsetOf(r: TbiRef, bin: Int): Long = {
+    val l = levelStarts.lastIndexWhere(_ <= bin)
+    val shift = 3 * (5 - l)
+    val first = (bin - levelStarts(l)) << shift
+    val end = math.min(first + (1L << shift), r.linear.length.toLong).toInt
+    var m = 0L
+    var w = first
+    while (w < end) {
+      val v = r.linear(w)
+      if (v > 0 && (m == 0L || v < m)) m = v
+      w += 1
+    }
+    m
+  }
+
   /** Per-reference tabix accumulation state. */
   private[sources] final class TbiRef {
     val bins = scala.collection.mutable.LinkedHashMap
@@ -262,25 +283,7 @@ object GraftIndexer {
       }
     } else {
       // CSI v1 at the BAI-equivalent scheme; no linear index — each
-      // bin's `loffset` replaces it. loffset must cover records of
-      // OTHER (parent) bins overlapping the bin's window, so it derives
-      // from the per-16kb-window minima (the linear accumulation), NOT
-      // from the bin's own chunks: min over the bin's leaf windows.
-      val levelStarts = Array(0, 1, 9, 73, 585, 4681)
-      def loffsetOf(r: TbiRef, bin: Int): Long = {
-        val l = levelStarts.lastIndexWhere(_ <= bin)
-        val shift = 3 * (5 - l)
-        val first = (bin - levelStarts(l)) << shift
-        val end = math.min(first + (1L << shift), r.linear.length.toLong).toInt
-        var m = 0L
-        var w = first
-        while (w < end) {
-          val v = r.linear(w)
-          if (v > 0 && (m == 0L || v < m)) m = v
-          w += 1
-        }
-        m
-      }
+      // bin's `loffset` replaces it (see [[GraftIndexer.loffsetOf]]).
       out.write('C'); out.write('S'); out.write('I'); out.write(1)
       le32(14); le32(5) // min_shift, depth
       le32(28 + nameBytes.map(_.length).sum) // l_aux

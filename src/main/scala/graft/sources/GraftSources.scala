@@ -96,7 +96,7 @@ object SourceUtil {
     * `.gci` are dot-prefixed and fall to the hidden-file filters.) */
   private[sources] def isIndexSidecar(n: String): Boolean =
     n.endsWith(".tbi") || n.endsWith(".csi") ||
-      n.endsWith(".bai") || n.endsWith(".crai")
+      n.endsWith(".bai") || n.endsWith(".crai") || n.endsWith(".gzi")
 
   /** S7: sample id = file-name prefix before the first '.'. Parquet
     * datasets are directories of `part-*` files, so when the leaf is a
@@ -964,16 +964,10 @@ object BamSource {
                     idx.minShift, idx.depth, idx.loffsets(r))
                 else Nil
               }
-            }).sortBy(_._1)
+            })
             // Merge across refs too: bin levels interleave over shared
             // boundary blocks, and a record must be read exactly once.
-            val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            chunks.foreach { c =>
-              if (merged.nonEmpty && c._1 <= merged.last._2)
-                merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, c._2))
-              else merged += c
-            }
-            merged.toSeq.map { case (vBeg, vEnd) =>
+            BamFormat.mergeRanges(chunks).map { case (vBeg, vEnd) =>
               BamSplit(file, len, vBeg >>> 16, (vEnd >>> 16) + 1,
                 vBeg & 0xFFFF, sample, cleaned, endVirtual = vEnd)
             }

@@ -259,13 +259,7 @@ object VcfFormat {
       // Merge ranges ACROSS refs: bins of adjacent references can share
       // boundary blocks, and a block range read twice would duplicate
       // rows (filters are re-applied, but duplicates would survive).
-      val raw = refIdxs.flatMap(chunksOf).sortBy(_._1)
-      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      raw.foreach { c =>
-        if (merged.nonEmpty && c._1 <= merged.last._2)
-          merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, c._2))
-        else merged += c
-      }
+      val merged = BamFormat.mergeRanges(refIdxs.flatMap(chunksOf))
       tbiPrunedFiles.increment()
       Some(merged.grouped(64).map(g =>
         (st.getPath.toString, st.getLen, Nil: Seq[(Long, Int)], g.toSeq)).toSeq)

@@ -969,6 +969,15 @@ class SourcesSpec extends SparkSpec {
     // Two distinct literal keys accumulate (sorted).
     assert(keyedRelation(t.select(expr("element_at(tags, 'ZZ')"),
       expr("tags['BC']"))) === Some(Seq("BC", "ZZ")))
+    // Malformed literal keys (SAM tags are exactly 2 chars) must NOT key
+    // the relation — the full decode returns null for them instead of
+    // the decode loop crashing on charAt(1).
+    val bad = t.select(col("pos_start"), expr("element_at(tags, 'X')").as("x"),
+      expr("tags['']").as("e"), expr("element_at(tags, 'LONG')").as("l"))
+    assert(keyedRelation(bad) === None)
+    val badRows = bad.collect()
+    assert(badRows.length === 400 &&
+      badRows.forall(r => r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)))
   }
 
   test("VCF header metadata: typed INFO columns from a real-world-style header") {
@@ -1210,6 +1219,23 @@ class SourcesSpec extends SparkSpec {
     val haploid = g.filter(_.getSeq[Int](2).length == 1)
     assert(haploid.length === 200, "odd ids are haploid '1' calls")
     assert(haploid.forall(_.getSeq[Int](2) === Seq(1)))
+
+    // High allele indexes width-select past int8 ((63+1)<<1 = 128 would
+    // collide with the missing sentinel), and spec-legal MIXED phasing
+    // ('0/1|2') plus phased-missing ('.|.') round-trip per separator.
+    val wide = spark.sql(
+      "SELECT 'chr1' AS contig, CAST(100 AS INT) AS pos_start, 'A' AS ref, " +
+      "concat_ws(',', array_repeat('T', 70)) AS alt, 'GT' AS fmt, " +
+      "'63/70' AS na1, '0/1|2' AS na2 " +
+      "UNION ALL SELECT 'chr1', CAST(200 AS INT), 'A', 'T', 'GT', " +
+      "'.|.', '20000/20001'")
+    BcfFormat.writeBcf(wide, s"$dir/wide_bcf", Seq("na1", "na2"), Some("fmt"),
+      metaLines = Seq("##FORMAT=<ID=GT,Number=1,Type=String,Description=\"g\">"))
+    val w = spark.read.format("bcf").option("path", s"$dir/wide_bcf").load()
+      .select("pos_start", "na1", "na2").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(w(0) === ((100, "63/70", "0/1|2")))
+    assert(w(1) === ((200, ".|.", "20000/20001")), "int16-wide + phased-missing GT")
   }
 
   test("BCF .csi region pruning: BcfIndex-built index plans chunk reads") {
