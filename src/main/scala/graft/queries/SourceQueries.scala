@@ -496,6 +496,42 @@ object SourceQueries {
               |FROM vcf_tabix_ddl
               |WHERE contig = '3' AND pos_start BETWEEN 500 AND 2000""".stripMargin)
     },
+    // The CSI twin of vcf_tabix_region: `.csi` (bcftools' default index
+    // layout) planned through the generalized (min_shift, depth) bins.
+    "vcf_csi_region" -> { (s, dir) =>
+      val path = fixture("variants_vcf_csi", dir) { p =>
+        val v = Tables.ivA(s, dir).select(col("contig"), col("pos_start"),
+            lit("ACGT").as("ref"), lit("C").as("alt"))
+          .orderBy("contig", "pos_start").coalesce(1)
+        graft.sources.VcfFormat.writeVcf(v, p, bgzf = true)
+        val d = new java.io.File(p)
+        d.listFiles().filter(_.getName.endsWith(".gvi")).foreach(_.delete())
+        graft.sources.GraftIndexer.csiFiles(s, p, "vcf")
+      }
+      s.sql("DROP TABLE IF EXISTS vcf_csi_ddl")
+      s.sql(s"""CREATE TABLE vcf_csi_ddl USING graft.sources.VcfSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, pos_end, ref, alt
+              |FROM vcf_csi_ddl
+              |WHERE contig = '7' AND pos_start BETWEEN 100 AND 1500""".stripMargin)
+    },
+    // Region query on BINARY BCF planned through BcfIndex's `.csi`
+    // (virtual-offset chunk reads through the positioned BGZF stream).
+    "bcf_region_query" -> { (s, dir) =>
+      val path = fixture("variants_bcf_region", dir) { p =>
+        val v = Tables.ivA(s, dir).select(col("contig"), col("pos_start"),
+            lit("ACGT").as("ref"), lit("G").as("alt"))
+          .orderBy("contig", "pos_start").coalesce(1)
+        graft.sources.BcfFormat.writeBcf(v, p)
+        graft.sources.BcfIndex.indexFiles(s, p)
+      }
+      s.sql("DROP TABLE IF EXISTS bcf_region_ddl")
+      s.sql(s"""CREATE TABLE bcf_region_ddl USING graft.sources.BcfSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT contig, pos_start, pos_end, ref, alt
+              |FROM bcf_region_ddl
+              |WHERE contig = '1' AND pos_start BETWEEN 200 AND 1800""".stripMargin)
+    },
     // Genotype-matrix analytics over the VCF surface: the per-sample
     // genotype columns UNPIVOTed to (sample, GT:DP) long form with
     // stack(), then split on the FORMAT grammar — per-sample het /
@@ -947,6 +983,16 @@ object SourceQueries {
          |  ON a.contig = g.g_contig
          | AND a.pos_start <= g.g_end AND a.pos_end >= g.g_start
          |GROUP BY gene_id""".stripMargin,
+    "vcf_csi_region" ->
+      s"""WITH ${OracleCtes.ivA}
+         |SELECT contig, pos_start, CAST(pos_start + 3 AS INT) AS pos_end,
+         |  'ACGT' AS ref, 'C' AS alt
+         |FROM iva WHERE contig = '7' AND pos_start BETWEEN 100 AND 1500""".stripMargin,
+    "bcf_region_query" ->
+      s"""WITH ${OracleCtes.ivA}
+         |SELECT contig, pos_start, CAST(pos_start + 3 AS INT) AS pos_end,
+         |  'ACGT' AS ref, 'G' AS alt
+         |FROM iva WHERE contig = '1' AND pos_start BETWEEN 200 AND 1800""".stripMargin,
     "vcf_tabix_region" ->
       s"""WITH ${OracleCtes.ivA}
          |SELECT contig, pos_start, CAST(pos_start + 3 AS INT) AS pos_end,
