@@ -578,7 +578,9 @@ object NearestJoinOps {
           greatest(col("_rs").cast("long") - col("l.pos_end"),
             col("l.pos_start").cast("long") - col("_re"), lit(0L)).as("_d"))
         .filter(col("_d") <= col("_w"))
-        .distinct()
+      // No distinct(): DENSE_RANK assigns equal _d values one rank, so
+      // duplicate (row, _d) pairs change neither _dk nor _ndist — the
+      // dedup was one full extra exchange per round for nothing.
       val wspec = Window
         .partitionBy(col("contig"), col("pos_start"), col("pos_end")).orderBy(col("_d"))
       val stats = cand.withColumn("_rk", dense_rank().over(wspec))
