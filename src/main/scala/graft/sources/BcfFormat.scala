@@ -836,13 +836,7 @@ object BcfSource {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
-          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-      else Seq(st)
-    }.filterNot(st => SourceUtil.isIndexSidecar(st.getPath.getName))
+    val files = SourceUtil.listDataFiles(fs, path)
     require(files.nonEmpty, s"BcfSource: no files match '$path'")
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
 
@@ -971,13 +965,7 @@ object BcfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
-          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-      else Seq(st)
-    }.filter(_.getPath.getName.endsWith(".bcf"))
+    val files = SourceUtil.listDataFiles(fs, path, ".bcf")
       .filter(st => overwrite ||
         !fs.exists(new HPath(st.getPath.toString + ".csi")))
     if (files.isEmpty) return 0L

@@ -40,13 +40,7 @@ object GraftIndexer {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
-          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-      else Seq(st)
-    }.filter(_.getPath.getName.endsWith(".gz"))
+    val files = SourceUtil.listDataFiles(fs, path, ".gz")
       .filter(st => overwrite || !fs.exists(gviPathOf(st.getPath)))
     if (files.isEmpty) return 0L
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
@@ -100,14 +94,8 @@ object GraftIndexer {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
     val suffix = if (csi) ".csi" else ".tbi"
-    val files = matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
-          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-      else Seq(st)
-    }.filter(_.getPath.getName.endsWith(".gz"))
+    val files = SourceUtil.listDataFiles(fs, path, ".gz")
       .filter(st => overwrite ||
         !fs.exists(new HPath(st.getPath.toString + suffix)))
     if (files.isEmpty) return 0L

@@ -98,6 +98,23 @@ object SourceUtil {
     n.endsWith(".tbi") || n.endsWith(".csi") ||
       n.endsWith(".bai") || n.endsWith(".crai") || n.endsWith(".gzi")
 
+  /** The one directory-enumeration rule every source and indexer shares:
+    * glob `path`, expand directories one level, keep visible data files
+    * (no dot/underscore-prefixed names, no public-named index sidecars),
+    * optionally filtered by suffix. */
+  private[sources] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, suffix: String = ""): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val matched = Option(fs.globStatus(new org.apache.hadoop.fs.Path(path)))
+      .map(_.toSeq).getOrElse(Nil)
+    matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      else Seq(st)
+    }.filterNot(st => isIndexSidecar(st.getPath.getName))
+      .filter(_.getPath.getName.endsWith(suffix))
+  }
+
   /** S7: sample id = file-name prefix before the first '.'. Parquet
     * datasets are directories of `part-*` files, so when the leaf is a
     * part file the name comes from the parent directory instead (the

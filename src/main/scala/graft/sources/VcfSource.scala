@@ -168,14 +168,8 @@ object VcfFormat {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
-          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-      else Seq(st)
-    }.filterNot(st => st.getPath.getName.endsWith(IndexSuffix) ||
-      SourceUtil.isIndexSidecar(st.getPath.getName))
+    val files = SourceUtil.listDataFiles(fs, path)
+      .filterNot(_.getPath.getName.endsWith(IndexSuffix))
     if (files.isEmpty) return None
     // S7 file-level sample pruning composes: a sample predicate keeps
     // only matching files before the member envelopes are consulted.
@@ -439,13 +433,7 @@ object VcfFormat {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
-          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-      else Seq(st)
-    }.filterNot(st => SourceUtil.isIndexSidecar(st.getPath.getName))
+    val files = SourceUtil.listDataFiles(fs, path)
     require(files.nonEmpty, s"VcfSource: no files match '$path'")
     val fp = files.map(st =>
       s"${st.getPath}:${st.getModificationTime}:${st.getLen}").mkString("|")
