@@ -22,6 +22,33 @@ object Graft {
       classic.experimental.extraStrategies = classic.experimental.extraStrategies ++
         Seq(IntervalJoinStrategy(spark), graft.plans.GenomicStrategy(spark))
     }
+    // Rule parity with GraftExtensions (r14 VERDICT #1): without these the
+    // imperative attachment silently loses the scale-critical rewrites —
+    // the featureCounts shape pair-materializes instead of planning
+    // IntervalCountJoinNode, over-budget inner joins take the
+    // strategy-level `planLater(rewrite)` fallback (which AQE cannot fold
+    // back, so skew-split never fires), and `element_at(tags,'XX')` decodes
+    // the full tag map. `extraOptimizations` runs as the optimizer's final
+    // fixpoint batch — later than the extensions' preCBO/operator slots,
+    // but both placements already see the post-operator-batch plan shape
+    // and every rule here is idempotent (pushdown guards on the
+    // already-rewritten node, BinRangeLogicalRule on `isRewriteJoin`,
+    // TagKeyPruneRule on `tagKeys.isDefined`), so double attachment in an
+    // extensions-built session is harmless. NearestJoinDedupRule is the
+    // one extensions-only rule NOT mirrored here: it must run during
+    // ANALYSIS (it re-aliases the right side of a self nearest-join before
+    // parents resolve against the duplicated ExprIds); post-analysis the
+    // ambiguity is unrecoverable, so [[graft.plans.NearestJoinNode]]'s
+    // strategy fails loudly on a still-duplicated self-join instead.
+    if (!classic.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.BinRangeLogicalRule])) {
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations ++ Seq(
+          graft.plans.IntervalCountPushdownRule(spark),
+          graft.plans.BinRangeLogicalRule(spark),
+          graft.plans.NearestJoinPruneRule(spark),
+          graft.plans.TagKeyPruneRule(spark))
+    }
     val freg = classic.sessionState.functionRegistry
     GraftFunctions.registrations.foreach { case (id, info, b) =>
       if (!freg.functionExists(id)) freg.registerFunction(id, info, b)

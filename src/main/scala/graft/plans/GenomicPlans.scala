@@ -244,6 +244,21 @@ case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
     case PileupNode(child, sample, bin, out) =>
       PileupExec(out, sample, bin, planLater(child)) :: Nil
     case n @ NearestJoinNode(l, r, method, k, _) =>
+      // A self nearest-join whose right side still shares ExprIds with the
+      // left reached planning without [[NearestJoinDedupRule]] having run —
+      // only possible on the `Graft.ensure` attachment path (the dedup is
+      // an ANALYSIS rule; `experimental.extraOptimizations` cannot host it
+      // because parents have already resolved against the duplicated ids,
+      // so the ambiguity is unrecoverable here). Positional binding would
+      // silently emit the LEFT side's values for the right columns — fail
+      // loudly instead of returning wrong rows.
+      if (l.outputSet.intersect(r.outputSet).nonEmpty) {
+        throw new IllegalStateException(
+          "nearest_join over the same relation on both sides needs the " +
+            "analysis-time dedup rule: build the session with " +
+            "spark.sql.extensions=graft.GraftExtensions, or alias one side " +
+            "(CREATE TEMP VIEW v2 AS SELECT * FROM v) before joining.")
+      }
       // Resolve `auto` HERE, from the logical children's Catalyst stats:
       // the exec re-wraps its children through ColumnBridge.internalFrame,
       // whose LogicalRDD stats default to spark.sql.defaultSizeInBytes, so
