@@ -809,6 +809,7 @@ class BcfSource extends org.apache.spark.sql.sources.RelationProvider
     val typedGt = gmode.isDefined
     new GraftBaseRelation {
       override val sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override protected def sourcePath: Option[String] = Some(path)
       override protected def frame(): org.apache.spark.sql.DataFrame =
         BcfSource.frameFor(ctx.sparkSession, path, typedGt)
       // Region predicates prune containers through standard `.csi`

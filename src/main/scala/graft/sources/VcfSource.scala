@@ -57,6 +57,7 @@ class VcfSource extends org.apache.spark.sql.sources.RelationProvider
     val typedGt = gmode.isDefined
     new GraftBaseRelation with org.apache.spark.sql.sources.InsertableRelation {
       override val sqlContext: SQLContext = ctx
+      override protected def sourcePath: Option[String] = Some(path)
       override protected def frame(): DataFrame =
         VcfFormat.frameFor(ctx.sparkSession, path, mode, typedGenotypes = typedGt)
       // Region predicates prune line-aligned BGZF members through the
@@ -168,7 +169,8 @@ object VcfFormat {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val files = SourceUtil.listDataFiles(fs, path)
+    val snap = SourceUtil.dirSnapshot(fs, path)
+    val files = snap.dataFiles
       .filterNot(_.getPath.getName.endsWith(IndexSuffix))
     if (files.isEmpty) return None
     // S7 file-level sample pruning composes: a sample predicate keeps
@@ -184,23 +186,19 @@ object VcfFormat {
     // first line STARTING in the member. Engine-written sidecars are
     // line-aligned 5-field entries (lead 0); [[GraftIndexer]] emits a 6th
     // field for externally-produced bgzip whose members cut lines.
-    def gviTasks(st: org.apache.hadoop.fs.FileStatus): Seq[Task] = {
+    def gviTasks(st: org.apache.hadoop.fs.FileStatus,
+        idxSt: org.apache.hadoop.fs.FileStatus): Seq[Task] = {
       val file = st.getPath.toString
       val len = st.getLen
-      val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
-        fs.open(gviPath(st.getPath)), StandardCharsets.UTF_8))
-      val kept = try {
-        Iterator.continually(rd.readLine()).takeWhile(_ != null)
-          .filter(_.nonEmpty).flatMap { l =>
-            val f = l.split('\t')
-            val (off, minS, maxE, cs) = (f(0).toLong, f(1).toInt, f(2).toInt, f(4))
-            val lead = if (f.length > 5) f(5).toInt else 0
-            val contigOk = contigs.isEmpty || cs == "*" ||
-              cs.split(',').exists(contigs.get.contains)
-            val posOk = minS <= startCap && maxE >= endFloor
-            if (contigOk && posOk && lead >= 0) Some((off, lead)) else None
-          }.toVector
-      } finally rd.close()
+      // Per-query work on an unchanged sidecar is the in-memory envelope
+      // filter below; the parse is memoized per (path, mtime, len).
+      val kept = gviEntries(fs, idxSt).flatMap {
+        case (off, minS, maxE, cs, lead) =>
+          val contigOk = contigs.isEmpty || cs == "*" ||
+            cs.split(',').exists(contigs.get.contains)
+          val posOk = minS <= startCap && maxE >= endFloor
+          if (contigOk && posOk && lead >= 0) Some((off, lead)) else None
+      }
       // Chunk runs of kept members into bounded tasks.
       kept.grouped(256).map(g => (file, len, g.toSeq, Nil)).toSeq
     }
@@ -210,26 +208,15 @@ object VcfFormat {
     // index are raw — cleaned here to match the engine's predicate space.
     def tbiTasks(st: org.apache.hadoop.fs.FileStatus): Option[Seq[Task]] = {
       import org.apache.hadoop.fs.{Path => HPath}
-      val tbi = new HPath(st.getPath.toString + ".tbi")
-      val csi = new HPath(st.getPath.toString + ".csi")
-      val (idxPath, isCsi) =
-        if (fs.exists(tbi)) (tbi, false)
-        else if (fs.exists(csi)) (csi, true)
-        else return None
-      // Both index containers are themselves BGZF and small (KBs of bins
-      // per GB of data) — inflate whole on the driver.
-      val data = {
-        val in = fs.open(idxPath)
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          BamFormat.bgzfMembers(in, fs.getFileStatus(idxPath).getLen, 0L)
-            .foreach { case (_, b) => buf.write(b) }
-          buf.toByteArray
-        } finally in.close()
-      }
+      val (idxSt, isCsi) =
+        snap.sidecar(fs, new HPath(st.getPath.toString + ".tbi")).map((_, false))
+          .orElse(snap.sidecar(fs, new HPath(st.getPath.toString + ".csi")).map((_, true)))
+          .getOrElse(return None)
+      val idxPath = idxSt.getPath
+      val parsed = tabixIndex(fs, idxSt, isCsi)
       val (names, chunksOf) =
         if (!isCsi) {
-          val idx = BamFormat.TbiIndex.read(data)
+          val idx = parsed.swap.toOption.get
           val beg1 =
             if (endFloor == Int.MinValue.toLong) 1L
             else math.min(math.max(1L, endFloor), (1L << 29) - 1)
@@ -237,7 +224,7 @@ object VcfFormat {
           (idx.names, (r: Int) => BamFormat.BaiIndex.chunksFor(
             idx.refs(r), beg1.toInt, end1.toInt))
         } else {
-          val idx = BamFormat.CsiIndex.read(data)
+          val idx = parsed.toOption.get
           require(idx.names.nonEmpty,
             s"CSI index at '$idxPath' carries no tabix aux (BAM-flavored?)")
           val maxPos = 1L << (idx.minShift + idx.depth * 3)
@@ -259,9 +246,11 @@ object VcfFormat {
         (st.getPath.toString, st.getLen, Nil: Seq[(Long, Int)], g.toSeq)).toSeq)
     }
     val perFile: Seq[Option[Seq[Task]]] = sampled.map { st =>
-      if (fs.exists(gviPath(st.getPath))) Some(gviTasks(st))
-      else if (st.getPath.getName.endsWith(".gz")) tbiTasks(st)
-      else None
+      snap.sidecar(fs, gviPath(st.getPath)) match {
+        case Some(idxSt) => Some(gviTasks(st, idxSt))
+        case None if st.getPath.getName.endsWith(".gz") => tbiTasks(st)
+        case None => None
+      }
     }
     // A file with neither index defeats pruning for the whole path —
     // fall back to the ordinary splittable scan.
@@ -365,6 +354,67 @@ object VcfFormat {
   // pre-memoization behavior re-read the header on every planning pass.
   private val headerCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, VcfHeaderMeta)]()
+
+  // Parsed index sidecars, memoized per (path, mtime, len) — same
+  // posture as headerCache: planning a region query against an unchanged
+  // index re-reads ZERO bytes (the pre-memoization behavior re-read and
+  // re-parsed every sidecar on every planning pass). Entries: gvi member
+  // envelopes (offset, minStart, maxEnd, contigs, lead); tabix = the
+  // parsed `.tbi` (Left) or `.csi` (Right) bin structure.
+  private val gviCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Vector[(Long, Int, Int, String, Int)])]()
+  private val tabixCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Either[BamFormat.TbiIndex.Tbi, BamFormat.CsiIndex.Csi])]()
+
+  private def idxToken(st: org.apache.hadoop.fs.FileStatus): String =
+    s"${st.getModificationTime}:${st.getLen}"
+
+  private[sources] def gviEntries(fs: org.apache.hadoop.fs.FileSystem,
+      idxSt: org.apache.hadoop.fs.FileStatus): Vector[(Long, Int, Int, String, Int)] = {
+    val key = idxSt.getPath.toString
+    val tok = idxToken(idxSt)
+    val hit = gviCache.get(key)
+    if (hit != null && hit._1 == tok) return hit._2
+    val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(idxSt.getPath), StandardCharsets.UTF_8))
+    val all = try {
+      Iterator.continually(rd.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).map { l =>
+          val f = l.split('\t')
+          (f(0).toLong, f(1).toInt, f(2).toInt, f(4),
+            if (f.length > 5) f(5).toInt else 0)
+        }.toVector
+    } finally rd.close()
+    if (gviCache.size > 4096) gviCache.clear()
+    gviCache.put(key, (tok, all))
+    all
+  }
+
+  private[sources] def tabixIndex(fs: org.apache.hadoop.fs.FileSystem,
+      idxSt: org.apache.hadoop.fs.FileStatus, isCsi: Boolean)
+      : Either[BamFormat.TbiIndex.Tbi, BamFormat.CsiIndex.Csi] = {
+    val key = idxSt.getPath.toString
+    val tok = idxToken(idxSt)
+    val hit = tabixCache.get(key)
+    if (hit != null && hit._1 == tok) return hit._2
+    // Both index containers are themselves BGZF and small (KBs of bins
+    // per GB of data) — inflate whole on the driver.
+    val data = {
+      val in = fs.open(idxSt.getPath)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        BamFormat.bgzfMembers(in, idxSt.getLen, 0L)
+          .foreach { case (_, b) => buf.write(b) }
+        buf.toByteArray
+      } finally in.close()
+    }
+    val parsed: Either[BamFormat.TbiIndex.Tbi, BamFormat.CsiIndex.Csi] =
+      if (isCsi) Right(BamFormat.CsiIndex.read(data))
+      else Left(BamFormat.TbiIndex.read(data))
+    if (tabixCache.size > 4096) tabixCache.clear()
+    tabixCache.put(key, (tok, parsed))
+    parsed
+  }
 
   private val InfoDecl =
     """##INFO=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*>""".r
@@ -608,12 +658,21 @@ object VcfFormat {
         graft.operators.VariantOps.normalizeInPlace(ordered)
       case Some("split_and_normalize") =>
         val split = graft.operators.VariantOps.splitInPlace(ordered)
-        // Number=A arrays align with the decomposed alleles: after the
-        // split each row keeps exactly ITS allele's element (Glow's
-        // split semantics; `get` is 0-based and null-safe out of range).
-        val aligned = meta.infos.filter(_.number == "A").foldLeft(split) {
-          (df, i) => df.withColumn(s"info_${i.id}",
-            get(col(s"info_${i.id}"), col("allele_idx") - 1))
+        // Allele-indexed INFO arrays re-slice per decomposed allele
+        // (Glow's split semantics, `VCFRelation.scala:25-49` through the
+        // reference; `get` is 0-based and null-safe out of range):
+        // Number=A keeps exactly THIS allele's element as a scalar;
+        // Number=R (ref + one per alt) becomes the 2-element
+        // [ref_value, this_allele_value] pair.
+        val aligned = meta.infos.foldLeft(split) { (df, i) =>
+          i.number match {
+            case "A" => df.withColumn(s"info_${i.id}",
+              get(col(s"info_${i.id}"), col("allele_idx") - 1))
+            case "R" => df.withColumn(s"info_${i.id}",
+              array(get(col(s"info_${i.id}"), lit(0)),
+                get(col(s"info_${i.id}"), col("allele_idx"))))
+            case _ => df
+          }
         }
         graft.operators.VariantOps.normalizeInPlace(aligned)
       case _ => ordered
