@@ -27,11 +27,14 @@ import scala.collection.mutable
   *    regenerates it the same way).
   *
   * Supported encodings: EXTERNAL (the htsjdk default write profile),
-  * plus the CORE bit-stream codecs — BETA (fixed-width offset-shifted
-  * bit fields) and canonical HUFFMAN (sorted by code length then symbol,
-  * first code 0, `code = (prev + 1) << Δlen`) — for both int and byte
-  * series, so any spec-conformant mix of core and external blocks
-  * decodes. The writer can emit core-coded series too
+  * plus ALL spec §13 CORE bit-stream codecs — BETA (fixed-width
+  * offset-shifted bit fields), canonical HUFFMAN (sorted by code length
+  * then symbol, first code 0, `code = (prev + 1) << Δlen`), GOLOMB and
+  * GOLOMB_RICE (unary quotient + truncated-binary remainder), SUBEXP
+  * (unary bucket + k-anchored binary tail) and Elias GAMMA — for both
+  * int and byte series, and every spec §8 block compression method
+  * (raw, gzip, bzip2, lzma/XZ, rANS 4x8), so any spec-conformant
+  * CRAM 3.0 decodes. The writer can emit core-coded series too
   * (`coreSeries`), which is how the bit-exact round-trip fixture in
   * CramFormatSpec exercises the core path. Validated against the real
   * htsjdk-produced 1000-Genomes slice in the reference checkout: all
@@ -344,13 +347,35 @@ object CramFormat {
   // -------------------------------------------------------------- blocks
   case class Block(method: Int, contentType: Int, contentId: Int, data: Array[Byte])
 
-  private def gunzip(raw: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(raw))
-    val out = new ByteArrayOutputStream(raw.length * 4)
+  private def drain(in: java.io.InputStream, sizeHint: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(math.max(64, sizeHint))
     val buf = new Array[Byte](8192)
     var r = in.read(buf)
     while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    in.close()
     out.toByteArray
+  }
+
+  private def gunzip(raw: Array[Byte]): Array[Byte] =
+    drain(new GZIPInputStream(new ByteArrayInputStream(raw)), raw.length * 4)
+
+  /** Block method 2 (spec §8): bzip2 via commons-compress (already on
+    * every Spark classpath — Hadoop's own codecs depend on it). */
+  private def bunzip2(raw: Array[Byte]): Array[Byte] =
+    drain(new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorInputStream(new ByteArrayInputStream(raw)), raw.length * 4)
+
+  /** Block method 3 (spec §8, "lzma"): htsjdk writes these as XZ
+    * container streams (`XZOutputStream`, LZMA2 inside), but raw
+    * LZMA-alone payloads exist in the wild — sniff the 6-byte XZ magic
+    * and fall back to the LZMA-alone header parse (xz-java reads both). */
+  private def unlzma(raw: Array[Byte]): Array[Byte] = {
+    val isXz = raw.length >= 6 && raw(0) == 0xFD.toByte && raw(1) == '7' &&
+      raw(2) == 'z' && raw(3) == 'X' && raw(4) == 'Z' && raw(5) == 0
+    val in: java.io.InputStream =
+      if (isXz) new org.tukaani.xz.XZInputStream(new ByteArrayInputStream(raw))
+      else new org.tukaani.xz.LZMAInputStream(new ByteArrayInputStream(raw), -1)
+    drain(in, raw.length * 4)
   }
 
   def readBlock(c: Cursor): Block = {
@@ -364,9 +389,10 @@ object CramFormat {
     val data = method match {
       case 0 => raw
       case 1 => gunzip(raw)
+      case 2 => bunzip2(raw)
+      case 3 => unlzma(raw)
       case 4 => Rans.decode(raw)
-      case m => sys.error(s"CRAM block compression method $m unsupported " +
-        "(raw/gzip/rANS cover the htsjdk default profile)")
+      case m => sys.error(s"CRAM block compression method $m unsupported")
     }
     require(data.length == rsize,
       s"CRAM block inflated ${data.length} of $rsize bytes")
@@ -511,7 +537,7 @@ object CramFormat {
 
   /** MSB-first reader over the slice's CORE bit stream (shared by every
     * core-coded series; values interleave in record-decode order). */
-  private final class BitReader(data: Array[Byte]) {
+  private[sources] final class BitReader(data: Array[Byte]) {
     private var pos = 0
     def bit(): Int = {
       val b = (data(pos >>> 3) >>> (7 - (pos & 7))) & 1
@@ -603,6 +629,79 @@ object CramFormat {
     (syms, syms.map(depth))
   }
 
+  /** CORE bit-stream int decoders (codec id -> reader closure) — the
+    * spec §13 codecs that consume the shared CORE block: canonical
+    * HUFFMAN (3), BETA (6), GOLOMB (2), GOLOMB_RICE (8), SUBEXP (7),
+    * GAMMA (9). Factored out of [[SliceDecoder]] so golden-byte specs
+    * can drive each codec against hand-assembled spec bit strings. */
+  private[sources] def coreIntDecoder(codec: Int, params: Array[Byte],
+      core: BitReader): () => Int = {
+    codec match {
+      case 3 => // canonical HUFFMAN over the core bit stream
+        val c = new Cursor(params)
+        val n = c.itf8()
+        val vals = Array.fill(n)(c.itf8())
+        val nl = c.itf8()
+        val lens = Array.fill(nl)(c.itf8())
+        require(n == nl, s"HUFFMAN params declare $n symbols but $nl lengths")
+        val table = new HuffmanTable(vals, lens)
+        if (table.isConstant) { val const = table.constant; () => const }
+        else () => table.decode(core)
+      case 6 => // BETA: fixed-width offset-shifted core bits
+        val c = new Cursor(params)
+        val offset = c.itf8()
+        val nbits = c.itf8()
+        () => core.read(nbits) - offset
+      case 2 => // GOLOMB: unary quotient + truncated-binary remainder
+        val c = new Cursor(params)
+        val offset = c.itf8()
+        val m = c.itf8()
+        require(m >= 1, s"GOLOMB m must be >= 1, got $m")
+        val b = 32 - Integer.numberOfLeadingZeros(m) // == floor(log2 m) + 1
+        val cutoff = (1 << b) - m
+        () => {
+          var q = 0
+          while (core.read(1) == 1) q += 1
+          var r = if (b > 1) core.read(b - 1) else 0
+          if (r >= cutoff) r = r * 2 + core.read(1) - cutoff
+          q * m + r - offset
+        }
+      case 8 => // GOLOMB_RICE: power-of-two GOLOMB, remainder is log2m bits
+        val c = new Cursor(params)
+        val offset = c.itf8()
+        val log2m = c.itf8()
+        require(log2m >= 0 && log2m < 31, s"GOLOMB_RICE log2m out of range: $log2m")
+        () => {
+          var q = 0
+          while (core.read(1) == 1) q += 1
+          ((q << log2m) | core.read(log2m)) - offset
+        }
+      case 7 => // SUBEXP: unary bucket + k-anchored binary tail
+        val c = new Cursor(params)
+        val offset = c.itf8()
+        val k = c.itf8()
+        require(k >= 0 && k < 31, s"SUBEXP k out of range: $k")
+        () => {
+          var u = 0
+          while (core.read(1) == 1) u += 1
+          val n =
+            if (u == 0) core.read(k)
+            else { val b = u + k - 1; (1 << b) | core.read(b) }
+          n - offset
+        }
+      case 9 => // GAMMA: Elias gamma (leading zeros give the bit length)
+        val c = new Cursor(params)
+        val offset = c.itf8()
+        () => {
+          var n = 1
+          while (core.read(1) == 0) n += 1
+          val x = if (n == 1) 1 else (1 << (n - 1)) | core.read(n - 1)
+          x - offset
+        }
+      case other => sys.error(s"CRAM int codec $other unsupported")
+    }
+  }
+
   /** Decode one slice's records against `refBytes` (per refId, UPPERCASE;
     * an empty array means no reference — only reads without match
     * segments decode there). `refShift` re-bases reference indexing for
@@ -626,29 +725,14 @@ object CramFormat {
       case 1 =>
         val st = stream(new Cursor(e.params).itf8())
         () => st.itf8()
-      case 3 => // canonical HUFFMAN over the core bit stream
-        val c = new Cursor(e.params)
-        val n = c.itf8()
-        val vals = Array.fill(n)(c.itf8())
-        val nl = c.itf8()
-        val lens = Array.fill(nl)(c.itf8())
-        require(n == nl, s"HUFFMAN params declare $n symbols but $nl lengths")
-        val table = new HuffmanTable(vals, lens)
-        if (table.isConstant) { val const = table.constant; () => const }
-        else () => table.decode(core)
-      case 6 => // BETA: fixed-width offset-shifted core bits
-        val c = new Cursor(e.params)
-        val offset = c.itf8()
-        val nbits = c.itf8()
-        () => core.read(nbits) - offset
-      case other => sys.error(s"CRAM int codec $other unsupported")
+      case other => coreIntDecoder(other, e.params, core)
     }
 
     private def byteDecoder(e: Encoding): () => Int = e.codec match {
       case 1 =>
         val st = stream(new Cursor(e.params).itf8())
         () => st.u8()
-      case 3 | 6 =>
+      case 2 | 3 | 6 | 7 | 8 | 9 =>
         val f = intDecoder(e)
         () => f()
       case other => sys.error(s"CRAM byte codec $other unsupported")
@@ -1100,7 +1184,9 @@ object CramFormat {
 
   /** `coreSeries` opts chosen INT/BYTE data series into the CORE bit
     * stream instead of external blocks: key → `"beta"` (fixed-width,
-    * offset-shifted) or `"huffman"` (canonical, histogram-built).
+    * offset-shifted), `"huffman"` (canonical, histogram-built),
+    * `"gamma"`, `"subexp"`, `"golomb"` or `"rice"` (params derived from
+    * the slice's value distribution).
     * Supported keys are the fixed-width record series (BF CF RI RL AP RG
     * MF NS NP TS TL FN FP FC BS DL RS HC PD MQ QS BA). Values interleave
     * in record-decode order — exactly the order this writer's record
@@ -1109,10 +1195,15 @@ object CramFormat {
       refLengths: Array[Int], refBytes: String => Array[Byte],
       recordsPerSlice: Int = 10000, embedReference: Boolean = false,
       indexOut: OutputStream = null,
-      coreSeries: Map[String, String] = Map.empty) {
+      coreSeries: Map[String, String] = Map.empty,
+      externalCompression: String = "auto") {
 
-    require(coreSeries.values.forall(c => c == "beta" || c == "huffman"),
-      s"coreSeries codecs must be beta|huffman: $coreSeries")
+    require(Set("auto", "bzip2", "lzma")(externalCompression),
+      s"externalCompression must be auto|bzip2|lzma: $externalCompression")
+
+    require(coreSeries.values.forall(Set("beta", "huffman", "gamma",
+        "subexp", "golomb", "rice")),
+      s"coreSeries codecs must be beta|huffman|gamma|subexp|golomb|rice: $coreSeries")
     private val coreAllowed = Set("BF", "CF", "RI", "RL", "AP", "RG", "MF",
       "NS", "NP", "TS", "TL", "FN", "FP", "FC", "BS", "DL", "RS", "HC",
       "PD", "MQ", "QS", "BA")
@@ -1225,14 +1316,29 @@ object CramFormat {
       * is smaller for this payload (the htsjdk-style per-block choice;
       * both are in every CRAM reader's mandatory set). */
     private def gzipBlock(ctype: Int, cid: Int, data: Array[Byte]): Array[Byte] = {
-      val gz = new ByteArrayOutputStream()
-      val g = new GZIPOutputStream(gz)
-      g.write(data); g.close()
-      val gzBytes = gz.toByteArray
-      val rsBytes = if (data.isEmpty) null else ransEncode0(data)
-      val (method, comp) =
-        if (rsBytes != null && rsBytes.length < gzBytes.length) (4, rsBytes)
-        else (1, gzBytes)
+      val (method, comp) = externalCompression match {
+        case "bzip2" =>
+          val bz = new ByteArrayOutputStream()
+          val b2 = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorOutputStream(bz)
+          b2.write(data); b2.close()
+          (2, bz.toByteArray)
+        case "lzma" =>
+          // htsjdk's "lzma" method is an XZ container (LZMA2 inside).
+          val xz = new ByteArrayOutputStream()
+          val x = new org.tukaani.xz.XZOutputStream(xz,
+            new org.tukaani.xz.LZMA2Options())
+          x.write(data); x.close()
+          (3, xz.toByteArray)
+        case _ =>
+          val gz = new ByteArrayOutputStream()
+          val g = new GZIPOutputStream(gz)
+          g.write(data); g.close()
+          val gzBytes = gz.toByteArray
+          val rsBytes = if (data.isEmpty) null else ransEncode0(data)
+          if (rsBytes != null && rsBytes.length < gzBytes.length) (4, rsBytes)
+          else (1, gzBytes)
+      }
       val b = new ByteArrayOutputStream()
       b.write(method); b.write(ctype)
       writeItf8(b, cid)
@@ -1493,6 +1599,61 @@ object CramFormat {
             writeItf8(p, lens.length); lens.foreach(writeItf8(p, _))
             CoreCodec(3, p.toByteArray,
               (bw, v) => { val (c, l) = codes(v); bw.write(c, l) })
+          case "gamma" =>
+            // Elias gamma needs stored >= 1: offset maps min -> 1.
+            val min = if (vals.isEmpty) 0 else vals.min
+            val offset = 1 - min
+            val p = new ByteArrayOutputStream()
+            writeItf8(p, offset)
+            CoreCodec(9, p.toByteArray, (bw, v) => {
+              val x = v + offset
+              val n = 32 - Integer.numberOfLeadingZeros(x)
+              bw.write(0, n - 1) // n-1 leading zeros
+              bw.write(x, n) // top bit of x is the terminating 1
+            })
+          case "subexp" =>
+            val min = if (vals.isEmpty) 0 else vals.min
+            val offset = -min
+            val k = 2
+            val p = new ByteArrayOutputStream()
+            writeItf8(p, offset); writeItf8(p, k)
+            CoreCodec(7, p.toByteArray, (bw, v) => {
+              val x = v + offset
+              if (x < (1 << k)) { bw.write(0, 1); bw.write(x, k) }
+              else {
+                val b = 31 - Integer.numberOfLeadingZeros(x) // top-bit index
+                val u = b - k + 1
+                bw.write((1 << u) - 1, u); bw.write(0, 1) // unary u then stop
+                bw.write(x & ((1 << b) - 1), b) // x without its top bit
+              }
+            })
+          case "golomb" | "rice" =>
+            val min = if (vals.isEmpty) 0 else vals.min
+            val offset = -min
+            val mean =
+              if (vals.isEmpty) 1
+              else math.max(1L, vals.map(v => (v - min).toLong).sum / vals.length).toInt
+            val (codecId, m, log2m) =
+              if (how == "rice") {
+                val l = math.max(0, 31 - Integer.numberOfLeadingZeros(mean))
+                (8, 1 << l, l)
+              } else (2, math.max(1, (mean * 2) / 3 + 1), 0)
+            val b = 32 - Integer.numberOfLeadingZeros(m)
+            val cutoff = (1 << b) - m
+            val p = new ByteArrayOutputStream()
+            writeItf8(p, offset)
+            writeItf8(p, if (how == "rice") log2m else m)
+            CoreCodec(codecId, p.toByteArray, (bw, v) => {
+              val x = v + offset
+              val q = x / m
+              var i = 0
+              while (i < q) { bw.write(1, 1); i += 1 }
+              bw.write(0, 1)
+              val r = x % m
+              if (how == "rice") bw.write(r, log2m)
+              else if (r < cutoff) { if (b > 1) bw.write(r, b - 1) }
+              else bw.write(r + cutoff, b)
+            })
         })
       }
       val coreBytes: Array[Byte] =

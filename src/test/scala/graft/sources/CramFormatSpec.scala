@@ -308,4 +308,125 @@ class CramFormatSpec extends AnyFunSuite {
       assert(c.tagRg === b.tagRg, s"rec $i RG")
     }
   }
+
+  /** Spec-text golden bits (CRAM 3.0 §13): each residual CORE codec
+    * decoded from a HAND-ASSEMBLED bit stream — independent of this
+    * repo's writer, so an encode/decode twin bug cannot self-cancel. */
+  test("GOLOMB/GOLOMB_RICE/SUBEXP/GAMMA decode spec-assembled golden bits") {
+    def bits(b: String): Array[Byte] = {
+      val clean = b.replaceAll("[^01]", "")
+      val padded = clean + "0" * ((8 - clean.length % 8) % 8)
+      padded.grouped(8).map(g => Integer.parseInt(g, 2).toByte).toArray
+    }
+    def itf8s(vs: Int*): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      vs.foreach(CramFormat.writeItf8(o, _))
+      o.toByteArray
+    }
+    def dec(codec: Int, params: Array[Byte], stream: String, n: Int): Seq[Int] = {
+      val d = CramFormat.coreIntDecoder(codec, params,
+        new CramFormat.BitReader(bits(stream)))
+      Seq.fill(n)(d())
+    }
+    // GAMMA (9), offset 0: 1 -> "1"; 2 -> "010"; 3 -> "011"; 4 -> "00100".
+    assert(dec(9, itf8s(0), "1 010 011 00100", 4) === Seq(1, 2, 3, 4))
+    // GAMMA with offset 1 (stored = v + 1): v=0 -> stored 1 -> "1".
+    assert(dec(9, itf8s(1), "1 010", 2) === Seq(0, 1))
+    // SUBEXP (7), offset 0, k=2: x<4 -> "0" + 2 bits; x=7 -> u=1 ->
+    // "10" + (u+k-1)=2 low bits of 7 ("11"); x=9 -> u=2 -> "110" + 3
+    // low bits of 9 ("001").
+    assert(dec(7, itf8s(0, 2), "0 11  1 0 11  11 0 001", 3) === Seq(3, 7, 9))
+    // GOLOMB (2), offset 0, m=3: b=2, cutoff=1. x=0 -> q=0 "0", r=0 "0";
+    // x=5 -> q=1 "10", r=2 -> extended (r+cutoff=3) "11";
+    // x=1 -> q=0 "0", r=1 -> extended (1+1=2) "10".
+    assert(dec(2, itf8s(0, 3), "0 0  1 0 11  0 10", 3) === Seq(0, 5, 1))
+    // GOLOMB_RICE (8), offset 0, log2m=2 (m=4): x=6 -> q=1 "10", r=2 "10";
+    // x=3 -> "0" + "11"; x=8 -> "110" + "00".
+    assert(dec(8, itf8s(0, 2), "1 0 10  0 11  11 0 00", 3) === Seq(6, 3, 8))
+  }
+
+  test("residual CORE codecs + bzip2/lzma blocks decode identically to the BAM twin") {
+    // Same adversarial shapes as the BETA/HUFFMAN twin, but the series
+    // spread over GAMMA/SUBEXP/GOLOMB/RICE and the EXTERNAL blocks
+    // compressed with the two remaining spec block methods.
+    for (blockComp <- Seq("bzip2", "lzma")) {
+      val dir = Files.createTempDirectory(s"graft_cram_resid_$blockComp")
+      val c1 = "ACGTTGCA" * 8
+      val c2 = "TTTTCCCCGGGGAAAA" * 2
+      Files.writeString(dir.resolve("ref.fa"), s">k1\n$c1\n>k2\n$c2\n")
+      Files.writeString(dir.resolve("ref.fa.fai"),
+        s"k1\t${c1.length}\t4\t${c1.length}\t${c1.length + 1}\n" +
+        s"k2\t${c2.length}\t${4 + c1.length + 1 + 4}\t${c2.length}\t${c2.length + 1}\n")
+      val fasta = dir.resolve("ref.fa").toString
+      graft.operators.FastaReference.clearCaches()
+
+      case class In(contig: String, pos1: Int, mapq: Int, flag: Int, q: String,
+          cigar: String, seq: String, quals: String, nm: Integer, rg: String)
+      def qb(s: String): Array[Byte] =
+        if (s == null) null else s.map(ch => (ch - 33).toByte).toArray
+      val ins = Seq(
+        In("k1", 1, 60, 0, "c1", "8M", c1.substring(0, 8), "IIIIIIII", 1, "rgA"),
+        In("k1", 9, 50, 16, "c2", "8M", "TGNTTGCA", "ABCDEFGH", null, "rgB"),
+        In("k1", 17, 40, 0, "c3", "2S3M2I3M4D2M6N2M1S",
+          "GGACGAATTG" + "CAAC" + "T", "JJJJJJJJJJJJJJJ", 3, "rgA"),
+        In(null, 0, 0, 4, "c4", "*", "NNACGT", "KKKKKK", null, null),
+        In("k2", 1, 20, 0, "c5", "4M", "TRTT", "MMMM", null, null),
+        In("k1", 33, 33, 0, "c6", "6M", c1.substring(32, 38), null, 0, "rgB"))
+
+      val cramPath = dir.resolve("resid.cram").toString
+      val w = new CramFormat.CramWriter(new java.io.FileOutputStream(cramPath),
+        Array("k1", "k2"), Array(c1.length, c2.length),
+        contig => CramFormat.upperContig(fasta, contig), recordsPerSlice = 4,
+        coreSeries = Map(
+          "BF" -> "gamma", "CF" -> "subexp", "RI" -> "golomb", "RL" -> "rice",
+          "AP" -> "gamma", "RG" -> "golomb", "MF" -> "subexp",
+          "NS" -> "golomb", "NP" -> "rice", "TS" -> "gamma", "TL" -> "subexp",
+          "FN" -> "golomb", "FP" -> "gamma", "FC" -> "subexp", "BS" -> "rice",
+          "DL" -> "golomb", "RS" -> "gamma", "MQ" -> "rice",
+          "QS" -> "subexp", "BA" -> "golomb"),
+        externalCompression = blockComp)
+      ins.foreach(i => w.write(i.contig, i.pos1, i.mapq, i.flag, i.q, i.cigar,
+        i.seq, qb(i.quals), i.nm, i.rg))
+      w.close()
+
+      val read = fsRead(cramPath)
+      val fileLen = Files.size(Paths.get(cramPath))
+      val (hdr, firstData) = CramFormat.readHeader(read, fileLen)
+      val containers = CramFormat.containerIndex(read, fileLen, firstData)
+
+      val bamPath = dir.resolve("resid.bam").toString
+      val bw = new BamFormat.BamWriter(new java.io.FileOutputStream(bamPath),
+        Array("k1", "k2"), Array(c1.length, c2.length))
+      ins.foreach { i =>
+        bw.write(i.contig, if (i.contig == null) 0 else i.pos1, i.mapq, i.flag,
+          i.q, i.cigar, i.seq, qb(i.quals), mdTag = null, nm = i.nm, rg = i.rg)
+      }
+      bw.close()
+
+      def refBytes(refId: Int): Array[Byte] =
+        if (refId < 0) Array.emptyByteArray
+        else CramFormat.upperContig(fasta, hdr.refNames(refId))
+      val crams = containers.iterator.flatMap { case (off, _, _, _, _) =>
+        CramFormat.containerRecords(read, off, refBytes, hdr)
+      }.toArray
+      val bams = {
+        val r = new BamFormat.BamReader(new java.io.FileInputStream(bamPath))
+        val a = r.iterator.toArray; r.close(); a
+      }
+      assert(crams.length === bams.length, s"[$blockComp] record count")
+      crams.zip(bams).zipWithIndex.foreach { case ((c, b), i) =>
+        assert(c.qname === b.qname, s"[$blockComp] rec $i qname")
+        assert(c.flag === b.flag, s"[$blockComp] rec $i flag")
+        assert(c.refId === b.refId, s"[$blockComp] rec $i refId")
+        if ((b.flag & 4) == 0) {
+          assert(c.pos0 === b.pos0, s"[$blockComp] rec $i pos")
+          assert(c.mapq === b.mapq, s"[$blockComp] rec $i mapq")
+          assert(c.cigar === b.cigar, s"[$blockComp] rec $i cigar")
+        }
+        assert(c.seq === b.seq, s"[$blockComp] rec $i seq")
+        assert(c.tagNm === b.tagNm, s"[$blockComp] rec $i NM")
+        assert(c.tagRg === b.tagRg, s"[$blockComp] rec $i RG")
+      }
+    }
+  }
 }
