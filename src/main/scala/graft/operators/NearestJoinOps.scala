@@ -116,8 +116,10 @@ object NearestJoinOps {
     * the right side's Catalyst estimate fits the budget, else the
     * distributed [[mergeNearestKJoin]] expanding-window search (r10
     * VERDICT #5 — k-nearest is no longer broadcast-only). The bedtools
-    * `-io/-id/-iu/-D` variants remain broadcast-only (both flank axes
-    * need direction-aware random access) and keep the stats gate. */
+    * `-io/-id/-iu/-D` variants ride both regimes too (r14 VERDICT #6):
+    * the merge regime's window rounds filter candidates by
+    * direction/overlap validity and keep candidate-less triples pending
+    * until their window covers the span. */
   def nearestKJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame =
     nearestKJoin(left, right, k,
       ignoreOverlaps = false, direction = "both", signed = false)
@@ -159,17 +161,11 @@ object NearestJoinOps {
     val estimated = right.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estimated <= BigInt(maxBytes))
       return nearestKJoinUngated(left, right, k, ignoreOverlaps, direction, signed)
-    // Over budget: the base surface falls back to the distributed
-    // expanding-window merge regime; the direction/overlap/sign variants
-    // are broadcast-only and fail with guidance.
-    require(!ignoreOverlaps && direction == "both" && !signed,
-      s"nearestKJoin right side is estimated at $estimated bytes, over " +
-      s"spark.graft.rangejoin.maxBroadcastBytes=$maxBytes, and the " +
-      "-io/-id/-iu/-D variants are broadcast-only (direction-aware flank " +
-      "ranking needs the collected forest). Filter/project the catalog " +
-      "down, raise the conf, or use the base k-nearest surface, whose " +
-      "merge regime streams both sides.")
-    mergeNearestKJoin(left, right, k)
+    // Over budget: the distributed expanding-window merge regime carries
+    // the direction/overlap/sign flags too (r14 VERDICT #6) — big
+    // catalogs get `bedtools closest -io/-id/-iu/-D ref` semantics with
+    // no driver collect, same results as the broadcast ranking probe.
+    mergeNearestKJoin(left, right, k, ignoreOverlaps, direction, signed)
   }
 
   /** [[nearestKJoin]] without the broadcast-size stats gate — for
@@ -530,11 +526,33 @@ object NearestJoinOps {
     * semantics) expanded by its own d_k and keeps `distance <= d_k`:
     * exactly the k smallest distinct distances with all ties. Candidate
     * volume tracks output size — each window is tight by construction. */
-  private[graft] def mergeNearestKJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+  private[graft] def mergeNearestKJoin(left: DataFrame, right: DataFrame, k: Int,
+      ignoreOverlaps: Boolean = false, direction: String = "both",
+      signed: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     graft.Graft.ensure(spark)
-    if (k == 1) return mergeNearestJoin(left, right)
+    val baseSurface = !ignoreOverlaps && direction == "both" && !signed
+    if (k == 1 && baseSurface) return mergeNearestJoin(left, right)
     import org.apache.spark.sql.expressions.Window
+
+    // Candidate validity under the bedtools variant flags, shared by the
+    // window rounds and the phase-2 emit: side sign from the ORIGINAL
+    // left coordinates (-1 = right strictly before/upstream, +1 strictly
+    // after/downstream, 0 overlap); overlaps are direction-less.
+    def side(ls: org.apache.spark.sql.Column, le: org.apache.spark.sql.Column,
+        rs: org.apache.spark.sql.Column, re: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(re < ls, lit(-1)).when(rs > le, lit(1)).otherwise(lit(0))
+    def validCand(ls: org.apache.spark.sql.Column, le: org.apache.spark.sql.Column,
+        rs: org.apache.spark.sql.Column, re: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val sd = side(ls, le, rs, re)
+      val dirOk = direction match {
+        case "upstream" => sd <= 0
+        case "downstream" => sd >= 0
+        case _ => lit(true)
+      }
+      val ovOk = if (ignoreOverlaps) sd =!= 0 else lit(true)
+      dirOk && ovOk
+    }
 
     // localCheckpoint materializes each round, but the LogicalRDD it
     // leaves behind carries origin constraints that Union's constraint
@@ -573,6 +591,8 @@ object NearestJoinOps {
       val cand = l.join(rSlim, col("l.contig") === col("_rc") &&
           graft.functions.IntervalOverlaps.of(
             col("l._xs"), col("l._xe"), col("_rs"), col("_re")))
+        .filter(validCand(col("l.pos_start"), col("l.pos_end"),
+          col("_rs"), col("_re")))
         .select(col("l.contig").as("contig"), col("l.pos_start").as("pos_start"),
           col("l.pos_end").as("pos_end"), col("l._w").as("_w"),
           greatest(col("_rs").cast("long") - col("l.pos_end"),
@@ -583,10 +603,19 @@ object NearestJoinOps {
       // dedup was one full extra exchange per round for nothing.
       val wspec = Window
         .partitionBy(col("contig"), col("pos_start"), col("pos_end")).orderBy(col("_d"))
-      val stats = cand.withColumn("_rk", dense_rank().over(wspec))
+      val candStats = cand.withColumn("_rk", dense_rank().over(wspec))
         .groupBy(col("contig"), col("pos_start"), col("pos_end"), col("_w"))
         .agg(max(when(col("_rk") <= k, col("_d"))).as("_dk"),
           max(col("_rk")).as("_ndist"))
+      // Base surface: every pending window holds >= 1 candidate (round-0
+      // window >= d*), so candStats covers pend. Under the variant flags
+      // a window can hold zero VALID candidates — keep those triples
+      // pending (left join, _ndist 0) instead of silently dropping them.
+      val stats =
+        if (baseSurface) candStats
+        else pend.join(candStats.drop("_w"),
+            Seq("contig", "pos_start", "pos_end"), "left")
+          .withColumn("_ndist", coalesce(col("_ndist"), lit(0)))
       val covered = col("_w") >= lit(fullSpan)
       // ONE materialization per round: done/pend are lazy filters over
       // the checkpointed stats RDD, so splitting them (and the loop's
@@ -610,17 +639,27 @@ object NearestJoinOps {
           lit(0).as("_dk")).filter(lit(false))
       else doneParts.reduce(_ unionByName _)
 
-    val l2 = widened(left.join(dk, Seq("contig", "pos_start", "pos_end")),
+    // A covered row whose full-span window held zero valid candidates
+    // carries a null _dk (nothing to emit); dropping it here also keeps
+    // the phase-2 widening finite (greatest() skips nulls, so a null
+    // radius would widen to the full span).
+    val l2 = widened(left.join(dk.filter(col("_dk").isNotNull),
+        Seq("contig", "pos_start", "pos_end")),
       col("_dk").cast("long")).alias("l")
     val r2 = right.alias("r")
+    val sgn = side(col("l.pos_start"), col("l.pos_end"),
+      col("r.pos_start"), col("r.pos_end"))
     l2.join(r2, col("l.contig") === col("r.contig") &&
         graft.functions.IntervalOverlaps.of(
           col("l._xs"), col("l._xe"), col("r.pos_start"), col("r.pos_end")))
+      .filter(validCand(col("l.pos_start"), col("l.pos_end"),
+        col("r.pos_start"), col("r.pos_end")))
       .withColumn("_dist", greatest(col("r.pos_start").cast("long") - col("l.pos_end"),
         col("l.pos_start").cast("long") - col("r.pos_end"), lit(0L)))
       .filter(col("_dist") <= col("l._dk").cast("long"))
       .select(left.columns.map(c => col("l." + c)) ++
         right.columns.map(c => col("r." + c)) :+
-        col("_dist").cast("int").as("distance"): _*)
+        (if (signed) when(sgn < 0, -col("_dist")).otherwise(col("_dist"))
+         else col("_dist")).cast("int").as("distance"): _*)
   }
 }

@@ -241,6 +241,17 @@ object IntervalQueries {
           ignoreOverlaps = true, direction = "both", signed = true)
         .select(col("a_key"), col("b_key"), col("distance"))
     },
+    // The directional/signed variant through the DISTRIBUTED merge
+    // regime (r14 VERDICT #6: big catalogs get `closest -io -D ref`
+    // semantics too — no broadcast, no driver collect). Same oracle as
+    // interval_join_nearest_dir: the regime must not change results.
+    "interval_join_nearest_dir_merge" -> { (s, dir) =>
+      Graft.ensure(s)
+      graft.operators.NearestJoinOps
+        .mergeNearestKJoin(Tables.ivA(s, dir), Tables.ivB(s, dir), 2,
+          ignoreOverlaps = true, direction = "both", signed = true)
+        .select(col("a_key"), col("b_key"), col("distance"))
+    },
     // SQL-only surface for the k-nearest join: the nearest_k_join TVF
     // resolves both views through the same lazy plan node (k > 1 forces
     // the broadcast ranking probe; GenomicStrategy stats-gates it) —
@@ -749,6 +760,18 @@ object IntervalQueries {
     // window), unsigned proximity in the ORDER BY, sign recovered from
     // which flank the right sits on — upstream (b fully left) negative.
     "interval_join_nearest_dir" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+      """SELECT a_key, b_key, CAST(sd AS INT) AS distance FROM (
+        |  SELECT a.a_key, b.b_key,
+        |    CASE WHEN b.pos_end < a.pos_start THEN b.pos_end - a.pos_start
+        |         ELSE b.pos_start - a.pos_end END AS sd,
+        |    DENSE_RANK() OVER (
+        |      PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end
+        |      ORDER BY GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0)) AS rk
+        |  FROM iva a JOIN ivb b ON a.contig = b.contig
+        |  WHERE GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) > 0)
+        |WHERE rk <= 2""".stripMargin),
+    // Identical oracle — the merge regime must not change results.
+    "interval_join_nearest_dir_merge" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT a_key, b_key, CAST(sd AS INT) AS distance FROM (
         |  SELECT a.a_key, b.b_key,
         |    CASE WHEN b.pos_end < a.pos_start THEN b.pos_end - a.pos_start

@@ -671,6 +671,42 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("merge regime carries the -io/-id/-iu/-D variants (equals broadcast probe)") {
+    import graft.SharedSpark.spark.implicits._
+    // Duplicate left rows, a one-sided contig (every right strictly
+    // downstream — the upstream direction must emit nothing for it and
+    // the window search must still terminate on the candidate-less
+    // triples), and an empty contig.
+    val a = randomIntervals(250, 31, "a_key")
+      .unionByName(Seq((9001L, "zz", 10, 20), (9001L, "zz", 10, 20),
+        (9002L, "empty", 5, 9)).toDF("a_key", "contig", "pos_start", "pos_end"))
+    val b = randomIntervals(70, 32, "b_key")
+      .unionByName(Seq((8001L, "zz", 100, 110)).toDF("b_key", "contig", "pos_start", "pos_end"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a_key"), col("b_key"), col("distance"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val combos = Seq(
+      (2, true, "both", true), // the oracle twin (closest -io -D ref)
+      (2, false, "upstream", true), // closest -id -D ref
+      (2, true, "downstream", false), // closest -io -iu
+      (1, true, "both", false), // k=1 must NOT shortcut to the base merge
+      (3, false, "downstream", true))
+    for ((k, io, dirn, sg) <- combos) {
+      val bc = rows(graft.operators.NearestJoinOps
+        .nearestKJoinUngated(a, b, k, io, dirn, sg))
+      val mg = rows(graft.operators.NearestJoinOps
+        .mergeNearestKJoin(a, b, k, io, dirn, sg))
+      assert(mg === bc, s"merge variant diverged at k=$k io=$io dir=$dirn signed=$sg")
+      assert(bc.nonEmpty, s"degenerate fixture at k=$k io=$io dir=$dirn signed=$sg")
+    }
+    // And the upstream direction on the one-sided contig is empty on
+    // BOTH regimes (not just one of them).
+    val up = graft.operators.NearestJoinOps
+      .mergeNearestKJoin(a.filter(col("contig") === "zz"), b, 2,
+        ignoreOverlaps = false, direction = "upstream", signed = false)
+    assert(up.count() === 0)
+  }
+
   test("nearest_join TVF with the same view on both sides dedups exprIds") {
     // r9 ADVICE: custom BinaryNodes don't get the analyzer's Join
     // dedupRight, so nearest_join('v','v') carried duplicate attribute
