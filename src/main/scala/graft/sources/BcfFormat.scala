@@ -53,11 +53,17 @@ object BcfFormat {
   // ---------------------------------------------------- little-endian read
   private[sources] final class ByteReader(in: InputStream) {
     private val one = new Array[Byte](4)
+    // Bytes consumed so far — record framing audits (consumed-vs-l_shared/
+    // l_indiv) catch a mis-sized field decode BEFORE it desyncs the
+    // stream into garbage rows (r14 ADVICE).
+    private var n = 0L
+    def consumed: Long = n
     /** -1 on clean EOF at a record boundary. */
-    def u8OrEof(): Int = in.read()
+    def u8OrEof(): Int = { val v = in.read(); if (v >= 0) n += 1; v }
     def u8(): Int = {
       val v = in.read()
       if (v < 0) sys.error("BCF: truncated stream")
+      n += 1
       v
     }
     def readFully(b: Array[Byte], len: Int): Unit = {
@@ -67,6 +73,7 @@ object BcfFormat {
         if (r < 0) sys.error("BCF: truncated stream")
         o += r
       }
+      n += len
     }
     def i16(): Int = { readFully(one, 2); ((one(0) & 0xff) | ((one(1) & 0xff) << 8)).toShort.toInt }
     def i32(): Int = {
@@ -75,13 +82,14 @@ object BcfFormat {
     }
     def f32bits(): Int = i32()
     private lazy val scratch = new Array[Byte](8192)
-    def skip(n: Long): Unit = {
-      var left = n
+    def skip(k: Long): Unit = {
+      var left = k
       while (left > 0) {
         val r = in.read(scratch, 0, math.min(left, scratch.length.toLong).toInt)
         if (r < 0) sys.error("BCF: truncated stream while skipping")
         left -= r
       }
+      n += k
     }
   }
 
@@ -105,6 +113,13 @@ object BcfFormat {
       while (pos >= cur.length) {
         if (exhausted || !members.hasNext) { exhausted = true; return false }
         val (o, b) = members.next()
+        // The packed voffset keeps the inflated offset in 16 bits; a
+        // member inflating to exactly 65536 bytes (engine writer caps at
+        // 60 KiB, bgzip at 65280 — but the field is spec-legal) would
+        // silently overflow into the file-offset bits (r14 ADVICE).
+        require(b.length < 0x10000,
+          s"BGZF member at offset $o inflates to ${b.length} bytes — " +
+          "beyond the 16-bit virtual-offset space")
         curOff = o; cur = b; pos = 0
       }
       true
@@ -162,8 +177,24 @@ object BcfFormat {
         }
       case _ => ()
     }
-    // Implicit numbering: PASS first, then appearance order.
-    if (!strings.contains("PASS")) strings("PASS") = if (explicit) strings.size else -1
+    // The spec's IDX attribute is all-or-none: a header mixing explicit
+    // IDX= with implicit declarations has no well-defined numbering for
+    // the implicit ones (they used to stay at placeholder -1 and render
+    // as "null" / throw mid-scan on lookup — r14 ADVICE). Fail loudly.
+    if (explicit) {
+      val implicitIds = strings.collect { case (id, -1) => id }
+      require(implicitIds.isEmpty,
+        s"BCF header mixes explicit IDX= with implicit declarations " +
+        s"(no IDX on: ${implicitIds.mkString(", ")}) — the spec requires " +
+        "IDX on all dictionary entries or none")
+    }
+    // Implicit numbering: PASS first, then appearance order. Under
+    // explicit IDX an undeclared PASS takes the first FREE index (the
+    // next after the declared max — strings.size could collide).
+    if (!strings.contains("PASS"))
+      strings("PASS") =
+        if (explicit) strings.values.max + 1
+        else -1
     val ordered: Seq[(String, Int)] =
       if (explicit) strings.toSeq
       else {
@@ -235,6 +266,17 @@ object BcfFormat {
     * dictionaries come from the file header, read separately). */
   private[sources] final class BcfLineCursor(r: ByteReader,
       strings: Array[String], contigs: Array[String], flagKeys: Set[String]) {
+
+    /** All dictionary lookups route here: a foreign/truncated dictionary
+      * raises a descriptive error instead of an
+      * ArrayIndexOutOfBoundsException or a literal "null" in the row
+      * (r14 ADVICE). */
+    private def dict(a: Array[String], idx: Int, what: String): String = {
+      if (idx < 0 || idx >= a.length || a(idx) == null) sys.error(
+        s"BCF: $what dictionary index $idx out of range at stream byte " +
+        s"${r.consumed} (${a.length} entries; foreign or truncated header?)")
+      a(idx)
+    }
 
     private def typeDesc(): (Int, Int) = {
       val b = r.u8()
@@ -318,6 +360,7 @@ object BcfFormat {
         ((rest(1) & 0xff) << 16) | ((rest(2) & 0xff) << 24)
       val lIndiv = r.i32()
       require(lShared >= 24, s"BCF: shared block of $lShared bytes")
+      val recBase = r.consumed
       val chromIdx = r.i32()
       val pos0 = r.i32()
       r.i32() // rlen — pos_end derives from REF length downstream (spec parity)
@@ -360,7 +403,7 @@ object BcfFormat {
             case x => sys.error(s"BCF: FILTER of type $x")
           }
           if (i > 0) sb.append(';')
-          sb.append(strings(idx))
+          sb.append(dict(strings, idx, "FILTER"))
           i += 1
         }
       }
@@ -370,7 +413,7 @@ object BcfFormat {
       else {
         var i = 0
         while (i < nInfo) {
-          val key = strings(typedInt())
+          val key = dict(strings, typedInt(), "INFO key")
           val (t, n) = typeDesc()
           val v = renderVector(t, n, gt = false)
           if (i > 0) sb.append(';')
@@ -382,6 +425,13 @@ object BcfFormat {
           i += 1
         }
       }
+      // Framing audit: the shared block must be consumed EXACTLY — a
+      // field the decoder mis-sizes would otherwise silently desync the
+      // stream and emit garbage rows from the middle of this record's
+      // genotype block (r14 ADVICE).
+      require(r.consumed - recBase == lShared.toLong,
+        s"BCF: record at stream byte $recBase declares l_shared=$lShared " +
+        s"but decoding consumed ${r.consumed - recBase} bytes")
       // genotypes
       if (nFmt > 0 && nSample > 0) {
         // Interleaved per field: typed int key, then the value block.
@@ -389,7 +439,7 @@ object BcfFormat {
         val rendered = Array.ofDim[String](nFmt, nSample)
         var f = 0
         while (f < nFmt) {
-          keys(f) = strings(typedInt())
+          keys(f) = dict(strings, typedInt(), "FORMAT key")
           val (t, perSample) = typeDesc()
           val gt = keys(f) == "GT"
           var s = 0
@@ -413,6 +463,9 @@ object BcfFormat {
           s += 1
         }
       }
+      require(r.consumed - recBase == lShared.toLong + lIndiv,
+        s"BCF: record at stream byte $recBase declares l_indiv=$lIndiv " +
+        s"but the genotype block consumed ${r.consumed - recBase - lShared} bytes")
       sb.toString
     }
 

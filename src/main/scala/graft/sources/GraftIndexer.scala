@@ -207,6 +207,14 @@ object GraftIndexer {
     val carry = new java.lang.StringBuilder()
     var carryBeg = 0L
     members.foreach { case (off, bytes) =>
+      // Line offsets pack into the low 16 bits of the virtual offset; a
+      // member inflating to exactly 65536 bytes would overflow into the
+      // file-offset bits and corrupt every chunk this index plans
+      // (r14 ADVICE — unreachable from bgzip/the engine writer, guarded
+      // against pathological producers).
+      require(bytes.length < 0x10000,
+        s"BGZF member at offset $off inflates to ${bytes.length} bytes — " +
+        "beyond the 16-bit virtual-offset space")
       val s = new String(bytes, StandardCharsets.UTF_8)
       var i = 0
       if (carry.length() > 0) {

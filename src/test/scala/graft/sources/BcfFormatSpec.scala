@@ -108,4 +108,49 @@ class BcfFormatSpec extends AnyFunSuite {
     assert(strings(0) === "PASS" && strings(7) === "DP")
     assert(contigs(3) === "chrX")
   }
+
+  test("a header mixing explicit IDX with implicit declarations fails loudly") {
+    // Previously the implicit entries stayed at placeholder -1 (dropped
+    // from the dictionary array), so later lookups rendered literal
+    // "null" or threw mid-scan (r14 ADVICE) — the spec requires IDX on
+    // all entries or none.
+    val text = "##fileformat=VCFv4.3\n" +
+      "##FILTER=<ID=PASS,Description=\"ok\",IDX=0>\n" +
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\",IDX=7>\n" +
+      "##INFO=<ID=AF,Number=A,Type=Float,Description=\"no idx\">\n"
+    val e = intercept[IllegalArgumentException](BcfFormat.dictionaries(text))
+    assert(e.getMessage.contains("IDX") && e.getMessage.contains("AF"))
+  }
+
+  test("foreign dictionary indexes and mis-sized records fail with position") {
+    // Hand-assembled minimal record (spec §6.2 layout): CHROM 0, POS 41,
+    // one allele 'A', FILTER = one int8 index.
+    def rec(lShared: Int, filterIdx: Int): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff)
+        o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff) }
+      le32(lShared); le32(0) // l_shared, l_indiv
+      le32(0); le32(41); le32(1) // chrom, pos0, rlen
+      le32(0x7F800001) // QUAL missing
+      le32(1 << 16) // n_allele=1, n_info=0
+      le32(0) // n_fmt=0, n_sample=0
+      o.write(0x07) // ID: 0-length char
+      o.write(0x17); o.write('A') // one allele
+      o.write(0x11); o.write(filterIdx) // FILTER: one int8
+      o.toByteArray
+    }
+    def cursor(bytes: Array[Byte]) = new BcfFormat.BcfLineCursor(
+      new BcfFormat.ByteReader(new java.io.ByteArrayInputStream(bytes)),
+      Array("PASS"), Array("1"), Set.empty)
+    // Valid framing (shared block is 29 bytes), in-range index: decodes.
+    assert(cursor(rec(29, 0)).nextLine().startsWith("1\t42\t"))
+    // Out-of-range FILTER index: descriptive error, not AIOOBE/"null".
+    val e1 = intercept[RuntimeException](cursor(rec(29, 99)).nextLine())
+    assert(e1.getMessage.contains("FILTER dictionary index 99"), e1.getMessage)
+    // Lying l_shared: the framing audit names the declared vs consumed
+    // sizes instead of silently desyncing into the next record.
+    val e2 = intercept[IllegalArgumentException](cursor(rec(31, 0)).nextLine())
+    assert(e2.getMessage.contains("l_shared=31") &&
+      e2.getMessage.contains("consumed 29"), e2.getMessage)
+  }
 }
