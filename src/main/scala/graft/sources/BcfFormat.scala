@@ -866,11 +866,14 @@ class BcfSource extends org.apache.spark.sql.sources.RelationProvider
       override protected def frame(): org.apache.spark.sql.DataFrame =
         BcfSource.frameFor(ctx.sparkSession, path, typedGt)
       // Region predicates prune containers through standard `.csi`
-      // indexes (bcftools' own, or [[BcfIndex.indexFiles]] output).
+      // indexes (bcftools' own, or [[BcfIndex.indexFiles]] output);
+      // when pruning does not engage, the MEMOIZED unpruned frame is
+      // served (no per-query rebuild).
       override protected def frame(
           filters: Array[org.apache.spark.sql.sources.Filter])
           : org.apache.spark.sql.DataFrame =
-        BcfSource.frameFor(ctx.sparkSession, path, typedGt, filters)
+        BcfSource.prunedFrameFor(ctx.sparkSession, path, typedGt, filters)
+          .getOrElse(unprunedFrame)
     }
   }
 }
@@ -883,59 +886,74 @@ object BcfSource {
   private[sources] def frameFor(spark: org.apache.spark.sql.SparkSession,
       path: String, typedGenotypes: Boolean,
       filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      : org.apache.spark.sql.DataFrame =
+    prunedFrameFor(spark, path, typedGenotypes, filters)
+      .getOrElse(buildFrame(spark, path, typedGenotypes, None))
+
+  /** `.csi`-planned region scan when the predicates constrain
+    * contig/position and EVERY file carries an index — None when pruning
+    * does not engage (the relation then serves its MEMOIZED unpruned
+    * frame instead of re-building the full scan per query). Sidecar
+    * statuses come from the shared directory snapshot and the parsed
+    * `.csi` memoizes per (path, mtime, len), so a warm planning pass
+    * costs one status probe, zero index re-reads. */
+  private[sources] def prunedFrameFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, typedGenotypes: Boolean,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val (contigSet, sMin, sMax, eMin, eMax) = VcfFormat.foldRegion(filters)
+    val constrained = contigSet.isDefined || sMin != Int.MinValue ||
+      sMax != Int.MaxValue || eMin != Int.MinValue || eMax != Int.MaxValue
+    if (!constrained) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new HPath(path).getFileSystem(conf)
+    val snap = SourceUtil.dirSnapshot(fs, path)
+    val files = snap.dataFiles
+    require(files.nonEmpty, s"BcfSource: no files match '$path'")
+    val csiOf = files.map(st =>
+      st -> snap.sidecar(fs, new HPath(st.getPath.toString + ".csi"))).toMap
+    if (!files.forall(st => csiOf(st).isDefined)) return None
+    // The chunk list is a SUPERSET of the predicate's records (the
+    // engine re-applies filters), merged across references so no block
+    // is read twice.
+    val tasks: Seq[(String, Long, Seq[(Long, Long)])] = files.flatMap { st =>
+      val file = st.getPath.toString
+      val idx = VcfFormat.tabixIndex(fs, csiOf(st).get, isCsi = true)
+        .toOption.get
+      // CSI ref order IS the header contig-dictionary order (memoized
+      // per file fingerprint — zero header reads on a planning hit).
+      val contigNames = BcfFormat.contigDict(fs, st)
+      val maxPos = 1L << (idx.minShift + idx.depth * 3)
+      val startCap = math.min(math.min(sMax.toLong, eMax.toLong), maxPos - 1)
+      val endFloor = math.max(math.max(sMin.toLong, eMin.toLong), 1L)
+      val refIdxs = contigNames.indices.filter(i => contigSet.forall(
+        _.contains(graft.functions.RangeFunctions.cleanContig(contigNames(i)))))
+      val raw = refIdxs.flatMap { r =>
+        if (r < idx.refs.length)
+          BamFormat.CsiIndex.chunksFor(idx.refs(r), endFloor, startCap,
+            idx.minShift, idx.depth, idx.loffsets(r))
+        else Nil
+      }.sortBy(_._1)
+      val merged = BamFormat.mergeRanges(raw)
+      csiPrunedFiles.increment()
+      merged.grouped(64).map(g => (file, st.getLen, g.toSeq)).toSeq
+    }
+    Some(buildFrame(spark, path, typedGenotypes, Some(tasks)))
+  }
+
+  private def buildFrame(spark: org.apache.spark.sql.SparkSession,
+      path: String, typedGenotypes: Boolean,
+      pruned: Option[Seq[(String, Long, Seq[(Long, Long)])]])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
     val meta = VcfFormat.headerMeta(spark, path)
     val flagKeys = meta.infos.filter(_.number == "0").map(_.id).toSet
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new HPath(path)
-    val fs = p.getFileSystem(conf)
+    val fs = new HPath(path).getFileSystem(conf)
     val files = SourceUtil.listDataFiles(fs, path)
     require(files.nonEmpty, s"BcfSource: no files match '$path'")
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-
-    // `.csi`-planned chunk reads when the predicates constrain
-    // contig/position and EVERY file carries an index; the chunk list is
-    // a SUPERSET of the predicate's records (the engine re-applies
-    // filters), merged across references so no block is read twice.
-    val (contigSet, sMin, sMax, eMin, eMax) = VcfFormat.foldRegion(filters)
-    val constrained = contigSet.isDefined || sMin != Int.MinValue ||
-      sMax != Int.MaxValue || eMin != Int.MinValue || eMax != Int.MaxValue
-    val pruned: Option[Seq[(String, Long, Seq[(Long, Long)])]] =
-      if (!constrained ||
-        !files.forall(st => fs.exists(new HPath(st.getPath.toString + ".csi"))))
-        None
-      else Some(files.flatMap { st =>
-        val file = st.getPath.toString
-        val csiData = {
-          val in = fs.open(new HPath(file + ".csi"))
-          try {
-            val buf = new java.io.ByteArrayOutputStream()
-            BamFormat.bgzfMembers(in,
-              fs.getFileStatus(new HPath(file + ".csi")).getLen, 0L)
-              .foreach { case (_, b) => buf.write(b) }
-            buf.toByteArray
-          } finally in.close()
-        }
-        val idx = BamFormat.CsiIndex.read(csiData)
-        // CSI ref order IS the header contig-dictionary order (memoized
-        // per file fingerprint — zero header reads on a planning hit).
-        val contigNames = BcfFormat.contigDict(fs, st)
-        val maxPos = 1L << (idx.minShift + idx.depth * 3)
-        val startCap = math.min(math.min(sMax.toLong, eMax.toLong), maxPos - 1)
-        val endFloor = math.max(math.max(sMin.toLong, eMin.toLong), 1L)
-        val refIdxs = contigNames.indices.filter(i => contigSet.forall(
-          _.contains(graft.functions.RangeFunctions.cleanContig(contigNames(i)))))
-        val raw = refIdxs.flatMap { r =>
-          if (r < idx.refs.length)
-            BamFormat.CsiIndex.chunksFor(idx.refs(r), endFloor, startCap,
-              idx.minShift, idx.depth, idx.loffsets(r))
-          else Nil
-        }.sortBy(_._1)
-        val merged = BamFormat.mergeRanges(raw)
-        csiPrunedFiles.increment()
-        merged.grouped(64).map(g => (file, st.getLen, g.toSeq)).toSeq
-      })
 
     val rdd = pruned match {
       case Some(tasks) if tasks.isEmpty =>

@@ -61,10 +61,13 @@ class VcfSource extends org.apache.spark.sql.sources.RelationProvider
       override protected def frame(): DataFrame =
         VcfFormat.frameFor(ctx.sparkSession, path, mode, typedGenotypes = typedGt)
       // Region predicates prune line-aligned BGZF members through the
-      // `.gvi` sidecars (when every matched file has one).
+      // `.gvi` sidecars / standard tabix indexes (when every matched
+      // file has one); otherwise the MEMOIZED unpruned frame is served
+      // (no per-query rebuild of the parse pipeline).
       override protected def frame(
           filters: Array[org.apache.spark.sql.sources.Filter]): DataFrame =
-        VcfFormat.frameFor(ctx.sparkSession, path, mode, filters, typedGenotypes = typedGt)
+        VcfFormat.prunedFrameFor(ctx.sparkSession, path, mode, filters, typedGt)
+          .getOrElse(unprunedFrame)
       // `INSERT INTO` over a VCF table: append writes new shards.
       override def insert(data: DataFrame, overwrite: Boolean): Unit =
         VcfFormat.writeInferred(data, path, overwrite)
@@ -644,6 +647,24 @@ object VcfFormat {
       if (mode.isDefined || filters.isEmpty) SourceUtil.textFrame(spark, path)
       else prunedRawImpl(spark, path, filters)
         .getOrElse(SourceUtil.textFrame(spark, path))
+    assemble(spark, path, raw, mode, typedGenotypes)
+  }
+
+  /** Index-pruned variant of [[frameFor]]: None when member/tabix
+    * pruning does not engage, so the relation serves its MEMOIZED
+    * unpruned frame instead of re-building the parse pipeline (file
+    * listing, header reads, analysis) on every query. */
+  private[sources] def prunedFrameFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, mode: Option[String],
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      typedGenotypes: Boolean): Option[DataFrame] =
+    if (mode.isDefined || filters.isEmpty) None
+    else prunedRawImpl(spark, path, filters)
+      .map(raw => assemble(spark, path, raw, mode, typedGenotypes))
+
+  private def assemble(spark: org.apache.spark.sql.SparkSession,
+      path: String, raw: DataFrame, mode: Option[String],
+      typedGenotypes: Boolean): DataFrame = {
     val meta = headerMeta(spark, path)
     val parsed = parse(raw, meta)
     val ordered =
