@@ -40,7 +40,16 @@ object Graft {
     // parents resolve against the duplicated ExprIds); post-analysis the
     // ambiguity is unrecoverable, so [[graft.plans.NearestJoinNode]]'s
     // strategy fails loudly on a still-duplicated self-join instead.
-    if (!classic.experimental.extraOptimizations
+    // Skip the append when the session's optimizer ALREADY carries the
+    // injected rules (extensions-built session) — they run in their
+    // injected slots, and while every rule is idempotent, running them a
+    // second time in the final fixedPoint batch is pure waste. Probed on
+    // the optimizer itself, NOT the spark.sql.extensions conf: a
+    // reflection/newSession-built session inherits the context conf
+    // without the injections, and would be left ruleless by a conf check.
+    val alreadyInjected = classic.sessionState.optimizer.preCBORules
+      .exists(_.isInstanceOf[graft.plans.BinRangeLogicalRule])
+    if (!alreadyInjected && !classic.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.BinRangeLogicalRule])) {
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations ++ Seq(

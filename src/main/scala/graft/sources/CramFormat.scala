@@ -392,6 +392,12 @@ object CramFormat {
       case 2 => bunzip2(raw)
       case 3 => unlzma(raw)
       case 4 => Rans.decode(raw)
+      case m if m >= 5 && m <= 8 =>
+        val names = Map(5 -> "rANS Nx16", 6 -> "adaptive arithmetic",
+          7 -> "fqzcomp", 8 -> "name tokeniser")
+        sys.error(s"CRAM 3.1 codec (block method $m: ${names(m)}) not " +
+          "supported — this reader covers the full CRAM 3.0 profile; " +
+          "transcode with `samtools view -O cram,version=3.0`")
       case m => sys.error(s"CRAM block compression method $m unsupported")
     }
     require(data.length == rsize,

@@ -323,5 +323,26 @@ class PlanAuditSpec extends SparkSpec {
     }.flatten
     assert(keyed.exists(_.nonEmpty),
       s"ensure-only session lost tag-key pruning:\n${tags.queryExecution.optimizedPlan}")
+
+    // Fourth injected rule: nearest-join projection pruning reaches the
+    // node's children via ensure too (the TVF registry was already
+    // retrofitted; without the rule a SELECT a_key, distance would ride
+    // every wide column through the merge regime's shuffle).
+    val dir = java.nio.file.Files.createTempDirectory("ensure_njp").toFile.getAbsolutePath
+    import org.apache.spark.sql.functions.lit
+    Tables.ivA(bare, sf0001).limit(50).withColumn("wide_l", lit("x" * 64))
+      .write.mode("overwrite").parquet(s"$dir/l")
+    Tables.ivB(bare, sf0001).limit(50).withColumn("wide_r", lit("y" * 64))
+      .write.mode("overwrite").parquet(s"$dir/r")
+    bare.read.parquet(s"$dir/l").createOrReplaceTempView("ensure_njp_l")
+    bare.read.parquet(s"$dir/r").createOrReplaceTempView("ensure_njp_r")
+    val nj = bare.sql(
+      "SELECT a_key, distance FROM nearest_join('ensure_njp_l', 'ensure_njp_r')")
+    val node = nj.queryExecution.optimizedPlan.collectFirst {
+      case n: plans.NearestJoinNode => n
+    }.getOrElse(fail("ensure-only session planned no NearestJoinNode"))
+    assert(!node.left.output.map(_.name).contains("wide_l") &&
+      !node.right.output.map(_.name).contains("wide_r"),
+      s"ensure-only session lost nearest-join pruning: ${node.left.output} / ${node.right.output}")
   }
 }
