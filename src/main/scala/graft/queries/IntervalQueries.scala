@@ -406,6 +406,22 @@ object IntervalQueries {
       |      FROM ivb WHERE b_key % 5 = 0))
       |  GROUP BY contig, g)""".stripMargin
 
+  /** Overlaps filtered BEFORE ranking (subquery WHERE precedes the
+    * window), unsigned proximity in the ORDER BY, sign recovered from
+    * which flank the right sits on — upstream (b fully left) negative.
+    * Shared verbatim by the broadcast and merge-regime rows. */
+  private lazy val nearestDirOracle: String = withCtes(OracleCtes.ivA, OracleCtes.ivB)(
+    """SELECT a_key, b_key, CAST(sd AS INT) AS distance FROM (
+      |  SELECT a.a_key, b.b_key,
+      |    CASE WHEN b.pos_end < a.pos_start THEN b.pos_end - a.pos_start
+      |         ELSE b.pos_start - a.pos_end END AS sd,
+      |    DENSE_RANK() OVER (
+      |      PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end
+      |      ORDER BY GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0)) AS rk
+      |  FROM iva a JOIN ivb b ON a.contig = b.contig
+      |  WHERE GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) > 0)
+      |WHERE rk <= 2""".stripMargin)
+
   val oracle: Map[String, String] = Map(
     "interval_merge" -> withCtes(OracleCtes.ivB, ivbMerged)(
       "SELECT contig, pos_start, pos_end, n_merged FROM ivbm"),
@@ -759,29 +775,11 @@ object IntervalQueries {
     // Overlaps filtered BEFORE ranking (subquery WHERE precedes the
     // window), unsigned proximity in the ORDER BY, sign recovered from
     // which flank the right sits on — upstream (b fully left) negative.
-    "interval_join_nearest_dir" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
-      """SELECT a_key, b_key, CAST(sd AS INT) AS distance FROM (
-        |  SELECT a.a_key, b.b_key,
-        |    CASE WHEN b.pos_end < a.pos_start THEN b.pos_end - a.pos_start
-        |         ELSE b.pos_start - a.pos_end END AS sd,
-        |    DENSE_RANK() OVER (
-        |      PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end
-        |      ORDER BY GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0)) AS rk
-        |  FROM iva a JOIN ivb b ON a.contig = b.contig
-        |  WHERE GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) > 0)
-        |WHERE rk <= 2""".stripMargin),
-    // Identical oracle — the merge regime must not change results.
-    "interval_join_nearest_dir_merge" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
-      """SELECT a_key, b_key, CAST(sd AS INT) AS distance FROM (
-        |  SELECT a.a_key, b.b_key,
-        |    CASE WHEN b.pos_end < a.pos_start THEN b.pos_end - a.pos_start
-        |         ELSE b.pos_start - a.pos_end END AS sd,
-        |    DENSE_RANK() OVER (
-        |      PARTITION BY a.a_key, a.contig, a.pos_start, a.pos_end
-        |      ORDER BY GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0)) AS rk
-        |  FROM iva a JOIN ivb b ON a.contig = b.contig
-        |  WHERE GREATEST(b.pos_start - a.pos_end, a.pos_start - b.pos_end, 0) > 0)
-        |WHERE rk <= 2""".stripMargin),
+    "interval_join_nearest_dir" -> nearestDirOracle,
+    // ONE shared definition — the merge regime must not change results,
+    // and two copies of the SQL could silently diverge under a future
+    // distance-convention tweak.
+    "interval_join_nearest_dir_merge" -> nearestDirOracle,
     // Same DENSE_RANK oracle — the TVF runs the identical operator.
     "interval_join_nearest_k_tvf" -> withCtes(OracleCtes.ivA, OracleCtes.ivB)(
       """SELECT a_key, b_key, CAST(distance AS INT) AS distance FROM (

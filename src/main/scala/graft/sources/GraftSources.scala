@@ -48,6 +48,12 @@ abstract class GraftBaseRelation extends BaseRelation with PrunedFilteredScan {
 
   protected final def unprunedFrame: DataFrame = sourcePath match {
     case None => frame()
+    // A glob cannot be validated by one status probe (getFileStatus on
+    // the literal pattern is FileNotFound = a constant token), and a
+    // directory on an object store reports no usable mtime — both would
+    // memoize a stale frame forever, so they rebuild per scan instead.
+    case Some(p) if !SourceUtil.statusValidatable(
+        sqlContext.sparkSession.sparkContext.hadoopConfiguration, p) => frame()
     case Some(p) =>
       val tok = SourceUtil.pathToken(
         sqlContext.sparkSession.sparkContext.hadoopConfiguration, p)
@@ -58,6 +64,18 @@ abstract class GraftBaseRelation extends BaseRelation with PrunedFilteredScan {
         frameCache.set((tok, f))
         f
       }
+  }
+
+  // Relation creation (first use, and every REFRESH TABLE — the catalog
+  // drops its cached plan and re-resolves) starts from a FRESH
+  // enumeration: this is what gives the snapshot/sidecar caches Spark's
+  // own REFRESH TABLE remedy for in-place rewrites that leave the parent
+  // directory status unchanged (re-run tabix/samtools index over the
+  // same file name). The null guard covers base-class-constructor order:
+  // `sourcePath` is virtual and reads a subclass-captured value.
+  sourcePath match {
+    case Some(p) if p != null => SourceUtil.invalidateSnapshot(p)
+    case _ => ()
   }
 
   override lazy val schema: StructType = unprunedFrame.schema
@@ -74,15 +92,10 @@ abstract class GraftBaseRelation extends BaseRelation with PrunedFilteredScan {
     * against DDL text tables never fire, and auto regimes always take
     * the shuffle path. Under-estimates on compressed text are backstopped
     * by the execs' runtime build-budget guards. */
-  override def sizeInBytes: Long = sourcePath match {
+  override lazy val sizeInBytes: Long = sourcePath match {
     case None => super.sizeInBytes
     case Some(p) =>
-      val spark = sqlContext.sparkSession
-      val fs = new org.apache.hadoop.fs.Path(p)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val bytes = SourceUtil.dirSnapshot(fs, p).dataFiles.map(_.getLen).sum
-      if (bytes <= 0L) super.sizeInBytes
-      else (bytes * spark.sessionState.conf.fileCompressionFactor).toLong
+      SourceUtil.enumeratedSizeInBytes(sqlContext.sparkSession, p, super.sizeInBytes)
   }
 
   private def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
@@ -200,6 +213,44 @@ object SourceUtil {
     catch { case _: java.io.FileNotFoundException => "absent" }
   }
 
+  /** Whether one status probe on `path` is a USABLE change signal: false
+    * for globs (the literal pattern has no status) and for directories
+    * whose store reports no mtime (object stores like S3 synthesize
+    * directory statuses with mtime 0 — a constant token would memoize
+    * stale data forever). Callers fall back to per-scan enumeration. */
+  private[sources] def statusValidatable(
+      conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
+    if (isGlobPath(path)) return false
+    val p = new org.apache.hadoop.fs.Path(path)
+    try {
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      !(st.isDirectory && st.getModificationTime <= 0L)
+    } catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  /** Drop the memoized enumeration for `path` — called on relation
+    * creation so `REFRESH TABLE` (which re-resolves the relation)
+    * reaches these caches like it reaches Spark's own listing cache. */
+  private[sources] def invalidateSnapshot(path: String): Unit =
+    snapshotCache.remove(path)
+
+  /** Real input-size statistics shared by every engine relation: the
+    * enumerated data files' summed lengths scaled by Spark's
+    * `spark.sql.sources.fileCompressionFactor` — the estimate
+    * HadoopFsRelation reports. Callers bind it to a per-relation lazy
+    * val: one enumeration per relation lifetime (globs bypass the
+    * snapshot cache, so recomputing per stats visit would be O(files)
+    * RPCs inside the optimizer). */
+  private[sources] def enumeratedSizeInBytes(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      default: => Long): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = dirSnapshot(fs, path).dataFiles.map(_.getLen).sum
+    if (bytes <= 0L) default
+    else (bytes * spark.sessionState.conf.fileCompressionFactor).toLong
+  }
+
   private def enumerate(fs: org.apache.hadoop.fs.FileSystem, path: String): DirSnapshot = {
     enumerationsPerformed.increment()
     val matched = Option(fs.globStatus(new org.apache.hadoop.fs.Path(path)))
@@ -229,11 +280,16 @@ object SourceUtil {
   private[sources] def dirSnapshot(fs: org.apache.hadoop.fs.FileSystem,
       path: String): DirSnapshot = {
     if (isGlobPath(path)) return enumerate(fs, path)
-    val tok =
-      try statusToken(fs.getFileStatus(new org.apache.hadoop.fs.Path(path)))
+    val st =
+      try fs.getFileStatus(new org.apache.hadoop.fs.Path(path))
       catch { case _: java.io.FileNotFoundException =>
         return DirSnapshot(Nil, Map.empty, Set.empty)
       }
+    // A directory with no mtime signal (object stores synthesize dir
+    // statuses with mtime 0) cannot be validated — enumerate per query
+    // rather than serve a snapshot that never invalidates.
+    if (st.isDirectory && st.getModificationTime <= 0L) return enumerate(fs, path)
+    val tok = statusToken(st)
     val hit = snapshotCache.get(path)
     if (hit != null && hit._1 == tok) hit._2
     else {
@@ -818,13 +874,8 @@ private[graft] case class BamRelation(ctx: SQLContext, path: String,
   override val schema: StructType = BamSource.schema
   // Real file-size stats (see GraftBaseRelation.sizeInBytes: the DSv1
   // default poisons join-side/broadcast decisions).
-  override def sizeInBytes: Long = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
-    val bytes = SourceUtil.dirSnapshot(fs, path).dataFiles.map(_.getLen).sum
-    if (bytes <= 0L) super.sizeInBytes
-    else (bytes * ctx.sparkSession.sessionState.conf.fileCompressionFactor).toLong
-  }
+  override lazy val sizeInBytes: Long =
+    SourceUtil.enumeratedSizeInBytes(ctx.sparkSession, path, super.sizeInBytes)
   // The scan emits catalyst InternalRows directly (no Row→encoder
   // bridge on the per-record path).
   override def needConversion: Boolean = false
@@ -1266,13 +1317,8 @@ class CramSource extends RelationProvider
       override val sqlContext: SQLContext = ctx
       override val schema: StructType = BamSource.schema
       // Real file-size stats (see GraftBaseRelation.sizeInBytes).
-      override def sizeInBytes: Long = {
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
-        val bytes = SourceUtil.dirSnapshot(fs, path).dataFiles.map(_.getLen).sum
-        if (bytes <= 0L) super.sizeInBytes
-        else (bytes * ctx.sparkSession.sessionState.conf.fileCompressionFactor).toLong
-      }
+      override lazy val sizeInBytes: Long =
+        SourceUtil.enumeratedSizeInBytes(ctx.sparkSession, path, super.sizeInBytes)
       // Same InternalRow contract as BamSource.
       override def needConversion: Boolean = false
       override def unhandledFilters(filters: Array[Filter]): Array[Filter] =

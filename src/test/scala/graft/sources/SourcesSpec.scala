@@ -1761,4 +1761,43 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("memo_gff").count() === 51)
     assert(SourceUtil.enumerationsPerformed.sum() > before)
   }
+
+  test("REFRESH TABLE reaches the snapshot and parsed-index caches (in-place rewrite)") {
+    // Re-running `tabix -f`/an indexer overwrites the sidecar UNDER THE
+    // SAME NAME: the parent directory's mtime does not move, so the
+    // (path, status)-validated snapshot alone would keep serving the old
+    // FileStatus and the old parsed bins. Relation creation invalidates
+    // the snapshot, and REFRESH TABLE re-creates the relation — giving
+    // these caches exactly Spark's own REFRESH remedy (r15 review).
+    val dir = s"$base/refresh_tbx"
+    Files.createDirectories(Paths.get(dir))
+    def writeGz(rows: Int): Unit = {
+      val bg = new BamFormat.BgzfOutputStream(
+        new java.io.FileOutputStream(s"$dir/d.gff.gz"))
+      val txt = new StringBuilder("##gff-version 3\n")
+      for (i <- 1 to rows) txt.append(
+        s"chr1\tsrc\tgene\t${i * 10}\t${i * 10 + 5}\t.\t+\t.\tgene_id=g$i\n")
+      txt.toString.getBytes("UTF-8").grouped(1000).foreach { ch =>
+        bg.write(ch, 0, ch.length); bg.flush()
+      }
+      bg.close()
+    }
+    writeGz(500)
+    assert(graft.sources.GraftIndexer.tabixFiles(spark, s"$dir/d.gff.gz", "gff") === 1L)
+    spark.sql("DROP TABLE IF EXISTS refresh_tbx")
+    spark.sql(s"""CREATE TABLE refresh_tbx USING graft.sources.GffSource
+                 |OPTIONS (path '$dir')""".stripMargin)
+    val sel = col("contig") === "1" && col("pos_start").between(1000, 2000)
+    assert(spark.table("refresh_tbx").filter(sel).count() === 101)
+    // In-place rewrite of BOTH the data file and its .tbi (truncate +
+    // write, same names), then REFRESH: the fresh statuses invalidate
+    // the parsed-index memo and the region query sees the new content.
+    Thread.sleep(10)
+    writeGz(150)
+    assert(graft.sources.GraftIndexer.tabixFiles(
+      spark, s"$dir/d.gff.gz", "gff", overwrite = true) === 1L)
+    spark.sql("REFRESH TABLE refresh_tbx")
+    assert(spark.table("refresh_tbx").filter(sel).count() === 51)
+    assert(spark.table("refresh_tbx").count() === 150)
+  }
 }
