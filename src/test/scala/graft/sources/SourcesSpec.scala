@@ -1800,4 +1800,23 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("refresh_tbx").filter(sel).count() === 51)
     assert(spark.table("refresh_tbx").count() === 150)
   }
+
+  test("glob table paths skip frame memoization: new shards visible without REFRESH") {
+    // A glob cannot be validated by one status probe, so the relation
+    // rebuilds per scan (pre-memoization behavior) instead of serving a
+    // stale frame under a constant token (r15 review finding #2).
+    val dir = s"$base/glob_fresh"
+    Files.createDirectories(Paths.get(dir))
+    def gff(n: Int): String =
+      (1 to n).map(i => s"chr1\tsrc\tgene\t${i * 10}\t${i * 10 + 5}\t.\t+\t.\tgene_id=a$i")
+        .mkString("", "\n", "\n")
+    Files.writeString(Paths.get(s"$dir/s1.gff"), gff(20))
+    spark.sql("DROP TABLE IF EXISTS glob_fresh")
+    spark.sql(s"""CREATE TABLE glob_fresh USING graft.sources.GffSource
+                 |OPTIONS (path '$dir/*.gff')""".stripMargin)
+    assert(spark.table("glob_fresh").count() === 20)
+    Files.writeString(Paths.get(s"$dir/s2.gff"), gff(7))
+    assert(spark.table("glob_fresh").count() === 27,
+      "a new shard matching the glob must be visible on the next scan")
+  }
 }
