@@ -872,6 +872,9 @@ private[graft] case class BamRelation(ctx: SQLContext, path: String,
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
   override def sqlContext: SQLContext = ctx
   override val schema: StructType = BamSource.schema
+  // Relation creation starts from a fresh enumeration (REFRESH TABLE
+  // contract — same hook as GraftBaseRelation).
+  SourceUtil.invalidateSnapshot(path)
   // Real file-size stats (see GraftBaseRelation.sizeInBytes: the DSv1
   // default poisons join-side/broadcast decisions).
   override lazy val sizeInBytes: Long =
@@ -1316,6 +1319,9 @@ class CramSource extends RelationProvider
     new BaseRelation with PrunedFilteredScan {
       override val sqlContext: SQLContext = ctx
       override val schema: StructType = BamSource.schema
+      // Relation creation starts from a fresh enumeration (REFRESH
+      // TABLE contract — same hook as GraftBaseRelation).
+      SourceUtil.invalidateSnapshot(path)
       // Real file-size stats (see GraftBaseRelation.sizeInBytes).
       override lazy val sizeInBytes: Long =
         SourceUtil.enumeratedSizeInBytes(ctx.sparkSession, path, super.sizeInBytes)
