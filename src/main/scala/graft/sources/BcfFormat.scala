@@ -158,6 +158,7 @@ object BcfFormat {
     val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val contigs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var explicit = false
+    var explicitContig = false
     text.linesIterator.foreach {
       case Decl(_, attrs) =>
         IdAttr.findFirstMatchIn(attrs).foreach { m =>
@@ -171,8 +172,9 @@ object BcfFormat {
         IdAttr.findFirstMatchIn(attrs).foreach { m =>
           val id = m.group(1)
           IdxAttr.findFirstMatchIn(attrs) match {
-            case Some(x) => contigs.getOrElseUpdate(id, x.group(1).toInt)
-            case None => if (!contigs.contains(id)) contigs(id) = contigs.size
+            case Some(x) =>
+              explicitContig = true; contigs.getOrElseUpdate(id, x.group(1).toInt)
+            case None => if (!contigs.contains(id)) contigs(id) = -1 // placeholder
           }
         }
       case _ => ()
@@ -181,6 +183,9 @@ object BcfFormat {
     // IDX= with implicit declarations has no well-defined numbering for
     // the implicit ones (they used to stay at placeholder -1 and render
     // as "null" / throw mid-scan on lookup — r14 ADVICE). Fail loudly.
+    // The contig dictionary gets the SAME check: an implicit contig
+    // assigned appearance order can collide with an explicit IDX and
+    // silently rename every record on the shadowed contig.
     if (explicit) {
       val implicitIds = strings.collect { case (id, -1) => id }
       require(implicitIds.isEmpty,
@@ -188,13 +193,27 @@ object BcfFormat {
         s"(no IDX on: ${implicitIds.mkString(", ")}) — the spec requires " +
         "IDX on all dictionary entries or none")
     }
+    if (explicitContig) {
+      val implicitIds = contigs.collect { case (id, -1) => id }
+      require(implicitIds.isEmpty,
+        s"BCF header mixes explicit IDX= with implicit contig " +
+        s"declarations (no IDX on: ${implicitIds.mkString(", ")}) — the " +
+        "spec requires IDX on all dictionary entries or none")
+    } else {
+      // Implicit contig numbering: order of first appearance.
+      contigs.keys.toSeq.zipWithIndex.foreach { case (id, i) => contigs(id) = i }
+    }
     // Implicit numbering: PASS first, then appearance order. Under
-    // explicit IDX an undeclared PASS takes the first FREE index (the
-    // next after the declared max — strings.size could collide).
+    // explicit IDX an undeclared PASS is still pinned to index 0 when
+    // free — htslib seeds the dictionary with PASS at IDX 0 and only
+    // writes IDX= lines for the REST, so a spec-valid foreign header can
+    // declare IDX=1..N and leave PASS implicit at 0 (r15 review); only
+    // when 0 is explicitly taken does PASS fall past the declared max.
     if (!strings.contains("PASS"))
       strings("PASS") =
-        if (explicit) strings.values.max + 1
-        else -1
+        if (!explicit) -1
+        else if (!strings.values.exists(_ == 0)) 0
+        else strings.values.max + 1
     val ordered: Seq[(String, Int)] =
       if (explicit) strings.toSeq
       else {

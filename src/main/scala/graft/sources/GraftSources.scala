@@ -45,24 +45,42 @@ abstract class GraftBaseRelation extends BaseRelation with PrunedFilteredScan {
 
   private val frameCache =
     new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
+  private val sizeCache =
+    new java.util.concurrent.atomic.AtomicReference[java.lang.Long]()
+
+  /** Deterministic freshness after a write THROUGH this relation
+    * (`INSERT INTO`): drop the memoized frame, directory snapshot, and
+    * size statistic rather than rely on the path's mtime moving — on
+    * coarse-mtime filesystems (1-2 s granularity) an append can land
+    * inside the same mtime granule as the prior read's token, and the
+    * next scan would silently serve the pre-insert file set
+    * (r15 review). Every `insert()` implementation must call this. */
+  protected final def invalidateMemo(): Unit = {
+    frameCache.set(null)
+    sizeCache.set(null)
+    sourcePath.foreach(SourceUtil.invalidateSnapshot)
+  }
 
   protected final def unprunedFrame: DataFrame = sourcePath match {
     case None => frame()
-    // A glob cannot be validated by one status probe (getFileStatus on
-    // the literal pattern is FileNotFound = a constant token), and a
-    // directory on an object store reports no usable mtime — both would
-    // memoize a stale frame forever, so they rebuild per scan instead.
-    case Some(p) if !SourceUtil.statusValidatable(
-        sqlContext.sparkSession.sparkContext.hadoopConfiguration, p) => frame()
     case Some(p) =>
-      val tok = SourceUtil.pathToken(
-        sqlContext.sparkSession.sparkContext.hadoopConfiguration, p)
-      val hit = frameCache.get()
-      if (hit != null && hit._1 == tok) hit._2
-      else {
-        val f = frame()
-        frameCache.set((tok, f))
-        f
+      // ONE status probe serves both validation and the change token
+      // (r15 review: a statusValidatable-then-pathToken sequence paid two
+      // RPCs per warm query on the same path). None = not validatable — a
+      // glob (the literal pattern has no status) or a directory whose
+      // store reports no usable mtime (object stores synthesize mtime 0)
+      // would memoize a stale frame forever, so those rebuild per scan.
+      SourceUtil.validatedPathToken(
+          sqlContext.sparkSession.sparkContext.hadoopConfiguration, p) match {
+        case None => frame()
+        case Some(tok) =>
+          val hit = frameCache.get()
+          if (hit != null && hit._1 == tok) hit._2
+          else {
+            val f = frame()
+            frameCache.set((tok, f))
+            f
+          }
       }
   }
 
@@ -92,10 +110,22 @@ abstract class GraftBaseRelation extends BaseRelation with PrunedFilteredScan {
     * against DDL text tables never fire, and auto regimes always take
     * the shuffle path. Under-estimates on compressed text are backstopped
     * by the execs' runtime build-budget guards. */
-  override lazy val sizeInBytes: Long = sourcePath match {
-    case None => super.sizeInBytes
-    case Some(p) =>
-      SourceUtil.enumeratedSizeInBytes(sqlContext.sparkSession, p, super.sizeInBytes)
+  // Lazy-like (one enumeration per relation lifetime — globs bypass the
+  // snapshot cache, so per-stats-visit recompute would be O(files) RPCs
+  // inside the optimizer) but RESETTABLE: `insert()` clears it via
+  // invalidateMemo() so stats track appended data instead of drifting.
+  override def sizeInBytes: Long = {
+    val hit = sizeCache.get()
+    if (hit != null) hit.longValue()
+    else {
+      val v = sourcePath match {
+        case None => super.sizeInBytes
+        case Some(p) =>
+          SourceUtil.enumeratedSizeInBytes(sqlContext.sparkSession, p, super.sizeInBytes)
+      }
+      sizeCache.set(v)
+      v
+    }
   }
 
   private def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
@@ -204,28 +234,25 @@ object SourceUtil {
   private def statusToken(st: org.apache.hadoop.fs.FileStatus): String =
     s"${st.isDirectory}:${st.getModificationTime}:${st.getLen}"
 
-  /** One-RPC change token for `path` (dir mtime moves on child
-    * create/delete/rename; file mtime/len on rewrite). */
-  private[sources] def pathToken(conf: org.apache.hadoop.conf.Configuration,
-      path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    try statusToken(p.getFileSystem(conf).getFileStatus(p))
-    catch { case _: java.io.FileNotFoundException => "absent" }
-  }
-
-  /** Whether one status probe on `path` is a USABLE change signal: false
-    * for globs (the literal pattern has no status) and for directories
-    * whose store reports no mtime (object stores like S3 synthesize
-    * directory statuses with mtime 0 — a constant token would memoize
-    * stale data forever). Callers fall back to per-scan enumeration. */
-  private[sources] def statusValidatable(
-      conf: org.apache.hadoop.conf.Configuration, path: String): Boolean = {
-    if (isGlobPath(path)) return false
+  /** One-RPC change token for `path` when a status probe is a USABLE
+    * change signal (dir mtime moves on child create/delete/rename; file
+    * mtime/len on rewrite), else None: globs (the literal pattern has no
+    * status), absent paths, and directories whose store reports no mtime
+    * (object stores like S3 synthesize directory statuses with mtime 0 —
+    * a constant token would memoize stale data forever). Validation and
+    * token come from the SAME getFileStatus call so a memo hit costs
+    * exactly one RPC. Callers fall back to per-scan enumeration on
+    * None. */
+  private[sources] def validatedPathToken(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String): Option[String] = {
+    if (isGlobPath(path)) return None
     val p = new org.apache.hadoop.fs.Path(path)
     try {
       val st = p.getFileSystem(conf).getFileStatus(p)
-      !(st.isDirectory && st.getModificationTime <= 0L)
-    } catch { case _: java.io.FileNotFoundException => false }
+      if (st.isDirectory && st.getModificationTime <= 0L) None
+      else Some(statusToken(st))
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Drop the memoized enumeration for `path` — called on relation
@@ -835,6 +862,14 @@ class BamSource extends RelationProvider with CreatableRelationProvider
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("BamSource requires a 'path' option"))
     val splitSize = parameters.getOrElse("splitSize", (64L << 20).toString).toLong
+    // Relation creation starts from a fresh enumeration (REFRESH TABLE
+    // contract — same hook as GraftBaseRelation). This lives HERE, not in
+    // the BamRelation constructor: TagKeyPruneRule builds keyed copies of
+    // the case class per optimized query, and a constructor-side
+    // invalidation would evict the memoized snapshot on every such copy —
+    // re-paying the O(files) enumeration the snapshot exists to remove
+    // (r15 review).
+    SourceUtil.invalidateSnapshot(path)
     BamRelation(ctx, path, splitSize)
   }
 
@@ -872,13 +907,24 @@ private[graft] case class BamRelation(ctx: SQLContext, path: String,
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
   override def sqlContext: SQLContext = ctx
   override val schema: StructType = BamSource.schema
-  // Relation creation starts from a fresh enumeration (REFRESH TABLE
-  // contract — same hook as GraftBaseRelation).
-  SourceUtil.invalidateSnapshot(path)
+  // NOTE: the REFRESH-contract snapshot invalidation lives in
+  // BamSource.createRelation, NOT here — TagKeyPruneRule copies this
+  // case class per query and a constructor-side invalidation would
+  // re-enumerate the directory on every optimized plan (r15 review).
   // Real file-size stats (see GraftBaseRelation.sizeInBytes: the DSv1
-  // default poisons join-side/broadcast decisions).
-  override lazy val sizeInBytes: Long =
-    SourceUtil.enumeratedSizeInBytes(ctx.sparkSession, path, super.sizeInBytes)
+  // default poisons join-side/broadcast decisions). Once-per-lifetime
+  // like a lazy val, but reset by insert() so stats track appends.
+  private val sizeCache =
+    new java.util.concurrent.atomic.AtomicReference[java.lang.Long]()
+  override def sizeInBytes: Long = {
+    val hit = sizeCache.get()
+    if (hit != null) hit.longValue()
+    else {
+      val v = SourceUtil.enumeratedSizeInBytes(ctx.sparkSession, path, super.sizeInBytes)
+      sizeCache.set(v)
+      v
+    }
+  }
   // The scan emits catalyst InternalRows directly (no Row→encoder
   // bridge on the per-record path).
   override def needConversion: Boolean = false
@@ -892,8 +938,14 @@ private[graft] case class BamRelation(ctx: SQLContext, path: String,
   // `outputformats/BAMOutputFormat.scala:9` + the fileformats docs'
   // IAS examples): append writes new shards under a fresh job tag.
   override def insert(data: org.apache.spark.sql.DataFrame,
-      overwrite: Boolean): Unit =
+      overwrite: Boolean): Unit = {
     SourceUtil.writeBam(data, path, overwrite)
+    // Deterministic freshness: drop the memoized enumeration and size
+    // stat rather than rely on the directory mtime moving (coarse-mtime
+    // filesystems can land the append inside the prior token's granule).
+    SourceUtil.invalidateSnapshot(path)
+    sizeCache.set(null)
+  }
 }
 
 object BamSource {
@@ -1509,8 +1561,10 @@ class SamSource extends RelationProvider with CreatableRelationProvider
     val path = parameters.getOrElse("path", sys.error("SamSource requires a 'path' option"))
     new GraftBaseRelation with InsertableRelation {
       override def insert(data: org.apache.spark.sql.DataFrame,
-          overwrite: Boolean): Unit =
+          overwrite: Boolean): Unit = {
         SourceUtil.writeSam(data, path, overwrite)
+        invalidateMemo() // freshness must not rest on mtime granularity
+      }
       override val sqlContext: SQLContext = ctx
       override protected def sourcePath: Option[String] = Some(path)
       override protected def frame(): DataFrame =

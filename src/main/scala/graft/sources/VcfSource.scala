@@ -69,8 +69,10 @@ class VcfSource extends org.apache.spark.sql.sources.RelationProvider
         VcfFormat.prunedFrameFor(ctx.sparkSession, path, mode, filters, typedGt)
           .getOrElse(unprunedFrame)
       // `INSERT INTO` over a VCF table: append writes new shards.
-      override def insert(data: DataFrame, overwrite: Boolean): Unit =
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
         VcfFormat.writeInferred(data, path, overwrite)
+        invalidateMemo() // freshness must not rest on mtime granularity
+      }
     }
   }
 
@@ -689,9 +691,14 @@ object VcfFormat {
           i.number match {
             case "A" => df.withColumn(s"info_${i.id}",
               get(col(s"info_${i.id}"), col("allele_idx") - 1))
+            // An ABSENT key stays null: without the guard, array(get(
+            // null,0), get(null,idx)) evaluates to a PRESENT [null,null]
+            // pair, diverging from Glow's split semantics where a missing
+            // INFO field remains missing on every split row (r15 review).
             case "R" => df.withColumn(s"info_${i.id}",
-              array(get(col(s"info_${i.id}"), lit(0)),
-                get(col(s"info_${i.id}"), col("allele_idx"))))
+              when(col(s"info_${i.id}").isNull, lit(null))
+                .otherwise(array(get(col(s"info_${i.id}"), lit(0)),
+                  get(col(s"info_${i.id}"), col("allele_idx")))))
             case _ => df
           }
         }

@@ -275,7 +275,7 @@ class PlanAuditSpec extends SparkSpec {
     * has); `newSession()` would inherit this harness's extensions object
     * and make the test vacuous. */
   test("Graft.ensure-only session plans count pushdown and the logical bin-range rewrite") {
-    val bare = org.apache.spark.sql.graft.ColumnBridge.bareSession(spark)
+    val bare = org.apache.spark.sql.graft.TestSessions.bareSession(spark)
     val classicBare = bare.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     assert(classicBare.experimental.extraStrategies.isEmpty &&
       classicBare.experimental.extraOptimizations.isEmpty,

@@ -122,6 +122,36 @@ class BcfFormatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("IDX") && e.getMessage.contains("AF"))
   }
 
+  test("an undeclared PASS takes index 0 under explicit IDX numbering") {
+    // htslib seeds the dictionary with PASS at IDX 0 and only writes IDX=
+    // lines for the REST, so a spec-valid foreign header can declare
+    // IDX=1..N and leave PASS implicit at 0. Previously PASS was pushed
+    // past the declared max (r15 review) and every PASS record threw
+    // 'FILTER dictionary index 0 out of range'.
+    val text = "##fileformat=VCFv4.3\n" +
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\",IDX=1>\n" +
+      "##INFO=<ID=AF,Number=A,Type=Float,Description=\"a\",IDX=2>\n"
+    val (strings, _) = BcfFormat.dictionaries(text)
+    assert(strings(0) === "PASS" && strings(1) === "DP" && strings(2) === "AF")
+    // ... but when 0 is explicitly taken, PASS falls past the max instead
+    // of colliding.
+    val taken = "##FILTER=<ID=q10,Description=\"q\",IDX=0>\n" +
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\",IDX=1>\n"
+    val (s2, _) = BcfFormat.dictionaries(taken)
+    assert(s2(0) === "q10" && s2(2) === "PASS")
+  }
+
+  test("a header mixing explicit IDX with implicit contig lines fails loudly") {
+    // Same all-or-none rule as the string dictionary: an implicit contig
+    // assigned appearance order can collide with an explicit IDX and
+    // silently rename every record on the shadowed contig (r15 review).
+    val text = "##fileformat=VCFv4.3\n" +
+      "##contig=<ID=chrA,IDX=1>\n" +
+      "##contig=<ID=chrB>\n"
+    val e = intercept[IllegalArgumentException](BcfFormat.dictionaries(text))
+    assert(e.getMessage.contains("IDX") && e.getMessage.contains("chrB"))
+  }
+
   test("foreign dictionary indexes and mis-sized records fail with position") {
     // Hand-assembled minimal record (spec §6.2 layout): CHROM 0, POS 41,
     // one allele 'A', FILTER = one int8 index.

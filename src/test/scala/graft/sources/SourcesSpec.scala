@@ -992,10 +992,12 @@ class SourcesSpec extends SparkSpec {
         |##INFO=<ID=AF,Number=A,Type=Float,Description="Allele frequency, per ALT">
         |##INFO=<ID=DB,Number=0,Type=Flag,Description="dbSNP membership">
         |##INFO=<ID=CSQ,Number=.,Type=String,Description="Consequence annotations">
+        |##INFO=<ID=AD,Number=R,Type=Integer,Description="Allelic depths">
         |##contig=<ID=chr7,length=159345973>
         |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
         |chr7	100	rs1	AC	T	50	PASS	DP=12;AF=0.5;DB;CSQ=missense,intron
         |chr7	200	rs2	A	T,G	60	PASS	DP=7;AF=0.25,0.125
+        |chr7	250	rs5	A	T,G	65	PASS	DP=9;AD=4,3,2
         |chr7	300	rs3	G	C	.	PASS	DP=.
         |""".stripMargin)
     spark.sql("DROP TABLE IF EXISTS vcf_typed_hdr")
@@ -1016,7 +1018,7 @@ class SourcesSpec extends SparkSpec {
     assert(rows(0).getSeq[Double](2) === Seq(0.5))
     assert(rows(0).getSeq[String](4) === Seq("missense", "intron"))
     assert(rows(1).getSeq[Double](2) === Seq(0.25, 0.125) && !rows(1).getBoolean(3))
-    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2), "'.' and absent keys are null")
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2), "'.' and absent keys are null")
 
     // split_and_normalize aligns Number=A arrays with the split alleles.
     spark.sql("DROP TABLE IF EXISTS vcf_typed_split")
@@ -1025,9 +1027,20 @@ class SourcesSpec extends SparkSpec {
                  |  normalizationMode 'split_and_normalize')""".stripMargin)
     val split = spark.table("vcf_typed_split")
       .filter(col("pos_start") === 200).orderBy("allele_idx")
-      .select("alt", "allele_idx", "info_AF").collect()
+      .select("alt", "allele_idx", "info_AF", "info_AD").collect()
     assert(split.map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq ===
       Seq(("T", 1, 0.25), ("G", 2, 0.125)))
+    // A MISSING Number=R key stays null on every split row — without the
+    // null guard the re-slice manufactured a present [null,null] pair
+    // (r15 review, Glow split semantics).
+    assert(split.forall(_.isNullAt(3)),
+      "absent Number=R INFO must stay null after allele splitting")
+    // And a PRESENT Number=R key re-slices to [ref, this allele].
+    val withAd = spark.table("vcf_typed_split")
+      .filter(col("pos_start") === 250).orderBy("allele_idx")
+      .select("alt", "allele_idx", "info_AD").collect()
+    assert(withAd.map(r => (r.getString(0), r.getSeq[Int](2))).toSeq ===
+      Seq(("T", Seq(4, 3)), ("G", Seq(4, 2))))
   }
 
   test("VCF typed genotypes: header-driven struct column follows per-row FORMAT") {
@@ -1760,6 +1773,68 @@ class SourcesSpec extends SparkSpec {
     spark.sql("REFRESH TABLE memo_gff")
     assert(spark.table("memo_gff").count() === 51)
     assert(SourceUtil.enumerationsPerformed.sum() > before)
+  }
+
+  test("tag-key pruning's relation copy does not re-enumerate the directory") {
+    // TagKeyPruneRule swaps in a KEYED copy of BamRelation per optimized
+    // query; the REFRESH-contract snapshot invalidation therefore lives in
+    // BamSource.createRelation, not the case-class constructor — a
+    // constructor-side invalidation would evict the memoized snapshot on
+    // every optimized plan and re-pay the O(files) enumeration the
+    // snapshot exists to remove (r15 review).
+    val p = s"$base/bam_copy_memo"
+    SourceUtil.writeBam(
+      Tables.readsMd(spark, sf0001).limit(100)
+        .withColumn("tags", map(lit("XS"), lit("i:1"))),
+      s"$p/sC.bam")
+    spark.sql("DROP TABLE IF EXISTS bam_copy_memo")
+    spark.sql(s"""CREATE TABLE bam_copy_memo USING graft.sources.BamSource
+                 |OPTIONS (path '$p/sC.bam')""".stripMargin)
+    // Cold: first query enumerates (schema + stats + scan).
+    assert(spark.table("bam_copy_memo")
+      .select(expr("element_at(tags, 'XS')")).count() === 100)
+    val before = SourceUtil.enumerationsPerformed.sum()
+    // Warm tag-pruned repeats: the rule copies the relation each time;
+    // stats and the scan must answer from the memoized snapshot.
+    (1 to 3).foreach { _ =>
+      assert(spark.table("bam_copy_memo")
+        .select(expr("element_at(tags, 'XS')")).count() === 100)
+    }
+    assert(SourceUtil.enumerationsPerformed.sum() === before,
+      "a tag-keyed relation copy must not re-enumerate an unchanged directory")
+  }
+
+  test("INSERT INTO freshness is deterministic, not mtime-granularity luck") {
+    // On coarse-mtime filesystems (1-2 s granularity) an append can land
+    // inside the same mtime granule as the prior read's change token, so
+    // a purely status-validated memo would silently serve the pre-insert
+    // file set. insert() must invalidate deterministically (r15 review).
+    // Simulated here by RESETTING the directory mtime to its pre-insert
+    // value after the append — the worst-case granule collision.
+    val p = s"$base/bam_insert_fresh/data.bam"
+    Tables.readsMd(spark, sf0001).limit(30).createOrReplaceTempView("ins_src")
+    spark.sql("DROP TABLE IF EXISTS bam_fresh")
+    val loc = new org.apache.hadoop.fs.Path(p)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
+    spark.sql(s"""CREATE TABLE bam_fresh USING graft.sources.BamSource
+                 |OPTIONS (path '$p')
+                 |AS SELECT sample_id, '*' AS qname, flag, contig, pos_start, pos_end,
+                 |  mapq, cigar, seq, qual_str, md_tag, CAST(NULL AS INT) AS tag_NM,
+                 |  CAST(NULL AS STRING) AS tag_RG,
+                 |  CAST(NULL AS MAP<STRING,STRING>) AS tags
+                 |FROM ins_src""".stripMargin)
+    assert(spark.table("bam_fresh").count() === 30)
+    val preStatus = fs.getFileStatus(loc)
+    spark.sql("""INSERT INTO bam_fresh
+                |SELECT sample_id, '*', flag, contig, pos_start, pos_end,
+                |  mapq, cigar, seq, qual_str, md_tag, CAST(NULL AS INT),
+                |  CAST(NULL AS STRING), CAST(NULL AS MAP<STRING,STRING>)
+                |FROM ins_src""".stripMargin)
+    // Freeze the change signal: restore the pre-insert directory mtime.
+    fs.setTimes(loc, preStatus.getModificationTime, preStatus.getAccessTime)
+    assert(spark.table("bam_fresh").count() === 60,
+      "post-insert read served the pre-insert file set under a frozen mtime")
   }
 
   test("REFRESH TABLE reaches the snapshot and parsed-index caches (in-place rewrite)") {
