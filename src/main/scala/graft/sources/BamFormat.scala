@@ -885,10 +885,30 @@ object BamFormat {
             done = true; in.close()
           } else {
             val blockSize = i32(buf, at(cursor))
+            // A structurally impossible size is a LOUD error, not a quiet
+            // stop: a negative size would move the cursor BACKWARD (an
+            // infinite loop serving the same garbage), and an undersized
+            // one silently desyncs the stream — the corrupt/foreign-input
+            // class the BCF framing audits catch (r15 review).
+            require(blockSize == 0 || (blockSize >= 32 && blockSize <= (1 << 24)),
+              s"BAM: implausible record size $blockSize at file offset " +
+              s"${blockOf(cursor)} (corrupt or desynced stream)")
             if (blockSize == 0 || !ensure(cursor + 4 + blockSize)) {
               done = true; in.close() // EOF terminator / truncation
             } else {
               val o0 = at(cursor) + 4
+              // Declared variable-length fields must fit the record BEFORE
+              // any field walk (the cigar walk in `passes` and the decode
+              // both trust them); long arithmetic so a hostile l_seq
+              // cannot overflow the comparison.
+              val lrn = u8(buf, o0 + 8)
+              val ncig = u16(buf, o0 + 12)
+              val lsq = i32(buf, o0 + 16)
+              require(lrn >= 1 && lsq >= 0 &&
+                32L + lrn + 4L * ncig + (lsq + 1L) / 2 + lsq <= blockSize,
+                s"BAM: record at file offset ${blockOf(cursor)} declares " +
+                s"l_read_name=$lrn n_cigar=$ncig l_seq=$lsq beyond its " +
+                s"block_size=$blockSize (corrupt or foreign input)")
               if (passes(buf, o0)) nextRec = decodeRecord(buf, o0, blockSize, spec)
               cursor += 4 + blockSize
             }
@@ -933,6 +953,14 @@ object BamFormat {
     val nextRefId = i32(data, o0 + 20)
     val nextPos0 = i32(data, o0 + 24)
     val tlen = i32(data, o0 + 28)
+    // Structural guard (long arithmetic so a hostile l_seq cannot
+    // overflow): the scan loop checks this too, but decodeRecord is also
+    // reached from the single-record reader — garbage lengths must fail
+    // loudly, not as a bare ArrayIndexOutOfBounds.
+    require(lReadName >= 1 && lSeq >= 0 &&
+      32L + lReadName + 4L * nCigar + (lSeq + 1L) / 2 + lSeq <= blockSize,
+      s"BAM: record declares l_read_name=$lReadName n_cigar=$nCigar " +
+      s"l_seq=$lSeq beyond its block_size=$blockSize (corrupt or foreign input)")
     var o = o0 + 32
     val qname =
       if (spec.name) new String(data, o, lReadName - 1, StandardCharsets.UTF_8) else null
@@ -1003,7 +1031,12 @@ object BamFormat {
           case 'f' => o += 4
           case 'Z' | 'H' =>
             val s = o
-            while (data(o) != 0) o += 1
+            // Bounded by the record: an unterminated string would
+            // otherwise walk into the NEXT record's bytes and render a
+            // silently-wrong value (r15 review).
+            while (o < limit && data(o) != 0) o += 1
+            require(o < limit,
+              s"BAM: unterminated $t1$t2:$vt tag runs past the record boundary")
             if (vt == 'Z') {
               if (spec.md && t1 == 'M' && t2 == 'D')
                 md = new String(data, s, o - s, StandardCharsets.UTF_8)
@@ -1015,9 +1048,16 @@ object BamFormat {
             val sub = data(o).toChar
             val count = i32(data, o + 1)
             val size = sub match { case 'c' | 'C' => 1; case 's' | 'S' => 2; case _ => 4 }
+            // Long arithmetic: a hostile count overflows `count * size`
+            // negative and would move the offset BACKWARD (infinite tag
+            // loop re-reading the same bytes).
+            require(count >= 0 && 5L + count.toLong * size <= (limit - o).toLong,
+              s"BAM: B-array tag $t1$t2 (count=$count) overruns the record boundary")
             o += 5 + count * size
           case other => sys.error(s"unknown BAM tag type '$other' for $t1$t2")
         }
+        require(o <= limit,
+          s"BAM: tag $t1$t2:$vt overruns the record boundary (corrupt or foreign record)")
         if (tmap != null) {
           // Per-key pruning: when the plan proved only literal-key
           // lookups touch the map, every other tag's value bytes are

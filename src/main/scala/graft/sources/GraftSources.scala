@@ -255,6 +255,19 @@ object SourceUtil {
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
+  /** Run an index-sidecar parse with a descriptive failure: a corrupt or
+    * truncated index (killed indexer job, partial copy, foreign producer)
+    * otherwise dies as a bare ArrayIndexOutOfBounds / NumberFormat error
+    * deep in the bin walk, hiding WHICH file needs re-indexing
+    * (r15 review — the error-quality twin of the BCF framing audits). */
+  private[sources] def parsingIndex[T](kind: String, path: Any)(body: => T): T =
+    try body catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"$kind index '$path' is corrupt or truncated — delete or " +
+          s"re-build it (${e.getClass.getSimpleName}: ${e.getMessage})", e)
+    }
+
   /** Drop the memoized enumeration for `path` — called on relation
     * creation so `REFRESH TABLE` (which re-resolves the relation)
     * reaches these caches like it reaches Spark's own listing cache. */
@@ -1202,7 +1215,8 @@ object BamSource {
                   val b = new Array[Byte](sz); in.readFully(0, b); b
                 } finally in.close()
               }
-              val refIdxs = BamFormat.BaiIndex.read(baiData)
+              val refIdxs =
+                SourceUtil.parsingIndex(".bai", bai)(BamFormat.BaiIndex.read(baiData))
               targets.flatMap { r =>
                 if (r < refIdxs.length)
                   BamFormat.BaiIndex.chunksFor(refIdxs(r), endFloor, startCap)
@@ -1220,7 +1234,8 @@ object BamSource {
                   buf.toByteArray
                 } finally in.close()
               }
-              val idx = BamFormat.CsiIndex.read(csiData)
+              val idx =
+                SourceUtil.parsingIndex(".csi", csiPath)(BamFormat.CsiIndex.read(csiData))
               val maxPos = 1L << (idx.minShift + idx.depth * 3)
               val startCap = math.min(math.min(sMax.toLong, eMax.toLong), maxPos - 1)
               val endFloor = math.max(math.max(sMin.toLong, eMin.toLong), 1L)
@@ -1290,10 +1305,12 @@ object BamSource {
     val rd = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(idx), java.nio.charset.StandardCharsets.UTF_8))
     val entries = try {
-      Iterator.continually(rd.readLine()).takeWhile(_ != null).filter(_.nonEmpty).map { line =>
-        val f = line.split('\t')
-        (f(0).toLong, f(1).toLong, f(2).toInt, f(3).toInt, f(4).toInt, f(5).toInt)
-      }.toVector
+      SourceUtil.parsingIndex(".gri range", idx) {
+        Iterator.continually(rd.readLine()).takeWhile(_ != null).filter(_.nonEmpty).map { line =>
+          val f = line.split('\t')
+          (f(0).toLong, f(1).toLong, f(2).toInt, f(3).toInt, f(4).toInt, f(5).toInt)
+        }.toVector
+      }
     } finally rd.close()
     if (entries.isEmpty) return None
     val startCap = math.min(sMax.toLong, eMax.toLong).toInt   // pos_start <= pos_end
@@ -1436,18 +1453,19 @@ object CramSource {
           if (fs.exists(gci)) {
             val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
               fs.open(gci), java.nio.charset.StandardCharsets.UTF_8))
-            try Iterator.continually(rd.readLine()).takeWhile(_ != null)
-              .filter(_.nonEmpty).map { l =>
-                val f = l.split('\t')
-                (f(0).toLong, f(1).toInt, f(2).toInt, f(3).toInt, f(4).toInt)
-              }.toVector
-            finally rd.close()
+            try SourceUtil.parsingIndex(".gci container", gci) {
+              Iterator.continually(rd.readLine()).takeWhile(_ != null)
+                .filter(_.nonEmpty).map { l =>
+                  val f = l.split('\t')
+                  (f(0).toLong, f(1).toInt, f(2).toInt, f(3).toInt, f(4).toInt)
+                }.toVector
+            } finally rd.close()
           } else if (fs.exists(crai)) {
             val sz = fs.getFileStatus(crai).getLen.toInt
             val b = new Array[Byte](sz)
             val in = fs.open(crai)
             try in.readFully(0, b) finally in.close()
-            CramFormat.craiContainers(b)
+            SourceUtil.parsingIndex(".crai", crai)(CramFormat.craiContainers(b))
           } else CramFormat.containerIndex(read, len, firstData)
         val containers = entries
           .filter { case (_, refId, start, span, nRec) =>

@@ -383,12 +383,14 @@ object VcfFormat {
     val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(idxSt.getPath), StandardCharsets.UTF_8))
     val all = try {
-      Iterator.continually(rd.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty).map { l =>
-          val f = l.split('\t')
-          (f(0).toLong, f(1).toInt, f(2).toInt, f(4),
-            if (f.length > 5) f(5).toInt else 0)
-        }.toVector
+      SourceUtil.parsingIndex(".gvi member", key) {
+        Iterator.continually(rd.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).map { l =>
+            val f = l.split('\t')
+            (f(0).toLong, f(1).toInt, f(2).toInt, f(4),
+              if (f.length > 5) f(5).toInt else 0)
+          }.toVector
+      }
     } finally rd.close()
     if (gviCache.size > 4096) gviCache.clear()
     gviCache.put(key, (tok, all))
@@ -403,19 +405,22 @@ object VcfFormat {
     val hit = tabixCache.get(key)
     if (hit != null && hit._1 == tok) return hit._2
     // Both index containers are themselves BGZF and small (KBs of bins
-    // per GB of data) — inflate whole on the driver.
-    val data = {
-      val in = fs.open(idxSt.getPath)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        BamFormat.bgzfMembers(in, idxSt.getLen, 0L)
-          .foreach { case (_, b) => buf.write(b) }
-        buf.toByteArray
-      } finally in.close()
-    }
+    // per GB of data) — inflate whole on the driver. The wrapper covers
+    // inflation too: a half-copied index dies in the BGZF layer.
     val parsed: Either[BamFormat.TbiIndex.Tbi, BamFormat.CsiIndex.Csi] =
-      if (isCsi) Right(BamFormat.CsiIndex.read(data))
-      else Left(BamFormat.TbiIndex.read(data))
+      SourceUtil.parsingIndex(if (isCsi) ".csi" else ".tbi", idxSt.getPath) {
+        val data = {
+          val in = fs.open(idxSt.getPath)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            BamFormat.bgzfMembers(in, idxSt.getLen, 0L)
+              .foreach { case (_, b) => buf.write(b) }
+            buf.toByteArray
+          } finally in.close()
+        }
+        if (isCsi) Right(BamFormat.CsiIndex.read(data))
+        else Left(BamFormat.TbiIndex.read(data))
+      }
     if (tabixCache.size > 4096) tabixCache.clear()
     tabixCache.put(key, (tok, parsed))
     parsed

@@ -367,4 +367,57 @@ class BamFormatSpec extends AnyFunSuite {
     intercept[RuntimeException](BamFormat.encodeTag("XU", "i:4294967296"))
     intercept[RuntimeException](BamFormat.encodeTag("XU", "i:-2147483649"))
   }
+
+  test("corrupt/foreign records fail loudly, never desync or loop") {
+    // Hand-assembled malformed records (r15 review — the same
+    // foreign-input hardening class as the BCF framing audits): declared
+    // lengths beyond block_size, an unterminated Z tag, and a hostile
+    // B-array count that would overflow the offset arithmetic backward.
+    def stream(record: ByteBuffer => Unit, blockSize: Int): BamFormat.BamReader = {
+      val body = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
+      body.put("BAM".getBytes); body.put(1.toByte)
+      val text = "@HD\tVN:1.6\n".getBytes("UTF-8")
+      body.putInt(text.length); body.put(text)
+      body.putInt(1) // n_ref
+      body.putInt(3); body.put("c1".getBytes); body.put(0.toByte); body.putInt(1000)
+      body.putInt(blockSize)
+      record(body)
+      val raw = java.util.Arrays.copyOf(body.array(), body.position())
+      val bos = new ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      new BamFormat.BamReader(new ByteArrayInputStream(bos.toByteArray))
+    }
+    def fixed(bb: ByteBuffer, lReadName: Int, nCigar: Int, lSeq: Int): Unit = {
+      bb.putInt(0); bb.putInt(4) // refID, pos
+      bb.put(lReadName.toByte); bb.put(30.toByte); bb.putShort(4681.toShort)
+      bb.putShort(nCigar.toShort); bb.putShort(16.toShort)
+      bb.putInt(lSeq)
+      bb.putInt(-1); bb.putInt(-1); bb.putInt(0)
+    }
+    // 1. l_read_name = 0 (spec minimum is 1: the NUL).
+    val e1 = intercept[IllegalArgumentException] {
+      stream(bb => { fixed(bb, 0, 0, 0); bb.put(Array.fill[Byte](8)(0)) }, 40).next()
+    }
+    assert(e1.getMessage.contains("l_read_name=0"))
+    // 2. Declared l_seq overruns block_size.
+    val e2 = intercept[IllegalArgumentException] {
+      stream(bb => { fixed(bb, 3, 0, 500); bb.put("r1".getBytes); bb.put(0.toByte)
+        bb.put(Array.fill[Byte](5)(0)) }, 40).next()
+    }
+    assert(e2.getMessage.contains("l_seq=500") && e2.getMessage.contains("block_size=40"))
+    // 3. Z tag with no NUL before the record boundary.
+    val e3 = intercept[IllegalArgumentException] {
+      stream(bb => { fixed(bb, 3, 0, 0); bb.put("r1".getBytes); bb.put(0.toByte)
+        bb.put("MD".getBytes); bb.put('Z'.toByte); bb.put("xx".getBytes) }, 40).next()
+    }
+    assert(e3.getMessage.contains("unterminated"))
+    // 4. B-array count that overflows `count * size` negative.
+    val e4 = intercept[IllegalArgumentException] {
+      stream(bb => { fixed(bb, 3, 0, 0); bb.put("r1".getBytes); bb.put(0.toByte)
+        bb.put("XB".getBytes); bb.put('B'.toByte); bb.put('i'.toByte)
+        bb.putInt(0x40000001) }, 43).next()
+    }
+    assert(e4.getMessage.contains("B-array"))
+  }
 }

@@ -1804,6 +1804,39 @@ class SourcesSpec extends SparkSpec {
       "a tag-keyed relation copy must not re-enumerate an unchanged directory")
   }
 
+  test("a corrupt index sidecar fails by NAME, not a bare decode error") {
+    // A truncated/garbage index (killed indexer job, partial copy) used
+    // to die as a bare NumberFormat/ArrayIndexOutOfBounds deep in the bin
+    // walk, hiding which file needs re-indexing (r15 review).
+    val p = s"$base/bam_badidx"
+    SourceUtil.writeBam(
+      Tables.readsMd(spark, sf0001).limit(50), s"$p/sI.bam")
+    // Corrupt the .gri: truncate a line mid-field.
+    val gri = java.nio.file.Files.list(Paths.get(s"$p/sI.bam")).iterator()
+    var corrupted = 0
+    while (gri.hasNext) {
+      val f = gri.next()
+      if (f.toString.endsWith(".gri")) {
+        Files.writeString(f, "12\t0\tnot_a_number\n")
+        corrupted += 1
+      }
+    }
+    assert(corrupted > 0, "fixture wrote no .gri sidecar")
+    spark.sql("DROP TABLE IF EXISTS bam_badidx")
+    spark.sql(s"""CREATE TABLE bam_badidx USING graft.sources.BamSource
+                 |OPTIONS (path '$p/sI.bam')""".stripMargin)
+    val e = intercept[Exception] {
+      spark.table("bam_badidx")
+        .filter(col("contig") === "1" && col("pos_start").between(10, 20))
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("corrupt or truncated") && m.contains(".gri")),
+      s"expected a named index error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("INSERT INTO freshness is deterministic, not mtime-granularity luck") {
     // On coarse-mtime filesystems (1-2 s granularity) an append can land
     // inside the same mtime granule as the prior read's change token, so
