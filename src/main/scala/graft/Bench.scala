@@ -69,6 +69,7 @@ object Bench {
       operators.EmbeddingOps.exactTopK(emb, q, 2).count()
       operators.EmbeddingOps.ivfTopK(emb, q, 2).count()
       operators.EmbeddingOps.lshTopK(emb, q, 2).count()
+      operators.EmbeddingOps.pqTopK(emb, q, 2).count()
       val a = Tables.ivA(spark, sfDir).limit(2000)
       val b = Tables.ivB(spark, sfDir).limit(500)
       a.join(b, a("contig") === b("contig") &&

@@ -252,6 +252,33 @@ class GraftSession(val spark: SparkSession) {
     EmbeddingOps.ivfTopKWith(centroids, assigned, corpus, queries, k, nProbe)
   }
 
+  /** PQ/ADC approximate cosine top-k (subspace codebooks, asymmetric
+    * distance candidate scan over m-byte codes, exact re-rank). */
+  def similarityTopKPq(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    EmbeddingOps.pqTopK(corpus, queries, k)
+
+  /** IVF-PQ approximate cosine top-k — the composed production shape
+    * (probed-lists fraction × m-byte ADC scan × small exact pool). */
+  def similarityTopKIvfPq(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    EmbeddingOps.ivfPqTopK(corpus, queries, k)
+
+  /** Train the PQ index once and persist it (codebooks + encoded corpus)
+    * under `path` — the PQ twin of [[ivfTrain]]. */
+  def pqTrain(corpus: DataFrame, path: String, m: Int = 16,
+      codes: Int = 32, iters: Int = 3): Unit = {
+    val books = EmbeddingOps.pqCodebooks(corpus, m, codes, iters)
+    EmbeddingOps.savePqIndex(spark, books, EmbeddingOps.pqEncode(corpus, books), path)
+  }
+
+  /** Serve PQ top-k strictly from a persisted index ([[pqTrain]]'s
+    * artifacts): no training pass, no corpus re-encode — only the query
+    * batch's ADC tables are computed. */
+  def similarityTopKPqServed(corpus: DataFrame, queries: DataFrame, k: Int,
+      path: String, rerankFactor: Int = 8): DataFrame = {
+    val (books, encoded) = EmbeddingOps.loadPqIndex(spark, path)
+    EmbeddingOps.pqTopKWith(books, encoded, corpus, queries, k, rerankFactor)
+  }
+
   /** Train a BPE subword tokenizer (distributed Sennrich merges over the
     * compressed word-frequency table) → merge table
     * (rank, left, right, merged, pair_freq). */

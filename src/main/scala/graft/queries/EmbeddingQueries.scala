@@ -44,6 +44,19 @@ private[queries] object ServeIndexCache {
     })
 }
 
+/** [[ServeIndexCache]]'s PQ twin: train + encode + persist once per JVM
+  * per scale dir, so the benched serve number times the probe-only path. */
+private[queries] object PqServeCache {
+  private val paths = scala.collection.concurrent.TrieMap.empty[String, String]
+  def indexFor(s: SparkSession, dir: String,
+      corpus: org.apache.spark.sql.DataFrame): String =
+    paths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+      new graft.GraftSession(s).pqTrain(corpus, p)
+      p
+    })
+}
+
 object EmbeddingQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -118,6 +131,36 @@ object EmbeddingQueries {
     // identical to global brute force in DedupAnnSpec.
     "ann_semdedup" -> { (s, dir) =>
       EmbeddingOps.semDedup(Tables.embeddings(s, dir), threshold = 0.4)
+    },
+    // PQ/ADC top-k (Jégou et al. 2011): m=16 subspace codebooks of 32
+    // codes trained by the deterministic fixed-point Lloyd (L2 on
+    // normalized subvector slices), corpus encoded to 16 code ids,
+    // candidates by ADC table lookups folded in subspace order, exact
+    // top-3 re-rank of the top-24 pool. Oracle-checked: the pqTopKOracle
+    // CTE chain replays training, encoding, ADC, and re-rank bit-for-bit
+    // (its SQL hardcodes m=16/codes=32/pool=24 — keep in sync).
+    "ann_pq_topk" -> { (s, dir) =>
+      val (corpus, queries) = split(s, dir)
+      EmbeddingOps.pqTopK(corpus, queries, k = 3, m = 16, codes = 32,
+        rerankFactor = 8)
+    },
+    // The PQ serve lifecycle: train + encode once, persist (codebooks +
+    // m-byte codes), answer strictly from the reloaded artifacts — no
+    // training pass, no corpus re-encode on the serve side. Shares the
+    // pqTopKOracle (doubles/ints round-trip parquet exactly); served ==
+    // in-memory additionally asserted in DedupAnnSpec.
+    "ann_pq_served" -> { (s, dir) =>
+      val (corpus, queries) = split(s, dir)
+      val path = PqServeCache.indexFor(s, dir, corpus)
+      new graft.GraftSession(s).similarityTopKPqServed(corpus, queries, 3, path)
+    },
+    // IVF-PQ: the composed production shape (probed lists bound the
+    // candidates, ADC over m-byte codes ranks them, exact top-3 re-rank
+    // of the top-24 pool). Oracle replays both quantizers' training and
+    // the composition bit-for-bit.
+    "ann_ivfpq_topk" -> { (s, dir) =>
+      val (corpus, queries) = split(s, dir)
+      EmbeddingOps.ivfPqTopK(corpus, queries, k = 3)
     })
 
   /** Exact SQL mirror of [[graft.functions.CosineSimilarity]]: the same
@@ -299,7 +342,117 @@ object EmbeddingQueries {
        |SELECT e.vec_id, (d.vec_id IS NOT NULL) AS is_dup
        |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id""".stripMargin
 
+  // ---- PQ oracle: bit-exact replay of EmbeddingOps.pqCodebooks /
+  // pqEncode / pqTopK with m=16, codes=32, iters=3, k=3, rerankFactor=8.
+  // Same determinism levers as the IVF chain: seedOrderHash sample,
+  // fixed-point Lloyd sums, sequential list_reduce folds matching every
+  // engine while-loop, ROW_NUMBER tie-breaks matching the strict-<
+  // scans. Subspace s covers emb[(s*dim)//16 + 1 .. ((s+1)*dim)//16]
+  // (1-based inclusive DuckDB slice = the engine's [s·dim/m, (s+1)·dim/m)). ----
+
+  /** Squared-L2 SQL mirror of pqNearest's fold: `((0+d0²)+d1²)+…`. */
+  private def l2Sql(a: String, b: String): String =
+    s"list_reduce([CAST(0.0 AS DOUBLE)] || " +
+      s"[($a[t] - $b[t]) * ($a[t] - $b[t]) for t in generate_series(1, len($a))], " +
+      "(x, y) -> x + y)"
+
+  /** Dot-product SQL mirror of the ADC table / partial fold. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce([CAST(0.0 AS DOUBLE)] || " +
+      s"[$a[t] * $b[t] for t in generate_series(1, len($a))], (x, y) -> x + y)"
+
+  /** Nearest-code assignment on subvectors: every (vec, s) row of `src`
+    * gets its best code of `cents` (L2 ASC, code ASC — pqNearest's
+    * strict-< scan). */
+  private def pqAssignCte(name: String, cents: String, src: String = "sub",
+      idCol: String = "vec_id"): String =
+    s"""$name AS (SELECT $idCol, s, v, code FROM (
+       |  SELECT $src.vec_id AS $idCol, $src.s, $src.v, c.code,
+       |    ROW_NUMBER() OVER (PARTITION BY $src.vec_id, $src.s
+       |      ORDER BY ${l2Sql(s"$src.v", "c.cent")} ASC, c.code ASC) AS rn
+       |  FROM $src JOIN $cents c USING (s)) WHERE rn = 1)""".stripMargin
+
+  /** One PQ Lloyd update: fixed-point sums per (s, code, coordinate),
+    * identical mean divide, empty codes keep their previous centroid. */
+  private def pqUpdateCte(n: Int, prev: String, asg: String): String =
+    s"""ps$n AS (SELECT s, code, t.i,
+       |  CAST(SUM(CAST(FLOOR(v[t.i] * $FixedS + 0.5) AS BIGINT)) AS BIGINT) AS sf, COUNT(*) AS cnt
+       |  FROM $asg, (SELECT unnest(generate_series(1,
+       |    (SELECT len(emb) FROM e LIMIT 1))) AS i) t
+       |  WHERE t.i <= len(v)
+       |  GROUP BY s, code, t.i),
+       |pm$n AS (SELECT s, code, list(CAST(sf AS DOUBLE) / (CAST(cnt AS DOUBLE) * $FixedS) ORDER BY i) AS cent
+       |  FROM ps$n GROUP BY s, code),
+       |p$n AS (SELECT p.s, p.code, COALESCE(m.cent, p.cent) AS cent
+       |  FROM $prev p LEFT JOIN pm$n m USING (s, code))""".stripMargin
+
+  /** The PQ training/encode/ADC/candidate CTE chain (`en` … `cand`),
+    * shared by the standalone and the IVF-PQ-composed oracles. Assumes an
+    * `e` CTE is already in scope. `partExtra` restricts the ADC scan to a
+    * prior candidate CTE (IVF-PQ probes); empty = whole corpus. */
+  private def pqCtes(partExtra: String = ""): String = {
+    val seedH = "(1597334677*((vec_id+1)%2147483647))%2147483647"
+    val steps = (1 to 3).map { it =>
+      pqAssignCte(s"pa$it", s"p${it - 1}") + ",\n" + pqUpdateCte(it, s"p${it - 1}", s"pa$it")
+    }.mkString(",\n")
+    s"""-- PQ trains/encodes the L2-NORMALIZED corpus (pqNormalize: the
+       |-- same sequential square-sum fold; an all-zero vector stays zero)
+       |en AS (SELECT vec_id, CASE WHEN nq = 0.0 THEN emb
+       |    ELSE [emb[t] / sqrt(nq) for t in generate_series(1, len(emb))] END AS emb
+       |  FROM (SELECT vec_id, emb, list_reduce([CAST(0.0 AS DOUBLE)] ||
+       |    [emb[t] * emb[t] for t in generate_series(1, len(emb))], (x, y) -> x + y) AS nq
+       |    FROM e)),
+       |sub AS (SELECT vec_id, ss.s,
+       |  emb[(ss.s * len(emb)) // 16 + 1 : ((ss.s + 1) * len(emb)) // 16] AS v
+       |  FROM en CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) ss),
+       |seed AS (SELECT vec_id,
+       |  ROW_NUMBER() OVER (ORDER BY $seedH, vec_id) - 1 AS code
+       |  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY $seedH, vec_id) <= 32),
+       |p0 AS (SELECT sub.s, seed.code, sub.v AS cent
+       |  FROM sub JOIN seed USING (vec_id)),
+       |$steps,
+       |${pqAssignCte("enc", "p3", idCol = "c_id")},
+       |-- the QUERY stays full-precision and raw (per-query positive
+       |-- scaling cannot change its candidate ranking)
+       |qsub AS (SELECT vec_id AS q_id, ss.s,
+       |  emb[(ss.s * len(emb)) // 16 + 1 : ((ss.s + 1) * len(emb)) // 16] AS v
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) ss
+       |  WHERE vec_id < 20),
+       |part AS (SELECT q.q_id, enc.c_id, q.s, ${dotSql("q.v", "c.cent")} AS p
+       |  FROM qsub q JOIN enc ON q.s = enc.s AND q.q_id <> enc.c_id
+       |  $partExtra
+       |  JOIN p3 c ON c.s = enc.s AND c.code = enc.code),
+       |score AS (SELECT q_id, c_id,
+       |  list_reduce([CAST(0.0 AS DOUBLE)] || list(p ORDER BY s), (x, y) -> x + y) AS ascore
+       |  FROM part GROUP BY q_id, c_id),
+       |cand AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ascore DESC, c_id) AS rn
+       |  FROM score) WHERE rn <= 24)""".stripMargin
+  }
+
+  private[queries] val pqTopKOracle: String =
+    s"""WITH $plainE,
+       |${pqCtes()},
+       |$ivfRerankTail""".stripMargin
+
+  /** ann_ivfpq_topk replay: the IVF chain bounds candidates to the
+    * probed lists (soft assignment replicas=2, nProbe=6 — identical to
+    * ann_ivf_topk), the PQ chain ranks ONLY those by ADC, top-24 per
+    * query, exact top-3 re-rank. */
+  private[queries] val ivfPqTopKOracle: String =
+    s"""WITH ${centroidChain(plainE)},
+       |${assignCte("asg", "c3", rnMax = 2, idCol = "c_id")},
+       |qv AS (SELECT vec_id, emb FROM e WHERE vec_id < 20),
+       |${assignCte("probes", "c3", src = "qv", rnMax = 6, idCol = "q_id")},
+       |cand0 AS (SELECT DISTINCT p.q_id, a.c_id FROM probes p JOIN asg a USING (list)
+       |  WHERE p.q_id <> a.c_id),
+       |${pqCtes("JOIN cand0 ON cand0.q_id = q.q_id AND cand0.c_id = enc.c_id")},
+       |$ivfRerankTail""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_pq_topk" -> pqTopKOracle,
+    "ann_pq_served" -> pqTopKOracle,
+    "ann_ivfpq_topk" -> ivfPqTopKOracle,
     "ann_ivf_topk" -> ivfTopKOracle,
     "ann_ivf_served" -> ivfTopKOracle,
     "ann_ivf_quantized" -> ivfQuantizedOracle,

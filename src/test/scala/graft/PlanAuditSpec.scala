@@ -5,13 +5,22 @@ import org.apache.spark.sql.execution.SparkPlan
 
 /** Plan audit across every registered query: no accidental cartesian
   * products or nested-loop joins — the plans that would die at 100x data.
-  * `ann_topk` is the one sanctioned exception: brute-force cosine is
-  * *defined* as broadcast-nested-loop over the query set (the exact
-  * baseline the LSH path is measured against).
+  * Sanctioned exceptions, all scans against the broadcast-gated query
+  * set (never corpus × corpus):
+  *  - `ann_topk`: brute-force cosine is *defined* as
+  *    broadcast-nested-loop over the query set (the exact baseline the
+  *    LSH path is measured against);
+  *  - `ann_pq_topk` / `ann_pq_served`: the ADC candidate stage is
+  *    *defined* as scoring every corpus CODE row (m small ints, not the
+  *    embedding) against each broadcast query's lookup table — linear in
+  *    the corpus like any scan, and the partial WindowGroupLimit bounds
+  *    the shuffle to O(partitions · queries · pool) before the exchange
+  *    (visible in the plan). The IVF-PQ composition is NOT sanctioned:
+  *    its candidates come from equi-joins on the probed lists.
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private val nestedLoopAllowed = Set("ann_topk")
+  private val nestedLoopAllowed = Set("ann_topk", "ann_pq_topk", "ann_pq_served")
 
   private def treeStrings(p: SparkPlan): Seq[String] = {
     val self = p.toString

@@ -120,6 +120,76 @@ class DedupAnnSpec extends SparkSpec {
     assert(sizes.max <= 4 * mean, s"max list ${sizes.max} vs mean $mean")
   }
 
+  test("PQ/ADC recall against the exact baseline; codebooks stay in use") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = EmbeddingOps.exactTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = EmbeddingOps.pqTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"PQ top-k recall: $recall")
+    // 16 subspaces x 32 codes over dim 64 (4 dims/sub), ADC ordering +
+    // 8x rerank pool: measured 0.95 on this corpus (the sweep that chose
+    // the defaults: m=4 was 0.32-0.58 across pools — near-random unit
+    // vectors need fine subspaces before ADC carries signal).
+    assert(recall >= 0.8, s"recall $recall")
+    assert(pq.map(_._1).size === 20, "every query answered")
+
+    // Codebook quality: most codes of every subspace should quantize a
+    // non-trivial share of the corpus (a collapsed codebook means the
+    // Lloyd refinement degenerated to a couple of live codes and ADC
+    // scores carry ~no information).
+    val books = EmbeddingOps.pqCodebooks(emb)
+    assert(books.length === 16 && books.forall(_.length === 32))
+    assert(books.forall(_.forall(_.length === 4))) // dim 64 / m 16
+    val codeUse = EmbeddingOps.pqEncode(emb, books)
+      .selectExpr("explode(pqcodes) AS c").groupBy("c").count()
+      .collect().map(r => r.getLong(1))
+    info(s"PQ live codes: ${codeUse.length}/32 (per-subspace union)")
+    assert(codeUse.length >= 24, s"only ${codeUse.length} of 32 codes in use")
+
+    // Determinism: retraining on the same corpus is bit-identical (the
+    // fixed-point Lloyd contract the oracle replay depends on).
+    val again = EmbeddingOps.pqCodebooks(emb)
+    assert(books.zip(again).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
+
+  test("PQ index persists: reloaded codebooks + codes answer identically") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val books = EmbeddingOps.pqCodebooks(emb)
+    val encoded = EmbeddingOps.pqEncode(emb, books)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/idx"
+    EmbeddingOps.savePqIndex(spark, books, encoded, path)
+    val (rb, re) = EmbeddingOps.loadPqIndex(spark, path)
+    // Doubles and ints round-trip parquet exactly — the reloaded index is
+    // the same model.
+    assert(rb.length === books.length)
+    assert(rb.zip(books).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val direct = rows(EmbeddingOps.pqTopKWith(books, encoded, emb, queries, 3))
+    val served = rows(EmbeddingOps.pqTopKWith(rb, re, emb, queries, 3))
+    assert(served === direct, "serve-from-artifact must answer identically")
+  }
+
+  test("IVF-PQ composition recall against the exact baseline") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = EmbeddingOps.exactTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = EmbeddingOps.ivfPqTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    info(s"IVF-PQ top-k recall: $recall")
+    // Bounded by both stages' recall (IVF ~0.9+, PQ-over-probed ~0.95).
+    assert(recall >= 0.75, s"recall $recall")
+    assert(ivfpq.map(_._1).size === 20, "every query answered")
+  }
+
   test("IVF quantizer persists: reloaded centroids answer identically") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 20)
