@@ -628,11 +628,28 @@ object EmbeddingOps {
   }
 
   /** The ADC score expression over (`pqcodes`, `adc`) columns. */
-  private def pqScore: Column =
+  private[graft] def pqScore: Column =
     aggregate(
       zip_with(col("pqcodes"), col("adc"),
         (c, table) => element_at(table, c + lit(1))),
       lit(0.0), (acc, x) => acc + x)
+
+  /** One query's ADC lookup tables: `adc(s)(code)` = the query's
+    * subvector-s dot with that code's centroid — `m·codes` sequential
+    * dots of dim/m doubles (the fold `list_reduce` replays). */
+  private[graft] def pqAdcTable(qv: Array[Double],
+      books: Array[Array[Array[Double]]]): Seq[Seq[Double]] = {
+    val m = books.length
+    val bounds = pqStarts(qv.length, m)
+    Seq.tabulate(m) { si =>
+      val st = bounds(si)
+      books(si).toSeq.map { cent =>
+        var x = 0.0; var t = 0
+        while (t < cent.length) { x += qv(st + t) * cent(t); t += 1 }
+        x
+      }
+    }
+  }
 
   /** Per-query ADC tables, computed once on the driver: `m·codes` dots
     * of dim/m doubles per query — O(queries · codes · dim), independent
@@ -641,22 +658,11 @@ object EmbeddingOps {
       books: Array[Array[Array[Double]]]): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val m = books.length
-    val qs: Array[(Long, Array[Double])] = queries
+    queries
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .as[(Long, Seq[Double])].collect().map { case (id, e) => (id, e.toArray) }
-    qs.map { case (qid, qv) =>
-      val bounds = pqStarts(qv.length, m)
-      val adc: Seq[Seq[Double]] = Seq.tabulate(m) { si =>
-        val st = bounds(si)
-        books(si).toSeq.map { cent =>
-          var x = 0.0; var t = 0
-          while (t < cent.length) { x += qv(st + t) * cent(t); t += 1 }
-          x
-        }
-      }
-      (qid, adc)
-    }.toSeq.toDF("q_id", "adc")
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, e) => (id, pqAdcTable(e.toArray, books)) }
+      .toSeq.toDF("q_id", "adc")
   }
 
   /** Persist the trained PQ index — codebooks (small, one file) + the
@@ -700,9 +706,22 @@ object EmbeddingOps {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 0, nProbe: Int = 6, m: Int = 16, codes: Int = 32,
       iters: Int = 3, rerankFactor: Int = 8): DataFrame = {
-    requireBroadcastable(queries, "ivfPqTopK query set")
     val (centroids, assigned) = ivfIndex(corpus, nLists, iters)
     val books = pqCodebooks(corpus, m, codes, iters)
+    ivfPqTopKWith(centroids, assigned, books, pqEncode(corpus, books),
+      corpus, queries, k, nProbe, rerankFactor)
+  }
+
+  /** Probe-only IVF-PQ query against already-trained artifacts — the
+    * serve shape of the composition: both quantizers are pure functions
+    * of the corpus, trained and persisted once ([[saveIndex]] +
+    * [[savePqIndex]]); every query batch touches only the probed lists'
+    * m-byte codes plus the top pool's full vectors. */
+  def ivfPqTopKWith(centroids: Array[Array[Double]], assigned: DataFrame,
+      books: Array[Array[Array[Double]]], encoded: DataFrame,
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = 6, rerankFactor: Int = 8): DataFrame = {
+    requireBroadcastable(queries, "ivfPqTopK query set")
     val probes = assignLists(
       queries.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
       "q_id", centroids, nProbe)
@@ -711,7 +730,7 @@ object EmbeddingOps {
       .select(col("q_id"), col("c_id"))
       .dropDuplicates("q_id", "c_id")
     val qdf = broadcast(pqAdcFrame(queries, books))
-    val scored = cand0.join(pqEncode(corpus, books), "c_id").join(qdf, "q_id")
+    val scored = cand0.join(encoded, "c_id").join(qdf, "q_id")
       .select(col("q_id"), col("c_id"), pqScore.as("ascore"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("ascore").desc, col("c_id").asc)
     val pruned = scored.withColumn("arank", row_number().over(w))

@@ -62,6 +62,21 @@ object StreamingQueries {
       StreamingOps.similarStreamIvf(vecs, path, emb, k = 3)
         .select(col("vec_id"), col("rank"), col("neighbor_id"))
     },
+    // Streaming IVF-PQ serve kernel on a batch frame: both quantizers
+    // train once and persist; the per-batch scan touches only the probed
+    // lists' m-int codes, then the ADC pool's full vectors. Shares the
+    // composed deterministic oracle with ann_ivfpq_topk; MemoryStream
+    // equality against the batch artifact path is asserted in
+    // StreamingSpec.
+    "stream_ann_ivfpq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val vecs = emb.filter(col("vec_id") < 20)
+        .withColumn("ts", timestamp_seconds(col("vec_id") + lit(1700000000L)))
+      val ivfPath = ServeIndexCache.indexFor(s, dir, emb)
+      val pqPath = PqServeCache.indexFor(s, dir, emb)
+      StreamingOps.similarStreamIvfPq(vecs, ivfPath, pqPath, emb, k = 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"))
+    },
     // Stream-static interval annotation: the same flatMap-over-broadcast-
     // forest kernel the streaming query runs, on a batch reads frame —
     // the oracle is the exhaustive overlap join. ts (a deterministic
@@ -164,6 +179,7 @@ object StreamingQueries {
     // row for row, so it shares the deterministic-Lloyd replay oracle
     // (see EmbeddingQueries.ivfTopKOracle).
     "stream_ann_ivf" -> EmbeddingQueries.ivfTopKOracle,
+    "stream_ann_ivfpq" -> EmbeddingQueries.ivfPqTopKOracle,
     // Exhaustive verdict: best exact 3-shingle Jaccard per stream doc
     // against the whole base, dup iff best ≥ 0.6, tie-break lowest base
     // id — the gate's (jac desc, id asc) ordering. NULLIF guards the

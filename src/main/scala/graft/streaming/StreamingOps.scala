@@ -269,6 +269,106 @@ object StreamingOps {
       }.toDF("vec_id", "ts", "rank", "neighbor_id", "sim")
   }
 
+  /** Streaming ANN serve from persisted IVF + PQ artifacts — the
+    * composed production shape on a stream: the broadcast IVF quantizer
+    * assigns each micro-batch query to its `nProbe` lists AND the
+    * broadcast PQ codebooks give it an ADC lookup table (both
+    * model-sized — the only driver-resident pieces); candidates come
+    * from stream-static EQUI-joins (probed lists, then the encoded
+    * corpus's m-int codes), the ADC prune keeps the top `k·rerankFactor`
+    * per query through a hash exchange + bounded heap, and only that
+    * pool's full vectors are touched for the exact re-rank (a second
+    * equi-join + bounded heap). Append-mode safe, no stateful
+    * aggregation; per-batch cost is probe-fraction × m bytes/vector for
+    * the scan plus pool-sized exact work — the same multiplied
+    * reductions as the batch [[EmbeddingOps.ivfPqTopKWith]], whose
+    * results this matches row for row for the same artifacts
+    * (spec-asserted). */
+  def similarStreamIvfPq(vecs: DataFrame, ivfIndexPath: String,
+      pqIndexPath: String, corpus: DataFrame, k: Int, nProbe: Int = 6,
+      rerankFactor: Int = 8): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be positive, got $k")
+    val (centroids, assigned) = EmbeddingOps.loadIndex(spark, ivfIndexPath)
+    val (books, encoded) = EmbeddingOps.loadPqIndex(spark, pqIndexPath)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(books)
+    // Probe rows carry the query embedding (for the exact stage) and its
+    // ADC table (for the candidate scan) — both per-query-sized.
+    val probes = vecs
+      .select(col("vec_id"), col("ts"), col("embedding").cast("array<double>"))
+      .as[(Long, Timestamp, Seq[Double])]
+      .flatMap { case (id, ts, emb) =>
+        val v = emb.toArray
+        val adc = EmbeddingOps.pqAdcTable(v, bcB.value)
+        EmbeddingOps.nearestLists(v, bcC.value, nProbe)
+          .map(li => (id, ts, emb, adc, li))
+      }.toDF("q_id", "ts", "q_emb", "adc", "list")
+    val cands = probes
+      .join(assigned.select(col("c_id"), col("list")), "list") // stream-static
+      .filter(col("q_id") =!= col("c_id"))
+      .join(encoded, "c_id")                                   // stream-static
+      .select(col("q_id"), col("ts"), col("q_emb"), col("c_id"),
+        EmbeddingOps.pqScore.as("ascore"))
+    // ADC pool: hash exchange on q_id + bounded heap = the batch
+    // window's (ascore desc, c_id asc) top k·factor; soft IVF assignment
+    // can replicate a (q, c) pair across shared lists with an IDENTICAL
+    // ascore — the heap dedups by candidate id on qualifying inserts.
+    val poolSize = k * rerankFactor
+    val pool = cands.repartition(col("q_id"))
+      .as[(Long, Timestamp, Seq[Double], Long, Double)]
+      .mapPartitions { it =>
+        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+          case (s, c) => (-s, c)
+        }
+        val heaps = scala.collection.mutable.HashMap.empty[Long,
+          (Timestamp, Seq[Double], scala.collection.mutable.PriorityQueue[(Double, Long)])]
+        it.foreach { case (q, ts, qe, cid, ascore) =>
+          val (_, _, h) = heaps.getOrElseUpdate(q, (ts, qe,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)))
+          if (h.size < poolSize) {
+            if (!h.exists(_._2 == cid)) h.enqueue((ascore, cid))
+          } else if (worstFirst.lt((ascore, cid), h.head) && !h.exists(_._2 == cid)) {
+            h.dequeue(); h.enqueue((ascore, cid))
+          }
+        }
+        heaps.iterator.flatMap { case (q, (ts, qe, h)) =>
+          h.iterator.map { case (_, cid) => (q, ts, qe, cid) }
+        }
+      }.toDF("q_id", "ts", "q_emb", "c_id")
+    // Exact re-rank of the pool only (the batch rerankTopK mirror: NaN
+    // degenerates filtered, (sim desc, c_id asc) rank).
+    val ce = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("c_emb"))
+    pool.join(ce, "c_id") // stream-static
+      .select(col("q_id"), col("ts"),
+        EmbeddingOps.cosine(col("q_emb"), col("c_emb")).as("sim"), col("c_id"))
+      .repartition(col("q_id"))
+      .as[(Long, Timestamp, Double, Long)]
+      .mapPartitions { it =>
+        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+          case (s, c) => (-s, c)
+        }
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, (Timestamp, scala.collection.mutable.PriorityQueue[(Double, Long)])]
+        it.foreach { case (q, ts, sim, cid) =>
+          if (!sim.isNaN) {
+            val (_, h) = heaps.getOrElseUpdate(q,
+              (ts, scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)))
+            if (h.size < k) h.enqueue((sim, cid))
+            else if (worstFirst.lt((sim, cid), h.head)) { h.dequeue(); h.enqueue((sim, cid)) }
+          }
+        }
+        heaps.iterator.flatMap { case (q, (ts, h)) =>
+          val best: Seq[(Double, Long)] = h.dequeueAll.reverse
+          best.iterator.zipWithIndex.map {
+            case ((s, cid), r) => (q, ts, r + 1, cid, s)
+          }
+        }
+      }.toDF("vec_id", "ts", "rank", "neighbor_id", "sim")
+  }
+
   case class StreamRead(contig: String, pos_start: Int, pos_end: Int, ts: Timestamp)
   case class ContigProgress(contig: String, n_reads: Long, min_pos: Int, max_pos: Int, covered_span: Long)
 

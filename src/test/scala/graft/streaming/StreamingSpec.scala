@@ -126,6 +126,39 @@ class StreamingSpec extends SparkSpec {
     corpus.unpersist(blocking = false)
   }
 
+  test("streaming IVF-PQ serve from artifacts matches the batch composed path") {
+    import graft.SharedSpark.spark.implicits._
+    val corpus = graft.Tables.embeddings(spark, graft.SharedSpark.sf0001)
+      .limit(64).cache()
+    corpus.count()
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft-ivfpq-i").toString
+    val pqPath = java.nio.file.Files.createTempDirectory("graft-ivfpq-p").toString
+    val gs = new graft.GraftSession(spark)
+    gs.ivfTrain(corpus, ivfPath)
+    gs.pqTrain(corpus, pqPath)
+    // Re-id the queries so nothing is excluded as a self-match on either path.
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val (centroids, assigned) = graft.operators.EmbeddingOps.loadIndex(spark, ivfPath)
+    val (books, encoded) = graft.operators.EmbeddingOps.loadPqIndex(spark, pqPath)
+    val batch = graft.operators.EmbeddingOps
+      .ivfPqTopKWith(centroids, assigned, books, encoded, corpus, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val qRows = queries.as[(Long, Seq[Float])].collect()
+    val in = MemoryStream[(Timestamp, Long, Seq[Float])]
+    val df = in.toDF().toDF("ts", "vec_id", "embedding")
+    val query = StreamingOps.similarStreamIvfPq(df, ivfPath, pqPath, corpus, k = 3)
+      .writeStream.format("memory").queryName("ivfpqstream").outputMode("append").start()
+    in.addData(qRows.map { case (id, e) => (ts(1), id, e) }.toSeq: _*)
+    run(query) {
+      val got = spark.table("ivfpqstream")
+        .select("vec_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === batch, "stream serve must equal the batch composed answer")
+    }
+    corpus.unpersist(blocking = false)
+  }
+
   test("streaming dedup gate refuses an over-budget base corpus") {
     import graft.SharedSpark.spark.implicits._
     val base = Seq((1L, "text")).toDF("doc_id", "text")
