@@ -482,7 +482,11 @@ object EmbeddingOps {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(m >= 1 && codes >= 1, s"pqCodebooks: m=$m codes=$codes")
+    // Persisted for the training loop (the ivfIndex posture): the seed
+    // collect + `iters` treeReduce passes otherwise re-read and
+    // re-project the source once each (r15 review).
     val ce = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .transform(CacheScope.persistTracked)
     val seeds: Array[Array[Double]] = ce
       .orderBy(seedOrderHash(col("vec_id")), col("vec_id")).limit(codes)
       .select(col("emb")).as[Seq[Double]].collect()
@@ -613,6 +617,10 @@ object EmbeddingOps {
   def pqTopKWith(books: Array[Array[Array[Double]]], encoded: DataFrame,
       corpus: DataFrame, queries: DataFrame, k: Int,
       rerankFactor: Int = 8): DataFrame = {
+    // The serve entry is reachable directly (similarityTopKPqServed), so
+    // it needs its own driver-protection gate — pqAdcFrame collects the
+    // query frame (r15 review).
+    requireBroadcastable(queries, "pqTopKWith query set")
     val qdf = broadcast(pqAdcFrame(queries, books))
     // Approximate score: the codes-indexed lookups folded in subspace
     // order (zip_with keeps positions; aggregate is a sequential left

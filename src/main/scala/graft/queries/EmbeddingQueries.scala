@@ -33,29 +33,21 @@ import org.apache.spark.sql.functions._
   * the true probe-only serve), and (b) leak a fresh temp directory per
   * run. This mirrors production: training is per corpus snapshot,
   * serving is per query batch. */
-private[queries] object ServeIndexCache {
+private[queries] class ServeCache(prefix: String,
+    train: (graft.GraftSession, org.apache.spark.sql.DataFrame, String) => Unit) {
   private val paths = scala.collection.concurrent.TrieMap.empty[String, String]
   def indexFor(s: SparkSession, dir: String,
       corpus: org.apache.spark.sql.DataFrame): String =
     paths.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
-      new graft.GraftSession(s).ivfTrain(corpus, p)
+      val p = java.nio.file.Files.createTempDirectory(prefix).toString
+      train(new graft.GraftSession(s), corpus, p)
       p
     })
 }
-
-/** [[ServeIndexCache]]'s PQ twin: train + encode + persist once per JVM
-  * per scale dir, so the benched serve number times the probe-only path. */
-private[queries] object PqServeCache {
-  private val paths = scala.collection.concurrent.TrieMap.empty[String, String]
-  def indexFor(s: SparkSession, dir: String,
-      corpus: org.apache.spark.sql.DataFrame): String =
-    paths.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
-      new graft.GraftSession(s).pqTrain(corpus, p)
-      p
-    })
-}
+private[queries] object ServeIndexCache
+  extends ServeCache("graft-ivf-idx", (gs, c, p) => gs.ivfTrain(c, p))
+private[queries] object PqServeCache
+  extends ServeCache("graft-pq-idx", (gs, c, p) => gs.pqTrain(c, p))
 
 object EmbeddingQueries {
 

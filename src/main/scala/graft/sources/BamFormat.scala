@@ -889,8 +889,13 @@ object BamFormat {
             // stop: a negative size would move the cursor BACKWARD (an
             // infinite loop serving the same garbage), and an undersized
             // one silently desyncs the stream — the corrupt/foreign-input
-            // class the BCF framing audits catch (r15 review).
-            require(blockSize == 0 || (blockSize >= 32 && blockSize <= (1 << 24)),
+            // class the BCF framing audits catch (r15 review). NO upper
+            // bound here: htslib permits records to 2 GB and multi-Mbp
+            // long reads with MM/ML tags legitimately exceed any small
+            // cap (the 1<<24 bound in plausibleRecord is a SYNC-PROBE
+            // heuristic, where a miss just moves the probe — never a
+            // validity rule).
+            require(blockSize == 0 || blockSize >= 32,
               s"BAM: implausible record size $blockSize at file offset " +
               s"${blockOf(cursor)} (corrupt or desynced stream)")
             if (blockSize == 0 || !ensure(cursor + 4 + blockSize)) {
@@ -1007,6 +1012,14 @@ object BamFormat {
     if (spec.tags) {
       val limit = o0 + blockSize
       while (o < limit) {
+        // The 3-byte tag header must fit the record BEFORE it is read —
+        // in the single-record reader the buffer ENDS at `limit`, so an
+        // unguarded data(o+1) on 1-2 trailing junk bytes would be a bare
+        // ArrayIndexOutOfBounds (r15 review), and in the split scan it
+        // would silently read the next record's bytes.
+        require(limit - o >= 3,
+          s"BAM: ${limit - o} trailing byte(s) in the tag region cannot " +
+          "hold a tag header (corrupt or foreign record)")
         val t1 = data(o).toChar; val t2 = data(o + 1).toChar
         val vt = data(o + 2).toChar
         o += 3
@@ -1045,6 +1058,11 @@ object BamFormat {
             }
             o += 1
           case 'B' =>
+            // The 5-byte array header (subtype + count) must fit before
+            // it is read — same bare-AIOOBE/silent-cross-read class as
+            // the tag header above.
+            require(limit - o >= 5,
+              s"BAM: B-array tag $t1$t2 header overruns the record boundary")
             val sub = data(o).toChar
             val count = i32(data, o + 1)
             val size = sub match { case 'c' | 'C' => 1; case 's' | 'S' => 2; case _ => 4 }

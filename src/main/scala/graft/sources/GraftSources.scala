@@ -262,6 +262,16 @@ object SourceUtil {
     * (r15 review — the error-quality twin of the BCF framing audits). */
   private[sources] def parsingIndex[T](kind: String, path: Any)(body: => T): T =
     try body catch {
+      // A transient I/O failure (object-store hiccup, NFS timeout) is NOT
+      // corruption — telling the operator to delete a healthy index on a
+      // retryable error would cost a full re-index (r15 review). Two
+      // IOException subclasses stay wrapped because they ARE corruption
+      // signals: EOFException (mid-structure EOF = truncation) and
+      // ChecksumException (the filesystem itself detected bit rot).
+      case e: java.io.IOException
+          if !e.isInstanceOf[java.io.EOFException] &&
+             !e.isInstanceOf[org.apache.hadoop.fs.ChecksumException] =>
+        throw e
       case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(
           s"$kind index '$path' is corrupt or truncated — delete or " +

@@ -192,6 +192,39 @@ object StreamingOps {
       .toDF("vec_id", "ts", "rank", "neighbor_id", "sim")
   }
 
+  /** Per-partition bounded top-k per query over `(q, payload, score,
+    * candidate)` rows — the shared kernel of every streaming ANN stage
+    * (r15 review: this block existed as near-identical copies). Keeps
+    * the `bound` best by (score desc, candidate asc) per query — the
+    * batch window's exact order — skipping NaN scores (zero-norm
+    * degenerates; the batch paths filter the same way). `dedupById`
+    * drops duplicate candidate ids on qualifying inserts: soft IVF
+    * assignment can surface the same (q, c) pair from more than one
+    * shared list with an IDENTICAL score, so the O(bound) containment
+    * scan is exact dedup, not unbounded state. Survivors emit
+    * BEST-first. */
+  private def heapTopKPerQuery[P](it: Iterator[(Long, P, Double, Long)],
+      bound: Int, dedupById: Boolean): Iterator[(Long, P, Seq[(Double, Long)])] = {
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+      case (s, c) => (-s, c)
+    }
+    val heaps = scala.collection.mutable.HashMap
+      .empty[Long, (P, scala.collection.mutable.PriorityQueue[(Double, Long)])]
+    it.foreach { case (q, p, score, cid) =>
+      if (!score.isNaN) {
+        val (_, h) = heaps.getOrElseUpdate(q,
+          (p, scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)))
+        if (h.size < bound) {
+          if (!dedupById || !h.exists(_._2 == cid)) h.enqueue((score, cid))
+        } else if (worstFirst.lt((score, cid), h.head) &&
+            (!dedupById || !h.exists(_._2 == cid))) {
+          h.dequeue(); h.enqueue((score, cid))
+        }
+      }
+    }
+    heaps.iterator.map { case (q, (p, h)) => (q, p, h.dequeueAll.reverse.toSeq) }
+  }
+
   /** Streaming ANN serve from a persisted IVF index
     * ([[graft.operators.EmbeddingOps.saveIndex]] artifacts): each
     * micro-batch of query vectors is assigned to its `nProbe` nearest
@@ -233,35 +266,13 @@ object StreamingOps {
       .join(ce, "c_id")                                        // stream-static
       .select(col("q_id"), col("ts"),
         EmbeddingOps.cosine(col("q_emb"), col("c_emb")).as("sim"), col("c_id"))
-    // Soft assignment (replicas) can surface the same (q, c) pair from
-    // more than one shared list with an IDENTICAL sim; the heap dedups
-    // by candidate id on qualifying inserts (O(k) scan — no unbounded
-    // seen-set state). Hash exchange on q_id co-locates each query's
-    // candidates; heap order (-sim, id) mirrors the batch window's
-    // (sim desc, id asc) so stream == batch row for row.
+    // Hash exchange on q_id co-locates each query's candidates; the
+    // shared heap kernel mirrors the batch window's (sim desc, id asc)
+    // so stream == batch row for row, deduping soft-assignment replicas.
     cands.repartition(col("q_id"))
       .as[(Long, Timestamp, Double, Long)]
       .mapPartitions { it =>
-        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
-          case (s, c) => (-s, c)
-        }
-        val heaps = scala.collection.mutable.HashMap
-          .empty[Long, (Timestamp, scala.collection.mutable.PriorityQueue[(Double, Long)])]
-        it.foreach { case (q, ts, sim, cid) =>
-          // NaN = zero-norm degenerate; never a neighbor (the batch
-          // paths filter the same way, keeping stream == batch).
-          if (!sim.isNaN) {
-            val (_, h) = heaps.getOrElseUpdate(q,
-              (ts, scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)))
-            if (h.size < k) {
-              if (!h.exists(_._2 == cid)) h.enqueue((sim, cid))
-            } else if (worstFirst.lt((sim, cid), h.head) && !h.exists(_._2 == cid)) {
-              h.dequeue(); h.enqueue((sim, cid))
-            }
-          }
-        }
-        heaps.iterator.flatMap { case (q, (ts, h)) =>
-          val best: Seq[(Double, Long)] = h.dequeueAll.reverse
+        heapTopKPerQuery(it, k, dedupById = true).flatMap { case (q, ts, best) =>
           best.iterator.zipWithIndex.map {
             case ((s, cid), r) => (q, ts, r + 1, cid, s)
           }
@@ -311,31 +322,19 @@ object StreamingOps {
       .join(encoded, "c_id")                                   // stream-static
       .select(col("q_id"), col("ts"), col("q_emb"), col("c_id"),
         EmbeddingOps.pqScore.as("ascore"))
-    // ADC pool: hash exchange on q_id + bounded heap = the batch
-    // window's (ascore desc, c_id asc) top k·factor; soft IVF assignment
-    // can replicate a (q, c) pair across shared lists with an IDENTICAL
-    // ascore — the heap dedups by candidate id on qualifying inserts.
+    // ADC pool: hash exchange on q_id + the shared heap kernel = the
+    // batch window's (ascore desc, c_id asc) top k·factor, deduping
+    // soft-assignment replicas.
     val poolSize = k * rerankFactor
     val pool = cands.repartition(col("q_id"))
       .as[(Long, Timestamp, Seq[Double], Long, Double)]
       .mapPartitions { it =>
-        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
-          case (s, c) => (-s, c)
-        }
-        val heaps = scala.collection.mutable.HashMap.empty[Long,
-          (Timestamp, Seq[Double], scala.collection.mutable.PriorityQueue[(Double, Long)])]
-        it.foreach { case (q, ts, qe, cid, ascore) =>
-          val (_, _, h) = heaps.getOrElseUpdate(q, (ts, qe,
-            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)))
-          if (h.size < poolSize) {
-            if (!h.exists(_._2 == cid)) h.enqueue((ascore, cid))
-          } else if (worstFirst.lt((ascore, cid), h.head) && !h.exists(_._2 == cid)) {
-            h.dequeue(); h.enqueue((ascore, cid))
+        heapTopKPerQuery(
+          it.map { case (q, ts, qe, cid, ascore) => (q, (ts, qe), ascore, cid) },
+          poolSize, dedupById = true)
+          .flatMap { case (q, (ts, qe), best) =>
+            best.iterator.map { case (_, cid) => (q, ts, qe, cid) }
           }
-        }
-        heaps.iterator.flatMap { case (q, (ts, qe, h)) =>
-          h.iterator.map { case (_, cid) => (q, ts, qe, cid) }
-        }
       }.toDF("q_id", "ts", "q_emb", "c_id")
     // Exact re-rank of the pool only (the batch rerankTopK mirror: NaN
     // degenerates filtered, (sim desc, c_id asc) rank).
@@ -347,21 +346,8 @@ object StreamingOps {
       .repartition(col("q_id"))
       .as[(Long, Timestamp, Double, Long)]
       .mapPartitions { it =>
-        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
-          case (s, c) => (-s, c)
-        }
-        val heaps = scala.collection.mutable.HashMap
-          .empty[Long, (Timestamp, scala.collection.mutable.PriorityQueue[(Double, Long)])]
-        it.foreach { case (q, ts, sim, cid) =>
-          if (!sim.isNaN) {
-            val (_, h) = heaps.getOrElseUpdate(q,
-              (ts, scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)))
-            if (h.size < k) h.enqueue((sim, cid))
-            else if (worstFirst.lt((sim, cid), h.head)) { h.dequeue(); h.enqueue((sim, cid)) }
-          }
-        }
-        heaps.iterator.flatMap { case (q, (ts, h)) =>
-          val best: Seq[(Double, Long)] = h.dequeueAll.reverse
+        // Pool rows are already unique per (q, c) — no dedup needed.
+        heapTopKPerQuery(it, k, dedupById = false).flatMap { case (q, ts, best) =>
           best.iterator.zipWithIndex.map {
             case ((s, cid), r) => (q, ts, r + 1, cid, s)
           }

@@ -143,11 +143,17 @@ class DedupAnnSpec extends SparkSpec {
     val books = EmbeddingOps.pqCodebooks(emb)
     assert(books.length === 16 && books.forall(_.length === 32))
     assert(books.forall(_.forall(_.length === 4))) // dim 64 / m 16
-    val codeUse = EmbeddingOps.pqEncode(emb, books)
-      .selectExpr("explode(pqcodes) AS c").groupBy("c").count()
+    // PER SUBSPACE (posexplode), not the cross-subspace union — a single
+    // collapsed subspace (the ADC-carries-no-signal failure) must not
+    // hide behind the other 15 (r15 review).
+    val liveBySub = EmbeddingOps.pqEncode(emb, books)
+      .selectExpr("posexplode(pqcodes) AS (s, c)")
+      .groupBy("s").agg(countDistinct("c").as("live"))
       .collect().map(r => r.getLong(1))
-    info(s"PQ live codes: ${codeUse.length}/32 (per-subspace union)")
-    assert(codeUse.length >= 24, s"only ${codeUse.length} of 32 codes in use")
+    info(s"PQ live codes per subspace: min=${liveBySub.min} max=${liveBySub.max}")
+    assert(liveBySub.length === 16)
+    assert(liveBySub.min >= 16,
+      s"a subspace quantizes with only ${liveBySub.min} of 32 live codes")
 
     // Determinism: retraining on the same corpus is bit-identical (the
     // fixed-point Lloyd contract the oracle replay depends on).
