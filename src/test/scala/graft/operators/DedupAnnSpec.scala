@@ -162,6 +162,30 @@ class DedupAnnSpec extends SparkSpec {
       a.zip(b).forall { case (x, y) => x.sameElements(y) } })
   }
 
+  test("PQ training, encoding, and answers are invariant to corpus partitioning") {
+    // The fixed-point Lloyd contract extends to PQ: treeReduce fold order
+    // (= partition layout) must not change the trained codebooks, the
+    // encoded ids, or the final answers — the structural guarantee the
+    // oracle replay (and any 1000-executor run) rests on.
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val books1 = EmbeddingOps.pqCodebooks(emb)
+    val books7 = EmbeddingOps.pqCodebooks(emb.repartition(7))
+    assert(books1.zip(books7).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } },
+      "codebooks differ under repartitioning")
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      EmbeddingOps.pqEncode(df, books1).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(codes(emb) === codes(emb.repartition(7)),
+      "encoded ids differ under repartitioning")
+    def answers(df: org.apache.spark.sql.DataFrame) =
+      EmbeddingOps.pqTopK(df, queries, 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(answers(emb) === answers(emb.repartition(7)),
+      "pqTopK answers differ under repartitioning")
+  }
+
   test("PQ index persists: reloaded codebooks + codes answer identically") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 20)
