@@ -175,7 +175,15 @@ object Bench {
       s"""{"before":$loadBefore,"after":${loadAvg()},"cpus":$cpus}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"passes_detail":$det,"errors":$errs,"load_check":$loadCheck,"sf":${jstr(sfDir)}}"""
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    // Artifact lineage hygiene (r15 VERDICT #5): the tracked bench_out.json
+    // is the sf0.01 lineage artifact that tools/bench_regression.py compares
+    // across rounds. Driver sf0.1 runs kept clobbering it (two consecutive
+    // rounds of manual restores), so non-sf0.01 runs now write
+    // bench_out.<sfname>.json instead; SPARK_GRAFT_BENCH_OUT overrides both.
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sfName == "sf0.01") "bench_out.json" else s"bench_out.$sfName.json")
+    Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
     // Last line of stdout, printed after Spark shutdown.
     println(json)

@@ -34,12 +34,12 @@ object Graft {
     // and every rule here is idempotent (pushdown guards on the
     // already-rewritten node, BinRangeLogicalRule on `isRewriteJoin`,
     // TagKeyPruneRule on `tagKeys.isDefined`), so double attachment in an
-    // extensions-built session is harmless. NearestJoinDedupRule is the
-    // one extensions-only rule NOT mirrored here: it must run during
-    // ANALYSIS (it re-aliases the right side of a self nearest-join before
-    // parents resolve against the duplicated ExprIds); post-analysis the
-    // ambiguity is unrecoverable, so [[graft.plans.NearestJoinNode]]'s
-    // strategy fails loudly on a still-duplicated self-join instead.
+    // extensions-built session is harmless. NearestJoinDedupRule needs no
+    // mirror here: self nearest-joins dedup at TVF-BUILD time
+    // (`GraftTableFunctions.nearestSides` re-aliases the right side with
+    // fresh ExprIds), which runs identically on both attachment paths
+    // (r15 VERDICT #6); the analysis rule remains on the extensions path
+    // purely as a backstop for direct node construction.
     // Skip the append when the session's optimizer ALREADY carries the
     // injected rules (extensions-built session) — they run in their
     // injected slots, and while every rule is idempotent, running them a

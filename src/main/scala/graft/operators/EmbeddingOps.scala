@@ -38,6 +38,13 @@ object EmbeddingOps {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** The `(vec_id, emb: array<double>)` corpus projection every
+    * train/encode/index stage consumes — built (and persisted) ONCE per
+    * composed operator so IVF-PQ doesn't scan and cache the raw corpus
+    * three times (r15 review). */
+  private def embProjection(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+
   /** Loud driver-protection gate for every path that collects or
     * broadcasts a caller-supplied query frame (the same pattern
     * [[graft.streaming.StreamingOps.similarStream]] applies to its static
@@ -262,11 +269,17 @@ object EmbeddingOps {
     * scans). Exposed so index quality (list-size balance) is testable
     * apart from the query path. */
   def ivfIndex(corpus: DataFrame, nLists: Int = 0, iters: Int = 3,
-      replicas: Int = 2): (Array[Array[Double]], DataFrame) = {
-    val spark = corpus.sparkSession
+      replicas: Int = 2): (Array[Array[Double]], DataFrame) =
+    ivfIndexOn(embProjection(corpus).transform(CacheScope.persistTracked),
+      nLists, iters, replicas)
+
+  /** [[ivfIndex]] over an already-projected-and-persisted `(vec_id,
+    * emb)` frame — [[ivfPqTopK]] shares one projection between the
+    * coarse and product quantizers (r15 review). */
+  private[graft] def ivfIndexOn(ce: DataFrame, nLists: Int, iters: Int,
+      replicas: Int): (Array[Array[Double]], DataFrame) = {
+    val spark = ce.sparkSession
     import spark.implicits._
-    val ce = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .transform(CacheScope.persistTracked)
     val n = ce.count()
     val lists = if (nLists > 0) nLists
       else math.max(4, math.min(4096, math.sqrt(n.toDouble).toInt))
@@ -478,15 +491,20 @@ object EmbeddingOps {
     *
     * Returns `books(s)(code) = centroid` (length dim/m each). */
   def pqCodebooks(corpus: DataFrame, m: Int = 16, codes: Int = 32,
-      iters: Int = 3): Array[Array[Array[Double]]] = {
-    val spark = corpus.sparkSession
+      iters: Int = 3): Array[Array[Array[Double]]] =
+    pqCodebooksOn(embProjection(corpus).transform(CacheScope.persistTracked),
+      m, codes, iters)
+
+  /** [[pqCodebooks]] over an already-projected-and-persisted
+    * `(vec_id, emb)` frame — the composed paths ([[pqTopK]],
+    * [[ivfPqTopK]]) build that projection ONCE and thread it through
+    * training, encoding, and the IVF index instead of re-reading and
+    * re-caching the corpus per stage (r15 review). */
+  private[graft] def pqCodebooksOn(ce: DataFrame, m: Int, codes: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val spark = ce.sparkSession
     import spark.implicits._
     require(m >= 1 && codes >= 1, s"pqCodebooks: m=$m codes=$codes")
-    // Persisted for the training loop (the ivfIndex posture): the seed
-    // collect + `iters` treeReduce passes otherwise re-read and
-    // re-project the source once each (r15 review).
-    val ce = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .transform(CacheScope.persistTracked)
     val seeds: Array[Array[Double]] = ce
       .orderBy(seedOrderHash(col("vec_id")), col("vec_id")).limit(codes)
       .select(col("emb")).as[Seq[Double]].collect()
@@ -494,6 +512,11 @@ object EmbeddingOps {
     require(seeds.length == codes,
       s"pqCodebooks: corpus has only ${seeds.length} vectors for $codes codes")
     val dim = seeds(0).length
+    // m > dim would make the integer-division pqStarts boundaries emit
+    // empty subspaces whose ADC contribution is always 0 — recall decays
+    // silently with no diagnostic (r15 review). Fail loudly instead.
+    require(dim >= m,
+      s"pqCodebooks: m=$m subspaces exceed the embedding dim=$dim")
     val bounds = pqStarts(dim, m)
     var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
       seeds.map(v => java.util.Arrays.copyOfRange(v, bounds(s), bounds(s + 1)))
@@ -564,13 +587,19 @@ object EmbeddingOps {
   /** PQ-encode the corpus against trained codebooks: one narrow pass,
     * output `(c_id, pqcodes: array<int>)` — `m` small ints per vector,
     * the 100 TB-resident form of the corpus. */
-  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
-    val spark = corpus.sparkSession
+  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]]): DataFrame =
+    pqEncodeOn(embProjection(corpus), books)
+
+  /** [[pqEncode]] over an already-projected `(vec_id, emb)` frame —
+    * reuses the projection [[pqCodebooksOn]] trained from instead of
+    * re-reading the raw corpus (r15 review). */
+  private[graft] def pqEncodeOn(ce: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = ce.sparkSession
     import spark.implicits._
     val m = books.length
     val bc = spark.sparkContext.broadcast(books)
-    corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .as[(Long, Seq[Double])]
+    ce.as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val bs = bc.value
         it.map { case (id, emb) =>
@@ -605,8 +634,10 @@ object EmbeddingOps {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
       codes: Int = 32, iters: Int = 3, rerankFactor: Int = 8): DataFrame = {
     requireBroadcastable(queries, "pqTopK query set")
-    val books = pqCodebooks(corpus, m, codes, iters)
-    pqTopKWith(books, pqEncode(corpus, books), corpus, queries, k, rerankFactor)
+    // ONE persisted projection feeds both training and encoding.
+    val ce = embProjection(corpus).transform(CacheScope.persistTracked)
+    val books = pqCodebooksOn(ce, m, codes, iters)
+    pqTopKWith(books, pqEncodeOn(ce, books), corpus, queries, k, rerankFactor)
   }
 
   /** Probe-only PQ query against already-trained codebooks + an encoded
@@ -714,9 +745,13 @@ object EmbeddingOps {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 0, nProbe: Int = 6, m: Int = 16, codes: Int = 32,
       iters: Int = 3, rerankFactor: Int = 8): DataFrame = {
-    val (centroids, assigned) = ivfIndex(corpus, nLists, iters)
-    val books = pqCodebooks(corpus, m, codes, iters)
-    ivfPqTopKWith(centroids, assigned, books, pqEncode(corpus, books),
+    // ONE persisted projection feeds the coarse quantizer, the PQ
+    // training, and the encode pass (r15 review: this path used to scan
+    // and cache the raw corpus three times).
+    val ce = embProjection(corpus).transform(CacheScope.persistTracked)
+    val (centroids, assigned) = ivfIndexOn(ce, nLists, iters, replicas = 2)
+    val books = pqCodebooksOn(ce, m, codes, iters)
+    ivfPqTopKWith(centroids, assigned, books, pqEncodeOn(ce, books),
       corpus, queries, k, nProbe, rerankFactor)
   }
 

@@ -244,21 +244,17 @@ case class GenomicStrategy(session: SparkSession) extends SparkStrategy {
     case PileupNode(child, sample, bin, out) =>
       PileupExec(out, sample, bin, planLater(child)) :: Nil
     case n @ NearestJoinNode(l, r, method, k, _) =>
-      // A self nearest-join whose right side still shares ExprIds with the
-      // left reached planning without [[NearestJoinDedupRule]] having run —
-      // only possible on the `Graft.ensure` attachment path (the dedup is
-      // an ANALYSIS rule; `experimental.extraOptimizations` cannot host it
-      // because parents have already resolved against the duplicated ids,
-      // so the ambiguity is unrecoverable here). Positional binding would
-      // silently emit the LEFT side's values for the right columns — fail
-      // loudly instead of returning wrong rows.
-      if (l.outputSet.intersect(r.outputSet).nonEmpty) {
-        throw new IllegalStateException(
-          "nearest_join over the same relation on both sides needs the " +
-            "analysis-time dedup rule: build the session with " +
-            "spark.sql.extensions=graft.GraftExtensions, or alias one side " +
-            "(CREATE TEMP VIEW v2 AS SELECT * FROM v) before joining.")
-      }
+      // Internal invariant, not a user path: self nearest-joins dedup at
+      // TVF-build time (`GraftTableFunctions.nearestSides` re-aliases the
+      // right side with fresh ExprIds on BOTH attachment paths — r15
+      // VERDICT #6 deleted the ensure-path loud-fail), and the
+      // extensions-path [[NearestJoinDedupRule]] backstops direct node
+      // construction. A collision here means a new construction site
+      // bypassed both; positional binding would silently emit the LEFT
+      // side's values for the right columns, so assert rather than plan.
+      require(l.outputSet.intersect(r.outputSet).isEmpty,
+        "nearest-join children share ExprIds at planning — a construction " +
+          "site bypassed the build-time self-join dedup")
       // Resolve `auto` HERE, from the logical children's Catalyst stats:
       // the exec re-wraps its children through ColumnBridge.internalFrame,
       // whose LogicalRDD stats default to spark.sql.defaultSizeInBytes, so

@@ -148,6 +148,33 @@ object GraftTableFunctions {
     }
   }
 
+  /** The two nearest-TVF relation args, with the right side re-aliased
+    * (fresh ExprIds) whenever its resolved output collides with the
+    * left's — THE self-join dedup, performed at BUILD time so it works
+    * identically on both attachment paths. The stock analyzer dedups only
+    * `Join`'s right side; an injected resolution rule covered the
+    * extensions path (r9 ADVICE, [[NearestJoinDedupRule]]), but
+    * `Graft.ensure` cannot host analysis rules (the session's analyzer is
+    * already built), so the ensure path used to loud-fail on self
+    * nearest-joins (r15 VERDICT #6). Builders run DURING analysis with
+    * the active session set; resolving the named views here is the same
+    * nested-analysis pattern stock view resolution uses
+    * (`Analyzer.execute` saves/restores `AnalysisContext`). Detection is
+    * by resolved OUTPUT collision, not name equality, so two different
+    * view names registered over the same DataFrame (same stored analyzed
+    * plan, same ExprIds) dedup too. */
+  private def nearestSides(leftName: String, rightName: String): (LogicalPlan, LogicalPlan) = {
+    val session = org.apache.spark.sql.SparkSession.active
+    val l = session.table(leftName).queryExecution.analyzed
+    val r0 = session.table(rightName).queryExecution.analyzed
+    val r = if (l.outputSet.intersect(r0.outputSet).nonEmpty) {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        r0.output.map(a => Alias(a, a.name)()), r0)
+    } else r0
+    (l, r)
+  }
+
   /** `nearest_join(leftView, rightView[, 'auto'|'broadcast'|'merge'])` —
     * SQL surface for the bedtools-closest nearest join
     * ([[graft.operators.NearestJoinOps]]): every left row paired with ALL
@@ -162,10 +189,8 @@ object GraftTableFunctions {
     val method = if (args.length == 3) str(args(2)) else "auto"
     require(Set("auto", "broadcast", "merge")(method),
       s"nearest_join method must be auto|broadcast|merge, got '$method'")
-    NearestJoinNode(
-      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args.head))),
-      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args(1)))),
-      method)
+    val (l, r) = nearestSides(str(args.head), str(args(1)))
+    NearestJoinNode(l, r, method)
   }
 
   /** `nearest_k_join(leftView, rightView, k)` — SQL surface for the
@@ -181,10 +206,8 @@ object GraftTableFunctions {
     require(args.forall(_.foldable), "nearest_k_join arguments must be literals")
     val k = intVal(args(2), "nearest_k_join k")
     require(k >= 1, s"nearest_k_join needs k >= 1, got $k")
-    NearestJoinNode(
-      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args.head))),
-      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(str(args(1)))),
-      method = "broadcast", k = k)
+    val (l, r) = nearestSides(str(args.head), str(args(1)))
+    NearestJoinNode(l, r, method = "broadcast", k = k)
   }
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =

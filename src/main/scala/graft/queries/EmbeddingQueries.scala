@@ -35,14 +35,24 @@ import org.apache.spark.sql.functions._
   * serving is per query batch. */
 private[queries] class ServeCache(prefix: String,
     train: (graft.GraftSession, org.apache.spark.sql.DataFrame, String) => Unit) {
-  private val paths = scala.collection.concurrent.TrieMap.empty[String, String]
-  def indexFor(s: SparkSession, dir: String,
-      corpus: org.apache.spark.sql.DataFrame): String =
-    paths.getOrElseUpdate(dir, {
+  // A lazy-val slot per dir rather than getOrElseUpdate(dir, train()):
+  // getOrElseUpdate on a TrieMap is only value-atomic, so two concurrent
+  // first accesses would BOTH run the full training pass and orphan the
+  // loser's temp index directory (r15 review). putIfAbsent publishes one
+  // slot; the JVM's lazy-val lock then runs training at most once per dir.
+  private class Slot(s: SparkSession, corpus: org.apache.spark.sql.DataFrame) {
+    lazy val path: String = {
       val p = java.nio.file.Files.createTempDirectory(prefix).toString
       train(new graft.GraftSession(s), corpus, p)
       p
-    })
+    }
+  }
+  private val slots = scala.collection.concurrent.TrieMap.empty[String, Slot]
+  def indexFor(s: SparkSession, dir: String,
+      corpus: org.apache.spark.sql.DataFrame): String = {
+    slots.putIfAbsent(dir, new Slot(s, corpus))
+    slots(dir).path
+  }
 }
 private[queries] object ServeIndexCache
   extends ServeCache("graft-ivf-idx", (gs, c, p) => gs.ivfTrain(c, p))

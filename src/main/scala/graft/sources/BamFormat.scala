@@ -1024,6 +1024,21 @@ object BamFormat {
         val vt = data(o + 2).toChar
         o += 3
         val vs = o // value start, for the generic-map slice
+        // Fixed-size values must fit the record BEFORE they are read
+        // (r15 review): the trailing require(o <= limit) fires only
+        // after the read, so in the single-record reader a record
+        // truncated mid-value (e.g. 2 bytes of an 'i' NM) would still
+        // die as a bare ArrayIndexOutOfBounds — the exact class the
+        // header / Z/H / B guards convert to descriptive errors.
+        val fixedSize = vt match {
+          case 'A' | 'c' | 'C' => 1
+          case 's' | 'S' => 2
+          case 'i' | 'I' | 'f' => 4
+          case _ => 0 // Z/H/B bound themselves below
+        }
+        require(limit - o >= fixedSize,
+          s"BAM: $t1$t2:$vt value ($fixedSize byte(s)) overruns the " +
+          "record boundary (corrupt or foreign record)")
         vt match {
           case 'A' => o += 1
           case 'c' =>

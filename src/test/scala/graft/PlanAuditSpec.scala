@@ -353,5 +353,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!node.left.output.map(_.name).contains("wide_l") &&
       !node.right.output.map(_.name).contains("wide_r"),
       s"ensure-only session lost nearest-join pruning: ${node.left.output} / ${node.right.output}")
+
+    // SELF nearest-join parity (r15 VERDICT #6): the ensure path used to
+    // loud-fail here (no analysis rules to host the dedup); the build-time
+    // re-alias in GraftTableFunctions.nearestSides now dedups on BOTH
+    // paths, so the same view on both sides must analyze with distinct
+    // ExprIds and answer identically to the extensions-built session.
+    bare.read.parquet(s"$dir/l").createOrReplaceTempView("ensure_nj_self")
+    val selfBare = bare.sql(
+      "SELECT * FROM nearest_join('ensure_nj_self', 'ensure_nj_self')")
+    val selfOut = selfBare.queryExecution.analyzed.output
+    assert(selfOut.map(_.exprId).distinct.length === selfOut.length,
+      s"ensure-path self nearest-join kept duplicate ExprIds: $selfOut")
+    spark.read.parquet(s"$dir/l").createOrReplaceTempView("ensure_nj_self_x")
+    val selfExt = spark.sql(
+      "SELECT * FROM nearest_join('ensure_nj_self_x', 'ensure_nj_self_x')")
+    assert(selfBare.collect().map(_.toString).sorted.toSeq ===
+      selfExt.collect().map(_.toString).sorted.toSeq,
+      "ensure-path self nearest-join diverged from the extensions session")
+    assert(selfBare.count() >= 50, "degenerate self nearest-join fixture")
   }
 }
