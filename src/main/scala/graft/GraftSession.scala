@@ -368,11 +368,15 @@ class GraftSession(val spark: SparkSession) {
   def writeBam(reads: DataFrame, path: String, overwrite: Boolean = true): Unit =
     sources.SourceUtil.writeBam(reads, path, overwrite)
 
-  /** CRAM 3.0 sink (reference-based against a faidx FASTA) + `.gci`. */
+  /** CRAM sink (reference-based against a faidx FASTA) + `.gci`.
+    * `externalCompression = "cram31"` writes a CRAM 3.1 container whose
+    * blocks ride the 3.1 methods (rANS Nx16 / arith / fqzcomp / name
+    * tokeniser); the default profiles stay 3.0. */
   def writeCram(reads: DataFrame, path: String, fastaPath: String,
-      recordsPerSlice: Int = 10000, embedReference: Boolean = false): Unit =
+      recordsPerSlice: Int = 10000, embedReference: Boolean = false,
+      externalCompression: String = "auto"): Unit =
     sources.SourceUtil.writeCram(reads, path, fastaPath, recordsPerSlice,
-      embedReference)
+      embedReference, externalCompression)
 
   /** SAM text sink (typed MD/NM/RG + the tags map as optional fields). */
   def writeSam(reads: DataFrame, path: String, overwrite: Boolean = true): Unit =

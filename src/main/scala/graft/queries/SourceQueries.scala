@@ -242,6 +242,28 @@ object SourceQueries {
               |  cigar, seq, qual_str, md_tag, tag_NM, tag_RG
               |FROM reads_cram_ddl WHERE mapq >= 20""".stripMargin)
     },
+    // The same decode through a CRAM 3.1 container (r15 VERDICT #2 —
+    // the last input profile this engine refused): version minor 1,
+    // every external block on the 3.1 methods — names through the
+    // tokeniser (8), qualities through fqzcomp (7), the rest split
+    // between rANS Nx16 (5) and the adaptive arithmetic coder (6).
+    // Same rows, same oracle; only the block codecs differ.
+    "ddl_cram31_scan" -> { (s, dir) =>
+      val path = fixture("reads_cram31", dir) { p =>
+        val fasta = mockFasta(p)
+        graft.sources.SourceUtil.writeCram(
+          Tables.readsMd(s, dir).filter(col("sample_id") === "s0")
+            .withColumn("tag_NM", when(col("has_alt"), 1).otherwise(0).cast("int"))
+            .withColumn("tag_RG", concat(lit("rg_"), col("sample_id"))),
+          p + "/s0.cram", fasta, externalCompression = "cram31")
+      }
+      ensureTable(s, "reads_cram31_ddl", dir)(
+        s"""CREATE TABLE reads_cram31_ddl USING graft.sources.CramSource
+               |OPTIONS (path '$path/s0.cram', refPath '$path/mockref.fa')""".stripMargin)
+      s.sql("""SELECT sample_id, contig, pos_start, pos_end, mapq, flag,
+              |  cigar, seq, qual_str, md_tag, tag_NM, tag_RG
+              |FROM reads_cram31_ddl WHERE mapq >= 20""".stripMargin)
+    },
     // Optional SAM tag columns through the binary round trip: typed
     // NM:i / RG:Z tags written by the sink, extracted back from the tag
     // stream by the scan (reference carries ~60 lazily-populated tag_*
@@ -815,6 +837,36 @@ object SourceQueries {
          |       ELSE CAST(_mlen AS VARCHAR) END AS md_tag
          |FROM md3 WHERE mapq >= 20""".stripMargin,
     "ddl_cram_scan" ->
+      s"""WITH ${OracleCtes.reads},
+         |md AS (SELECT *, pos_end - pos_start + 1 AS _len,
+         |  CASE WHEN cigar LIKE '%N%'
+         |       THEN (pos_end - pos_start + 1) // 3 ELSE 0 END AS _gap
+         |  FROM reads WHERE sample_id = 's0'),
+         |md2 AS (SELECT *, _len - _gap AS _mlen, alt_pos - pos_start AS _off,
+         |  repeat('ACGT', (_len - _gap) // 4 + 2) AS _cyc FROM md),
+         |md3 AS (SELECT *,
+         |  substr('ACGT', (ascii(contig) + alt_pos) % 4 + 1, 1) AS _refb,
+         |  CASE WHEN _gap > 0
+         |       THEN substr(_cyc, (ascii(contig) + pos_start) % 4 + 1, _gap) ||
+         |            substr(_cyc, (ascii(contig) + pos_start + 2 * _gap) % 4 + 1, _mlen - _gap)
+         |       ELSE substr(_cyc, (ascii(contig) + pos_start) % 4 + 1, _mlen) END AS _seqref
+         |  FROM md2)
+         |SELECT sample_id, contig, pos_start, pos_end, mapq, flag, cigar,
+         |  CASE WHEN has_alt
+         |       THEN substr(_seqref, 1, _off) || alt_base || substr(_seqref, _off + 2)
+         |       ELSE _seqref END AS seq,
+         |  repeat(chr(base_qual + 33), _mlen) AS qual_str,
+         |  -- CRAM stores no MD; the scan SYNTHESIZES it from the
+         |  -- reference walk, so an "alt" equal to the reference base is
+         |  -- no substitution and the MD is the plain match count.
+         |  CASE WHEN has_alt AND alt_base <> _refb
+         |       THEN CAST(_off AS VARCHAR) || _refb ||
+         |            CAST(_mlen - _off - 1 AS VARCHAR)
+         |       ELSE CAST(_mlen AS VARCHAR) END AS md_tag,
+         |  CASE WHEN has_alt THEN 1 ELSE 0 END AS tag_NM,
+         |  'rg_' || sample_id AS tag_RG
+         |FROM md3 WHERE mapq >= 20""".stripMargin,
+    "ddl_cram31_scan" -> // same rows, 3.1 container — codecs differ, bytes must not
       s"""WITH ${OracleCtes.reads},
          |md AS (SELECT *, pos_end - pos_start + 1 AS _len,
          |  CASE WHEN cigar LIKE '%N%'

@@ -392,12 +392,10 @@ object CramFormat {
       case 2 => bunzip2(raw)
       case 3 => unlzma(raw)
       case 4 => Rans.decode(raw)
-      case m if m >= 5 && m <= 8 =>
-        val names = Map(5 -> "rANS Nx16", 6 -> "adaptive arithmetic",
-          7 -> "fqzcomp", 8 -> "name tokeniser")
-        sys.error(s"CRAM 3.1 codec (block method $m: ${names(m)}) not " +
-          "supported — this reader covers the full CRAM 3.0 profile; " +
-          "transcode with `samtools view -O cram,version=3.0`")
+      case 5 => CramCodecs31.RansNx16.decode(raw, rsize)
+      case 6 => CramCodecs31.Arith.decode(raw, rsize)
+      case 7 => CramCodecs31.FqzComp.decode(raw, rsize)
+      case 8 => CramCodecs31.NameTok.decode(raw, rsize)
       case m => sys.error(s"CRAM block compression method $m unsupported")
     }
     require(data.length == rsize,
@@ -1204,8 +1202,8 @@ object CramFormat {
       coreSeries: Map[String, String] = Map.empty,
       externalCompression: String = "auto") {
 
-    require(Set("auto", "bzip2", "lzma")(externalCompression),
-      s"externalCompression must be auto|bzip2|lzma: $externalCompression")
+    require(Set("auto", "bzip2", "lzma", "cram31")(externalCompression),
+      s"externalCompression must be auto|bzip2|lzma|cram31: $externalCompression")
 
     require(coreSeries.values.forall(Set("beta", "huffman", "gamma",
         "subexp", "golomb", "rice")),
@@ -1286,7 +1284,9 @@ object CramFormat {
     private def writeHeaderOnce(): Unit = if (!headerWritten) {
       headerWritten = true
       out.write(Magic)
-      out.write(3); out.write(0)
+      // The 3.1 profile differs from 3.0 only in the version minor and
+      // the block methods its containers may carry (5-8).
+      out.write(3); out.write(if (externalCompression == "cram31") 1 else 0)
       val id = new Array[Byte](20)
       val idb = "graft".getBytes(StandardCharsets.US_ASCII)
       System.arraycopy(idb, 0, id, 0, idb.length)
@@ -1323,6 +1323,23 @@ object CramFormat {
       * both are in every CRAM reader's mandatory set). */
     private def gzipBlock(ctype: Int, cid: Int, data: Array[Byte]): Array[Byte] = {
       val (method, comp) = externalCompression match {
+        case "cram31" =>
+          // The 3.1 write profile exercises all four new block methods:
+          // the RN series (NUL-separated names) rides the name tokeniser,
+          // QS rides fqzcomp when the slice's quality bytes tile by read,
+          // every third other block the adaptive arithmetic coder, the
+          // rest rANS Nx16 (order-1 once the payload amortises the table).
+          if (cid == 7 /* RN */ && data.nonEmpty && data.last == 0)
+            (8, CramCodecs31.NameTok.encode(data))
+          else if (cid == 22 /* QS */ && sliceQualLens != null &&
+              sliceQualLens.sum == data.length)
+            (7, CramCodecs31.FqzComp.encode(data, sliceQualLens))
+          else if (cid % 3 == 0)
+            (6, CramCodecs31.Arith.encode(data,
+              if (data.length >= 512) CramCodecs31.Arith.FlagOrder1 else 0))
+          else
+            (5, CramCodecs31.RansNx16.encode(data,
+              if (data.length >= 512) CramCodecs31.RansNx16.FlagOrder1 else 0))
         case "bzip2" =>
           val bz = new ByteArrayOutputStream()
           val b2 = new org.apache.commons.compress.compressors.bzip2
@@ -1425,9 +1442,19 @@ object CramFormat {
         if (toCore) coreOrder += ((key, v)) else b.write(v)
     }
 
+    // Per-record quality lengths of the slice being flushed — the
+    // fqzcomp encoder consumes them when the cram31 profile routes the
+    // QS block through block method 7 (null disables fqz: some record
+    // in the slice carries no quals, so QS bytes don't tile by read).
+    private var sliceQualLens: Array[Int] = null
+
     def flushSlice(): Unit = {
       if (buf.isEmpty) return
       writeHeaderOnce()
+      sliceQualLens =
+        if (buf.forall(r => r.quals != null && r.quals.nonEmpty))
+          buf.iterator.map(_.quals.length).toArray
+        else null
       coreOrder.clear()
       val sBF = new IntStream("BF"); val sCF = new IntStream("CF")
       val sRI = new IntStream("RI"); val sRL = new IntStream("RL")

@@ -699,7 +699,8 @@ object SourceUtil {
     * `tag_NM`/`tag_RG` columns. The reference dictionary comes from one
     * cheap driver aggregation; everything else streams per task. */
   def writeCram(reads: DataFrame, path: String, fastaPath: String,
-      recordsPerSlice: Int = 10000, embedReference: Boolean = false): Unit = {
+      recordsPerSlice: Int = 10000, embedReference: Boolean = false,
+      externalCompression: String = "auto"): Unit = {
     val spark = reads.sparkSession
     val refs = reads.filter(col("contig").isNotNull)
       .groupBy(col("contig"))
@@ -742,7 +743,8 @@ object SourceUtil {
           f"part-$idx%05d.cram${CramFormat.IndexSuffix}"), true)
         val w = new CramFormat.CramWriter(out, refNames, refLens,
           contig => CramFormat.upperContig(fp, contig), recordsPerSlice,
-          embedReference, indexOut = idxOut)
+          embedReference, indexOut = idxOut,
+          externalCompression = externalCompression)
         val droppedB = scala.collection.mutable.HashSet.empty[String]
         it.foreach { r =>
           val qualStr = if (r.isNullAt(7)) null else r.getString(7)

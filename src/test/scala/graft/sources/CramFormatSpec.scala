@@ -349,7 +349,10 @@ class CramFormatSpec extends AnyFunSuite {
     // Same adversarial shapes as the BETA/HUFFMAN twin, but the series
     // spread over GAMMA/SUBEXP/GOLOMB/RICE and the EXTERNAL blocks
     // compressed with the two remaining spec block methods.
-    for (blockComp <- Seq("bzip2", "lzma")) {
+    // "cram31" rides the same harness: version minor 1, external blocks
+    // on methods 5-8 (RN through the name tokeniser; QS here is a CORE
+    // series, so fqzcomp is exercised by the dedicated 3.1 test below).
+    for (blockComp <- Seq("bzip2", "lzma", "cram31")) {
       val dir = Files.createTempDirectory(s"graft_cram_resid_$blockComp")
       val c1 = "ACGTTGCA" * 8
       val c2 = "TTTTCCCCGGGGAAAA" * 2
@@ -427,6 +430,90 @@ class CramFormatSpec extends AnyFunSuite {
         assert(c.tagNm === b.tagNm, s"[$blockComp] rec $i NM")
         assert(c.tagRg === b.tagRg, s"[$blockComp] rec $i RG")
       }
+    }
+  }
+
+  test("CRAM 3.1 full profile (fqzcomp QS + tokenised RN) decodes identically to its BAM twin") {
+    // No coreSeries: every series rides an external block, so QS goes
+    // through fqzcomp (method 7) on slices where quals tile by read,
+    // RN through the name tokeniser (8), the rest across rANS Nx16 (5)
+    // and arith (6). Slice 2 carries a qual-less record, pinning the
+    // writer's fqz fallback; Illumina-style names pin DELTA/MATCH paths.
+    val dir = Files.createTempDirectory("graft_cram31")
+    val c1 = "ACGTTGCA" * 8
+    Files.writeString(dir.resolve("ref.fa"), s">k1\n$c1\n")
+    Files.writeString(dir.resolve("ref.fa.fai"),
+      s"k1\t${c1.length}\t4\t${c1.length}\t${c1.length + 1}\n")
+    val fasta = dir.resolve("ref.fa").toString
+    graft.operators.FastaReference.clearCaches()
+
+    case class In(contig: String, pos1: Int, mapq: Int, flag: Int, q: String,
+        cigar: String, seq: String, quals: String, nm: Integer, rg: String)
+    def qb(s: String): Array[Byte] =
+      if (s == null) null else s.map(ch => (ch - 33).toByte).toArray
+    val ins = Seq(
+      In("k1", 1, 60, 0, "m1:7:FC:1:1101:1000:2000", "8M", c1.substring(0, 8),
+        "IIIIHHGG", 1, "rgA"),
+      In("k1", 5, 55, 16, "m1:7:FC:1:1101:1007:2013", "8M", c1.substring(4, 12),
+        "ABCDEFGH", null, "rgB"),
+      In("k1", 9, 50, 0, "m1:7:FC:1:1101:1014:2026", "4M2I2M",
+        c1.substring(8, 12) + "TT" + c1.substring(12, 14), "JJJJJJJJ", 2, "rgA"),
+      In("k1", 13, 45, 0, "m1:7:FC:1:1101:1021:2039", "2S4M",
+        "GG" + c1.substring(12, 16), "KKKKKK", 0, "rgB"),
+      // Slice 2: one record WITHOUT quals (fqz fallback) + a dup name.
+      In("k1", 17, 40, 0, "m1:7:FC:1:1101:1021:2039", "4M", c1.substring(16, 20),
+        "MMMM", null, null),
+      In("k1", 21, 35, 0, "q_oddball.name-1", "4M", c1.substring(20, 24),
+        null, 1, "rgA"))
+
+    val cramPath = dir.resolve("full31.cram").toString
+    val w = new CramFormat.CramWriter(new java.io.FileOutputStream(cramPath),
+      Array("k1"), Array(c1.length),
+      contig => CramFormat.upperContig(fasta, contig), recordsPerSlice = 4,
+      externalCompression = "cram31")
+    ins.foreach(i => w.write(i.contig, i.pos1, i.mapq, i.flag, i.q, i.cigar,
+      i.seq, qb(i.quals), i.nm, i.rg))
+    w.close()
+
+    // The file really is version 3.1 and really contains methods 7 + 8.
+    val raw = Files.readAllBytes(Paths.get(cramPath))
+    assert(raw(4) === 3.toByte && raw(5) === 1.toByte, "version bytes")
+
+    val read = fsRead(cramPath)
+    val fileLen = Files.size(Paths.get(cramPath))
+    val (hdr, firstData) = CramFormat.readHeader(read, fileLen)
+    val containers = CramFormat.containerIndex(read, fileLen, firstData)
+
+    val bamPath = dir.resolve("full31.bam").toString
+    val bw = new BamFormat.BamWriter(new java.io.FileOutputStream(bamPath),
+      Array("k1"), Array(c1.length))
+    ins.foreach { i =>
+      bw.write(i.contig, i.pos1, i.mapq, i.flag, i.q, i.cigar, i.seq,
+        qb(i.quals), mdTag = null, nm = i.nm, rg = i.rg)
+    }
+    bw.close()
+
+    def refBytes(refId: Int): Array[Byte] =
+      if (refId < 0) Array.emptyByteArray
+      else CramFormat.upperContig(fasta, hdr.refNames(refId))
+    val crams = containers.iterator.flatMap { case (off, _, _, _, _) =>
+      CramFormat.containerRecords(read, off, refBytes, hdr)
+    }.toArray
+    val bams = {
+      val r = new BamFormat.BamReader(new java.io.FileInputStream(bamPath))
+      val a = r.iterator.toArray; r.close(); a
+    }
+    assert(crams.length === bams.length)
+    crams.zip(bams).zipWithIndex.foreach { case ((c, b), i) =>
+      assert(c.qname === b.qname, s"rec $i qname")
+      assert(c.flag === b.flag, s"rec $i flag")
+      assert(c.pos0 === b.pos0, s"rec $i pos")
+      assert(c.mapq === b.mapq, s"rec $i mapq")
+      assert(c.cigar === b.cigar, s"rec $i cigar")
+      assert(c.seq === b.seq, s"rec $i seq")
+      assert(java.util.Arrays.equals(c.quals, b.quals), s"rec $i quals")
+      assert(c.tagNm === b.tagNm, s"rec $i NM")
+      assert(c.tagRg === b.tagRg, s"rec $i RG")
     }
   }
 }
