@@ -983,26 +983,31 @@ object EmbeddingOps {
 
   /** SemDedup-style semantic deduplication (cluster-then-prune, the method
     * of Abbas et al. 2023): cluster the corpus with the Lloyd-trained
-    * coarse quantizer (hard assignment, `replicas = 1`), then mark a
-    * vector as a semantic duplicate iff some *same-cluster* vector with a
-    * smaller id has cosine >= `threshold` — the deterministic stand-in
-    * for the paper's keep-one-per-epsilon-ball choice. Output
-    * `(vec_id, is_dup)` for every corpus vector.
+    * coarse quantizer (multi-probe: each vector lands in its `replicas`
+    * nearest lists, the IVF serve trick turned on the corpus itself),
+    * then mark a vector as a semantic duplicate iff some vector with a
+    * smaller id *sharing any list* has cosine >= `threshold` — the
+    * deterministic stand-in for the paper's keep-one-per-epsilon-ball
+    * choice. Output `(vec_id, is_dup)` for every corpus vector.
     *
     * Scale shape: no all-pairs stage anywhere. Candidate pairs come from
-    * the cluster id as an LSH-style bucket key through
-    * [[DedupOps.cappedSelfJoinPairs]] — Lloyd balance keeps clusters at
-    * ~N/nLists (~sqrt(N) by default), and a runaway cluster degrades to
-    * star edges against its min-id representative, which preserves
-    * exactly the keep-lowest-id semantics this operator needs (a member
-    * is compared to the representative it would defer to). The verify is
-    * the codegen'd cosine over candidates only. Like all cluster-bounded
-    * dedup, recall is approximate: a near-dup pair split across cluster
-    * boundaries is missed (the paper accepts the same trade) — asserted
-    * against brute force on separable fixtures in DedupAnnSpec. */
+    * the list id as an LSH-style bucket key through
+    * [[DedupOps.cappedSelfJoinPairs]] — Lloyd balance keeps lists at
+    * ~replicas·N/nLists (~sqrt(N) by default), and a runaway list
+    * degrades to star edges against its min-id representative, which
+    * preserves exactly the keep-lowest-id semantics this operator needs
+    * (a member is compared to the representative it would defer to). The
+    * verify is the codegen'd cosine over candidates only. Like all
+    * cluster-bounded dedup, recall is approximate: a near-dup pair with
+    * no list in common is missed (the paper accepts the same trade) —
+    * but `replicas = 3` catches the dominant boundary-split miss (a pair
+    * straddling adjacent cells shares a neighbour cell), measured
+    * against all-pairs brute force with a spec-enforced recall floor in
+    * DedupAnnSpec (SCALE.md "Answer-quality floors"). */
   def semDedup(corpus: DataFrame, threshold: Double, nLists: Int = 0,
-      iters: Int = 3, cap: Int = DedupOps.DefaultBucketCap): DataFrame = {
-    val (_, assigned) = ivfIndex(corpus, nLists, iters, replicas = 1)
+      iters: Int = 3, cap: Int = DedupOps.DefaultBucketCap,
+      replicas: Int = 3): DataFrame = {
+    val (_, assigned) = ivfIndex(corpus, nLists, iters, replicas = replicas)
     val keyed = assigned.select(col("c_id").as("id"), col("list").cast("long").as("bkey"))
     val dupPairs = verifyCosine(DedupOps.cappedSelfJoinPairs(keyed, cap),
       corpus, corpus, threshold)

@@ -327,14 +327,15 @@ object EmbeddingQueries {
        |  FROM qsim) WHERE qr <= 12),
        |$ivfRerankTail""".stripMargin
 
-  /** ann_semdedup replay: hard cluster assignment (replicas=1) on the
-    * trained quantizer, within-cluster pairs (id_a < id_b — the
-    * cap-free mirror of cappedSelfJoinPairs, valid under the count
-    * guard), exact-cosine verify >= 0.4, dup = appears as any pair's
-    * id_b. */
+  /** ann_semdedup replay: multi-probe assignment (replicas=3 — each
+    * vector in its three nearest lists) on the trained quantizer,
+    * shared-list pairs (id_a < id_b — the cap-free mirror of
+    * cappedSelfJoinPairs, valid under the count guard; DISTINCT folds a
+    * pair found in both shared lists), exact-cosine verify >= 0.4, dup =
+    * appears as any pair's id_b. */
   private val semDedupOracle: String =
     s"""WITH ${centroidChain(plainE)},
-       |${assignCte("asg", "c3", rnMax = 1, idCol = "id")},
+       |${assignCte("asg", "c3", rnMax = 3, idCol = "id")},
        |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
        |  FROM asg x JOIN asg y ON x.list = y.list AND x.id < y.id
        |  AND ${capGuard("asg", "list", 10000, "SemDedup cluster")}),

@@ -79,6 +79,14 @@ object SourceQueries {
   /** Shared `.vcf` rendition of the part-derived variant table (null
     * id/alt/qual/filter coverage, multi-allelic ALT, two genotype
     * columns) — read by ddl_vcf_scan and vcf_info_stats. */
+  /** Shared sharded-BGZF `.bam` rendition of the s1 reads — read by
+    * ddl_bam_scan and the streaming BAM ingest kernel. */
+  private[queries] def bamFixture(s: SparkSession, dir: String): String =
+    fixture("reads_bam", dir) { p =>
+      graft.sources.SourceUtil.writeBam(
+        Tables.readsMd(s, dir).filter(col("sample_id") === "s1"), p + "/s1.bam")
+    }
+
   private[queries] def vcfFixture(s: SparkSession, dir: String): String =
     fixture("variants_vcf", dir) { p =>
       val v = Tables.part(s, dir).select(
@@ -202,10 +210,7 @@ object SourceQueries {
     // a row mismatch (the codec itself is additionally pinned by golden
     // bytes and a real htsjdk-produced file in BamFormatSpec).
     "ddl_bam_scan" -> { (s, dir) =>
-      val path = fixture("reads_bam", dir) { p =>
-        graft.sources.SourceUtil.writeBam(
-          Tables.readsMd(s, dir).filter(col("sample_id") === "s1"), p + "/s1.bam")
-      }
+      val path = bamFixture(s, dir)
       ensureTable(s, "reads_bam_ddl", dir)(
         s"""CREATE TABLE reads_bam_ddl USING graft.sources.BamSource
                |OPTIONS (path '$path/s1.bam')""".stripMargin)

@@ -131,6 +131,26 @@ object StreamingQueries {
       StreamingOps.annotateStream(variants, targets)
         .select(col("contig"), col("pos_start"), col("pos_end"), col("target_name"))
     },
+    // Streaming BAM ingest kernel: reads decoded from real binary BGZF
+    // BAM (the file-stream form, StreamingOps.bamStream, is spec-tested
+    // with availableNow against the batch scan; here the batch twin —
+    // the same BamSource decode — pins the decode+annotate result)
+    // annotated against a static target set through the broadcast-forest
+    // flatMap. Completes the file-stream matrix (r15 VERDICT #7).
+    "stream_bam_annotate" -> { (s, dir) =>
+      import s.implicits._
+      val path = SourceQueries.bamFixture(s, dir)
+      s.sql("DROP TABLE IF EXISTS bam_stream_ddl")
+      s.sql(s"""CREATE TABLE bam_stream_ddl USING graft.sources.BamSource
+               |OPTIONS (path '$path/s1.bam')""".stripMargin)
+      val reads = s.table("bam_stream_ddl")
+        .select(col("contig"), col("pos_start"), col("pos_end"),
+          timestamp_seconds(col("pos_start").cast("long") * 7 + lit(1700000000L)).as("ts"))
+        .as[StreamingOps.StreamRead]
+      val targets = Tables.targets(s, dir).filter(col("pos_start") % 10 === 3)
+      StreamingOps.annotateStream(reads, targets)
+        .select(col("contig"), col("pos_start"), col("pos_end"), col("target_name"))
+    },
     "stream_interval_nearest" -> { (s, dir) =>
       import s.implicits._
       val reads = Tables.reads(s, dir)
@@ -239,6 +259,12 @@ object StreamingQueries {
          |FROM v JOIN targets t ON v.contig = t.contig
          |  AND v.pos_end >= t.pos_start AND v.pos_start <= t.pos_end
          |WHERE t.pos_start % 10 = 3""".stripMargin,
+    "stream_bam_annotate" ->
+      s"""WITH ${OracleCtes.reads}, ${OracleCtes.targets}
+         |SELECT r.contig, r.pos_start, r.pos_end, t.name AS target_name
+         |FROM reads r JOIN targets t ON r.contig = t.contig
+         |  AND r.pos_end >= t.pos_start AND r.pos_start <= t.pos_end
+         |WHERE t.pos_start % 10 = 3 AND r.sample_id = 's1'""".stripMargin,
     // Correlated scalar count (DuckDB decorrelates it): a join + GROUP BY
     // would merge duplicate read rows, but the kernel emits one row PER
     // stream row.

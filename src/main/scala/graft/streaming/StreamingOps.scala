@@ -410,6 +410,69 @@ object StreamingOps {
     graft.sources.SamFormat.parse(
       spark.readStream.text(path).withColumn("_file", input_file_name()))
 
+  /** File-stream BAM ingest — the BINARY twin of [[samStream]],
+    * completing the file-stream matrix (r15 VERDICT #7): tail a
+    * directory of `.bam` shards with the `binaryFile` stream source
+    * (each arriving shard is a complete BGZF BAM — exactly what the
+    * sharded [[graft.sources.SourceUtil.writeBam]] sink emits per task)
+    * and decode each with the batch codec
+    * ([[graft.sources.BamFormat.BamReader]]), so the streaming and
+    * batch surfaces share ONE binary walk and cannot drift: identical
+    * CIGAR-derived `pos_end`, Phred+33 `qual_str` (0xFF sentinel →
+    * null), cleaned contig names, and the S7 sample-id-from-filename
+    * rule. Memory per task is bounded by shard size (an aligner's
+    * streaming shards are micro-batch sized by construction;
+    * `spark.sql.sources.binaryFile.maxLength` backstops the
+    * pathological case loudly). Emits the batch scan's core columns;
+    * compose with [[annotateStream]]/[[countStream]]/
+    * [[coverageStream]] downstream. */
+  def bamStream(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    // binaryFile's schema is fixed by the source but file streams still
+    // demand it explicitly (no inference pass against an empty dir).
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.bam").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val reader = new graft.sources.BamFormat.BamReader(
+          new java.io.ByteArrayInputStream(bytes))
+        val cleaned = reader.header.refNames
+          .map(graft.functions.RangeFunctions.cleanContig)
+        Iterator.continually(reader.next()).takeWhile(_.isDefined).map { o =>
+          val r = o.get
+          val qual =
+            if (r.quals == null || r.quals.isEmpty || r.quals(0) == 0xff.toByte) null
+            else {
+              val b = new Array[Byte](r.quals.length)
+              var j = 0
+              while (j < b.length) { b(j) = (r.quals(j) + 33).toByte; j += 1 }
+              new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+            }
+          (p, r.qname, r.flag,
+            if (r.refId >= 0 && r.refId < cleaned.length) cleaned(r.refId) else null,
+            r.pos0 + 1, r.pos0 + 1 + math.max(r.refConsumed, 1) - 1,
+            r.mapq, r.cigar, r.seq, qual,
+            Option(r.mdTag).orNull,
+            Option(r.tagNm).map(_.intValue): Option[Int],
+            Option(r.tagRg).orNull)
+        }
+      }
+      .toDF("_path", "qname", "flag", "contig", "pos_start", "pos_end",
+        "mapq", "cigar", "seq", "qual_str", "md_tag", "tag_NM", "tag_RG")
+      .select(
+        graft.sources.SourceUtil.sampleIdFromPath(col("_path")).as("sample_id"),
+        col("qname"), col("flag"), col("contig"), col("pos_start"),
+        col("pos_end"), col("mapq"), col("cigar"), col("seq"),
+        col("qual_str"), col("md_tag"), col("tag_NM"), col("tag_RG"))
+  }
+
   def annotateStream(reads: Dataset[StreamRead], targets: DataFrame): DataFrame = {
     val spark = reads.sparkSession
     import spark.implicits._

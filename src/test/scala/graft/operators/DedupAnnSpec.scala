@@ -627,6 +627,39 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs.count().toInt === inside)
   }
 
+  test("semDedup purity is exact and recall vs brute force holds its floor") {
+    // r15 VERDICT #3: the ANN oracles pin determinism, not answer
+    // QUALITY. Ground truth here is the full all-pairs cosine over the
+    // 500-vector fixture at the ann_semdedup threshold: flagged ⇒ truly
+    // within threshold of a lower id (purity 1.0 by the exact verify —
+    // asserted, not assumed), and the cluster-bounded candidate cut
+    // must still FIND at least 70% of the true dups (boundary-split
+    // pairs are the accepted miss; measured ~0.9 on this fixture).
+    val th = 0.4
+    val emb = Tables.embeddings(spark, sf0001)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) -2.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val trueDups = (for {
+      j <- vecs.indices
+      i <- 0 until j
+      if cos(vecs(i)._2, vecs(j)._2) >= th
+    } yield vecs(j)._1).toSet
+    assert(trueDups.nonEmpty, "degenerate fixture: no near-dups at the threshold")
+    val flagged = EmbeddingOps.semDedup(emb, threshold = th)
+      .filter(col("is_dup")).collect().map(_.getLong(0)).toSet
+    assert(flagged.subsetOf(trueDups),
+      s"semDedup flagged non-duplicates: ${(flagged -- trueDups).take(5)}")
+    val recall = (flagged & trueDups).size.toDouble / trueDups.size
+    info(s"semDedup recall vs brute force: $recall (${trueDups.size} true dups)")
+    assert(recall >= 0.7, s"semDedup recall $recall below the 0.7 floor")
+  }
+
   test("spreadByKey is a no-op on an already-parallel input") {
     import graft.SharedSpark.spark.implicits._
     val par = spark.sparkContext.defaultParallelism
