@@ -200,8 +200,119 @@ object ScaleProbe {
     Seq(cov, bc, br)
   }
 
+  // ---- LLM-pipeline flagship probes (dedup + ANN), sharing the
+  // harness above: the genomics probes measure the interval-join /
+  // coverage 100 TB posture; these measure the banded-dedup and
+  // IVF-serve posture the same way — wall time, peak heap, and
+  // stage-aggregated shuffle against the quantity each design must NOT
+  // move (all-pairs for dedup, corpus x queries for ANN).
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** Synthetic documents `(doc_id, text)`: `tokensPerDoc` hashed vocab
+    * tokens per doc. Every id with `id % dupEvery == 1` (id > 1) copies
+    * doc `id - 1`'s tokens with the LAST token perturbed — a controlled
+    * near-dup population of ~n/dupEvery adjacent pairs at 3-shingle
+    * Jaccard ≈ (s-3)/s (≈0.92 at the default 40 tokens), while unrelated
+    * docs share shingles only by vocab collision. Base docs (`% == 0`)
+    * are never themselves dups, so expected pairs are exactly countable.
+    * Pure integer-hash generation — the caller persists + materializes
+    * the frame so probes time the OPERATOR, not generation. */
+  def synthDocs(spark: SparkSession, n: Long, tokensPerDoc: Int = 40,
+      dupEvery: Int = 10, vocab: Int = 200000, parts: Int = 128): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).as[Long].mapPartitions { it =>
+      val sb = new java.lang.StringBuilder(tokensPerDoc * 8)
+      it.map { id =>
+        val isDup = id % dupEvery == 1 && id > 1
+        val base = if (isDup) id - 1 else id
+        sb.setLength(0)
+        var j = 0
+        while (j < tokensPerDoc) {
+          val seed = if (isDup && j == tokensPerDoc - 1) id else base
+          val tok = (mix64(seed * 1000003L + j) & Long.MaxValue) % vocab
+          if (j > 0) sb.append(' ')
+          sb.append('t').append(tok)
+          j += 1
+        }
+        (id, sb.toString)
+      }
+    }.toDF("doc_id", "text")
+  }
+
+  /** Synthetic embeddings `(vec_id, embedding float[dim])`, uniform in
+    * [-1, 1) per coordinate from the same integer mixer. Uniform data is
+    * the WORST case for an IVF probe's timing (no cluster structure to
+    * shrink lists); answer QUALITY on structured data is gated
+    * separately (DedupAnnSpec recall floors). */
+  def synthEmbeddings(spark: SparkSession, n: Long, dim: Int = 64,
+      parts: Int = 128): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val v = new Array[Float](dim)
+        var j = 0
+        while (j < dim) {
+          v(j) = ((mix64(id * 131071L + j) & Long.MaxValue) % 2000000L) / 1000000.0f - 1.0f
+          j += 1
+        }
+        (id, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** The three pipeline probes on one session: banded MinHash near-dup
+    * over `nDocs`, IVF train over `nVecs`, IVF serve for `nQueries`
+    * against the trained index. Shared by `ScaleProbeSpec` (gate sizes,
+    * structural asserts) and [[main]] with `pipeline` (big sizes). */
+  def runPipeline(spark: SparkSession, totals: StageTotals, nDocs: Long,
+      nVecs: Long, nQueries: Int, parts: Int,
+      dupEvery: Int = 10): Seq[ProbeResult] = {
+    Graft.ensure(spark)
+    import org.apache.spark.storage.StorageLevel
+    // Materialize inputs OUTSIDE the probe windows: generation is not
+    // what these probes measure.
+    val docs = synthDocs(spark, nDocs, dupEvery = dupEvery, parts = parts)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    val expectedDups = (2L until nDocs).count(_ % dupEvery == 1) // tiny n in specs; arithmetic for big n
+    val dedup = runProbe(spark, totals, "minhash_neardup") { () =>
+      graft.operators.DedupOps.nearDupPairs(docs, threshold = 0.8)
+    }(_ => Map("expectedDups" -> expectedDups))
+    docs.unpersist(blocking = false)
+
+    val corpus = synthEmbeddings(spark, nVecs, parts = parts)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    var trained: (Array[Array[Double]], DataFrame) = null
+    val train = runProbe(spark, totals, "ivf_train") { () =>
+      trained = graft.operators.EmbeddingOps.ivfIndex(corpus)
+      trained._2 // assignment frame: nVecs x replicas narrow rows
+    } { _ =>
+      val cents = trained._1
+      Map("nLists" -> cents.length.toLong,
+        "centroidBytes" -> cents.length.toLong * cents.headOption.map(_.length).getOrElse(0) * 8L)
+    }
+    val assigned = trained._2.persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    val serve = runProbe(spark, totals, "ivf_serve") { () =>
+      graft.operators.EmbeddingOps.ivfTopKWith(
+        trained._1, assigned, corpus, queries, k = 10)
+    }(_ => Map("nQueries" -> nQueries.toLong))
+    assigned.unpersist(blocking = false)
+    corpus.unpersist(blocking = false)
+    Seq(dedup, train, serve)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleProbe <cores> [nReads] [nAnnots]")
+    if (args.headOption.contains("pipeline")) { pipelineMain(args.drop(1)); return }
+    require(args.nonEmpty, "usage: ScaleProbe <cores> [nReads] [nAnnots] | ScaleProbe pipeline <cores> [nDocs] [nVecs]")
     val cores = args(0).toInt
     val nReads = args.lift(1).map(_.toLong).getOrElse(50000000L)
     val nAnnots = args.lift(2).map(_.toLong).getOrElse(1000000L)
@@ -220,13 +331,45 @@ object ScaleProbe {
     // Unmeasured warmup: codegen + JIT of the kernels at toy size.
     runAll(spark, totals, nReads = 200000, nAnnots = 10000, genome, parts = 8)
     val results = runAll(spark, totals, nReads, nAnnots, genome, parts)
-    val probesJson = results.map { r =>
+    val json =
+      s"""{"cores":$cores,"n_reads":$nReads,"n_annots":$nAnnots,"genome":$genome,"input_parts":$parts,"max_heap_mb":${Runtime.getRuntime.maxMemory() >> 20},"probes":${probesJson(results)}}"""
+    spark.stop()
+    println(json)
+  }
+
+  private def probesJson(results: Seq[ProbeResult]): String =
+    results.map { r =>
       val sh = r.shuffle.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val ex = r.extra.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       s""""${r.name}":{"sec":${r.sec},"rows":${r.rows},"peak_heap_mb":${r.peakHeapMb},$sh${if (ex.nonEmpty) "," + ex else ""}}"""
     }.mkString("{", ",", "}")
+
+  /** `ScaleProbe pipeline <cores> [nDocs] [nVecs] [nQueries]` — the
+    * LLM-pipeline big-number run (same one-JVM-per-core-count loop as
+    * the genomics probes). */
+  private def pipelineMain(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: ScaleProbe pipeline <cores> [nDocs] [nVecs] [nQueries]")
+    val cores = args(0).toInt
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val nVecs = args.lift(2).map(_.toLong).getOrElse(2000000L)
+    val nQueries = args.lift(3).map(_.toInt).getOrElse(1000)
+    val parts = 128 // FIXED across core counts, like the genomics probes
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val totals = new StageTotals
+    spark.sparkContext.addSparkListener(totals)
+    // Unmeasured warmup at toy size (codegen, JIT, kernel classes).
+    runPipeline(spark, totals, nDocs = 20000, nVecs = 30000, nQueries = 50, parts = 8)
+    val results = runPipeline(spark, totals, nDocs, nVecs, nQueries, parts)
     val json =
-      s"""{"cores":$cores,"n_reads":$nReads,"n_annots":$nAnnots,"genome":$genome,"input_parts":$parts,"max_heap_mb":${Runtime.getRuntime.maxMemory() >> 20},"probes":$probesJson}"""
+      s"""{"cores":$cores,"n_docs":$nDocs,"n_vecs":$nVecs,"n_queries":$nQueries,"input_parts":$parts,"max_heap_mb":${Runtime.getRuntime.maxMemory() >> 20},"probes":${probesJson(results)}}"""
     spark.stop()
     println(json)
   }

@@ -54,4 +54,50 @@ class ScaleProbeSpec extends SparkSpec {
           "pair rows are hitting the exchange")
     } finally spark.sparkContext.removeSparkListener(totals)
   }
+
+  test("pipeline probes: banded dedup and IVF serve move bands/candidates, never all-pairs") {
+    import graft.operators.DedupOps
+    val nDocs = 60000L
+    val nVecs = 50000L
+    val nQueries = 100
+    val totals = new ScaleProbe.StageTotals
+    spark.sparkContext.addSparkListener(totals)
+    try {
+      val Seq(dedup, train, serve) =
+        ScaleProbe.runPipeline(spark, totals, nDocs, nVecs, nQueries, parts = 16)
+
+      // MinHash near-dup: the controlled population is ~nDocs/10 adjacent
+      // pairs at shingle-Jaccard ~0.92; at 64 bands x 2 rows the banding
+      // P(candidate) is ~1.0 there, and a false POSITIVE would need true
+      // Jaccard >= 0.8 between unrelated hash-vocab docs — so the verified
+      // pair count must essentially BE the planted population.
+      val expected = dedup.extra("expectedDups")
+      assert(expected === (2L until nDocs).count(_ % 10 == 1).toLong)
+      assert(dedup.rows >= (expected * 9) / 10 && dedup.rows <= expected,
+        s"verified ${dedup.rows} vs planted $expected near-dup pairs")
+      // Structure: the exchanges move band rows (NumBands per doc, a few
+      // passes) and candidate/verify rows — NEVER the n^2/2 = 1.8e9
+      // all-pairs population.
+      assert(dedup.shuffle("shuffle_write_records") <=
+        nDocs * DedupOps.NumBands * 8 + expected * 16,
+        s"dedup shuffled ${dedup.shuffle} — all-pairs rows are hitting the exchange")
+
+      // IVF train: the assignment frame is nVecs x replicas narrow rows;
+      // the DRIVER-resident model is the centroid table alone (~sqrt(n)
+      // lists x 64 dims x 8B), never any function of the corpus.
+      assert(train.rows === nVecs * 2)
+      assert(train.extra("nLists") === math.sqrt(nVecs.toDouble).toInt.toLong)
+      assert(train.extra("centroidBytes") <= (1L << 20),
+        s"driver model ${train.extra} should be centroids only")
+
+      // IVF serve: k rows per query; the exchanges move the corpus
+      // assignment plus the probed-list candidates (queries x nProbe x
+      // avg list), never the nVecs x nQueries = 5e6 brute-force pairs.
+      assert(serve.rows === nQueries.toLong * 10)
+      val candBound = nQueries.toLong * 6 * (nVecs * 2 / train.extra("nLists"))
+      assert(serve.shuffle("shuffle_write_records") <= nVecs * 8 + candBound * 6,
+        s"serve shuffled ${serve.shuffle} for a candidate bound of $candBound — " +
+          "brute-force pairs are hitting the exchange")
+    } finally spark.sparkContext.removeSparkListener(totals)
+  }
 }
