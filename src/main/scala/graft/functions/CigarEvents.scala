@@ -80,6 +80,92 @@ object CigarWalk {
     }
     new GenericArrayData(out)
   }
+
+  /** Reference-covering segments of one read as `[seg_start, seg_end]`
+    * structs (1-based, end-inclusive) — the same walk as
+    * [[coverageEvents]] with the +1/-1 pairs folded into closed
+    * intervals. Segments of one read never overlap (the walk only moves
+    * forward), so a point-in-segment count over a reads table equals the
+    * RLE coverage depth at that point. */
+  def coveredSegments(start: Int, end: Int, cigar: UTF8String): ArrayData = {
+    if (cigar == null || cigar.numBytes() == 0) {
+      return new GenericArrayData(Array[Any](
+        new GenericInternalRow(Array[Any](start, end))))
+    }
+    val n = cigar.numBytes()
+    var segs = 0
+    var i = 0
+    var num = 0
+    while (i < n) {
+      val c = cigar.getByte(i).toChar
+      if (c >= '0' && c <= '9') num = num * 10 + (c - '0')
+      else {
+        c match {
+          case 'M' | '=' | 'X' => if (num > 0) segs += 1
+          case 'D' | 'N' | 'I' | 'S' | 'H' | 'P' => ()
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported CIGAR op '$other' in '${cigar.toString}'")
+        }
+        num = 0
+      }
+      i += 1
+    }
+    val out = new Array[Any](segs)
+    var pos = start
+    var k = 0
+    i = 0
+    num = 0
+    while (i < n) {
+      val c = cigar.getByte(i).toChar
+      if (c >= '0' && c <= '9') num = num * 10 + (c - '0')
+      else {
+        c match {
+          case 'M' | '=' | 'X' =>
+            if (num > 0) {
+              out(k) = new GenericInternalRow(Array[Any](pos, pos + num - 1))
+              k += 1
+            }
+            pos += num
+          case 'D' | 'N' => pos += num
+          case _ => ()
+        }
+        num = 0
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `cigar_covered_segments(pos_start, pos_end, cigar)` →
+  * `array<struct<seg_start:int, seg_end:int>>` (1-based, end-inclusive).
+  * Children must be non-null (coalesce a nullable cigar to `''` at the
+  * call site — empty means "no CIGAR", the solid `[start, end]`
+  * interval). */
+case class CigarCoveredSegments(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(IntegerType, IntegerType, StringType)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("seg_start", IntegerType, nullable = false),
+      StructField("seg_end", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "cigar_covered_segments"
+
+  override protected def nullSafeEval(s: Any, e: Any, c: Any): Any =
+    CigarWalk.coveredSegments(s.asInstanceOf[Int], e.asInstanceOf[Int], c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, e, c) =>
+      s"${ev.value} = graft.functions.CigarWalk.coveredSegments($s, $e, $c);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `cigar_coverage_events(pos_start, pos_end, cigar)` →

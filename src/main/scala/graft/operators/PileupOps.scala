@@ -65,26 +65,52 @@ object PileupOps {
     }
   }
 
-  /** Depth lookup: point-in-block interval join against coverage blocks
-    * (plans as IntervalForestJoin; perPos is the small broadcast side).
+  /** Depth lookup: pair-free point-in-segment COUNT join against the
+    * reads' CIGAR-covered segments (r16 optimization). Depth at an alt
+    * position equals the number of covering M/=/X segments, so instead of
+    * materializing the full RLE coverage (a range-partitioned prefix scan:
+    * two operator persists, a bounds-sampling job, two collect jobs and a
+    * boundary merge per pileup query — guide §2.4, remove shuffles/passes
+    * outright) the positions broadcast-forest-join the one-scan segment
+    * stream and `IntervalCountPushdownRule` counts matches pair-free
+    * (`Aggregate(IntervalCountJoinNode)`, the featureCounts shape).
+    * `mergeCoverage(blocks(a), blocks(b)) == blocks(a ∪ b)` is the law
+    * that makes this exact: segments of one read never overlap, so
+    * per-position counts equal the RLE depth (CoverageSpec pins the
+    * equivalence; the pileup oracles re-pin it end-to-end).
+    *
+    * The positions side carries the broadcast hint deliberately: it is the
+    * bounded side at every scale (alt positions ≤ genome × samples, the
+    * same side the previous blocks-join broadcast), while the segments
+    * side is corpus-sized.
+    *
     * `ref` is the per-position reference base from the passed
     * [[ReferenceSource]] (A4) — [[MockReference]] by default,
     * [[FastaReference]] for a real indexed genome — evaluated on the
     * emitted rows only. */
   private def withDepth(perPos: DataFrame, reads: DataFrame,
-      ref: ReferenceSource): DataFrame = {
-    val blocks = CoverageOps.blocks(reads)
-    // `quals` passes through only when the aggregation built it — the
-    // quals-free fast path (withQuals=false) never computes histograms.
-    val tail = Seq(col("alts")) ++
-      (if (perPos.columns.contains("quals")) Seq(col("quals")) else Nil)
-    perPos.as("p").join(blocks.as("b"),
-        expr("p.contig = b.contig AND p.pos >= b.pos_start AND p.pos <= b.pos_end"))
-      .select(Seq(col("p.contig").as("contig"), col("p.pos").as("pos"),
-        ref.refBase("p.contig", "p.pos").as("ref"),
-        col("b.coverage").as("coverage"),
-        (col("b.coverage").cast("long") - col("count_nonref")).as("count_ref"),
-        col("count_nonref")) ++ tail: _*)
+      ref: ReferenceSource): DataFrame =
+    withDepthBy(perPos, reads, Nil, ref)
+
+  /** One-scan covered-segment rows `(keys..., contig, seg_start, seg_end)`
+    * via the codegen'd [[graft.functions.CigarCoveredSegments]] walk (no
+    * `cigar` column degrades to the solid `[pos_start, pos_end]`). */
+  private def segmentRows(reads: DataFrame, keys: Seq[String]): DataFrame = {
+    val k = keys.map(col)
+    val segArr =
+      if (reads.columns.contains("cigar")) {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.functions.CigarCoveredSegments(
+          ColumnBridge.expression(col("pos_start").cast("int")),
+          ColumnBridge.expression(col("pos_end").cast("int")),
+          ColumnBridge.expression(coalesce(col("cigar"), lit("")))))
+      } else {
+        array(struct(col("pos_start").cast("int").as("seg_start"),
+          col("pos_end").cast("int").as("seg_end")))
+      }
+    reads.select(k ++ Seq(col("contig"), explode(segArr).as("seg")): _*)
+      .select(k ++ Seq(col("contig"), col("seg.seg_start").as("seg_start"),
+        col("seg.seg_end").as("seg_end")): _*)
   }
 
   /** Naive threshold variant caller over the map-typed pileup — the
@@ -262,21 +288,38 @@ object PileupOps {
   }
 
   /** [[withDepth]] generalized over group keys: depth per
-    * `(keys, contig, pos)` from [[CoverageOps.blocksBy]], probed through
-    * the forest join with the keys as extra equality columns. */
-  private def withDepthBy(perPos: DataFrame, reads: DataFrame,
+    * `(keys, contig, pos)` from the pair-free count join over
+    * [[segmentRows]], with the keys as extra equality columns; the
+    * depth frame re-attaches to the map columns by equi-join on the keys
+    * both sides are already hash-partitioned on (no extra exchange). */
+  private def withDepthBy(perPos0: DataFrame, reads: DataFrame,
       keys: Seq[String], ref: ReferenceSource): DataFrame = {
-    val blocks = CoverageOps.blocksBy(reads, keys)
-    val cond = (keys.map(kc => col(s"p.$kc") === col(s"b.$kc")) ++ Seq(
-      col("p.contig") === col("b.contig"),
-      col("p.pos") >= col("b.pos_start"),
-      col("p.pos") <= col("b.pos_end"))).reduce(_ && _)
-    perPos.as("p").join(blocks.as("b"), cond)
-      .select(keys.map(kc => col(s"p.$kc").as(kc)) ++ Seq(
-        col("p.contig").as("contig"), col("p.pos").as("pos"),
-        ref.refBase("p.contig", "p.pos").as("ref"),
-        col("b.coverage").as("coverage"),
-        (col("b.coverage").cast("long") - col("count_nonref")).as("count_ref"),
+    graft.Graft.ensure(perPos0.sparkSession)
+    val idCols = keys ++ Seq("contig", "pos")
+    // Persisted once: the slim position frame below (the count-join build
+    // side) and the final map-column join both read it — without the
+    // barrier the whole alt aggregation would run twice.
+    val perPos = CacheScope.persistTracked(perPos0)
+    val pos = perPos.select(idCols.map(col): _*).hint("broadcast").as("p")
+    val segs = segmentRows(reads, keys).as("s")
+    val cond = (keys.map(kc => col(s"p.$kc") === col(s"s.$kc")) ++ Seq(
+      col("p.contig") === col("s.contig"),
+      col("p.pos") >= col("s.seg_start"),
+      col("p.pos") <= col("s.seg_end"))).reduce(_ && _)
+    // Fresh output names (aliases mint new ExprIds) so the re-attach join
+    // below is unambiguous even though both sides share the persisted
+    // perPos lineage.
+    val cnt = pos.join(segs, cond)
+      .groupBy(idCols.map(kc => col(s"p.$kc")): _*)
+      .agg(count(lit(1)).as("_depth"))
+      .select(idCols.map(kc => col(kc).as(s"_c_$kc")) :+ col("_depth"): _*)
+    perPos.as("q").join(cnt,
+        idCols.map(kc => col(s"q.$kc") === col(s"_c_$kc")).reduce(_ && _))
+      .select(keys.map(kc => col(s"q.$kc").as(kc)) ++ Seq(
+        col("q.contig").as("contig"), col("q.pos").as("pos"),
+        ref.refBase("q.contig", "q.pos").as("ref"),
+        col("_depth").cast("int").as("coverage"),
+        (col("_depth") - col("count_nonref")).as("count_ref"),
         col("count_nonref"), col("alts")) ++
         (if (perPos.columns.contains("quals")) Seq(col("quals")) else Nil): _*)
   }

@@ -267,6 +267,11 @@ case class IntervalCountPushdownRule(session: SparkSession)
           otherSide = if (countLeft) jr else jl
           if aggExprs.forall {
             case a: AttributeReference => groupAttrs.exists(_.exprId == a.exprId)
+            // A renamed grouping column (CollapseProject folds a
+            // `SELECT key AS k` on top of the aggregate into aggExprs):
+            // pure output aliasing, unchanged by the rewrite.
+            case Alias(a: AttributeReference, _) =>
+              groupAttrs.exists(_.exprId == a.exprId)
             case Alias(ae: AggregateExpression, _) =>
               isPairCount(ae) || sumOnSide(ae, countSide).isDefined ||
                 sumOnOtherSide(ae, otherSide).isDefined ||

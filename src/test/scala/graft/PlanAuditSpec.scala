@@ -168,17 +168,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sText.contains("Exchange"), s"sampling must not shuffle:\n$sText")
   }
 
-  /** Multi-sample pileup's scale claim: the alt pipeline costs exactly
-    * ONE Exchange (the (keys, contig, pos) repartition all three
-    * aggregation levels ride), and depth probes the forest join — an
-    * N-sample corpus must not pay per-sample or per-level shuffles.
-    * (blocksBy's event shuffle is RDD-level by design, not an Exchange.) */
-  test("pileup_by_sample plans one exchange and the forest depth probe") {
+  /** Multi-sample pileup's scale claim (r16): depth is the PAIR-FREE
+    * count join over the one-scan CIGAR-segment stream —
+    * `Aggregate(IntervalCountJoinNode)` replaced the RLE-blocks
+    * prefix-scan machinery (range shuffle + two boundary collect jobs per
+    * pileup query). The whole plan costs exactly THREE data movements:
+    * the (keys, contig, pos) repartition all alt-aggregation levels ride,
+    * the count aggregate's per-position partial-count exchange, and the
+    * broadcast of the position-keyed depth frame back onto the map
+    * columns — neither per-sample nor per-level, and the corpus-sized
+    * segment stream is NEVER shuffled (the count node probes it in
+    * place). */
+  test("pileup_by_sample plans the pair-free depth count join, no segment shuffle") {
     val plan = SparkEntry.queries("pileup_by_sample")(spark, sf0001)
       .queryExecution.executedPlan
-    val text = treeStrings(plan).map(_.linesIterator.count(_.contains("Exchange "))).max
-    assert(text == 1, s"multi-sample pileup must shuffle alts exactly once, saw $text")
-    assert(treeStrings(plan).mkString.contains("IntervalForestJoin"))
+    val texts = treeStrings(plan)
+    assert(texts.mkString.contains("IntervalCountJoin"),
+      "pileup depth must take the pair-free count join")
+    // Distinct Exchange operators (the formatted ids dedup the shared
+    // cached subtree both consumers render): alts repartition + count
+    // aggregate + the re-attach broadcast. No more.
+    val formatted = SparkEntry.queries("pileup_by_sample")(spark, sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val distinctExchanges = formatted.linesIterator
+      .count(l => l.matches("""\(\d+\) (Exchange|BroadcastExchange).*"""))
+    assert(distinctExchanges <= 3,
+      s"multi-sample pileup must move alts, counts, and one broadcast only:\n$formatted")
   }
 
   /** The as-of join's scale claim: the tagged-union + window form costs
