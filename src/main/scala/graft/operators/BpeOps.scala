@@ -86,6 +86,40 @@ object BpeOps {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // Size-gated driver trainer (r16, the [[DedupOps.clusters]] union-find
+    // pattern): the corpus-sized work is wordFrequencies — ONE scan +
+    // shuffle — and everything after operates on the compressed
+    // (word, freq) table, which is vocab-sized (Zipf: ~10-100M rows at
+    // 100 TB, a few thousand at test scale). Below the gate the whole
+    // merge loop runs on the driver over the collected table — the
+    // sequential trainer (batch = 1) otherwise pays numMerges full
+    // Spark rounds of pure scheduling latency on kilobytes of data.
+    // Above the gate the distributed loop below is unchanged. Both
+    // regimes are bit-identical by construction (same counts over the
+    // same multiset, same UTF8String candidate order, same window
+    // truncation, same greedy non-interfering selection) and
+    // differentially spec-pinned (BpeSpec "driver gate ==").
+    // `spark.graft.bpe.localThreshold` = max collected rows (0 forces
+    // the distributed path).
+    val localThreshold = spark.conf
+      .get("spark.graft.bpe.localThreshold", (1L << 20).toString).toLong
+    if (localThreshold > 0) {
+      val wfP = wordFrequencies(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val st = wfP.agg(count(lit(1)), sum(length(col("word")))).head
+      val rows = st.getLong(0)
+      val chars = if (st.isNullAt(1)) 0L else st.getLong(1)
+      // Char budget: the collected table must stay model-sized on the
+      // driver even for degenerate "words" (minified blobs).
+      if (rows <= localThreshold && chars <= (256L << 20)) {
+        val all = wfP.as[(String, Long)].collect()
+        wfP.unpersist(blocking = false)
+        return spark.createDataFrame(driverTrain(all, numMerges, batch, minFreq))
+          .toDF("rank", "left", "right", "merged", "pair_freq")
+      }
+      wfP.unpersist(blocking = false)
+    }
+
     // Iterative trainer ⇒ lineage MUST be truncated per round
     // (localCheckpoint), not merely persisted: a persist keeps the full
     // logical plan, and re-analyzing/canonicalizing a plan that grows
@@ -172,6 +206,71 @@ object BpeOps {
     words.unpersist(blocking = false)
     spark.createDataFrame(merges.toSeq)
       .toDF("rank", "left", "right", "merged", "pair_freq")
+  }
+
+  /** The under-gate trainer: the distributed loop's exact mirror over the
+    * collected `(word, freq)` table. Candidate order replicates Spark's
+    * `ORDER BY freq DESC, left ASC, right ASC` — string ASC in Spark is
+    * UTF8String binary order (UTF-8 bytes = code-point order), which
+    * differs from Java's `String.compareTo` (UTF-16 code units) beyond
+    * the BMP, so the comparator goes through [[UTF8String]]. The
+    * candidate WINDOW truncation is replicated too: selection scans only
+    * the top `max(want·8, 64)` candidates, so a round that exhausts the
+    * window mid-selection applies exactly the same (possibly short)
+    * batch as the distributed trainer. */
+  private def driverTrain(wf: Array[(String, Long)], numMerges: Int,
+      batch: Int, minFreq: Long): Seq[(Int, String, String, String, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    var words: Array[(Array[String], Long)] =
+      wf.map { case (w, f) => (toSymbols(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - merges.length)
+      val window = math.max(want * 8, 64)
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (sym, f) =>
+        var i = 0
+        while (i < sym.length - 1) {
+          val k = (sym(i), sym(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      val candidates = counts.iterator
+        .filter(_._2 >= minFreq)
+        .map { case ((l, r), f) =>
+          (l, r, f, UTF8String.fromString(l), UTF8String.fromString(r))
+        }.toArray
+        .sortWith { (a, b) =>
+          if (a._3 != b._3) a._3 > b._3
+          else {
+            val cl = a._4.compareTo(b._4)
+            if (cl != 0) cl < 0 else a._5.compareTo(b._5) < 0
+          }
+        }.take(window)
+      if (candidates.isEmpty) exhausted = true
+      else {
+        val touched = scala.collection.mutable.HashSet.empty[String]
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        candidates.iterator.takeWhile(_ => selected.length < want).foreach {
+          case (l, r, f, _, _) =>
+            if (!touched.contains(l) && !touched.contains(r) && !touched.contains(l + r)) {
+              selected += ((l, r, f)); touched += l; touched += r; touched += l + r
+            }
+        }
+        val rules = selected.zipWithIndex.map { case ((l, r, f), i) =>
+          (merges.length + i, l, r, l + r, f)
+        }
+        merges ++= rules
+        words = words.map { case (sym, f) =>
+          var s = sym
+          rules.foreach { t => s = applyMerge(s, t._2, t._3, t._4) }
+          (s, f)
+        }
+      }
+    }
+    merges.toSeq
   }
 
   /** A fixed, deterministic merge table (common English merges, rank

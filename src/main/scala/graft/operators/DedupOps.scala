@@ -225,9 +225,16 @@ object DedupOps {
     import spark.implicits._
     def hashed(sh: DataFrame) = sh.select(col("doc_id"),
       array_sort(transform(col("st"), s => xxhash64(s))).as("sth"))
+    // hash+sort is an interpreted higher-order expression over every
+    // shingle of every document (the measured HOF cliff) and feeds BOTH
+    // join sides — in the self-join case that was the identical
+    // computation run twice. Materialize it once; the self case shares
+    // one persisted frame (r16).
+    val hA = CacheScope.persistTracked(hashed(shA))
+    val hB = if (shB eq shA) hA else CacheScope.persistTracked(hashed(shB))
     candidates
-      .join(hashed(shA).withColumnRenamed("doc_id", "id_a").withColumnRenamed("sth", "st_a"), "id_a")
-      .join(hashed(shB).withColumnRenamed("doc_id", "id_b").withColumnRenamed("sth", "st_b"), "id_b")
+      .join(hA.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sth", "st_a"), "id_a")
+      .join(hB.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sth", "st_b"), "id_b")
       .select(col("id_a"), col("id_b"), col("st_a"), col("st_b"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .mapPartitions { it =>

@@ -598,15 +598,22 @@ object NearestJoinOps {
           greatest(col("_rs").cast("long") - col("l.pos_end"),
             col("l.pos_start").cast("long") - col("_re"), lit(0L)).as("_d"))
         .filter(col("_d") <= col("_w"))
-      // No distinct(): DENSE_RANK assigns equal _d values one rank, so
-      // duplicate (row, _d) pairs change neither _dk nor _ndist — the
-      // dedup was one full extra exchange per round for nothing.
-      val wspec = Window
-        .partitionBy(col("contig"), col("pos_start"), col("pos_end")).orderBy(col("_d"))
-      val candStats = cand.withColumn("_rk", dense_rank().over(wspec))
+      // k-th smallest DISTINCT distance without a window (r16): the old
+      // DENSE_RANK needed an exchange + full sort of the candidate
+      // stream, and the groupBy above it hashed on a different key set —
+      // a SECOND exchange of the same rows. One hash aggregate computes
+      // the identical stats: the distinct-distance set per triple is
+      // small (<= the candidates in a tight window), collect_set
+      // partial-aggregates map-side, and `sorted[min(k, n)]` IS the
+      // dense-rank-k distance (max over all when n < k — same as
+      // max(when(rk <= k, d))). Duplicate (row, _d) pairs still change
+      // nothing (sets dedup).
+      val candStats = cand
         .groupBy(col("contig"), col("pos_start"), col("pos_end"), col("_w"))
-        .agg(max(when(col("_rk") <= k, col("_d"))).as("_dk"),
-          max(col("_rk")).as("_ndist"))
+        .agg(sort_array(collect_set(col("_d"))).as("_ds"))
+        .select(col("contig"), col("pos_start"), col("pos_end"), col("_w"),
+          element_at(col("_ds"), least(lit(k), size(col("_ds")))).as("_dk"),
+          size(col("_ds")).as("_ndist"))
       // Base surface: every pending window holds >= 1 candidate (round-0
       // window >= d*), so candStats covers pend. Under the variant flags
       // a window can hold zero VALID candidates — keep those triples

@@ -180,20 +180,29 @@ class PlanAuditSpec extends SparkSpec {
     * segment stream is NEVER shuffled (the count node probes it in
     * place). */
   test("pileup_by_sample plans the pair-free depth count join, no segment shuffle") {
-    val plan = SparkEntry.queries("pileup_by_sample")(spark, sf0001)
-      .queryExecution.executedPlan
-    val texts = treeStrings(plan)
-    assert(texts.mkString.contains("IntervalCountJoin"),
-      "pileup depth must take the pair-free count join")
-    // Distinct Exchange operators (the formatted ids dedup the shared
-    // cached subtree both consumers render): alts repartition + count
-    // aggregate + the re-attach broadcast. No more.
-    val formatted = SparkEntry.queries("pileup_by_sample")(spark, sf0001)
-      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    val distinctExchanges = formatted.linesIterator
-      .count(l => l.matches("""\(\d+\) (Exchange|BroadcastExchange).*"""))
-    assert(distinctExchanges <= 3,
-      s"multi-sample pileup must move alts, counts, and one broadcast only:\n$formatted")
+    // A numeric exchange bound is suite-order sensitive (CacheManager can
+    // satisfy the persisted alt aggregate from a similar cached plan and
+    // insert a repartition of CACHED rows — position-count-sized, not a
+    // scale concern). The scale claim worth pinning is structural: depth
+    // takes the pair-free count join, and the corpus-sized CIGAR-segment
+    // stream feeds it IN PLACE — no Exchange anywhere in the streamed
+    // subtree (the count node probes; only per-position partial counts
+    // shuffle, above the join).
+    def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
+      case _ => p +: p.children.flatMap(collectPlans)
+    }
+    val plans = collectPlans(SparkEntry.queries("pileup_by_sample")(spark, sf0001)
+      .queryExecution.executedPlan)
+    val cjs = plans.collect { case c: graft.plans.IntervalCountJoinExec => c }
+    assert(cjs.nonEmpty, "pileup depth must take the pair-free count join")
+    cjs.foreach { cj =>
+      val streamed = if (cj.buildLeft) cj.right else cj.left
+      val shuffled = collectPlans(streamed).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      assert(!shuffled,
+        s"the corpus-sized segment stream must never shuffle:\n$streamed")
+    }
   }
 
   /** The as-of join's scale claim: the tagged-union + window form costs

@@ -85,6 +85,9 @@ class BpeSpec extends SparkSpec {
           jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
+    // The tiny fixture sits under the driver gate; this spec pins the
+    // DISTRIBUTED loop's job shape, so force that regime.
+    spark.conf.set("spark.graft.bpe.localThreshold", "0")
     try {
       spark.sparkContext.setJobGroup(group, "bpe job-count spec")
       // batch=1 on the saturating fixture: selection rounds R = merge
@@ -105,7 +108,29 @@ class BpeSpec extends SparkSpec {
       // regime's extra per-round job would push this past 24.
       assert(jobs.get() <= 18,
         s"expected ≤2 jobs/round (8 rounds), saw ${jobs.get()}")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.conf.unset("spark.graft.bpe.localThreshold")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("driver gate == distributed trainer, both batch shapes") {
+    // The size-gated driver trainer (r16) must be bit-identical to the
+    // distributed loop — same counts, same UTF8String candidate order,
+    // same window truncation, same greedy selection.
+    def run(numMerges: Int, batch: Int, threshold: String) = {
+      spark.conf.set("spark.graft.bpe.localThreshold", threshold)
+      try BpeOps.trainBpe(fixture, numMerges, batch, minFreq = 2)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toList.sortBy(_._1)
+      finally spark.conf.unset("spark.graft.bpe.localThreshold")
+    }
+    for ((n, b) <- Seq((20, 1), (16, 4))) {
+      val driver = run(n, b, threshold = "1048576")
+      val dist = run(n, b, threshold = "0")
+      assert(driver === dist, s"numMerges=$n batch=$b")
+      assert(driver.nonEmpty)
+    }
   }
 
   test("trainer stops early when the corpus saturates below minFreq") {
