@@ -178,7 +178,7 @@ object EmbeddingOps {
 
   /** (id, bkey) band keys carved from the 64-bit sign bucket; band identity
     * is folded into the key's high bits so bands stay disjoint. */
-  private def bandKeys(buckets: DataFrame, idCol: String, bandBits: Int): DataFrame = {
+  private[graft] def bandKeys(buckets: DataFrame, idCol: String, bandBits: Int): DataFrame = {
     val nBands = math.min(16, NumPlanes / bandBits)
     val mask = (1L << bandBits) - 1
     val keys = (0 until nBands).map { j =>
@@ -959,9 +959,46 @@ object EmbeddingOps {
     * width); recall vs brute force is additionally asserted in tests. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       cap: Int = DedupOps.DefaultBucketCap): DataFrame = {
-    val banded = bandKeys(signBuckets(corpus, "vec_id"), "vec_id", bandBitsFor(threshold))
-      .transform(CacheScope.persistTracked)
-    verifyCosine(DedupOps.cappedSelfJoinPairs(banded, cap), corpus, corpus, threshold)
+    val bits = bandBitsFor(threshold)
+    val nBands = math.min(16, NumPlanes / bits)
+    val buckets = CacheScope.persistTracked(signBuckets(corpus, "vec_id"))
+    val mask = (1L << bits) - 1
+    val keys = (0 until nBands).map { j =>
+      lit(j.toLong << 48).bitwiseOR(shiftright(col("bucket"), j * bits).bitwiseAND(mask))
+    }
+    val banded = buckets.select(col("vec_id").as("id"), col("bucket"),
+      explode(array(keys: _*)).as("bkey"))
+    // Healthy-bucket regime (no bucket over the flood cap — one tiny
+    // aggregation over the cached sign buckets decides): each qualifying
+    // pair is emitted from its FIRST matching band only — band j matches
+    // iff bit-group j of bucket_x XOR bucket_y is zero, a pure function
+    // of the two 64-bit buckets both join sides already carry — so the
+    // full `distinct()` of the multiplied pair stream (the one
+    // O(candidate-pairs) Exchange left in the dedup/ANN families; at a
+    // 0.4 threshold candidates are ~2/3 of ALL pairs, so that shuffle
+    // grows ~quadratically at fixed band width) disappears: the pair
+    // stream flows straight into the broadcast verify joins, shuffled
+    // nowhere (guide §2.4). Over the cap, the star-edge semantics of
+    // [[DedupOps.cappedSelfJoinPairs]] apply unchanged.
+    val maxBsz = banded.groupBy(col("bkey")).agg(count(lit(1)).as("bsz"))
+      .agg(max(col("bsz"))).head.getLong(0)
+    val candidates =
+      if (maxBsz <= cap) {
+        val xor = col("x.bucket").bitwiseXOR(col("y.bucket"))
+        val firstMatch = (0 until nBands).foldRight(lit(-1L)) { (j, later) =>
+          when(shiftright(xor, j * bits).bitwiseAND(mask) === 0, lit(j.toLong))
+            .otherwise(later)
+        }
+        banded.as("x").join(banded.as("y"),
+            col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+          .filter(shiftright(col("x.bkey"), 48) === firstMatch)
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      } else {
+        DedupOps.cappedSelfJoinPairs(
+          banded.select(col("id"), col("bkey"))
+            .transform(CacheScope.persistTracked), cap)
+      }
+    verifyCosine(candidates, corpus, corpus, threshold)
   }
 
   /** Cross-corpus embedding near-dup pairs: for each `left` vector, the

@@ -473,6 +473,34 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall") // sign-LSH at cos~0.4: ~0.5 expected
   }
 
+  test("embedding near-dup first-match fast path == capped self-join pair set") {
+    // The r16 healthy-regime path (emit each pair from its first
+    // matching band, no distinct) must produce the EXACT pair set of
+    // the generic capped self-join it replaces.
+    val emb = Tables.embeddings(spark, sf0001)
+    val bits = EmbeddingOps.bandBitsFor(0.4)
+    val banded = EmbeddingOps.bandKeys(
+      EmbeddingOps.signBuckets(emb, "vec_id"), "vec_id", bits)
+    val generic = DedupOps.cappedSelfJoinPairs(banded, DedupOps.DefaultBucketCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = EmbeddingOps.cosineNearDupPairs(emb, 0.4, DedupOps.DefaultBucketCap)
+      .select(col("id_a"), col("id_b"))
+    // fast is post-verify; the generic set post-verify must match — run
+    // the same cosine verify over the generic candidates.
+    val ve = emb.select(col("vec_id"), col("embedding"))
+    val ga = ve.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("ea"))
+    val gb = ve.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("eb"))
+    import graft.SharedSpark.spark.implicits._
+    val genericVerified = generic.toSeq.toDF("id_a", "id_b")
+      .join(ga, "id_a").join(gb, "id_b")
+      .filter(EmbeddingOps.cosine(col("ea"), col("eb")) >= 0.4)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fastSet = fast.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fastSet === genericVerified)
+    assert(fastSet.nonEmpty)
+  }
+
   test("cross-corpus embedding near-dup: perfect precision, recall vs brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     val left = emb.filter(col("vec_id") % 10 === 0)
