@@ -1011,11 +1011,50 @@ object EmbeddingOps {
   def crossCosineDupPairs(left: DataFrame, right: DataFrame, threshold: Double,
       cap: Int = DedupOps.DefaultBucketCap): DataFrame = {
     val bits = bandBitsFor(threshold)
-    val bL = bandKeys(signBuckets(left, "vec_id"), "vec_id", bits)
-      .transform(CacheScope.persistTracked)
-    val bR = bandKeys(signBuckets(right, "vec_id"), "vec_id", bits)
-      .transform(CacheScope.persistTracked)
-    verifyCosine(DedupOps.crossCappedPairs(bL, bR, cap), left, right, threshold)
+    val nBands = math.min(16, NumPlanes / bits)
+    val mask = (1L << bits) - 1
+    val bkL = CacheScope.persistTracked(signBuckets(left, "vec_id"))
+    val bkR = CacheScope.persistTracked(signBuckets(right, "vec_id"))
+    def banded(buckets: DataFrame): DataFrame = {
+      val keys = (0 until nBands).map { j =>
+        lit(j.toLong << 48).bitwiseOR(shiftright(col("bucket"), j * bits).bitwiseAND(mask))
+      }
+      buckets.select(col("vec_id").as("id"), col("bucket"),
+        explode(array(keys: _*)).as("bkey"))
+    }
+    val bL = banded(bkL)
+    val bR = banded(bkR)
+    // Cross twin of [[cosineNearDupPairs]]'s first-matching-band
+    // emission: in the healthy-bucket regime (no RIGHT band bucket over
+    // the flood cap — the cross guard is right-membership, decided by
+    // one tiny aggregation over the cached right sign buckets) a pair's
+    // shared bands are a pure function of the two 64-bit buckets both
+    // join sides carry, so each qualifying pair is emitted from its
+    // FIRST matching band only and the `distinct()` of the multiplied
+    // pair stream (the crossCappedPairs shuffle that grows with
+    // candidate volume × shared-band multiplicity) disappears. Over the
+    // cap, the representative star-edge semantics of
+    // [[DedupOps.crossCappedPairs]] apply unchanged.
+    val maxRsz = bR.groupBy(col("bkey")).agg(count(lit(1)).as("bsz"))
+      .agg(max(col("bsz"))).head(1).headOption
+      .map(r => if (r.isNullAt(0)) 0L else r.getLong(0)).getOrElse(0L)
+    val candidates =
+      if (maxRsz <= cap) {
+        val xor = col("l.bucket").bitwiseXOR(col("r.bucket"))
+        val firstMatch = (0 until nBands).foldRight(lit(-1L)) { (j, later) =>
+          when(shiftright(xor, j * bits).bitwiseAND(mask) === 0, lit(j.toLong))
+            .otherwise(later)
+        }
+        bL.as("l").join(bR.as("r"), col("l.bkey") === col("r.bkey"))
+          .filter(shiftright(col("l.bkey"), 48) === firstMatch)
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      } else {
+        DedupOps.crossCappedPairs(
+          bL.select(col("id"), col("bkey")).transform(CacheScope.persistTracked),
+          bR.select(col("id"), col("bkey")).transform(CacheScope.persistTracked),
+          cap)
+      }
+    verifyCosine(candidates, left, right, threshold)
   }
 
   /** SemDedup-style semantic deduplication (cluster-then-prune, the method

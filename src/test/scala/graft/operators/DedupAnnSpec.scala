@@ -519,6 +519,33 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall")
   }
 
+  test("cross near-dup first-match fast path == capped cross-join pair set") {
+    // The r16 healthy-regime cross path (emit each pair from its first
+    // matching band, no distinct) must produce the EXACT verified pair
+    // set of the generic capped cross join it replaces.
+    val emb = Tables.embeddings(spark, sf0001)
+    val left = emb.filter(col("vec_id") % 10 === 0)
+    val right = emb.filter(col("vec_id") % 10 =!= 0)
+    val bits = EmbeddingOps.bandBitsFor(0.4)
+    val bL = EmbeddingOps.bandKeys(EmbeddingOps.signBuckets(left, "vec_id"), "vec_id", bits)
+    val bR = EmbeddingOps.bandKeys(EmbeddingOps.signBuckets(right, "vec_id"), "vec_id", bits)
+    val generic = DedupOps.crossCappedPairs(bL, bR, DedupOps.DefaultBucketCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ga = left.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("ea"))
+    val gb = right.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("eb"))
+    import graft.SharedSpark.spark.implicits._
+    val genericVerified = generic.toSeq.toDF("id_a", "id_b")
+      .join(ga, "id_a").join(gb, "id_b")
+      .filter(EmbeddingOps.cosine(col("ea"), col("eb")) >= 0.4)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fastSet = EmbeddingOps.crossCosineDupPairs(left, right, 0.4)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fastSet === genericVerified)
+    assert(fastSet.nonEmpty)
+  }
+
   test("semDedup with nLists=1 equals global keep-lowest-id brute force") {
     // One cluster = no boundary effects: the prune must match the global
     // definition exactly (x is a dup iff some smaller-id y has cos >= t).
