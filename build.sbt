@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the LAST stdout
+// line as the bench JSON. sbt's "[success] Total time: ..." epilogue printed
+// AFTER the program's output has broken that parse every round since r11
+// (BENCH_r11..r16 all `parsed: null`). Suppressing the success line makes
+// Bench's println(json) the final stdout line again. Exit codes are
+// unaffected, so failure detection still works.
+Global / showSuccess := false
+// ... and the fork logger prefixes the program's stdout with "[info] ",
+// which equally breaks a strict json.loads of the line. StdoutOutput
+// inherits the forked JVM's stdout/stderr directly: program stdout stays
+// raw (Spark's log4j console noise is on stderr and stays there).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
